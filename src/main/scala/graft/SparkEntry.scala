@@ -1,13 +1,586 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.pipeline.{Embeddings, Pipeline}
+import graft.queries.{EventQueries => EQ, RelationalQueries => RQ, TextQueries => TQ}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator/capability from SURVEY.md §2
+  * (or a training-data-pipeline extension), deterministic by
+  * construction; `oracleSql` carries the DuckDB-equivalent ANSI SQL the
+  * driver hash-compares against at sf0.01. Queries with no oracle entry
+  * (Word2Vec, LSH ANN, multimodal stub) are ⊘ non-SQL-expressible and
+  * get the rows-only check (SURVEY.md §5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full reference pipeline (sessionize → candidates →
+    * features → Word2Vec category embeddings attached) on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val enriched = Pipeline.enrichedEvents(spark, dir).cache()
+    val feats = Pipeline.features(spark, dir)
+    val seqs = Embeddings.sessionSequences(enriched, "category_id")
+    val vectors = Embeddings.trainWord2Vec(seqs)
+    Embeddings.attachEmbeddings(feats, vectors, "category_id", dims = 16)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — relational core (SURVEY.md §2.2–2.7) —
+    "q01_pricing_summary" -> (RQ.pricingSummary _),
+    "q02_filter_project" -> (RQ.filterProject _),
+    "q03_join_agg" -> (RQ.joinAgg _),
+    "q04_left_join_defaults" -> (RQ.leftJoinDefaults _),
+    "q05_global_topk" -> (RQ.globalTopK _),
+    "q06_topk_per_group" -> (RQ.topKPerGroup _),
+    "q07_latest_per_key" -> (RQ.latestPerKey _),
+    "q08_union_distinct" -> (RQ.unionDistinct _),
+    "q09_count_distinct" -> (RQ.countDistinctAgg _),
+    "q10_conditional_agg" -> (RQ.conditionalAgg _),
+    "q11_two_level_agg" -> (RQ.twoLevelAgg _),
+    "q12_composite_join" -> (RQ.compositeJoin _),
+    "q13_describe_stats" -> (RQ.describeStats _),
+    "q14_label_stats" -> (RQ.labelStats _),
+    // — event-log / pipeline (SURVEY.md §2.5, §3) —
+    "q15_sessionize" -> (EQ.sessionize _),
+    "q16_user_session_stats" -> (EQ.userSessionStats _),
+    "q17_lag_gaps" -> (EQ.lagGaps _),
+    "q18_running_sums" -> (EQ.runningSums _),
+    "q19_covis_pairs" -> (EQ.covisPairs _),
+    "q20_prefix_stats" -> (EQ.prefixStats _),
+    "q21_popularity_candidates" -> (EQ.popularityCandidates _),
+    "q22_user_history" -> (EQ.userHistory _),
+    "q23_candidates" -> (EQ.candidates _),
+    "q24_session_item_seq" -> (EQ.sessionItemSeq _),
+    "q25_scalar_functions" -> (EQ.scalarFunctions _),
+    "q26_features" -> (EQ.features _),
+    // — training-data pipeline extensions —
+    "q27_dedup_exact" -> (TQ.dedupExact _),
+    "q28_ngram_jaccard" -> (TQ.ngramJaccard _),
+    "q29_minhash_bands" -> (TQ.minhashBands _),
+    "q30_simhash" -> (TQ.simhash _),
+    "q31_knn_cosine" -> (TQ.knnCosine _),
+    "q32_lang_id" -> (TQ.langId _),
+    "q33_quality_score" -> (TQ.qualityScore _),
+    "q34_token_stats" -> (TQ.tokenStats _),
+    "q35_fingerprints" -> (TQ.fingerprints _),
+    // — ⊘ non-SQL-expressible (rows-only) —
+    "q36_knn_lsh" -> (TQ.knnLsh _),
+    "q37_word2vec_vocab" -> (TQ.word2vecVocab _),
+    "q38_multimodal_features" -> (TQ.multimodalFeatures _))
+
+  // ——— shared oracle-SQL fragments ———
+
+  /** Sessionized + item/category-enriched events (mirrors
+    * graft.ops.Windows.sessionize + graft.pipeline.Pipeline).
+    */
+  private val sessCte =
+    """e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      |  FROM events
+      |), lagged AS (
+      |  SELECT *, lag(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev_s
+      |  FROM e
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_s IS NULL OR epoch_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged
+      |), sess AS (
+      |  SELECT *,
+      |    CAST(user_id AS VARCHAR) || '_' ||
+      |      CAST(CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS BIGINT) AS VARCHAR)
+      |      AS session_id,
+      |    item_id % 20 AS category_id
+      |  FROM flagged
+      |), enr AS (
+      |  SELECT * FROM sess WHERE item_id IS NOT NULL
+      |), anchors AS (
+      |  SELECT event_id AS anchor_id, session_id, user_id,
+      |         epoch_s AS anchor_epoch_s, item_id, category_id
+      |  FROM enr WHERE event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Whitespace tokens + word n-gram shingles over documents. */
+  private def shingleCte(n: Int): String =
+    s"""docs AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+       |  FROM docs, unnest(generate_series(1, len(toks) - ${n - 1})) AS t(i)
+       |)""".stripMargin
+
+  private def substrCountSql(padded: String, needle: String): String =
+    s"CAST((length($padded) - length(replace($padded, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers
+      .map(m => substrCountSql("(' ' || text || ' ')", s" $m "))
+      .mkString("(", " + ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey AS orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS linenumber,
+        |  l_partkey AS partkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(l_shipdate AS DATE) AS shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |ORDER BY orderkey, linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q04_left_join_defaults" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_custkey,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(total_spent, 0.0) AS total_spent
+        |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_global_topk" ->
+      """SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 20""".stripMargin,
+    "q06_topk_per_group" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey ASC) AS rn
+        |  FROM rev
+        |)
+        |SELECT l_suppkey, l_partkey, revenue, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q07_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q08_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000.0
+        |) ORDER BY custkey""".stripMargin,
+    "q09_count_distinct" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+        |  COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q10_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+        |  MAX(CASE WHEN l_discount > 0.05 THEN l_quantity END) AS max_qty_high_disc,
+        |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q11_two_level_agg" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+        |)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  COUNT(*) AS n_cust,
+        |  AVG(n_orders) AS avg_orders
+        |FROM customer JOIN per_cust ON c_custkey = o_custkey
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q12_composite_join" ->
+      """WITH agg AS (
+        |  SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+        |         COUNT(*) AS n_lines,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS grp_qty
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT li.l_orderkey AS orderkey, li.l_partkey AS partkey,
+        |  CAST(li.l_linenumber AS BIGINT) AS linenumber, agg.n_lines, agg.grp_qty
+        |FROM lineitem li JOIN agg ON li.l_orderkey = agg.orderkey AND li.l_partkey = agg.partkey
+        |WHERE agg.n_lines >= 2
+        |ORDER BY orderkey, partkey, linenumber""".stripMargin,
+    "q13_describe_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+        |  CAST(MAX(l_shipdate) AS DATE) AS max_shipdate
+        |FROM lineitem""".stripMargin,
+    "q14_label_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q15_sessionize" ->
+      s"""WITH $sessCte
+         |SELECT session_id, user_id,
+         |  COUNT(*) AS n_events,
+         |  MIN(epoch_s) AS session_start_s,
+         |  MAX(epoch_s) AS session_end_s,
+         |  MAX(epoch_s) - MIN(epoch_s) AS session_dur_s
+         |FROM sess
+         |GROUP BY session_id, user_id
+         |ORDER BY user_id, session_start_s, session_id""".stripMargin,
+    "q16_user_session_stats" ->
+      s"""WITH $sessCte, per_session AS (
+         |  SELECT session_id, user_id, COUNT(*) AS n_events,
+         |         MAX(epoch_s) - MIN(epoch_s) AS session_dur_s
+         |  FROM sess GROUP BY session_id, user_id
+         |)
+         |SELECT user_id,
+         |  CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+         |  AVG(session_dur_s) AS avg_session_dur_s,
+         |  MAX(session_dur_s) AS max_session_dur_s
+         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q17_lag_gaps" ->
+      s"""WITH $sessCte
+         |SELECT event_id, user_id,
+         |  epoch_s - prev_s AS gap_s,
+         |  CAST(is_new AS BIGINT) AS is_new_session
+         |FROM sess ORDER BY event_id""".stripMargin,
+    "q18_running_sums" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+        |         CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(value_cents) OVER w AS BIGINT) AS cum_value_cents,
+        |  COUNT(*) OVER w AS cum_events
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+    "q19_covis_pairs" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM sess WHERE item_id IS NOT NULL
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |)
+         |SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+         |FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY item_a, item_b""".stripMargin,
+    "q20_prefix_stats" ->
+      s"""WITH $sessCte
+         |SELECT a.anchor_id,
+         |  COUNT(*) AS n_prefix_events,
+         |  CAST(COUNT(DISTINCT e.item_id) AS BIGINT) AS n_prefix_items,
+         |  MAX(e.epoch_s) AS last_prefix_epoch_s
+         |FROM anchors a JOIN enr e ON a.session_id = e.session_id AND e.epoch_s < a.anchor_epoch_s
+         |GROUP BY a.anchor_id ORDER BY a.anchor_id""".stripMargin,
+    "q21_popularity_candidates" ->
+      s"""WITH $sessCte, top AS (
+         |  SELECT category_id FROM enr GROUP BY category_id
+         |  ORDER BY CAST(COUNT(DISTINCT session_id) AS BIGINT) DESC, category_id ASC LIMIT 5
+         |)
+         |SELECT anchors.anchor_id, top.category_id FROM anchors CROSS JOIN top
+         |ORDER BY anchors.anchor_id, top.category_id""".stripMargin,
+    "q22_user_history" ->
+      s"""WITH $sessCte, last_seen AS (
+         |  SELECT user_id, category_id, MAX(epoch_s) AS last_seen FROM enr GROUP BY 1, 2
+         |), j AS (
+         |  SELECT a.anchor_id, l.category_id, l.last_seen,
+         |    ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY l.last_seen DESC, l.category_id ASC) AS rn
+         |  FROM anchors a JOIN last_seen l ON a.user_id = l.user_id AND l.last_seen < a.anchor_epoch_s
+         |)
+         |SELECT anchor_id, category_id FROM j WHERE rn <= 10
+         |ORDER BY anchor_id, category_id""".stripMargin,
+    "q23_candidates" ->
+      s"""WITH $sessCte, prefix_cand AS (
+         |  SELECT DISTINCT a.anchor_id, e.category_id
+         |  FROM anchors a JOIN enr e ON a.session_id = e.session_id AND e.epoch_s < a.anchor_epoch_s
+         |), di AS (
+         |  SELECT DISTINCT session_id, category_id FROM enr
+         |), pairs AS (
+         |  SELECT a.category_id AS item_a, b.category_id AS item_b, COUNT(*) AS pair_count
+         |  FROM di a JOIN di b ON a.session_id = b.session_id AND a.category_id < b.category_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), directed AS (
+         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+         |), top_directed AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY pair_count DESC, dst ASC) AS rn
+         |    FROM directed
+         |  ) WHERE rn <= 10
+         |), covis_cand AS (
+         |  SELECT DISTINCT p.anchor_id, t.dst AS category_id
+         |  FROM prefix_cand p JOIN top_directed t ON p.category_id = t.src
+         |), top_pop AS (
+         |  SELECT category_id FROM enr GROUP BY category_id
+         |  ORDER BY CAST(COUNT(DISTINCT session_id) AS BIGINT) DESC, category_id ASC LIMIT 5
+         |), pop_cand AS (
+         |  SELECT anchors.anchor_id, top_pop.category_id FROM anchors CROSS JOIN top_pop
+         |), last_seen AS (
+         |  SELECT user_id, category_id, MAX(epoch_s) AS last_seen FROM enr GROUP BY 1, 2
+         |), hist_cand AS (
+         |  SELECT anchor_id, category_id FROM (
+         |    SELECT a.anchor_id, l.category_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY l.last_seen DESC, l.category_id ASC) AS rn
+         |    FROM anchors a JOIN last_seen l ON a.user_id = l.user_id AND l.last_seen < a.anchor_epoch_s
+         |  ) WHERE rn <= 10
+         |)
+         |SELECT DISTINCT anchor_id, category_id FROM (
+         |  SELECT * FROM prefix_cand
+         |  UNION ALL SELECT * FROM covis_cand
+         |  UNION ALL SELECT * FROM pop_cand
+         |  UNION ALL SELECT * FROM hist_cand
+         |) ORDER BY anchor_id, category_id""".stripMargin,
+    "q24_session_item_seq" ->
+      s"""WITH $sessCte
+         |SELECT session_id,
+         |  COALESCE(string_agg(CAST(item_id AS VARCHAR), ',' ORDER BY epoch_s, event_id), '') AS item_seq,
+         |  COUNT(*) AS n_events
+         |FROM sess GROUP BY session_id ORDER BY session_id""".stripMargin,
+    "q25_scalar_functions" ->
+      """SELECT event_id,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+        |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        |  CAST(dayofweek(ts) + 1 AS BIGINT) AS day_of_week,
+        |  CASE WHEN dayofweek(ts) IN (0, 6) THEN CAST(1 AS BIGINT) ELSE 0 END AS is_weekend,
+        |  round(ln(1 + value), 6) AS log1p_value,
+        |  greatest(value, 50.0) AS value_floor50,
+        |  CAST(user_id AS VARCHAR) || '_' || event_type AS user_event,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+        |  COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS missing_default
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q26_features" ->
+      s"""WITH $sessCte, prefix AS (
+         |  SELECT a.anchor_id, a.anchor_epoch_s, e.epoch_s, e.item_id, e.category_id AS pcat
+         |  FROM anchors a JOIN enr e ON a.session_id = e.session_id AND e.epoch_s < a.anchor_epoch_s
+         |), prefix_cand AS (
+         |  SELECT DISTINCT anchor_id, pcat AS category_id FROM prefix
+         |), di AS (
+         |  SELECT DISTINCT session_id, category_id FROM enr
+         |), pairs AS (
+         |  SELECT a.category_id AS item_a, b.category_id AS item_b, COUNT(*) AS pair_count
+         |  FROM di a JOIN di b ON a.session_id = b.session_id AND a.category_id < b.category_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), directed AS (
+         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+         |), top_directed AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY pair_count DESC, dst ASC) AS rn
+         |    FROM directed
+         |  ) WHERE rn <= 10
+         |), covis_cand AS (
+         |  SELECT DISTINCT p.anchor_id, t.dst AS category_id
+         |  FROM prefix_cand p JOIN top_directed t ON p.category_id = t.src
+         |), top_pop AS (
+         |  SELECT category_id FROM enr GROUP BY category_id
+         |  ORDER BY CAST(COUNT(DISTINCT session_id) AS BIGINT) DESC, category_id ASC LIMIT 5
+         |), pop_cand AS (
+         |  SELECT anchors.anchor_id, top_pop.category_id FROM anchors CROSS JOIN top_pop
+         |), last_seen AS (
+         |  SELECT user_id, category_id, MAX(epoch_s) AS last_seen FROM enr GROUP BY 1, 2
+         |), hist_cand AS (
+         |  SELECT anchor_id, category_id FROM (
+         |    SELECT a.anchor_id, l.category_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY l.last_seen DESC, l.category_id ASC) AS rn
+         |    FROM anchors a JOIN last_seen l ON a.user_id = l.user_id AND l.last_seen < a.anchor_epoch_s
+         |  ) WHERE rn <= 10
+         |), cand AS (
+         |  SELECT DISTINCT anchor_id, category_id FROM (
+         |    SELECT * FROM prefix_cand
+         |    UNION ALL SELECT * FROM covis_cand
+         |    UNION ALL SELECT * FROM pop_cand
+         |    UNION ALL SELECT * FROM hist_cand
+         |  )
+         |), base AS (
+         |  SELECT c.anchor_id, c.category_id, a.session_id, a.user_id,
+         |         a.anchor_epoch_s, a.category_id AS true_category
+         |  FROM cand c JOIN anchors a ON c.anchor_id = a.anchor_id
+         |), prefix_stats AS (
+         |  SELECT anchor_id,
+         |    CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_prefix_items,
+         |    COUNT(*) AS n_prefix_events,
+         |    MAX(epoch_s) AS last_prefix_epoch_s
+         |  FROM prefix GROUP BY anchor_id
+         |), prefix_cat_stats AS (
+         |  SELECT anchor_id, pcat AS category_id,
+         |    COUNT(*) AS cat_count_in_prefix,
+         |    MAX(epoch_s) AS cat_last_epoch_s
+         |  FROM prefix GROUP BY 1, 2
+         |), cat_pop AS (
+         |  SELECT category_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS cat_pop
+         |  FROM enr GROUP BY category_id
+         |), user_cat_aff AS (
+         |  SELECT user_id, category_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS user_cat_sessions
+         |  FROM enr GROUP BY 1, 2
+         |), per_session AS (
+         |  SELECT user_id, session_id, MAX(epoch_s) - MIN(epoch_s) AS session_dur_s
+         |  FROM enr GROUP BY 1, 2
+         |), user_stats AS (
+         |  SELECT user_id,
+         |    CAST(COUNT(DISTINCT session_id) AS BIGINT) AS user_n_sessions,
+         |    CAST(SUM(session_dur_s) AS DOUBLE) / COUNT(*) AS user_avg_session_dur
+         |  FROM per_session GROUP BY user_id
+         |)
+         |SELECT b.anchor_id, b.category_id, b.user_id, b.session_id,
+         |  COALESCE(ps.n_prefix_items, 0) AS n_prefix_items,
+         |  COALESCE(ps.n_prefix_events, 0) AS n_prefix_events,
+         |  COALESCE(pcs.cat_count_in_prefix, 0) AS cat_count_in_prefix,
+         |  CAST(COALESCE(pcs.cat_count_in_prefix, 0) AS DOUBLE) /
+         |    greatest(COALESCE(ps.n_prefix_events, 0), 1) AS cat_share_in_prefix,
+         |  COALESCE(b.anchor_epoch_s - pcs.cat_last_epoch_s, -1) AS recency_s,
+         |  COALESCE(cp.cat_pop, 0) AS cat_pop,
+         |  round(ln(1 + COALESCE(cp.cat_pop, 0)), 6) AS log_cat_pop,
+         |  COALESCE(uca.user_cat_sessions, 0) AS user_cat_sessions,
+         |  COALESCE(us.user_n_sessions, 0) AS user_n_sessions,
+         |  COALESCE(us.user_avg_session_dur, 0.0) AS user_avg_session_dur,
+         |  CAST(hour(make_timestamp(b.anchor_epoch_s * 1000000)) AS BIGINT) AS hour_of_day,
+         |  CAST(dayofweek(make_timestamp(b.anchor_epoch_s * 1000000)) + 1 AS BIGINT) AS day_of_week,
+         |  CASE WHEN dayofweek(make_timestamp(b.anchor_epoch_s * 1000000)) IN (0, 6)
+         |       THEN CAST(1 AS BIGINT) ELSE 0 END AS is_weekend,
+         |  CASE WHEN b.category_id = b.true_category THEN CAST(1 AS BIGINT) ELSE 0 END AS y
+         |FROM base b
+         |LEFT JOIN prefix_stats ps ON b.anchor_id = ps.anchor_id
+         |LEFT JOIN prefix_cat_stats pcs ON b.anchor_id = pcs.anchor_id AND b.category_id = pcs.category_id
+         |LEFT JOIN cat_pop cp ON b.category_id = cp.category_id
+         |LEFT JOIN user_cat_aff uca ON b.user_id = uca.user_id AND b.category_id = uca.category_id
+         |LEFT JOIN user_stats us ON b.user_id = us.user_id
+         |ORDER BY b.anchor_id, b.category_id""".stripMargin,
+    "q27_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    "q28_ngram_jaccard" ->
+      s"""WITH ${shingleCte(4)}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_count
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, inter_count,
+         |  sa.n + sb.n - inter_count AS union_count,
+         |  CAST(floor(inter_count * 1000000 / (sa.n + sb.n - inter_count)) AS BIGINT) AS jaccard_ppm
+         |FROM cand
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |ORDER BY jaccard_ppm DESC, id_a, id_b LIMIT 50""".stripMargin,
+    "q29_minhash_bands" ->
+      s"""WITH ${shingleCte(3)}, sig AS (
+         |  SELECT doc_id,
+         |${(0 until 8).map(i => s"    min(md5('s$i|' || shingle)) AS h$i").mkString(",\n")}
+         |  FROM sh GROUP BY doc_id
+         |)
+         |${(0 until 4)
+          .map(b =>
+            s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5(h${2 * b} || '|' || h${2 * b + 1}) AS band_key FROM sig")
+          .mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY doc_id, band_idx""".stripMargin,
+    "q30_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+         |), w AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS w,
+         |         CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
+         |  FROM toks GROUP BY doc_id, tok
+         |), v AS (
+         |  SELECT doc_id,
+         |${(0 until 32)
+          .map(b => s"    SUM(CASE WHEN (h >> $b) & 1 = 1 THEN w ELSE -w END) AS v$b")
+          .mkString(",\n")}
+         |  FROM w GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  CAST(${(0 until 32)
+          .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+          .mkString(" + ")} AS BIGINT) AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "q31_knn_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cv
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i])) AS DOUBLE) /
+        |      sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) /
+        |      sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cosine_sim
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q32_lang_id" -> {
+      val best = TQ.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |${TQ.langMarkers
+          .map { case (l, ms) => s"    ${langScoreSql(ms)} AS s_$l" }
+          .mkString(",\n")}
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE ${TQ.langMarkers
+          .map { case (l, _) => s"WHEN s_$l = $best AND $best > 0 THEN '$l'" }
+          .mkString(" ")} ELSE 'und' END AS pred_lang,
+         |  s_en AS en_score
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q33_quality_score" -> {
+      val stop = langScoreSql(Seq("the", "a", "and", "of"))
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    $stop AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  n_tokens,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(floor(length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1000 / n_tokens) AS BIGINT)
+         |    AS mean_token_len_milli,
+         |  n_stop AS n_stopwords,
+         |  CAST(floor(n_stop * 1000000 / n_tokens) AS BIGINT) AS stopword_ppm
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "q34_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents
+        |)
+        |SELECT doc_id, fp, CAST(('0x' || substring(fp, 1, 8)) AS BIGINT) AS fp32
+        |FROM t ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table catalog over the driver-generated parquet test data
+  * (TESTDATA.md). Paths are `"$dir/<name>.parquet"`; schemas are fixed
+  * by the generator, so we read without inference (parquet is
+  * self-describing) and keep the raw column names.
+  *
+  * At cluster scale these reads benefit from parquet column pruning +
+  * predicate pushdown automatically as long as callers select/filter
+  * before any wide transform — all operators in `graft.ops` follow
+  * that discipline.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * map to its µs TimestampType. We read nanos as long
+    * (`nanosAsLong`) and truncate to µs ourselves — same floor
+    * semantics Spark applies to µs data, and all downstream logic works
+    * on floor-second epochs anyway (cross-engine reproducible).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,147 @@
+package graft.dedup
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+  *
+  * Cross-engine determinism: all hashing goes through `md5` (identical
+  * everywhere) rather than Spark's murmur3 `hash()`, and MinHash
+  * signatures are the LEXICOGRAPHIC min of salted md5 hex strings — a
+  * valid min-wise permutation family that any SQL engine reproduces.
+  *
+  * Scale notes:
+  *  - Exact dedup = one hash aggregation on the fingerprint (shuffle
+  *    carries (fp, min_id) partials only).
+  *  - MinHash LSH: signatures are computed per-doc via a single
+  *    explode→groupBy (shuffle keyed by doc); banding turns near-dup
+  *    search into an equi-join on (band_idx, band_key) — no pairwise
+  *    blowup. Bucket skew (a band key shared by many docs) is the risk;
+  *    cap candidates per bucket upstream if corpus is adversarial.
+  *  - n-gram Jaccard verification only runs on LSH candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-`idCol` row per normalized-text
+    * fingerprint. Returns (fingerprint, survivor_id, dup_count).
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(fingerprint(col(textCol)).as("fp"), col(idCol).as("id"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word shingles per doc: (id, shingle). */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signature per doc: `numHashes` lexicographic-min md5
+    * values of salted shingles. Output: (id, sig: array<string>).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"s$i|"), col("shingle")))).as(s"h$i"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: signature → (id, band_idx, band_key=md5(joined band
+    * rows)). Docs sharing any (band_idx, band_key) are candidates.
+    */
+  def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band_idx"),
+            md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+              .as("band_key"))
+        }: _*)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+
+  /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct). */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+    val b = bands.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity (×1e6, floored to long — engine-stable)
+    * for given candidate pairs over the shingle sets.
+    * Returns (id_a, id_b, inter_count, union_count, jaccard_ppm).
+    */
+  def jaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter_count"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter_count", coalesce(col("inter_count"), lit(0L)))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("union_count", col("n_a") + col("n_b") - col("inter_count"))
+      .withColumn("jaccard_ppm", floor(col("inter_count") * 1000000L / col("union_count")))
+      .select("id_a", "id_b", "inter_count", "union_count", "jaccard_ppm")
+  }
+
+  /** All-pairs n-gram Jaccard ≥ threshold (ppm) via inverted index on
+    * shingles — exact near-dup, quadratic only within shared-shingle
+    * groups. Prefer MinHash LSH at scale; this is the oracle-exact
+    * variant for modest corpora / verification.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minJaccardPpm: Long): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n)
+    val pairs = sh
+      .select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    jaccardOnPairs(pairs, sh).filter(col("jaccard_ppm") >= minJaccardPpm)
+  }
+
+  /** SimHash (32-bit, from md5-derived token hashes): per doc, for each
+    * bit, majority vote of token-frequency-weighted ±1; bit set iff the
+    * weighted sum is > 0. Integer-exact and engine-portable.
+    * Output: (id, simhash: long).
+    */
+  def simhash32(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val weighted = toks
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bitVotes = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w")))
+        .as(s"v$b")
+    }
+    weighted
+      .groupBy(col("id"))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(
+        col("id"),
+        (0 until 32)
+          .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_ + _)
+          .as("simhash"))
+  }
+}

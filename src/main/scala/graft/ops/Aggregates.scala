@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (reference A1–A10, SURVEY.md §2.4). All are
+  * plain `groupBy().agg()` — two-phase hash aggregation with map-side
+  * partials, which is the scalable shape (shuffle carries partial
+  * states, not rows).
+  *
+  * Float discipline: sums over `double` columns are order-dependent at
+  * the ULP level, which breaks cross-engine reproducibility and makes
+  * re-runs non-bit-identical at scale. Helpers therefore aggregate
+  * money-like doubles as exact `decimal` and cast the final result back
+  * to double — same cost (decimal128 partials), deterministic answer.
+  */
+object Aggregates {
+
+  /** Exact sum of a double column: sum as decimal(28, scale), return
+    * double. Deterministic under any partitioning / AQE re-plan.
+    */
+  def exactSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** Deterministic average = exactSum / count over the same rows. */
+  def exactAvg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c)).cast("double")
+
+  /** Conditional count: number of rows in the group satisfying cond
+    * (reference A4 `sum(when(...,1).otherwise(0))`).
+    */
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** Conditional max (reference `max(when(cond, x))` recency pattern). */
+  def maxIf(cond: Column, value: Column): Column = max(when(cond, value))
+
+  /** Order-safe collect_list: collect (orderKey, value) structs, sort
+    * by the full struct, project values. Unlike bare
+    * `orderBy().groupBy().collect_list()` (reference A7 hazard,
+    * `prepare_training_data_pyspark.py:396-400`), this is correct under
+    * any physical plan because the ordering travels WITH the data.
+    */
+  def sortedList(orderKeys: Seq[Column], value: Column): Column = {
+    val structed = struct(orderKeys :+ value.as("__v"): _*)
+    transform(sort_array(collect_list(structed)), s => s.getField("__v"))
+  }
+
+  /** Order-safe concatenated string of `value` per group, ordered by
+    * `orderKeys` — the cross-engine-checkable form of A7.
+    */
+  def sortedStringAgg(orderKeys: Seq[Column], value: Column, sep: String): Column =
+    concat_ws(sep, sortedList(orderKeys, value.cast("string")))
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond plain equi-joins: point-in-time prefix
+  * (range) joins, co-visitation self-joins, broadcast cross joins —
+  * the reference's J3–J6 shapes (SURVEY.md §2.3; reference
+  * `prepare_training_data_pyspark.py:236-240,252-257,339-340,349-353`).
+  *
+  * Scale notes:
+  *  - Range joins here are EQUI-key + residual `<` predicate, so
+  *    Catalyst plans a shuffled hash / sort-merge join on the equi key
+  *    with the inequality as a post-join filter — never a cartesian.
+  *  - Co-visitation is O(Σ n_g²) in group size; power-law groups skew.
+  *    `covisitationPairs` takes `maxGroupSize` to cap quadratic blowup
+  *    (drop pathological sessions) — the standard mitigation at scale,
+  *    plus AQE skew-join splitting for what remains.
+  *  - Small dimension sides should be wrapped in `broadcast()` by the
+  *    caller; helpers below do it where the cardinality is known-small.
+  */
+object Joins {
+
+  /** Point-in-time prefix join: for each anchor row, all detail rows
+    * with the same `key` and `detail.tsCol < anchor.atCol` (strict
+    * half-open prefix — no leakage of the anchor instant itself).
+    *
+    * Detail columns are selected via `detailCols` (renamed-as-given),
+    * anchor keeps all its columns. Equi on `key` ⇒ shuffle/SMJ on key;
+    * the `<` is a residual filter.
+    */
+  def prefixJoin(
+      anchors: DataFrame,
+      details: DataFrame,
+      key: String,
+      anchorTs: String,
+      detailTs: String,
+      detailCols: Seq[(String, String)]): DataFrame = {
+    val d = details.select(
+      (col(key) +: col(detailTs).as("__dts") +:
+        detailCols.map { case (c, a) => col(c).as(a) }): _*)
+    anchors
+      .join(d, Seq(key), "inner")
+      .filter(col("__dts") < col(anchorTs))
+      .drop("__dts")
+  }
+
+  /** Left variant of [[prefixJoin]]: anchors with no prefix rows
+    * survive with nulls (reference `:466-472`). The residual predicate
+    * must live in the join condition (not a post-filter) to preserve
+    * left-outer semantics.
+    */
+  def prefixJoinLeft(
+      anchors: DataFrame,
+      details: DataFrame,
+      key: String,
+      anchorTs: String,
+      detailTs: String,
+      detailCols: Seq[(String, String)]): DataFrame = {
+    val d = details.select(
+      (col(key).as("__k") +: col(detailTs).as("__dts") +:
+        detailCols.map { case (c, a) => col(c).as(a) }): _*)
+    anchors
+      .join(d, anchors(key) === d("__k") && d("__dts") < anchors(anchorTs), "left")
+      .drop("__k", "__dts")
+  }
+
+  /** Unordered co-visitation pairs within a group: for every group
+    * (e.g. session) emit (item_a, item_b) with item_a < item_b for each
+    * co-occurring distinct pair, counted across groups.
+    *
+    * `minCount` = HAVING threshold; `maxGroupSize` caps the quadratic
+    * self-join by dropping groups with more than that many distinct
+    * items (null = no cap). Returns (item_a, item_b, pair_count).
+    */
+  def covisitationPairs(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      minCount: Long = 1L,
+      maxGroupSize: Option[Int] = Some(200)): DataFrame = {
+    val distinctItems = df.select(col(groupCol), col(itemCol)).distinct()
+    val capped = maxGroupSize match {
+      case Some(cap) =>
+        // Pre-aggregate group sizes; anti-join out oversized groups.
+        val sizes = distinctItems.groupBy(col(groupCol)).count()
+        val keep = sizes.filter(col("count") <= cap).select(col(groupCol))
+        distinctItems.join(keep, Seq(groupCol), "left_semi")
+      case None => distinctItems
+    }
+    val a = capped.select(col(groupCol), col(itemCol).as("item_a"))
+    val b = capped.select(col(groupCol), col(itemCol).as("item_b"))
+    a.join(b, Seq(groupCol), "inner")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+  }
+
+  /** Broadcast cross join of every anchor row with a global top-k
+    * dimension (reference popularity candidates, `:339-340`).
+    * `top` must be tiny (top-k) — forced broadcast nested-loop.
+    */
+  def crossWithTop(anchors: DataFrame, top: DataFrame): DataFrame =
+    anchors.crossJoin(broadcast(top))
+
+  /** As-of style user-history join: anchor ⋈ history on `key` where
+    * `history.asOfCol < anchor.atCol` (reference `:349-353`).
+    */
+  def historyJoin(
+      anchors: DataFrame,
+      history: DataFrame,
+      key: String,
+      anchorTs: String,
+      historyTs: String): DataFrame =
+    anchors
+      .join(history, Seq(key), "inner")
+      .filter(col(historyTs) < col(anchorTs))
+
+  /** Left join + coalesce defaults for feature attachment
+    * (reference J7 + F5, `:532-590`). `defaults` maps feature column →
+    * default literal.
+    */
+  def leftJoinWithDefaults(
+      base: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      defaults: Map[String, Column]): DataFrame = {
+    val joined = base.join(features, keys, "left")
+    defaults.foldLeft(joined) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), d))
+    }
+  }
+}

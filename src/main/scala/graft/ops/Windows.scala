@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators: sessionization (gap rule), per-group
+  * top-k, latest-value-per-key.
+  *
+  * Mirrors the reference's W1–W3 (lag / running sum / row_number;
+  * see reference `prepare_training_data_pyspark.py:96-131,171-173,
+  * 280-287` — SURVEY.md §2.5) but with DETERMINISTIC orderings: every
+  * window order includes a unique tie-break column, because
+  * `row_number` over non-unique keys is non-deterministic under
+  * re-partitioning (SURVEY.md §7 "What's hard").
+  *
+  * Scale notes: each window = one hash-partition exchange on the
+  * partition keys + a sort within partitions. Chained windows over the
+  * SAME partition keys reuse the exchange (Catalyst `EnsureRequirements`
+  * sees the child's output partitioning), so `sessionize` costs exactly
+  * one shuffle. Skewed partition keys (one user with millions of
+  * events) are the risk at 100 TB — sessionization partitions by user,
+  * which is naturally high-cardinality; AQE skew handling stays on.
+  */
+object Windows {
+
+  /** Sessionize an event log with the N-minute-gap rule.
+    *
+    * Adds: `prev_epoch_s`, `gap_s`, `is_new_session`, `session_num`,
+    * `session_id` (= "user_epoch-ordinal"). Single shuffle on
+    * `userCol`; both windows share partitioning `(userCol)` and
+    * ordering `(tsCol, tieCol)`.
+    *
+    * Gap is computed on floor-to-second epochs (`unix_timestamp`) so
+    * results are reproducible across engines regardless of sub-second
+    * timestamp precision.
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val gapS = gapMinutes * 60L
+    events
+      .withColumn("epoch_s", unix_timestamp(col(tsCol)))
+      .withColumn("prev_epoch_s", lag(col("epoch_s"), 1).over(w))
+      .withColumn("gap_s", col("epoch_s") - col("prev_epoch_s"))
+      .withColumn(
+        "is_new_session",
+        when(col("prev_epoch_s").isNull || col("gap_s") > gapS, 1L).otherwise(0L))
+      .withColumn("session_num", sum(col("is_new_session")).over(w))
+      .withColumn(
+        "session_id",
+        concat(col(userCol).cast("string"), lit("_"), col("session_num").cast("string")))
+  }
+
+  /** Top-k rows per group by `orderCol` DESC, deterministic via
+    * `tieCols` ASC appended to the window order. One exchange + sort.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: Column,
+      tieCols: Seq[String],
+      k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(orderCol.desc +: tieCols.map(c => col(c).asc): _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Latest row per key: row_number()==1 over (keys / orderCol DESC,
+    * ties broken by tieCols ASC). Reference "latest categoryid per
+    * item" pattern (`prepare_training_data_pyspark.py:171-173`).
+    */
+  def latestPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: Column,
+      tieCols: Seq[String]): DataFrame =
+    topKPerGroup(df, keyCols, orderCol, tieCols, 1).drop("rn")
+}

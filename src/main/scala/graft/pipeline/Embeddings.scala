@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import graft.ops.Aggregates
+import org.apache.spark.ml.feature.Word2Vec
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Category-sequence embeddings (reference X2: gensim skip-gram on the
+  * driver, `prepare_training_data_pyspark.py:390-433`) — re-expressed
+  * as DISTRIBUTED MLlib Word2Vec, removing the reference's
+  * `toPandas()` driver bottleneck, and attached via broadcast join
+  * instead of a Python UDF (reference X1, `:603-622`).
+  *
+  * Sequences are built with the order-safe collect (Aggregates
+  * .sortedList) so the corpus is deterministic; Word2Vec itself is
+  * seeded but (like gensim) only reproducible single-threaded — we
+  * match hyperparameters and test invariants, not vectors
+  * (SURVEY.md §7).
+  */
+object Embeddings {
+
+  /** Per-session item/category token sequences, time-ordered.
+    * Input must have (session_id, epoch_s, event_id, tokenCol).
+    */
+  def sessionSequences(enriched: DataFrame, tokenCol: String): DataFrame =
+    enriched
+      .groupBy(col("session_id"))
+      .agg(
+        Aggregates
+          .sortedList(Seq(col("epoch_s"), col("event_id")), col(tokenCol).cast("string"))
+          .as("seq"))
+
+  /** Train Word2Vec (skip-gram-equivalent hyperparams as the
+    * reference: dim 16, window 5, minCount 3, 10 iters, seed 42) and
+    * return the vectors table (word, vector).
+    */
+  def trainWord2Vec(
+      sequences: DataFrame,
+      vectorSize: Int = 16,
+      windowSize: Int = 5,
+      minCount: Int = 3,
+      maxIter: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    val w2v = new Word2Vec()
+      .setInputCol("seq")
+      .setOutputCol("vec")
+      .setVectorSize(vectorSize)
+      .setWindowSize(windowSize)
+      .setMinCount(minCount)
+      .setMaxIter(maxIter)
+      .setSeed(seed)
+    w2v.fit(sequences).getVectors
+  }
+
+  /** Attach embedding dims as flat float columns via broadcast left
+    * join + element_at + coalesce(0.0f) — pure Catalyst, no UDF, no
+    * serialization wall (the Spark-first form of reference X1).
+    */
+  def attachEmbeddings(
+      features: DataFrame,
+      vectors: DataFrame,
+      keyCol: String,
+      dims: Int): DataFrame = {
+    val emb = vectors.select(
+      col("word").cast("long").as(keyCol),
+      vector_to_array(col("vector"), "float32").as("emb"))
+    val joined = features.join(broadcast(emb), Seq(keyCol), "left")
+    val withDims = (0 until dims).foldLeft(joined) { (df, i) =>
+      df.withColumn(
+        s"cat_emb_$i",
+        coalesce(element_at(col("emb"), i + 1), lit(0.0f)).cast("float"))
+    }
+    withDims.drop("emb")
+  }
+}

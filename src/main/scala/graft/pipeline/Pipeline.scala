@@ -1,0 +1,260 @@
+package graft.pipeline
+
+import graft.core.Tables
+import graft.ops.{Aggregates, Joins, Windows}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end reproduction of the reference workload's semantics
+  * (GY-Bai/bigdata-retailrocket-recsys, `prepare_training_data_pyspark
+  * .py:68-649` — SURVEY.md §0) over the driver's `events` table:
+  * sessionize → item/category enrichment → anchor extraction →
+  * 5-strategy candidate generation → feature assembly.
+  *
+  * Test-data mapping (the synthetic `events` stands in for
+  * RetailRocket): `item_id` = the JSON `props.$.k` field,
+  * `category_id` = item_id % 20 via a derived dimension (exercises the
+  * J1 broadcast-enrich join exactly like the reference's 417K-row
+  * item_category table), anchors (the reference's add-to-cart rows) =
+  * `event_type = 'purchase'`.
+  *
+  * Plan shape at scale: ONE shuffle keyed by user for sessionization;
+  * candidate strategies reuse the cached sessionized events; the
+  * item_category dim is broadcast everywhere (reference J1); the
+  * pair-generation self-join is capped + AQE-skew-handled
+  * (SURVEY.md §7 risk item).
+  */
+object Pipeline {
+  val SessionGapMinutes = 30
+  val NumCategories = 20
+
+  /** Sessionized, item-enriched event log:
+    * (event_id, ts, epoch_s, user_id, event_type, value, item_id,
+    * session_num, session_id).
+    */
+  def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+    Windows
+      .sessionize(raw, "user_id", "ts", "event_id", SessionGapMinutes)
+      .select("event_id", "ts", "epoch_s", "user_id", "event_type", "value",
+        "item_id", "session_num", "session_id")
+  }
+
+  /** Derived item dimension (distinct items → category). Small ⇒
+    * always broadcast at the join sites.
+    */
+  def itemCategory(events: DataFrame): DataFrame =
+    events
+      .select(col("item_id"))
+      .distinct()
+      .withColumn("category_id", pmod(col("item_id"), lit(NumCategories)).cast("long"))
+
+  /** Category-enriched sessionized events (J1 broadcast join). */
+  def enrichedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val se = sessionizedEvents(spark, dir)
+    se.join(broadcast(itemCategory(se)), Seq("item_id"), "inner")
+  }
+
+  /** Anchors = purchase events with session + category context
+    * (reference ATC extraction `:183-194`).
+    */
+  def anchors(enriched: DataFrame): DataFrame =
+    enriched
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("anchor_id"),
+        col("session_id"),
+        col("user_id"),
+        col("epoch_s").as("anchor_epoch_s"),
+        col("item_id"),
+        col("category_id"))
+
+  /** Strategy 1 — session-prefix categories: distinct categories seen
+    * strictly before the anchor within the same session (`:235-246`).
+    */
+  def prefixCandidates(anchors: DataFrame, enriched: DataFrame): DataFrame =
+    anchors
+      .select("anchor_id", "session_id", "anchor_epoch_s")
+      .join(
+        enriched.select(
+          col("session_id"),
+          col("epoch_s"),
+          col("category_id")),
+        Seq("session_id"))
+      .filter(col("epoch_s") < col("anchor_epoch_s"))
+      .select(col("anchor_id"), col("category_id"))
+      .distinct()
+
+  /** Strategy 2/3 — co-visitation: categories co-occurring with the
+    * anchor's prefix categories across sessions (`:250-329`), top-k per
+    * source category by pair count (deterministic tie-break).
+    */
+  def covisCandidates(
+      anchors: DataFrame,
+      enriched: DataFrame,
+      minPairCount: Long,
+      topK: Int): DataFrame = {
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("category_id")),
+      "session_id",
+      "category_id",
+      minPairCount)
+    // symmetric closure: a→b and b→a
+    val directed = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
+      .union(pairs.select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+    val top = Windows
+      .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), topK)
+      .drop("rn")
+    prefixCandidates(anchors, enriched)
+      .withColumnRenamed("category_id", "src")
+      .join(top, Seq("src"))
+      .select(col("anchor_id"), col("dst").as("category_id"))
+      .distinct()
+  }
+
+  /** Strategy 4 — global popularity: every anchor × top-N categories by
+    * distinct-session popularity (`:332-340`), broadcast cross join.
+    */
+  def popularityCandidates(anchors: DataFrame, enriched: DataFrame, topN: Int): DataFrame = {
+    val top = enriched
+      .groupBy(col("category_id"))
+      .agg(countDistinct(col("session_id")).as("pop"))
+      .orderBy(col("pop").desc, col("category_id").asc)
+      .limit(topN)
+      .select("category_id")
+    Joins
+      .crossWithTop(anchors.select("anchor_id"), top)
+      .select("anchor_id", "category_id")
+  }
+
+  /** Strategy 5 — user history: top-k categories the user touched
+    * strictly before the anchor, by recency (`:343-362`).
+    */
+  def userHistoryCandidates(anchors: DataFrame, enriched: DataFrame, topK: Int): DataFrame = {
+    val lastSeen = enriched
+      .groupBy(col("user_id"), col("category_id"))
+      .agg(max(col("epoch_s")).as("last_seen"))
+    val joined = anchors
+      .select("anchor_id", "user_id", "anchor_epoch_s")
+      .join(lastSeen, Seq("user_id"))
+      .filter(col("last_seen") < col("anchor_epoch_s"))
+    Windows
+      .topKPerGroup(joined, Seq("anchor_id"), col("last_seen"), Seq("category_id"), topK)
+      .select("anchor_id", "category_id")
+  }
+
+  /** All strategies unioned + dedup (`:365-370`). */
+  def candidatesFrom(a: DataFrame, enriched: DataFrame): DataFrame =
+    Seq(
+      prefixCandidates(a, enriched),
+      covisCandidates(a, enriched, minPairCount = 2, topK = 10),
+      popularityCandidates(a, enriched, topN = 5),
+      userHistoryCandidates(a, enriched, topK = 10))
+      .reduce(_ union _)
+      .distinct()
+
+  def candidates(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = enrichedEvents(spark, dir).cache()
+    candidatesFrom(anchors(enriched), enriched)
+  }
+
+  /** Feature assembly (reference stage 6, `:441-632`): per
+    * (anchor, candidate category) — prefix stats, popularity, user
+    * affinity, session stats, time features, label.
+    */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = enrichedEvents(spark, dir).cache()
+    val a = anchors(enriched)
+    val cand = candidatesFrom(a, enriched)
+    val base = cand
+      .join(
+        a.select(
+          col("anchor_id"),
+          col("session_id"),
+          col("user_id"),
+          col("anchor_epoch_s"),
+          col("category_id").as("true_category")),
+        Seq("anchor_id"))
+
+    // prefix stats per (anchor, candidate cat): events before anchor in session
+    val prefix = a
+      .select("anchor_id", "session_id", "anchor_epoch_s")
+      .join(enriched.select(
+        col("session_id"),
+        col("epoch_s"),
+        col("item_id"),
+        col("category_id").as("pcat")), Seq("session_id"))
+      .filter(col("epoch_s") < col("anchor_epoch_s"))
+    val prefixStats = prefix
+      .groupBy(col("anchor_id"))
+      .agg(
+        countDistinct(col("item_id")).as("n_prefix_items"),
+        count(lit(1)).as("n_prefix_events"),
+        max(col("epoch_s")).as("last_prefix_epoch_s"))
+    val prefixCatStats = prefix
+      .groupBy(col("anchor_id"), col("pcat").as("category_id"))
+      .agg(
+        count(lit(1)).as("cat_count_in_prefix"),
+        max(col("epoch_s")).as("cat_last_epoch_s"))
+
+    // category popularity (distinct sessions)
+    val catPop = enriched
+      .groupBy(col("category_id"))
+      .agg(countDistinct(col("session_id")).as("cat_pop"))
+
+    // user-category affinity: distinct sessions of user touching cat
+    val userCatAff = enriched
+      .groupBy(col("user_id"), col("category_id"))
+      .agg(countDistinct(col("session_id")).as("user_cat_sessions"))
+
+    // user session stats (two-level agg, reference A6 `:524-529`)
+    val perSession = enriched
+      .groupBy(col("user_id"), col("session_id"))
+      .agg((max(col("epoch_s")) - min(col("epoch_s"))).as("session_dur_s"))
+    val userStats = perSession
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("session_id")).as("user_n_sessions"),
+        (sum(col("session_dur_s")).cast("double") / count(lit(1)))
+          .as("user_avg_session_dur"))
+
+    base
+      .join(prefixStats, Seq("anchor_id"), "left")
+      .join(prefixCatStats, Seq("anchor_id", "category_id"), "left")
+      .join(broadcast(catPop), Seq("category_id"), "left")
+      .join(userCatAff, Seq("user_id", "category_id"), "left")
+      .join(userStats, Seq("user_id"), "left")
+      .select(
+        col("anchor_id"),
+        col("category_id"),
+        col("user_id"),
+        col("session_id"),
+        coalesce(col("n_prefix_items"), lit(0L)).as("n_prefix_items"),
+        coalesce(col("n_prefix_events"), lit(0L)).as("n_prefix_events"),
+        coalesce(col("cat_count_in_prefix"), lit(0L)).as("cat_count_in_prefix"),
+        (coalesce(col("cat_count_in_prefix"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_prefix_events"), lit(0L)), lit(1L)))
+          .as("cat_share_in_prefix"),
+        coalesce(col("anchor_epoch_s") - col("cat_last_epoch_s"), lit(-1L))
+          .as("recency_s"),
+        coalesce(col("cat_pop"), lit(0L)).as("cat_pop"),
+        round(log1p(coalesce(col("cat_pop"), lit(0L))), 6).as("log_cat_pop"),
+        coalesce(col("user_cat_sessions"), lit(0L)).as("user_cat_sessions"),
+        coalesce(col("user_n_sessions"), lit(0L)).as("user_n_sessions"),
+        coalesce(col("user_avg_session_dur"), lit(0.0)).as("user_avg_session_dur"),
+        hour(timestamp_seconds(col("anchor_epoch_s"))).cast("long").as("hour_of_day"),
+        dayofweek(timestamp_seconds(col("anchor_epoch_s"))).cast("long").as("day_of_week"),
+        when(dayofweek(timestamp_seconds(col("anchor_epoch_s"))).isin(1, 7), 1L)
+          .otherwise(0L).as("is_weekend"),
+        when(col("category_id") === col("true_category"), 1L).otherwise(0L).as("y"))
+  }
+}

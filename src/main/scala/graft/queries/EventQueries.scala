@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{Aggregates => Ag, Joins, Windows}
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-log / pipeline queries: sessionization (W1/W2), gaps, running
+  * sums, co-visitation (J4), prefix joins (J3), popularity cross join
+  * (J5), user history (J6), candidate union (U1) and the wide feature
+  * assembly — the reference workload's spine re-expressed over the
+  * synthetic `events` table.
+  */
+object EventQueries {
+
+  /** W1+W2+F2+F4: the session table with per-session stats. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    Windows
+      .sessionize(Tables.events(s, d).select(
+        col("event_id"), col("ts"), col("user_id")))
+      .groupBy(col("session_id"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("epoch_s")).as("session_start_s"),
+        max(col("epoch_s")).as("session_end_s"),
+        (max(col("epoch_s")) - min(col("epoch_s"))).as("session_dur_s"))
+      .orderBy(col("user_id"), col("session_start_s"), col("session_id"))
+
+  /** A6 over sessions: per-user session stats (re-aggregation). */
+  def userSessionStats(s: SparkSession, d: String): DataFrame =
+    sessionize(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("session_id")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        avg(col("session_dur_s")).as("avg_session_dur_s"),
+        max(col("session_dur_s")).as("max_session_dur_s"))
+      .orderBy(col("user_id"))
+
+  /** W1: per-user previous-event gap. */
+  def lagGaps(s: SparkSession, d: String): DataFrame =
+    Windows
+      .sessionize(Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id")))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("gap_s"),
+        col("is_new_session"))
+      .orderBy(col("event_id"))
+
+  /** W2: running sums per user (exact integer cents). */
+  def runningSums(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(
+        col("event_id"),
+        col("user_id"),
+        sum(col("value_cents")).over(w).as("cum_value_cents"),
+        count(lit(1)).over(w).as("cum_events"))
+      .orderBy(col("event_id"))
+  }
+
+  /** J4+A1+P5: item co-visitation pairs within sessions. */
+  def covisPairs(s: SparkSession, d: String): DataFrame =
+    Joins
+      .covisitationPairs(
+        Pipeline.sessionizedEvents(s, d).select(col("session_id"), col("item_id")),
+        "session_id",
+        "item_id",
+        minCount = 2L)
+      .orderBy(col("item_a"), col("item_b"))
+
+  /** J3+A2/A1/A3: per-anchor prefix stats via point-in-time join. */
+  def prefixStats(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val a = Pipeline.anchors(enriched)
+    a.select(col("anchor_id"), col("session_id"), col("anchor_epoch_s"))
+      .join(
+        enriched.select(col("session_id"), col("epoch_s"), col("item_id")),
+        Seq("session_id"))
+      .filter(col("epoch_s") < col("anchor_epoch_s"))
+      .groupBy(col("anchor_id"))
+      .agg(
+        count(lit(1)).as("n_prefix_events"),
+        countDistinct(col("item_id")).as("n_prefix_items"),
+        max(col("epoch_s")).as("last_prefix_epoch_s"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** J5/O1: every purchase anchor × global top-5 categories. */
+  def popularityCandidates(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    Pipeline
+      .popularityCandidates(Pipeline.anchors(enriched), enriched, topN = 5)
+      .orderBy(col("anchor_id"), col("category_id"))
+  }
+
+  /** J6+W3: user-history candidates by recency. */
+  def userHistory(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    Pipeline
+      .userHistoryCandidates(Pipeline.anchors(enriched), enriched, topK = 10)
+      .orderBy(col("anchor_id"), col("category_id"))
+  }
+
+  /** U1: 4-strategy candidate union + distinct. */
+  def candidates(s: SparkSession, d: String): DataFrame =
+    Pipeline
+      .candidates(s, d)
+      .orderBy(col("anchor_id"), col("category_id"))
+
+  /** A7 order-safe: per-session item sequence as a string. */
+  def sessionItemSeq(s: SparkSession, d: String): DataFrame =
+    Pipeline
+      .sessionizedEvents(s, d)
+      .groupBy(col("session_id"))
+      .agg(
+        Ag.sortedStringAgg(
+          Seq(col("epoch_s"), col("event_id")),
+          col("item_id"),
+          ",").as("item_seq"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("session_id"))
+
+  /** F1–F11 battery over events. */
+  def scalarFunctions(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        dayofweek(col("ts")).cast("long").as("day_of_week"),
+        when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("is_weekend"),
+        round(log1p(col("value")), 6).as("log1p_value"),
+        greatest(col("value"), lit(50.0)).as("value_floor50"),
+        concat(col("user_id").cast("string"), lit("_"), col("event_type")).as("user_event"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        coalesce(get_json_object(col("props"), "$.missing").cast("long"), lit(-1L))
+          .as("missing_default"))
+      .orderBy(col("event_id"))
+
+  /** The wide feature-assembly query (reference stage 6). */
+  def features(s: SparkSession, d: String): DataFrame =
+    Pipeline
+      .features(s, d)
+      .orderBy(col("anchor_id"), col("category_id"))
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{Aggregates => Ag, Joins, Windows}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage queries (SURVEY.md §2.1–2.8) over the
+  * TPC-H-ish test tables. Every query is fully deterministic:
+  * aggregates over doubles go through exact decimal (Ag.exactSum),
+  * every ordering carries a unique tie-break, every output column is
+  * explicitly typed to match the DuckDB oracle.
+  */
+object RelationalQueries {
+
+  /** A1/A3/A5 + P4: pricing-summary style hash aggregation. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Ag.exactSum(col("l_quantity")).as("sum_qty"),
+        Ag.exactSum(col("l_extendedprice")).as("sum_price"),
+        sum(
+          col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("sum_disc_price"),
+        Ag.exactAvg(col("l_quantity")).as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** P1–P3 + F10: range filter, projection, cast/rename, derived col.
+    * Pushed filters + pruned scan (only 6 of 11 lineitem columns read).
+    */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").cast("long").as("linenumber"),
+        col("l_partkey").as("partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_shipdate").cast("date").as("shipdate"))
+      .orderBy(col("orderkey"), col("linenumber"))
+
+  /** J1 + A1: inner equi-join then aggregate (broadcast dim side). */
+  def joinAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Ag.exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+
+  /** J7 + F5: left outer join with coalesce defaults. */
+  def leftJoinDefaults(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables
+      .orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Ag.exactSum(col("o_totalprice")).as("total_spent"))
+    Tables
+      .customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** O1: global top-k (TakeOrderedAndProject — no full sort at scale). */
+  def globalTopK(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(20)
+
+  /** W3 + P6: top-3 parts per supplier by exact revenue. */
+  def topKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables
+      .lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(Ag.exactSum(col("l_extendedprice")).as("revenue"))
+    Windows
+      .topKPerGroup(rev, Seq("l_suppkey"), col("revenue"), Seq("l_partkey"), 3)
+      .select(col("l_suppkey"), col("l_partkey"), col("revenue"), col("rn").cast("long").as("rn"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** W3 k=1: latest order per customer (deterministic tie-break). */
+  def latestPerKey(s: SparkSession, d: String): DataFrame =
+    Windows
+      .latestPerKey(
+        Tables.orders(s, d),
+        Seq("o_custkey"),
+        col("o_orderdate"),
+        Seq("o_orderkey"))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("orderdate"))
+      .orderBy(col("o_custkey"))
+
+  /** U1: positional union of two strategies + distinct. */
+  def unionDistinct(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+    val b = o.filter(col("o_totalprice") > 100000.0).select(col("o_custkey").as("custkey"))
+    a.union(b).distinct().orderBy(col("custkey"))
+  }
+
+  /** A2: countDistinct (two-phase distinct aggregate). */
+  def countDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
+  /** A4: conditional aggregates (filtered count / conditional max). */
+  def conditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Ag.countIf(col("l_discount") > 0.05).as("n_high_disc"),
+        Ag.maxIf(col("l_discount") > 0.05, col("l_quantity")).as("max_qty_high_disc"),
+        Ag.countIf(col("l_tax") > 0.04).as("n_high_tax"))
+      .orderBy(col("l_returnflag"))
+
+  /** A6: two-level re-aggregation (per-customer → per-nation). */
+  def twoLevelAgg(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables
+      .orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables
+      .customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        avg(col("n_orders")).as("avg_orders"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** J2: composite-key join back to a two-key aggregate. */
+  def compositeJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val agg = li
+      .groupBy(col("l_orderkey").as("orderkey"), col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_lines"), Ag.exactSum(col("l_quantity")).as("grp_qty"))
+    li.select(
+        col("l_orderkey").as("orderkey"),
+        col("l_partkey").as("partkey"),
+        col("l_linenumber").cast("long").as("linenumber"))
+      .join(agg, Seq("orderkey", "partkey"))
+      .filter(col("n_lines") >= 2)
+      .orderBy(col("orderkey"), col("partkey"), col("linenumber"))
+  }
+
+  /** A10: global column statistics (describe-style, exact). */
+  def describeStats(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        Ag.exactSum(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).cast("date").as("min_shipdate"),
+        max(col("l_shipdate")).cast("date").as("max_shipdate"))
+
+  /** A9: label distribution on the embeddings table. */
+  def labelStats(s: SparkSession, d: String): DataFrame =
+    Tables
+      .embeddings(s, d)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"))
+}

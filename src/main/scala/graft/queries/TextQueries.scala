@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => TF}
+import graft.multimodal.Multimodal
+import graft.pipeline.{Embeddings, Pipeline}
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries: dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), similarity search, text analysis,
+  * multimodal plumbing, Word2Vec.
+  */
+object TextQueries {
+
+  /** Marker-word lists for the heuristic language ID. The synthetic
+    * corpus is a closed vocabulary, so markers are drawn from it; what
+    * matters is the deterministic argmax, mirrored in the oracle.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("table", "row"),
+    "fr" -> Seq("fast", "slow"),
+    "es" -> Seq("value", "key"),
+    "zh" -> Seq("scan", "batch"))
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .exact(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("fp"))
+
+  /** Top-50 most similar doc pairs by exact 4-gram Jaccard. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", n = 4, minJaccardPpm = 0L)
+      .orderBy(col("jaccard_ppm").desc, col("id_a"), col("id_b"))
+      .limit(50)
+
+  /** MinHash signatures → LSH band keys per doc (8 hashes, 4 bands). */
+  def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, d), "text", "doc_id", n = 3)
+    Dedup
+      .lshBands(Dedup.minhashSignatures(sh, numHashes = 8), bands = 4, rowsPerBand = 2)
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("band_idx", col("band_idx").cast("long"))
+      .orderBy(col("doc_id"), col("band_idx"))
+  }
+
+  /** SimHash32 fingerprints per doc. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .simhash32(Tables.documents(s, d), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id<8. */
+  def knnCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("cosine_sim"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** ⊘ LSH-bucketed ANN (scale path; rows-only check). */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .lshBucketedTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
+        k = 5, planes = 8, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TF.langId(col("text"), langMarkers, "und").as("pred_lang"),
+        TF.langScore(col("text"), langMarkers.head._2).as("en_score"))
+      .orderBy(col("doc_id"))
+
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of")
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.punctCount(col("text")).as("n_punct"),
+        TF.meanTokenLenMilli(col("text")).as("mean_token_len_milli"),
+        TF.langScore(col("text"), stop).as("n_stopwords"),
+        floor(TF.langScore(col("text"), stop) * 1000000L / TF.tokenCount(col("text")))
+          .cast("long").as("stopword_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+          .as("n_alpha_tokens"),
+        size(array_distinct(TF.tokens(col("text")))).cast("long").as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TF.fingerprint(col("text")).as("fp"),
+        TF.fingerprint32(col("text")).as("fp32"))
+      .orderBy(col("doc_id"))
+
+  /** ⊘ Word2Vec on per-session category sequences (rows-only; seeded
+    * but thread-nondeterministic, SURVEY.md §7).
+    */
+  def word2vecVocab(s: SparkSession, d: String): DataFrame = {
+    val seqs = Embeddings.sessionSequences(
+      Pipeline.enrichedEvents(s, d), "category_id")
+    Embeddings
+      .trainWord2Vec(seqs)
+      .select(col("word").cast("long").as("category_id"), lit(16L).as("dims"))
+      .orderBy(col("category_id"))
+  }
+
+  /** ⊘ Multimodal plumbing: binary payload → stub feature extraction
+    * (rows-only; the decode is a documented deterministic fake).
+    */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .extractFeatures(
+        Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
+      .select(
+        col("id").as("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        size(col("features")).cast("long").as("n_dims"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,134 @@
+package graft.similarity
+
+import graft.ops.Windows
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Determinism design: embeddings are QUANTIZED to integers
+  * (round(x * 10000) as long) before any arithmetic. Integer dot
+  * products and norms are exact in IEEE double regardless of summation
+  * order (all partials < 2^53), so similarity scores are bit-identical
+  * across engines, partitionings, and re-runs — which also makes top-k
+  * cuts stable. Cosine = dot / sqrt(na) / sqrt(nb) on those exact
+  * integers (correctly-rounded double ops ⇒ still deterministic).
+  *
+  * Scale notes:
+  *  - `bruteForceTopK` broadcasts the (small) query set and streams the
+  *    corpus once: cost O(|corpus| × |queries| × dim) with no shuffle
+  *    except the final per-query top-k (tiny). Right answer for
+  *    |queries| ≪ |corpus|.
+  *  - `lshBucketedTopK` is the scale path: random-hyperplane signs
+  *    bucket the corpus; queries only score their own bucket(s). The
+  *    hyperplanes are pseudo-random but DERIVED deterministically from
+  *    md5 so the index is reproducible.
+  */
+object Similarity {
+
+  /** Quantized embedding: array<long> of round(x*10000). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 10000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm of a quantized vector. */
+  def qnorm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity on quantized vectors (exact-int inputs ⇒
+    * deterministic double).
+    */
+  def qcosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / sqrt(n2a.cast("double")) / sqrt(n2b.cast("double"))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (idCol, embCol). Self-matches excluded.
+    * Output: (query_id, neighbor_id, cosine_sim, rn).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(
+        col(idCol).as("query_id"),
+        quantize(col(embCol)).as("q_emb")))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      quantize(col(embCol)).as("c_emb"))
+    val scored = c
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        qcosine(
+          qdot(col("q_emb"), col("c_emb")),
+          qnorm2(col("q_emb")),
+          qnorm2(col("c_emb"))).as("cosine_sim"))
+    Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): md5-derived integer in [-500, 500).
+    */
+  private def planeComponent(p: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"plane$p|dim$i".getBytes("UTF-8"))
+      .take(4)
+      .map("%02x".format(_))
+      .mkString
+    java.lang.Long.parseLong(hex, 16) % 1000 - 500
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
+    * long. Vectors in the same bucket are similar with high prob.
+    */
+  def lshBucket(qemb: Column, planes: Int, dim: Int): Column =
+    (0 until planes)
+      .map { p =>
+        val proj = (0 until dim)
+          .map(i => element_at(qemb, i + 1) * lit(planeComponent(p, i)))
+          .reduce(_ + _)
+        when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+      }
+      .reduce(_ + _)
+
+  /** LSH-bucketed ANN: score only same-bucket pairs, then top-k per
+    * query. Recall < 1 (approximate); cost drops by ~2^planes.
+    * Output: (query_id, neighbor_id, cosine_sim, rn).
+    */
+  def lshBucketedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      planes: Int,
+      dim: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+        .withColumn("bucket", lshBucket(col("q_emb"), planes, dim)))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+      .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
+    val scored = c
+      .join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        qcosine(
+          qdot(col("q_emb"), col("c_emb")),
+          qnorm2(col("q_emb")),
+          qnorm2(col("c_emb"))).as("cosine_sim"))
+    Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension of the batch sessionizer
+  * (SURVEY.md §2.10): the reference derives sessions offline with
+  * window functions; the streaming-native equivalent is
+  * `session_window(ts, gap)` + watermark, which matches the 30-minute
+  * gap rule's semantics for on-time data.
+  *
+  * At scale this is the shape that keeps state bounded: watermark
+  * evicts closed sessions; state is keyed by (user, session window) and
+  * lives in the state store, not the heap.
+  */
+object StreamingSessions {
+
+  /** Raw file schema: `ts` arrives as nano-epoch long (see
+    * graft.core.Tables.events) and is converted to a µs timestamp
+    * before windowing.
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Per-session aggregate over a streaming source: one output row per
+    * closed (user, session) with event count, value sum, bounds.
+    */
+  def sessionAggregates(
+      stream: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(
+        col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("session"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("value_sum"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+
+  /** Drive a bounded parquet directory through the streaming
+    * sessionizer into an in-memory table; returns the completed result.
+    * (Local harness for tests — production would writeStream to a sink
+    * with a real trigger.)
+    */
+  def runBounded(spark: SparkSession, parquetPath: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory; wrap a bare file in a tmp dir
+    // of symlinks so callers can point at a single parquet file.
+    val p = java.nio.file.Paths.get(parquetPath)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("stream-src")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+        d.toString
+      } else parquetPath
+    val src = spark.readStream
+      .schema(eventSchema)
+      .parquet(srcPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q: StreamingQuery = sessionAggregates(src)
+      .select(
+        col("user_id"),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events"),
+        col("value_sum"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Aggregates
+import org.apache.spark.sql.functions._
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactSum/exactAvg: decimal-exact over doubles") {
+    val df = Seq(0.1, 0.2, 0.3).toDF("v")
+    val (s, a) = df
+      .agg(Aggregates.exactSum(col("v")).as("s"), Aggregates.exactAvg(col("v")).as("a"))
+      .as[(Double, Double)].head()
+    assert(s == 0.6) // 0.1+0.2+0.3 in binary doubles is 0.6000000000000001
+    assert(a == 0.6 / 3) // decimal-exact sum, then one double division
+  }
+
+  test("countIf / maxIf") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val (c, m) = df
+      .agg(
+        Aggregates.countIf(col("v") > 10).as("c"),
+        Aggregates.maxIf(col("k") < 3, col("v")).as("m"))
+      .as[(Long, Long)].head()
+    assert(c == 2L)
+    assert(m == 20L)
+  }
+
+  test("maxIf: empty condition set yields null") {
+    val df = Seq((1L, 10L)).toDF("k", "v")
+    val row = df.agg(Aggregates.maxIf(col("k") > 99, col("v"))).collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("sortedList / sortedStringAgg: order travels with the data") {
+    val df = Seq(("g", 3L, "c"), ("g", 1L, "a"), ("g", 2L, "b"))
+      .toDF("g", "ord", "v")
+      .repartition(4) // scramble physical order
+    val out = df
+      .groupBy(col("g"))
+      .agg(
+        Aggregates.sortedList(Seq(col("ord")), col("v")).as("l"),
+        Aggregates.sortedStringAgg(Seq(col("ord")), col("v"), ",").as("s"))
+      .as[(String, Seq[String], String)].head()
+    assert(out._2 == Seq("a", "b", "c"))
+    assert(out._3 == "a,b,c")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the  quick brown fox  jumps over the lazy dog"), // dup of 1 up to whitespace
+    (3L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (4L, "completely different text with no shared words at all here"))
+    .toDF("doc_id", "text")
+
+  test("exact: normalized duplicates collapse, lowest id survives") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 3)
+    val dup = out.find(_._3 == 2L).get
+    assert(dup._2 == 1L) // survivor is min(doc_id)
+  }
+
+  test("minhash signatures: dups identical, near-dups mostly agree") {
+    val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+    val sigs = Dedup.minhashSignatures(sh, 8)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L) == sigs(2L)) // identical shingle sets
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > agree14) // near-dup agrees more than unrelated
+  }
+
+  test("lshCandidatePairs: true duplicate pair is found, ordered a<b") {
+    val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(sh, 8), bands = 4, rowsPerBand = 2)
+    val pairs = Dedup.lshCandidatePairs(bands).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("jaccard: identical=1e6 ppm, disjoint=0") {
+    val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardOnPairs(pairs, sh)
+      .select("id_a", "id_b", "jaccard_ppm").as[(Long, Long, Long)].collect().toMap2
+    assert(j((1L, 2L)) == 1000000L)
+    assert(j((1L, 4L)) == 0L)
+  }
+
+  test("ngramJaccardPairs: near-dup scores above threshold, ranked sanely") {
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, minJaccardPpm = 1L)
+      .select("id_a", "id_b", "jaccard_ppm").as[(Long, Long, Long)].collect()
+    val m = out.map { case (a, b, p) => ((a, b), p) }.toMap
+    assert(m((1L, 2L)) == 1000000L)
+    assert(m((1L, 3L)) > 0L && m((1L, 3L)) < 1000000L)
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("simhash32: dup bit-identical; near-dup closer than unrelated") {
+    val hs = Dedup.simhash32(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(1L) == hs(2L))
+    assert(hamming(hs(1L), hs(3L)) < hamming(hs(1L), hs(4L)))
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map { case (a, b, c) => ((a, b), c) }.toMap
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefixJoin: strictly-before rows only (point-in-time)") {
+    val anchors = Seq(("s1", 100L, "a1"), ("s1", 50L, "a2"), ("s2", 10L, "a3"))
+      .toDF("session_id", "at_s", "anchor_id")
+    val details = Seq(("s1", 40L, 7L), ("s1", 99L, 8L), ("s1", 100L, 9L), ("s2", 20L, 10L))
+      .toDF("session_id", "ts_s", "item")
+    val out = Joins
+      .prefixJoin(anchors, details, "session_id", "at_s", "ts_s", Seq("item" -> "item"))
+      .select("anchor_id", "item").as[(String, Long)].collect().toSet
+    // a1 sees 40,99 but NOT 100 (strict <); a2 sees 40; a3 sees nothing
+    assert(out == Set(("a1", 7L), ("a1", 8L), ("a2", 7L)))
+  }
+
+  test("prefixJoinLeft: anchors without prefix survive with nulls") {
+    val anchors = Seq(("s1", 100L, "a1"), ("s9", 10L, "a2"))
+      .toDF("session_id", "at_s", "anchor_id")
+    val details = Seq(("s1", 40L, 7L)).toDF("session_id", "ts_s", "item")
+    val out = Joins
+      .prefixJoinLeft(anchors, details, "session_id", "at_s", "ts_s", Seq("item" -> "item"))
+      .select("anchor_id", "item").collect()
+    assert(out.length == 2)
+    val a2 = out.find(_.getString(0) == "a2").get
+    assert(a2.isNullAt(1))
+  }
+
+  test("covisitationPairs: unordered distinct pairs, threshold, canonical order") {
+    val df = Seq(
+      ("s1", 1L), ("s1", 2L), ("s1", 2L), ("s1", 3L), // dup item collapses
+      ("s2", 1L), ("s2", 2L),
+      ("s3", 2L), ("s3", 3L))
+      .toDF("session_id", "item_id")
+    val pairs = Joins
+      .covisitationPairs(df, "session_id", "item_id", minCount = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2) in s1+s2 = 2; (2,3) in s1+s3 = 2; (1,3) only s1 -> filtered
+    assert(pairs == Set((1L, 2L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("covisitationPairs: maxGroupSize drops oversized sessions entirely") {
+    val big = (1L to 10L).map(i => ("big", i))
+    val small = Seq(("s", 1L), ("s", 2L))
+    val df = (big ++ small).toDF("session_id", "item_id")
+    val pairs = Joins
+      .covisitationPairs(df, "session_id", "item_id", 1L, maxGroupSize = Some(5))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1L)))
+  }
+
+  test("historyJoin: only history strictly before anchor") {
+    val anchors = Seq((1L, 100L, "a1")).toDF("user_id", "at_s", "anchor_id")
+    val hist = Seq((1L, 99L, "c1"), (1L, 100L, "c2"), (1L, 101L, "c3"))
+      .toDF("user_id", "seen_s", "cat")
+    val out = Joins.historyJoin(anchors, hist, "user_id", "at_s", "seen_s")
+      .select("cat").as[String].collect().toSet
+    assert(out == Set("c1"))
+  }
+
+  test("leftJoinWithDefaults: nulls replaced per default map") {
+    val base = Seq(1L, 2L).toDF("k")
+    val feats = Seq((1L, 10L)).toDF("k", "f")
+    val out = Joins
+      .leftJoinWithDefaults(base, feats, Seq("k"), Map("f" -> lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, -1L)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)), // close to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f)), // orthogonal to 1
+    (4L, Seq(-1.0f, 0.0f, 0.0f))) // opposite of 1
+    .toDF("vec_id", "embedding")
+
+  test("quantize/qdot/qnorm2: exact integer arithmetic") {
+    val df = Seq((Seq(0.5f, -0.5f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val (dot, n2) = df
+      .select(
+        Similarity.qdot(Similarity.quantize(col("a")), Similarity.quantize(col("b"))),
+        Similarity.qnorm2(Similarity.quantize(col("a"))))
+      .as[(Long, Long)].head()
+    assert(dot == 5000L * 10000L + (-5000L) * 10000L) // = 0
+    assert(n2 == 2L * 5000L * 5000L)
+  }
+
+  test("bruteForceTopK: ranks by cosine, excludes self") {
+    val out = Similarity
+      .bruteForceTopK(vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 4L)) // by descending cosine
+    assert(!out.exists(_._2 == 1L))
+  }
+
+  test("lshBucketedTopK: self-similar bucket finds the near neighbor") {
+    val out = Similarity
+      .lshBucketedTopK(
+        vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding",
+        k = 3, planes = 4, dim = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    // vector 2 is nearly identical to 1 -> same bucket with overwhelming prob
+    assert(out.contains(2L))
+  }
+
+  test("cosine of identical vectors is 1.0 exactly (quantized ints)") {
+    val two = Seq((1L, Seq(0.3f, 0.4f)), (2L, Seq(0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val sim = Similarity
+      .bruteForceTopK(two.filter(col("vec_id") === 1), two, "vec_id", "embedding", 1)
+      .select("cosine_sim").as[Double].head()
+    assert(sim == 1.0)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("tokens / tokenCount: whitespace split of trimmed text") {
+    val n = one("  the quick\tbrown\n fox ")
+      .select(TextFunctions.tokenCount(col("text"))).as[Int].head()
+    assert(n == 4)
+  }
+
+  test("substrCount: literal occurrences via length arithmetic") {
+    val n = one("abcabcab")
+      .select(TextFunctions.substrCount(col("text"), "abc")).as[Long].head()
+    assert(n == 2L)
+  }
+
+  test("wordShingles: n-grams over tokens; short text yields none") {
+    val sh = one("a b c d")
+      .select(TextFunctions.wordShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val none = one("a b")
+      .select(TextFunctions.wordShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(none.isEmpty)
+  }
+
+  test("langId: argmax with first-wins ties, fallback on zero") {
+    val markers = Seq("en" -> Seq("the"), "xx" -> Seq("zork"))
+    val out = Seq("the cat sat", "zork zork", "nothing here")
+      .toDF("text")
+      .select(TextFunctions.langId(col("text"), markers, "und"))
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "xx", "und"))
+  }
+
+  test("punctCount / meanTokenLenMilli") {
+    val (p, m) = one("ab, cd! ef")
+      .select(
+        TextFunctions.punctCount(col("text")),
+        TextFunctions.meanTokenLenMilli(col("text")))
+      .as[(Long, Long)].head()
+    assert(p == 2L)
+    // non-ws chars = 8, tokens = 3 -> floor(8000/3) = 2666
+    assert(m == 2666L)
+  }
+
+  test("fingerprint: normalization collapses case and whitespace") {
+    val fps = Seq("Hello  World", "hello world", "hello worlds")
+      .toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("fingerprint32: unsigned 32-bit value from hex prefix") {
+    val v = one("x").select(TextFunctions.fingerprint32(col("text"))).as[Long].head()
+    assert(v >= 0L && v <= 0xffffffffL)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Windows
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (event_id, epoch_s, user_id); ts column built from epoch for realism
+  private def events(rows: (Long, Long, Long)*) =
+    rows.toSeq
+      .toDF("event_id", "epoch", "user_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+      .drop("epoch")
+
+  test("sessionize: 30-min gap rule splits sessions, exactly-1800s stays") {
+    val df = events(
+      (1L, 1000L, 7L),
+      (2L, 1000L + 1800L, 7L), // gap == 1800 s: SAME session (strict >)
+      (3L, 1000L + 1800L + 1801L, 7L), // gap 1801 s: NEW session
+      (4L, 500L, 8L)) // other user: own session
+    val out = Windows.sessionize(df).select("event_id", "session_id").as[(Long, String)]
+      .collect().toMap
+    assert(out(1L) == "7_1")
+    assert(out(2L) == "7_1")
+    assert(out(3L) == "7_2")
+    assert(out(4L) == "8_1")
+  }
+
+  test("sessionize: session count equals sum of is_new_session flags") {
+    val df = events(
+      (1L, 0L, 1L), (2L, 100L, 1L), (3L, 10000L, 1L),
+      (4L, 0L, 2L), (5L, 90000L, 2L), (6L, 90001L, 2L))
+    val s = Windows.sessionize(df)
+    val nSessions = s.select("session_id").distinct().count()
+    val flagSum = s.agg(sum("is_new_session")).as[Long].head()
+    assert(nSessions == 4L)
+    assert(flagSum == nSessions)
+  }
+
+  test("sessionize: intra-session gaps <= 1800, inter-session > 1800") {
+    val df = events(
+      (1L, 0L, 1L), (2L, 1800L, 1L), (3L, 3601L, 1L), (4L, 3700L, 1L))
+    val s = Windows.sessionize(df).cache()
+    val intra = s.filter(col("is_new_session") === 0 && col("gap_s") > 1800).count()
+    val inter = s.filter(col("is_new_session") === 1 &&
+      col("gap_s").isNotNull && col("gap_s") <= 1800).count()
+    assert(intra == 0)
+    assert(inter == 0)
+  }
+
+  test("topKPerGroup: deterministic tie-break takes lowest tie column") {
+    val df = Seq(
+      ("g1", 10L, 5L), ("g1", 10L, 3L), ("g1", 9L, 1L),
+      ("g2", 1L, 9L))
+      .toDF("g", "score", "id")
+    val top = Windows
+      .topKPerGroup(df, Seq("g"), col("score"), Seq("id"), 2)
+      .select("g", "id", "rn").as[(String, Long, Int)].collect().toSet
+    assert(top == Set(("g1", 3L, 1), ("g1", 5L, 2), ("g2", 9L, 1)))
+  }
+
+  test("latestPerKey: one row per key, latest order value wins") {
+    val df = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "ver", "v")
+    val latest = Windows.latestPerKey(df, Seq("k"), col("ver"), Seq("v"))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(latest == Set((1L, "b"), (2L, "c")))
+  }
+}
