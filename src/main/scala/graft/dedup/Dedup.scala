@@ -50,6 +50,25 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Row-local MinHash: identical result to
+    * [[shingles]]+[[minhashSignatures]] but computed per-row with array
+    * expressions — ZERO shuffles (explode→groupBy needs one), fully
+    * whole-stage-codegen. The scale path: signature cost is O(shingles
+    * × hashes) CPU on the scan, no exchange at all.
+    */
+  def minhashSignaturesInline(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int): DataFrame = {
+    val sh = wordShingles(col(textCol), n)
+    docs.select(
+      col(idCol).as("id"),
+      array((0 until numHashes).map(i =>
+        array_min(transform(sh, s => md5(concat(lit(s"s$i|"), s))))): _*).as("sig"))
+  }
+
   /** LSH banding: signature → (id, band_idx, band_key=md5(joined band
     * rows)). Docs sharing any (band_idx, band_key) are candidates.
     */
@@ -107,14 +126,25 @@ object Dedup {
       idCol: String,
       n: Int,
       minJaccardPpm: Long): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
-    val pairs = sh
+    val sh = shingles(docs, textCol, idCol, n).cache()
+    // One-pass inverted index: the shingle-equality self-join yields
+    // each (a,b) pair exactly once per SHARED shingle, so counting the
+    // join output per pair IS the intersection size — no distinct-pairs
+    // materialization, no second pass over the shingle sets.
+    val inter = sh
       .select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    jaccardOnPairs(pairs, sh).filter(col("jaccard_ppm") >= minJaccardPpm)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter_count"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("union_count", col("n_a") + col("n_b") - col("inter_count"))
+      .withColumn("jaccard_ppm", floor(col("inter_count") * 1000000L / col("union_count")))
+      .select("id_a", "id_b", "inter_count", "union_count", "jaccard_ppm")
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
   }
 
   /** SimHash (32-bit, from md5-derived token hashes): per doc, for each

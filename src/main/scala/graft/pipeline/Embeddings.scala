@@ -53,6 +53,34 @@ object Embeddings {
     w2v.fit(sequences).getVectors
   }
 
+  /** [[trainWord2Vec]], but an empty/under-minCount corpus yields an
+    * empty vectors table instead of MLlib's IllegalArgumentException —
+    * downstream attach then zero-fills every dim (out-of-vocab path).
+    */
+  def trainWord2VecOrEmpty(
+      sequences: DataFrame,
+      vectorSize: Int = 16,
+      windowSize: Int = 5,
+      minCount: Int = 3,
+      maxIter: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    val spark = sequences.sparkSession
+    val hasVocab = sequences
+      .select(explode(col("seq")).as("w"))
+      .groupBy(col("w")).count()
+      .filter(col("count") >= minCount)
+      .limit(1).count() > 0
+    if (hasVocab) trainWord2Vec(sequences, vectorSize, windowSize, minCount, maxIter, seed)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("word",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("vector",
+            org.apache.spark.ml.linalg.SQLDataTypes.VectorType))))
+  }
+
   /** Attach embedding dims as flat float columns via broadcast left
     * join + element_at + coalesce(0.0f) — pure Catalyst, no UDF, no
     * serialization wall (the Spark-first form of reference X1).
@@ -66,11 +94,9 @@ object Embeddings {
       col("word").cast("long").as(keyCol),
       vector_to_array(col("vector"), "float32").as("emb"))
     val joined = features.join(broadcast(emb), Seq(keyCol), "left")
-    val withDims = (0 until dims).foldLeft(joined) { (df, i) =>
-      df.withColumn(
-        s"cat_emb_$i",
-        coalesce(element_at(col("emb"), i + 1), lit(0.0f)).cast("float"))
-    }
-    withDims.drop("emb")
+    val dimCols = (0 until dims).map(i =>
+      coalesce(element_at(col("emb"), i + 1), lit(0.0f)).cast("float").as(s"cat_emb_$i"))
+    // keep the caller's column order (the equi-join hoists keyCol first)
+    joined.select(features.columns.map(col) ++ dimCols: _*)
   }
 }

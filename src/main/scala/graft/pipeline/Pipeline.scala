@@ -57,10 +57,15 @@ object Pipeline {
       .distinct()
       .withColumn("category_id", pmod(col("item_id"), lit(NumCategories)).cast("long"))
 
-  /** Category-enriched sessionized events (J1 broadcast join). */
+  /** Category-enriched sessionized events (J1 broadcast join). Cached:
+    * every anchor/candidate/feature query fans out over this subtree
+    * 2+ times, and Spark's CacheManager dedups identical plans, so one
+    * .cache() here serves all call sites (reference caches the same
+    * table, `prepare_training_data_pyspark.py:134`).
+    */
   def enrichedEvents(spark: SparkSession, dir: String): DataFrame = {
     val se = sessionizedEvents(spark, dir)
-    se.join(broadcast(itemCategory(se)), Seq("item_id"), "inner")
+    se.join(broadcast(itemCategory(se)), Seq("item_id"), "inner").cache()
   }
 
   /** Anchors = purchase events with session + category context
@@ -101,6 +106,17 @@ object Pipeline {
       anchors: DataFrame,
       enriched: DataFrame,
       minPairCount: Long,
+      topK: Int): DataFrame =
+    covisCandidatesFromPrefix(prefixCandidates(anchors, enriched), enriched, minPairCount, topK)
+
+  /** [[covisCandidates]] with the (possibly cached) prefix-candidate
+    * set passed in, so callers computing prefix candidates anyway don't
+    * pay for the range-join subtree twice.
+    */
+  def covisCandidatesFromPrefix(
+      prefixCands: DataFrame,
+      enriched: DataFrame,
+      minPairCount: Long,
       topK: Int): DataFrame = {
     val pairs = Joins.covisitationPairs(
       enriched.select(col("session_id"), col("category_id")),
@@ -114,7 +130,7 @@ object Pipeline {
     val top = Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), topK)
       .drop("rn")
-    prefixCandidates(anchors, enriched)
+    prefixCands
       .withColumnRenamed("category_id", "src")
       .join(top, Seq("src"))
       .select(col("anchor_id"), col("dst").as("category_id"))
@@ -152,15 +168,20 @@ object Pipeline {
       .select("anchor_id", "category_id")
   }
 
-  /** All strategies unioned + dedup (`:365-370`). */
-  def candidatesFrom(a: DataFrame, enriched: DataFrame): DataFrame =
+  /** All strategies unioned + dedup (`:365-370`). The prefix-candidate
+    * subtree feeds both strategy 1 and the covis fan-out, so it is
+    * cached once instead of planned twice.
+    */
+  def candidatesFrom(a: DataFrame, enriched: DataFrame): DataFrame = {
+    val prefixC = prefixCandidates(a, enriched).cache()
     Seq(
-      prefixCandidates(a, enriched),
-      covisCandidates(a, enriched, minPairCount = 2, topK = 10),
+      prefixC,
+      covisCandidatesFromPrefix(prefixC, enriched, minPairCount = 2, topK = 10),
       popularityCandidates(a, enriched, topN = 5),
       userHistoryCandidates(a, enriched, topK = 10))
       .reduce(_ union _)
       .distinct()
+  }
 
   def candidates(spark: SparkSession, dir: String): DataFrame = {
     val enriched = enrichedEvents(spark, dir).cache()

@@ -1,0 +1,375 @@
+package graft.pipeline
+
+import graft.ops.{Joins, Windows}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The complete reference workload over RetailRocket-schema inputs:
+  * events CSV + item-properties CSV → sessionization → latest category
+  * per item → ATC extraction + point-in-time split → 5-strategy
+  * candidate generation → 22 base feature/label columns + 16 Word2Vec
+  * embedding dims = the reference's exact 38-column output
+  * (reference `prepare_training_data_pyspark.py:30-649`; schema per
+  * FIXTURES.md §3). A user of the reference can call [[run]] on the
+  * same raw CSVs and get the same-shaped matrices.
+  *
+  * Spark-first deltas from the reference (semantics-preserving, see
+  * SURVEY.md §7):
+  *  - explicit CSV schemas (no inferSchema double-scan);
+  *  - deterministic tie-breaks on every row_number/ordering;
+  *  - `item_category` and top-k dims broadcast at join sites;
+  *  - co-visitation self-join capped per session (`covisSessionCap`)
+  *    against power-law skew — the reference's uncapped form is
+  *    O(Σ n_s²) and dies at 100 TB;
+  *  - Word2Vec distributed via MLlib (not driver-side gensim) and
+  *    embeddings attached by broadcast join (not a Python UDF).
+  */
+object RetailRocket {
+  val TrainStart = "2015-05-01"
+  val TrainEnd = "2015-07-01"
+  val ValidEnd = "2015-08-01"
+  val SessionGapMinutes = 30
+
+  /** events.csv schema (FIXTURES.md §1). */
+  val eventsCsvSchema: StructType = StructType(Seq(
+    StructField("timestamp", LongType), // epoch ms
+    StructField("visitorid", LongType),
+    StructField("event", StringType),
+    StructField("itemid", LongType),
+    StructField("transactionid", LongType)))
+
+  /** item_properties CSV schema. */
+  val propsCsvSchema: StructType = StructType(Seq(
+    StructField("timestamp", LongType), // epoch ms
+    StructField("itemid", LongType),
+    StructField("property", StringType),
+    StructField("value", StringType)))
+
+  private def msToTs(c: Column): Column = timestamp_seconds(c / 1000L)
+
+  /** Load + window-filter + sessionize raw events (reference STEP 2,
+    * `:68-137`). Accepts any DataFrame in events.csv schema (use
+    * [[readEventsCsv]] for files). Output: (session_id, user_id, ts,
+    * item_id, event).
+    */
+  def sessionizeEvents(
+      raw: DataFrame,
+      windowStart: String = TrainStart,
+      windowEnd: String = ValidEnd): DataFrame = {
+    val filtered = raw
+      .select(
+        msToTs(col("timestamp")).as("ts"),
+        col("visitorid").cast("long").as("user_id"),
+        col("itemid").cast("long").as("item_id"),
+        col("event"))
+      .filter(
+        col("ts") >= lit(windowStart).cast("timestamp") &&
+          col("ts") < lit(windowEnd).cast("timestamp"))
+    // Deterministic intra-ties ordering: reference orders by ts only
+    // (unstable under ties); we add (item_id, event) — documented
+    // deviation, same sessions whenever ts ties don't straddle a gap.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("item_id"), col("event"))
+    filtered
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "gap_s",
+        when(col("prev_ts").isNotNull, unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+          .otherwise(0L))
+      .withColumn(
+        "is_new_session",
+        when(col("gap_s") > SessionGapMinutes * 60L || col("prev_ts").isNull, 1L).otherwise(0L))
+      .withColumn("session_num", sum(col("is_new_session")).over(w))
+      .select(
+        concat(col("user_id").cast("string"), lit("_"), col("session_num").cast("string"))
+          .as("session_id"),
+        col("user_id"),
+        col("ts"),
+        col("item_id"),
+        col("event"))
+  }
+
+  def readEventsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(eventsCsvSchema).csv(path)
+
+  def readPropsCsv(spark: SparkSession, paths: Seq[String]): DataFrame =
+    paths
+      .map(p => spark.read.option("header", "true").schema(propsCsvSchema).csv(p))
+      .reduce(_ union _)
+
+  /** Latest `categoryid` per item (reference STEP 3, `:144-173`):
+    * union parts → filter property → row_number over ts desc.
+    * Tie-break on equal ts: lowest category_id (deterministic;
+    * reference leaves it unstable).
+    */
+  def itemCategory(props: DataFrame): DataFrame =
+    Windows
+      .latestPerKey(
+        props
+          .filter(col("property") === "categoryid")
+          .select(
+            col("itemid").cast("long").as("item_id"),
+            col("value").cast("long").as("category_id"),
+            msToTs(col("timestamp")).as("ts")),
+        Seq("item_id"),
+        col("ts"),
+        Seq("category_id"))
+      .select("item_id", "category_id")
+
+  /** ATC anchor extraction (reference STEP 4, `:183-194`). */
+  def atcEvents(events: DataFrame, itemCat: DataFrame): DataFrame =
+    events
+      .filter(col("event") === "addtocart")
+      .join(broadcast(itemCat), Seq("item_id"))
+      .select(col("session_id"), col("user_id"), col("ts").as("atc_ts"),
+        col("item_id"), col("category_id"))
+
+  /** Half-open time-window split on atc_ts (reference `:199-207`). */
+  def splitByWindow(atc: DataFrame, start: String, end: String): DataFrame =
+    atc.filter(
+      col("atc_ts") >= lit(start).cast("timestamp") &&
+        col("atc_ts") < lit(end).cast("timestamp"))
+
+  /** Session-prefix rows for a set of anchors: all events strictly
+    * before the anchor within its session (J3 range-join shape).
+    */
+  private def prefixEvents(atc: DataFrame, events: DataFrame): DataFrame =
+    atc
+      .select(col("session_id"), col("atc_ts"))
+      .distinct()
+      .join(events.select(col("session_id"), col("ts"), col("item_id")), Seq("session_id"))
+      .filter(col("ts") < col("atc_ts"))
+
+  /** 5-strategy candidate generation (reference `build_candidates_spark`,
+    * `:225-375`). Returns (session_id, atc_ts, category_id) distinct.
+    *
+    * `covisSessionCap`: drop sessions with more events than this from
+    * the co-visitation self-joins (scale guard; None = reference-exact).
+    */
+  def candidates(
+      atc: DataFrame,
+      events: DataFrame,
+      itemCat: DataFrame,
+      trainCutoff: String,
+      covisSessionCap: Option[Int] = Some(1000)): DataFrame = {
+    val cutoff = lit(trainCutoff).cast("timestamp")
+    val trainEvents = events.filter(col("ts") < cutoff)
+    val trainEventsCapped = covisSessionCap match {
+      case Some(cap) =>
+        val keep = trainEvents.groupBy(col("session_id")).count()
+          .filter(col("count") <= cap).select("session_id")
+        trainEvents.join(keep, Seq("session_id"), "left_semi")
+      case None => trainEvents
+    }
+    val prefix = prefixEvents(atc, events)
+      .join(broadcast(itemCat), Seq("item_id"))
+      .cache()
+
+    // 1. prefix categories (`:235-246`)
+    val prefixCands = prefix.select("session_id", "atc_ts", "category_id").distinct()
+
+    // 2. item co-visitation (`:250-287`): raw event pairs, covis >= 3,
+    // top-15 categories per anchor by max covis.
+    val te = trainEventsCapped.select(col("session_id"), col("item_id"))
+    val itemCovis = te.as("a")
+      .join(te.as("b"),
+        col("a.session_id") === col("b.session_id") && col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .agg(count(lit(1)).as("covis"))
+      .filter(col("covis") >= 3)
+    val itemCovisCands = Windows
+      .topKPerGroup(
+        prefix.select("session_id", "atc_ts", "item_id")
+          .join(itemCovis, col("item_id") === col("item_a"))
+          .join(broadcast(itemCat.select(col("item_id").as("cand_item"), col("category_id"))),
+            col("item_b") === col("cand_item"))
+          .groupBy(col("session_id"), col("atc_ts"), col("category_id"))
+          .agg(max(col("covis")).as("max_covis")),
+        Seq("session_id", "atc_ts"), col("max_covis"), Seq("category_id"), 15)
+      .select("session_id", "atc_ts", "category_id")
+
+    // 3. category co-visitation (`:291-329`): distinct-session pairs,
+    // cooccur >= 5, top-10 per anchor.
+    val tec = trainEventsCapped
+      .join(broadcast(itemCat), Seq("item_id"))
+      .select(col("session_id"), col("category_id"))
+    val catCovis = tec.as("a")
+      .join(tec.as("b"),
+        col("a.session_id") === col("b.session_id") &&
+          col("a.category_id") < col("b.category_id"))
+      .groupBy(col("a.category_id").as("cat_a"), col("b.category_id").as("cat_b"))
+      .agg(countDistinct(col("a.session_id")).as("cooccur"))
+      .filter(col("cooccur") >= 5)
+    val catCovisCands = Windows
+      .topKPerGroup(
+        prefix
+          .join(catCovis, col("category_id") === col("cat_a"))
+          .groupBy(col("session_id"), col("atc_ts"), col("cat_b"))
+          .agg(max(col("cooccur")).as("max_cooccur")),
+        Seq("session_id", "atc_ts"), col("max_cooccur"), Seq("cat_b"), 10)
+      .select(col("session_id"), col("atc_ts"), col("cat_b").as("category_id"))
+
+    // 4. popularity: global top-20 categories by raw event count
+    // (`:332-340`), cross-joined to every anchor.
+    val catPop = trainEvents
+      .join(broadcast(itemCat), Seq("item_id"))
+      .groupBy(col("category_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("category_id").asc)
+      .limit(20)
+    val popCands = atc
+      .select("session_id", "atc_ts")
+      .crossJoin(broadcast(catPop.select("category_id")))
+
+    // 5. user history: top-10 categories by last_seen before the
+    // anchor (`:343-362`).
+    val userPastCats = trainEvents
+      .join(broadcast(itemCat), Seq("item_id"))
+      .groupBy(col("user_id"), col("category_id"))
+      .agg(max(col("ts")).as("last_seen"))
+    val userHistCands = Windows
+      .topKPerGroup(
+        atc.select("session_id", "atc_ts", "user_id")
+          .join(userPastCats, Seq("user_id"))
+          .filter(col("last_seen") < col("atc_ts")),
+        Seq("session_id", "atc_ts"), col("last_seen").cast("long"), Seq("category_id"), 10)
+      .select("session_id", "atc_ts", "category_id")
+
+    Seq(prefixCands, itemCovisCands, catCovisCands, popCands, userHistCands)
+      .reduce(_ union _)
+      .distinct()
+  }
+
+  /** Feature assembly (reference `build_features_spark`, `:441-594`):
+    * 22 base/label columns. Embeddings are attached separately
+    * ([[Embeddings.attachEmbeddings]]) to complete the 38-col matrix.
+    */
+  def features(
+      atc: DataFrame,
+      cands: DataFrame,
+      events: DataFrame,
+      itemCat: DataFrame,
+      trainCutoff: String): DataFrame = {
+    val cutoff = lit(trainCutoff).cast("timestamp")
+    val trainEvents = events.filter(col("ts") < cutoff)
+    val trainEnriched = trainEvents.join(broadcast(itemCat), Seq("item_id"))
+
+    val base = atc
+      .select(col("session_id"), col("user_id"), col("atc_ts"),
+        col("category_id").as("true_category_id"))
+      .join(cands.withColumnRenamed("category_id", "cand_category_id"),
+        Seq("session_id", "atc_ts"))
+
+    // prefix stats per (anchor, candidate category) — left join so
+    // anchors with empty prefixes keep a row (`:466-496`)
+    val pe = prefixEvents(atc, events)
+      .join(broadcast(itemCat), Seq("item_id"), "left")
+    val prefixStats = base
+      .select("session_id", "atc_ts", "cand_category_id")
+      .distinct()
+      .join(pe.withColumnRenamed("category_id", "pcat"), Seq("session_id", "atc_ts"), "left")
+      .groupBy(col("session_id"), col("atc_ts"), col("cand_category_id"))
+      .agg(
+        countDistinct(col("item_id")).as("n_prefix_items"),
+        count(col("item_id")).as("n_prefix_events"),
+        sum(when(col("pcat") === col("cand_category_id"), 1L).otherwise(0L))
+          .as("cat_count_in_prefix"),
+        max(when(col("pcat") === col("cand_category_id"),
+          unix_timestamp(col("atc_ts")) - unix_timestamp(col("ts"))))
+          .as("recency_sec"),
+        min(col("ts")).as("session_start"),
+        countDistinct(col("pcat")).as("session_cat_diversity"))
+
+    val catPop = trainEnriched
+      .groupBy(col("category_id"))
+      .agg(count(lit(1)).as("global_pop"))
+
+    val userCatAff = trainEnriched
+      .groupBy(col("user_id"), col("category_id"))
+      .agg(
+        count(lit(1)).as("user_cat_interactions"),
+        countDistinct(col("session_id")).as("user_cat_sessions"))
+
+    val userStats = trainEvents
+      .groupBy(col("user_id"), col("session_id"))
+      .agg((max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("session_duration"))
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("session_id")).as("total_sessions"),
+        avg(col("session_duration")).as("avg_session_duration"))
+
+    base
+      .join(prefixStats, Seq("session_id", "atc_ts", "cand_category_id"), "left")
+      .join(broadcast(catPop.withColumnRenamed("category_id", "cand_category_id")),
+        Seq("cand_category_id"), "left")
+      .join(userCatAff.withColumnRenamed("category_id", "cand_category_id"),
+        Seq("user_id", "cand_category_id"), "left")
+      .join(userStats, Seq("user_id"), "left")
+      .select(
+        col("session_id"),
+        col("atc_ts"),
+        col("cand_category_id").as("category_id"),
+        coalesce(col("n_prefix_items"), lit(0L)).as("n_prefix_items"),
+        coalesce(col("n_prefix_events"), lit(0L)).as("n_prefix_events"),
+        coalesce(col("cat_count_in_prefix"), lit(0L)).as("cat_count_in_prefix"),
+        (coalesce(col("cat_count_in_prefix"), lit(0L)) /
+          greatest(coalesce(col("n_prefix_events"), lit(1L)), lit(1L)))
+          .as("cat_share_in_prefix"),
+        coalesce(col("recency_sec"), lit(999999L)).as("recency_sec"),
+        log1p(coalesce(col("recency_sec"), lit(999999L))).as("log_recency"),
+        hour(col("atc_ts")).as("hour_of_day"),
+        dayofweek(col("atc_ts")).as("day_of_week"),
+        when(dayofweek(col("atc_ts")).isin(1, 7), 1).otherwise(0).as("is_weekend"),
+        coalesce(
+          unix_timestamp(col("atc_ts")) - unix_timestamp(col("session_start")),
+          lit(0L)).as("time_since_session_start"),
+        coalesce(col("session_cat_diversity"), lit(0L)).as("session_cat_diversity"),
+        coalesce(col("global_pop"), lit(1L)).as("cat_popularity"),
+        log1p(coalesce(col("global_pop"), lit(1L))).as("log_cat_pop"),
+        coalesce(col("user_cat_interactions"), lit(0L)).as("user_cat_hist"),
+        log1p(coalesce(col("user_cat_interactions"), lit(0L))).as("log_user_cat_hist"),
+        coalesce(col("user_cat_sessions"), lit(0L)).as("user_cat_sessions"),
+        coalesce(col("total_sessions"), lit(0L)).as("user_total_sessions"),
+        coalesce(col("avg_session_duration"), lit(0.0)).as("user_avg_session_dur"),
+        when(col("true_category_id") === col("cand_category_id"), 1).otherwise(0).as("y"))
+  }
+
+  /** Per-(split) result of a full run. */
+  final case class RunResult(train: DataFrame, valid: DataFrame)
+
+  /** End-to-end: raw event/property frames → 38-column train + valid
+    * feature matrices (reference STEPs 2–6 + embedding attach).
+    */
+  def buildAll(
+      spark: SparkSession,
+      rawEvents: DataFrame,
+      rawProps: DataFrame,
+      covisSessionCap: Option[Int] = Some(1000)): RunResult = {
+    val events = sessionizeEvents(rawEvents).cache()
+    val itemCat = itemCategory(rawProps).cache()
+    val atc = atcEvents(events, itemCat).cache()
+    val atcTrain = splitByWindow(atc, TrainStart, TrainEnd).cache()
+    val atcValid = splitByWindow(atc, TrainEnd, ValidEnd).cache()
+
+    val candTrain = candidates(atcTrain, events, itemCat, TrainEnd, covisSessionCap)
+    val candValid = candidates(atcValid, events, itemCat, TrainEnd, covisSessionCap)
+
+    // Word2Vec category embeddings on pre-cutoff sequences (`:390-433`)
+    val seqs = Embeddings.sessionSequences(
+      events
+        .filter(col("ts") < lit(TrainEnd).cast("timestamp"))
+        .join(broadcast(itemCat), Seq("item_id"))
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("event_id", col("item_id")), // tie-break within equal ts
+      "category_id")
+    val vectors = Embeddings.trainWord2VecOrEmpty(seqs)
+
+    def assemble(atcSplit: DataFrame, cands: DataFrame): DataFrame =
+      Embeddings.attachEmbeddings(
+        features(atcSplit, cands, events, itemCat, TrainEnd),
+        vectors, "category_id", dims = 16)
+
+    RunResult(assemble(atcTrain, candTrain), assemble(atcValid, candValid))
+  }
+}

@@ -38,15 +38,18 @@ object TextQueries {
       .orderBy(col("jaccard_ppm").desc, col("id_a"), col("id_b"))
       .limit(50)
 
-  /** MinHash signatures → LSH band keys per doc (8 hashes, 4 bands). */
-  def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, d), "text", "doc_id", n = 3)
+  /** MinHash signatures → LSH band keys per doc (8 hashes, 4 bands).
+    * Row-local signature computation: zero shuffles before banding.
+    */
+  def minhashBands(s: SparkSession, d: String): DataFrame =
     Dedup
-      .lshBands(Dedup.minhashSignatures(sh, numHashes = 8), bands = 4, rowsPerBand = 2)
+      .lshBands(
+        Dedup.minhashSignaturesInline(Tables.documents(s, d), "text", "doc_id",
+          n = 3, numHashes = 8),
+        bands = 4, rowsPerBand = 2)
       .withColumnRenamed("id", "doc_id")
       .withColumn("band_idx", col("band_idx").cast("long"))
       .orderBy(col("doc_id"), col("band_idx"))
-  }
 
   /** SimHash32 fingerprints per doc. */
   def simhash(s: SparkSession, d: String): DataFrame =
