@@ -66,10 +66,12 @@ object SparkEntry {
     "q33_quality_score" -> (TQ.qualityScore _),
     "q34_token_stats" -> (TQ.tokenStats _),
     "q35_fingerprints" -> (TQ.fingerprints _),
+    "q39_embedding_neardup" -> (TQ.embeddingNearDup _),
     // — ⊘ non-SQL-expressible (rows-only) —
     "q36_knn_lsh" -> (TQ.knnLsh _),
     "q37_word2vec_vocab" -> (TQ.word2vecVocab _),
-    "q38_multimodal_features" -> (TQ.multimodalFeatures _))
+    "q38_multimodal_features" -> (TQ.multimodalFeatures _),
+    "q40_embedding_neardup_lsh" -> (TQ.embeddingNearDupLsh _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -577,6 +579,20 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
         |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_embedding_neardup" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 300
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) AS DOUBLE) /
+        |      sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE)) /
+        |      sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)) AS cosine_sim
+        |  FROM q a JOIN q b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, cosine_sim FROM scored
+        |WHERE cosine_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q35_fingerprints" ->
       """WITH t AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents

@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Parquet sinks (reference S2/S3, SURVEY.md §2.1: overwrite snappy
+  * parquet at `prepare_training_data_pyspark.py:640-644`, bounded file
+  * size via maxRecordsPerFile at ipynb cell 22).
+  *
+  * Scale notes: `maxRecordsPerFile` bounds individual files without a
+  * repartition; `partitionByCols` gives partition pruning on read
+  * (e.g. split=train/valid, or a date column) — at 100 TB the output
+  * table should always be partitioned by the downstream filter key.
+  */
+object Sinks {
+
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      maxRecordsPerFile: Option[Long] = None,
+      partitionByCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    var w = df.write.mode(mode).option("compression", "snappy")
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    if (partitionByCols.nonEmpty) w = w.partitionBy(partitionByCols: _*)
+    w.parquet(path)
+  }
+}

@@ -147,6 +147,63 @@ object Dedup {
       .filter(col("jaccard_ppm") >= minJaccardPpm)
   }
 
+  /** Embedding-cosine near-duplicates: pairs (id_a < id_b) whose
+    * quantized-integer cosine similarity ≥ `minCosine`. Exact and
+    * engine-deterministic (integer dot/norms, see graft.similarity).
+    *
+    * This brute-force form is O(n²) — right for a bounded candidate
+    * set. At corpus scale, block first (LSH buckets via
+    * [[graft.similarity.Similarity.lshBucket]]) and run this inside
+    * buckets: [[embeddingNearDupLsh]].
+    */
+  def embeddingNearDupPairs(
+      embs: DataFrame,
+      idCol: String,
+      embCol: String,
+      minCosine: Double): DataFrame = {
+    import graft.similarity.Similarity._
+    val q = embs.select(col(idCol).as("id"), quantize(col(embCol)).as("emb"))
+    val a = q.select(col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = q.select(col("id").as("id_b"), col("emb").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        qcosine(qdot(col("emb_a"), col("emb_b")), qnorm2(col("emb_a")), qnorm2(col("emb_b")))
+          .as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCosine)
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane LSH buckets
+    * block the corpus, exact cosine verifies within buckets. Recall < 1
+    * (pairs split across buckets are missed) — the standard trade.
+    */
+  def embeddingNearDupLsh(
+      embs: DataFrame,
+      idCol: String,
+      embCol: String,
+      minCosine: Double,
+      planes: Int,
+      dim: Int): DataFrame = {
+    import graft.similarity.Similarity._
+    val q = embs.select(
+      col(idCol).as("id"),
+      quantize(col(embCol)).as("emb"))
+      .withColumn("bucket", lshBucket(col("emb"), planes, dim))
+    val a = q.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = q.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        qcosine(qdot(col("emb_a"), col("emb_b")), qnorm2(col("emb_a")), qnorm2(col("emb_b")))
+          .as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCosine)
+      .distinct()
+  }
+
   /** SimHash (32-bit, from md5-derived token hashes): per doc, for each
     * bit, majority vote of token-frequency-weighted ±1; bit set iff the
     * weighted sum is > 0. Integer-exact and engine-portable.

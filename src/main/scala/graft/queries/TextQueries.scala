@@ -82,6 +82,22 @@ object TextQueries {
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
+  /** Embedding-cosine near-dup pairs (vec_id < 300, cosine >= 0.9). */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .embeddingNearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 300),
+        "vec_id", "embedding", minCosine = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** ⊘ LSH-blocked embedding near-dup (scale path; rows-only). */
+  def embeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .embeddingNearDupLsh(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        minCosine = 0.9, planes = 6, dim = 64)
+      .orderBy(col("id_a"), col("id_b"))
+
   def langId(s: SparkSession, d: String): DataFrame =
     Tables
       .documents(s, d)

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Windows
+import graft.queries.{EventQueries, RelationalQueries}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the properties that make these
+  * operators survive a 100× scale-up (SURVEY.md §4): filter/column
+  * pushdown into the parquet scan, broadcast joins for dimensions,
+  * top-k without a global sort, a single exchange for sessionization,
+  * and no accidental cartesian products.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filterProject: predicate + projection pushed into parquet scan") {
+    val p = plan(RelationalQueries.filterProject(spark, dir))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("l_shipdate"), "shipdate filter must reach the scan")
+    // pruned scan: untouched wide columns must not be read
+    assert(!p.contains("l_comment"), "scan reads a column the query never uses")
+  }
+
+  test("joinAgg: dimension side is broadcast (no shuffle of the fact)") {
+    assert(plan(RelationalQueries.joinAgg(spark, dir)).contains("BroadcastHashJoin"))
+  }
+
+  test("globalTopK: TakeOrderedAndProject, not a global sort") {
+    val p = plan(RelationalQueries.globalTopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("sessionize: both windows share ONE exchange on the user key") {
+    val df = Windows.sessionize(
+      graft.core.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id")))
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan has $exchanges:\n$p")
+  }
+
+  test("popularity candidates: top-k dim joined via broadcast, no shuffle") {
+    val p = plan(EventQueries.popularityCandidates(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("covis pair-generation plans no cartesian product") {
+    val p = plan(EventQueries.covisPairs(spark, dir))
+    assert(!p.contains("CartesianProduct"), "covis self-join degenerated to cartesian")
+  }
+
+  test("whole-stage codegen covers the text-scoring pipeline") {
+    val df = graft.queries.TextQueries.qualityScore(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen subtree"), "text functions fell out of codegen")
+  }
+}
