@@ -577,6 +577,8 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)
+        |    AS n_bpeish_tokens,
         |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q39_embedding_neardup" ->

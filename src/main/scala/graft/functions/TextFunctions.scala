@@ -63,6 +63,15 @@ object TextFunctions {
     }
   }
 
+  /** BPE-style pre-tokenizer count: GPT-2-ish segmentation into
+    * apostrophe-suffixes / letter runs / digit runs / other-symbol
+    * runs. Approximates subword token counts without a vocab — the
+    * standard cheap "how many LLM tokens is this" estimator.
+    */
+  val bpeishPattern = "'[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeishPattern), lit(0))).cast("long")
+
   /** Punctuation character count (.,!?;:). */
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")

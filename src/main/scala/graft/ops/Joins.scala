@@ -117,6 +117,28 @@ object Joins {
       .join(history, Seq(key), "inner")
       .filter(col(historyTs) < col(anchorTs))
 
+  /** Salted equi-join for skewed keys: the fact side gets a random salt
+    * in [0, saltFactor); the dimension side is replicated saltFactor×
+    * (explode) so every (key, salt) pair still matches. Spreads one hot
+    * key over saltFactor reducers at the cost of dim replication — the
+    * standard remedy when AQE skew-split isn't enough (e.g. a single
+    * key larger than an executor). Join type inner/left only (salting
+    * preserves both).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    require(joinType == "inner" || joinType == "left", s"unsupported join type $joinType")
+    val salted = fact.withColumn("__salt", (rand(42) * saltFactor).cast("int"))
+    val replicated = dim
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Left join + coalesce defaults for feature attachment
     * (reference J7 + F5, `:532-590`). `defaults` maps feature column →
     * default literal.

@@ -195,7 +195,28 @@ object Pipeline {
   def features(spark: SparkSession, dir: String): DataFrame = {
     val enriched = enrichedEvents(spark, dir).cache()
     val a = anchors(enriched)
-    val cand = candidatesFrom(a, enriched)
+
+    // prefix rows (anchor × strictly-earlier same-session events) feed
+    // BOTH candidate generation and the prefix-stats aggregates — cache
+    // the range join once instead of planning it per consumer.
+    val prefix = a
+      .select("anchor_id", "session_id", "anchor_epoch_s")
+      .join(enriched.select(
+        col("session_id"),
+        col("epoch_s"),
+        col("item_id"),
+        col("category_id").as("pcat")), Seq("session_id"))
+      .filter(col("epoch_s") < col("anchor_epoch_s"))
+      .cache()
+    val prefixC = prefix.select(col("anchor_id"), col("pcat").as("category_id")).distinct()
+
+    val cand = Seq(
+      prefixC,
+      covisCandidatesFromPrefix(prefixC, enriched, minPairCount = 2, topK = 10),
+      popularityCandidates(a, enriched, topN = 5),
+      userHistoryCandidates(a, enriched, topK = 10))
+      .reduce(_ union _)
+      .distinct()
     val base = cand
       .join(
         a.select(
@@ -205,16 +226,6 @@ object Pipeline {
           col("anchor_epoch_s"),
           col("category_id").as("true_category")),
         Seq("anchor_id"))
-
-    // prefix stats per (anchor, candidate cat): events before anchor in session
-    val prefix = a
-      .select("anchor_id", "session_id", "anchor_epoch_s")
-      .join(enriched.select(
-        col("session_id"),
-        col("epoch_s"),
-        col("item_id"),
-        col("category_id").as("pcat")), Seq("session_id"))
-      .filter(col("epoch_s") < col("anchor_epoch_s"))
     val prefixStats = prefix
       .groupBy(col("anchor_id"))
       .agg(

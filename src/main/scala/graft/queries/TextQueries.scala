@@ -131,6 +131,7 @@ object TextQueries {
         TF.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
           .as("n_alpha_tokens"),
+        TF.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
         size(array_distinct(TF.tokens(col("text")))).cast("long").as("n_distinct_tokens"))
       .orderBy(col("doc_id"))
 

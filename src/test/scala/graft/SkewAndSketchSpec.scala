@@ -1,0 +1,63 @@
+package graft
+
+import graft.dedup.{Dedup, MinHashSketch}
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+
+class SkewAndSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: same result as plain join, salt spread across keys") {
+    val fact = Seq.tabulate(500)(i => (if (i % 10 == 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (7L, "seven"), (99L, "x")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Joins.saltedJoin(fact, dim, "k", saltFactor = 8)
+      .select("k", "v", "name").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin left: unmatched fact rows survive with nulls") {
+    val fact = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val dim = Seq((1L, "one")).toDF("k", "name")
+    val out = Joins.saltedJoin(fact, dim, "k", 4, "left")
+      .select("k", "name").collect()
+    assert(out.length == 2)
+    assert(out.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
+  test("MinHash sketch merge == signature of the unioned shingle set") {
+    val docs = Seq(
+      (1L, "g1", "alpha beta gamma delta"),
+      (2L, "g1", "delta epsilon zeta eta"),
+      (3L, "g2", "one two three four"))
+      .toDF("doc_id", "grp", "text")
+    val perDoc = Dedup.minhashSignaturesInline(docs, "text", "doc_id", n = 2, numHashes = 6)
+      .join(docs.select(col("doc_id").as("id"), col("grp")), Seq("id"))
+    val merged = perDoc
+      .groupBy(col("grp"))
+      .agg(MinHashSketch.merge(6)(col("sig")).as("sig"))
+      .as[(String, Seq[String])].collect().toMap
+
+    // oracle: true shingle-SET union per group, signed via the
+    // independent explode->groupBy-min path — must equal the merged
+    // sketch (min is union-stable)
+    val unionShingles = Dedup
+      .shingles(docs, "text", "doc_id", n = 2)
+      .join(docs.select(col("doc_id").as("id"), col("grp")), Seq("id"))
+      .select(col("grp").as("id"), col("shingle"))
+      .distinct()
+    val expected = Dedup.minhashSignatures(unionShingles, numHashes = 6)
+      .as[(String, Seq[String])].collect().toMap
+    assert(merged == expected)
+  }
+
+  test("bpeish token count segments letters/digits/symbols") {
+    import graft.functions.TextFunctions
+    val n = Seq("It's 42 degrees, really!").toDF("text")
+      .select(TextFunctions.bpeishTokenCount(col("text"))).as[Long].head()
+    // it / 's / 42 / degrees / , / really / ! = 7
+    assert(n == 7L)
+  }
+}
