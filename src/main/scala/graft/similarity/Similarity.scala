@@ -31,13 +31,17 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 10000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd Catalyst expression (single fused loop; the
+    * `aggregate(zip_with(...))` formulation is interpreted per element
+    * and breaks whole-stage codegen).
+    */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorExpressions.longVectorDot(a, b)
 
   /** Squared L2 norm of a quantized vector. */
   def qnorm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorExpressions.longVectorNorm2(a)
 
   /** Cosine similarity on quantized vectors (exact-int inputs ⇒
     * deterministic double).

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+
+class VectorExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("longVectorDot: codegen and interpreted paths agree with HOF formulation") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-10L, 0L), Seq(7L, 9L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.longVectorDot(col("a"), col("b")).as("dot"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (s, v) => s + v)
+        .as("hof"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (dot, hof) => assert(dot == hof) }
+    assert(out.head._1 == 32L)
+  }
+
+  test("longVectorDot: null inputs yield null") {
+    val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    val r = df.select(VectorExpressions.longVectorDot(col("a"), col("b"))).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("norm2 + knn stays inside whole-stage codegen") {
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val scored = emb.select(
+      col("vec_id"),
+      VectorExpressions.longVectorNorm2(
+        graft.similarity.Similarity.quantize(col("embedding"))).as("n2"))
+    val codegen = scored.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen subtree"))
+    assert(codegen.contains("long_vector_dot") || scored.count() > 0)
+  }
+}
