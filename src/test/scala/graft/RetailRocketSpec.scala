@@ -96,6 +96,16 @@ class RetailRocketSpec extends SparkSpec {
     assert(t("cat_emb_0").dataType.typeName == "float")
   }
 
+  test("golden: schema matches the reference's shipped parquet artifact") {
+    // The reference ships its real outputs (data/processed/X_train_spark
+    // .parquet, 970,995 rows — BASELINE.md). Our pipeline must produce
+    // the identical column names, order, and types.
+    val ref = spark.read.parquet("/root/reference/data/processed/X_train_spark.parquet")
+    val refFields = ref.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq
+    val ourFields = result.train.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq
+    assert(ourFields == refFields)
+  }
+
   test("golden: hand-computed train rows") {
     // Train anchor = user 1's ATC (cat 20). Candidates: prefix {11},
     // popularity {11, 20} (covis/userhist below thresholds or merged).

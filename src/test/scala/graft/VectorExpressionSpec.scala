@@ -21,6 +21,13 @@ class VectorExpressionSpec extends SparkSpec {
     assert(out.head._1 == 32L)
   }
 
+  test("long_vector_dot is SQL-callable after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val n = spark.sql("SELECT long_vector_dot(array(1L,2L), array(3L,4L)) AS d")
+      .as[Long].head()
+    assert(n == 11L)
+  }
+
   test("longVectorDot: null inputs yield null") {
     val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
     val r = df.select(VectorExpressions.longVectorDot(col("a"), col("b"))).collect().head
