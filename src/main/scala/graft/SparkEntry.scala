@@ -71,7 +71,8 @@ object SparkEntry {
     "q36_knn_lsh" -> (TQ.knnLsh _),
     "q37_word2vec_vocab" -> (TQ.word2vecVocab _),
     "q38_multimodal_features" -> (TQ.multimodalFeatures _),
-    "q40_embedding_neardup_lsh" -> (TQ.embeddingNearDupLsh _))
+    "q40_embedding_neardup_lsh" -> (TQ.embeddingNearDupLsh _),
+    "q41_knn_ivf" -> (TQ.knnIvf _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -128,8 +129,8 @@ object SparkEntry {
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,4)) AS DOUBLE)
         |    AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
         |FROM lineitem

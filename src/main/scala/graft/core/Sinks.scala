@@ -13,6 +13,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Sinks {
 
+  /** Guarded collect (reference S5): the reference `collect()`s
+    * label-stats and Word2Vec corpora unbounded — at 100 TB that is a
+    * driver OOM. This fails fast with the row count instead.
+    */
+  def boundedCollect(df: DataFrame, maxRows: Int): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(
+      rows.length <= maxRows,
+      s"boundedCollect: result exceeds $maxRows rows — aggregate or write instead")
+    rows
+  }
+
   def writeParquet(
       df: DataFrame,
       path: String,

@@ -57,6 +57,63 @@ object Multimodal {
     out
   }
 
+  /** ===== STUB: deterministic fake resize =====
+    * Real implementation decodes, resizes, re-encodes; the stub
+    * truncates/pads the byte payload to `w*h` bytes so output sizes are
+    * exactly what a real resize contract promises, and meta is updated.
+    */
+  private[multimodal] def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload != null) {
+      val n = math.min(payload.length, out.length)
+      System.arraycopy(payload, 0, out, 0, n)
+    }
+    out
+  }
+
+  /** Resize operator: payload → fixed (w×h) payload, meta rewritten.
+    * Pure column expressions over the stub via mapPartitions (same
+    * batch shape as decode).
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType))))
+    media.select(col("id"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = resizeStub(r.getAs[Array[Byte]]("payload"), w, h)
+          Row(r.getAs[Long]("id"), p,
+            Row(r.getAs[Row]("meta").getAs[String]("media_type"), w, h, p.length.toLong))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th
+    * `frameBytes`-sized slice becomes one frame row (id, frame_idx,
+    * frame binary). The explode happens executor-side per partition —
+    * no driver involvement, output rows ∝ payload size / stride.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType))))
+    media.select(col("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          val nFrames = if (p == null) 0 else p.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            Row(r.getAs[Long]("id"), f,
+              java.util.Arrays.copyOfRange(p, f * frameBytes, (f + 1) * frameBytes))
+          }
+        }
+      }(enc)
+  }
+
   /** Per-partition decode → feature columns. mapPartitions (not a
     * per-row UDF) so a real decoder can amortize codec init per
     * partition/batch — the Scala analogue of `mapInPandas` batch shape.

@@ -22,10 +22,13 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"),
         Ag.exactSum(col("l_quantity")).as("sum_qty"),
         Ag.exactSum(col("l_extendedprice")).as("sum_price"),
+        // reduce to scale 4 BEFORE the double cast: a scale-8 decimal
+        // at 1e9 magnitude rounds differently across engines' casts
+        // (1-ULP drift seen at sf0.1); scale-4 converts exactly.
         sum(
           col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("sum_disc_price"),
+          .cast("decimal(30,4)").cast("double").as("sum_disc_price"),
         Ag.exactAvg(col("l_quantity")).as("avg_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 

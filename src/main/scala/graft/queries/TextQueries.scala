@@ -90,6 +90,19 @@ object TextQueries {
         "vec_id", "embedding", minCosine = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** ⊘ IVF coarse-quantized ANN (rows-only; k-means is seeded but not
+    * bit-stable across partitionings).
+    */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .ivfTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
+  }
+
   /** ⊘ LSH-blocked embedding near-dup (scale path; rows-only). */
   def embeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
     Dedup

@@ -79,6 +79,66 @@ object Similarity {
     Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into `nCentroids` cells; each query probes its `nProbe`
+    * nearest cells and scores exact cosine only there. The second
+    * standard scale path next to [[lshBucketedTopK]] — better recall
+    * per probe on clustered data, at the cost of training the
+    * quantizer. Centroid assignment shuffles the corpus once by cell;
+    * the probe table is tiny and broadcast.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusV = corpus.select(
+      col(idCol).as("neighbor_id"),
+      quantize(col(embCol)).as("c_emb"),
+      array_to_vector(col(embCol).cast("array<double>")).as("fv"))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cid")
+      .fit(corpusV)
+    val assigned = model.transform(corpusV).select("neighbor_id", "c_emb", "cid").cache()
+
+    // centroid table is tiny: quantize and broadcast it for probing
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cid", "cemb")
+      .select(col("cid"), quantize(col("cemb")).as("cq"))
+
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+    // nProbe nearest centroids per query by exact integer L2
+    val probes = Windows
+      .topKPerGroup(
+        q.crossJoin(broadcast(centroids))
+          .withColumn(
+            "negdist",
+            qdot(col("q_emb"), col("cq")) * 2L - qnorm2(col("cq"))), // -||q-c||² + ||q||²
+        Seq("query_id"), col("negdist"), Seq("cid"), nProbe)
+      .select("query_id", "q_emb", "cid")
+
+    val scored = probes
+      .join(assigned, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        qcosine(
+          qdot(col("q_emb"), col("c_emb")),
+          qnorm2(col("q_emb")),
+          qnorm2(col("c_emb"))).as("cosine_sim"))
+    Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim i): md5-derived integer in [-500, 500).
     */
