@@ -118,11 +118,15 @@ object Pipeline {
       enriched: DataFrame,
       minPairCount: Long,
       topK: Int): DataFrame = {
+    // no size cap here: the item dimension is CATEGORIES (bounded ≤
+    // NumCategories per session), so the cap's sizes+semi-join pass
+    // would be two pure-overhead shuffles
     val pairs = Joins.covisitationPairs(
       enriched.select(col("session_id"), col("category_id")),
       "session_id",
       "category_id",
-      minPairCount)
+      minPairCount,
+      maxGroupSize = None)
     // symmetric closure: a→b and b→a
     val directed = pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
@@ -130,11 +134,11 @@ object Pipeline {
     val top = Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), topK)
       .drop("rn")
+    // no distinct here: every caller unions strategies and dedups once
     prefixCands
       .withColumnRenamed("category_id", "src")
       .join(top, Seq("src"))
       .select(col("anchor_id"), col("dst").as("category_id"))
-      .distinct()
   }
 
   /** Strategy 4 — global popularity: every anchor × top-N categories by
