@@ -372,4 +372,31 @@ object RetailRocket {
 
     RunResult(assemble(atcTrain, candTrain), assemble(atcValid, candValid))
   }
+
+  /** File-level entry point — the reference's CLI contract
+    * (`prepare_training_data_pyspark.py` STEPs 1–8): events.csv +
+    * item_properties_part*.csv in, bounded-file snappy parquet
+    * matrices out, stage counts returned (the reference's printed
+    * checkpoints, README.md:178-185).
+    */
+  def run(
+      spark: SparkSession,
+      eventsCsv: String,
+      propsCsvs: Seq[String],
+      outDir: String,
+      covisSessionCap: Option[Int] = Some(1000)): Map[String, Long] = {
+    val result = buildAll(
+      spark, readEventsCsv(spark, eventsCsv), readPropsCsv(spark, propsCsvs), covisSessionCap)
+    val train = result.train.cache()
+    val valid = result.valid.cache()
+    graft.core.Sinks.writeParquet(
+      train, s"$outDir/X_train_spark.parquet", maxRecordsPerFile = Some(50000L))
+    graft.core.Sinks.writeParquet(
+      valid, s"$outDir/X_valid_spark.parquet", maxRecordsPerFile = Some(50000L))
+    Map(
+      "train_rows" -> train.count(),
+      "valid_rows" -> valid.count(),
+      "train_positive" -> train.filter(col("y") === 1).count(),
+      "valid_positive" -> valid.filter(col("y") === 1).count())
+  }
 }

@@ -130,6 +130,19 @@ class RetailRocketSpec extends SparkSpec {
     assert(rows.forall(_._3 == 0L))
   }
 
+  test("run: file-level entry writes both matrices with expected counts") {
+    val out = Files.createTempDirectory("rr-out").toString
+    val counts = RetailRocket.run(
+      spark,
+      s"$fixtureDir/events.csv",
+      Seq(s"$fixtureDir/item_properties_part1.csv", s"$fixtureDir/item_properties_part2.csv"),
+      out)
+    assert(counts("train_rows") == 2L && counts("valid_rows") == 2L)
+    assert(counts("train_positive") == 1L && counts("valid_positive") == 1L)
+    val train = spark.read.parquet(s"$out/X_train_spark.parquet")
+    assert(train.count() == 2L && train.columns.length == 38)
+  }
+
   test("golden: embeddings attached as 16 zero-filled dims (tiny vocab)") {
     // minCount=3 with a 2-token corpus -> empty vocab -> all dims 0.0
     val embSum = result.train
