@@ -33,11 +33,16 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word shingles per doc: (id, shingle). */
+  /** Distinct word shingles per doc: (id, shingle). The dedup happens
+    * ROW-LOCALLY (array_distinct before the explode), not with a
+    * cluster-wide DISTINCT — per-doc shingle sets are small, so this
+    * removes an entire shuffle of the exploded corpus.
+    */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
-      .distinct()
+      .select(
+        col(idCol).as("id"),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("shingle"))
 
   /** MinHash signature per doc: `numHashes` lexicographic-min md5
     * values of salted shingles. Output: (id, sig: array<string>).
