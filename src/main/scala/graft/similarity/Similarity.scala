@@ -154,14 +154,15 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Vectors in the same bucket are similar with high prob.
+    * Each plane projection is one fused `long_vector_dot` against a
+    * literal plane vector (not a `dim`-term expression tree — at
+    * 64 dims × 8 planes that tree blows past codegen method limits).
     */
   def lshBucket(qemb: Column, planes: Int, dim: Int): Column =
     (0 until planes)
       .map { p =>
-        val proj = (0 until dim)
-          .map(i => element_at(qemb, i + 1) * lit(planeComponent(p, i)))
-          .reduce(_ + _)
-        when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+        val plane = typedlit((0 until dim).map(i => planeComponent(p, i)))
+        when(qdot(qemb, plane) > 0, shiftleft(lit(1L), p)).otherwise(0L)
       }
       .reduce(_ + _)
 
