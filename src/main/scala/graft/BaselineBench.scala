@@ -69,18 +69,68 @@ object BaselineBench {
         .csv(s"$outDir/props_csv")
     }
 
-    val (counts, pipelineS) = t("pipeline end-to-end") {
-      RetailRocket.run(
-        spark,
-        s"$outDir/events_csv",
-        Seq(s"$outDir/props_csv"),
-        s"$outDir/processed")
+    // stage-by-stage, comparable to BASELINE.md's profile
+    // (load+sessionize 44 s / candidates 133 s / w2v 22 s /
+    //  features 155 s / save 66 s; total 444 s)
+    val t0 = System.nanoTime()
+    val (events, loadS) = t("load+sessionize") {
+      val e = RetailRocket
+        .sessionizeEvents(RetailRocket.readEventsCsv(spark, s"$outDir/events_csv"))
+        .cache()
+      e.count(); e
     }
-
+    val (itemCat, _) = t("item categories") {
+      val ic = RetailRocket
+        .itemCategory(RetailRocket.readPropsCsv(spark, Seq(s"$outDir/props_csv"))).cache()
+      ic.count(); ic
+    }
+    val (splits, _) = t("atc split") {
+      val atc = RetailRocket.atcEvents(events, itemCat).cache()
+      val tr = RetailRocket.splitByWindow(atc, RetailRocket.TrainStart, RetailRocket.TrainEnd).cache()
+      val va = RetailRocket.splitByWindow(atc, RetailRocket.TrainEnd, RetailRocket.ValidEnd).cache()
+      tr.count(); va.count(); (tr, va)
+    }
+    val (cands, candS) = t("candidates") {
+      val ct = RetailRocket.candidates(splits._1, events, itemCat, RetailRocket.TrainEnd).cache()
+      val cv = RetailRocket.candidates(splits._2, events, itemCat, RetailRocket.TrainEnd).cache()
+      ct.count(); cv.count(); (ct, cv)
+    }
+    val (vectors, w2vS) = t("word2vec") {
+      graft.pipeline.Embeddings.trainWord2VecOrEmpty(
+        graft.pipeline.Embeddings.sessionSequences(
+          events
+            .filter(col("ts") < lit(RetailRocket.TrainEnd).cast("timestamp"))
+            .join(broadcast(itemCat), Seq("item_id"))
+            .withColumn("epoch_s", unix_timestamp(col("ts")))
+            .withColumn("event_id", col("item_id")),
+          "category_id"))
+    }
+    val (mats, featS) = t("features+embeddings") {
+      def assemble(atc: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+        graft.pipeline.Embeddings.attachEmbeddings(
+          RetailRocket.features(atc, c, events, itemCat, RetailRocket.TrainEnd),
+          vectors, "category_id", dims = 16)
+      val tr = assemble(splits._1, cands._1).cache()
+      val va = assemble(splits._2, cands._2).cache()
+      tr.count(); va.count(); (tr, va)
+    }
+    val (_, saveS) = t("parquet save") {
+      graft.core.Sinks.writeParquet(
+        mats._1, s"$outDir/processed/X_train_spark.parquet", Some(50000L))
+      graft.core.Sinks.writeParquet(
+        mats._2, s"$outDir/processed/X_valid_spark.parquet", Some(50000L))
+    }
+    val totalS = (System.nanoTime() - t0) / 1e9
+    val counts = Map(
+      "train_rows" -> mats._1.count(), "valid_rows" -> mats._2.count(),
+      "train_positive" -> mats._1.filter(col("y") === 1).count(),
+      "valid_positive" -> mats._2.filter(col("y") === 1).count())
     println(
-      s"""{"metric":"baseline_e2e","value":$pipelineS,"unit":"sec","gen_sec":$genS,""" +
+      s"""{"metric":"baseline_e2e","value":$totalS,"unit":"sec","gen_sec":$genS,""" +
+        s""""stages":{"load_sessionize":$loadS,"candidates":$candS,"word2vec":$w2vS,""" +
+        s""""features":$featS,"save":$saveS},""" +
         s""""events":$nEvents,"counts":{${counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
-        s""""reference_sec":444.13}""")
+        s""""reference_sec":444.13,"reference_stages":{"load_sessionize":44,"candidates":133,"word2vec":22,"features":155,"save":66}}""")
     spark.stop()
   }
 }
