@@ -72,7 +72,8 @@ object SparkEntry {
     "q37_word2vec_vocab" -> (TQ.word2vecVocab _),
     "q38_multimodal_features" -> (TQ.multimodalFeatures _),
     "q40_embedding_neardup_lsh" -> (TQ.embeddingNearDupLsh _),
-    "q41_knn_ivf" -> (TQ.knnIvf _))
+    "q41_knn_ivf" -> (TQ.knnIvf _),
+    "q42_neardup_dedup" -> (TQ.nearDupDedup _))
 
   // ——— shared oracle-SQL fragments ———
 

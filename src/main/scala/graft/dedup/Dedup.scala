@@ -209,6 +209,84 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc's label converges to the smallest doc id
+    * reachable through the pair graph, so transitive duplicates
+    * (a~b, b~c ⇒ {a,b,c}) collapse into one group even when a~c was
+    * never a direct candidate pair.
+    *
+    * Each iteration = one join + aggregate (labels shuffle on id);
+    * iterations needed = graph diameter (near-dup clusters are
+    * shallow — a handful). `maxIter` bounds the work; the loop exits
+    * early at fixpoint (no label changed). For adversarial deep chains
+    * at extreme scale, switch to the large-star/small-star algorithm —
+    * same interface.
+    *
+    * Input: pairs (id_a, id_b). Output: (id, component) for every id
+    * present in any pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id"), col("src").as("component"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // propagate: my new label = min(my label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate dedup: MinHash-LSH blocking → exact
+    * n-gram-Jaccard verification ≥ `minJaccardPpm` → transitive
+    * grouping → survivor = min doc id per group. Returns every input
+    * doc with (doc_id, component, is_survivor) — filter
+    * `is_survivor` to materialize the deduplicated corpus.
+    */
+  def nearDupDedup(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      minJaccardPpm: Long): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, shingleN).cache()
+    val candidates = lshCandidatePairs(
+      lshBands(
+        minhashSignaturesInline(docs, textCol, idCol, shingleN, numHashes),
+        bands, numHashes / bands))
+    val verified = jaccardOnPairs(candidates, sh)
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select("id_a", "id_b")
+    val components = connectedComponents(verified)
+    docs
+      .select(col(idCol).as("id"))
+      .join(components, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("is_survivor", col(idCol) === col("component"))
+  }
+
   /** SimHash (32-bit, from md5-derived token hashes): per doc, for each
     * bit, majority vote of token-frequency-weighted ±1; bit set iff the
     * weighted sum is > 0. Integer-exact and engine-portable.

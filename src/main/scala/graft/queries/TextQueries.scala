@@ -111,6 +111,15 @@ object TextQueries {
         minCosine = 0.9, planes = 6, dim = 64)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** ⊘ End-to-end near-dup dedup: LSH blocking → Jaccard verify →
+    * transitive components → survivors (rows-only).
+    */
+  def nearDupDedup(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .nearDupDedup(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 3, numHashes = 8, bands = 4, minJaccardPpm = 500000L)
+      .orderBy(col("doc_id"))
+
   def langId(s: SparkSession, d: String): DataFrame =
     Tables
       .documents(s, d)

@@ -64,6 +64,30 @@ class DedupSpec extends SparkSpec {
     assert(hamming(hs(1L), hs(3L)) < hamming(hs(1L), hs(4L)))
   }
 
+  test("connectedComponents: transitive chain collapses to one group") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupDedup: end-to-end survivors, singletons self-labeled") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 10
+      (12L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 10
+      (13L, "unrelated totally different content about spark engines"))
+      .toDF("doc_id", "text")
+    val out = Dedup
+      .nearDupDedup(corpus, "text", "doc_id",
+        shingleN = 3, numHashes = 8, bands = 4, minJaccardPpm = 500000L)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, comp, surv) => id -> ((comp, surv)) }.toMap
+    assert(out(10L) == ((10L, true)))
+    assert(out(11L) == ((10L, false)))
+    assert(out(12L) == ((10L, false)))
+    assert(out(13L) == ((13L, true))) // no pair -> own component, survives
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map { case (a, b, c) => ((a, b), c) }.toMap
   }
