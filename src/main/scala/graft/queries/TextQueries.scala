@@ -117,7 +117,7 @@ object TextQueries {
   def nearDupDedup(s: SparkSession, d: String): DataFrame =
     Dedup
       .nearDupDedup(Tables.documents(s, d), "text", "doc_id",
-        shingleN = 3, numHashes = 8, bands = 4, minJaccardPpm = 500000L)
+        shingleN = 4, numHashes = 16, bands = 4, minJaccardPpm = 500000L)
       .orderBy(col("doc_id"))
 
   def langId(s: SparkSession, d: String): DataFrame =
