@@ -67,18 +67,13 @@ object Dedup {
       idCol: String,
       n: Int,
       numHashes: Int): DataFrame =
-    // Two projections: the shingle array materializes ONCE per row and
-    // the hash lanes reference it. Inlining `wordShingles` into every
-    // lane would re-run the split/sequence/concat pipeline numHashes
-    // times per row (measured 16× cost at 16 hashes); CollapseProject
-    // keeps multi-referenced non-cheap projections separate.
-    docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("__sh"))
-      .select(
-        col("id"),
-        array((0 until numHashes).map(i =>
-          array_min(transform(col("__sh"), s => md5(concat(lit(s"s$i|"), s))))): _*)
-          .as("sig"))
+    // native one-pass expression (see MinHashSignature scaladoc): same
+    // salted-md5 family as the HOF/oracle formulation, one array
+    // traversal, reused MessageDigest
+    docs.select(
+      col(idCol).as("id"),
+      org.apache.spark.sql.graft.MinHashSignature(
+        wordShingles(col(textCol), n), numHashes).as("sig"))
 
   /** LSH banding: signature → (id, band_idx, band_key=md5(joined band
     * rows)). Docs sharing any (band_idx, band_key) are candidates.
@@ -339,9 +334,7 @@ object Dedup {
     val sh = shArrays.select(col("id"), explode(col("__sh")).as("shingle"))
     val sigs = shArrays.select(
       col("id"),
-      array((0 until numHashes).map(i =>
-        array_min(transform(col("__sh"), s => md5(concat(lit(s"s$i|"), s))))): _*)
-        .as("sig"))
+      org.apache.spark.sql.graft.MinHashSignature(col("__sh"), numHashes).as("sig"))
     val candidates = lshCandidatePairs(lshBands(sigs, bands, numHashes / bands))
     val verified = jaccardOnPairs(candidates, sh)
       .filter(col("jaccard_ppm") >= minJaccardPpm)

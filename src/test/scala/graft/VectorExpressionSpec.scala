@@ -28,6 +28,20 @@ class VectorExpressionSpec extends SparkSpec {
     assert(n == 11L)
   }
 
+  test("MinHashSignature expression equals the HOF formulation exactly") {
+    val docs = Seq(
+      Seq("alpha beta", "beta gamma", "gamma delta"),
+      Seq("one two"),
+      Seq.empty[String])
+      .toDF("sh")
+    val out = docs.select(
+      org.apache.spark.sql.graft.MinHashSignature(col("sh"), 6).as("fast"),
+      array((0 until 6).map(i =>
+        array_min(transform(col("sh"), s => md5(concat(lit(s"s$i|"), s))))): _*).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (fast, hof) => assert(fast == hof) }
+  }
+
   test("longVectorDot: null inputs yield null") {
     val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
     val r = df.select(VectorExpressions.longVectorDot(col("a"), col("b"))).collect().head
