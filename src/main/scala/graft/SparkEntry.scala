@@ -9,9 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Each `queries` entry is one operator/capability from SURVEY.md §2
   * (or a training-data-pipeline extension), deterministic by
   * construction; `oracleSql` carries the DuckDB-equivalent ANSI SQL the
-  * driver hash-compares against at sf0.01. Queries with no oracle entry
-  * (Word2Vec, LSH ANN, multimodal stub) are ⊘ non-SQL-expressible and
-  * get the rows-only check (SURVEY.md §5).
+  * driver hash-compares against at sf0.01. EVERY query has an oracle:
+  * the approximate-index paths (LSH buckets, IVF cells) use md5-derived
+  * constants and exact integer math, so the oracle replicates them
+  * bit-for-bit (literal plane vectors, recursive-CTE connected
+  * components, un-normalized stub features); Word2Vec exposes its exact
+  * vocabulary (vectors stay invariant-tested, SURVEY.md §5).
   */
 object SparkEntry {
 
@@ -67,7 +70,6 @@ object SparkEntry {
     "q34_token_stats" -> (TQ.tokenStats _),
     "q35_fingerprints" -> (TQ.fingerprints _),
     "q39_embedding_neardup" -> (TQ.embeddingNearDup _),
-    // — ⊘ non-SQL-expressible (rows-only) —
     "q36_knn_lsh" -> (TQ.knnLsh _),
     "q37_word2vec_vocab" -> (TQ.word2vecVocab _),
     "q38_multimodal_features" -> (TQ.multimodalFeatures _),
@@ -114,6 +116,45 @@ object SparkEntry {
        |), sh AS (
        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
        |  FROM docs, unnest(generate_series(1, len(toks) - ${n - 1})) AS t(i)
+       |)""".stripMargin
+
+  /** Quantized-embedding CTE body: vec_id + round(x*10000) BIGINT list. */
+  private val quantCte =
+    """qv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private def dotSql(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))"
+
+  private def norm2Sql(a: String): String =
+    s"list_sum(list_transform($a, x -> x * x))"
+
+  private def cosineSql(a: String, b: String, dim: Int): String =
+    s"""CAST(${dotSql(a, b, dim)} AS DOUBLE) /
+       |      sqrt(CAST(${norm2Sql(a)} AS DOUBLE)) / sqrt(CAST(${norm2Sql(b)} AS DOUBLE))""".stripMargin
+
+  /** The same md5-derived hyperplane constants as Similarity.lshBucket,
+    * embedded as literal plane vectors; bucket = packed sign bits.
+    */
+  private def bucketSql(v: String, planes: Int, dim: Int): String = {
+    import graft.similarity.Similarity.planeComponent
+    (0 until planes)
+      .map { p =>
+        val plane = (0 until dim).map(i => planeComponent(p, i)).mkString("[", ",", "]")
+        s"(CASE WHEN ${dotSql(v, s"($plane)", dim)} > 0 THEN ${1L << p} ELSE 0 END)"
+      }
+      .mkString("(", " +\n      ", ")")
+  }
+
+  /** Integer-L2 cell assignment: rn over (2·v·c − ||c||²) DESC, cid ASC. */
+  private def assignSql(vecs: String, cents: String, idC: String, dim: Int): String =
+    s"""SELECT $idC, v, cid FROM (
+       |  SELECT q.vec_id AS $idC, q.v, s.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      2 * ${dotSql("q.v", "s.cq", dim)} - ${norm2Sql("s.cq")} DESC, s.cid ASC) AS rn
+       |  FROM $vecs q CROSS JOIN $cents s
        |)""".stripMargin
 
   private def substrCountSql(padded: String, needle: String): String =
@@ -596,11 +637,128 @@ object SparkEntry {
         |  FROM q a JOIN q b ON a.vec_id < b.vec_id
         |)
         |SELECT id_a, id_b, cosine_sim FROM scored
-        |WHERE cosine_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+        |WHERE cosine_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q35_fingerprints" ->
       """WITH t AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents
         |)
         |SELECT doc_id, fp, CAST(('0x' || substring(fp, 1, 8)) AS BIGINT) AS fp32
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q36_knn_lsh" ->
+      s"""WITH $quantCte, b AS (
+         |  SELECT vec_id, v, CAST(${bucketSql("v", 8, 64)} AS BIGINT) AS bucket FROM qv
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosineSql("q.v", "c.v", 64)} AS cosine_sim
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 64
+         |), r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rn <= 5
+         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin,
+    "q37_word2vec_vocab" ->
+      s"""WITH $sessCte
+         |SELECT category_id, CAST(16 AS BIGINT) AS dims
+         |FROM enr GROUP BY category_id HAVING COUNT(*) >= 3
+         |ORDER BY category_id""".stripMargin,
+    "q38_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(8 AS BIGINT) AS n_dims,
+        |  CAST(len(list_filter(list_transform(generate_series(1, length(text)),
+        |         i -> unicode(text[i])), c -> c % 8 = 0)) AS BIGINT) AS f0_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_embedding_neardup_lsh" ->
+      s"""WITH $quantCte, b AS (
+         |  SELECT vec_id, v, CAST(${bucketSql("v", 6, 64)} AS BIGINT) AS bucket FROM qv
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |    ${cosineSql("a.v", "b2.v", 64)} AS cosine_sim
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |)
+         |SELECT DISTINCT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q41_knn_ivf" ->
+      s"""WITH $quantCte, ranked AS (
+         |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+         |  FROM qv
+         |), seeds AS (
+         |  SELECT CAST(srn - 1 AS BIGINT) AS cid, v AS cq FROM ranked WHERE srn <= 8
+         |), a0 AS (
+         |  ${assignSql("qv", "seeds", "vid", 64)} WHERE rn = 1
+         |), centd AS (
+         |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM a0, unnest(generate_series(1, 64)) AS t(i)
+         |  GROUP BY cid, i
+         |), cent AS (
+         |  SELECT cid, list(cv ORDER BY i) AS cq FROM centd GROUP BY cid
+         |), assigned AS (
+         |  ${assignSql("qv", "cent", "vid", 64)} WHERE rn = 1
+         |), queries AS (
+         |  SELECT vec_id, v FROM qv WHERE vec_id < 64
+         |), probes AS (
+         |  ${assignSql("queries", "cent", "query_id", 64)} WHERE rn <= 2
+         |), scored AS (
+         |  SELECT p.query_id, a.vid AS neighbor_id,
+         |    ${cosineSql("p.v", "a.v", 64)} AS cosine_sim
+         |  FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vid <> p.query_id
+         |), r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rn <= 5
+         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin,
+    "q42_neardup_dedup" -> {
+      val sigCols = (0 until 16).map(i => s"    min(md5('s$i|' || shingle)) AS h$i").mkString(",\n")
+      val bandSelects = (0 until 4)
+        .map { b =>
+          val key = (0 until 4).map(r => s"h${4 * b + r}").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE ${shingleCte(4)}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id,
+         |$sigCols
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |$bandSelects
+         |), ok AS (
+         |  SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) <= 100
+         |), keptb AS (
+         |  SELECT b.* FROM bands b JOIN ok USING (band_idx, band_key)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM keptb a JOIN keptb b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT p.id_a, p.id_b, COUNT(*) AS inter_count
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.id_a, p.id_b
+         |), verified AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.id_a
+         |  JOIN sizes zb ON zb.doc_id = i.id_b
+         |  WHERE floor(i.inter_count * 1000000 / (za.n + zb.n - i.inter_count)) >= 500000
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM verified
+         |), reach(id, peer) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+         |), comp AS (
+         |  SELECT id, MIN(peer) AS component FROM reach GROUP BY id
+         |)
+         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_survivor
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin
+    })
 }

@@ -71,7 +71,10 @@ object TextQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** ⊘ LSH-bucketed ANN (scale path; rows-only check). */
+  /** LSH-bucketed ANN (scale path) — deterministic md5-derived
+    * hyperplanes; oracle replicates the buckets with literal plane
+    * vectors.
+    */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity
@@ -82,37 +85,47 @@ object TextQueries {
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
-  /** Embedding-cosine near-dup pairs (vec_id < 300, cosine >= 0.9). */
+  /** Embedding-cosine near-dup pairs (vec_id < 300). Threshold 0.4 is
+    * calibrated to the synthetic corpus (max pairwise cosine ≈ 0.51) so
+    * the oracle checks a real pair set, not a vacuous empty one.
+    */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     Dedup
       .embeddingNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 300),
-        "vec_id", "embedding", minCosine = 0.9)
+        "vec_id", "embedding", minCosine = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** ⊘ IVF coarse-quantized ANN (rows-only; k-means is seeded but not
-    * bit-stable across partitionings).
+  /** IVF coarse-quantized ANN — the deterministic quantizer variant
+    * (md5-rank seeds + one exact-integer Lloyd step), bit-identical
+    * across engines and therefore oracle-checkable. [[Similarity
+    * .ivfTopK]] (MLlib k-means) stays as the library's trained-quantizer
+    * path.
     */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity
-      .ivfTopK(
+      .ivfTopKDeterministic(
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
         k = 5, nCentroids = 8, nProbe = 2)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
-  /** ⊘ LSH-blocked embedding near-dup (scale path; rows-only). */
+  /** LSH-blocked embedding near-dup (scale path; deterministic
+    * buckets ⇒ oracle-checkable).
+    */
   def embeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
     Dedup
       .embeddingNearDupLsh(
         Tables.embeddings(s, d), "vec_id", "embedding",
-        minCosine = 0.9, planes = 6, dim = 64)
+        minCosine = 0.4, planes = 6, dim = 64)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** ⊘ End-to-end near-dup dedup: LSH blocking → Jaccard verify →
-    * transitive components → survivors (rows-only).
+  /** End-to-end near-dup dedup: LSH blocking → Jaccard verify →
+    * transitive components → survivors. Every stage is md5/integer
+    * deterministic; the oracle mirrors it down to a recursive-CTE
+    * connected components.
     */
   def nearDupDedup(s: SparkSession, d: String): DataFrame =
     Dedup
@@ -166,8 +179,11 @@ object TextQueries {
         TF.fingerprint32(col("text")).as("fp32"))
       .orderBy(col("doc_id"))
 
-  /** ⊘ Word2Vec on per-session category sequences (rows-only; seeded
-    * but thread-nondeterministic, SURVEY.md §7).
+  /** Word2Vec vocabulary on per-session category sequences. The
+    * VECTORS are seeded but thread-nondeterministic (SURVEY.md §7,
+    * invariants in Word2VecSpec); the VOCABULARY — words with corpus
+    * count ≥ minCount — is exact, so this query exposes the checkable
+    * part and the oracle recomputes it relationally.
     */
   def word2vecVocab(s: SparkSession, d: String): DataFrame = {
     val seqs = Embeddings.sessionSequences(
@@ -178,8 +194,12 @@ object TextQueries {
       .orderBy(col("category_id"))
   }
 
-  /** ⊘ Multimodal plumbing: binary payload → stub feature extraction
-    * (rows-only; the decode is a documented deterministic fake).
+  /** Multimodal plumbing: binary payload → stub feature extraction.
+    * The decode is a documented deterministic fake (byte-histogram
+    * moments, Multimodal.decodeStub), so the oracle can recompute it:
+    * `f0_count` un-normalizes features[0] back to the exact histogram
+    * count (float32 round-trip is exact for counts < 2^24), keeping the
+    * comparison integer-exact.
     */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal
@@ -189,6 +209,7 @@ object TextQueries {
         col("id").as("doc_id"),
         col("meta.n_bytes").as("n_bytes"),
         size(col("features")).cast("long").as("n_dims"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        round(element_at(col("features"), 1).cast("double") * col("meta.n_bytes"))
+          .cast("long").as("f0_count"))
       .orderBy(col("doc_id"))
 }

@@ -140,9 +140,11 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim i): md5-derived integer in [-500, 500).
+    * dim i): md5-derived integer in [-500, 500). Shared with the
+    * DuckDB oracle generator (SparkEntry), which embeds the same
+    * constants as literal plane vectors.
     */
-  private def planeComponent(p: Int, i: Int): Long = {
+  private[graft] def planeComponent(p: Int, i: Int): Long = {
     val hex = java.security.MessageDigest
       .getInstance("MD5")
       .digest(s"plane$p|dim$i".getBytes("UTF-8"))
@@ -150,6 +152,78 @@ object Similarity {
       .map("%02x".format(_))
       .mkString
     java.lang.Long.parseLong(hex, 16) % 1000 - 500
+  }
+
+  /** IVF with a fully DETERMINISTIC coarse quantizer (the
+    * oracle-checkable sibling of [[ivfTopK]], whose MLlib k-means is
+    * seeded but not bit-stable across partitionings).
+    *
+    * Quantizer: `nCentroids` seed vectors picked by md5-rank of the id
+    * (a deterministic pseudo-random sample), then ONE Lloyd refinement
+    * where every arithmetic step is exact — integer L2 assignment with
+    * a min-cid tie-break, and per-dimension centroid update
+    * `floor(sum/count)` on integer sums (associative ⇒ identical under
+    * any partitioning). The result is bit-identical across engines,
+    * re-runs, and cluster layouts.
+    *
+    * Scale notes: the seed pick here is a global sort by md5(id) —
+    * fine for a library default; at 100 TB replace with
+    * `df.sample(k/n)`-style reservoir seeding (the quantizer contract
+    * only needs SOME deterministic k vectors). Everything else is one
+    * corpus shuffle (the final cell assignment join) + broadcast
+    * centroid tables, same shape as [[ivfTopK]].
+    */
+  def ivfTopKDeterministic(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
+
+    val seedW = Window.orderBy(md5(col("neighbor_id").cast("string")), col("neighbor_id"))
+    val seeds0 = c
+      .withColumn("srn", row_number().over(seedW))
+      .filter(col("srn") <= nCentroids)
+      .select((col("srn") - 1).cast("long").as("cid"), col("c_emb").as("cq"))
+
+    // nearest cell by exact integer L2: maximize 2·v·c − ||c||², tie → min cid
+    def assignTo(vecs: DataFrame, idC: String, embC: String, cents: DataFrame, top: Int) =
+      Windows.topKPerGroup(
+        vecs.crossJoin(broadcast(cents))
+          .withColumn("negdist", qdot(col(embC), col("cq")) * 2 - qnorm2(col("cq"))),
+        Seq(idC), col("negdist"), Seq("cid"), top)
+
+    val a0 = assignTo(c, "neighbor_id", "c_emb", seeds0, 1)
+      .select("neighbor_id", "c_emb", "cid")
+    // one Lloyd step, exact: per-dim floor(mean) on integer sums
+    val cent = a0
+      .select(col("cid"), posexplode(col("c_emb")).as(Seq("pos", "val")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("cid"))
+      .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("cq"))
+
+    val assigned = assignTo(c, "neighbor_id", "c_emb", cent, 1)
+      .select("neighbor_id", "c_emb", "cid")
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+    val probes = assignTo(q, "query_id", "q_emb", cent, nProbe)
+      .select("query_id", "q_emb", "cid")
+
+    val scored = probes
+      .join(assigned, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        qcosine(
+          qdot(col("q_emb"), col("c_emb")),
+          qnorm2(col("q_emb")),
+          qnorm2(col("c_emb"))).as("cosine_sim"))
+    Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
   }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
