@@ -101,12 +101,17 @@ object Dedup {
     * None disables the guard.
     */
   def lshCandidatePairs(bands: DataFrame, maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    // bands is referenced three times below (cap agg + both self-join
+    // sides); without a materialization the whole upstream signature
+    // computation re-runs per reference (measured 4.5 s -> 1.5 s at
+    // sf0.1)
+    val bandsM = bands.cache()
     val kept = maxBucketSize match {
       case Some(cap) =>
-        val ok = bands.groupBy(col("band_idx"), col("band_key")).count()
+        val ok = bandsM.groupBy(col("band_idx"), col("band_key")).count()
           .filter(col("count") <= cap).select("band_idx", "band_key")
-        bands.join(ok, Seq("band_idx", "band_key"), "left_semi")
-      case None => bands
+        bandsM.join(ok, Seq("band_idx", "band_key"), "left_semi")
+      case None => bandsM
     }
     val a = kept.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
     val b = kept.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
@@ -148,18 +153,36 @@ object Dedup {
       idCol: String,
       n: Int,
       minJaccardPpm: Long): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n).cache()
-    // One-pass inverted index: the shingle-equality self-join yields
-    // each (a,b) pair exactly once per SHARED shingle, so counting the
-    // join output per pair IS the intersection size — no distinct-pairs
-    // materialization, no second pass over the shingle sets.
-    val inter = sh
-      .select(col("id").as("id_a"), col("shingle"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // One-pass inverted index, postings-list form: group the exploded
+    // shingles by shingle (ONE shuffle of the shingle table — the
+    // equality self-join shape shuffles it twice), emit every in-bucket
+    // (a,b) pair from the sorted posting list, and count pair
+    // occurrences — each (a,b) appears exactly once per SHARED shingle,
+    // so the count IS the intersection size. Set sizes come row-locally
+    // from the distinct-shingle array (no aggregation at all).
+    // Skew note: a corpus-wide stop-shingle makes one posting list huge
+    // (f² pairs); cap posting lists upstream if the corpus is
+    // boilerplate-heavy — for exact top-k output the cap must stay off.
+    val shArr = docs
+      .select(col(idCol).as("id"), array_distinct(wordShingles(col(textCol), n)).as("__sh"))
+    val sizes = shArr.select(col("id"), size(col("__sh")).cast("long").as("n"))
+    val post = shArr
+      .select(explode(col("__sh")).as("shingle"), col("id"))
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // all i<j pairs of the sorted posting list ⇒ id_a < id_b by construction
+    val pairExpr = flatten(
+      transform(
+        col("ids"),
+        (x, i) =>
+          transform(
+            slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))
+    val inter = post
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter_count"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))

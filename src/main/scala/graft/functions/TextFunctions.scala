@@ -30,15 +30,12 @@ object TextFunctions {
 
   /** Word n-gram shingles (space-joined) from whitespace tokens.
     * For i in [0, numTokens-n]: tokens[i..i+n) joined by one space.
+    * Native one-pass expression (WordShingles scaladoc): the composed
+    * HOF form re-ran `split` per output element, dominating the dedup
+    * queries' runtime.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    filter(
-      transform(
-        sequence(lit(0), greatest(size(ts) - n, lit(0))),
-        i => when(i + n <= size(ts), concat_ws(" ", slice(ts, i + 1, lit(n))))),
-      s => s.isNotNull)
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.WordShingles(text, n)
 
   /** Language score for a candidate language = total occurrences of its
     * marker words as whole tokens. Both sides of the oracle use the
