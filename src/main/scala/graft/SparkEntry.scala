@@ -75,7 +75,13 @@ object SparkEntry {
     "q38_multimodal_features" -> (TQ.multimodalFeatures _),
     "q40_embedding_neardup_lsh" -> (TQ.embeddingNearDupLsh _),
     "q41_knn_ivf" -> (TQ.knnIvf _),
-    "q42_neardup_dedup" -> (TQ.nearDupDedup _))
+    "q42_neardup_dedup" -> (TQ.nearDupDedup _),
+    // — round-2 extensions: ranking, sampling, quantiles, sketches —
+    "q43_tfidf_topterms" -> (TQ.tfidfTopTerms _),
+    "q44_bm25" -> (TQ.bm25 _),
+    "q45_stratified_sample" -> (EQ.stratifiedSample _),
+    "q46_group_quantiles" -> (RQ.groupQuantiles _),
+    "q47_sketch_union" -> (TQ.sketchUnion _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -760,5 +766,86 @@ object SparkEntry {
          |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY d.doc_id""".stripMargin
-    })
+    },
+    "q43_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0) * 1000000) AS BIGINT)
+        |      AS score_micro
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, score_micro, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    "q44_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM base
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('table', 'scan', 'fast', 'key') GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base
+        |), contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl)) *
+        |      1000000) AS BIGINT) AS contrib_micro
+        |  FROM tf
+        |  JOIN dfq ON tf.term = dfq.term
+        |  JOIN base b ON tf.doc_id = b.doc_id
+        |  CROSS JOIN stats
+        |), per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_matched, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY doc_id
+        |)
+        |SELECT base.doc_id,
+        |  COALESCE(n_matched, 0) AS n_matched,
+        |  COALESCE(score_micro, 0) AS score_micro
+        |FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    "q45_stratified_sample" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+        |FROM events
+        |WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 <
+        |  CASE event_type WHEN 'purchase' THEN 1000 WHEN 'view' THEN 100
+        |                  WHEN 'click' THEN 250 WHEN 'error' THEN 50 ELSE 500 END
+        |ORDER BY event_id""".stripMargin,
+    "q46_group_quantiles" ->
+      """WITH rkd AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  MAX(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN l_quantity END) AS p50_qty,
+        |  MAX(CASE WHEN rn = floor(0.9 * (n - 1)) + 1 THEN l_quantity END) AS p90_qty
+        |FROM rkd GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q47_sketch_union" ->
+      s"""WITH ${shingleCte(3)}
+         |SELECT doc_id % 10 AS grp,
+         |${(0 until 8).map(i => s"  min(md5('s$i|' || shingle)) AS h$i").mkString(",\n")}
+         |FROM sh GROUP BY grp ORDER BY grp""".stripMargin)
 }

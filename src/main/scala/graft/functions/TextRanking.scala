@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.ops.Windows
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Term-weighting operators for training-data pipelines: TF-IDF top
+  * terms per document and BM25 relevance scoring against a fixed query
+  * term set.
+  *
+  * Cross-engine determinism: `ln` differs across libm implementations
+  * at the ULP level, so every transcendental result is immediately
+  * quantized to an integer micro score (`round(x*1e6)` as long) and all
+  * RANKING and SUMMATION happens on those exact integers — a score_micro
+  * ordering or long sum is bit-identical everywhere, while a raw-double
+  * ordering could flip on ties.
+  *
+  * Scale notes: both operators are explode → two hash aggregations
+  * (term frequencies, document frequencies) + broadcast of the tiny
+  * term/corpus stats — the same map-side-combine shape as any word
+  * count, no pairwise blowup, no driver loops (corpus size arrives via
+  * a broadcast 1-row aggregate, not a driver `count()`).
+  */
+object TextRanking {
+
+  /** Top-`k` terms per doc by smooth TF-IDF
+    * (idf = ln((N+1)/(df+1)) + 1), deterministic tie-break on term.
+    * Output: (doc_id, term, tf, score_micro, rn).
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score_micro",
+        round(
+          col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)) *
+            lit(1000000)).cast("long"))
+    Windows
+      .topKPerGroup(scored, Seq("doc_id"), col("score_micro"), Seq("term"), k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score_micro"), col("rn").cast("long").as("rn"))
+  }
+
+  /** BM25 (k1=1.2, b=0.75, Robertson idf = ln(1 + (N-df+0.5)/(df+0.5)))
+    * of every document against a fixed `queryTerms` set. Per-term
+    * contributions are quantized to micro units BEFORE the per-doc sum,
+    * so the total is an exact long sum. Docs matching no term score 0.
+    * Output: (doc_id, n_matched, score_micro).
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val toks = base.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val contrib = tf
+      .join(df, Seq("term"))
+      .join(base.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "contrib_micro",
+        round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
+            lit(1000000)).cast("long"))
+    val perDoc = contrib
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("contrib_micro")).as("score_micro"))
+    base
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
+}

@@ -50,4 +50,36 @@ object Aggregates {
     */
   def sortedStringAgg(orderKeys: Seq[Column], value: Column, sep: String): Column =
     concat_ws(sep, sortedList(orderKeys, value.cast("string")))
+
+  /** Exact positional (type-1) quantiles per group: for each (name, q),
+    * the value at sorted position `floor(q*(n-1)) + 1` of the group
+    * (ascending by value, then `tieCols` for a total order). Unlike
+    * `percentile_approx` (approximate) or interpolating definitions
+    * (float-blend, engine-varying), the picked VALUE is an actual data
+    * point and is deterministic even among duplicates — any engine that
+    * sorts the same way returns the identical row.
+    *
+    * Cost: one exchange on the group keys + sort (both window passes
+    * share it) + one hash agg. For 100 TB sketch-grade quantiles use
+    * percentile_approx; this is the exact, auditable variant.
+    */
+  def positionalQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      tieCols: Seq[Column],
+      quantiles: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(valueCol.asc +: tieCols.map(_.asc): _*)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val aggs = count(lit(1)).as("n_rows") +: quantiles.map { case (name, q) =>
+      max(when(col("__rn") === floor(lit(q) * (col("__n") - 1)) + 1, valueCol)).as(name)
+    }
+    ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

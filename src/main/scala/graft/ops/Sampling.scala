@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * `sample(fraction)` is seed-dependent AND partitioning-dependent —
+  * useless when a pipeline must reproduce its training set or when two
+  * engines must agree. Hash sampling decides per ROW from a stable key
+  * (md5 of the id), so the sample is a pure function of the data:
+  * re-runs, repartitions, and other engines (the DuckDB oracle) pick
+  * the exact same rows, and the filter runs scan-side with zero
+  * shuffles at any scale.
+  */
+object Sampling {
+
+  /** Stable per-row bucket in [0, 1000): first 8 md5 hex chars of the
+    * key, mod 1000.
+    */
+  def hashBucketPermille(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 1000
+
+  /** Keep a row iff its bucket < the stratum's keep-rate (permille).
+    * The standard class-rebalancing primitive: e.g. keep all rare
+    * `purchase` rows but 10% of `view` rows.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      permille: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    val rate = permille.foldLeft(lit(defaultPermille): Column) {
+      case (acc, (stratum, p)) => when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucketPermille(col(keyCol)) < rate)
+  }
+
+  /** Uniform deterministic sample at `permille`/1000 rate. */
+  def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame =
+    df.filter(hashBucketPermille(col(keyCol)) < lit(permille))
+}

@@ -156,4 +156,22 @@ object EventQueries {
     Pipeline
       .features(s, d)
       .orderBy(col("anchor_id"), col("category_id"))
+
+  /** Deterministic stratified hash sampling by event type — the
+    * class-rebalancing primitive (keep all rare purchases, 10% of
+    * views); pure scan-side filter, reproducible across engines and
+    * partitionings (graft.ops.Sampling).
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling
+      .stratifiedHashSample(
+        Tables.events(s, d), "event_id", "event_type",
+        Map("purchase" -> 1000, "view" -> 100, "click" -> 250, "error" -> 50),
+        defaultPermille = 500)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        graft.ops.Sampling.hashBucketPermille(col("event_id")).as("bucket"))
+      .orderBy(col("event_id"))
 }

@@ -194,4 +194,17 @@ object RelationalQueries {
       .groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"))
+
+  /** Exact positional p50/p90 per group (Ag.positionalQuantiles): the
+    * deterministic, engine-portable quantile — value at sorted position
+    * floor(q·(n−1))+1 under a total order.
+    */
+  def groupQuantiles(s: SparkSession, d: String): DataFrame =
+    Ag.positionalQuantiles(
+      Tables.lineitem(s, d),
+      Seq("l_returnflag"),
+      col("l_quantity"),
+      Seq(col("l_orderkey"), col("l_linenumber")),
+      Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
+      .orderBy(col("l_returnflag"))
 }

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.dedup.Dedup
-import graft.functions.{TextFunctions => TF}
+import graft.dedup.{Dedup, MinHashSketch}
+import graft.functions.{TextFunctions => TF, TextRanking}
 import graft.multimodal.Multimodal
 import graft.pipeline.{Embeddings, Pipeline}
 import graft.similarity.Similarity
@@ -192,6 +192,41 @@ object TextQueries {
       .trainWord2Vec(seqs)
       .select(col("word").cast("long").as("category_id"), lit(16L).as("dims"))
       .orderBy(col("category_id"))
+  }
+
+  /** TF-IDF top-5 terms per document (micro-quantized scores; see
+    * TextRanking determinism note).
+    */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    TextRanking
+      .tfidfTopTerms(Tables.documents(s, d), "text", "doc_id", k = 5)
+      .orderBy(col("doc_id"), col("rn"))
+
+  /** BM25 relevance of every document against a fixed query term set
+    * drawn from the corpus vocabulary.
+    */
+  def bm25(s: SparkSession, d: String): DataFrame =
+    TextRanking
+      .bm25Scores(Tables.documents(s, d), "text", "doc_id",
+        queryTerms = Seq("table", "scan", "fast", "key"))
+      .orderBy(col("doc_id"))
+
+  /** Mergeable MinHash sketch (typed Aggregator UDAF): per doc-id
+    * stratum, the element-wise-min merge of per-doc signatures — equal
+    * by construction to the sketch of the stratum's unioned shingle
+    * set, which is exactly what the oracle recomputes relationally.
+    */
+  def sketchUnion(s: SparkSession, d: String): DataFrame = {
+    val sigs = Dedup
+      .minhashSignaturesInline(Tables.documents(s, d), "text", "doc_id", n = 3, numHashes = 8)
+      .withColumn("grp", pmod(col("id"), lit(10L)))
+    val merged = sigs
+      .groupBy(col("grp"))
+      .agg(MinHashSketch.merge(8)(col("sig")).as("sketch"))
+    merged
+      .select(
+        col("grp") +: (0 until 8).map(i => element_at(col("sketch"), i + 1).as(s"h$i")): _*)
+      .orderBy(col("grp"))
   }
 
   /** Multimodal plumbing: binary payload → stub feature extraction.

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.TextRanking
+import graft.ops.{Aggregates, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Round-2 extension operators: TF-IDF / BM25 ranking, deterministic
+  * hash sampling, positional quantiles.
+  */
+class RankingSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "spark shuffles data across the cluster"),
+    (1L, "spark caches data in memory"),
+    (2L, "the optimizer prunes columns and pushes filters"),
+    (3L, "spark spark spark tuning guide")).toDF("doc_id", "text")
+
+  test("tfidfTopTerms ranks rare terms above common ones, ties by term") {
+    val top = TextRanking.tfidfTopTerms(docs, "text", "doc_id", k = 3)
+    val d0 = top.filter($"doc_id" === 0L).orderBy($"rn").collect()
+    // 'spark' appears in 3 of 4 docs -> lowest idf; doc-0-unique terms first
+    assert(d0.map(_.getAs[String]("term")).take(2).forall(t => t != "spark"))
+    // deterministic: same result under repartition
+    val again = TextRanking
+      .tfidfTopTerms(docs.repartition(7), "text", "doc_id", k = 3)
+      .orderBy($"doc_id", $"rn")
+    assert(again.collect().toSeq == top.orderBy($"doc_id", $"rn").collect().toSeq)
+  }
+
+  test("bm25Scores: matching docs score positive, non-matching zero, exact long math") {
+    val scored = TextRanking
+      .bm25Scores(docs, "text", "doc_id", Seq("spark", "optimizer"))
+      .orderBy($"doc_id")
+      .collect()
+    assert(scored.length == 4)
+    val byId = scored.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getAs[Long]("n_matched") == 1L) // optimizer only
+    assert(scored.forall(_.getAs[Long]("score_micro") >= 0L))
+    // tf saturation: doc 3 has tf=3 'spark' but scores LESS than 3x doc 1's tf=1
+    assert(byId(3L).getAs[Long]("score_micro") < 3 * byId(1L).getAs[Long]("score_micro"))
+  }
+
+  test("stratifiedHashSample keeps rate-1000 strata fully and is repartition-stable") {
+    val df = spark.range(0, 2000).select(
+      col("id").as("event_id"),
+      when(col("id") % 2 === 0, "keep_all").otherwise("downsample").as("stratum"))
+    val sampled = Sampling.stratifiedHashSample(
+      df, "event_id", "stratum", Map("keep_all" -> 1000), defaultPermille = 100)
+    assert(sampled.filter($"stratum" === "keep_all").count() == 1000L)
+    val down = sampled.filter($"stratum" === "downsample").count()
+    assert(down > 50 && down < 200) // ~10% of 1000
+    val again = Sampling.stratifiedHashSample(
+      df.repartition(13), "event_id", "stratum", Map("keep_all" -> 1000), defaultPermille = 100)
+    assert(again.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      sampled.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("positionalQuantiles picks exact order statistics") {
+    val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "tie")
+    val q = Aggregates
+      .positionalQuantiles(df, Seq("g"), col("v"), Seq(col("tie")),
+        Seq("p0" -> 0.0, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0))
+      .collect().head
+    // n=10: p0 -> pos 1 (v=1), p50 -> floor(4.5)+1=5 (v=5), p90 -> floor(8.1)+1=9, p100 -> 10
+    assert(q.getAs[Long]("n_rows") == 10L)
+    assert(q.getAs[Double]("p0") == 1.0)
+    assert(q.getAs[Double]("p50") == 5.0)
+    assert(q.getAs[Double]("p90") == 9.0)
+    assert(q.getAs[Double]("p100") == 10.0)
+  }
+}
