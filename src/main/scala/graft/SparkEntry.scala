@@ -81,7 +81,9 @@ object SparkEntry {
     "q44_bm25" -> (TQ.bm25 _),
     "q45_stratified_sample" -> (EQ.stratifiedSample _),
     "q46_group_quantiles" -> (RQ.groupQuantiles _),
-    "q47_sketch_union" -> (TQ.sketchUnion _))
+    "q47_sketch_union" -> (TQ.sketchUnion _),
+    "q48_contamination" -> (TQ.contamination _),
+    "q49_simhash_pairs" -> (TQ.simhashPairs _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -161,6 +163,31 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |      2 * ${dotSql("q.v", "s.cq", dim)} - ${norm2Sql("s.cq")} DESC, s.cid ASC) AS rn
        |  FROM $vecs q CROSS JOIN $cents s
+       |)""".stripMargin
+
+  /** Per-doc 32-bit SimHash (majority vote of md5-derived token-hash
+    * bits, frequency-weighted) — ends with table `simhashed(doc_id,
+    * simhash)`.
+    */
+  private val simhashCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+       |), w AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS w,
+       |         CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
+       |  FROM toks GROUP BY doc_id, tok
+       |), v AS (
+       |  SELECT doc_id,
+       |${(0 until 32)
+        .map(b => s"    SUM(CASE WHEN (h >> $b) & 1 = 1 THEN w ELSE -w END) AS v$b")
+        .mkString(",\n")}
+       |  FROM w GROUP BY doc_id
+       |), simhashed AS (
+       |  SELECT doc_id,
+       |    CAST(${(0 until 32)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")} AS BIGINT) AS simhash
+       |  FROM v
        |)""".stripMargin
 
   private def substrCountSql(padded: String, needle: String): String =
@@ -549,24 +576,8 @@ object SparkEntry {
           .mkString("", "\nUNION ALL\n", "")}
          |ORDER BY doc_id, band_idx""".stripMargin,
     "q30_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
-         |), w AS (
-         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS w,
-         |         CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
-         |  FROM toks GROUP BY doc_id, tok
-         |), v AS (
-         |  SELECT doc_id,
-         |${(0 until 32)
-          .map(b => s"    SUM(CASE WHEN (h >> $b) & 1 = 1 THEN w ELSE -w END) AS v$b")
-          .mkString(",\n")}
-         |  FROM w GROUP BY doc_id
-         |)
-         |SELECT doc_id,
-         |  CAST(${(0 until 32)
-          .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
-          .mkString(" + ")} AS BIGINT) AS simhash
-         |FROM v ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM simhashed ORDER BY doc_id""".stripMargin,
     "q31_knn_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id,
@@ -847,5 +858,23 @@ object SparkEntry {
       s"""WITH ${shingleCte(3)}
          |SELECT doc_id % 10 AS grp,
          |${(0 until 8).map(i => s"  min(md5('s$i|' || shingle)) AS h$i").mkString(",\n")}
-         |FROM sh GROUP BY grp ORDER BY grp""".stripMargin)
+         |FROM sh GROUP BY grp ORDER BY grp""".stripMargin,
+    "q48_contamination" ->
+      s"""WITH ${shingleCte(8)}, bench AS (
+         |  SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 7 = 3
+         |), train AS (
+         |  SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 3
+         |)
+         |SELECT t.doc_id,
+         |  COUNT(*) AS n_shared_shingles,
+         |  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+         |FROM train t JOIN bench b ON t.shingle = b.shingle
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q49_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM simhashed a JOIN simhashed b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin)
 }

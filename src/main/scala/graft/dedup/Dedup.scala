@@ -372,6 +372,74 @@ object Dedup {
       .withColumn("is_survivor", col(idCol) === col("component"))
   }
 
+  /** Benchmark decontamination — the LLM-training-pipeline staple:
+    * which corpus documents share any word `n`-gram with a benchmark/
+    * eval set? Inverted-index join on shingles with the benchmark side
+    * BROADCAST (eval sets are orders of magnitude smaller than training
+    * corpora), so the corpus streams through scan-side with no shuffle;
+    * the per-doc aggregation shuffles only matching rows.
+    * Returns one row per CONTAMINATED corpus doc:
+    * (id, n_shared_shingles, n_bench_docs).
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val c = shingles(corpus, textCol, idCol, n)
+    val b = shingles(benchmark, textCol, idCol, n)
+      .select(col("id").as("bench_id"), col("shingle"))
+    c.join(broadcast(b), Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** SimHash near-dup pairs with banded blocking: split the 32-bit
+    * fingerprint into `bands` exact-match bands — any pair within
+    * Hamming distance `maxHamming` ≤ bands−1 differs in at most
+    * bands−1 bands, so by pigeonhole it collides on at least one and
+    * recall is EXACTLY 1.0 (banding here is a pure cost optimization,
+    * not an approximation — the banded result equals brute force, which
+    * is what the oracle computes). Verification is one integer
+    * `bit_count(xor)` per candidate pair.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "full recall needs maxHamming <= bands - 1")
+    val bitsPerBand = 32 / bands
+    val sims = simhash32(docs, textCol, idCol).cache()
+    val banded = sims.select(
+      col("id"),
+      col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * bitsPerBand)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash (32-bit, from md5-derived token hashes): per doc, for each
     * bit, majority vote of token-frequency-weighted ±1; bit set iff the
     * weighted sum is > 0. Integer-exact and engine-portable.

@@ -194,6 +194,29 @@ object TextQueries {
       .orderBy(col("category_id"))
   }
 
+  /** Benchmark decontamination: train docs (doc_id % 7 ≠ 3) sharing
+    * any 8-gram with the held-out benchmark stratum (doc_id % 7 = 3).
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup
+      .contamination(
+        docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L),
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3L),
+        "text", "doc_id", n = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 via 4-band blocking — exact
+    * recall, see Dedup.simhashNearDupPairs; oracle brute-forces the
+    * identical pair set).
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** TF-IDF top-5 terms per document (micro-quantized scores; see
     * TextRanking determinism note).
     */

@@ -56,6 +56,38 @@ class RankingSamplingSpec extends SparkSpec {
       sampled.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("contamination flags only docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta"),
+      (2L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix alpha beta gamma delta suffix"),
+      (101L, "nothing in common at all")).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup
+      .contamination(corpus, bench, "text", "doc_id", n = 4)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("id") == 0L)
+    assert(r.head.getAs[Long]("n_bench_docs") == 1L)
+  }
+
+  test("simhash banded pairs == brute force for hamming <= bands-1") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val banded = graft.dedup.Dedup
+      .simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3, bands = 4)
+      .select("id_a", "id_b", "hamming")
+    val sims = graft.dedup.Dedup.simhash32(docs, "text", "doc_id")
+    val brute = sims.select(col("id").as("id_a"), col("simhash").as("sim_a"))
+      .crossJoin(sims.select(col("id").as("id_b"), col("simhash").as("sim_b")))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        bit_count($"sim_a".bitwiseXOR($"sim_b")).cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+    assert(banded.orderBy("id_a", "id_b").collect().toSeq ==
+      brute.orderBy("id_a", "id_b").collect().toSeq)
+  }
+
   test("positionalQuantiles picks exact order statistics") {
     val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "tie")
     val q = Aggregates
