@@ -58,4 +58,26 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen subtree"), "text functions fell out of codegen")
   }
+
+  test("stratified hash sample: filter runs scan-side, zero exchanges") {
+    val p = plan(
+      graft.ops.Sampling.stratifiedHashSample(
+        graft.core.Tables.events(spark, dir), "event_id", "event_type",
+        Map("purchase" -> 1000), defaultPermille = 100))
+    assert(!p.contains("Exchange"), s"hash sampling must not shuffle:\n$p")
+  }
+
+  test("contamination: benchmark side broadcast, corpus never shuffled pre-join") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val p = plan(graft.dedup.Dedup.contamination(
+      docs.filter(col("doc_id") % 7 =!= 3), docs.filter(col("doc_id") % 7 === 3),
+      "text", "doc_id", n = 8))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+  }
+
+  test("bm25: corpus stats arrive via broadcast, not a driver collect") {
+    val p = plan(graft.functions.TextRanking.bm25Scores(
+      graft.core.Tables.documents(spark, dir), "text", "doc_id", Seq("table", "scan")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
 }
