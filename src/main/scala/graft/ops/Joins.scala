@@ -78,8 +78,22 @@ object Joins {
       groupCol: String,
       itemCol: String,
       minCount: Long = 1L,
+      maxGroupSize: Option[Int] = Some(200)): DataFrame =
+    covisitationPairsDistinct(
+      df.select(col(groupCol), col(itemCol)).distinct(),
+      groupCol, itemCol, minCount, maxGroupSize)
+
+  /** [[covisitationPairs]] over an ALREADY-DISTINCT (group, item)
+    * table. Callers that maintain the distinct projection anyway (the
+    * pipeline caches it and derives popularity/affinity counts from the
+    * same table) skip the built-in distinct pass.
+    */
+  def covisitationPairsDistinct(
+      distinctItems: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      minCount: Long = 1L,
       maxGroupSize: Option[Int] = Some(200)): DataFrame = {
-    val distinctItems = df.select(col(groupCol), col(itemCol)).distinct()
     val capped = maxGroupSize match {
       case Some(cap) =>
         // Pre-aggregate group sizes; anti-join out oversized groups.

@@ -117,12 +117,30 @@ object Pipeline {
       prefixCands: DataFrame,
       enriched: DataFrame,
       minPairCount: Long,
+      topK: Int): DataFrame =
+    covisCandidatesFromDistinct(
+      prefixCands,
+      enriched.select(col("session_id"), col("category_id")).distinct(),
+      minPairCount, topK)
+
+  /** [[covisCandidatesFromPrefix]] over the already-distinct
+    * (session_id, category_id) projection — the pipeline caches that
+    * table once and derives covis pairs, category popularity, AND the
+    * popularity top-N from it (distinct-session-count per category ==
+    * row count per category of the distinct projection), replacing
+    * three independent two-phase countDistinct aggregations over the
+    * full event table with one distinct + trivial count aggs.
+    */
+  def covisCandidatesFromDistinct(
+      prefixCands: DataFrame,
+      di: DataFrame,
+      minPairCount: Long,
       topK: Int): DataFrame = {
     // no size cap here: the item dimension is CATEGORIES (bounded ≤
     // NumCategories per session), so the cap's sizes+semi-join pass
     // would be two pure-overhead shuffles
-    val pairs = Joins.covisitationPairs(
-      enriched.select(col("session_id"), col("category_id")),
+    val pairs = Joins.covisitationPairsDistinct(
+      di,
       "session_id",
       "category_id",
       minPairCount,
@@ -156,6 +174,19 @@ object Pipeline {
       .select("anchor_id", "category_id")
   }
 
+  /** [[popularityCandidates]] from a precomputed per-category
+    * distinct-session count (one row per category — broadcast-trivial).
+    */
+  def popularityFromCatPop(anchors: DataFrame, catPop: DataFrame, topN: Int): DataFrame = {
+    val top = catPop
+      .orderBy(col("cat_pop").desc, col("category_id").asc)
+      .limit(topN)
+      .select("category_id")
+    Joins
+      .crossWithTop(anchors.select("anchor_id"), top)
+      .select("anchor_id", "category_id")
+  }
+
   /** Strategy 5 — user history: top-k categories the user touched
     * strictly before the anchor, by recency (`:343-362`).
     */
@@ -178,10 +209,14 @@ object Pipeline {
     */
   def candidatesFrom(a: DataFrame, enriched: DataFrame): DataFrame = {
     val prefixC = prefixCandidates(a, enriched).cache()
+    // one distinct (session, category) projection serves covis pairs
+    // AND the popularity top-N (distinct-session count per category)
+    val di = enriched.select(col("session_id"), col("category_id")).distinct().cache()
+    val catPop = di.groupBy(col("category_id")).agg(count(lit(1)).as("cat_pop"))
     Seq(
       prefixC,
-      covisCandidatesFromPrefix(prefixC, enriched, minPairCount = 2, topK = 10),
-      popularityCandidates(a, enriched, topN = 5),
+      covisCandidatesFromDistinct(prefixC, di, minPairCount = 2, topK = 10),
+      popularityFromCatPop(a, catPop, topN = 5),
       userHistoryCandidates(a, enriched, topK = 10))
       .reduce(_ union _)
       .distinct()
@@ -214,10 +249,23 @@ object Pipeline {
       .cache()
     val prefixC = prefix.select(col("anchor_id"), col("pcat").as("category_id")).distinct()
 
+    // one distinct (user, session, category) projection; its
+    // session-level reduction serves covis pairs, category popularity
+    // and the popularity top-5; the user level serves user-category
+    // affinity — replacing three two-phase countDistinct aggregations
+    // over the full event table (session_id determines user_id, so the
+    // session-level distinct of `du` equals the distinct of enriched).
+    val du = enriched
+      .select(col("user_id"), col("session_id"), col("category_id"))
+      .distinct()
+      .cache()
+    val di = du.select(col("session_id"), col("category_id")).distinct().cache()
+    val catPop = di.groupBy(col("category_id")).agg(count(lit(1)).as("cat_pop"))
+
     val cand = Seq(
       prefixC,
-      covisCandidatesFromPrefix(prefixC, enriched, minPairCount = 2, topK = 10),
-      popularityCandidates(a, enriched, topN = 5),
+      covisCandidatesFromDistinct(prefixC, di, minPairCount = 2, topK = 10),
+      popularityFromCatPop(a, catPop, topN = 5),
       userHistoryCandidates(a, enriched, topK = 10))
       .reduce(_ union _)
       .distinct()
@@ -242,15 +290,10 @@ object Pipeline {
         count(lit(1)).as("cat_count_in_prefix"),
         max(col("epoch_s")).as("cat_last_epoch_s"))
 
-    // category popularity (distinct sessions)
-    val catPop = enriched
-      .groupBy(col("category_id"))
-      .agg(countDistinct(col("session_id")).as("cat_pop"))
-
     // user-category affinity: distinct sessions of user touching cat
-    val userCatAff = enriched
+    val userCatAff = du
       .groupBy(col("user_id"), col("category_id"))
-      .agg(countDistinct(col("session_id")).as("user_cat_sessions"))
+      .agg(count(lit(1)).as("user_cat_sessions"))
 
     // user session stats (two-level agg, reference A6 `:524-529`)
     val perSession = enriched
