@@ -90,9 +90,12 @@ object BaselineBench {
       val va = RetailRocket.splitByWindow(atc, RetailRocket.TrainEnd, RetailRocket.ValidEnd).cache()
       tr.count(); va.count(); (tr, va)
     }
+    // split-independent co-vis/popularity/user matrices computed ONCE
+    // for train+valid (same sharing as RetailRocket.buildAll)
+    val tm = RetailRocket.trainMatrices(events, itemCat, RetailRocket.TrainEnd)
     val (cands, candS) = t("candidates") {
-      val ct = RetailRocket.candidates(splits._1, events, itemCat, RetailRocket.TrainEnd).cache()
-      val cv = RetailRocket.candidates(splits._2, events, itemCat, RetailRocket.TrainEnd).cache()
+      val ct = RetailRocket.candidatesWith(splits._1, events, itemCat, tm).cache()
+      val cv = RetailRocket.candidatesWith(splits._2, events, itemCat, tm).cache()
       ct.count(); cv.count(); (ct, cv)
     }
     val (vectors, w2vS) = t("word2vec") {
@@ -108,7 +111,7 @@ object BaselineBench {
     val (mats, featS) = t("features+embeddings") {
       def assemble(atc: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
         graft.pipeline.Embeddings.attachEmbeddings(
-          RetailRocket.features(atc, c, events, itemCat, RetailRocket.TrainEnd),
+          RetailRocket.featuresWith(atc, c, events, itemCat, tm),
           vectors, "category_id", dims = 16)
       val tr = assemble(splits._1, cands._1).cache()
       val va = assemble(splits._2, cands._2).cache()

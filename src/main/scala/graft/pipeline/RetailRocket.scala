@@ -141,6 +141,98 @@ object RetailRocket {
       .join(events.select(col("session_id"), col("ts"), col("item_id")), Seq("session_id"))
       .filter(col("ts") < col("atc_ts"))
 
+  /** Split-independent matrices shared by BOTH the train and valid
+    * candidate/feature passes — everything here depends only on
+    * (events, itemCat, trainCutoff), never on the anchor split, so
+    * [[buildAll]] computes and caches them ONCE instead of twice (the
+    * two co-visitation self-joins are the most expensive subtrees in
+    * the whole pipeline; the reference recomputes all of this per
+    * split, `prepare_training_data_pyspark.py:378-379,629-630`).
+    */
+  final case class TrainMatrices(
+      itemCovis: DataFrame,
+      catCovis: DataFrame,
+      catPopTop: DataFrame,
+      userPastCats: DataFrame,
+      catPop: DataFrame,
+      userCatAff: DataFrame,
+      userStats: DataFrame)
+
+  def trainMatrices(
+      events: DataFrame,
+      itemCat: DataFrame,
+      trainCutoff: String,
+      covisSessionCap: Option[Int] = Some(1000),
+      cache: Boolean = true): TrainMatrices = {
+    val cutoff = lit(trainCutoff).cast("timestamp")
+    val trainEvents = events.filter(col("ts") < cutoff)
+    val trainEventsCapped = covisSessionCap match {
+      case Some(cap) =>
+        val keep = trainEvents.groupBy(col("session_id")).count()
+          .filter(col("count") <= cap).select("session_id")
+        trainEvents.join(keep, Seq("session_id"), "left_semi")
+      case None => trainEvents
+    }
+
+    // item co-visitation matrix (`:250-260`): raw event pairs, covis >= 3
+    val te = trainEventsCapped.select(col("session_id"), col("item_id"))
+    val itemCovis = te.as("a")
+      .join(te.as("b"),
+        col("a.session_id") === col("b.session_id") && col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .agg(count(lit(1)).as("covis"))
+      .filter(col("covis") >= 3)
+
+    // category co-visitation matrix (`:291-303`): distinct-session
+    // pairs, cooccur >= 5
+    val tec = trainEventsCapped
+      .join(broadcast(itemCat), Seq("item_id"))
+      .select(col("session_id"), col("category_id"))
+    val catCovis = tec.as("a")
+      .join(tec.as("b"),
+        col("a.session_id") === col("b.session_id") &&
+          col("a.category_id") < col("b.category_id"))
+      .groupBy(col("a.category_id").as("cat_a"), col("b.category_id").as("cat_b"))
+      .agg(countDistinct(col("a.session_id")).as("cooccur"))
+      .filter(col("cooccur") >= 5)
+
+    val trainEnriched = trainEvents.join(broadcast(itemCat), Seq("item_id"))
+
+    // global popularity, top-20 by raw event count (`:332-337`) and the
+    // full per-category counts for features (`:499-502`)
+    val catPop = trainEnriched
+      .groupBy(col("category_id"))
+      .agg(count(lit(1)).as("global_pop"))
+    val catPopTop = catPop
+      .orderBy(col("global_pop").desc, col("category_id").asc)
+      .limit(20)
+      .select("category_id")
+
+    // user history recency (`:343-347`)
+    val userPastCats = trainEnriched
+      .groupBy(col("user_id"), col("category_id"))
+      .agg(max(col("ts")).as("last_seen"))
+
+    // user-category affinity + user session stats (`:509-529`)
+    val userCatAff = trainEnriched
+      .groupBy(col("user_id"), col("category_id"))
+      .agg(
+        count(lit(1)).as("user_cat_interactions"),
+        countDistinct(col("session_id")).as("user_cat_sessions"))
+    val userStats = trainEvents
+      .groupBy(col("user_id"), col("session_id"))
+      .agg((max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("session_duration"))
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("session_id")).as("total_sessions"),
+        avg(col("session_duration")).as("avg_session_duration"))
+
+    def c(df: DataFrame) = if (cache) df.cache() else df
+    TrainMatrices(
+      c(itemCovis), c(catCovis), c(catPopTop), c(userPastCats),
+      c(catPop), c(userCatAff), c(userStats))
+  }
+
   /** 5-strategy candidate generation (reference `build_candidates_spark`,
     * `:225-375`). Returns (session_id, atc_ts, category_id) distinct.
     *
@@ -152,16 +244,16 @@ object RetailRocket {
       events: DataFrame,
       itemCat: DataFrame,
       trainCutoff: String,
-      covisSessionCap: Option[Int] = Some(1000)): DataFrame = {
-    val cutoff = lit(trainCutoff).cast("timestamp")
-    val trainEvents = events.filter(col("ts") < cutoff)
-    val trainEventsCapped = covisSessionCap match {
-      case Some(cap) =>
-        val keep = trainEvents.groupBy(col("session_id")).count()
-          .filter(col("count") <= cap).select("session_id")
-        trainEvents.join(keep, Seq("session_id"), "left_semi")
-      case None => trainEvents
-    }
+      covisSessionCap: Option[Int] = Some(1000)): DataFrame =
+    candidatesWith(atc, events, itemCat,
+      trainMatrices(events, itemCat, trainCutoff, covisSessionCap, cache = false))
+
+  /** [[candidates]] against precomputed [[TrainMatrices]]. */
+  def candidatesWith(
+      atc: DataFrame,
+      events: DataFrame,
+      itemCat: DataFrame,
+      tm: TrainMatrices): DataFrame = {
     val prefix = prefixEvents(atc, events)
       .join(broadcast(itemCat), Seq("item_id"))
       .cache()
@@ -169,19 +261,12 @@ object RetailRocket {
     // 1. prefix categories (`:235-246`)
     val prefixCands = prefix.select("session_id", "atc_ts", "category_id").distinct()
 
-    // 2. item co-visitation (`:250-287`): raw event pairs, covis >= 3,
-    // top-15 categories per anchor by max covis.
-    val te = trainEventsCapped.select(col("session_id"), col("item_id"))
-    val itemCovis = te.as("a")
-      .join(te.as("b"),
-        col("a.session_id") === col("b.session_id") && col("a.item_id") < col("b.item_id"))
-      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
-      .agg(count(lit(1)).as("covis"))
-      .filter(col("covis") >= 3)
+    // 2. item co-visitation candidates: top-15 categories per anchor by
+    // max covis (`:264-287`)
     val itemCovisCands = Windows
       .topKPerGroup(
         prefix.select("session_id", "atc_ts", "item_id")
-          .join(itemCovis, col("item_id") === col("item_a"))
+          .join(tm.itemCovis, col("item_id") === col("item_a"))
           .join(broadcast(itemCat.select(col("item_id").as("cand_item"), col("category_id"))),
             col("item_b") === col("cand_item"))
           .groupBy(col("session_id"), col("atc_ts"), col("category_id"))
@@ -189,49 +274,27 @@ object RetailRocket {
         Seq("session_id", "atc_ts"), col("max_covis"), Seq("category_id"), 15)
       .select("session_id", "atc_ts", "category_id")
 
-    // 3. category co-visitation (`:291-329`): distinct-session pairs,
-    // cooccur >= 5, top-10 per anchor.
-    val tec = trainEventsCapped
-      .join(broadcast(itemCat), Seq("item_id"))
-      .select(col("session_id"), col("category_id"))
-    val catCovis = tec.as("a")
-      .join(tec.as("b"),
-        col("a.session_id") === col("b.session_id") &&
-          col("a.category_id") < col("b.category_id"))
-      .groupBy(col("a.category_id").as("cat_a"), col("b.category_id").as("cat_b"))
-      .agg(countDistinct(col("a.session_id")).as("cooccur"))
-      .filter(col("cooccur") >= 5)
+    // 3. category co-visitation candidates, top-10 per anchor (`:306-329`)
     val catCovisCands = Windows
       .topKPerGroup(
         prefix
-          .join(catCovis, col("category_id") === col("cat_a"))
+          .join(tm.catCovis, col("category_id") === col("cat_a"))
           .groupBy(col("session_id"), col("atc_ts"), col("cat_b"))
           .agg(max(col("cooccur")).as("max_cooccur")),
         Seq("session_id", "atc_ts"), col("max_cooccur"), Seq("cat_b"), 10)
       .select(col("session_id"), col("atc_ts"), col("cat_b").as("category_id"))
 
-    // 4. popularity: global top-20 categories by raw event count
-    // (`:332-340`), cross-joined to every anchor.
-    val catPop = trainEvents
-      .join(broadcast(itemCat), Seq("item_id"))
-      .groupBy(col("category_id"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("category_id").asc)
-      .limit(20)
+    // 4. popularity: global top-20 cross-joined to every anchor (`:339-340`)
     val popCands = atc
       .select("session_id", "atc_ts")
-      .crossJoin(broadcast(catPop.select("category_id")))
+      .crossJoin(broadcast(tm.catPopTop))
 
     // 5. user history: top-10 categories by last_seen before the
     // anchor (`:343-362`).
-    val userPastCats = trainEvents
-      .join(broadcast(itemCat), Seq("item_id"))
-      .groupBy(col("user_id"), col("category_id"))
-      .agg(max(col("ts")).as("last_seen"))
     val userHistCands = Windows
       .topKPerGroup(
         atc.select("session_id", "atc_ts", "user_id")
-          .join(userPastCats, Seq("user_id"))
+          .join(tm.userPastCats, Seq("user_id"))
           .filter(col("last_seen") < col("atc_ts")),
         Seq("session_id", "atc_ts"), col("last_seen").cast("long"), Seq("category_id"), 10)
       .select("session_id", "atc_ts", "category_id")
@@ -250,11 +313,17 @@ object RetailRocket {
       cands: DataFrame,
       events: DataFrame,
       itemCat: DataFrame,
-      trainCutoff: String): DataFrame = {
-    val cutoff = lit(trainCutoff).cast("timestamp")
-    val trainEvents = events.filter(col("ts") < cutoff)
-    val trainEnriched = trainEvents.join(broadcast(itemCat), Seq("item_id"))
+      trainCutoff: String): DataFrame =
+    featuresWith(atc, cands, events, itemCat,
+      trainMatrices(events, itemCat, trainCutoff, covisSessionCap = None, cache = false))
 
+  /** [[features]] against precomputed [[TrainMatrices]]. */
+  def featuresWith(
+      atc: DataFrame,
+      cands: DataFrame,
+      events: DataFrame,
+      itemCat: DataFrame,
+      tm: TrainMatrices): DataFrame = {
     val base = atc
       .select(col("session_id"), col("user_id"), col("atc_ts"),
         col("category_id").as("true_category_id"))
@@ -281,31 +350,13 @@ object RetailRocket {
         min(col("ts")).as("session_start"),
         countDistinct(col("pcat")).as("session_cat_diversity"))
 
-    val catPop = trainEnriched
-      .groupBy(col("category_id"))
-      .agg(count(lit(1)).as("global_pop"))
-
-    val userCatAff = trainEnriched
-      .groupBy(col("user_id"), col("category_id"))
-      .agg(
-        count(lit(1)).as("user_cat_interactions"),
-        countDistinct(col("session_id")).as("user_cat_sessions"))
-
-    val userStats = trainEvents
-      .groupBy(col("user_id"), col("session_id"))
-      .agg((max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("session_duration"))
-      .groupBy(col("user_id"))
-      .agg(
-        countDistinct(col("session_id")).as("total_sessions"),
-        avg(col("session_duration")).as("avg_session_duration"))
-
     base
       .join(prefixStats, Seq("session_id", "atc_ts", "cand_category_id"), "left")
-      .join(broadcast(catPop.withColumnRenamed("category_id", "cand_category_id")),
+      .join(broadcast(tm.catPop.withColumnRenamed("category_id", "cand_category_id")),
         Seq("cand_category_id"), "left")
-      .join(userCatAff.withColumnRenamed("category_id", "cand_category_id"),
+      .join(tm.userCatAff.withColumnRenamed("category_id", "cand_category_id"),
         Seq("user_id", "cand_category_id"), "left")
-      .join(userStats, Seq("user_id"), "left")
+      .join(tm.userStats, Seq("user_id"), "left")
       .select(
         col("session_id"),
         col("atc_ts"),
@@ -352,8 +403,10 @@ object RetailRocket {
     val atcTrain = splitByWindow(atc, TrainStart, TrainEnd).cache()
     val atcValid = splitByWindow(atc, TrainEnd, ValidEnd).cache()
 
-    val candTrain = candidates(atcTrain, events, itemCat, TrainEnd, covisSessionCap)
-    val candValid = candidates(atcValid, events, itemCat, TrainEnd, covisSessionCap)
+    // split-independent matrices computed ONCE for both splits
+    val tm = trainMatrices(events, itemCat, TrainEnd, covisSessionCap, cache = true)
+    val candTrain = candidatesWith(atcTrain, events, itemCat, tm)
+    val candValid = candidatesWith(atcValid, events, itemCat, tm)
 
     // Word2Vec category embeddings on pre-cutoff sequences (`:390-433`)
     val seqs = Embeddings.sessionSequences(
@@ -367,7 +420,7 @@ object RetailRocket {
 
     def assemble(atcSplit: DataFrame, cands: DataFrame): DataFrame =
       Embeddings.attachEmbeddings(
-        features(atcSplit, cands, events, itemCat, TrainEnd),
+        featuresWith(atcSplit, cands, events, itemCat, tm),
         vectors, "category_id", dims = 16)
 
     RunResult(assemble(atcTrain, candTrain), assemble(atcValid, candValid))
