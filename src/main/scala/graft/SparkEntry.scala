@@ -83,7 +83,9 @@ object SparkEntry {
     "q46_group_quantiles" -> (RQ.groupQuantiles _),
     "q47_sketch_union" -> (TQ.sketchUnion _),
     "q48_contamination" -> (TQ.contamination _),
-    "q49_simhash_pairs" -> (TQ.simhashPairs _))
+    "q49_simhash_pairs" -> (TQ.simhashPairs _),
+    "q50_chunking" -> (TQ.chunkDocs _),
+    "q51_packing" -> (TQ.packDocs _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -876,5 +878,27 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM simhashed a JOIN simhashed b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q50_chunking" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[i*16+1 : i*16+16], ' ') AS chunk_text,
+        |  CAST(least(len(toks) - i*16, 16) AS BIGINT) AS n_tokens
+        |FROM docs, unnest(generate_series(0, CAST(floor((len(toks) - 1.0) / 16) AS BIGINT))) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q51_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t
+        |)
+        |SELECT shard, doc_id, n_tokens,
+        |  CAST(floor(CAST(cum_before AS DOUBLE) / 256) AS BIGINT) AS bin_idx
+        |FROM c ORDER BY doc_id""".stripMargin)
 }

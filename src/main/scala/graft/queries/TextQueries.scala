@@ -252,6 +252,27 @@ object TextQueries {
       .orderBy(col("grp"))
   }
 
+  /** Context-window chunking: every doc split into 16-token chunks. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    graft.functions.Chunking
+      .chunkDocs(Tables.documents(s, d), "text", "doc_id", chunkTokens = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Greedy sequence packing: docs sharded by doc_id % 8, packed into
+    * 256-token bins by running-sum assignment.
+    */
+  def packDocs(s: SparkSession, d: String): DataFrame =
+    graft.functions.Chunking
+      .packGreedy(
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            pmod(col("doc_id"), lit(8L)).as("shard"),
+            TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "shard", "doc_id", col("n_tokens"), capacity = 256L)
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("bin_idx"))
+      .orderBy(col("doc_id"))
+
   /** Multimodal plumbing: binary payload → stub feature extraction.
     * The decode is a documented deterministic fake (byte-histogram
     * moments, Multimodal.decodeStub), so the oracle can recompute it:

@@ -88,6 +88,28 @@ class RankingSamplingSpec extends SparkSpec {
       brute.orderBy("id_a", "id_b").collect().toSeq)
   }
 
+  test("chunkDocs: lossless cover, exact sizes, short tail") {
+    val docs = Seq((0L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val c = graft.functions.Chunking.chunkDocs(docs, "text", "doc_id", chunkTokens = 4)
+      .orderBy($"chunk_idx").collect()
+    assert(c.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 2L))
+    assert(c.map(_.getAs[String]("chunk_text")).mkString(" ") ==
+      (1 to 10).map(i => s"w$i").mkString(" "))
+  }
+
+  test("packGreedy: bins bounded, contiguous in id order, repartition-stable") {
+    val df = spark.range(0, 100).select(
+      col("id").as("doc_id"), (col("id") % 4).as("shard"), lit(10L).as("n_tokens"))
+    val packed = graft.functions.Chunking
+      .packGreedy(df, "shard", "doc_id", col("n_tokens"), capacity = 35L)
+    // each shard: 25 docs x 10 tokens, capacity 35 -> bins of 4 rows (cum 0,10,20,30 -> bin 0; 40 -> bin 1)
+    val perBin = packed.groupBy("shard", "bin_idx").count().collect()
+    assert(perBin.forall(r => r.getAs[Long]("count") <= 4))
+    val again = graft.functions.Chunking
+      .packGreedy(df.repartition(11), "shard", "doc_id", col("n_tokens"), capacity = 35L)
+    assert(again.orderBy("doc_id").collect().toSeq == packed.orderBy("doc_id").collect().toSeq)
+  }
+
   test("positionalQuantiles picks exact order statistics") {
     val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "tie")
     val q = Aggregates
