@@ -97,9 +97,13 @@ object Joins {
     val capped = maxGroupSize match {
       case Some(cap) =>
         // Pre-aggregate group sizes; anti-join out oversized groups.
-        val sizes = distinctItems.groupBy(col(groupCol)).count()
+        // The cap path references distinctItems three times (sizes +
+        // semi-join left + both pair sides downstream) — materialize so
+        // the upstream distinct doesn't re-run per reference.
+        val d = distinctItems.cache()
+        val sizes = d.groupBy(col(groupCol)).count()
         val keep = sizes.filter(col("count") <= cap).select(col(groupCol))
-        distinctItems.join(keep, Seq(groupCol), "left_semi")
+        d.join(keep, Seq(groupCol), "left_semi")
       case None => distinctItems
     }
     val a = capped.select(col(groupCol), col(itemCol).as("item_a"))
