@@ -19,9 +19,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timed loop: JIT + codegen + filesystem init
-    // otherwise land entirely on the alphabetically-first query.
+    // otherwise land entirely on the alphabetically-first query touching
+    // each table/code path. Touch every input table and the hot
+    // expression kinds (md5, window, HOF) once.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    Seq("lineitem", "orders", "customer", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    graft.core.Tables.events(spark, sfDir).count()
+    spark.range(1000L)
+      .selectExpr(
+        "sum(length(md5(cast(id as string))))",
+        "sum(aggregate(sequence(0, 9), 0L, (a, x) -> a + x * id))")
+      .collect()
+    import org.apache.spark.sql.expressions.Window
+    spark.range(10000L)
+      .select(org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.lit(16L)))
+          .orderBy(org.apache.spark.sql.functions.col("id"))).as("rn"))
+      .selectExpr("max(rn)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
