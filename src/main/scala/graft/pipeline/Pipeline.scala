@@ -28,12 +28,11 @@ object Pipeline {
   val SessionGapMinutes = 30
   val NumCategories = 20
 
-  /** Sessionized, item-enriched event log:
-    * (event_id, ts, epoch_s, user_id, event_type, value, item_id,
-    * session_num, session_id).
+  /** Pre-sessionize projection of the raw events (scan + JSON item
+    * extraction only — no shuffle).
     */
-  def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables
       .events(spark, dir)
       .select(
         col("event_id"),
@@ -42,11 +41,16 @@ object Pipeline {
         col("event_type"),
         col("value"),
         get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+
+  /** Sessionized, item-enriched event log:
+    * (event_id, ts, epoch_s, user_id, event_type, value, item_id,
+    * session_num, session_id).
+    */
+  def sessionizedEvents(spark: SparkSession, dir: String): DataFrame =
     Windows
-      .sessionize(raw, "user_id", "ts", "event_id", SessionGapMinutes)
+      .sessionize(rawEvents(spark, dir), "user_id", "ts", "event_id", SessionGapMinutes)
       .select("event_id", "ts", "epoch_s", "user_id", "event_type", "value",
         "item_id", "session_num", "session_id")
-  }
 
   /** Derived item dimension (distinct items → category). Small ⇒
     * always broadcast at the join sites.
@@ -65,7 +69,12 @@ object Pipeline {
     */
   def enrichedEvents(spark: SparkSession, dir: String): DataFrame = {
     val se = sessionizedEvents(spark, dir)
-    se.join(broadcast(itemCategory(se)), Seq("item_id"), "inner").cache()
+    // derive the item dimension from the RAW projection, not the
+    // sessionized stream — the distinct only needs item_id, and feeding
+    // it `se` would run the sessionize shuffle+windows a second time
+    // (nothing is cached yet at this point; measured ~40% of the
+    // enriched-cache build)
+    se.join(broadcast(itemCategory(rawEvents(spark, dir))), Seq("item_id"), "inner").cache()
   }
 
   /** Anchors = purchase events with session + category context
