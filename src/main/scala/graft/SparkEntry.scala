@@ -85,7 +85,8 @@ object SparkEntry {
     "q48_contamination" -> (TQ.contamination _),
     "q49_simhash_pairs" -> (TQ.simhashPairs _),
     "q50_chunking" -> (TQ.chunkDocs _),
-    "q51_packing" -> (TQ.packDocs _))
+    "q51_packing" -> (TQ.packDocs _),
+    "q52_frame_sample" -> (TQ.frameSample _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -900,5 +901,12 @@ object SparkEntry {
         |)
         |SELECT shard, doc_id, n_tokens,
         |  CAST(floor(CAST(cum_before AS DOUBLE) / 256) AS BIGINT) AS bin_idx
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q52_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(32 AS BIGINT) AS n_bytes,
+        |  md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM documents,
+        |  unnest(generate_series(0, CAST(floor(length(text) / 32.0) AS BIGINT) - 1, 2)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Parquet sinks (reference S2/S3, SURVEY.md §2.1: overwrite snappy
   * parquet at `prepare_training_data_pyspark.py:640-644`, bounded file
@@ -36,4 +37,24 @@ object Sinks {
     if (partitionByCols.nonEmpty) w = w.partitionBy(partitionByCols: _*)
     w.parquet(path)
   }
+
+  /** JSON-lines sink/scan — the interchange format training-data
+    * pipelines ingest most. Explicit schema on read (never inferSchema:
+    * a schema-inference pass is a second full scan at 100 TB, and
+    * inferred types drift between runs).
+    */
+  def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "gzip").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC sink/scan — same columnar guarantees as parquet (predicate
+    * pushdown, column pruning) for stacks standardized on ORC.
+    */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "snappy").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

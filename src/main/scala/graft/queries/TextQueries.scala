@@ -252,6 +252,22 @@ object TextQueries {
       .orderBy(col("grp"))
   }
 
+  /** Multimodal frame sampling: every 2nd 32-byte frame of each
+    * payload, fingerprinted — oracles the mapPartitions slicing
+    * (ASCII corpus ⇒ byte slices equal substring bytes).
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .sampleFrames(
+        Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"),
+        frameBytes = 32, stride = 2)
+      .select(
+        col("id").as("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("n_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Context-window chunking: every doc split into 16-token chunks. */
   def chunkDocs(s: SparkSession, d: String): DataFrame =
     graft.functions.Chunking

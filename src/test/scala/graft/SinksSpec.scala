@@ -27,4 +27,24 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), "partition filter did not reach the scan")
     assert(pruned.count() == 500L)
   }
+
+  test("jsonl: roundtrip with explicit schema, gzip files") {
+    val dir = Files.createTempDirectory("sinks").toString + "/jsonl"
+    val df = (1L to 100L).map(i => (i, s"text $i", i * 0.5)).toDF("id", "text", "score")
+    Sinks.writeJsonl(df, dir)
+    val back = Sinks.readJsonl(spark, dir, df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".json.gz")))
+  }
+
+  test("orc: roundtrip, predicate pushdown reaches the scan") {
+    val dir = Files.createTempDirectory("sinks").toString + "/orc"
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.writeOrc(df, dir)
+    val back = Sinks.readOrc(spark, dir).filter(col("id") > 900L)
+    assert(back.count() == 100L)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,900)]"),
+      s"orc scan missing pushed filter:\n$plan")
+  }
 }
