@@ -214,7 +214,11 @@ object Pipeline {
 
   /** All strategies unioned + dedup (`:365-370`). The prefix-candidate
     * subtree feeds both strategy 1 and the covis fan-out, so it is
-    * cached once instead of planned twice.
+    * cached once instead of planned twice. The RESULT is cached too
+    * (as the reference does, `:381-382`): candidates feed both the
+    * candidate query and feature assembly, and because this plan is
+    * built deterministically from the same cached `enriched` instance,
+    * Spark's CacheManager dedups the subtree across those consumers.
     */
   def candidatesFrom(a: DataFrame, enriched: DataFrame): DataFrame = {
     val prefixC = prefixCandidates(a, enriched).cache()
@@ -229,6 +233,7 @@ object Pipeline {
       userHistoryCandidates(a, enriched, topK = 10))
       .reduce(_ union _)
       .distinct()
+      .cache()
   }
 
   def candidates(spark: SparkSession, dir: String): DataFrame = {
@@ -244,9 +249,9 @@ object Pipeline {
     val enriched = enrichedEvents(spark, dir).cache()
     val a = anchors(enriched)
 
-    // prefix rows (anchor × strictly-earlier same-session events) feed
-    // BOTH candidate generation and the prefix-stats aggregates — cache
-    // the range join once instead of planning it per consumer.
+    // prefix rows (anchor × strictly-earlier same-session events) for
+    // the prefix-stats aggregates (candidate generation has its own
+    // narrower cached prefix subtree inside candidatesFrom).
     val prefix = a
       .select("anchor_id", "session_id", "anchor_epoch_s")
       .join(enriched.select(
@@ -256,28 +261,26 @@ object Pipeline {
         col("category_id").as("pcat")), Seq("session_id"))
       .filter(col("epoch_s") < col("anchor_epoch_s"))
       .cache()
-    val prefixC = prefix.select(col("anchor_id"), col("pcat").as("category_id")).distinct()
 
-    // one distinct (user, session, category) projection; its
-    // session-level reduction serves covis pairs, category popularity
-    // and the popularity top-5; the user level serves user-category
-    // affinity — replacing three two-phase countDistinct aggregations
-    // over the full event table (session_id determines user_id, so the
-    // session-level distinct of `du` equals the distinct of enriched).
+    // candidates through the SAME plan as the candidate query —
+    // identical lineage from the shared cached `enriched`, so the
+    // CacheManager serves one cached candidate set to both queries
+    // (the reference likewise computes candidates once and feeds them
+    // to feature assembly)
+    val cand = candidatesFrom(a, enriched)
+
+    // one distinct (user, session, category) projection: the user
+    // level serves user-category affinity, its session-level reduction
+    // the per-category popularity feature — replacing two two-phase
+    // countDistinct aggregations over the full event table (session_id
+    // determines user_id, so the session-level distinct of `du` equals
+    // the distinct of enriched).
     val du = enriched
       .select(col("user_id"), col("session_id"), col("category_id"))
       .distinct()
       .cache()
-    val di = du.select(col("session_id"), col("category_id")).distinct().cache()
+    val di = du.select(col("session_id"), col("category_id")).distinct()
     val catPop = di.groupBy(col("category_id")).agg(count(lit(1)).as("cat_pop"))
-
-    val cand = Seq(
-      prefixC,
-      covisCandidatesFromDistinct(prefixC, di, minPairCount = 2, topK = 10),
-      popularityFromCatPop(a, catPop, topN = 5),
-      userHistoryCandidates(a, enriched, topK = 10))
-      .reduce(_ union _)
-      .distinct()
     val base = cand
       .join(
         a.select(
