@@ -86,7 +86,8 @@ object SparkEntry {
     "q49_simhash_pairs" -> (TQ.simhashPairs _),
     "q50_chunking" -> (TQ.chunkDocs _),
     "q51_packing" -> (TQ.packDocs _),
-    "q52_frame_sample" -> (TQ.frameSample _))
+    "q52_frame_sample" -> (TQ.frameSample _),
+    "q53_surprisal" -> (TQ.surprisal _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -908,5 +909,23 @@ object SparkEntry {
         |  md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
         |FROM documents,
         |  unnest(generate_series(0, CAST(floor(length(text) / 32.0) AS BIGINT) - 1, 2)) AS t(i)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q53_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        |), corpus AS (
+        |  SELECT term, COUNT(*) AS ct FROM toks GROUP BY term
+        |), tot AS (
+        |  SELECT COUNT(*) AS total FROM toks
+        |), per_term AS (
+        |  SELECT term, CAST(round(-ln(CAST(ct AS DOUBLE) / total) * 1000000) AS BIGINT) AS s_micro
+        |  FROM corpus CROSS JOIN tot
+        |)
+        |SELECT tf.doc_id,
+        |  CAST(SUM(tf.tf) AS BIGINT) AS dl,
+        |  CAST(floor(CAST(SUM(p.s_micro * tf.tf) AS DOUBLE) / SUM(tf.tf)) AS BIGINT) AS surprisal_micro
+        |FROM tf JOIN per_term p ON tf.term = p.term
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)
 }

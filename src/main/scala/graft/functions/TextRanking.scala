@@ -47,6 +47,34 @@ object TextRanking {
       .select(col("doc_id"), col("term"), col("tf"), col("score_micro"), col("rn").cast("long").as("rn"))
   }
 
+  /** Unigram-LM surprisal per document — the "perplexity filter"
+    * primitive of LLM data pipelines (documents whose tokens are
+    * improbable under the corpus language model are likely noise).
+    * p(t) = corpus_count(t) / corpus_total; per-token surprisal is
+    * quantized to micro-nats (round(−ln p × 1e6) — exact long), and the
+    * doc score is the exact integer mean floor(Σ surprisal·tf / dl).
+    * Output: (doc_id, dl, surprisal_micro).
+    */
+  def unigramSurprisal(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val perTerm = corpus
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "s_micro",
+        round(-log(col("ct").cast("double") / col("total")) * lit(1000000)).cast("long"))
+    tf.join(perTerm.select(col("term"), col("s_micro")), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("dl"),
+        floor(sum(col("s_micro") * col("tf")).cast("double") / sum(col("tf")))
+          .cast("long").as("surprisal_micro"))
+  }
+
   /** BM25 (k1=1.2, b=0.75, Robertson idf = ln(1 + (N-df+0.5)/(df+0.5)))
     * of every document against a fixed `queryTerms` set. Per-term
     * contributions are quantized to micro units BEFORE the per-doc sum,

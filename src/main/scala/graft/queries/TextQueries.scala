@@ -252,6 +252,12 @@ object TextQueries {
       .orderBy(col("grp"))
   }
 
+  /** Unigram-LM surprisal (perplexity-filter primitive). */
+  def surprisal(s: SparkSession, d: String): DataFrame =
+    TextRanking
+      .unigramSurprisal(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Multimodal frame sampling: every 2nd 32-byte frame of each
     * payload, fingerprinted — oracles the mapPartitions slicing
     * (ASCII corpus ⇒ byte slices equal substring bytes).
