@@ -28,6 +28,16 @@ class VectorExpressionSpec extends SparkSpec {
     assert(n == 11L)
   }
 
+  test("word_shingles and minhash_signature are SQL-callable after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val sh = spark.sql("SELECT word_shingles('a b c d', 2) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c d"))
+    val sig = spark.sql("SELECT minhash_signature(word_shingles('a b c d', 2), 4) AS g")
+      .as[Seq[String]].head()
+    assert(sig.length == 4 && sig.forall(_.length == 32))
+  }
+
   test("MinHashSignature expression equals the HOF formulation exactly") {
     val docs = Seq(
       Seq("alpha beta", "beta gamma", "gamma delta"),
