@@ -133,13 +133,33 @@ object RetailRocket {
 
   /** Session-prefix rows for a set of anchors: all events strictly
     * before the anchor within its session (J3 range-join shape).
+    *
+    * `maxPrefixEvents`: keep only the N most recent prefix events per
+    * anchor (recency-ranked, deterministic tie-break). The prefix
+    * blow-up is the features stage's scale hazard — per-anchor prefix
+    * rows grow with session length, which grows super-linearly on
+    * power-law users as the event count rises (measured: features
+    * 54 s at 10M events → 385 s at 20M on one node). A recency cap
+    * bounds it at anchors × N; None = reference-exact.
     */
-  private def prefixEvents(atc: DataFrame, events: DataFrame): DataFrame =
-    atc
+  private def prefixEvents(
+      atc: DataFrame,
+      events: DataFrame,
+      maxPrefixEvents: Option[Int] = None): DataFrame = {
+    val all = atc
       .select(col("session_id"), col("atc_ts"))
       .distinct()
       .join(events.select(col("session_id"), col("ts"), col("item_id")), Seq("session_id"))
       .filter(col("ts") < col("atc_ts"))
+    maxPrefixEvents match {
+      case Some(k) =>
+        Windows
+          .topKPerGroup(all, Seq("session_id", "atc_ts"),
+            col("ts").cast("long"), Seq("item_id"), k)
+          .drop("rn")
+      case None => all
+    }
+  }
 
   /** Split-independent matrices shared by BOTH the train and valid
     * candidate/feature passes — everything here depends only on
@@ -253,8 +273,9 @@ object RetailRocket {
       atc: DataFrame,
       events: DataFrame,
       itemCat: DataFrame,
-      tm: TrainMatrices): DataFrame = {
-    val prefix = prefixEvents(atc, events)
+      tm: TrainMatrices,
+      maxPrefixEvents: Option[Int] = None): DataFrame = {
+    val prefix = prefixEvents(atc, events, maxPrefixEvents)
       .join(broadcast(itemCat), Seq("item_id"))
       .cache()
 
@@ -323,7 +344,8 @@ object RetailRocket {
       cands: DataFrame,
       events: DataFrame,
       itemCat: DataFrame,
-      tm: TrainMatrices): DataFrame = {
+      tm: TrainMatrices,
+      maxPrefixEvents: Option[Int] = None): DataFrame = {
     val base = atc
       .select(col("session_id"), col("user_id"), col("atc_ts"),
         col("category_id").as("true_category_id"))
@@ -332,7 +354,7 @@ object RetailRocket {
 
     // prefix stats per (anchor, candidate category) — left join so
     // anchors with empty prefixes keep a row (`:466-496`)
-    val pe = prefixEvents(atc, events)
+    val pe = prefixEvents(atc, events, maxPrefixEvents)
       .join(broadcast(itemCat), Seq("item_id"), "left")
     val prefixStats = base
       .select("session_id", "atc_ts", "cand_category_id")
@@ -396,7 +418,8 @@ object RetailRocket {
       spark: SparkSession,
       rawEvents: DataFrame,
       rawProps: DataFrame,
-      covisSessionCap: Option[Int] = Some(1000)): RunResult = {
+      covisSessionCap: Option[Int] = Some(1000),
+      maxPrefixEvents: Option[Int] = None): RunResult = {
     val events = sessionizeEvents(rawEvents).cache()
     val itemCat = itemCategory(rawProps).cache()
     val atc = atcEvents(events, itemCat).cache()
@@ -405,8 +428,8 @@ object RetailRocket {
 
     // split-independent matrices computed ONCE for both splits
     val tm = trainMatrices(events, itemCat, TrainEnd, covisSessionCap, cache = true)
-    val candTrain = candidatesWith(atcTrain, events, itemCat, tm)
-    val candValid = candidatesWith(atcValid, events, itemCat, tm)
+    val candTrain = candidatesWith(atcTrain, events, itemCat, tm, maxPrefixEvents)
+    val candValid = candidatesWith(atcValid, events, itemCat, tm, maxPrefixEvents)
 
     // Word2Vec category embeddings on pre-cutoff sequences (`:390-433`)
     val seqs = Embeddings.sessionSequences(
@@ -420,7 +443,7 @@ object RetailRocket {
 
     def assemble(atcSplit: DataFrame, cands: DataFrame): DataFrame =
       Embeddings.attachEmbeddings(
-        featuresWith(atcSplit, cands, events, itemCat, tm),
+        featuresWith(atcSplit, cands, events, itemCat, tm, maxPrefixEvents),
         vectors, "category_id", dims = 16)
 
     RunResult(assemble(atcTrain, candTrain), assemble(atcValid, candValid))

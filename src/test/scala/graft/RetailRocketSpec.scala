@@ -143,6 +143,20 @@ class RetailRocketSpec extends SparkSpec {
     assert(train.count() == 2L && train.columns.length == 38)
   }
 
+  test("maxPrefixEvents cap: output schema/rows survive, capped run is a subset-or-equal") {
+    val capped = RetailRocket.buildAll(spark, rawEvents, rawProps, maxPrefixEvents = Some(2))
+    val full = result
+    assert(capped.train.columns.toSeq == full.train.columns.toSeq)
+    // candidate sets can only shrink when the prefix shrinks
+    val cappedKeys = capped.train.select("session_id", "atc_ts", "category_id")
+      .collect().toSet
+    val fullKeys = full.train.select("session_id", "atc_ts", "category_id")
+      .collect().toSet
+    assert(cappedKeys.subsetOf(fullKeys))
+    // prefix-derived counts bounded by the cap
+    assert(capped.train.agg(max(col("n_prefix_events"))).head().getLong(0) <= 2L)
+  }
+
   test("golden: embeddings attached as 16 zero-filled dims (tiny vocab)") {
     // minCount=3 with a 2-token corpus -> empty vocab -> all dims 0.0
     val embSum = result.train
