@@ -18,6 +18,9 @@ object BaselineBench {
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toLong).getOrElse(1900000L)
     val outDir = args.drop(1).headOption.getOrElse("/tmp/rr-baseline")
+    // optional third arg: recency cap on prefix events (scale guard;
+    // absent = reference-exact)
+    val maxPrefix = args.drop(2).headOption.map(_.toInt)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -94,8 +97,8 @@ object BaselineBench {
     // for train+valid (same sharing as RetailRocket.buildAll)
     val tm = RetailRocket.trainMatrices(events, itemCat, RetailRocket.TrainEnd)
     val (cands, candS) = t("candidates") {
-      val ct = RetailRocket.candidatesWith(splits._1, events, itemCat, tm).cache()
-      val cv = RetailRocket.candidatesWith(splits._2, events, itemCat, tm).cache()
+      val ct = RetailRocket.candidatesWith(splits._1, events, itemCat, tm, maxPrefix).cache()
+      val cv = RetailRocket.candidatesWith(splits._2, events, itemCat, tm, maxPrefix).cache()
       ct.count(); cv.count(); (ct, cv)
     }
     val (vectors, w2vS) = t("word2vec") {
@@ -111,7 +114,7 @@ object BaselineBench {
     val (mats, featS) = t("features+embeddings") {
       def assemble(atc: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
         graft.pipeline.Embeddings.attachEmbeddings(
-          RetailRocket.featuresWith(atc, c, events, itemCat, tm),
+          RetailRocket.featuresWith(atc, c, events, itemCat, tm, maxPrefix),
           vectors, "category_id", dims = 16)
       val tr = assemble(splits._1, cands._1).cache()
       val va = assemble(splits._2, cands._2).cache()
