@@ -166,12 +166,16 @@ object Similarity {
     * any partitioning). The result is bit-identical across engines,
     * re-runs, and cluster layouts.
     *
-    * Scale notes: the seed pick here is a global sort by md5(id) —
-    * fine for a library default; at 100 TB replace with
-    * `df.sample(k/n)`-style reservoir seeding (the quantizer contract
-    * only needs SOME deterministic k vectors). Everything else is one
-    * corpus shuffle (the final cell assignment join) + broadcast
-    * centroid tables, same shape as [[ivfTopK]].
+    * Scale notes: the seed pick is `orderBy(md5(id), id).limit(k)` —
+    * Spark plans it as TakeOrderedAndProject (per-partition top-k, then
+    * a k-row merge on the driver), so no global sort and no
+    * single-partition window touches the corpus. The k seed vectors are
+    * collected to the driver to stamp their rank as `cid`; that is the
+    * same bounded k-row materialization every coarse quantizer does
+    * (MLlib exposes `clusterCenters` the same way) and the table is
+    * broadcast right back out. Everything else is one corpus shuffle
+    * (the final cell assignment join) + broadcast centroid tables, same
+    * shape as [[ivfTopK]].
     */
   def ivfTopKDeterministic(
       queries: DataFrame,
@@ -181,14 +185,25 @@ object Similarity {
       k: Int,
       nCentroids: Int,
       nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
 
-    val seedW = Window.orderBy(md5(col("neighbor_id").cast("string")), col("neighbor_id"))
-    val seeds0 = c
-      .withColumn("srn", row_number().over(seedW))
-      .filter(col("srn") <= nCentroids)
-      .select((col("srn") - 1).cast("long").as("cid"), col("c_emb").as("cq"))
+    // Deterministic k-seed pick without a global window: TakeOrderedAndProject
+    // keeps top-k per partition and merges only k rows; cid = md5-rank, stamped
+    // driver-side on the k collected rows (the seed table is broadcast anyway).
+    val seedPool = c
+      .withColumn("h", md5(col("neighbor_id").cast("string")))
+      .orderBy(col("h"), col("neighbor_id"))
+      .limit(nCentroids)
+      .select(col("h"), col("c_emb"))
+      .collect()
+    val seeds0 = seedPool
+      .sortBy(_.getString(0))
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+      .toSeq
+      .toDF("cid", "cq")
 
     // nearest cell by exact integer L2: maximize 2·v·c − ||c||², tie → min cid
     def assignTo(vecs: DataFrame, idC: String, embC: String, cents: DataFrame, top: Int) =
