@@ -96,9 +96,21 @@ object BaselineBench {
     // split-independent co-vis/popularity/user matrices computed ONCE
     // for train+valid (same sharing as RetailRocket.buildAll)
     val tm = RetailRocket.trainMatrices(events, itemCat, RetailRocket.TrainEnd)
+    // one cached prefix⋈itemCat subtree per split, shared with the
+    // features stage (same sharing as RetailRocket.buildAll).
+    // SPARK_GRAFT_NOSHARE=1 reverts to per-stage prefix builds (A/B).
+    val share = !sys.env.get("SPARK_GRAFT_NOSHARE").contains("1")
+    val (prefixes, _) = t("prefix tables") {
+      if (!share) (None, None)
+      else (
+        Some(RetailRocket.prefixWithCategories(splits._1, events, itemCat, maxPrefix).cache()),
+        Some(RetailRocket.prefixWithCategories(splits._2, events, itemCat, maxPrefix).cache()))
+    }
     val (cands, candS) = t("candidates") {
-      val ct = RetailRocket.candidatesWith(splits._1, events, itemCat, tm, maxPrefix).cache()
-      val cv = RetailRocket.candidatesWith(splits._2, events, itemCat, tm, maxPrefix).cache()
+      val ct = RetailRocket
+        .candidatesWith(splits._1, events, itemCat, tm, maxPrefix, prefixes._1).cache()
+      val cv = RetailRocket
+        .candidatesWith(splits._2, events, itemCat, tm, maxPrefix, prefixes._2).cache()
       ct.count(); cv.count(); (ct, cv)
     }
     val (vectors, w2vS) = t("word2vec") {
@@ -112,12 +124,15 @@ object BaselineBench {
           "category_id"))
     }
     val (mats, featS) = t("features+embeddings") {
-      def assemble(atc: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      def assemble(
+          atc: org.apache.spark.sql.DataFrame,
+          c: org.apache.spark.sql.DataFrame,
+          p: Option[org.apache.spark.sql.DataFrame]) =
         graft.pipeline.Embeddings.attachEmbeddings(
-          RetailRocket.featuresWith(atc, c, events, itemCat, tm, maxPrefix),
+          RetailRocket.featuresWith(atc, c, events, itemCat, tm, maxPrefix, p),
           vectors, "category_id", dims = 16)
-      val tr = assemble(splits._1, cands._1).cache()
-      val va = assemble(splits._2, cands._2).cache()
+      val tr = assemble(splits._1, cands._1, prefixes._1).cache()
+      val va = assemble(splits._2, cands._2, prefixes._2).cache()
       tr.count(); va.count(); (tr, va)
     }
     val (_, saveS) = t("parquet save") {

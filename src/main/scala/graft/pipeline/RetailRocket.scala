@@ -161,6 +161,25 @@ object RetailRocket {
     }
   }
 
+  /** The shared J3 subtree: session-prefix events LEFT-joined to item
+    * categories, consumed by BOTH [[candidatesWith]] (inner form) and
+    * [[featuresWith]] (left form). `has_cat = 1` marks rows whose item
+    * has a category row, so the inner form is a FILTER over this one
+    * lineage instead of a second join — the CacheManager can then dedup
+    * all four consumers (2 splits × candidates+features) against two
+    * cached builds instead of running the most expensive shuffle in the
+    * pipeline four times. (A plain `category_id IS NOT NULL` filter
+    * would be wrong if an item's latest category value is null — the
+    * marker keeps inner-join semantics exactly.)
+    */
+  def prefixWithCategories(
+      atc: DataFrame,
+      events: DataFrame,
+      itemCat: DataFrame,
+      maxPrefixEvents: Option[Int] = None): DataFrame =
+    prefixEvents(atc, events, maxPrefixEvents)
+      .join(broadcast(itemCat.withColumn("has_cat", lit(1))), Seq("item_id"), "left")
+
   /** Split-independent matrices shared by BOTH the train and valid
     * candidate/feature passes — everything here depends only on
     * (events, itemCat, trainCutoff), never on the anchor split, so
@@ -268,16 +287,26 @@ object RetailRocket {
     candidatesWith(atc, events, itemCat,
       trainMatrices(events, itemCat, trainCutoff, covisSessionCap, cache = false))
 
-  /** [[candidates]] against precomputed [[TrainMatrices]]. */
+  /** [[candidates]] against precomputed [[TrainMatrices]].
+    *
+    * `sharedPrefix`: a (typically cached) [[prefixWithCategories]]
+    * table for this `atc` split — pass the same one to [[featuresWith]]
+    * so the prefix range-join subtree is computed once per split.
+    */
   def candidatesWith(
       atc: DataFrame,
       events: DataFrame,
       itemCat: DataFrame,
       tm: TrainMatrices,
-      maxPrefixEvents: Option[Int] = None): DataFrame = {
-    val prefix = prefixEvents(atc, events, maxPrefixEvents)
-      .join(broadcast(itemCat), Seq("item_id"))
-      .cache()
+      maxPrefixEvents: Option[Int] = None,
+      sharedPrefix: Option[DataFrame] = None): DataFrame = {
+    val prefix = sharedPrefix match {
+      case Some(p) => p.filter(col("has_cat") === 1).drop("has_cat")
+      case None =>
+        prefixEvents(atc, events, maxPrefixEvents)
+          .join(broadcast(itemCat), Seq("item_id"))
+          .cache()
+    }
 
     // 1. prefix categories (`:235-246`)
     val prefixCands = prefix.select("session_id", "atc_ts", "category_id").distinct()
@@ -338,14 +367,17 @@ object RetailRocket {
     featuresWith(atc, cands, events, itemCat,
       trainMatrices(events, itemCat, trainCutoff, covisSessionCap = None, cache = false))
 
-  /** [[features]] against precomputed [[TrainMatrices]]. */
+  /** [[features]] against precomputed [[TrainMatrices]].
+    * `sharedPrefix`: see [[candidatesWith]].
+    */
   def featuresWith(
       atc: DataFrame,
       cands: DataFrame,
       events: DataFrame,
       itemCat: DataFrame,
       tm: TrainMatrices,
-      maxPrefixEvents: Option[Int] = None): DataFrame = {
+      maxPrefixEvents: Option[Int] = None,
+      sharedPrefix: Option[DataFrame] = None): DataFrame = {
     val base = atc
       .select(col("session_id"), col("user_id"), col("atc_ts"),
         col("category_id").as("true_category_id"))
@@ -354,8 +386,12 @@ object RetailRocket {
 
     // prefix stats per (anchor, candidate category) — left join so
     // anchors with empty prefixes keep a row (`:466-496`)
-    val pe = prefixEvents(atc, events, maxPrefixEvents)
-      .join(broadcast(itemCat), Seq("item_id"), "left")
+    val pe = sharedPrefix match {
+      case Some(p) => p.drop("has_cat")
+      case None =>
+        prefixEvents(atc, events, maxPrefixEvents)
+          .join(broadcast(itemCat), Seq("item_id"), "left")
+    }
     val prefixStats = base
       .select("session_id", "atc_ts", "cand_category_id")
       .distinct()
@@ -428,8 +464,6 @@ object RetailRocket {
 
     // split-independent matrices computed ONCE for both splits
     val tm = trainMatrices(events, itemCat, TrainEnd, covisSessionCap, cache = true)
-    val candTrain = candidatesWith(atcTrain, events, itemCat, tm, maxPrefixEvents)
-    val candValid = candidatesWith(atcValid, events, itemCat, tm, maxPrefixEvents)
 
     // Word2Vec category embeddings on pre-cutoff sequences (`:390-433`)
     val seqs = Embeddings.sessionSequences(
@@ -441,12 +475,20 @@ object RetailRocket {
       "category_id")
     val vectors = Embeddings.trainWord2VecOrEmpty(seqs)
 
-    def assemble(atcSplit: DataFrame, cands: DataFrame): DataFrame =
+    // ONE cached prefix⋈itemCat subtree per split, shared by the
+    // candidate pass (inner form, via the has_cat filter) and the
+    // feature pass (left form) — the J3 range join runs twice per
+    // buildAll instead of four times.
+    def assemble(atcSplit: DataFrame): DataFrame = {
+      val prefix = prefixWithCategories(atcSplit, events, itemCat, maxPrefixEvents).cache()
+      val cands =
+        candidatesWith(atcSplit, events, itemCat, tm, maxPrefixEvents, Some(prefix))
       Embeddings.attachEmbeddings(
-        featuresWith(atcSplit, cands, events, itemCat, tm, maxPrefixEvents),
+        featuresWith(atcSplit, cands, events, itemCat, tm, maxPrefixEvents, Some(prefix)),
         vectors, "category_id", dims = 16)
+    }
 
-    RunResult(assemble(atcTrain, candTrain), assemble(atcValid, candValid))
+    RunResult(assemble(atcTrain), assemble(atcValid))
   }
 
   /** File-level entry point — the reference's CLI contract
@@ -454,15 +496,22 @@ object RetailRocket {
     * item_properties_part*.csv in, bounded-file snappy parquet
     * matrices out, stage counts returned (the reference's printed
     * checkpoints, README.md:178-185).
+    *
+    * `maxPrefixEvents`: recency cap on prefix events per anchor
+    * (None = reference-exact). At large event counts set ~50: measured
+    * at 20M events it cuts the build 533.7 s → 251.2 s while retaining
+    * 98% of output rows (DESIGN.md "prefix blow-up").
     */
   def run(
       spark: SparkSession,
       eventsCsv: String,
       propsCsvs: Seq[String],
       outDir: String,
-      covisSessionCap: Option[Int] = Some(1000)): Map[String, Long] = {
+      covisSessionCap: Option[Int] = Some(1000),
+      maxPrefixEvents: Option[Int] = None): Map[String, Long] = {
     val result = buildAll(
-      spark, readEventsCsv(spark, eventsCsv), readPropsCsv(spark, propsCsvs), covisSessionCap)
+      spark, readEventsCsv(spark, eventsCsv), readPropsCsv(spark, propsCsvs), covisSessionCap,
+      maxPrefixEvents)
     val train = result.train.cache()
     val valid = result.valid.cache()
     graft.core.Sinks.writeParquet(
