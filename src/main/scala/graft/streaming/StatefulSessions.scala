@@ -17,7 +17,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulSessions {
 
-  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double) {
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double, event_id: Long) {
     /** floor-second epoch, matching the batch sessionizer's
       * `unix_timestamp` gap arithmetic.
       */
@@ -48,7 +48,9 @@ object StatefulSessions {
       state.remove()
       return Iterator(SessionOut(userId, s.sessionNum, s.startS, s.lastS, s.n, s.valueSum))
     }
-    val sorted = events.toArray.sortBy(e => (e.epoch_s, e.value))
+    // unique tie-break (the engine's determinism rule): equal-epoch
+    // events order by event_id, same as the batch sessionizer's window
+    val sorted = events.toArray.sortBy(e => (e.epoch_s, e.event_id))
     var open = state.getOption
     val closed = Seq.newBuilder[SessionOut]
     sorted.foreach { e =>
@@ -92,7 +94,7 @@ object StatefulSessions {
       .parquet(srcPath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
-      .select(col("user_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
       .as[Ev]
     val q = src
       .groupByKey(_.user_id)

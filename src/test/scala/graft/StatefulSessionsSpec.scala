@@ -16,13 +16,32 @@ class StatefulSessionsSpec extends SparkSpec {
     import StatefulSessions._
     val out = collection.mutable.Buffer[SessionOut]()
     val state = new TestGroupState[OpenSession]
-    def ev(s: Long, v: Double) = Ev(7L, new java.sql.Timestamp(s * 1000L), v)
+    def ev(s: Long, v: Double, id: Long) = Ev(7L, new java.sql.Timestamp(s * 1000L), v, id)
     out ++= updateUser(7L, Iterator(
-      ev(1000L, 1.0),
-      ev(1000L + 1800L, 2.0), // == 1800: same session
-      ev(1000L + 1800L + 1801L, 3.0)), state) // 1801: closes session 1
+      ev(1000L, 1.0, 1L),
+      ev(1000L + 1800L, 2.0, 2L), // == 1800: same session
+      ev(1000L + 1800L + 1801L, 3.0, 3L)), state) // 1801: closes session 1
     assert(out.map(o => (o.session_num, o.n_events, o.value_sum)) == Seq((1L, 2L, 3.0)))
     assert(state.value.get.sessionNum == 2L && state.value.get.n == 1L)
+  }
+
+  test("equal-timestamp ties order by event_id regardless of arrival order") {
+    import StatefulSessions._
+    def ev(s: Long, v: Double, id: Long) = Ev(7L, new java.sql.Timestamp(s * 1000L), v, id)
+    // three ties at t=1000 delivered in reverse-id order, then a closer
+    val batch = Seq(
+      ev(1000L, 30.0, 3L), ev(1000L, 10.0, 1L), ev(1000L, 20.0, 2L),
+      ev(1000L + 1801L, 5.0, 4L))
+    def run(evs: Seq[Ev]): (Seq[SessionOut], Option[OpenSession]) = {
+      val st = new TestGroupState[OpenSession]
+      (updateUser(7L, evs.iterator, st).toSeq, st.value)
+    }
+    val (closedA, openA) = run(batch)
+    val (closedB, openB) = run(Seq(ev(1000L, 10.0, 1L), ev(1000L, 20.0, 2L),
+      ev(1000L, 30.0, 3L), ev(1000L + 1801L, 5.0, 4L)))
+    // identical output (incl. bit-identical double sum: same add order)
+    assert(closedA == closedB && openA == openB)
+    assert(closedA.map(o => (o.session_num, o.n_events, o.value_sum)) == Seq((1L, 3L, 60.0)))
   }
 
   test("bounded stream matches batch sessionization (subset + tail)") {
