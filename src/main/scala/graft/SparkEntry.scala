@@ -87,7 +87,9 @@ object SparkEntry {
     "q50_chunking" -> (TQ.chunkDocs _),
     "q51_packing" -> (TQ.packDocs _),
     "q52_frame_sample" -> (TQ.frameSample _),
-    "q53_surprisal" -> (TQ.surprisal _))
+    "q53_surprisal" -> (TQ.surprisal _),
+    // — round-3 extensions —
+    "q54_covis_weighted" -> (EQ.covisWeighted _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -927,5 +929,20 @@ object SparkEntry {
         |  CAST(SUM(tf.tf) AS BIGINT) AS dl,
         |  CAST(floor(CAST(SUM(p.s_micro * tf.tf) AS DOUBLE) / SUM(tf.tf)) AS BIGINT) AS surprisal_micro
         |FROM tf JOIN per_term p ON tf.term = p.term
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    // The oracle enumerates RAW event pairs; the engine pre-aggregates
+    // per-user counts and sums cnt_a*cnt_b — must hash-match.
+    "q54_covis_weighted" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |), small AS (
+        |  SELECT user_id FROM ev GROUP BY user_id HAVING COUNT(DISTINCT item_id) <= 200
+        |), evk AS (
+        |  SELECT ev.* FROM ev JOIN small USING (user_id)
+        |)
+        |SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+        |FROM evk a JOIN evk b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY item_a, item_b""".stripMargin)
 }

@@ -93,7 +93,8 @@ object Joins {
       groupCol: String,
       itemCol: String,
       minCount: Long = 1L,
-      maxGroupSize: Option[Int] = Some(200)): DataFrame = {
+      maxGroupSize: Option[Int] = Some(200),
+      frequentItemPrefilter: Boolean = true): DataFrame = {
     val capped = maxGroupSize match {
       case Some(cap) =>
         // Pre-aggregate group sizes; anti-join out oversized groups.
@@ -104,14 +105,74 @@ object Joins {
         val sizes = d.groupBy(col(groupCol)).count()
         val keep = sizes.filter(col("count") <= cap).select(col(groupCol))
         d.join(keep, Seq(groupCol), "left_semi")
-      case None => distinctItems
+      case None =>
+        // the prefilter references this subtree 3× (frequency + semi +
+        // pair sides) — materialize so the upstream distinct runs once
+        if (frequentItemPrefilter && minCount >= 2L) distinctItems.cache()
+        else distinctItems
     }
-    val a = capped.select(col(groupCol), col(itemCol).as("item_a"))
-    val b = capped.select(col(groupCol), col(itemCol).as("item_b"))
+    // Lossless frequent-item prefilter: with distinct-group counting,
+    // pair_count <= min(freq_a, freq_b), so an item present in fewer
+    // than minCount groups cannot appear in ANY output pair — pruning
+    // it is exact. On long-tail data most items are singletons, so this
+    // shrinks the quadratic self-join's input before it fans out
+    // (applied after the cap so the cap's group sizes are unchanged).
+    val pruned =
+      if (frequentItemPrefilter && minCount >= 2L) {
+        val freqOk = capped
+          .groupBy(col(itemCol)).count()
+          .filter(col("count") >= minCount)
+          .select(col(itemCol))
+        capped.join(freqOk, Seq(itemCol), "left_semi")
+      } else capped
+    val a = pruned.select(col(groupCol), col(itemCol).as("item_a"))
+    val b = pruned.select(col(groupCol), col(itemCol).as("item_b"))
     a.join(b, Seq(groupCol), "inner")
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+  }
+
+  /** Co-visitation with RAW multiplicity semantics: `pair_count` =
+    * Σ over groups of cnt_g(a)·cnt_g(b) — what enumerating all raw
+    * event pairs counts (the reference's item co-visitation,
+    * `prepare_training_data_pyspark.py:250-260`), but computed by
+    * pre-aggregating per-group item counts FIRST so the quadratic
+    * self-join runs over distinct (group, item) rows instead of raw
+    * events. On repeat-heavy logs (the same item viewed many times per
+    * session) this cuts the join's fan-out by the square of the repeat
+    * factor while producing bit-identical counts.
+    *
+    * `maxGroupSize` caps groups by DISTINCT item count (the join-side
+    * blowup driver). No frequent-item prefilter: under multiplicity
+    * counting a single co-occurrence can carry weight ≥ minCount
+    * (cnt·cnt), so frequency pruning would not be lossless.
+    */
+  def covisitationPairsWeighted(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      minCount: Long = 1L,
+      maxGroupSize: Option[Int] = Some(200)): DataFrame = {
+    // both pair sides scan this — materialize so the count agg runs once
+    val counts = df
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .cache()
+    val capped = maxGroupSize match {
+      case Some(cap) =>
+        val keep = counts.groupBy(col(groupCol)).count()
+          .filter(col("count") <= cap).select(col(groupCol))
+        counts.join(keep, Seq(groupCol), "left_semi")
+      case None => counts
+    }
+    val a = capped.select(col(groupCol), col(itemCol).as("item_a"), col("__cnt").as("__ca"))
+    val b = capped.select(col(groupCol), col(itemCol).as("item_b"), col("__cnt").as("__cb"))
+    a.join(b, Seq(groupCol), "inner")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("pair_count"))
       .filter(col("pair_count") >= minCount)
   }
 

@@ -213,27 +213,30 @@ object RetailRocket {
       case None => trainEvents
     }
 
-    // item co-visitation matrix (`:250-260`): raw event pairs, covis >= 3
+    // item co-visitation matrix (`:250-260`): raw event-pair counts,
+    // covis >= 3 — computed via per-session count pre-aggregation
+    // (bit-identical to enumerating raw pairs; see
+    // Joins.covisitationPairsWeighted). The session cap is already
+    // applied upstream (covisSessionCap), so no inner cap here.
     val te = trainEventsCapped.select(col("session_id"), col("item_id"))
-    val itemCovis = te.as("a")
-      .join(te.as("b"),
-        col("a.session_id") === col("b.session_id") && col("a.item_id") < col("b.item_id"))
-      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
-      .agg(count(lit(1)).as("covis"))
-      .filter(col("covis") >= 3)
+    val itemCovis = graft.ops.Joins
+      .covisitationPairsWeighted(te, "session_id", "item_id",
+        minCount = 3L, maxGroupSize = None)
+      .select(col("item_a"), col("item_b"), col("pair_count").as("covis"))
 
     // category co-visitation matrix (`:291-303`): distinct-session
-    // pairs, cooccur >= 5
+    // pairs, cooccur >= 5 — distinct projection + lossless
+    // frequent-category prefilter (a category in < 5 sessions cannot
+    // reach the threshold), both exact rewrites of the raw self-join +
+    // countDistinct form.
     val tec = trainEventsCapped
       .join(broadcast(itemCat), Seq("item_id"))
       .select(col("session_id"), col("category_id"))
-    val catCovis = tec.as("a")
-      .join(tec.as("b"),
-        col("a.session_id") === col("b.session_id") &&
-          col("a.category_id") < col("b.category_id"))
-      .groupBy(col("a.category_id").as("cat_a"), col("b.category_id").as("cat_b"))
-      .agg(countDistinct(col("a.session_id")).as("cooccur"))
-      .filter(col("cooccur") >= 5)
+    val catCovis = graft.ops.Joins
+      .covisitationPairs(tec, "session_id", "category_id",
+        minCount = 5L, maxGroupSize = None)
+      .select(col("item_a").as("cat_a"), col("item_b").as("cat_b"),
+        col("pair_count").as("cooccur"))
 
     val trainEnriched = trainEvents.join(broadcast(itemCat), Seq("item_id"))
 

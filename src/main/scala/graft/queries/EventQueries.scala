@@ -81,6 +81,27 @@ object EventQueries {
         minCount = 2L)
       .orderBy(col("item_a"), col("item_b"))
 
+  /** J4 raw-multiplicity co-visitation (user-level, where repeat
+    * visits are common): pair weight = Σ_users cnt(a)·cnt(b), computed
+    * by per-user count pre-aggregation so the self-join runs over
+    * distinct (user, item) rows. The oracle enumerates raw event
+    * pairs — proving the pre-aggregated form is bit-identical to the
+    * naive quadratic one on data where the weights genuinely exceed
+    * distinct-user counts.
+    */
+  def covisWeighted(s: SparkSession, d: String): DataFrame =
+    Joins
+      .covisitationPairsWeighted(
+        graft.core.Tables.events(s, d)
+          .select(
+            col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+          .filter(col("item_id").isNotNull),
+        "user_id",
+        "item_id",
+        minCount = 3L)
+      .orderBy(col("item_a"), col("item_b"))
+
   /** J3+A2/A1/A3: per-anchor prefix stats via point-in-time join. */
   def prefixStats(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)

@@ -53,6 +53,53 @@ class JoinsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("covisitationPairs: frequent-item prefilter is lossless") {
+    // item 4 appears in one session only — prunable at minCount=2 —
+    // and pairs (1,2),(2,3) must survive identically with/without
+    val df = Seq(
+      ("s1", 1L), ("s1", 2L), ("s1", 3L), ("s1", 4L),
+      ("s2", 1L), ("s2", 2L),
+      ("s3", 2L), ("s3", 3L))
+      .toDF("session_id", "item_id")
+    def run(pf: Boolean) = Joins
+      .covisitationPairsDistinct(
+        df.distinct(), "session_id", "item_id",
+        minCount = 2L, frequentItemPrefilter = pf)
+      .as[(Long, Long, Long)].collect().toSet
+    val with_ = run(true)
+    assert(with_ == run(false))
+    assert(with_ == Set((1L, 2L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("covisitationPairsWeighted: equals naive raw-pair enumeration") {
+    // s1 has item 2 three times: pair (1,2) weight 1*3=3 from s1 alone
+    val df = Seq(
+      ("s1", 1L), ("s1", 2L), ("s1", 2L), ("s1", 2L), ("s1", 3L),
+      ("s2", 1L), ("s2", 2L), ("s2", 2L))
+      .toDF("session_id", "item_id")
+    val weighted = Joins
+      .covisitationPairsWeighted(df, "session_id", "item_id", minCount = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = df.as("a")
+      .join(df.as("b"),
+        col("a.session_id") === col("b.session_id") && col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(weighted == naive)
+    assert(weighted == Set((1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 3L)))
+  }
+
+  test("covisitationPairsWeighted: maxGroupSize caps by distinct items") {
+    val big = (1L to 6L).flatMap(i => Seq(("big", i), ("big", i))) // 6 distinct, 12 raw
+    val small = Seq(("s", 1L), ("s", 2L))
+    val df = (big ++ small).toDF("session_id", "item_id")
+    val pairs = Joins
+      .covisitationPairsWeighted(df, "session_id", "item_id", 1L, maxGroupSize = Some(5))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1L)))
+  }
+
   test("historyJoin: only history strictly before anchor") {
     val anchors = Seq((1L, 100L, "a1")).toDF("user_id", "at_s", "anchor_id")
     val hist = Seq((1L, 99L, "c1"), (1L, 100L, "c2"), (1L, 101L, "c3"))
