@@ -102,9 +102,14 @@ object BaselineBench {
     val share = !sys.env.get("SPARK_GRAFT_NOSHARE").contains("1")
     val (prefixes, _) = t("prefix tables") {
       if (!share) (None, None)
-      else (
-        Some(RetailRocket.prefixWithCategories(splits._1, events, itemCat, maxPrefix).cache()),
-        Some(RetailRocket.prefixWithCategories(splits._2, events, itemCat, maxPrefix).cache()))
+      else {
+        val p1 = RetailRocket.prefixWithCategories(splits._1, events, itemCat, maxPrefix).cache()
+        val p2 = RetailRocket.prefixWithCategories(splits._2, events, itemCat, maxPrefix).cache()
+        // materialize inside the timed block so the stage A/B reflects the
+        // actual cache-build cost instead of lazily landing in "candidates"
+        p1.count(); p2.count()
+        (Some(p1), Some(p2))
+      }
     }
     val (cands, candS) = t("candidates") {
       val ct = RetailRocket

@@ -100,7 +100,7 @@ object SparkEntry {
     """e AS (
       |  SELECT event_id, user_id, event_type, value,
       |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
-      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+      |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
       |  FROM events
       |), lagged AS (
       |  SELECT *, lag(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev_s
@@ -450,8 +450,8 @@ object SparkEntry {
         |  round(ln(1 + value), 6) AS log1p_value,
         |  greatest(value, 50.0) AS value_floor50,
         |  CAST(user_id AS VARCHAR) || '_' || event_type AS user_event,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
-        |  COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS missing_default
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+        |  COALESCE(TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS missing_default
         |FROM events ORDER BY event_id""".stripMargin,
     "q26_features" ->
       s"""WITH $sessCte, prefix AS (
@@ -934,8 +934,8 @@ object SparkEntry {
     // per-user counts and sums cnt_a*cnt_b — must hash-match.
     "q54_covis_weighted" ->
       """WITH ev AS (
-        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
-        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
         |), small AS (
         |  SELECT user_id FROM ev GROUP BY user_id HAVING COUNT(DISTINCT item_id) <= 200
         |), evk AS (

@@ -196,12 +196,12 @@ object Similarity {
       .withColumn("h", md5(col("neighbor_id").cast("string")))
       .orderBy(col("h"), col("neighbor_id"))
       .limit(nCentroids)
-      .select(col("h"), col("c_emb"))
+      .select(col("h"), col("neighbor_id").cast("string").as("nid"), col("c_emb"))
       .collect()
     val seeds0 = seedPool
-      .sortBy(_.getString(0))
+      .sortBy(r => (r.getString(0), r.getString(1)))
       .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](2)) }
       .toSeq
       .toDF("cid", "cq")
 
