@@ -23,7 +23,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val enriched = Pipeline.enrichedEvents(spark, dir).cache()
+    val enriched = Pipeline.enrichedEvents(spark, dir)
     val feats = Pipeline.features(spark, dir)
     val seqs = Embeddings.sessionSequences(enriched, "category_id")
     val vectors = Embeddings.trainWord2Vec(seqs)

@@ -105,7 +105,7 @@ object Dedup {
     // sides); without a materialization the whole upstream signature
     // computation re-runs per reference (measured 4.5 s -> 1.5 s at
     // sf0.1)
-    val bandsM = bands.cache()
+    val bandsM = graft.core.Caches.cache(bands)
     val kept = maxBucketSize match {
       case Some(cap) =>
         val ok = bandsM.groupBy(col("band_idx"), col("band_key")).count()
@@ -305,11 +305,11 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .coalesce(8)
-      .cache()
+      .transform(graft.core.Caches.cache)
     var labels = edges.select(col("src").as("id"), col("src").as("component"))
       .union(edges.select(col("dst").as("id"), col("dst").as("component")))
       .groupBy("id").agg(min("component").as("component"))
-      .cache()
+      .transform(graft.core.Caches.cache)
     // labels only ever DECREASE, so Σ component strictly decreases iff
     // any label changed — convergence is one cheap agg, not a join
     var prevSum = labels.agg(sum("component")).head().getLong(0)
@@ -321,7 +321,7 @@ object Dedup {
         .select(col("src").as("id"), col("component"))
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
-        .cache()
+        .transform(graft.core.Caches.cache)
       val nextSum = next.agg(sum("component")).head().getLong(0)
       labels.unpersist()
       labels = next
@@ -353,7 +353,7 @@ object Dedup {
         col(idCol).as("id"),
         array_distinct(graft.functions.TextFunctions.wordShingles(col(textCol), shingleN))
           .as("__sh"))
-      .cache()
+      .transform(graft.core.Caches.cache)
     val sh = shArrays.select(col("id"), explode(col("__sh")).as("shingle"))
     val sigs = shArrays.select(
       col("id"),
@@ -414,7 +414,7 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "full recall needs maxHamming <= bands - 1")
     val bitsPerBand = 32 / bands
-    val sims = simhash32(docs, textCol, idCol).cache()
+    val sims = graft.core.Caches.cache(simhash32(docs, textCol, idCol))
     val banded = sims.select(
       col("id"),
       col("simhash"),

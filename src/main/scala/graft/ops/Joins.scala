@@ -101,14 +101,14 @@ object Joins {
         // The cap path references distinctItems three times (sizes +
         // semi-join left + both pair sides downstream) — materialize so
         // the upstream distinct doesn't re-run per reference.
-        val d = distinctItems.cache()
+        val d = graft.core.Caches.cache(distinctItems)
         val sizes = d.groupBy(col(groupCol)).count()
         val keep = sizes.filter(col("count") <= cap).select(col(groupCol))
         d.join(keep, Seq(groupCol), "left_semi")
       case None =>
         // the prefilter references this subtree 3× (frequency + semi +
         // pair sides) — materialize so the upstream distinct runs once
-        if (frequentItemPrefilter && minCount >= 2L) distinctItems.cache()
+        if (frequentItemPrefilter && minCount >= 2L) graft.core.Caches.cache(distinctItems)
         else distinctItems
     }
     // Lossless frequent-item prefilter: with distinct-group counting,
@@ -159,7 +159,7 @@ object Joins {
     val counts = df
       .groupBy(col(groupCol), col(itemCol))
       .agg(count(lit(1)).as("__cnt"))
-      .cache()
+      .transform(graft.core.Caches.cache)
     val capped = maxGroupSize match {
       case Some(cap) =>
         val keep = counts.groupBy(col(groupCol)).count()

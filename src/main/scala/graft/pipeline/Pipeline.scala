@@ -74,7 +74,8 @@ object Pipeline {
     // it `se` would run the sessionize shuffle+windows a second time
     // (nothing is cached yet at this point; measured ~40% of the
     // enriched-cache build)
-    se.join(broadcast(itemCategory(rawEvents(spark, dir))), Seq("item_id"), "inner").cache()
+    graft.core.Caches.cache(
+      se.join(broadcast(itemCategory(rawEvents(spark, dir))), Seq("item_id"), "inner"))
   }
 
   /** Anchors = purchase events with session + category context
@@ -221,10 +222,11 @@ object Pipeline {
     * Spark's CacheManager dedups the subtree across those consumers.
     */
   def candidatesFrom(a: DataFrame, enriched: DataFrame): DataFrame = {
-    val prefixC = prefixCandidates(a, enriched).cache()
+    val prefixC = graft.core.Caches.cache(prefixCandidates(a, enriched))
     // one distinct (session, category) projection serves covis pairs
     // AND the popularity top-N (distinct-session count per category)
-    val di = enriched.select(col("session_id"), col("category_id")).distinct().cache()
+    val di = graft.core.Caches.cache(
+      enriched.select(col("session_id"), col("category_id")).distinct())
     val catPop = di.groupBy(col("category_id")).agg(count(lit(1)).as("cat_pop"))
     Seq(
       prefixC,
@@ -233,11 +235,11 @@ object Pipeline {
       userHistoryCandidates(a, enriched, topK = 10))
       .reduce(_ union _)
       .distinct()
-      .cache()
+      .transform(graft.core.Caches.cache)
   }
 
   def candidates(spark: SparkSession, dir: String): DataFrame = {
-    val enriched = enrichedEvents(spark, dir).cache()
+    val enriched = enrichedEvents(spark, dir)
     candidatesFrom(anchors(enriched), enriched)
   }
 
@@ -246,7 +248,7 @@ object Pipeline {
     * affinity, session stats, time features, label.
     */
   def features(spark: SparkSession, dir: String): DataFrame = {
-    val enriched = enrichedEvents(spark, dir).cache()
+    val enriched = enrichedEvents(spark, dir)
     val a = anchors(enriched)
 
     // prefix rows (anchor × strictly-earlier same-session events) for
@@ -260,7 +262,7 @@ object Pipeline {
         col("item_id"),
         col("category_id").as("pcat")), Seq("session_id"))
       .filter(col("epoch_s") < col("anchor_epoch_s"))
-      .cache()
+      .transform(graft.core.Caches.cache)
 
     // candidates through the SAME plan as the candidate query —
     // identical lineage from the shared cached `enriched`, so the
@@ -278,7 +280,7 @@ object Pipeline {
     val du = enriched
       .select(col("user_id"), col("session_id"), col("category_id"))
       .distinct()
-      .cache()
+      .transform(graft.core.Caches.cache)
     val di = du.select(col("session_id"), col("category_id")).distinct()
     val catPop = di.groupBy(col("category_id")).agg(count(lit(1)).as("cat_pop"))
     val base = cand

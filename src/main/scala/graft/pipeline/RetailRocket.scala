@@ -269,7 +269,7 @@ object RetailRocket {
         countDistinct(col("session_id")).as("total_sessions"),
         avg(col("session_duration")).as("avg_session_duration"))
 
-    def c(df: DataFrame) = if (cache) df.cache() else df
+    def c(df: DataFrame) = if (cache) graft.core.Caches.cache(df) else df
     TrainMatrices(
       c(itemCovis), c(catCovis), c(catPopTop), c(userPastCats),
       c(catPop), c(userCatAff), c(userStats))
@@ -306,9 +306,9 @@ object RetailRocket {
     val prefix = sharedPrefix match {
       case Some(p) => p.filter(col("has_cat") === 1).drop("has_cat")
       case None =>
-        prefixEvents(atc, events, maxPrefixEvents)
-          .join(broadcast(itemCat), Seq("item_id"))
-          .cache()
+        graft.core.Caches.cache(
+          prefixEvents(atc, events, maxPrefixEvents)
+            .join(broadcast(itemCat), Seq("item_id")))
     }
 
     // 1. prefix categories (`:235-246`)
@@ -459,11 +459,11 @@ object RetailRocket {
       rawProps: DataFrame,
       covisSessionCap: Option[Int] = Some(1000),
       maxPrefixEvents: Option[Int] = None): RunResult = {
-    val events = sessionizeEvents(rawEvents).cache()
-    val itemCat = itemCategory(rawProps).cache()
-    val atc = atcEvents(events, itemCat).cache()
-    val atcTrain = splitByWindow(atc, TrainStart, TrainEnd).cache()
-    val atcValid = splitByWindow(atc, TrainEnd, ValidEnd).cache()
+    val events = graft.core.Caches.cache(sessionizeEvents(rawEvents))
+    val itemCat = graft.core.Caches.cache(itemCategory(rawProps))
+    val atc = graft.core.Caches.cache(atcEvents(events, itemCat))
+    val atcTrain = graft.core.Caches.cache(splitByWindow(atc, TrainStart, TrainEnd))
+    val atcValid = graft.core.Caches.cache(splitByWindow(atc, TrainEnd, ValidEnd))
 
     // split-independent matrices computed ONCE for both splits
     val tm = trainMatrices(events, itemCat, TrainEnd, covisSessionCap, cache = true)
@@ -483,7 +483,7 @@ object RetailRocket {
     // feature pass (left form) — the J3 range join runs twice per
     // buildAll instead of four times.
     def assemble(atcSplit: DataFrame): DataFrame = {
-      val prefix = prefixWithCategories(atcSplit, events, itemCat, maxPrefixEvents).cache()
+      val prefix = graft.core.Caches.cache(prefixWithCategories(atcSplit, events, itemCat, maxPrefixEvents))
       val cands =
         candidatesWith(atcSplit, events, itemCat, tm, maxPrefixEvents, Some(prefix))
       Embeddings.attachEmbeddings(
@@ -511,20 +511,24 @@ object RetailRocket {
       propsCsvs: Seq[String],
       outDir: String,
       covisSessionCap: Option[Int] = Some(1000),
-      maxPrefixEvents: Option[Int] = None): Map[String, Long] = {
-    val result = buildAll(
-      spark, readEventsCsv(spark, eventsCsv), readPropsCsv(spark, propsCsvs), covisSessionCap,
-      maxPrefixEvents)
-    val train = result.train.cache()
-    val valid = result.valid.cache()
-    graft.core.Sinks.writeParquet(
-      train, s"$outDir/X_train_spark.parquet", maxRecordsPerFile = Some(50000L))
-    graft.core.Sinks.writeParquet(
-      valid, s"$outDir/X_valid_spark.parquet", maxRecordsPerFile = Some(50000L))
-    Map(
-      "train_rows" -> train.count(),
-      "valid_rows" -> valid.count(),
-      "train_positive" -> train.filter(col("y") === 1).count(),
-      "valid_positive" -> valid.filter(col("y") === 1).count())
-  }
+      maxPrefixEvents: Option[Int] = None): Map[String, Long] =
+    // every intra-build cache is dropped once the matrices are written
+    // and counted — a long-lived session can run() repeatedly without
+    // accumulating pinned InMemoryRelations
+    graft.core.Caches.withScope {
+      val result = buildAll(
+        spark, readEventsCsv(spark, eventsCsv), readPropsCsv(spark, propsCsvs), covisSessionCap,
+        maxPrefixEvents)
+      val train = graft.core.Caches.cache(result.train)
+      val valid = graft.core.Caches.cache(result.valid)
+      graft.core.Sinks.writeParquet(
+        train, s"$outDir/X_train_spark.parquet", maxRecordsPerFile = Some(50000L))
+      graft.core.Sinks.writeParquet(
+        valid, s"$outDir/X_valid_spark.parquet", maxRecordsPerFile = Some(50000L))
+      Map(
+        "train_rows" -> train.count(),
+        "valid_rows" -> valid.count(),
+        "train_positive" -> train.filter(col("y") === 1).count(),
+        "valid_positive" -> valid.filter(col("y") === 1).count())
+    }
 }

@@ -106,7 +106,7 @@ object Similarity {
     val model = new KMeans()
       .setK(nCentroids).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cid")
       .fit(corpusV)
-    val assigned = model.transform(corpusV).select("neighbor_id", "c_emb", "cid").cache()
+    val assigned = model.transform(corpusV).select("neighbor_id", "c_emb", "cid").transform(graft.core.Caches.cache)
 
     // centroid table is tiny: quantize and broadcast it for probing
     import spark.implicits._
