@@ -10,14 +10,86 @@ import org.apache.spark.sql.types._
   * feature-extraction operator.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, null handling. The actual media decode is STUBBED with
-  * a deterministic fake (this container ships no image/audio codecs):
-  * `fakeDecodeFeatures` derives a fixed-length feature vector from the
-  * bytes themselves (byte histogram moments). Swap `decodeStub` for a
-  * real codec (e.g. javacv / a Pandas-UDF python worker) in production;
-  * every caller-visible shape stays identical.
+  * batch shape, null handling. Decoding is a pluggable seam
+  * ([[MediaDecoder]]): the DEFAULT is a deterministic byte-histogram
+  * stand-in (oracle-checkable, no codec needed), and
+  * [[ImageIoDecoder]] is a real JVM codec path (javax.imageio —
+  * PNG/BMP/GIF ship in every JRE) proving the seam carries an actual
+  * decode. Heavier codecs (javacv, a Python worker via Arrow batches)
+  * drop into the same trait; every caller-visible shape stays
+  * identical.
   */
 object Multimodal {
+
+  /** Pluggable per-payload decoder: bytes → fixed-length feature
+    * vector. Implementations MUST be deterministic and total (null /
+    * undecodable payloads → zero vector, never throw): executors
+    * retry tasks, and a decode that throws on one corrupt blob in a
+    * 100 TB scan kills the stage. Instantiated once per partition
+    * inside `mapPartitions` — construct expensive codec state lazily
+    * in the instance, not per row.
+    */
+  trait MediaDecoder extends Serializable {
+    def dims: Int
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
+  /** Default decoder: byte-histogram moments (the deterministic fake —
+    * no codec dependency, exactly reproducible in the DuckDB oracle).
+    */
+  final class ByteHistogramDecoder(val dims: Int) extends MediaDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = decodeStub(payload, dims)
+  }
+
+  /** Real codec path: javax.imageio (PNG/BMP/GIF/JPEG readers are part
+    * of the JRE). Features = per-cell mean RGB over a `gridW × gridH`
+    * crop grid, i.e. a tiny deterministic thumbnail embedding —
+    * `dims = gridW * gridH * 3`, row-major cells, channels R,G,B in
+    * [0,1]. Undecodable or empty payloads yield the zero vector (the
+    * corrupt-blob contract above).
+    */
+  final class ImageIoDecoder(gridW: Int = 2, gridH: Int = 2) extends MediaDecoder {
+    val dims: Int = gridW * gridH * 3
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dims)
+      if (payload == null || payload.isEmpty) return out
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) return out
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](dims)
+      val counts = new Array[Long](gridW * gridH)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * gridH / h, gridH - 1)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * gridW / w, gridW - 1)
+          val cell = cy * gridW + cx
+          val rgb = img.getRGB(x, y)
+          sums(cell * 3) += (rgb >> 16) & 0xff
+          sums(cell * 3 + 1) += (rgb >> 8) & 0xff
+          sums(cell * 3 + 2) += rgb & 0xff
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < gridW * gridH) {
+        if (counts(c) > 0) {
+          var ch = 0
+          while (ch < 3) {
+            out(c * 3 + ch) = (sums(c * 3 + ch).toDouble / counts(c) / 255.0).toFloat
+            ch += 1
+          }
+        }
+        c += 1
+      }
+      out
+    }
+  }
 
   /** Metadata struct carried alongside every media payload. */
   val mediaMetaType: StructType = StructType(Seq(
@@ -119,8 +191,14 @@ object Multimodal {
     * partition/batch — the Scala analogue of `mapInPandas` batch shape.
     * Output: (id, meta, features array<float>).
     */
-  def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
-    val spark = media.sparkSession
+  def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame =
+    extractFeaturesWith(media, new ByteHistogramDecoder(dims))
+
+  /** [[extractFeatures]] with an explicit [[MediaDecoder]] — the same
+    * plan shape whether the decoder is the histogram stub or a real
+    * codec ([[ImageIoDecoder]]).
+    */
+  def extractFeaturesWith(media: DataFrame, decoder: MediaDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("meta", mediaMetaType),
@@ -129,11 +207,12 @@ object Multimodal {
     media
       .select(col("id"), col("meta"), col("payload"))
       .mapPartitions { rows =>
-        // per-partition init point for a real codec
+        // one decoder instance per partition: codec init amortized here
+        val d = decoder
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           Row(r.getAs[Long]("id"), r.getAs[Row]("meta"),
-            decodeStub(payload, dims).toSeq)
+            d.decode(payload).toSeq)
         }
       }(enc)
   }

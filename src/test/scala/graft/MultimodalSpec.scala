@@ -54,4 +54,48 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.decodeStub("same input".getBytes("UTF-8"), 8)
     assert(a.toSeq == b.toSeq)
   }
+
+  /** PNG-encode a w×h image from a row-major array of 0xRRGGBB ints. */
+  private def png(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG decode through the mapPartitions seam") {
+    // 2×2 image, one solid color per pixel == per grid cell:
+    // red, green / blue, white → exact per-cell RGB means
+    val bytes = png(2, 2, Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    val media = Seq((1L, bytes), (2L, "not an image".getBytes("UTF-8")), (3L, null))
+      .toDF("id", "payload")
+      .select(col("id"), col("payload"), struct(
+        lit("image/png").as("media_type"), lit(2).as("width"), lit(2).as("height"),
+        coalesce(length(col("payload")), lit(0)).cast("long").as("n_bytes")).as("meta"))
+    val dec = new Multimodal.ImageIoDecoder(gridW = 2, gridH = 2)
+    assert(dec.dims == 12)
+    val byId = Multimodal.extractFeaturesWith(media, dec)
+      .select(col("id"), col("features")).as[(Long, Seq[Float])].collect().toMap
+    assert(byId(1L) == Seq(
+      1f, 0f, 0f, // cell (0,0) red
+      0f, 1f, 0f, // cell (0,1) green
+      0f, 0f, 1f, // cell (1,0) blue
+      1f, 1f, 1f)) // cell (1,1) white
+    // undecodable and null payloads → zero vector, never a throw
+    assert(byId(2L) == Seq.fill(12)(0f))
+    assert(byId(3L) == Seq.fill(12)(0f))
+  }
+
+  test("ImageIoDecoder: grid cells average multi-pixel regions exactly") {
+    // 4×2 image, left half solid red, right half solid blue, grid 2×1:
+    // each cell averages 4 pixels of one color
+    val bytes = png(4, 2, Array(
+      0xff0000, 0xff0000, 0x0000ff, 0x0000ff,
+      0xff0000, 0xff0000, 0x0000ff, 0x0000ff))
+    val dec = new Multimodal.ImageIoDecoder(gridW = 2, gridH = 1)
+    assert(dec.decode(bytes).toSeq == Seq(1f, 0f, 0f, 0f, 0f, 1f))
+    // decode is deterministic across calls
+    assert(dec.decode(bytes).toSeq == dec.decode(bytes).toSeq)
+  }
 }
