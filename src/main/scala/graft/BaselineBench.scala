@@ -76,10 +76,17 @@ object BaselineBench {
     // (load+sessionize 44 s / candidates 133 s / w2v 22 s /
     //  features 155 s / save 66 s; total 444 s)
     val t0 = System.nanoTime()
+    // SPARK_GRAFT_BUCKETED=1: materialize the sessionized events
+    // bucketed by session_id (one write-side shuffle) and run every
+    // downstream stage on the bucketed scan — the session-key exchanges
+    // in the prefix/covis joins disappear (BucketingSpec pins the plan).
+    val bucketed = sys.env.get("SPARK_GRAFT_BUCKETED").contains("1")
     val (events, loadS) = t("load+sessionize") {
-      val e = RetailRocket
+      val sessionized = RetailRocket
         .sessionizeEvents(RetailRocket.readEventsCsv(spark, s"$outDir/events_csv"))
-        .cache()
+      val e =
+        if (bucketed) RetailRocket.bucketizeEvents(sessionized, "rr_events_bucketed")
+        else sessionized.cache()
       e.count(); e
     }
     val (itemCat, _) = t("item categories") {

@@ -89,7 +89,12 @@ object SparkEntry {
     "q52_frame_sample" -> (TQ.frameSample _),
     "q53_surprisal" -> (TQ.surprisal _),
     // — round-3 extensions —
-    "q54_covis_weighted" -> (EQ.covisWeighted _))
+    "q54_covis_weighted" -> (EQ.covisWeighted _),
+    // — round-4 extensions: transitions, cohorts, vocab, centroids —
+    "q55_item_transitions" -> (EQ.itemTransitions _),
+    "q56_retention_cohorts" -> (EQ.retentionCohorts _),
+    "q57_bigram_vocab" -> (TQ.bigramVocab _),
+    "q58_label_centroids" -> (TQ.labelCentroids _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -944,5 +949,53 @@ object SparkEntry {
         |SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
         |FROM evk a JOIN evk b ON a.user_id = b.user_id AND a.item_id < b.item_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        |ORDER BY item_a, item_b""".stripMargin)
+        |ORDER BY item_a, item_b""".stripMargin,
+    "q55_item_transitions" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |)
+         |SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
+         |FROM led WHERE next_item IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY item_a, item_b""".stripMargin,
+    "q56_retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT user_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 604800 AS week
+        |  FROM events
+        |), uw AS (
+        |  SELECT DISTINCT user_id, week FROM w
+        |), f AS (
+        |  SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1
+        |)
+        |SELECT f.cohort, uw.week - f.cohort AS week_offset, CAST(COUNT(*) AS BIGINT) AS active_users
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+    "q57_bigram_vocab" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), bg AS (
+        |  SELECT array_to_string(toks[i:i+1], ' ') AS bigram
+        |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |)
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 200""".stripMargin,
+    // same exact-integer floor(sum/count) as the engine's Lloyd step —
+    // the centroid lists must hash-match element-for-element
+    "q58_label_centroids" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT label, i AS pos, v[i] AS val
+        |  FROM q, unnest(generate_series(1, len(v))) AS t(i)
+        |), cm AS (
+        |  SELECT label, pos,
+        |         CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2
+        |)
+        |SELECT CAST(label AS BIGINT) AS label, list(cv ORDER BY pos) AS centroid,
+        |       MAX(n) AS n_vectors
+        |FROM cm GROUP BY label ORDER BY label""".stripMargin)
 }

@@ -82,4 +82,27 @@ object Aggregates {
     }
     ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Cohort retention matrix: bucket each user by their FIRST-seen
+    * `bucketCol` value (the cohort), then count distinct users active
+    * at each (cohort, offset) cell. The standard analytics rollup over
+    * an event log — weekly retention when `bucketCol` is an epoch-week.
+    *
+    * Scale shape: one shuffle on `userCol` shared by the first-seen agg
+    * and the (user, bucket) dedup (both cluster by user), the cohort
+    * join is co-partitioned on that same key, and the final cell count
+    * is a map-side-combinable exact count over ALREADY-DEDUPED
+    * (user, bucket) rows — no countDistinct shuffle of raw events.
+    * Output rows are bounded by buckets², independent of input size.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, bucketCol: String): DataFrame = {
+    val perUserBucket = df.select(col(userCol), col(bucketCol)).distinct()
+    val firstSeen = perUserBucket
+      .groupBy(col(userCol))
+      .agg(min(col(bucketCol)).as("cohort"))
+    perUserBucket
+      .join(firstSeen, Seq(userCol))
+      .groupBy(col("cohort"), (col(bucketCol) - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
 }

@@ -78,15 +78,25 @@ object Joins {
       groupCol: String,
       itemCol: String,
       minCount: Long = 1L,
-      maxGroupSize: Option[Int] = Some(200)): DataFrame =
+      maxGroupSize: Option[Int] = Some(200),
+      materialize: Boolean = true): DataFrame =
     covisitationPairsDistinct(
       df.select(col(groupCol), col(itemCol)).distinct(),
-      groupCol, itemCol, minCount, maxGroupSize)
+      groupCol, itemCol, minCount, maxGroupSize, materialize = materialize)
 
   /** [[covisitationPairs]] over an ALREADY-DISTINCT (group, item)
     * table. Callers that maintain the distinct projection anyway (the
     * pipeline caches it and derives popularity/affinity counts from the
     * same table) skip the built-in distinct pass.
+    *
+    * `materialize`: cache the multiply-referenced distinct projection
+    * (default — right when the input lineage is expensive, e.g. a
+    * sessionize window over raw parquet). Set FALSE when the input is
+    * a table bucketed by `groupCol`: the scan is already co-located
+    * and exchange-free, and Spark's cache over a non-finalized AQE
+    * plan reports unknown partitioning, which would force the
+    * session-key exchanges right back in (BucketingSpec pins both
+    * shapes).
     */
   def covisitationPairsDistinct(
       distinctItems: DataFrame,
@@ -94,21 +104,23 @@ object Joins {
       itemCol: String,
       minCount: Long = 1L,
       maxGroupSize: Option[Int] = Some(200),
-      frequentItemPrefilter: Boolean = true): DataFrame = {
+      frequentItemPrefilter: Boolean = true,
+      materialize: Boolean = true): DataFrame = {
     val capped = maxGroupSize match {
       case Some(cap) =>
         // Pre-aggregate group sizes; anti-join out oversized groups.
         // The cap path references distinctItems three times (sizes +
         // semi-join left + both pair sides downstream) — materialize so
         // the upstream distinct doesn't re-run per reference.
-        val d = graft.core.Caches.cache(distinctItems)
+        val d = if (materialize) graft.core.Caches.cache(distinctItems) else distinctItems
         val sizes = d.groupBy(col(groupCol)).count()
         val keep = sizes.filter(col("count") <= cap).select(col(groupCol))
         d.join(keep, Seq(groupCol), "left_semi")
       case None =>
         // the prefilter references this subtree 3× (frequency + semi +
         // pair sides) — materialize so the upstream distinct runs once
-        if (frequentItemPrefilter && minCount >= 2L) graft.core.Caches.cache(distinctItems)
+        if (frequentItemPrefilter && minCount >= 2L && materialize)
+          graft.core.Caches.cache(distinctItems)
         else distinctItems
     }
     // Lossless frequent-item prefilter: with distinct-group counting,

@@ -81,4 +81,29 @@ object Windows {
       orderCol: Column,
       tieCols: Seq[String]): DataFrame =
     topKPerGroup(df, keyCols, orderCol, tieCols, 1).drop("rn")
+
+  /** First-order transition counts (Markov chain over in-group
+    * sequences): for each group ordered by `orderCols`, pair every row's
+    * `itemCol` with the NEXT row's, and count each (item_a, item_b)
+    * transition across groups. The sequential-candidate matrix next to
+    * the unordered [[graft.ops.Joins.covisitationPairs]].
+    *
+    * `orderCols` must end in a unique tie-break (the engine's
+    * determinism rule — lead() over an ambiguous order is
+    * plan-dependent). Scale shape: ONE shuffle to the group key for the
+    * lead window, then a map-side-combined count on (item_a, item_b);
+    * no self-join, output bounded by input rows (each row contributes
+    * ≤1 transition) — strictly cheaper than pair enumeration.
+    */
+  def transitionCounts(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[Column],
+      itemCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("__next", lead(col(itemCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(itemCol).as("item_a"), col("__next").as("item_b"))
+      .agg(count(lit(1)).as("transition_count"))
+  }
 }

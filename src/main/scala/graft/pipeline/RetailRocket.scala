@@ -90,12 +90,66 @@ object RetailRocket {
         col("event"))
   }
 
-  def readEventsCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").schema(eventsCsvSchema).csv(path)
+  /** CSV scan (reference STEP 1/3, `prepare_training_data_pyspark.py:71,149`).
+    *
+    * `inferSchema = false` (default) uses the explicit [[eventsCsvSchema]]:
+    * inference is a SECOND full pass over the file — at 100 TB that is a
+    * doubled scan for types that are already known. `inferSchema = true`
+    * is the literal reference behavior (`inferSchema=True`), kept as a
+    * passthrough for schema-unknown exploration.
+    */
+  def readEventsCsv(
+      spark: SparkSession,
+      path: String,
+      inferSchema: Boolean = false): DataFrame =
+    if (inferSchema)
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else spark.read.option("header", "true").schema(eventsCsvSchema).csv(path)
 
-  def readPropsCsv(spark: SparkSession, paths: Seq[String]): DataFrame =
+  /** One-time bucketed materialization of the sessionized events table
+    * — the storage-level answer to the session-key shuffles. Written
+    * `bucketBy(session_id)` + sorted, every downstream consumer that
+    * needs a session_id distribution plans ZERO exchange over the big
+    * side: the J3 prefix join (both sides derive from this scan), the
+    * J4 covis distinct/self-join, and per-session aggregations.
+    * Composite-key operators (distinct on (session_id, atc_ts),
+    * groupBy (session_id, item_id)) are covered too — hash partitioning
+    * on a PREFIX of the clustering keys satisfies the distribution, so
+    * Catalyst keeps the scan partitioning instead of reshuffling.
+    *
+    * At 100 TB this is the difference between shuffling the event log
+    * once at ingest (write-side, amortized over every later query) and
+    * shuffling it in every pipeline run. Pair `buckets` with the
+    * cluster's target partition size (~128 MB/bucket-file).
+    */
+  def bucketizeEvents(
+      events: DataFrame,
+      tableName: String = "graft_events_bucketed",
+      buckets: Int = 32): DataFrame = {
+    val spark = events.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    events.write
+      .mode("overwrite")
+      .bucketBy(buckets, "session_id")
+      .sortBy("session_id", "ts")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+  }
+
+  /** Same explicit-schema-by-default / `inferSchema` passthrough trade
+    * as [[readEventsCsv]] (reference reads the property parts with
+    * `inferSchema=True`, `:149-150`).
+    */
+  def readPropsCsv(
+      spark: SparkSession,
+      paths: Seq[String],
+      inferSchema: Boolean = false): DataFrame =
     paths
-      .map(p => spark.read.option("header", "true").schema(propsCsvSchema).csv(p))
+      .map { p =>
+        if (inferSchema)
+          spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+        else spark.read.option("header", "true").schema(propsCsvSchema).csv(p)
+      }
       .reduce(_ union _)
 
   /** Latest `categoryid` per item (reference STEP 3, `:144-173`):

@@ -195,4 +195,30 @@ object EventQueries {
         col("event_type"),
         graft.ops.Sampling.hashBucketPermille(col("event_id")).as("bucket"))
       .orderBy(col("event_id"))
+
+  /** W1-family Markov transitions: per-session next-item counts
+    * (ordered by (epoch_s, event_id) — unique tie-break), the
+    * sequential-recommendation candidate matrix next to q19's unordered
+    * co-visitation.
+    */
+  def itemTransitions(s: SparkSession, d: String): DataFrame =
+    Windows
+      .transitionCounts(
+        Pipeline.enrichedEvents(s, d),
+        "session_id",
+        Seq(col("epoch_s").asc, col("event_id").asc),
+        "item_id")
+      .orderBy(col("item_a"), col("item_b"))
+
+  /** Cohort retention over epoch-weeks: users bucketed by first-seen
+    * week, distinct-active counts per (cohort, week offset).
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame =
+    Ag.cohortRetention(
+        Tables.events(s, d)
+          .select(col("user_id"), floor(unix_timestamp(col("ts")) / 604800L).as("week")),
+        "user_id",
+        "week")
+      .select(col("cohort"), col("offset").as("week_offset"), col("active_users"))
+      .orderBy(col("cohort"), col("week_offset"))
 }

@@ -313,4 +313,27 @@ object TextQueries {
         round(element_at(col("features"), 1).cast("double") * col("meta.n_bytes"))
           .cast("long").as("f0_count"))
       .orderBy(col("doc_id"))
+
+  /** Tokenizer-prep vocabulary: global word-bigram counts, top 200 by
+    * (count DESC, bigram ASC — deterministic cut). Word-count shape:
+    * the explode fans out executor-side, partial counts combine
+    * map-side, and only the merged (bigram, count) table crosses the
+    * wire into a TakeOrderedAndProject — no global sort of the corpus.
+    */
+  def bigramVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(graft.functions.TextFunctions.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(200)
+
+  /** Per-label exact-integer embedding centroids (nearest-class-mean /
+    * drift-monitoring primitive; same quantized Lloyd-step arithmetic
+    * as q41's IVF, so the oracle replicates it bit-for-bit).
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .labelCentroids(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy(col("label"))
 }

@@ -285,4 +285,28 @@ object Similarity {
           qnorm2(col("c_emb"))).as("cosine_sim"))
     Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
   }
+
+  /** Per-label centroid of quantized embeddings: element-wise
+    * `floor(sum/count)` on integer components (the same exact-integer
+    * mean as the IVF Lloyd step — associative, so bit-identical under
+    * any partitioning). The class-centroid primitive behind
+    * nearest-class-mean classification and embedding-drift monitoring.
+    *
+    * Scale shape: posexplode fans each vector into `dim` rows, but the
+    * (label, pos) aggregation is map-side combinable — partial sums per
+    * partition, one shuffle of |labels|·dim tiny rows, then a
+    * |labels|-row reassembly. No vector ever crosses the wire whole.
+    */
+  def labelCentroids(vecs: DataFrame, labelCol: String, embCol: String): DataFrame =
+    vecs
+      .select(col(labelCol).cast("long").as("label"), quantize(col(embCol)).as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("cv"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("centroid"),
+        max(col("n")).as("n_vectors"))
 }

@@ -45,4 +45,17 @@ class AggregatesSpec extends SparkSpec {
     assert(out._2 == Seq("a", "b", "c"))
     assert(out._3 == "a,b,c")
   }
+
+  test("cohortRetention: first-seen bucket cohorts, distinct actives per offset") {
+    val df = Seq(
+      (1L, 10L), (1L, 10L), (1L, 11L), // u1 cohort 10, active offsets 0,1
+      (2L, 10L), (2L, 12L),            // u2 cohort 10, offsets 0,2
+      (3L, 11L))                       // u3 cohort 11, offset 0
+      .toDF("user_id", "week")
+    val out = Aggregates.cohortRetention(df, "user_id", "week")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (10L, 0L, 2L), (10L, 1L, 1L), (10L, 2L, 1L),
+      (11L, 0L, 1L)))
+  }
 }

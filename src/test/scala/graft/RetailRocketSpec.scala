@@ -59,6 +59,18 @@ class RetailRocketSpec extends SparkSpec {
     assert(sessions == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("inferSchema passthrough: same rows and compatible types as the explicit schema") {
+    val inferred = RetailRocket.readEventsCsv(spark, s"$fixtureDir/events.csv", inferSchema = true)
+    assert(inferred.count() == rawEvents.count())
+    // downstream contract holds regardless of which reader fed it
+    val s1 = RetailRocket.sessionizeEvents(inferred).orderBy("session_id", "ts", "item_id")
+    val s2 = RetailRocket.sessionizeEvents(rawEvents).orderBy("session_id", "ts", "item_id")
+    assert(s1.collect().toSeq == s2.collect().toSeq)
+    val props = RetailRocket.readPropsCsv(
+      spark, Seq(s"$fixtureDir/item_properties_part1.csv"), inferSchema = true)
+    assert(props.count() > 0)
+  }
+
   test("item category: latest snapshot wins across csv parts") {
     val cats = RetailRocket.itemCategory(rawProps)
       .as[(Long, Long)].collect().toMap

@@ -50,4 +50,19 @@ class SimilaritySpec extends SparkSpec {
       .select("cosine_sim").as[Double].head()
     assert(sim == 1.0)
   }
+
+  test("labelCentroids: exact integer floor-mean per dim, partitioning-invariant") {
+    val vecs = Seq(
+      (1, Seq(0.1f, 0.2f)), (1, Seq(0.2f, 0.3f)),  // label 1: mean of (1000,2000),(2000,3000)
+      (2, Seq(-0.15f, 0.05f)))
+      .toDF("label", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity
+      .labelCentroids(df, "label", "embedding")
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    val out = run(vecs)
+    assert(out == Set(
+      (1L, Seq(1500L, 2500L), 2L),
+      (2L, Seq(-1500L, 500L), 1L)))
+    assert(run(vecs.repartition(7)) == out)
+  }
 }

@@ -68,4 +68,22 @@ class WindowsSpec extends SparkSpec {
       .select("k", "v").as[(Long, String)].collect().toSet
     assert(latest == Set((1L, "b"), (2L, "c")))
   }
+
+  test("transitionCounts: next-item pairs per group, unique tie-break") {
+    val df = Seq(
+      // s1 ordered by (t, id): a(1,1) b(2,2) a(2,3) c(3,4)
+      ("s1", 1L, 1L, "a"), ("s1", 2L, 2L, "b"), ("s1", 2L, 3L, "a"), ("s1", 3L, 4L, "c"),
+      // s2: a -> c
+      ("s2", 1L, 5L, "a"), ("s2", 2L, 6L, "c"))
+      .toDF("sess", "t", "id", "item")
+    val out = Windows
+      .transitionCounts(df, "sess", Seq(col("t").asc, col("id").asc), "item")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 2L)))
+  }
+
+  test("transitionCounts: single-row groups emit nothing") {
+    val df = Seq(("s1", 1L, 1L, "a")).toDF("sess", "t", "id", "item")
+    assert(Windows.transitionCounts(df, "sess", Seq(col("t"), col("id")), "item").count() == 0)
+  }
 }
