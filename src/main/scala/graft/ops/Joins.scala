@@ -79,10 +79,12 @@ object Joins {
       itemCol: String,
       minCount: Long = 1L,
       maxGroupSize: Option[Int] = Some(200),
-      materialize: Boolean = true): DataFrame =
+      materialize: Boolean = true,
+      frequentItemPrefilter: Boolean = false): DataFrame =
     covisitationPairsDistinct(
       df.select(col(groupCol), col(itemCol)).distinct(),
-      groupCol, itemCol, minCount, maxGroupSize, materialize = materialize)
+      groupCol, itemCol, minCount, maxGroupSize,
+      frequentItemPrefilter = frequentItemPrefilter, materialize = materialize)
 
   /** [[covisitationPairs]] over an ALREADY-DISTINCT (group, item)
     * table. Callers that maintain the distinct projection anyway (the
@@ -104,7 +106,7 @@ object Joins {
       itemCol: String,
       minCount: Long = 1L,
       maxGroupSize: Option[Int] = Some(200),
-      frequentItemPrefilter: Boolean = true,
+      frequentItemPrefilter: Boolean = false,
       materialize: Boolean = true): DataFrame = {
     val capped = maxGroupSize match {
       case Some(cap) =>
@@ -126,9 +128,12 @@ object Joins {
     // Lossless frequent-item prefilter: with distinct-group counting,
     // pair_count <= min(freq_a, freq_b), so an item present in fewer
     // than minCount groups cannot appear in ANY output pair — pruning
-    // it is exact. On long-tail data most items are singletons, so this
-    // shrinks the quadratic self-join's input before it fans out
-    // (applied after the cap so the cap's group sizes are unchanged).
+    // it is exact. OPT-IN (default off): it pays an item-frequency agg
+    // + semi-join up front, which measured +15% on the dense synthetic
+    // events at sf0.1 (q19 A/B 6.5 s vs 7.1–7.7 s — nothing prunes);
+    // turn it ON for long-tail corpora where singletons dominate the
+    // item dimension (the regime the quadratic fan-out actually hurts).
+    // Applied after the cap so the cap's group sizes are unchanged.
     val pruned =
       if (frequentItemPrefilter && minCount >= 2L) {
         val freqOk = capped
