@@ -94,7 +94,9 @@ object SparkEntry {
     "q55_item_transitions" -> (EQ.itemTransitions _),
     "q56_retention_cohorts" -> (EQ.retentionCohorts _),
     "q57_bigram_vocab" -> (TQ.bigramVocab _),
-    "q58_label_centroids" -> (TQ.labelCentroids _))
+    "q58_label_centroids" -> (TQ.labelCentroids _),
+    "q59_repetition" -> (TQ.repetitionScore _),
+    "q60_funnel" -> (EQ.funnel _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -997,5 +999,44 @@ object SparkEntry {
         |)
         |SELECT CAST(label AS BIGINT) AS label, list(cv ORDER BY pos) AS centroid,
         |       MAX(n) AS n_vectors
-        |FROM cm GROUP BY label ORDER BY label""".stripMargin)
+        |FROM cm GROUP BY label ORDER BY label""".stripMargin,
+    // integer micro-ratios (x * 1e6 // denom) — no float division on
+    // either side, so the repetition scores hash-match exactly
+    "q59_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct, toks
+        |  FROM docs WHERE len(toks) >= 2
+        |), bg AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        |  FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |), bc AS (
+        |  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY 1
+        |)
+        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((b.n_tokens - b.n_distinct) * 1000000 // b.n_tokens AS BIGINT) AS dup_token_micro,
+        |  CAST(t.top_c * 1000000 // (b.n_tokens - 1) AS BIGINT) AS top_bigram_micro
+        |FROM base b JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q60_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |), s1 AS (
+        |  SELECT user_id, MIN(epoch_s) AS t FROM e WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(e.epoch_s) AS t FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.epoch_s > s1.t GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(e.epoch_s) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.epoch_s > s2.t GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |         (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        |) ORDER BY stage""".stripMargin)
 }

@@ -105,4 +105,47 @@ object Aggregates {
       .groupBy(col("cohort"), (col(bucketCol) - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** Sequential conversion funnel: stage 1 users are those with any
+    * `stages(0)` event; stage i+1 users are stage-i users with a
+    * `stages(i)` event STRICTLY after their stage-i completion time
+    * (min-ts semantics — the classic ordered funnel, not mere
+    * presence). Returns one row per stage: (stage, stage_name,
+    * n_users).
+    *
+    * Scale shape: one shuffle on `userCol` per stage over a
+    * monotonically SHRINKING user set (stage tables are min-ts
+    * aggregates, one row per surviving user); each stage table is
+    * scope-cached because its lineage feeds both its own count and the
+    * next stage's join. Stage count is small and fixed — the driver
+    * loop builds the plan, it never touches data.
+    */
+  def funnelCounts(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    def stageRow(reached: DataFrame, idx: Int, name: String): DataFrame =
+      reached
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(idx.toLong).as("stage"), lit(name).as("stage_name"), col("n_users"))
+    var reached = graft.core.Caches.cache(
+      df.filter(col(typeCol) === stages.head)
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as("__t")))
+    var out = stageRow(reached, 1, stages.head)
+    stages.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = reached.select(col(userCol), col("__t").as("__pt"))
+      reached = graft.core.Caches.cache(
+        df.filter(col(typeCol) === st)
+          .join(prev, Seq(userCol))
+          .filter(col(tsCol) > col("__pt"))
+          .groupBy(col(userCol))
+          .agg(min(col(tsCol)).as("__t")))
+      out = out.unionAll(stageRow(reached, i + 2, st))
+    }
+    out
+  }
 }

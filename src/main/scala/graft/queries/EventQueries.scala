@@ -221,4 +221,18 @@ object EventQueries {
         "week")
       .select(col("cohort"), col("offset").as("week_offset"), col("active_users"))
       .orderBy(col("cohort"), col("week_offset"))
+
+  /** Ordered conversion funnel over the event log: view -> click ->
+    * purchase with STRICT inter-stage ordering (graft.ops.Aggregates
+    * .funnelCounts).
+    */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    Ag.funnelCounts(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("epoch_s")),
+        "user_id",
+        "epoch_s",
+        "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("stage"))
 }

@@ -58,4 +58,28 @@ class AggregatesSpec extends SparkSpec {
       (10L, 0L, 2L), (10L, 1L, 1L), (10L, 2L, 1L),
       (11L, 0L, 1L)))
   }
+
+  test("funnelCounts: strict inter-stage ordering, shrinking stages") {
+    val df = Seq(
+      // u1 completes view(1) -> click(2) -> purchase(3)
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      // u2 clicks BEFORE the first view — click must not count
+      (2L, "click", 1L), (2L, "view", 2L),
+      // u3 views only; u4 has purchase with no view at all
+      (3L, "view", 5L), (4L, "purchase", 9L))
+      .toDF("user_id", "event_type", "epoch_s")
+    val out = Aggregates
+      .funnelCounts(df, "user_id", "epoch_s", "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("funnelCounts: same-timestamp stage event does not advance (strict >)") {
+    val df = Seq((1L, "view", 5L), (1L, "click", 5L)).toDF("user_id", "event_type", "epoch_s")
+    val out = Aggregates
+      .funnelCounts(df, "user_id", "epoch_s", "event_type", Seq("view", "click"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "view", 1L), (2L, "click", 0L)))
+  }
 }
