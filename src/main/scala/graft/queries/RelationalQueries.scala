@@ -87,10 +87,22 @@ object RelationalQueries {
       .orderBy(col("cnt").desc, col("l_partkey").asc)
       .limit(20)
 
-  /** W3 + P6: top-3 parts per supplier by exact revenue. */
+  /** W3 + P6: top-3 parts per supplier by exact revenue.
+    *
+    * One-exchange shape: pre-partitioning on the WINDOW key (suppkey)
+    * also satisfies the pair-key aggregation (hash partitioning on a
+    * subset of the grouping keys clusters every group), so the agg and
+    * the window share a single shuffle instead of exchanging once on
+    * (suppkey, partkey) and again on suppkey. Worth it here because
+    * lineitem has ~1–7 rows per pair — the map-side partial reduction
+    * the plain groupBy shuffle would get is negligible, and the pair
+    * table that would re-shuffle for the window is nearly input-sized.
+    */
   def topKPerGroup(s: SparkSession, d: String): DataFrame = {
     val rev = Tables
       .lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_extendedprice"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(Ag.exactSum(col("l_extendedprice")).as("revenue"))
     Windows

@@ -42,6 +42,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, plan has $exchanges:\n$p")
   }
 
+  test("topKPerGroup query: agg and window share ONE exchange on the window key") {
+    val p = plan(RelationalQueries.topKPerGroup(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"pre-partitioning on l_suppkey must serve both the pair agg and the window:\n$p")
+  }
+
   test("popularity candidates: top-k dim joined via broadcast, no shuffle") {
     val p = plan(EventQueries.popularityCandidates(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
