@@ -46,4 +46,42 @@ object StreamingDedup {
         col(keyCol),
         col("w.start").as("window_start"),
         col("n_events"))
+
+  /** Stream-stream interval join (click-attribution shape): each left
+    * event joins right events with the same `keyCol` whose event time
+    * falls in `(left_ts, left_ts + horizonSeconds]` — strictly after
+    * the anchor, at most the horizon later. Both sides carry
+    * watermarks, so Spark bounds the join state to
+    * watermark + horizon per side instead of buffering the streams
+    * forever — the mandatory time-bound for stream-stream joins at
+    * scale (an unconstrained join key would keep every row in state).
+    *
+    * Column contract: left yields (keyCol, l_ts, left event id as
+    * `l_id`), right yields (r_ts, `r_id`); the inner join emits one row
+    * per attributed pair. Inner joins emit on arrival (no wait for
+    * window close), so bounded-input parity with the batch interval
+    * join is exact.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      horizonSeconds: Long,
+      watermark: String): DataFrame = {
+    val l = left
+      .select(col(keyCol), col(tsCol).as("l_ts"), col(idCol).as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right
+      .select(col(keyCol).as("__rk"), col(tsCol).as("r_ts"), col(idCol).as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(
+      r,
+      col(keyCol) === col("__rk") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"),
+      "inner")
+      .select(col(keyCol), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
 }

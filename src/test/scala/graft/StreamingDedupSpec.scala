@@ -70,4 +70,33 @@ class StreamingDedupSpec extends SparkSpec {
     val b = batch.orderBy("event_type", "window_start").collect().toSeq
     assert(s == b, s"streaming ${s.length} rows vs batch ${b.length}")
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val views = streamEvents(sf("sf0.001")).filter(col("event_type") === "view")
+    val purchases = streamEvents(sf("sf0.001")).filter(col("event_type") === "purchase")
+    val streamed = runToTable(
+      StreamingDedup.intervalJoin(
+        views, purchases, "user_id", "ts", "event_id",
+        horizonSeconds = 3600L, watermark = "1 hour"),
+      "ssjoin_out")
+
+    val ev = graft.core.Tables.events(spark, sf("sf0.001"))
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("rk"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    val batch = l.join(
+      r,
+      col("user_id") === col("rk") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 3600 SECONDS"),
+      "inner")
+    assert(batch.count() > 0, "fixture has no attributable view->purchase pairs")
+    assert(streamed.count() == batch.count())
+    val sPairs = streamed.select("l_id", "r_id")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    val bPairs = batch.select("l_id", "r_id")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    assert(sPairs == bPairs)
+  }
 }
