@@ -96,7 +96,8 @@ object SparkEntry {
     "q57_bigram_vocab" -> (TQ.bigramVocab _),
     "q58_label_centroids" -> (TQ.labelCentroids _),
     "q59_repetition" -> (TQ.repetitionScore _),
-    "q60_funnel" -> (EQ.funnel _))
+    "q60_funnel" -> (EQ.funnel _),
+    "q61_pmi_pairs" -> (TQ.pmiPairs _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1038,5 +1039,26 @@ object SparkEntry {
         |         (SELECT COUNT(*) FROM s1) AS n_users
         |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
-        |) ORDER BY stage""".stripMargin)
+        |) ORDER BY stage""".stripMargin,
+    // doc-level PMI: ln is micro-quantized on BOTH sides (the q53
+    // pattern), all other arithmetic is exact integer
+    "q61_pmi_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), td AS (
+        |  SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs
+        |), n AS (
+        |  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM td
+        |), dft AS (
+        |  SELECT term, COUNT(*) AS df FROM td GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS co_docs
+        |  FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |)
+        |SELECT p.term_a, p.term_b, CAST(p.co_docs AS BIGINT) AS co_docs,
+        |  CAST(round(ln(CAST(p.co_docs AS DOUBLE) * n.n_docs / (da.df * db.df)) * 1000000) AS BIGINT) AS pmi_micro
+        |FROM pairs p, n, dft da, dft db
+        |WHERE da.term = p.term_a AND db.term = p.term_b
+        |ORDER BY term_a, term_b""".stripMargin)
 }

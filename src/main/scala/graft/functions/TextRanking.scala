@@ -117,4 +117,45 @@ object TextRanking {
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
         coalesce(col("score_micro"), lit(0L)).as("score_micro"))
   }
+
+  /** Pointwise mutual information over within-doc term co-occurrence:
+    * for term pairs sharing at least `minCoDocs` documents,
+    * `pmi = ln(co_docs · N / (df_a · df_b))` with document-level
+    * probabilities, emitted as an integer micro score (the module's
+    * ln-quantization rule). The phrase-/collocation-mining primitive.
+    *
+    * Scale shape: the pair enumeration is [[graft.ops.Joins
+    * .covisitationPairsDistinct]] over the (doc, term) postings with
+    * the frequent-item prefilter ON — vocabulary is the textbook
+    * long-tail dimension (hapax legomena dominate), so pruning terms
+    * with df < minCoDocs shrinks the quadratic fan-out before it
+    * happens, exactly the regime the opt-in prefilter exists for. Term
+    * document-frequencies and the corpus size arrive via broadcast.
+    */
+  def pmiPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minCoDocs: Long): DataFrame = {
+    val td = docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    val dfT = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = td.agg(countDistinct(col("doc_id")).as("n_docs"))
+    graft.ops.Joins
+      .covisitationPairsDistinct(
+        td, "doc_id", "term",
+        minCount = minCoDocs, maxGroupSize = None, frequentItemPrefilter = true)
+      .select(col("item_a").as("term_a"), col("item_b").as("term_b"),
+        col("pair_count").as("co_docs"))
+      .join(broadcast(dfT.select(col("term").as("term_a"), col("df").as("df_a"))), Seq("term_a"))
+      .join(broadcast(dfT.select(col("term").as("term_b"), col("df").as("df_b"))), Seq("term_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("term_a"),
+        col("term_b"),
+        col("co_docs"),
+        round(log(col("co_docs").cast("double") * col("n_docs") / (col("df_a") * col("df_b")))
+          * 1000000).cast("long").as("pmi_micro"))
+  }
 }

@@ -370,4 +370,12 @@ object TextQueries {
         expr("top_c * 1000000 div (n_tokens - 1)").as("top_bigram_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** PMI collocations over the document corpus (ln micro-quantized;
+    * the oracle replicates the integer pipeline bit-for-bit).
+    */
+  def pmiPairs(s: SparkSession, d: String): DataFrame =
+    TextRanking
+      .pmiPairs(Tables.documents(s, d), "text", "doc_id", minCoDocs = 5L)
+      .orderBy(col("term_a"), col("term_b"))
 }
