@@ -97,7 +97,9 @@ object SparkEntry {
     "q58_label_centroids" -> (TQ.labelCentroids _),
     "q59_repetition" -> (TQ.repetitionScore _),
     "q60_funnel" -> (EQ.funnel _),
-    "q61_pmi_pairs" -> (TQ.pmiPairs _))
+    "q61_pmi_pairs" -> (TQ.pmiPairs _),
+    "q62_incremental_dedup" -> (TQ.incrementalDedup _),
+    "q63_group_sample" -> (EQ.groupSample _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1060,5 +1062,23 @@ object SparkEntry {
         |  CAST(round(ln(CAST(p.co_docs AS DOUBLE) * n.n_docs / (da.df * db.df)) * 1000000) AS BIGINT) AS pmi_micro
         |FROM pairs p, n, dft da, dft db
         |WHERE da.term = p.term_a AND db.term = p.term_b
-        |ORDER BY term_a, term_b""".stripMargin)
+        |ORDER BY term_a, term_b""".stripMargin,
+    "q62_incremental_dedup" ->
+      """WITH nf AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         MIN(doc_id) AS survivor_id, CAST(COUNT(*) AS BIGINT) AS batch_dup_count
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+        |), seen AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE source NOT IN ('src0', 'src1', 'src2')
+        |)
+        |SELECT nf.fp, nf.survivor_id, nf.batch_dup_count
+        |FROM nf ANTI JOIN seen USING (fp) ORDER BY fp""".stripMargin,
+    "q63_group_sample" ->
+      """SELECT event_type, event_id, rn FROM (
+        |  SELECT event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events
+        |) WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin)
 }

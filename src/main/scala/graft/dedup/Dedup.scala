@@ -467,4 +467,31 @@ object Dedup {
           .reduce(_ + _)
           .as("simhash"))
   }
+
+  /** Incremental-ingest dedup: fingerprint the NEW batch, dedup within
+    * it (min-id survivor, [[exact]]'s rule), then anti-join against the
+    * already-ingested corpus's fingerprint set — only genuinely novel
+    * documents survive. The continuous-crawl counterpart of the
+    * one-shot [[exact]].
+    *
+    * Scale shape: one hash agg over the batch + one shuffled LEFT ANTI
+    * join on the 32-char fp key. In production the corpus side is a
+    * maintained fingerprint INDEX table (append the survivors back
+    * each batch), not a re-scan of corpus text — pass that table as
+    * `corpus` with `textCol` = the stored fp. Spark's runtime bloom
+    * filter (spark.sql.optimizer.runtime.bloomFilter.enabled) prunes
+    * most non-matching batch rows before the anti-join shuffle.
+    */
+  def incrementalNew(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val batch = newDocs
+      .select(fingerprint(col(textCol)).as("fp"), col(idCol).as("id"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("batch_dup_count"))
+    val seen = corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
+    batch.join(seen, Seq("fp"), "left_anti")
+  }
 }

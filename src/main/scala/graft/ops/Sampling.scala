@@ -40,4 +40,25 @@ object Sampling {
   /** Uniform deterministic sample at `permille`/1000 rate. */
   def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame =
     df.filter(hashBucketPermille(col(keyCol)) < lit(permille))
+
+  /** Deterministic per-group sample: the k rows per group with the
+    * smallest md5(id) — a fixed-size "reservoir" whose membership is a
+    * pure function of the ids (reproducible across engines, re-runs,
+    * and partitionings; same philosophy as [[hashBucketPermille]], but
+    * exact-k per group rather than rate-based). One exchange + sort on
+    * the group key. Output keeps `rn` (1-based hash rank) for
+    * downstream subsampling: `rn <= j` for any j <= k is the SAME
+    * sample a direct j-sample would pick — nested samples for free.
+    */
+  def deterministicGroupSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
 }

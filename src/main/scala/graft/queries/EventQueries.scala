@@ -235,4 +235,15 @@ object EventQueries {
         "event_type",
         Seq("view", "click", "purchase"))
       .orderBy(col("stage"))
+
+  /** Deterministic per-type event sample (k smallest md5 ranks). */
+  def groupSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling
+      .deterministicGroupSample(
+        Tables.events(s, d).select(col("event_type"), col("event_id")),
+        "event_type",
+        "event_id",
+        k = 20)
+      .select(col("event_type"), col("event_id"), col("rn").cast("long").as("rn"))
+      .orderBy(col("event_type"), col("rn"))
 }

@@ -378,4 +378,15 @@ object TextQueries {
     TextRanking
       .pmiPairs(Tables.documents(s, d), "text", "doc_id", minCoDocs = 5L)
       .orderBy(col("term_a"), col("term_b"))
+
+  /** Incremental-ingest dedup: batch sources src0-2 against the rest
+    * of the corpus as the already-seen index.
+    */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = col("source").isin("src0", "src1", "src2")
+    Dedup
+      .incrementalNew(docs.filter(isBatch), docs.filter(!isBatch), "text", "doc_id")
+      .orderBy(col("fp"))
+  }
 }

@@ -91,4 +91,18 @@ class DedupSpec extends SparkSpec {
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map { case (a, b, c) => ((a, b), c) }.toMap
   }
+
+  test("incrementalNew: batch dedups internally, corpus-seen docs dropped") {
+    import spark.implicits._
+    val batch = Seq(
+      (10L, "alpha beta"), (11L, "alpha  beta"), // same normalized fp -> min id 10
+      (12L, "fresh text"), (13L, "already known"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((1L, "ALREADY   known"), (2L, "other doc")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, corpus, "text", "doc_id")
+      .select("survivor_id", "batch_dup_count")
+      .as[(Long, Long)].collect().toSet
+    // 13 dies (fp seen in corpus, case/whitespace-insensitively); 10 survives for {10,11}
+    assert(out == Set((10L, 2L), (12L, 1L)))
+  }
 }

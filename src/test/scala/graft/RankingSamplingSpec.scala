@@ -123,4 +123,17 @@ class RankingSamplingSpec extends SparkSpec {
     assert(q.getAs[Double]("p90") == 9.0)
     assert(q.getAs[Double]("p100") == 10.0)
   }
+
+  test("deterministicGroupSample: exact k per group, nested and partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (if (i % 2 == 0) "a" else "b", i)).toDF("g", "id")
+    def run(input: org.apache.spark.sql.DataFrame, k: Int) = graft.ops.Sampling
+      .deterministicGroupSample(input, "g", "id", k)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val k10 = run(df, 10)
+    assert(k10.count(_._1 == "a") == 10 && k10.count(_._1 == "b") == 10)
+    assert(run(df.repartition(13), 10) == k10)
+    // nested-sample property: the 5-sample is a subset of the 10-sample
+    assert(run(df, 5).subsetOf(k10))
+  }
 }
