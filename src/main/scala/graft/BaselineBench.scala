@@ -104,9 +104,13 @@ object BaselineBench {
     // for train+valid (same sharing as RetailRocket.buildAll)
     val tm = RetailRocket.trainMatrices(events, itemCat, RetailRocket.TrainEnd)
     // one cached prefix⋈itemCat subtree per split, shared with the
-    // features stage (same sharing as RetailRocket.buildAll).
-    // SPARK_GRAFT_NOSHARE=1 reverts to per-stage prefix builds (A/B).
-    val share = !sys.env.get("SPARK_GRAFT_NOSHARE").contains("1")
+    // features stage (same sharing as RetailRocket.buildAll). Measured
+    // crossover: sharing wins above ~5M events (20M: −34 s) but costs
+    // the cache materialization below it (1.9M: +4 s), so the bench
+    // picks by size. SPARK_GRAFT_NOSHARE=1 forces it off (A/B).
+    val share =
+      if (sys.env.get("SPARK_GRAFT_NOSHARE").contains("1")) false
+      else nEvents >= 5000000L
     val (prefixes, _) = t("prefix tables") {
       if (!share) (None, None)
       else {
