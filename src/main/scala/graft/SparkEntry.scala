@@ -99,7 +99,9 @@ object SparkEntry {
     "q60_funnel" -> (EQ.funnel _),
     "q61_pmi_pairs" -> (TQ.pmiPairs _),
     "q62_incremental_dedup" -> (TQ.incrementalDedup _),
-    "q63_group_sample" -> (EQ.groupSample _))
+    "q63_group_sample" -> (EQ.groupSample _),
+    "q64_rolling_window" -> (EQ.rollingWindow _),
+    "q65_skew_keys" -> (EQ.skewKeys _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1080,5 +1082,30 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY event_type
         |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         |  FROM events
-        |) WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin)
+        |) WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin,
+    // RANGE framing needs no tie-break: equal-epoch rows share a frame
+    "q64_rolling_window" ->
+      """SELECT event_id, user_id, epoch_s,
+        |  CAST(SUM(value_cents) OVER w AS BIGINT) AS win7d_cents,
+        |  COUNT(*) OVER w AS win7d_events
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events
+        |)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |             RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q65_skew_keys" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+        |), totals AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows
+        |  FROM counts
+        |)
+        |SELECT c.user_id, CAST(c.cnt AS BIGINT) AS cnt,
+        |       CAST(c.cnt * t.n_keys * 1000000 // t.n_rows AS BIGINT) AS skew_micro
+        |FROM counts c, totals t
+        |ORDER BY c.cnt DESC, c.user_id ASC LIMIT 10""".stripMargin)
 }

@@ -61,4 +61,30 @@ object Sampling {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** Skew diagnostic: the `k` hottest keys with their counts and an
+    * integer skew ratio vs the mean key count
+    * (`cnt · n_keys · 1e6 div n_rows` — how many times hotter than
+    * average, in micros). The pre-flight check before shuffling 100 TB
+    * on a key: a handful of 1000×-mean keys means salting or AQE skew
+    * handling, BEFORE the job runs, not after it hangs.
+    *
+    * Scale shape: one map-side-combined count per key, a broadcast
+    * 1-row global aggregate, and TakeOrderedAndProject for the top-k —
+    * no global sort, no driver-side counting.
+    */
+  def skewTopKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col(keyCol),
+        col("cnt"),
+        expr("cnt * n_keys * 1000000 div n_rows").as("skew_micro"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

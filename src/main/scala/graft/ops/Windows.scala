@@ -106,4 +106,28 @@ object Windows {
       .groupBy(col(itemCol).as("item_a"), col("__next").as("item_b"))
       .agg(count(lit(1)).as("transition_count"))
   }
+
+  /** Trailing range-frame aggregates: for each row, aggregate over all
+    * rows of the same `partCol` whose numeric `orderCol` lies in
+    * `[current - precedingRange, current]` — the moving-window shape
+    * (7-day trailing spend, rolling event rate).
+    *
+    * RANGE (not ROWS) framing: the frame is defined by the ORDER VALUE
+    * interval, so rows with equal `orderCol` share one frame and the
+    * result needs NO tie-break to be deterministic — sum/count over a
+    * value-defined set is order-free. One exchange + sort on the
+    * partition key, same as every window here.
+    */
+  def trailingRangeAgg(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      precedingRange: Long,
+      aggs: Seq[(Column, String)]): DataFrame = {
+    val w = Window
+      .partitionBy(col(partCol))
+      .orderBy(col(orderCol))
+      .rangeBetween(-precedingRange, Window.currentRow)
+    aggs.foldLeft(df) { case (acc, (a, name)) => acc.withColumn(name, a.over(w)) }
+  }
 }

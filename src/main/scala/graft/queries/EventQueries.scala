@@ -246,4 +246,28 @@ object EventQueries {
         k = 20)
       .select(col("event_type"), col("event_id"), col("rn").cast("long").as("rn"))
       .orderBy(col("event_type"), col("rn"))
+
+  /** W2 range-frame: 7-day trailing per-user spend/event counts. */
+  def rollingWindow(s: SparkSession, d: String): DataFrame =
+    Windows
+      .trailingRangeAgg(
+        Tables.events(s, d).select(
+          col("event_id"),
+          col("user_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          round(col("value") * 100).cast("long").as("value_cents")),
+        "user_id",
+        "epoch_s",
+        precedingRange = 604799L,
+        aggs = Seq(
+          (sum(col("value_cents")), "win7d_cents"),
+          (count(lit(1)), "win7d_events")))
+      .select(col("event_id"), col("user_id"), col("epoch_s"),
+        col("win7d_cents"), col("win7d_events"))
+      .orderBy(col("event_id"))
+
+  /** Skew diagnostic over the event log's user key. */
+  def skewKeys(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling
+      .skewTopKeys(Tables.events(s, d).select(col("user_id")), "user_id", k = 10)
 }
