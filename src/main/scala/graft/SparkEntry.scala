@@ -164,11 +164,12 @@ object SparkEntry {
   /** The same md5-derived hyperplane constants as Similarity.lshBucket,
     * embedded as literal plane vectors; bucket = packed sign bits.
     */
-  private def bucketSql(v: String, planes: Int, dim: Int): String = {
+  private def bucketSql(v: String, planes: Int, dim: Int, planeOffset: Int = 0): String = {
     import graft.similarity.Similarity.planeComponent
     (0 until planes)
       .map { p =>
-        val plane = (0 until dim).map(i => planeComponent(p, i)).mkString("[", ",", "]")
+        val plane =
+          (0 until dim).map(i => planeComponent(planeOffset + p, i)).mkString("[", ",", "]")
         s"(CASE WHEN ${dotSql(v, s"($plane)", dim)} > 0 THEN ${1L << p} ELSE 0 END)"
       }
       .mkString("(", " +\n      ", ")")
@@ -679,14 +680,21 @@ object SparkEntry {
         |)
         |SELECT doc_id, fp, CAST(('0x' || substring(fp, 1, 8)) AS BIGINT) AS fp32
         |FROM t ORDER BY doc_id""".stripMargin,
+    // multi-table LSH (4 tables x 4 planes, global plane indices 0-15):
+    // same literal hyperplanes, candidate union, exact rerank
     "q36_knn_lsh" ->
       s"""WITH $quantCte, b AS (
-         |  SELECT vec_id, v, CAST(${bucketSql("v", 8, 64)} AS BIGINT) AS bucket FROM qv
-         |), scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${cosineSql("q.v", "c.v", 64)} AS cosine_sim
-         |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  SELECT vec_id, v, 0 AS tbl, CAST(${bucketSql("v", 4, 64, 0)} AS BIGINT) AS bucket FROM qv UNION ALL\n         |  SELECT vec_id, v, 1 AS tbl, CAST(${bucketSql("v", 4, 64, 4)} AS BIGINT) AS bucket FROM qv UNION ALL\n         |  SELECT vec_id, v, 2 AS tbl, CAST(${bucketSql("v", 4, 64, 8)} AS BIGINT) AS bucket FROM qv UNION ALL\n         |  SELECT vec_id, v, 3 AS tbl, CAST(${bucketSql("v", 4, 64, 12)} AS BIGINT) AS bucket FROM qv
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 64
+         |), scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${cosineSql("qq.v", "cc.v", 64)} AS cosine_sim
+         |  FROM cand
+         |  JOIN qv qq ON qq.vec_id = cand.query_id
+         |  JOIN qv cc ON cc.vec_id = cand.neighbor_id
          |), r AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
          |  FROM scored

@@ -80,7 +80,7 @@ object TextQueries {
     Similarity
       .lshBucketedTopK(
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
-        k = 5, planes = 8, dim = 64)
+        k = 5, planes = 4, dim = 64, tables = 4)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }

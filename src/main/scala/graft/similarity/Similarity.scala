@@ -247,17 +247,30 @@ object Similarity {
     * literal plane vector (not a `dim`-term expression tree — at
     * 64 dims × 8 planes that tree blows past codegen method limits).
     */
-  def lshBucket(qemb: Column, planes: Int, dim: Int): Column =
+  def lshBucket(qemb: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     (0 until planes)
       .map { p =>
-        val plane = typedlit((0 until dim).map(i => planeComponent(p, i)))
+        val plane = typedlit((0 until dim).map(i => planeComponent(planeOffset + p, i)))
         when(qdot(qemb, plane) > 0, shiftleft(lit(1L), p)).otherwise(0L)
       }
       .reduce(_ + _)
 
-  /** LSH-bucketed ANN: score only same-bucket pairs, then top-k per
-    * query. Recall < 1 (approximate); cost drops by ~2^planes.
-    * Output: (query_id, neighbor_id, cosine_sim, rn).
+  /** Multi-table LSH-bucketed ANN: `tables` independent hyperplane
+    * hash tables (table t uses global planes [t·planes, (t+1)·planes)),
+    * candidates = union of same-bucket pairs across tables, deduped,
+    * then EXACT cosine rerank and top-k per query.
+    *
+    * Recall engineering: a single table with P planes partitions into
+    * 2^P buckets — collision probability for true neighbors falls
+    * exponentially in P, and recall@5 measured 0.02 on the 500-vector
+    * fixture (planes=8, one table). Standard banding fixes it: T tables
+    * of fewer planes each; a true neighbor is found if it collides in
+    * ANY table (recall 1-(1-p^P)^T). SimilaritySpec measures the floor.
+    *
+    * Scale shape: candidate generation is an equi-join on the
+    * (table, bucket) key — posexplode fans each vector into T rows,
+    * the join output is bounded by per-bucket occupancy × T, and the
+    * exact rerank touches candidates only. No all-pairs stage.
     */
   def lshBucketedTopK(
       queries: DataFrame,
@@ -266,16 +279,22 @@ object Similarity {
       embCol: String,
       k: Int,
       planes: Int,
-      dim: Int): DataFrame = {
-    val q = broadcast(
-      queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
-        .withColumn("bucket", lshBucket(col("q_emb"), planes, dim)))
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
-      .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
+      dim: Int,
+      tables: Int = 1): DataFrame = {
+    def withBuckets(df: DataFrame, emb: String) = df.select(
+      col("*"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col(emb), planes, dim, planeOffset = t * planes)): _*))
+        .as(Seq("tbl", "bucket")))
+    val q = broadcast(withBuckets(
+      queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb")), "q_emb"))
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb")), "c_emb")
     val scored = c
-      .join(q, Seq("bucket"))
+      .join(q, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .dropDuplicates("query_id", "neighbor_id") // same pair via several tables
       .select(
         col("query_id"),
         col("neighbor_id"),

@@ -65,4 +65,37 @@ class SimilaritySpec extends SparkSpec {
       (2L, Seq(-1500L, 500L), 1L)))
     assert(run(vecs.repartition(7)) == out)
   }
+
+  test("ANN recall@5 vs brute force: LSH and IVF clear measured floors") {
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 64)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    def recallOf(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    val lsh = recallOf(topSets(
+      Similarity.lshBucketedTopK(queries, emb, "vec_id", "embedding",
+        k = 5, planes = 4, dim = 64, tables = 4)))
+    val ivf = recallOf(topSets(
+      Similarity.ivfTopKDeterministic(queries, emb, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 2)))
+    info(f"recall@5 lsh=$lsh%.3f ivf=$ivf%.3f (corpus=500, queries=64)")
+    // floors chosen below the measured values to catch REGRESSIONS in
+    // the bucketing/probing logic, not to certify index quality
+    assert(lsh >= 0.25, f"LSH recall collapsed: $lsh%.3f")
+    assert(ivf >= 0.40, f"IVF recall collapsed: $ivf%.3f")
+    // determinism: the approximate result is bit-stable across re-runs
+    val lsh2 = recallOf(topSets(
+      Similarity.lshBucketedTopK(queries, emb, "vec_id", "embedding",
+        k = 5, planes = 4, dim = 64, tables = 4)))
+    assert(lsh2 == lsh)
+  }
 }

@@ -86,4 +86,22 @@ class WindowsSpec extends SparkSpec {
     val df = Seq(("s1", 1L, 1L, "a")).toDF("sess", "t", "id", "item")
     assert(Windows.transitionCounts(df, "sess", Seq(col("t"), col("id")), "item").count() == 0)
   }
+
+  test("trailingRangeAgg equals the naive interval self-join, ties share frames") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 120).map { i =>
+      (i.toLong, (i % 5).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("id", "k", "t", "v")
+    val out = Windows
+      .trailingRangeAgg(df, "k", "t", precedingRange = 10L,
+        aggs = Seq((sum(col("v")), "w_sum"), (count(lit(1)), "w_n")))
+      .select("id", "w_sum", "w_n").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // naive: for each row, scan all same-key rows in [t-10, t]
+    rows.foreach { case (id, k, t, _) =>
+      val frame = rows.filter(r => r._2 == k && r._3 >= t - 10 && r._3 <= t)
+      assert(out(id) == (frame.map(_._4).sum, frame.size.toLong), s"row $id")
+    }
+  }
 }
