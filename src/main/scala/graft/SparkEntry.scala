@@ -101,7 +101,8 @@ object SparkEntry {
     "q62_incremental_dedup" -> (TQ.incrementalDedup _),
     "q63_group_sample" -> (EQ.groupSample _),
     "q64_rolling_window" -> (EQ.rollingWindow _),
-    "q65_skew_keys" -> (EQ.skewKeys _))
+    "q65_skew_keys" -> (EQ.skewKeys _),
+    "q66_reconcile" -> (RQ.reconcile _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1115,5 +1116,19 @@ object SparkEntry {
         |SELECT c.user_id, CAST(c.cnt AS BIGINT) AS cnt,
         |       CAST(c.cnt * t.n_keys * 1000000 // t.n_rows AS BIGINT) AS skew_micro
         |FROM counts c, totals t
-        |ORDER BY c.cnt DESC, c.user_id ASC LIMIT 10""".stripMargin)
+        |ORDER BY c.cnt DESC, c.user_id ASC LIMIT 10""".stripMargin,
+    "q66_reconcile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS li_total
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT COALESCE(li.l_orderkey, o.o_orderkey) AS order_key,
+        |  COALESCE(li.n_lines, 0) AS n_lines,
+        |  round(COALESCE(li.li_total, -1.0), 2) AS li_total,
+        |  round(COALESCE(o.o_totalprice, -1.0), 2) AS o_total,
+        |  CASE WHEN li.l_orderkey IS NULL THEN 'no_lineitems'
+        |       WHEN o.o_orderkey IS NULL THEN 'no_order' ELSE 'both' END AS status
+        |FROM li FULL OUTER JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |ORDER BY order_key""".stripMargin)
 }

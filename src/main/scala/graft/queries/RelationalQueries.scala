@@ -219,4 +219,27 @@ object RelationalQueries {
       Seq(col("l_orderkey"), col("l_linenumber")),
       Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
       .orderBy(col("l_returnflag"))
+
+  /** J-family completion: FULL OUTER reconciliation of the lineitem
+    * roll-up against the orders ledger — rows missing on EITHER side
+    * survive with presence flags (the data-quality / audit join).
+    * One sort-merge join on the order key, both sides cluster on it.
+    */
+  def reconcile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), Ag.exactSum(col("l_extendedprice")).as("li_total"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("l_orderkey"), col("o_orderkey")).as("order_key"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        round(coalesce(col("li_total"), lit(-1.0)), 2).as("li_total"),
+        round(coalesce(col("o_totalprice"), lit(-1.0)), 2).as("o_total"),
+        when(col("l_orderkey").isNull, "no_lineitems")
+          .when(col("o_orderkey").isNull, "no_order")
+          .otherwise("both").as("status"))
+      .orderBy(col("order_key"))
+  }
 }
