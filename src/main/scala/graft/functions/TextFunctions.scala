@@ -37,6 +37,14 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.WordShingles(text, n)
 
+  /** One-pass row-local repetition stats:
+    * struct(n_tokens, n_distinct_tokens, top_ngram_count). See
+    * org.apache.spark.sql.graft.RepetitionStats — keeps per-doc
+    * statistics scan-side instead of exploding n-grams into a shuffle.
+    */
+  def repetitionStats(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.RepetitionStats(text, n)
+
   /** Language score for a candidate language = total occurrences of its
     * marker words as whole tokens. Both sides of the oracle use the
     * same marker lists, so ID is deterministic.

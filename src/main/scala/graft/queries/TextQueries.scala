@@ -344,32 +344,17 @@ object TextQueries {
     * oracle matches bit-for-bit). Docs with < 2 tokens are excluded
     * (no bigram denominator).
     */
-  def repetitionScore(s: SparkSession, d: String): DataFrame = {
-    val tf = graft.functions.TextFunctions
-    val base = Tables.documents(s, d)
+  def repetitionScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TF.repetitionStats(col("text"), 2).as("rs"))
+      .filter(col("rs.n_tokens") >= 2)
       .select(
         col("doc_id"),
-        tf.tokens(col("text")).as("toks"),
-        tf.wordShingles(col("text"), 2).as("bgs"))
-      .filter(size(col("toks")) >= 2)
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        col("bgs"))
-    base
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), explode(col("bgs")).as("bigram"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bigram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
-      .agg(max(col("c")).as("top_c"))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        expr("(n_tokens - n_distinct) * 1000000 div n_tokens").as("dup_token_micro"),
-        expr("top_c * 1000000 div (n_tokens - 1)").as("top_bigram_micro"))
+        col("rs.n_tokens").as("n_tokens"),
+        expr("(rs.n_tokens - rs.n_distinct_tokens) * 1000000 div rs.n_tokens")
+          .as("dup_token_micro"),
+        expr("rs.top_ngram_count * 1000000 div (rs.n_tokens - 1)").as("top_bigram_micro"))
       .orderBy(col("doc_id"))
-  }
 
   /** PMI collocations over the document corpus (ln micro-quantized;
     * the oracle replicates the integer pipeline bit-for-bit).

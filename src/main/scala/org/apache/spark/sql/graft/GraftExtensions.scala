@@ -46,6 +46,15 @@ object GraftFunctions {
         WordShingles(children.head, intLiteral(children(1), "shingle size"))
       }),
     (
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(
+        classOf[RepetitionStats].getCanonicalName,
+        "repetition_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "repetition_stats expects (text, n)")
+        RepetitionStats(children.head, intLiteral(children(1), "ngram size"))
+      }),
+    (
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(
         classOf[MinHashSignature].getCanonicalName,

@@ -87,4 +87,11 @@ class PlanSpec extends SparkSpec {
       graft.core.Tables.documents(spark, dir), "text", "doc_id", Seq("table", "scan")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("repetition query: per-doc stats stay scan-side, zero hash exchanges") {
+    val p = plan(graft.queries.TextQueries.repetitionScore(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0,
+      s"repetition_stats must not shuffle n-grams (only the display sort ranges):\n$p")
+  }
 }

@@ -61,4 +61,29 @@ class TextFunctionsSpec extends SparkSpec {
     val v = one("x").select(TextFunctions.fingerprint32(col("text"))).as[Long].head()
     assert(v >= 0L && v <= 0xffffffffL)
   }
+
+  test("repetition_stats: one-pass row-local stats equal the relational form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),      // 5 toks, 2 distinct, top bigram "a b" x2 ("b a" x2 too)
+      (2L, "x"),              // 1 token -> no bigrams
+      (3L, "   "),            // whitespace-only -> 1 empty token after trim-split
+      (4L, "p q r p q r p q")) // top bigram "p q" x3
+      .toDF("doc_id", "text")
+    val out = docs.select(
+      col("doc_id"),
+      graft.functions.TextFunctions.repetitionStats(col("text"), 2).as("rs"))
+      .select(col("doc_id"), col("rs.n_tokens"), col("rs.n_distinct_tokens"),
+        col("rs.top_ngram_count"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (5L, 2L, 2L))
+    assert(out(2L) == (1L, 1L, 0L))
+    assert(out(3L) == (1L, 1L, 0L))
+    assert(out(4L) == (8L, 3L, 3L))
+    // relational cross-check on doc 4
+    val rel = docs.filter(col("doc_id") === 4)
+      .select(explode(graft.functions.TextFunctions.wordShingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").count().agg(max("count")).as[Long].head()
+    assert(rel == 3L)
+  }
 }
