@@ -39,6 +39,16 @@ object Bench {
           org.apache.spark.sql.functions.lit(16L)))
           .orderBy(org.apache.spark.sql.functions.col("id"))).as("rn"))
       .selectExpr("max(rn)").collect()
+    // Shuffle observability: accumulate shuffle-write bytes per stage
+    // and attribute the delta to each query (listener bus drained
+    // before reading) — a plan regression shows up as megabytes moved
+    // even when wall-clock noise hides it.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
     // One cache scope around the whole loop: cross-query plan dedup
     // (e.g. q26 reusing q23's cached candidate set — the pipeline's own
     // candidates-feed-features structure) is an intentional design
@@ -47,14 +57,25 @@ object Bench {
     val results = graft.core.Caches.withScope {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
+        val b0 = { org.apache.spark.graft.ListenerSync.drain(spark.sparkContext); shuffleBytes.get }
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        val mb = {
+          org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+          (shuffleBytes.get - b0) / 1e6
+        }
+        (name, t, mb)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, mb) => s"\"" + k + "\":" + f"$mb%.1f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalSh = results.map(_._3).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""shuffle_mb":$sh,"shuffle_mb_total":$totalSh%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
