@@ -171,7 +171,17 @@ object RelationalQueries {
       .orderBy(col("nationkey"))
   }
 
-  /** J2: composite-key join back to a two-key aggregate. */
+  /** J2: composite-key join back to a two-key aggregate.
+    *
+    * Deliberately a JOIN, not the window-aggregate rewrite — this query
+    * is the coverage witness for composite-key equi-joins. (A
+    * pre-partitioned one-exchange shape à la [[topKPerGroup]] does NOT
+    * apply here: the base table is referenced on BOTH sides of a DAG
+    * split, and column pruning specializes each side's scan/exchange —
+    * one reads linenumber, the other quantity — so Catalyst cannot
+    * reuse the exchange. The linear-chain trick only composes when one
+    * consumer feeds the next.)
+    */
   def compositeJoin(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val agg = li

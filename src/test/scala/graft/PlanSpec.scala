@@ -94,4 +94,5 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 0,
       s"repetition_stats must not shuffle n-grams (only the display sort ranges):\n$p")
   }
+
 }

@@ -47,4 +47,21 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,900)]"),
       s"orc scan missing pushed filter:\n$plan")
   }
+
+  test("readJsonl: corrupt lines degrade to null rows, never a job failure") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl-corrupt")
+    Files.writeString(
+      dir.resolve("part-0.jsonl"),
+      "{\"a\": 1, \"b\": \"x\"}\nnot json at all\n{\"a\": 2, \"b\": \"y\"}\n")
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val df = Sinks.readJsonl(spark, dir.toString, schema)
+    // PERMISSIVE ingest: a 100 TB crawl WILL contain garbage lines; one
+    // bad record must cost one null row, not the stage (same contract
+    // as the MediaDecoder zero-vector rule)
+    assert(df.count() == 3)
+    assert(df.filter(col("a").isNull && col("b").isNull).count() == 1)
+    assert(df.filter(col("a").isNotNull).as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y")))
+  }
 }
