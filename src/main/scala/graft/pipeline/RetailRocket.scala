@@ -512,8 +512,17 @@ object RetailRocket {
       rawEvents: DataFrame,
       rawProps: DataFrame,
       covisSessionCap: Option[Int] = Some(1000),
-      maxPrefixEvents: Option[Int] = None): RunResult = {
-    val events = graft.core.Caches.cache(sessionizeEvents(rawEvents))
+      maxPrefixEvents: Option[Int] = None,
+      bucketedEventsTable: Option[String] = None): RunResult = {
+    // bucketedEventsTable: materialize the sessionized events bucketed
+    // by session_id and run every downstream stage off that scan
+    // (the 100 TB storage layout — see bucketizeEvents; identical
+    // results, RetailRocketSpec pins the equivalence). None = in-memory
+    // cache of the sessionize lineage (single-job default).
+    val events = bucketedEventsTable match {
+      case Some(t) => bucketizeEvents(sessionizeEvents(rawEvents), t)
+      case None => graft.core.Caches.cache(sessionizeEvents(rawEvents))
+    }
     val itemCat = graft.core.Caches.cache(itemCategory(rawProps))
     val atc = graft.core.Caches.cache(atcEvents(events, itemCat))
     val atcTrain = graft.core.Caches.cache(splitByWindow(atc, TrainStart, TrainEnd))

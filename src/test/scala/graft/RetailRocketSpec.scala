@@ -176,4 +176,21 @@ class RetailRocketSpec extends SparkSpec {
       .agg(sum("s")).as[Double].head()
     assert(embSum == 0.0)
   }
+
+  test("buildAll over a bucketed events table produces identical matrices") {
+    try {
+      val bucketed = RetailRocket.buildAll(
+        spark, rawEvents, rawProps,
+        bucketedEventsTable = Some("graft_rr_spec_bucketed"))
+      // full-width check: every one of the 38 columns agrees on both splits
+      def rows(df: org.apache.spark.sql.DataFrame) = {
+        val cols = df.columns.sorted
+        df.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq
+      }
+      assert(rows(bucketed.train) == rows(result.train))
+      assert(rows(bucketed.valid) == rows(result.valid))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_rr_spec_bucketed")
+    }
+  }
 }
