@@ -102,7 +102,8 @@ object SparkEntry {
     "q63_group_sample" -> (EQ.groupSample _),
     "q64_rolling_window" -> (EQ.rollingWindow _),
     "q65_skew_keys" -> (EQ.skewKeys _),
-    "q66_reconcile" -> (RQ.reconcile _))
+    "q66_reconcile" -> (RQ.reconcile _),
+    "q67_ngram_novelty" -> (TQ.noveltyScore _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1130,5 +1131,14 @@ object SparkEntry {
         |  CASE WHEN li.l_orderkey IS NULL THEN 'no_lineitems'
         |       WHEN o.o_orderkey IS NULL THEN 'no_order' ELSE 'both' END AS status
         |FROM li FULL OUTER JOIN orders o ON li.l_orderkey = o.o_orderkey
-        |ORDER BY order_key""".stripMargin)
+        |ORDER BY order_key""".stripMargin,
+    "q67_ngram_novelty" ->
+      s"""WITH ${shingleCte(4)}, dfreq AS (
+         |  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+         |)
+         |SELECT sh.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+         |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM sh JOIN dfreq d USING (shingle)
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)
 }

@@ -494,4 +494,34 @@ object Dedup {
     val seen = corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
     batch.join(seen, Seq("fp"), "left_anti")
   }
+
+  /** Per-document n-gram novelty: the share of a doc's DISTINCT word
+    * n-grams that appear in no other document, as an exact integer
+    * ppm ratio. High novelty = original text; low novelty = boilerplate
+    * / template / near-duplicate content — the corpus-level quality
+    * signal complementing the pairwise dedup operators (a doc can be
+    * 40% boilerplate yet near-duplicate of nothing).
+    *
+    * Scale shape: the same postings-list plan as [[jaccardPairs]]'s
+    * index WITHOUT the pair fan-out — shingle document-frequencies are
+    * a word-count agg, the ppm roll-up is a second agg on doc_id.
+    * Nothing quadratic.
+    */
+  def noveltyScores(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_ngrams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique_ngrams"))
+      .select(
+        col("doc_id"),
+        col("n_distinct_ngrams"),
+        expr("n_unique_ngrams * 1000000 div n_distinct_ngrams").as("novelty_ppm"))
+  }
 }

@@ -374,4 +374,10 @@ object TextQueries {
       .incrementalNew(docs.filter(isBatch), docs.filter(!isBatch), "text", "doc_id")
       .orderBy(col("fp"))
   }
+
+  /** Corpus-level 4-gram novelty / boilerplate share per document. */
+  def noveltyScore(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .noveltyScores(Tables.documents(s, d), "text", "doc_id", n = 4)
+      .orderBy(col("doc_id"))
 }
