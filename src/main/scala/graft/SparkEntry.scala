@@ -103,7 +103,8 @@ object SparkEntry {
     "q64_rolling_window" -> (EQ.rollingWindow _),
     "q65_skew_keys" -> (EQ.skewKeys _),
     "q66_reconcile" -> (RQ.reconcile _),
-    "q67_ngram_novelty" -> (TQ.noveltyScore _))
+    "q67_ngram_novelty" -> (TQ.noveltyScore _),
+    "q68_interval_attribution" -> (EQ.intervalAttribution _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1140,5 +1141,37 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
          |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
          |FROM sh JOIN dfreq d USING (shingle)
-         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    // sessions built from NON-error activity; errors attributed to the
+    // containing [start, end] window by interval join
+    "q68_interval_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |), ne AS (
+        |  SELECT * FROM e WHERE event_type <> 'error'
+        |), lagged AS (
+        |  SELECT *, lag(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev_s
+        |  FROM ne
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_s IS NULL OR epoch_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT *,
+        |    CAST(user_id AS VARCHAR) || '_' ||
+        |      CAST(CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS BIGINT) AS VARCHAR)
+        |      AS session_id
+        |  FROM flagged
+        |), intervals AS (
+        |  SELECT session_id, user_id, MIN(epoch_s) AS session_start_s,
+        |         MAX(epoch_s) + 1800 AS session_open_until_s
+        |  FROM sess GROUP BY 1, 2
+        |), err AS (
+        |  SELECT event_id, user_id, epoch_s FROM e WHERE event_type = 'error'
+        |)
+        |SELECT err.event_id, err.user_id, i.session_id, err.epoch_s - i.session_start_s AS offset_s
+        |FROM err JOIN intervals i ON err.user_id = i.user_id
+        |  AND err.epoch_s >= i.session_start_s AND err.epoch_s <= i.session_open_until_s
+        |ORDER BY err.event_id, i.session_id""".stripMargin)
 }

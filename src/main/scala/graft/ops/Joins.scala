@@ -249,4 +249,32 @@ object Joins {
       df.withColumn(c, coalesce(col(c), d))
     }
   }
+
+  /** Interval-containment join: each probe row matches the interval
+    * rows of the same `key` whose `[startCol, endCol]` contains its
+    * `tsCol` (inclusive bounds). The attribution shape — assign a
+    * late-arriving or separately-sourced event to the session /
+    * campaign / visit window it fell into.
+    *
+    * Planned as an equi-join on `key` with the BETWEEN as a residual
+    * filter — never a cartesian; the residual prunes within each key's
+    * (small) interval set. For interval tables without a usable equi
+    * key, bucketize time into fixed-width grid cells on both sides and
+    * join on (key, cell) — not needed here since the key carries the
+    * selectivity.
+    */
+  def intervalJoin(
+      probes: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      tsCol: String,
+      startCol: String,
+      endCol: String): DataFrame =
+    probes.join(
+      intervals,
+      probes(key) === intervals(key) &&
+        probes(tsCol) >= intervals(startCol) &&
+        probes(tsCol) <= intervals(endCol),
+      "inner")
+      .drop(intervals(key))
 }

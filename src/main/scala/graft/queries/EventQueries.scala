@@ -270,4 +270,34 @@ object EventQueries {
   def skewKeys(s: SparkSession, d: String): DataFrame =
     graft.ops.Sampling
       .skewTopKeys(Tables.events(s, d).select(col("user_id")), "user_id", k = 10)
+
+  /** Interval-containment attribution: assign each error event to the
+    * session window (built from the user's non-error activity) that
+    * contains it. A session stays OPEN for the 30-minute gap after its
+    * last event (the sessionizer's own rule), so the interval is
+    * [start, end + gap] — strict [start, end] would orphan errors
+    * around single-event sessions.
+    */
+  def intervalAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+    val sessions = Windows
+      .sessionize(
+        ev.filter(col("event_type") =!= "error")
+          .select(col("event_id"), col("user_id"),
+            timestamp_seconds(col("epoch_s")).as("ts")))
+      .groupBy(col("session_id"), col("user_id").as("s_user"))
+      .agg(
+        min(col("epoch_s")).as("session_start_s"),
+        (max(col("epoch_s")) + 1800L).as("session_open_until_s"))
+      .withColumnRenamed("s_user", "user_id")
+    Joins
+      .intervalJoin(
+        ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("epoch_s")),
+        sessions, "user_id", "epoch_s", "session_start_s", "session_open_until_s")
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        (col("epoch_s") - col("session_start_s")).as("offset_s"))
+      .orderBy(col("event_id"), col("session_id"))
+  }
 }
