@@ -117,4 +117,19 @@ class JoinsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 10L), (2L, -1L)))
   }
+
+  test("intervalJoin: inclusive containment, per-key only, no cartesian") {
+    val probes = Seq((1L, 10L, 5L), (2L, 20L, 15L), (3L, 10L, 99L), (4L, 30L, 5L))
+      .toDF("pid", "k", "t")
+    val intervals = Seq((10L, 0L, 5L, "w1"), (10L, 50L, 60L, "w2"), (20L, 10L, 15L, "w3"))
+      .toDF("k", "s", "e", "w")
+    val out = Joins.intervalJoin(probes, intervals, "k", "t", "s", "e")
+      .select("pid", "w").as[(Long, String)].collect().toSet
+    // pid 1: t=5 inside [0,5] (inclusive end); pid 2: t=15 inside [10,15];
+    // pid 3: t=99 in no window; pid 4: key 30 has no intervals
+    assert(out == Set((1L, "w1"), (2L, "w3")))
+    val plan = Joins.intervalJoin(probes, intervals, "k", "t", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"interval join must stay keyed:\n$plan")
+  }
 }
