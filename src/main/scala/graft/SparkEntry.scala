@@ -104,7 +104,8 @@ object SparkEntry {
     "q65_skew_keys" -> (EQ.skewKeys _),
     "q66_reconcile" -> (RQ.reconcile _),
     "q67_ngram_novelty" -> (TQ.noveltyScore _),
-    "q68_interval_attribution" -> (EQ.intervalAttribution _))
+    "q68_interval_attribution" -> (EQ.intervalAttribution _),
+    "q69_exact_median" -> (RQ.exactMedian _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1173,5 +1174,17 @@ object SparkEntry {
         |SELECT err.event_id, err.user_id, i.session_id, err.epoch_s - i.session_start_s AS offset_s
         |FROM err JOIN intervals i ON err.user_id = i.user_id
         |  AND err.epoch_s >= i.session_start_s AND err.epoch_s <= i.session_open_until_s
-        |ORDER BY err.event_id, i.session_id""".stripMargin)
+        |ORDER BY err.event_id, i.session_id""".stripMargin,
+    // type-1 (lower-middle, actual-data-point) median — the engine
+    // computes it in two bounded aggregation passes, no global sort
+    "q69_exact_median" ->
+      """WITH t AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+        |), r AS (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn, COUNT(*) OVER () AS n
+        |  FROM t
+        |)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+        |       CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) AS BIGINT) AS median_cents
+        |FROM r""".stripMargin)
 }

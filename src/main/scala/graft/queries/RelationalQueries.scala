@@ -252,4 +252,13 @@ object RelationalQueries {
           .otherwise("both").as("status"))
       .orderBy(col("order_key"))
   }
+
+  /** Exact global median of lineitem price cents — two aggregation
+    * passes, no global sort (Ag.exactMedianTwoPass).
+    */
+  def exactMedian(s: SparkSession, d: String): DataFrame =
+    Ag.exactMedianTwoPass(
+        Tables.lineitem(s, d),
+        round(col("l_extendedprice") * 100))
+      .select(col("n_rows"), col("median").as("median_cents"))
 }

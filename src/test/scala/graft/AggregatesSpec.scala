@@ -82,4 +82,21 @@ class AggregatesSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(out == Set((1L, "view", 1L), (2L, "click", 0L)))
   }
+
+  test("exactMedianTwoPass: type-1 median, bucket-boundary and skew cases") {
+    def med(vals: Seq[Long], buckets: Int = 4) = Aggregates
+      .exactMedianTwoPass(vals.toDF("x"), col("x"), buckets)
+      .as[(Long, Long)].head()
+    assert(med(Seq(5L)) == ((1L, 5L)))
+    assert(med(Seq(1L, 2L, 3L)) == ((3L, 2L)))
+    assert(med(Seq(1L, 2L, 3L, 4L)) == ((4L, 2L))) // even n -> lower middle
+    assert(med(Seq(10L, 10L, 10L, 99L)) == ((4L, 10L))) // duplicates
+    // heavy skew: one value dominates; rank lands mid-duplicate-run
+    assert(med(Seq.fill(100)(7L) ++ Seq(1L, 2L, 1000000L)) == ((103L, 7L)))
+    // matches the windowed positional definition on pseudo-random data
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(501)(rnd.nextInt(1000).toLong)
+    val expected = data.sorted.apply((data.length - 1) / 2)
+    assert(med(data, buckets = 8) == ((501L, expected)))
+  }
 }
