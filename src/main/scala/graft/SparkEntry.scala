@@ -105,7 +105,10 @@ object SparkEntry {
     "q66_reconcile" -> (RQ.reconcile _),
     "q67_ngram_novelty" -> (TQ.noveltyScore _),
     "q68_interval_attribution" -> (EQ.intervalAttribution _),
-    "q69_exact_median" -> (RQ.exactMedian _))
+    "q69_exact_median" -> (RQ.exactMedian _),
+    "q70_pivot_counts" -> (EQ.pivotCounts _),
+    "q71_unpivot" -> (RQ.unpivotMeasures _),
+    "q72_rollup" -> (RQ.rollupRevenue _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1186,5 +1189,34 @@ object SparkEntry {
         |)
         |SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
         |       CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) AS BIGINT) AS median_cents
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+    "q70_pivot_counts" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q71_unpivot" ->
+      """WITH t AS (
+        |  SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS quantity_c,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS discount_bp,
+        |    CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+        |  FROM lineitem
+        |)
+        |SELECT orderkey, linenumber, 'quantity_c' AS metric, quantity_c AS value FROM t
+        |UNION ALL SELECT orderkey, linenumber, 'discount_bp', discount_bp FROM t
+        |UNION ALL SELECT orderkey, linenumber, 'tax_bp', tax_bp FROM t
+        |ORDER BY orderkey, linenumber, metric""".stripMargin,
+    "q72_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin)
 }

@@ -300,4 +300,22 @@ object EventQueries {
         (col("epoch_s") - col("session_start_s")).as("offset_s"))
       .orderBy(col("event_id"), col("session_id"))
   }
+
+  /** Reshaping: event counts per user pivoted into one column per
+    * event type. Explicit pivot values — at scale, never let pivot
+    * infer the column set with a distinct scan; name the columns.
+    */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(
+        col("user_id"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
+      .orderBy(col("user_id"))
 }

@@ -261,4 +261,44 @@ object RelationalQueries {
         Tables.lineitem(s, d),
         round(col("l_extendedprice") * 100))
       .select(col("n_rows"), col("median").as("median_cents"))
+
+  /** Reshaping: melt three lineitem measures into (metric, value_cents)
+    * rows (Dataset.unpivot — executor-side row expansion, no shuffle).
+    */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").cast("long").as("linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("quantity_c"),
+        round(col("l_discount") * 10000).cast("long").as("discount_bp"),
+        round(col("l_tax") * 10000).cast("long").as("tax_bp"))
+      .unpivot(
+        Array(col("orderkey"), col("linenumber")),
+        Array(col("quantity_c"), col("discount_bp"), col("tax_bp")),
+        "metric",
+        "value")
+      .orderBy(col("orderkey"), col("linenumber"), col("metric"))
+
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) with
+    * explicit grouping flags — subtotals and the grand total in one
+    * pass (Spark expands grouping sets before the hash agg; still
+    * map-side combinable).
+    */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Ag.exactSum(col("l_extendedprice")).as("revenue"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"),
+        col("g_status"),
+        col("n_rows"),
+        col("revenue"))
+      .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))
 }
