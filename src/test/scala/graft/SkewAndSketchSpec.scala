@@ -60,4 +60,32 @@ class SkewAndSketchSpec extends SparkSpec {
     // it / 's / 42 / degrees / , / really / ! = 7
     assert(n == 7L)
   }
+
+  test("HLL: error bound vs exact, partitioning-invariant, union==merge") {
+    import graft.ops.Sketches
+    val ev = graft.core.Tables.events(spark, sf("sf0.01"))
+      .select(col("event_type"), col("user_id"))
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val approx = Sketches.hllDistinctPerGroup(ev, "event_type", "user_id")
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$k: approx $a vs exact $n")
+    }
+    // deterministic under repartitioning (register state is a pure
+    // function of the value set)
+    val approx2 = Sketches.hllDistinctPerGroup(ev.repartition(17), "event_type", "user_id")
+      .as[(String, Long)].collect().toMap
+    assert(approx2 == approx)
+    // mergeability: per-(type, half) partial sketches merged across
+    // halves == whole-data estimate
+    val withHalf = ev.withColumn("half", pmod(col("user_id"), lit(2)))
+    val parts = withHalf
+      .groupBy(col("event_type"), col("half"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+    val merged = Sketches.hllMergeEstimate(parts, "event_type")
+      .as[(String, Long)].collect().toMap
+    assert(merged == approx, "union of partial sketches must equal the whole-data sketch")
+  }
 }
