@@ -58,8 +58,10 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val b0 = { org.apache.spark.graft.ListenerSync.drain(spark.sparkContext); shuffleBytes.get }
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        // a throwing query must NOT report a normal-looking (fast!)
+        // time — surface it as -1 so regressions can't hide
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         val mb = {
           org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
           (shuffleBytes.get - b0) / 1e6

@@ -15,9 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Harness-owned pin: the sessionize+enrich subtree feeds ~15
+    // queries; cached OUTSIDE the scopes so per-query unpersists leave
+    // it alone (Caches' adoption rule) instead of rebuilding the
+    // sessionize shuffle per consumer.
+    val pinned =
+      try { val p = graft.pipeline.Pipeline.enrichedEvents(spark, sfDir); p.count(); Some(p) }
+      catch { case _: Throwable => None }
     // Per-query cache scope: operator-internal caches (LSH bands, covis
     // projections, candidate sets) are unpersisted after each query's
-    // write — 54 queries leave no lingering InMemoryRelation behind.
+    // write — the full loop leaves no lingering InMemoryRelation behind.
     SparkEntry.queries.foreach { case (name, fn) =>
       try graft.core.Caches.withScope {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -42,6 +49,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    pinned.foreach(_.unpersist(blocking = false))
     spark.stop()
   }
 }

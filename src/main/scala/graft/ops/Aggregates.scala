@@ -180,9 +180,15 @@ object Aggregates {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val k = (n - 1) / 2 // 0-based rank of the type-1 median
-    val width = math.max(1L, (hi - lo) / buckets + 1)
+    // width via BigInt (hi - lo alone can overflow Long), capped into
+    // Long range; bucket id = the SAME `v div width` expression in the
+    // histogram AND the pass-2 filter — truncating division is monotone
+    // in v, so bucket order is value order, and using one expression on
+    // both passes removes any boundary-arithmetic disagreement.
+    val width = ((BigInt(hi) - BigInt(lo)) / buckets + 1).min(BigInt(Long.MaxValue)).toLong
+    val bucketOf = expr(s"v div ${width}L")
     val hist = v
-      .groupBy(((col("v") - lo) / width).cast("long").as("b"))
+      .groupBy(bucketOf.as("b"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var cum = 0L
@@ -191,7 +197,7 @@ object Aggregates {
       .map { case (b, _) => (b, cum) }
       .get
     val inBucket = v
-      .filter(col("v") >= lo + bkt * width && col("v") < lo + (bkt + 1) * width)
+      .filter(bucketOf === bkt)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var cum2 = below

@@ -79,8 +79,8 @@ object Joins {
       itemCol: String,
       minCount: Long = 1L,
       maxGroupSize: Option[Int] = Some(200),
-      materialize: Boolean = true,
-      frequentItemPrefilter: Boolean = false): DataFrame =
+      frequentItemPrefilter: Boolean = false,
+      materialize: Boolean = true): DataFrame =
     covisitationPairsDistinct(
       df.select(col(groupCol), col(itemCol)).distinct(),
       groupCol, itemCol, minCount, maxGroupSize,

@@ -83,7 +83,10 @@ object Sampling {
       .select(
         col(keyCol),
         col("cnt"),
-        expr("cnt * n_keys * 1000000 div n_rows").as("skew_micro"))
+        // decimal128 intermediate: cnt*n_keys*1e6 overflows Long at
+        // exactly the 100 TB scale this diagnostic targets
+        floor(col("cnt").cast("decimal(38,0)") * col("n_keys") * lit(1000000L) / col("n_rows"))
+          .cast("long").as("skew_micro"))
       .orderBy(col("cnt").desc, col(keyCol).asc)
       .limit(k)
   }

@@ -279,10 +279,12 @@ object RetailRocket {
       .select(col("item_a"), col("item_b"), col("pair_count").as("covis"))
 
     // category co-visitation matrix (`:291-303`): distinct-session
-    // pairs, cooccur >= 5 — distinct projection + lossless
-    // frequent-category prefilter (a category in < 5 sessions cannot
-    // reach the threshold), both exact rewrites of the raw self-join +
-    // countDistinct form.
+    // pairs, cooccur >= 5 — an exact rewrite of the raw self-join +
+    // countDistinct form. The lossless frequent-category prefilter is
+    // deliberately OFF: ~1000 dense categories nearly all clear the
+    // threshold, and the extra frequency agg + semi-join measured as a
+    // large regression at 20M events (DESIGN.md, candidates 43 s vs
+    // 151 s).
     val tec = trainEventsCapped
       .join(broadcast(itemCat), Seq("item_id"))
       .select(col("session_id"), col("category_id"))

@@ -346,14 +346,19 @@ object TextQueries {
     */
   def repetitionScore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), TF.repetitionStats(col("text"), 2).as("rs"))
-      .filter(col("rs.n_tokens") >= 2)
+      // inline(array(struct)) is a generator: the one-pass expression
+      // runs exactly once per row, and neither the filter pushdown nor
+      // project collapsing can inline a second copy per field
+      // reference (PlanSpec pins evals == 1 — the naive
+      // select-struct-then-field form evaluated it 3x per row)
+      .select(col("doc_id"), inline(array(TF.repetitionStats(col("text"), 2))))
+      .filter(col("n_tokens") >= 2)
       .select(
         col("doc_id"),
-        col("rs.n_tokens").as("n_tokens"),
-        expr("(rs.n_tokens - rs.n_distinct_tokens) * 1000000 div rs.n_tokens")
+        col("n_tokens"),
+        expr("(n_tokens - n_distinct_tokens) * 1000000 div n_tokens")
           .as("dup_token_micro"),
-        expr("rs.top_ngram_count * 1000000 div (rs.n_tokens - 1)").as("top_bigram_micro"))
+        expr("top_ngram_count * 1000000 div (n_tokens - 1)").as("top_bigram_micro"))
       .orderBy(col("doc_id"))
 
   /** PMI collocations over the document corpus (ln micro-quantized;

@@ -95,4 +95,10 @@ class PlanSpec extends SparkSpec {
       s"repetition_stats must not shuffle n-grams (only the display sort ranges):\n$p")
   }
 
+  test("repetition query: the one-pass expression is evaluated ONCE per row") {
+    val p = plan(graft.queries.TextQueries.repetitionScore(spark, dir))
+    val evals = "repetition_stats".r.findAllIn(p).length
+    assert(evals == 1,
+      s"filter pushdown must not duplicate the per-row n-gram pass ($evals evals):\n$p")
+  }
 }
