@@ -73,11 +73,16 @@ object Bench {
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, mb) => s"\"" + k + "\":" + f"$mb%.1f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures carry -1 in `queries` and are EXCLUDED from the total —
+    // and named in `failed` so a throwing query can never pass as a
+    // fast one in the headline number
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val totalSh = results.map(_._3).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""shuffle_mb":$sh,"shuffle_mb_total":$totalSh%.1f,"sf":"$sfDir"}""")
+        f""""failed":$failed,"shuffle_mb":$sh,"shuffle_mb_total":$totalSh%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
