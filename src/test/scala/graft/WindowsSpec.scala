@@ -104,4 +104,17 @@ class WindowsSpec extends SparkSpec {
       assert(out(id) == (frame.map(_._4).sum, frame.size.toLong), s"row $id")
     }
   }
+
+  test("transitionCounts conservation: total transitions == rows - groups") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { i =>
+      (s"g${rnd.nextInt(12)}", rnd.nextInt(1000).toLong, i.toLong, s"i${rnd.nextInt(9)}")
+    }
+    val df = rows.toDF("g", "t", "id", "item")
+    val total = Windows
+      .transitionCounts(df, "g", Seq(col("t").asc, col("id").asc), "item")
+      .agg(sum("transition_count")).as[Long].head()
+    val expected = rows.size - rows.map(_._1).distinct.size
+    assert(total == expected, s"each row but the last of its group emits exactly one transition")
+  }
 }
