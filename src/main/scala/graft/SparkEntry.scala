@@ -108,7 +108,8 @@ object SparkEntry {
     "q69_exact_median" -> (RQ.exactMedian _),
     "q70_pivot_counts" -> (EQ.pivotCounts _),
     "q71_unpivot" -> (RQ.unpivotMeasures _),
-    "q72_rollup" -> (RQ.rollupRevenue _))
+    "q72_rollup" -> (RQ.rollupRevenue _),
+    "q73_json_typed" -> (EQ.jsonTyped _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1218,5 +1219,10 @@ object SparkEntry {
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin)
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin,
+    "q73_json_typed" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -318,4 +318,21 @@ object EventQueries {
         coalesce(col("signup"), lit(0L)).as("n_signup"),
         coalesce(col("error"), lit(0L)).as("n_error"))
       .orderBy(col("user_id"))
+
+  /** Typed JSON extraction: ONE from_json parse into a struct instead
+    * of a get_json_object call per field — at N fields the repeated
+    * form parses the payload N times per row; the typed form parses
+    * once and projects (the semi-structured-column idiom at scale).
+    */
+  def jsonTyped(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        from_json(col("props"), lit("k LONG")).as("p"),
+        json_object_keys(col("props")).as("ks"))
+      .select(
+        col("event_id"),
+        col("p.k").as("item_id"),
+        size(col("ks")).cast("long").as("n_keys"))
+      .orderBy(col("event_id"))
 }
