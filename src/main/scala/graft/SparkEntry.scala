@@ -109,7 +109,9 @@ object SparkEntry {
     "q70_pivot_counts" -> (EQ.pivotCounts _),
     "q71_unpivot" -> (RQ.unpivotMeasures _),
     "q72_rollup" -> (RQ.rollupRevenue _),
-    "q73_json_typed" -> (EQ.jsonTyped _))
+    "q73_json_typed" -> (EQ.jsonTyped _),
+    "q74_rank_functions" -> (EQ.rankFunctions _),
+    "q75_array_ops" -> (TQ.arrayOps _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1224,5 +1226,31 @@ object SparkEntry {
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q74_rank_functions" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(RANK() OVER tv AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER tv AS BIGINT) AS drnk,
+        |  CAST(NTILE(4) OVER bv AS BIGINT) AS quartile,
+        |  CASE WHEN COUNT(*) OVER (PARTITION BY user_id) > 1
+        |       THEN (RANK() OVER tv - 1) * 1000000 // (COUNT(*) OVER (PARTITION BY user_id) - 1)
+        |       ELSE 0 END AS pct_rank_micro
+        |FROM t
+        |WINDOW tv AS (PARTITION BY user_id ORDER BY value_cents),
+        |       bv AS (PARTITION BY user_id ORDER BY value_cents, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q75_array_ops" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> length(x) > 3)) AS BIGINT) AS n_long_tokens,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_token_len,
+        |  array_to_string(list_transform(list_sort(toks)[1:3], x -> upper(x)), '|')
+        |    AS first3_sorted_upper
+        |FROM t ORDER BY doc_id""".stripMargin)
 }

@@ -335,4 +335,41 @@ object EventQueries {
         col("p.k").as("item_id"),
         size(col("ks")).cast("long").as("n_keys"))
       .orderBy(col("event_id"))
+
+  /** Ranking-function battery (W-family beyond row_number/lag/lead):
+    * rank with ties, dense_rank, ntile buckets over a deterministic
+    * total order, and EXACT percent_rank as an integer micro value
+    * ((rank-1)·1e6 div (n-1) — no float division, so it hash-matches
+    * across engines).
+    */
+  def rankFunctions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value_cents").asc, col("event_id").asc)
+    val tiesByValue = Window.partitionBy(col("user_id")).orderBy(col("value_cents").asc)
+    val all = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        rank().over(tiesByValue).cast("long").as("rnk"),
+        dense_rank().over(tiesByValue).cast("long").as("drnk"),
+        ntile(4).over(byValue).cast("long").as("quartile"),
+        expr("(rank() over (partition by user_id order by value_cents) - 1) * 1000000")
+          .as("__pr_num"),
+        count(lit(1)).over(all).as("__n"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("rnk"),
+        col("drnk"),
+        col("quartile"),
+        when(col("__n") > 1, expr("__pr_num div (__n - 1)")).otherwise(0L)
+          .as("pct_rank_micro"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -385,4 +385,20 @@ object TextQueries {
     Dedup
       .noveltyScores(Tables.documents(s, d), "text", "doc_id", n = 4)
       .orderBy(col("doc_id"))
+
+  /** Higher-order array-function battery over the tokenized docs:
+    * filter (long tokens), aggregate (total token length), transform +
+    * slice (first-3 tokens of the SORTED array — deterministic).
+    */
+  def arrayOps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(filter(col("toks"), t => length(t) > 3)).cast("long").as("n_long_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .as("sum_token_len"),
+        concat_ws("|", transform(slice(array_sort(col("toks")), 1, 3), t => upper(t)))
+          .as("first3_sorted_upper"))
+      .orderBy(col("doc_id"))
 }
