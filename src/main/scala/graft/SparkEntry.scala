@@ -1020,7 +1020,8 @@ object SparkEntry {
         |         CAST(COUNT(*) AS BIGINT) AS n
         |  FROM ex GROUP BY 1, 2
         |)
-        |SELECT CAST(label AS BIGINT) AS label, list(cv ORDER BY pos) AS centroid,
+        |SELECT CAST(label AS BIGINT) AS label,
+        |       array_to_string(list(cv ORDER BY pos), ',') AS centroid,
         |       MAX(n) AS n_vectors
         |FROM cm GROUP BY label ORDER BY label""".stripMargin,
     // integer micro-ratios (x * 1e6 // denom) — no float division on

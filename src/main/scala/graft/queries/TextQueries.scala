@@ -330,11 +330,19 @@ object TextQueries {
 
   /** Per-label exact-integer embedding centroids (nearest-class-mean /
     * drift-monitoring primitive; same quantized Lloyd-step arithmetic
-    * as q41's IVF, so the oracle replicates it bit-for-bit).
+    * as q41's IVF, so the oracle replicates it bit-for-bit). The
+    * centroid vector is serialized to a comma-joined string at the
+    * contract boundary — the array itself is the library's return type
+    * ([[graft.similarity.Similarity.labelCentroids]]), but the oracle
+    * compare hashes scalar cells only.
     */
   def labelCentroids(s: SparkSession, d: String): DataFrame =
     graft.similarity.Similarity
       .labelCentroids(Tables.embeddings(s, d), "label", "embedding")
+      .select(
+        col("label"),
+        array_join(col("centroid"), ",").as("centroid"),
+        col("n_vectors"))
       .orderBy(col("label"))
 
   /** Gopher-style repetition quality signals (the LLM-corpus filter
