@@ -111,7 +111,9 @@ object SparkEntry {
     "q72_rollup" -> (RQ.rollupRevenue _),
     "q73_json_typed" -> (EQ.jsonTyped _),
     "q74_rank_functions" -> (EQ.rankFunctions _),
-    "q75_array_ops" -> (TQ.arrayOps _))
+    "q75_array_ops" -> (TQ.arrayOps _),
+    // — round-5 extensions —
+    "q76_bloom_decontam" -> (TQ.bloomDecontaminate _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1253,5 +1255,16 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_token_len,
         |  array_to_string(list_transform(list_sort(toks)[1:3], x -> upper(x)), '|')
         |    AS first3_sorted_upper
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q76_bloom_decontam" ->
+      s"""WITH ${shingleCte(8)}, bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 3
+         |), contaminated AS (
+         |  SELECT DISTINCT t.doc_id FROM sh t JOIN bench b ON t.shingle = b.shingle
+         |  WHERE t.doc_id % 7 <> 3
+         |)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id % 7 <> 3
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY d.doc_id""".stripMargin)
 }

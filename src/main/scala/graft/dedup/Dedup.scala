@@ -397,6 +397,48 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Decontaminated training set — [[contamination]]'s complement,
+    * built for the scale where the benchmark's SHINGLE SET no longer
+    * fits in a broadcast (a few hundred eval suites × thousands of
+    * n-grams each is gigabytes of strings): aggregate a compact
+    * mergeable bloom filter over the benchmark shingle hashes
+    * (map-side partials, one `numBits/8`-byte binary to the driver),
+    * probe every corpus shingle scan-side with a codegen'd
+    * `might_contain`, and run the exact verification join ONLY on the
+    * survivors. The bloom admits false positives — removed by the
+    * verify join — and no false negatives, so the output is EXACTLY
+    * the anti-join against [[contamination]]'s doc set: the prefilter
+    * is a pure cost optimization, same contract as LSH banding.
+    *
+    * Scale shape: corpus shingles never shuffle unless they hit the
+    * bloom; the verify join's left side shrinks from |corpus shingles|
+    * to |hits| ≈ |true matches| / (1 − fpp).
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      expectedShingles: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFunctions._
+    val bench = shingles(benchmark, textCol, idCol, n).select(col("shingle"))
+    // one bounded row: the serialized sketch (null when benchmark is empty)
+    val bf = bench
+      .agg(bloomFilterAgg(xxhash64(col("shingle")), expectedShingles, numBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    if (bf == null) corpus
+    else {
+      val hits = shingles(corpus, textCol, idCol, n)
+        .filter(mightContain(bf, xxhash64(col("shingle"))))
+      val contaminatedIds = hits
+        .join(bench, Seq("shingle"), "left_semi")
+        .select(col("id")).distinct()
+      corpus.join(contaminatedIds, corpus(idCol) === contaminatedIds("id"), "left_anti")
+    }
+  }
+
   /** SimHash near-dup pairs with banded blocking: split the 32-bit
     * fingerprint into `bands` exact-match bands — any pair within
     * Hamming distance `maxHamming` ≤ bands−1 differs in at most

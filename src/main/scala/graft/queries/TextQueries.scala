@@ -208,6 +208,23 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered decontamination — the retained (clean) training
+    * set under the same strata as q48: the bloom sketch replaces
+    * broadcasting the benchmark shingle strings, the exact verify join
+    * removes its false positives, so the output equals a plain
+    * anti-join (which is what the oracle computes).
+    */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup
+      .decontaminateBloom(
+        docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L),
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3L),
+        "text", "doc_id", n = 8)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs (Hamming ≤ 3 via 4-band blocking — exact
     * recall, see Dedup.simhashNearDupPairs; oracle brute-forces the
     * identical pair set).

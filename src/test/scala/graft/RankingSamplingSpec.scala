@@ -72,6 +72,38 @@ class RankingSamplingSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_bench_docs") == 1L)
   }
 
+  test("decontaminateBloom == exact anti-join (bloom prefilter is lossless)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val train = docs.filter(pmod($"doc_id", lit(7L)) =!= 3L)
+    val bench = docs.filter(pmod($"doc_id", lit(7L)) === 3L)
+    val viaBloom = graft.dedup.Dedup
+      .decontaminateBloom(train, bench, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val contaminated = graft.dedup.Dedup
+      .contamination(train, bench, "text", "doc_id", n = 8)
+      .select($"id".as("doc_id"))
+    val exact = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBloom == exact)
+    assert(viaBloom.nonEmpty && viaBloom.size < train.count()) // both classes occur
+  }
+
+  test("bloom mightContain: no false negatives over inserted hashes") {
+    import org.apache.spark.sql.graft.BloomFunctions._
+    val vals = (0L until 2000L).toDF("v")
+    val bf = vals.agg(bloomFilterAgg(xxhash64($"v"), 2000L, 1L << 16).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    assert(vals.filter(mightContain(bf, xxhash64($"v"))).count() == 2000L)
+  }
+
+  test("decontaminateBloom: empty benchmark returns the corpus unchanged") {
+    val corpus = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = corpus.filter(lit(false))
+    assert(graft.dedup.Dedup
+      .decontaminateBloom(corpus, bench, "text", "doc_id", n = 2)
+      .count() == 1L)
+  }
+
   test("simhash banded pairs == brute force for hamming <= bands-1") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val banded = graft.dedup.Dedup

@@ -2,7 +2,9 @@
 """Local replica of the driver's correctness gate: run graft.Verify's
 parquet output against the DuckDB oracle SQL, compare row/schema/hash.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [q1,q2,...]
+(the optional third arg restricts the compare to named queries — pair it
+with graft.Verify's same filter arg for a fast single-query loop)
 """
 import json
 import math
@@ -30,12 +32,14 @@ def rows_canon(names, cols):
     return sorted(tuple(canon(v) for v in r) for r in rows)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -77,4 +81,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
