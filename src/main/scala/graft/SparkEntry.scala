@@ -113,7 +113,8 @@ object SparkEntry {
     "q74_rank_functions" -> (EQ.rankFunctions _),
     "q75_array_ops" -> (TQ.arrayOps _),
     // — round-5 extensions —
-    "q76_bloom_decontam" -> (TQ.bloomDecontaminate _))
+    "q76_bloom_decontam" -> (TQ.bloomDecontaminate _),
+    "q77_url_domain_cap" -> (TQ.urlDomainCap _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1266,5 +1267,27 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id % 7 <> 3
          |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q77_url_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://www.' || source || '-site.com/' || lang || '/doc-' || doc_id
+        |      || '?ref=r' || (doc_id % 5) || '&page=' || (doc_id % 3) AS url
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, n_chars, url,
+        |    regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |    regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+        |    regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+        |  FROM u
+        |), r AS (
+        |  SELECT *,
+        |    regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS domain,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM p
+        |)
+        |SELECT doc_id, host, domain, path, ref, n_chars, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin)
 }

@@ -426,4 +426,29 @@ object TextQueries {
         concat_ws("|", transform(slice(array_sort(col("toks")), 1, 3), t => upper(t)))
           .as("first3_sorted_upper"))
       .orderBy(col("doc_id"))
+
+  /** Per-domain contribution cap over parse_url-extracted hosts (the
+    * crawl-curation staple): synthesize each document's canonical URL
+    * from its source/lang/id columns, parse host + query params back
+    * out with codegen'd `parse_url`, and keep the top-5 docs per
+    * registrable domain by length with a unique tie-break. The oracle
+    * re-parses the same strings with regexes.
+    */
+  def urlDomainCap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("n_chars"),
+      concat(
+        lit("https://www."), col("source"), lit("-site.com/"), col("lang"),
+        lit("/doc-"), col("doc_id"),
+        lit("?ref=r"), pmod(col("doc_id"), lit(5L)),
+        lit("&page="), pmod(col("doc_id"), lit(3L))).as("url"))
+    graft.functions.UrlFunctions
+      .capPerDomain(docs, "url", col("n_chars"), "doc_id", k = 5)
+      .select(
+        col("doc_id"), col("host"), col("domain"),
+        graft.functions.UrlFunctions.urlPath(col("url")).as("path"),
+        graft.functions.UrlFunctions.urlQueryParam(col("url"), "ref").as("ref"),
+        col("n_chars"), col("rn").cast("long").as("rn"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -86,4 +86,30 @@ class TextFunctionsSpec extends SparkSpec {
       .groupBy("bg").count().agg(max("count")).as[Long].head()
     assert(rel == 3L)
   }
+
+  test("url functions: host/path/param parse and registrable-domain reduction") {
+    import graft.functions.UrlFunctions._
+    val df = Seq((1L, "https://www.news-site.com/en/doc-1?ref=r1&page=2"))
+      .toDF("id", "url")
+    val r = df.select(
+      urlHost(col("url")).as("h"), urlPath(col("url")).as("p"),
+      urlQueryParam(col("url"), "ref").as("q"),
+      registrableDomain(urlHost(col("url"))).as("d"))
+      .as[(String, String, String, String)].head()
+    assert(r == (("www.news-site.com", "/en/doc-1", "r1", "news-site.com")))
+  }
+
+  test("capPerDomain keeps at most k rows per domain, best-ranked first") {
+    import graft.functions.UrlFunctions._
+    val docs = (1L to 20L).map { i =>
+      (i, s"https://sub.dom${i % 2}.com/x", i * 10)
+    }.toDF("id", "url", "score")
+    val kept = capPerDomain(docs, "url", col("score"), "id", k = 3)
+    assert(kept.count() == 6L)
+    val perDom = kept.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(perDom.values.forall(_ == 3L))
+    // best score per domain survives with rn=1
+    assert(kept.filter(col("rn") === 1 && col("domain") === "dom0.com")
+      .select("id").as[Long].head() == 20L)
+  }
 }
