@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline.{Embeddings, Pipeline}
-import graft.queries.{EventQueries => EQ, RelationalQueries => RQ, TextQueries => TQ}
+import graft.queries.{CurationQueries => CQ, EventQueries => EQ, RelationalQueries => RQ, TextQueries => TQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -114,7 +114,16 @@ object SparkEntry {
     "q75_array_ops" -> (TQ.arrayOps _),
     // — round-5 extensions —
     "q76_bloom_decontam" -> (TQ.bloomDecontaminate _),
-    "q77_url_domain_cap" -> (TQ.urlDomainCap _))
+    "q77_url_domain_cap" -> (TQ.urlDomainCap _),
+    "q78_daily_gapfill" -> (EQ.dailyGapfill _),
+    "q79_cube" -> (RQ.cubeRevenue _),
+    "q80_setops" -> (RQ.setOps _),
+    "q81_zipf_hist" -> (CQ.zipfHistogram _),
+    "q82_shuffle_shards" -> ((s, d) => CQ.shuffleShards(s, d)),
+    "q83_mixture_sample" -> (CQ.mixtureSample _),
+    "q84_pii_redact" -> (CQ.piiRedact _),
+    "q85_jaccard_prefix" -> (CQ.jaccardPrefixPairs _),
+    "q86_curation_pipeline" -> (CQ.curationPipeline _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1289,5 +1298,137 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT doc_id, host, domain, path, ref, n_chars, CAST(rn AS BIGINT) AS rn
-        |FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin)
+        |FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "q78_daily_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(floor(extract(epoch FROM ts) / 86400) AS BIGINT) AS day_num,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, MIN(day_num) AS d0, MAX(day_num) AS d1 FROM daily GROUP BY 1
+        |), cal AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1)) AS day_num FROM span
+        |)
+        |SELECT c.user_id, c.day_num, COALESCE(d.n, 0) AS n_events
+        |FROM cal c LEFT JOIN daily d USING (user_id, day_num)
+        |ORDER BY user_id, day_num""".stripMargin,
+    "q79_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin,
+    "q80_setops" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM f INTERSECT SELECT custkey FROM o)
+        |UNION ALL
+        |SELECT 'f_only' AS tag, custkey FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM o)
+        |UNION ALL
+        |SELECT 'o_only' AS tag, custkey FROM (SELECT custkey FROM o EXCEPT SELECT custkey FROM f)
+        |ORDER BY tag, custkey""".stripMargin,
+    "q81_zipf_hist" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        |), c AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+        |)
+        |SELECT CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS magnitude,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
+        |  MIN(cnt) AS min_cnt,
+        |  MAX(cnt) AS max_cnt
+        |FROM c GROUP BY 1 ORDER BY magnitude""".stripMargin,
+    "q82_shuffle_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+        |), s AS (
+        |  SELECT doc_id, k,
+        |    CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % 32 AS shard
+        |  FROM t
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "q83_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    (CAST(substring(source, 4) AS BIGINT) % 4 + 1) * 125 AS rate_permille,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, rate_permille, bucket
+        |FROM t WHERE bucket < rate_permille ORDER BY doc_id""".stripMargin,
+    "q84_pii_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || ' contact user' || doc_id || '@example.com from 10.'
+        |      || (doc_id % 200) || '.0.7 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      AS synth
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(synth,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+        |    '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(synth, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(synth, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q85_jaccard_prefix" ->
+      s"""WITH ${shingleCte(4)}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_count
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, inter_count,
+         |  sa.n + sb.n - inter_count AS union_count,
+         |  CAST(floor(inter_count * 1000000 / (sa.n + sb.n - inter_count)) AS BIGINT) AS jaccard_ppm
+         |FROM cand
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE floor(inter_count * 1000000 / (sa.n + sb.n - inter_count)) >= 500000
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q86_curation_pipeline" -> {
+      val best = TQ.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      s"""WITH train AS (
+         |  SELECT * FROM documents WHERE doc_id % 7 <> 3
+         |), scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |${TQ.langMarkers
+          .map { case (l, ms) => s"    ${langScoreSql(ms)} AS s_$l" }
+          .mkString(",\n")}
+         |  FROM train
+         |), kept AS (
+         |  SELECT doc_id, n_tokens FROM scored
+         |  WHERE n_tokens >= 40
+         |    AND s_en = $best AND s_en > 0
+         |), survivors AS (
+         |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+         |  FROM train GROUP BY fp
+         |), tsh AS (
+         |  SELECT DISTINCT t.doc_id,
+         |    array_to_string((regexp_split_to_array(trim(t.text), '\\s+'))[i:i+7], ' ') AS shingle
+         |  FROM train t, unnest(generate_series(1, len(regexp_split_to_array(trim(t.text), '\\s+')) - 7)) AS g(i)
+         |), bsh AS (
+         |  SELECT DISTINCT array_to_string((regexp_split_to_array(trim(b.text), '\\s+'))[i:i+7], ' ') AS shingle
+         |  FROM documents b, unnest(generate_series(1, len(regexp_split_to_array(trim(b.text), '\\s+')) - 7)) AS g(i)
+         |  WHERE b.doc_id % 7 = 3
+         |), contaminated AS (
+         |  SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (shingle)
+         |)
+         |SELECT k.doc_id, k.n_tokens, s.dup_count
+         |FROM kept k
+         |JOIN survivors s USING (doc_id)
+         |WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY k.doc_id""".stripMargin
+    })
 }

@@ -566,4 +566,69 @@ object Dedup {
         col("n_distinct_ngrams"),
         expr("n_unique_ngrams * 1000000 div n_distinct_ngrams").as("novelty_ppm"))
   }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via PREFIX FILTERING
+    * (the AllPairs/PPJoin family) — the third scale path next to the
+    * postings-list index ([[ngramJaccardPairs]], best for top-k with no
+    * threshold) and MinHash LSH ([[lshCandidatePairs]], approximate).
+    *
+    * The filter: order every doc's shingle set by ascending global
+    * document frequency (ties by shingle text — one total order for the
+    * whole corpus), and keep only the first `L − ⌈τ·L⌉ + 1` shingles as
+    * the doc's PREFIX. Any pair with Jaccard ≥ τ has intersection
+    * ≥ ⌈τ·L⌉ on both sides, so the two prefixes must share a shingle —
+    * joining on prefix shingles is LOSSLESS for the thresholded output
+    * while indexing only the rarest ~(1−τ) of each doc's shingles.
+    * Frequent shingles (the f² posting-list blowup in the plain
+    * inverted index) never enter the join.
+    *
+    * Shuffles: df-count agg, freq-attach join (by shingle), per-doc
+    * re-sort agg (by id), prefix self-join (by rare shingle — short
+    * posting lists by construction), two set-attach joins (by id).
+    * Verification is row-local `array_intersect` on the candidate pair,
+    * exact integer ppm math. All shuffles are line-rate in corpus size;
+    * no step is quadratic outside shared-RARE-shingle groups.
+    */
+  def jaccardPrefixFilterPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minJaccardPpm: Long): DataFrame = {
+    val shArr = docs
+      .select(col(idCol).as("id"), array_distinct(wordShingles(col(textCol), n)).as("sh"))
+    val cached = graft.core.Caches.cache(shArr) // used 3×: df-count, prefix, verify
+    val dfreq = cached
+      .select(explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("dfreq"))
+    // per-doc shingles ordered by (dfreq, shingle); prefix = L − ⌈τL⌉ + 1
+    val ordered = cached
+      .select(col("id"), size(col("sh")).cast("long").as("sz"), explode(col("sh")).as("shingle"))
+      .join(dfreq, Seq("shingle"))
+      .groupBy(col("id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("shingle")))).as("ordered"))
+    val prefLen =
+      (col("sz") - floor((col("sz") * minJaccardPpm + 999999L) / 1000000L) + 1L).cast("int")
+    val prefix = ordered
+      .select(col("id"), explode(slice(col("ordered"), lit(1), prefLen)).as("t"))
+      .select(col("id"), col("t.shingle").as("shingle"))
+    val cand = prefix
+      .as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(cached.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(cached.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_count"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz_sum"))
+      .withColumn("union_count", col("sz_sum") - col("inter_count"))
+      .withColumn("jaccard_ppm", floor(col("inter_count") * 1000000L / col("union_count")))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select("id_a", "id_b", "inter_count", "union_count", "jaccard_ppm")
+  }
 }

@@ -41,6 +41,17 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame =
     df.filter(hashBucketPermille(col(keyCol)) < lit(permille))
 
+  /** Mixture sampling: per-row keep-rate as an EXPRESSION (permille),
+    * so domain-mixing ratios can come from data — a joined config
+    * table, a computed column — rather than a hardcoded map. This is
+    * the "30% web / 25% code / 3× books" knob of corpus assembly:
+    * deterministic (same md5-bucket rule as [[hashBucketPermille]]),
+    * scan-side when the rate is computable scan-side, and exactly
+    * reproducible by any engine given the same rate rule.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, ratePermille: Column): DataFrame =
+    df.filter(hashBucketPermille(col(keyCol)) < ratePermille)
+
   /** Deterministic per-group sample: the k rows per group with the
     * smallest md5(id) — a fixed-size "reservoir" whose membership is a
     * pure function of the ids (reproducible across engines, re-runs,

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.{Pii, TextFunctions => TF}
+import graft.ops.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries: vocabulary statistics, deterministic
+  * shuffle-sharding, domain mixing, PII scrubbing, prefix-filtered
+  * exact near-dup, and the end-to-end curation pipeline that composes
+  * the filter → dedup → decontaminate stages.
+  */
+object CurationQueries {
+
+  /** Zipf profile of the corpus vocabulary: frequency-of-frequency
+    * histogram, bucketed by decimal magnitude of the token count
+    * (length of the count's decimal representation — exact integer
+    * bucketing, no float log). Two map-side-combinable aggs; the
+    * second one's input is one row per DISTINCT token, already small.
+    * The standard pre-flight check before choosing tokenizer vocab
+    * size or min-count cutoffs on a new corpus.
+    */
+  def zipfHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(length(col("cnt").cast("string")).cast("long").as("magnitude"))
+      .agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("cnt")).as("total_occurrences"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt"))
+      .orderBy(col("magnitude"))
+
+  /** Deterministic global shuffle + sharding for training order:
+    * shard = md5-derived bucket, position = rank of the md5 key within
+    * the shard. The full-corpus "random" order is a pure function of
+    * the ids — reproducible across engines, re-runs and partitionings
+    * — and materializes with 32 INDEPENDENT window partitions, never a
+    * global sort / single-partition window. At 100 TB: shard count
+    * scales with the cluster, each shard sorts locally, and
+    * `shard, pos` is a stable global address every epoch can replay.
+    */
+  def shuffleShards(s: SparkSession, d: String, nShards: Int = 32): DataFrame = {
+    val k = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), k.as("k"))
+      .withColumn("shard", conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Domain-mixture sampling: per-source keep-rates (permille) derived
+    * from the source id, applied with the deterministic md5-bucket
+    * rule. The corpus-assembly knob: upweight rare domains, downweight
+    * crawl bulk — scan-side filter, zero shuffles.
+    */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val rate = (substring(col("source"), 4, 10).cast("long") % 4L + 1L) * 125L
+    Sampling
+      .mixtureSample(
+        Tables.documents(s, d).withColumn("rate_permille", rate),
+        "doc_id",
+        col("rate_permille"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("rate_permille"),
+        Sampling.hashBucketPermille(col("doc_id")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing report. The synthetic corpus carries no PII, so the
+    * query plants one email / IP / phone per row — DERIVED from table
+    * values, so both engines construct the identical string — and then
+    * redacts them; the redacted text and per-class counts are the
+    * checked output. Redaction itself is a codegen'd regexp chain,
+    * scan-side, zero shuffle ([[graft.functions.Pii]]).
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(
+      col("text").substr(1, 40),
+      lit(" contact user"),
+      col("doc_id").cast("string"),
+      lit("@example.com from 10."),
+      (col("doc_id") % 200L).cast("string"),
+      lit(".0.7 call 555-"),
+      lpad((col("doc_id") % 10000L).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), synth.as("synth"))
+      .select(
+        col("doc_id"),
+        Pii.redact(col("synth")).as("redacted"),
+        Pii.countEmails(col("synth")).cast("long").as("n_emails"),
+        Pii.countIps(col("synth")).cast("long").as("n_ips"),
+        Pii.countPhones(col("synth")).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Prefix-filtered exact Jaccard pairs at τ = 0.5 over 4-gram
+    * shingles ([[graft.dedup.Dedup.jaccardPrefixFilterPairs]]) — same
+    * pair set a full quadratic scan would produce, computed by
+    * indexing only each doc's rarest shingles.
+    */
+  def jaccardPrefixPairs(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .jaccardPrefixFilterPairs(
+        Tables.documents(s, d), "text", "doc_id", n = 4, minJaccardPpm = 500000L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** End-to-end curation: language filter → length filter → exact-dup
+    * survivor → benchmark decontamination, composed from the library
+    * operators exactly as a user would chain them. Output is the
+    * surviving training set with its token count and duplicate
+    * multiplicity. Every stage is one of the independently-verified
+    * operators; what this query checks is the COMPOSITION (filter
+    * ordering, join keys, survivor semantics).
+    */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+    val bench = docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+    val kept = train
+      .select(
+        col("doc_id"),
+        TF.langId(col("text"), TextQueries.langMarkers, "und").as("pred_lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("pred_lang") === "en" && col("n_tokens") >= 40L)
+    // exact-dup survivors WITHIN the training split (benchmark rows
+    // must not decide survivorship of training rows)
+    val survivors = Dedup
+      .exact(train, "text", "doc_id")
+      .select(col("survivor_id").as("doc_id"), col("dup_count"))
+    val contaminated = Dedup
+      .contamination(train, bench, "text", "doc_id", n = 8)
+      .select(col("id").as("doc_id"))
+    kept
+      .join(survivors, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("dup_count"))
+      .orderBy(col("doc_id"))
+  }
+}

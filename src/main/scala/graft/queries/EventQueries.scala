@@ -372,4 +372,38 @@ object EventQueries {
           .as("pct_rank_micro"))
       .orderBy(col("event_id"))
   }
+
+  /** Gap-filled daily activity: per user, one row per calendar day
+    * between that user's first and last event, zero-filled. Day =
+    * `epoch div 86400` — timezone-free integer day numbers, exact in
+    * any engine.
+    *
+    * Scale shape: the dense calendar is NOT built by joining a
+    * generated calendar against the counts (three shuffles and a
+    * skew-prone join). Instead: one (user, day) count agg, one
+    * per-user re-agg that carries the day→count pairs as a map, then a
+    * ROW-LOCAL `sequence` explode that emits each user's grid where
+    * the user's data already lives — two map-side-combinable shuffles,
+    * no join. The map per user is bounded by the user's active-day
+    * span, the same bound the output itself has.
+    */
+  def dailyGapfill(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day_num"))
+      .groupBy(col("user_id"), col("day_num"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("day_num"), col("n")))).as("m"),
+        min(col("day_num")).as("d0"),
+        max(col("day_num")).as("d1"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day_num"),
+        col("m"))
+      .select(
+        col("user_id"),
+        col("day_num"),
+        coalesce(element_at(col("m"), col("day_num")), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day_num"))
 }

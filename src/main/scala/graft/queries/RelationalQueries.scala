@@ -301,4 +301,45 @@ object RelationalQueries {
         col("n_rows"),
         col("revenue"))
       .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))
+
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels
+    * in ONE pass — Catalyst expands the cube into an `Expand` node
+    * feeding a single hash aggregate, so the 100 TB cost is one
+    * map-side-combinable shuffle of 4× the (tiny) group count, not
+    * four scans. Same grouping-flag + decimal-exact-sum conventions as
+    * the ROLLUP variant ([[rollupRevenue]]).
+    */
+  def cubeRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Ag.exactSum(col("l_extendedprice")).as("revenue"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"),
+        col("g_status"),
+        col("n_rows"),
+        col("revenue"))
+      .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))
+
+  /** U3 (engine extension): INTERSECT / EXCEPT battery. Customers are
+    * partitioned by which order-status sets they appear in — the three
+    * tags are disjoint and cover `F ∪ O`. Spark plans both set ops as
+    * distinct-aggregates over one shuffle each on the full row; the
+    * sets here are single-column projections, so the shuffle carries
+    * keys only.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    f.intersect(open).select(lit("both").as("tag"), col("custkey"))
+      .unionByName(f.except(open).select(lit("f_only").as("tag"), col("custkey")))
+      .unionByName(open.except(f).select(lit("o_only").as("tag"), col("custkey")))
+      .orderBy(col("tag"), col("custkey"))
+  }
 }

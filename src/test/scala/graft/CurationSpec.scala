@@ -1,0 +1,162 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.Pii
+import graft.queries.{CurationQueries, EventQueries, RelationalQueries}
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation-operator properties: losslessness of the prefix
+  * filter, gap-fill density, set-op partitioning, PII redaction
+  * fixtures, shard contiguity, mixture-rate enforcement, and the
+  * composed curation pipeline's invariants.
+  */
+class CurationSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("prefix-filtered Jaccard == postings-list brute force at the same threshold") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val pref = Dedup
+      .jaccardPrefixFilterPairs(docs, "text", "doc_id", n = 4, minJaccardPpm = 500000L)
+      .orderBy(col("id_a"), col("id_b"))
+    val brute = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", n = 4, minJaccardPpm = 500000L)
+      .orderBy(col("id_a"), col("id_b"))
+    assert(rows(pref) == rows(brute), "prefix filter dropped or invented a pair")
+    assert(rows(pref).nonEmpty, "fixture corpus must contain near-dup pairs")
+  }
+
+  test("prefix filter indexes fewer postings than the full inverted index") {
+    // the point of the filter: the prefix table is strictly smaller
+    // than the full shingle table it replaces in the join
+    val docs = graft.core.Tables.documents(spark, dir)
+    val full = docs
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.wordShingles(col("text"), 4))).as("s"))
+      .count()
+    // mirror of the operator's internal prefix construction at τ=0.5:
+    // per-doc prefix length L − ⌈τL⌉ + 1 ≈ L/2 + 1
+    val sizes = docs.select(
+      size(array_distinct(
+        graft.functions.TextFunctions.wordShingles(col("text"), 4))).cast("long").as("sz"))
+    val prefixTotal = sizes
+      .select(sum(col("sz") - floor((col("sz") * 500000L + 999999L) / 1000000L) + 1L))
+      .head().getLong(0)
+    assert(prefixTotal < full, s"prefix total $prefixTotal not below full index $full")
+  }
+
+  test("gapfill emits one row per day in each user's span, conserving counts") {
+    val out = EventQueries.dailyGapfill(spark, dir).cache()
+    val spans = out
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (max("day_num") - min("day_num") + 1).as("span"),
+        sum("n_events").as("total"))
+    val bad = spans.filter(col("n_rows") =!= col("span")).count()
+    assert(bad == 0, "dense grid has holes or duplicates")
+    val events = graft.core.Tables.events(spark, dir).count()
+    val total = spans.agg(sum("total")).head().getLong(0)
+    assert(total == events, "gap-filled counts must conserve the event count")
+    assert(out.filter(col("n_events") === 0).count() > 0, "fixture should contain gaps")
+    out.unpersist()
+  }
+
+  test("set-ops battery partitions F∪O custkeys into disjoint tags") {
+    val out = RelationalQueries.setOps(spark, dir).cache()
+    val perKey = out.groupBy("custkey").agg(count(lit(1)).as("n"))
+    assert(perKey.filter(col("n") > 1).count() == 0, "a custkey appears under two tags")
+    val o = graft.core.Tables.orders(spark, dir)
+    val universe = o
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_custkey")).distinct().count()
+    assert(out.count() == universe, "tags must cover every F/O custkey exactly once")
+    out.unpersist()
+  }
+
+  test("PII redaction on fixture strings") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "write to jane.doe+x@sub.example.co.uk today",
+      "server 192.168.0.1 then call 555-0199",
+      "no pii here at all",
+      "a@b.io 1.2.3.4 123-4567 all three").toDF("t")
+    val got = fixtures
+      .select(
+        Pii.redact(col("t")).as("r"),
+        Pii.countEmails(col("t")).as("e"),
+        Pii.countIps(col("t")).as("i"),
+        Pii.countPhones(col("t")).as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got(0) == (("write to [EMAIL] today", 1, 0, 0)))
+    assert(got(1) == (("server [IP] then call [PHONE]", 0, 1, 1)))
+    assert(got(2) == (("no pii here at all", 0, 0, 0)))
+    assert(got(3) == (("[EMAIL] [IP] [PHONE] all three", 1, 1, 1)))
+  }
+
+  test("shuffle shards: positions are contiguous 1..n per shard; stable under repartition") {
+    val out = CurationQueries.shuffleShards(spark, dir).cache()
+    val perShard = out
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+    assert(perShard.filter(col("lo") =!= 1L || col("hi") =!= col("n")).count() == 0,
+      "pos must be a dense 1..n ranking within each shard")
+    // determinism: the assignment is a pure function of doc_id
+    val again = CurationQueries.shuffleShards(spark, dir)
+    assert(rows(out.orderBy("doc_id")) == rows(again.orderBy("doc_id")))
+    out.unpersist()
+  }
+
+  test("mixture sample keeps only rows under their stratum rate") {
+    val out = CurationQueries.mixtureSample(spark, dir)
+    assert(out.filter(col("bucket") >= col("rate_permille")).count() == 0)
+    assert(out.select("rate_permille").distinct().count() > 1,
+      "fixture must exercise more than one mixing rate")
+  }
+
+  test("zipf histogram conserves the corpus token count") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val nTokens = docs
+      .select(sum(size(graft.functions.TextFunctions.tokens(col("text")))))
+      .head().getLong(0)
+    val hist = CurationQueries.zipfHistogram(spark, dir)
+    assert(hist.agg(sum("total_occurrences")).head().getLong(0) == nTokens)
+  }
+
+  test("curation pipeline output respects every stage's invariant") {
+    val out = CurationQueries.curationPipeline(spark, dir).cache()
+    val ids = out.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    assert(ids.forall(_ % 7 != 3), "benchmark stratum leaked into the training set")
+    assert(out.filter(col("n_tokens") < 40).count() == 0, "length filter not applied")
+    // survivor semantics: every retained doc is the min-id of its fp group
+    val docs = graft.core.Tables.documents(spark, dir)
+    val survivors = Dedup
+      .exact(docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L), "text", "doc_id")
+      .select(col("survivor_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(ids.forall(survivors.contains), "a non-survivor duplicate was retained")
+    out.unpersist()
+  }
+
+  test("gapfill plan contains no join (map-rebuild, not calendar-join)") {
+    val p = EventQueries.dailyGapfill(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"gapfill should rebuild the grid row-locally:\n$p")
+  }
+
+  test("mixture sample plans zero exchanges (scan-side filter)") {
+    val p = CurationQueries.mixtureSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    // orderBy adds a range exchange for display; everything below it
+    // must be exchange-free — no hashpartitioning anywhere
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("shuffle shards window is partitioned (no single-partition global window)") {
+    val p = CurationQueries.shuffleShards(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "window must be partitioned by shard")
+    assert(p.contains("hashpartitioning(shard"), s"window should repartition by shard:\n$p")
+  }
+}
