@@ -1379,12 +1379,17 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(synth, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
         |  CAST(len(regexp_extract_all(synth, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
         |FROM s ORDER BY doc_id""".stripMargin,
+    // set elements are 64-bit shingle fingerprints (md5 hex prefix) —
+    // the operator's documented semantics; values match string-shingle
+    // Jaccard absent a 2⁻⁶⁴ collision
     "q85_jaccard_prefix" ->
-      s"""WITH ${shingleCte(4)}, sizes AS (
-         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      s"""WITH ${shingleCte(4)}, fsh AS (
+         |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id
          |), cand AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_count
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT id_a, id_b, inter_count,

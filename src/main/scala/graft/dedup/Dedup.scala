@@ -582,12 +582,13 @@ object Dedup {
     * Frequent shingles (the f² posting-list blowup in the plain
     * inverted index) never enter the join.
     *
-    * Shuffles: df-count agg, freq-attach join (by shingle), per-doc
-    * re-sort agg (by id), prefix self-join (by rare shingle — short
-    * posting lists by construction), two set-attach joins (by id).
-    * Verification is row-local `array_intersect` on the candidate pair,
-    * exact integer ppm math. All shuffles are line-rate in corpus size;
-    * no step is quadratic outside shared-RARE-shingle groups.
+    * Shuffles: postings agg (by fingerprint), per-doc re-sort agg (by
+    * id), prefix self-join (by rare fingerprint — short posting lists
+    * by construction), two set-attach joins (by id; the pair side is
+    * output-sized, AQE broadcasts it when small). Verification is
+    * row-local `array_intersect` on the candidate pair, exact integer
+    * ppm math. All shuffles are line-rate in corpus size; no step is
+    * quadratic outside shared-RARE-fingerprint groups.
     */
   def jaccardPrefixFilterPairs(
       docs: DataFrame,
@@ -595,27 +596,45 @@ object Dedup {
       idCol: String,
       n: Int,
       minJaccardPpm: Long): DataFrame = {
+    // Set elements are 64-bit shingle FINGERPRINTS (md5 hex prefix),
+    // not shingle strings: every shuffle in this operator then carries
+    // 16-char keys instead of n-word strings (~60% fewer bytes at
+    // n = 4), and the fingerprint is engine-portable (md5 everywhere).
+    // A corpus-wide collision merges two shingles consistently for all
+    // docs — Jaccard over fp-sets, the documented semantics here;
+    // p(any collision) ≈ m²/2⁶⁵ for m distinct shingles, ~3e-7 even at
+    // 10¹² shingles.
     val shArr = docs
-      .select(col(idCol).as("id"), array_distinct(wordShingles(col(textCol), n)).as("sh"))
-    val cached = graft.core.Caches.cache(shArr) // used 3×: df-count, prefix, verify
-    val dfreq = cached
-      .select(explode(col("sh")).as("shingle"))
-      .groupBy(col("shingle"))
-      .agg(count(lit(1)).as("dfreq"))
-    // per-doc shingles ordered by (dfreq, shingle); prefix = L − ⌈τL⌉ + 1
-    val ordered = cached
-      .select(col("id"), size(col("sh")).cast("long").as("sz"), explode(col("sh")).as("shingle"))
-      .join(dfreq, Seq("shingle"))
-      .groupBy(col("id"), col("sz"))
-      .agg(sort_array(collect_list(struct(col("dfreq"), col("shingle")))).as("ordered"))
+      .select(
+        col(idCol).as("id"),
+        array_distinct(transform(wordShingles(col(textCol), n), s => substring(md5(s), 1, 16)))
+          .as("sh"))
+    val cached = graft.core.Caches.cache(shArr) // used 2×: postings, verify
+    // dfreq comes FROM the postings table (size of each posting list)
+    // instead of a separate count-agg + freq-attach join — one fewer
+    // full-table shuffle. Skew note as in ngramJaccardPairs: a
+    // corpus-wide stop-shingle makes one posting row wide; unlike the
+    // pair-enumeration there, this list only re-explodes to (id, fp)
+    // rows, so a hot shingle costs O(f) rows, never O(f²).
+    val postings = cached
+      .select(explode(col("sh")).as("fp"), col("id"))
+      .groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("ids"))
+    // per-doc fingerprints ordered by (dfreq, fp); prefix = L − ⌈τL⌉ + 1
+    val ordered = postings
+      .select(col("fp"), size(col("ids")).cast("long").as("dfreq"), explode(col("ids")).as("id"))
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_list(struct(col("dfreq"), col("fp")))).as("ordered"),
+        count(lit(1)).as("sz"))
     val prefLen =
       (col("sz") - floor((col("sz") * minJaccardPpm + 999999L) / 1000000L) + 1L).cast("int")
     val prefix = ordered
       .select(col("id"), explode(slice(col("ordered"), lit(1), prefLen)).as("t"))
-      .select(col("id"), col("t.shingle").as("shingle"))
+      .select(col("id"), col("t.fp").as("fp"))
     val cand = prefix
       .as("a")
-      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .join(prefix.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
