@@ -38,6 +38,31 @@ object Sinks {
     w.parquet(path)
   }
 
+  /** Range-clustered sorted write: `repartitionByRange` on the cluster
+    * key(s) + `sortWithinPartitions` before writing. Output files then
+    * hold non-overlapping, internally-sorted key ranges, so parquet
+    * row-group min/max statistics let any later scan with a predicate
+    * on the cluster key skip whole files — partition-pruning-grade
+    * selectivity without the directory explosion of `partitionBy` on a
+    * high-cardinality key. The layout step for every "big fact table,
+    * always filtered by time/id-range" situation at 100 TB.
+    *
+    * One range-exchange (sampled boundaries) is the entire extra cost;
+    * the sort is per-partition, never global.
+    */
+  def writeClusteredParquet(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      numFiles: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val cols = clusterCols.map(df.col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(mode).option("compression", "snappy")
+      .parquet(path)
+  }
+
   /** JSON-lines sink/scan — the interchange format training-data
     * pipelines ingest most. Explicit schema on read (never inferSchema:
     * a schema-inference pass is a second full scan at 100 TB, and

