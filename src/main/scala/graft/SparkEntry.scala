@@ -123,7 +123,9 @@ object SparkEntry {
     "q83_mixture_sample" -> (CQ.mixtureSample _),
     "q84_pii_redact" -> (CQ.piiRedact _),
     "q85_jaccard_prefix" -> (CQ.jaccardPrefixPairs _),
-    "q86_curation_pipeline" -> (CQ.curationPipeline _))
+    "q86_curation_pipeline" -> (CQ.curationPipeline _),
+    "q87_pagerank" -> (EQ.pagerank _),
+    "q88_grouping_sets" -> (RQ.groupingSets _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1435,5 +1437,53 @@ object SparkEntry {
          |JOIN survivors s USING (doc_id)
          |WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY k.doc_id""".stripMargin
-    })
+    },
+    // three exact-integer iterations unrolled as CTEs — floor division
+    // at both steps matches the engine's `div`; SUMs cast back to
+    // BIGINT (DuckDB SUM(BIGINT) widens to DECIMAL)
+    "q87_pagerank" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |), edges AS (
+         |  SELECT item_id AS src, next_item AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+         |), outw AS (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY 1
+         |), ew AS (
+         |  SELECT e.src, e.dst, e.w, o.out_w FROM edges e JOIN outw o USING (src)
+         |), nodes AS (
+         |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+         |), p0 AS (
+         |  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes
+         |), c1 AS (
+         |  SELECT ew.dst AS id, CAST(SUM((p.pr * ew.w) // ew.out_w) AS BIGINT) AS inc
+         |  FROM ew JOIN p0 p ON ew.src = p.id GROUP BY 1
+         |), p1 AS (
+         |  SELECT n.id, CAST(150000 + (850000 * COALESCE(c.inc, 0)) // 1000000 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c1 c USING (id)
+         |), c2 AS (
+         |  SELECT ew.dst AS id, CAST(SUM((p.pr * ew.w) // ew.out_w) AS BIGINT) AS inc
+         |  FROM ew JOIN p1 p ON ew.src = p.id GROUP BY 1
+         |), p2 AS (
+         |  SELECT n.id, CAST(150000 + (850000 * COALESCE(c.inc, 0)) // 1000000 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c2 c USING (id)
+         |), c3 AS (
+         |  SELECT ew.dst AS id, CAST(SUM((p.pr * ew.w) // ew.out_w) AS BIGINT) AS inc
+         |  FROM ew JOIN p2 p ON ew.src = p.id GROUP BY 1
+         |), p3 AS (
+         |  SELECT n.id, CAST(150000 + (850000 * COALESCE(c.inc, 0)) // 1000000 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c3 c USING (id)
+         |)
+         |SELECT id AS item_id, pr AS pr_micro FROM p3 ORDER BY item_id""".stripMargin,
+    "q88_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin)
 }

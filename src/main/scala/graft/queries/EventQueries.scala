@@ -406,4 +406,24 @@ object EventQueries {
         col("day_num"),
         coalesce(element_at(col("m"), col("day_num")), lit(0L)).as("n_events"))
       .orderBy(col("user_id"), col("day_num"))
+
+  /** Integer-deterministic PageRank (3 iterations, micro-scaled) over
+    * the session item-transition graph — the iterative-computation
+    * operator class ([[graft.ops.Graph]]); the oracle unrolls the same
+    * three exact-integer iterations as CTEs.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph
+      .pagerankMicro(
+        Windows.transitionCounts(
+          Pipeline.enrichedEvents(s, d),
+          "session_id",
+          Seq(col("epoch_s").asc, col("event_id").asc),
+          "item_id"),
+        "item_a",
+        "item_b",
+        "transition_count",
+        iters = 3)
+      .select(col("id").as("item_id"), col("pr_micro"))
+      .orderBy(col("item_id"))
 }

@@ -342,4 +342,22 @@ object RelationalQueries {
       .unionByName(open.except(f).select(lit("o_only").as("tag"), col("custkey")))
       .orderBy(col("tag"), col("custkey"))
   }
+
+  /** Arbitrary GROUPING SETS — the level-mix (`(flag)`, `(status)`,
+    * `()`) that neither ROLLUP nor CUBE expresses; SQL surface on a
+    * temp view, one Expand + single hash-agg pass like the other two.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gsets")
+    s.sql("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      FROM lineitem_gsets
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY g_flag, g_status, returnflag, linestatus""")
+  }
 }
