@@ -125,7 +125,11 @@ object SparkEntry {
     "q85_jaccard_prefix" -> (CQ.jaccardPrefixPairs _),
     "q86_curation_pipeline" -> (CQ.curationPipeline _),
     "q87_pagerank" -> (EQ.pagerank _),
-    "q88_grouping_sets" -> (RQ.groupingSets _))
+    "q88_grouping_sets" -> (RQ.groupingSets _),
+    "q89_line_boilerplate" -> (CQ.lineBoilerplate _),
+    "q90_fuzzy_names" -> (CQ.fuzzyNames _),
+    "q91_unicode_clean" -> (CQ.unicodeClean _),
+    "q92_profile" -> (RQ.profileCustomers _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1485,5 +1489,85 @@ object SparkEntry {
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin)
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin,
+    // planted multi-line corpus: per-source nav header + global
+    // copyright footer above two unique content lines; parallel
+    // unnests zip (line, position)
+    "q89_line_boilerplate" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    'NAV ' || source || ' HOME' || chr(10) ||
+        |    '(c) retail corp all rights reserved' || chr(10) ||
+        |    substring(text, 1, 80) || chr(10) || substring(text, 81, 80) AS text
+        |  FROM documents
+        |), lns AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM lined
+        |), boiler AS (
+        |  SELECT line FROM lns GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 20
+        |), kept AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM lns WHERE line NOT IN (SELECT line FROM boiler)
+        |  GROUP BY doc_id
+        |)
+        |SELECT l.doc_id,
+        |  COALESCE(k.n_lines_kept, 0) AS n_lines_kept,
+        |  CAST(len(string_split(l.text, chr(10))) AS BIGINT) - COALESCE(k.n_lines_kept, 0) AS n_lines_removed,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM lined l LEFT JOIN kept k USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+    "q90_fuzzy_names" ->
+      """WITH nm AS (
+        |  SELECT p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT 'x' || substring(p_name, 2, 1000) FROM part WHERE p_partkey % 40 = 0
+        |), dn AS (
+        |  SELECT DISTINCT name, split_part(name, ' ', 2) AS block FROM nm
+        |)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM dn a JOIN dn b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // chr(769)/chr(776) are the combining acute/diaeresis the engine
+    // plants as ́/̈; nfc_normalize is DuckDB's NFC
+    "q91_unicode_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 30) || ' cafe' || chr(769) || ' nai' || chr(776) || 've '
+        |      || chr(7) || 'bell' || chr(27) || 'esc ' || doc_id AS synth
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(length(synth) - length(regexp_replace(synth, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_control,
+        |  CAST(length(synth) - length(nfc_normalize(synth)) AS BIGINT) AS n_composed,
+        |  regexp_replace(nfc_normalize(synth), '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS clean_text
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // the UNION ALL mirrors the engine's stack() unpivot; acctbal is
+    // decimal-cast before MIN/MAX so the string render matches
+    "q92_profile" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal, c_mktsegment
+        |  FROM customer
+        |)
+        |SELECT 'c_custkey' AS "column", CAST(COUNT(c_custkey) AS BIGINT) AS n_nonnull,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(c_custkey) AS VARCHAR) AS min_value, CAST(MAX(c_custkey) AS VARCHAR) AS max_value FROM c
+        |UNION ALL
+        |SELECT 'c_name', CAST(COUNT(c_name) AS BIGINT), CAST(COUNT(DISTINCT c_name) AS BIGINT),
+        |  CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM c
+        |UNION ALL
+        |SELECT 'c_nationkey', CAST(COUNT(c_nationkey) AS BIGINT), CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+        |  CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM c
+        |UNION ALL
+        |SELECT 'c_acctbal', CAST(COUNT(c_acctbal) AS BIGINT), CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+        |  CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR) FROM c
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(COUNT(c_mktsegment) AS BIGINT), CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+        |  CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM c
+        |ORDER BY "column"""".stripMargin)
 }

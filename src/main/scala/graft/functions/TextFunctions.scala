@@ -87,6 +87,31 @@ object TextFunctions {
   def meanTokenLenMilli(text: Column): Column =
     floor(length(regexp_replace(trim(text), "\\s+", "")) * 1000L / tokenCount(text)).cast("long")
 
+  /** Unicode NFC canonical composition (native expression over the
+    * JDK normalizer — Spark has no built-in). See
+    * org.apache.spark.sql.graft.NormalizeNfc.
+    */
+  def normalizeNfc(text: Column): Column =
+    org.apache.spark.sql.graft.NormalizeNfc(text)
+
+  /** C0 control characters (except tab/newline) and DEL — the bytes
+    * that crash tokenizers and leak terminal escapes into training
+    * text. Shared between the cleaner and its counting report.
+    */
+  val controlCharClass = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+
+  /** Count of stripped-class control characters. */
+  def controlCharCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, controlCharClass, ""))).cast("long")
+
+  /** Standard text cleanup: NFC-compose, then strip control chars
+    * (keeping tab/newline). NFC first — composition can only shorten
+    * text and never produces control characters, so the two passes
+    * commute with this ordering fixed.
+    */
+  def cleanText(text: Column): Column =
+    regexp_replace(normalizeNfc(text), controlCharClass, "")
+
   /** Document fingerprint: md5 hex of normalized text (lowercased,
     * whitespace collapsed to single spaces, trimmed).
     */

@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.{Pii, TextFunctions => TF}
-import graft.ops.Sampling
+import graft.ops.{Fuzzy, Lines, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -113,6 +113,73 @@ object CurationQueries {
       .jaccardPrefixFilterPairs(
         Tables.documents(s, d), "text", "doc_id", n = 4, minJaccardPpm = 500000L)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Line-level boilerplate removal ([[graft.ops.Lines.stripBoilerplate]]).
+    * The synthetic corpus is single-line, so the query builds the
+    * multi-line shape a crawl would have — a per-source navigation
+    * header and a corpus-wide copyright footer (both DERIVED from
+    * table values, so each engine constructs identical lines) above
+    * two content lines — then strips every line shared by ≥ 20
+    * documents. Nav + copyright go; content stays, order preserved.
+    */
+  def lineBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val lined = concat(
+      lit("NAV "), col("source"), lit(" HOME\n"),
+      lit("(c) retail corp all rights reserved\n"),
+      substring(col("text"), 1, 80), lit("\n"),
+      substring(col("text"), 81, 80))
+    Lines
+      .stripBoilerplate(
+        Tables.documents(s, d).select(col("doc_id"), lined.as("text")),
+        "text", "doc_id", minDocs = 20L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Typo-variant fuzzy dedup over the part-name vocabulary
+    * ([[graft.ops.Fuzzy.levenshteinPairs]], blocked on the noun
+    * token). The query plants one first-character typo per 40th part
+    * and the operator must recover the (original, variant) pairs —
+    * plus any natural ≤2-edit neighbours — without an all-pairs scan.
+    */
+  def fuzzyNames(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+    val names = parts.select(col("p_name").as("name"))
+    val variants = parts
+      .filter(pmod(col("p_partkey"), lit(40L)) === 0L)
+      .select(concat(lit("x"), substring(col("p_name"), 2, 1000)).as("name"))
+    Fuzzy
+      .levenshteinPairs(
+        names.unionByName(variants),
+        "name",
+        element_at(split(col("name"), " "), 2),
+        maxDist = 2)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Unicode text cleanup: NFC composition (native
+    * [[org.apache.spark.sql.graft.NormalizeNfc]] expression — Spark
+    * has no built-in) plus control-character stripping
+    * ([[graft.functions.TextFunctions.cleanText]]). The corpus is
+    * ASCII, so the query plants decomposed sequences (e +  ́, i +  ̈)
+    * and control bytes (BEL, ESC), then checks the composed, stripped
+    * text byte-for-byte along with both per-row counts. Scan-side,
+    * zero shuffle.
+    */
+  def unicodeClean(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(
+      substring(col("text"), 1, 30),
+      lit(" cafe\u0301 nai\u0308ve \u0007bell\u001Besc "),
+      col("doc_id").cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), synth.as("synth"))
+      .select(
+        col("doc_id"),
+        TF.controlCharCount(col("synth")).as("n_control"),
+        (length(col("synth")) - length(TF.normalizeNfc(col("synth")))).cast("long")
+          .as("n_composed"),
+        TF.cleanText(col("synth")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 
   /** End-to-end curation: language filter → length filter → exact-dup
     * survivor → benchmark decontamination, composed from the library

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.{Aggregates => Ag, Joins, Windows}
+import graft.ops.{Aggregates => Ag, Joins, Profile, Windows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -360,4 +360,21 @@ object RelationalQueries {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY g_flag, g_status, returnflag, linestatus""")
   }
+
+  /** Schema-dynamic one-pass table profile ([[graft.ops.Profile]])
+    * over the customer table. The double `c_acctbal` goes through an
+    * exact decimal cast BEFORE aggregation so min/max render
+    * identically in any engine (the determinism rule for doubles).
+    */
+  def profileCustomers(s: SparkSession, d: String): DataFrame =
+    Profile
+      .profile(
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          col("c_name"),
+          col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"),
+          col("c_mktsegment")),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      .orderBy(col("column"))
 }

@@ -159,4 +159,103 @@ class CurationSpec extends SparkSpec {
       "window must be partitioned by shard")
     assert(p.contains("hashpartitioning(shard"), s"window should repartition by shard:\n$p")
   }
+
+  test("line boilerplate: shared lines removed, content kept in order, no rows dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nalpha beta\ngamma\nFOOTER"),
+      (2L, "HEADER\ndelta\nepsilon zeta\nFOOTER"),
+      (3L, "HEADER\nFOOTER"), // all-boilerplate doc must survive, empty
+      (4L, "solo line only")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Lines.stripBoilerplate(docs, "text", "doc_id", minDocs = 3L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4, "no input row may be dropped")
+    assert(out(0).getString(3) == "alpha beta\ngamma")
+    assert(out(1).getString(3) == "delta\nepsilon zeta")
+    assert(out(2).getLong(1) == 0L && out(2).getString(3) == "")
+    assert(out(2).getLong(2) == 2L, "both boilerplate lines counted as removed")
+    assert(out(3).getString(3) == "solo line only", "unique lines untouched")
+  }
+
+  test("line boilerplate set is broadcast, not shuffled to the anti-join") {
+    val p = CurationQueries.lineBoilerplate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"boilerplate removal must be a broadcast anti-join:\n$p")
+  }
+
+  test("levenshtein pairs: finds planted typos, never compares across blocks") {
+    import spark.implicits._
+    val df = Seq("red widget", "rxd widget", "red gadget", "blue bolt")
+      .toDF("name")
+    val out = graft.ops.Fuzzy
+      .levenshteinPairs(df, "name", element_at(split(col("name"), " "), 2), maxDist = 2)
+      .collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs == Set(("red widget", "rxd widget", 1L)),
+      s"expected exactly the planted typo pair, got $pairs")
+    // "red widget" vs "red gadget" is dist 2 but they share no noun
+    // block ... they DO share nothing: widget vs gadget blocks differ.
+    // "blue bolt" has no block partner at all.
+  }
+
+  test("fuzzy names query emits each planted variant paired with its original") {
+    val out = rows(CurationQueries.fuzzyNames(spark, dir))
+    assert(out.nonEmpty)
+    // every planted 'x'-variant must appear in at least one pair with
+    // distance 1 (its original differs in exactly the first char)
+    val planted = out.filter(r =>
+      (r.getString(0).startsWith("x") || r.getString(1).startsWith("x")) && r.getLong(2) == 1L)
+    assert(planted.nonEmpty, "planted typo variants must be recovered")
+  }
+
+  test("NFC expression composes, is idempotent, and fast-paths normalized input") {
+    import spark.implicits._
+    val decomposed = "café naïve"
+    val out = Seq(decomposed).toDF("t")
+      .select(graft.functions.TextFunctions.normalizeNfc(col("t")).as("n"))
+      .head().getString(0)
+    assert(out == "café naïve", s"NFC must compose combining marks: $out")
+    val again = Seq(out).toDF("t")
+      .select(graft.functions.TextFunctions.normalizeNfc(col("t")).as("n"))
+      .head().getString(0)
+    assert(again == out, "NFC must be idempotent")
+  }
+
+  test("cleanText strips control chars but keeps tab and newline") {
+    import spark.implicits._
+    val dirty = "abc\td\ne"
+    val out = Seq(dirty).toDF("t")
+      .select(
+        graft.functions.TextFunctions.cleanText(col("t")).as("c"),
+        graft.functions.TextFunctions.controlCharCount(col("t")).as("n"))
+      .head()
+    assert(out.getString(0) == "ab c\td\ne".replace(" ", ""), s"got '${out.getString(0)}'")
+    assert(out.getLong(1) == 3L, "BEL, ESC and DEL counted")
+  }
+
+  test("profile: one row per column, exact counts, typed min/max rendering") {
+    import spark.implicits._
+    val df = Seq((1L, "b", Some(10)), (2L, "a", None), (2L, "a", Some(3)))
+      .toDF("k", "s", "v")
+    val out = graft.ops.Profile.profile(df, Seq("k", "s", "v"))
+      .orderBy("column").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("k", "s", "v"))
+    val k = out(0); val s2 = out(1); val v = out(2)
+    assert(k.getLong(1) == 3 && k.getLong(2) == 2 && k.getString(3) == "1" && k.getString(4) == "2")
+    assert(s2.getLong(1) == 3 && s2.getLong(2) == 2 && s2.getString(3) == "a" && s2.getString(4) == "b")
+    assert(v.getLong(1) == 2 && v.getLong(2) == 2 && v.getString(3) == "3" && v.getString(4) == "10",
+      "min/max must use NUMERIC ordering before the string render")
+  }
+
+  test("profile runs as a single aggregation pass (one scan of the input)") {
+    val p = graft.ops.Profile
+      .profile(graft.core.Tables.customer(spark, dir), Seq("c_custkey", "c_name"))
+      .queryExecution.executedPlan.toString
+    // one scan: stack() unpivots the single wide row, so the parquet
+    // relation appears exactly once in the physical plan
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profiler must not re-scan per column:\n$p")
+  }
 }
