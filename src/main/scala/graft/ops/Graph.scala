@@ -42,26 +42,41 @@ object Graph {
       dstCol: String,
       weightCol: String,
       iters: Int,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L,
+      broadcastRanks: Boolean = false): DataFrame = {
     val basePpm = 1000000L - dampingPpm
-    val e = edges.select(
-      col(srcCol).as("src"),
-      col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w"))
+    // cache the edge PROJECTION first: `ew` and `nodes` both derive
+    // from it, and caching only the derived tables would materialize
+    // the caller's edge subtree twice (measured 2× the transition-count
+    // build on q87 — the dominant cost, not the iterations)
+    val e = Caches.cache(
+      edges.select(
+        col(srcCol).as("src"),
+        col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w")))
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val ew = Caches.cache(e.join(outW, Seq("src")))
     val nodes = Caches.cache(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    // The rank and contribution tables are NODE-sized — one row per
+    // vertex — while the join work is EDGE-sized. When the vertex set
+    // is broadcastable (item/vocabulary graphs: bounded by the catalog,
+    // not the corpus), `broadcastRanks` replaces both per-iteration
+    // rank-side shuffles with broadcasts, leaving only the contribution
+    // aggregation exchange (map-side combined, ≤ |V| rows out per
+    // partition). Web-scale graphs (|V| ~ corpus) keep the default
+    // shuffle joins — same regime split as the co-visitation prefilter.
+    def side(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
     var pr = nodes.select(col("id"), lit(1000000L).as("pr_micro"))
     for (_ <- 1 to iters) {
       val contrib = ew
-        .join(pr, ew("src") === pr("id"))
+        .join(side(pr), ew("src") === pr("id"))
         .select(col("dst"), expr("(pr_micro * w) div out_w").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("in_c"))
       pr = Caches.cache(
         nodes
-          .join(contrib, nodes("id") === contrib("dst"), "left")
+          .join(side(contrib), nodes("id") === contrib("dst"), "left")
           .select(
             col("id"),
             expr(s"$basePpm + ($dampingPpm * coalesce(in_c, 0L)) div 1000000")

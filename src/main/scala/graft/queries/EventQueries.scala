@@ -423,7 +423,9 @@ object EventQueries {
         "item_a",
         "item_b",
         "transition_count",
-        iters = 3)
+        iters = 3,
+        // item-transition graph: |V| = catalog size, broadcastable
+        broadcastRanks = true)
       .select(col("id").as("item_id"), col("pr_micro"))
       .orderBy(col("item_id"))
 }

@@ -34,4 +34,13 @@ class GraphSpec extends SparkSpec {
     val pr = Graph.pagerankMicro(edges, "src", "dst", "w", iters = 0)
     assert(pr.select("pr_micro").distinct().collect().map(_.getLong(0)).toSeq == Seq(1000000L))
   }
+
+  test("broadcast-rank regime is bit-identical to the shuffle regime") {
+    val shuffled = Graph.pagerankMicro(edges, "src", "dst", "w", iters = 3)
+      .orderBy("id").collect().toSeq
+    val bcast = Graph
+      .pagerankMicro(edges, "src", "dst", "w", iters = 3, broadcastRanks = true)
+      .orderBy("id").collect().toSeq
+    assert(bcast == shuffled, "broadcast mode must not change a single rank")
+  }
 }
