@@ -129,7 +129,9 @@ object SparkEntry {
     "q89_line_boilerplate" -> (CQ.lineBoilerplate _),
     "q90_fuzzy_names" -> (CQ.fuzzyNames _),
     "q91_unicode_clean" -> (CQ.unicodeClean _),
-    "q92_profile" -> (RQ.profileCustomers _))
+    "q92_profile" -> (RQ.profileCustomers _),
+    "q93_zorder" -> (RQ.zorderIndex _),
+    "q94_data_quality" -> (RQ.dataQuality _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1569,5 +1571,41 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'c_mktsegment', CAST(COUNT(c_mktsegment) AS BIGINT), CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
         |  CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM c
-        |ORDER BY "column"""".stripMargin)
+        |ORDER BY "column"""".stripMargin,
+    // the SQL mirror of the Morton interleave: unrolled shift-mask sum
+    "q93_zorder" -> {
+      val terms = (0 until 16)
+        .flatMap(i => Seq(
+          s"(((o_custkey >> $i) & 1) << ${2 * i})",
+          s"(((day_num >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+         |  FROM orders
+         |)
+         |SELECT o_orderkey, CAST($terms AS BIGINT) AS z
+         |FROM o ORDER BY o_orderkey""".stripMargin
+    },
+    "q94_data_quality" ->
+      """SELECT 'lineitem_orderkey_in_orders' AS "constraint", CAST(COUNT(*) AS BIGINT) AS n_violations
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range', CAST(COUNT(*) AS BIGINT)
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50)
+        |UNION ALL
+        |SELECT 'orders_custkey_in_customer', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'orders_custkey_not_null', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_orderkey_unique', CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_status_accepted', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O', 'P')
+        |ORDER BY "constraint"""".stripMargin)
 }

@@ -63,6 +63,33 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Z-order clustered write: range-cluster on the Morton interleave
+    * of two keys ([[org.apache.spark.sql.graft.ZOrder2]]) instead of a
+    * single column. `writeClusteredParquet` on one key gives file
+    * skipping on that key only; the z-curve splits the skipping power
+    * across BOTH dimensions — each output file covers a narrow range
+    * of x AND of y, so scans filtered on either (or both) prune files
+    * via parquet min/max stats. Same cost shape as the single-key
+    * variant: one sampled range exchange + per-partition sort.
+    */
+  def writeZOrderedParquet(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int,
+      bits: Int = 16,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val z = org.apache.spark.sql.graft.ZOrder2(
+      df.col(xCol).cast("long"), df.col(yCol).cast("long"), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+      .drop("__z")
+      .write.mode(mode).option("compression", "snappy")
+      .parquet(path)
+  }
+
   /** JSON-lines sink/scan — the interchange format training-data
     * pipelines ingest most. Explicit schema on read (never inferSchema:
     * a schema-inference pass is a second full scan at 100 TB, and

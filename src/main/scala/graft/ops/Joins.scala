@@ -277,4 +277,35 @@ object Joins {
         probes(tsCol) <= intervals(endCol),
       "inner")
       .drop(intervals(key))
+
+  /** Salted equi-join for skewed keys: identical row set to
+    * `large.join(right, key)`, different physical distribution.
+    *
+    * A shuffle join sends every row of a key to ONE reducer — a key
+    * holding 10% of a 100 TB fact table makes one straggler task own
+    * 10 TB. Salting splits each key's rows across `nSalts` reducers:
+    * the large side gets `salt = pmod(xxhash64(saltBy), nSalts)` (from
+    * a caller-chosen DETERMINISTIC per-row column — never `rand()`,
+    * which breaks retry/replay reproducibility), the small side is
+    * replicated once per salt via a row-local `explode`, and the join
+    * runs on `(key, salt)`. Replication costs `nSalts ×` the small
+    * side — use for dimension-sized right sides under a genuinely
+    * skewed fact; AQE's skew splitting handles milder cases without
+    * the replication.
+    */
+  def saltedJoin(
+      large: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltBy: Column,
+      nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val salted = large.withColumn("__salt", pmod(xxhash64(saltBy), lit(nSalts.toLong)))
+    val replicated = right.withColumn(
+      "__salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
+    salted
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
 }

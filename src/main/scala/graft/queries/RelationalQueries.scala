@@ -361,6 +361,50 @@ object RelationalQueries {
       ORDER BY g_flag, g_status, returnflag, linestatus""")
   }
 
+  /** Z-order (Morton) index values over (customer, order-day) — the
+    * native [[org.apache.spark.sql.graft.ZOrder2]] expression behind
+    * [[graft.core.Sinks.writeZOrderedParquet]]'s two-dimensional
+    * file-skipping layout, surfaced as an oracle-checked contract
+    * (pure bit arithmetic: the SQL mirror unrolls the interleave).
+    */
+  def zorderIndex(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day_num"))
+      .select(
+        col("o_orderkey"),
+        org.apache.spark.sql.graft.ZOrder2(col("o_custkey"), col("day_num"), 16).as("z"))
+      .orderBy(col("o_orderkey"))
+
+  /** Data-quality gate ([[graft.ops.Validate]]): not-null, key
+    * uniqueness, referential integrity, accepted values and numeric
+    * range over the orders/customer/lineitem triangle — the ingest
+    * checks a pipeline runs before promoting a day's partition.
+    */
+  def dataQuality(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Validate
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    Validate
+      .report(Seq(
+        "lineitem_orderkey_in_orders" ->
+          Validate.refIntegrityViolations(lineitem, "l_orderkey", orders, "o_orderkey"),
+        "lineitem_quantity_range" ->
+          Validate.rangeViolations(lineitem, "l_quantity", 1L, 50L),
+        "orders_custkey_in_customer" ->
+          Validate.refIntegrityViolations(orders, "o_custkey", customer, "c_custkey"),
+        "orders_custkey_not_null" ->
+          Validate.notNullViolations(orders, "o_custkey"),
+        "orders_orderkey_unique" ->
+          Validate.uniqueKeyViolations(orders, Seq("o_orderkey")),
+        "orders_status_accepted" ->
+          Validate.acceptedValuesViolations(orders, "o_orderstatus", Seq("F", "O", "P"))))
+      .orderBy(col("constraint"))
+  }
+
   /** Schema-dynamic one-pass table profile ([[graft.ops.Profile]])
     * over the customer table. The double `c_acctbal` goes through an
     * exact decimal cast BEFORE aggregation so min/max render

@@ -89,4 +89,51 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 10000L)
     assert(back.filter(col("key") === 42L).count() == df.filter(col("key") === 42L).count())
   }
+
+  test("zorder2: interleave matches the bit-arithmetic definition and known points") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(org.apache.spark.sql.graft.ZOrder2(col("x"), col("y"), 16).as("z"))
+      .as[Long].collect().toSeq
+    // z(1,0)=1, z(0,1)=2, z(3,5) = x bits at even, y bits at odd
+    //   x=011 -> 0b010101 & even = 1,4 ; y=101 -> odd bits 1,0,1 -> 2+32
+    assert(out == Seq(0L, 1L, 2L, 1L + 4L + 2L + 32L, (1L << 32) - 1L))
+  }
+
+  test("writeZOrderedParquet: every file is narrow in BOTH dimensions") {
+    val dir = Files.createTempDirectory("sinks").toString + "/zordered"
+    // a 100x100 grid — single-key clustering on x would leave every
+    // file spanning the full y range
+    val df = (0L until 10000L).map(i => (i / 100L, i % 100L)).toDF("x", "y")
+    Sinks.writeZOrderedParquet(df, dir, "x", "y", numFiles = 16, bits = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length >= 8, s"expected multiple z-ordered files, got ${files.length}")
+    val spans = files.map { f =>
+      val rows = spark.read.parquet(f.toString).select("x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val xs = rows.map(_._1); val ys = rows.map(_._2)
+      (xs.max - xs.min, ys.max - ys.min)
+    }
+    // z-curve cells: average per-file span must be well under the full
+    // 0..99 extent on BOTH axes (a single-key sort gives ~0 on one and
+    // ~99 on the other)
+    val avgX = spans.map(_._1).sum.toDouble / spans.length
+    val avgY = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgX < 60 && avgY < 60, f"files not 2-d clustered: avg x-span $avgX%.1f, y-span $avgY%.1f")
+    assert(spark.read.parquet(dir).count() == 10000L)
+  }
+
+  test("saltedJoin: identical row set to the plain join, partitioned on (key, salt)") {
+    val large = (1L to 5000L).map(i => (if (i % 10 < 8) 1L else i % 50L, i))
+      .toDF("k", "row_id") // 80% of rows share key 1 — heavy skew
+    val dim = Seq((1L, "hot"), (2L, "a"), (7L, "b"), (49L, "c")).toDF("k", "v")
+    val plain = large.join(dim, Seq("k"))
+    val salted = graft.ops.Joins.saltedJoin(large, dim, "k", col("row_id"), nSalts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must not change the join result")
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"join must carry the salt key:\n$p")
+  }
 }
