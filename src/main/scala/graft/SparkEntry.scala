@@ -131,7 +131,8 @@ object SparkEntry {
     "q91_unicode_clean" -> (CQ.unicodeClean _),
     "q92_profile" -> (RQ.profileCustomers _),
     "q93_zorder" -> (RQ.zorderIndex _),
-    "q94_data_quality" -> (RQ.dataQuality _))
+    "q94_data_quality" -> (RQ.dataQuality _),
+    "q95_scd2_history" -> (EQ.scd2History _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1607,5 +1608,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'orders_status_accepted', CAST(COUNT(*) AS BIGINT)
         |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O', 'P')
-        |ORDER BY "constraint"""".stripMargin)
+        |ORDER BY "constraint"""".stripMargin,
+    // run-length compression: first-row rule + null-safe change test
+    // (IS DISTINCT FROM), intervals closed by the next run's start
+    "q95_scd2_history" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_type, epoch_s, event_id,
+        |    (row_number() OVER w = 1
+        |      OR lag(event_type) OVER w IS DISTINCT FROM event_type) AS changed
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
+        |), runs AS (
+        |  SELECT user_id, event_type, epoch_s AS valid_from,
+        |    lead(epoch_s) OVER w2 AS valid_to,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS run_seq
+        |  FROM flagged WHERE changed
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
+        |)
+        |SELECT user_id, run_seq, event_type, valid_from, valid_to
+        |FROM runs ORDER BY user_id, run_seq""".stripMargin)
 }

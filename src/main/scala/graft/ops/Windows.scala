@@ -130,4 +130,40 @@ object Windows {
       .rangeBetween(-precedingRange, Window.currentRow)
     aggs.foldLeft(df) { case (acc, (a, name)) => acc.withColumn(name, a.over(w)) }
   }
+
+  /** Run-length interval compression / SCD2 history build: collapse
+    * consecutive equal values of `valueCol` per `keyCol` (ordered by
+    * `orderCol` with unique `tieCol`) into
+    * `(key, value, valid_from, valid_to)` intervals — `valid_from` =
+    * the order value where the run starts, `valid_to` = the next run's
+    * start (null while current). The dimension-history shape (type-2
+    * slowly-changing attributes) and equally the RLE compressor for
+    * state-change telemetry.
+    *
+    * ONE exchange: the change-detection lag and the interval-closing
+    * lead share the `(key)` partitioning — the lead runs over the
+    * FILTERED change rows, which preserve the partitioning and sort,
+    * so Catalyst inserts no second exchange (pinned in WindowsSpec).
+    */
+  def scd2Intervals(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    df.select(col(keyCol), col(orderCol), col(tieCol), col(valueCol))
+      // null-safe change test (null-valued runs are runs too — RLE must
+      // be lossless), with an explicit first-row rule: lag()'s null is
+      // ambiguous between "no previous row" and "previous value null"
+      .withColumn(
+        "__changed",
+        row_number().over(w) === 1 || !(lag(col(valueCol), 1).over(w) <=> col(valueCol)))
+      .filter(col("__changed"))
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("run_seq", row_number().over(w).cast("long"))
+      .select(
+        col(keyCol), col("run_seq"), col(valueCol), col("valid_from"), col("valid_to"))
+  }
 }

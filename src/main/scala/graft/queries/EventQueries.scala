@@ -412,6 +412,22 @@ object EventQueries {
     * operator class ([[graft.ops.Graph]]); the oracle unrolls the same
     * three exact-integer iterations as CTEs.
     */
+  /** Run-length / SCD2 compression of each user's event-type stream
+    * ([[graft.ops.Windows.scd2Intervals]]): consecutive equal types
+    * collapse to (run_seq, type, valid_from, valid_to) intervals — the
+    * type-2 dimension-history build, one exchange.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    graft.ops.Windows
+      .scd2Intervals(
+        graft.core.Tables.events(s, d).select(
+          col("user_id"),
+          col("event_id"),
+          col("event_type"),
+          unix_timestamp(col("ts")).as("epoch_s")),
+        "user_id", "epoch_s", "event_id", "event_type")
+      .orderBy(col("user_id"), col("run_seq"))
+
   def pagerank(s: SparkSession, d: String): DataFrame =
     graft.ops.Graph
       .pagerankMicro(

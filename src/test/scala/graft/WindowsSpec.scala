@@ -117,4 +117,37 @@ class WindowsSpec extends SparkSpec {
     val expected = rows.size - rows.map(_._1).distinct.size
     assert(total == expected, s"each row but the last of its group emits exactly one transition")
   }
+
+  test("scd2Intervals: lossless RLE incl. null runs and null-leading keys") {
+    val df = Seq[(String, Long, Long, Option[String])](
+      ("u1", 10L, 1L, Some("a")),
+      ("u1", 20L, 2L, Some("a")), // same run
+      ("u1", 30L, 3L, Some("b")), // change
+      ("u1", 40L, 4L, None), // null run is a run
+      ("u1", 50L, 5L, Some("b")), // b again after null = NEW run
+      ("u2", 10L, 6L, None) // null-leading key must still emit
+    ).toDF("k", "t", "id", "v")
+    val out = Windows.scd2Intervals(df, "k", "t", "id", "v")
+      .orderBy("k", "run_seq")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSeq
+    assert(out == Seq(
+      ("u1", 1L, Some("a"), 10L, Some(30L)),
+      ("u1", 2L, Some("b"), 30L, Some(40L)),
+      ("u1", 3L, None, 40L, Some(50L)),
+      ("u1", 4L, Some("b"), 50L, None),
+      ("u2", 1L, None, 10L, None)))
+  }
+
+  test("scd2Intervals plans exactly one exchange (all windows share the key partitioning)") {
+    val df = graft.core.Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+    val p = Windows.scd2Intervals(df, "user_id", "epoch_s", "event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"change-lag, interval-lead and run_seq must share one shuffle:\n$p")
+  }
 }
