@@ -132,7 +132,13 @@ object SparkEntry {
     "q92_profile" -> (RQ.profileCustomers _),
     "q93_zorder" -> (RQ.zorderIndex _),
     "q94_data_quality" -> (RQ.dataQuality _),
-    "q95_scd2_history" -> (EQ.scd2History _))
+    "q95_scd2_history" -> (EQ.scd2History _),
+    "q96_session_window" -> (EQ.sessionWindowAgg _),
+    "q97_negative_samples" -> (EQ.negativeSamples _),
+    "q98_target_encoding" -> (EQ.targetEncoding _),
+    "q99_winsorize" -> (RQ.winsorize _),
+    "q100_feature_hashing" -> (TQ.featureHashing _),
+    "q101_correlation" -> (RQ.correlation _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1629,5 +1635,136 @@ object SparkEntry {
         |  WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
         |)
         |SELECT user_id, run_seq, event_type, valid_from, valid_to
-        |FROM runs ORDER BY user_id, run_seq""".stripMargin)
+        |FROM runs ORDER BY user_id, run_seq""".stripMargin,
+    // Mirrors Spark's session_window merge rule (pinned by
+    // FeatureEngSpec): split strictly when gap > 1800 s; window end =
+    // last event + gap. Micros = nanos div 1000 (Tables.events).
+    "q96_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+        |), lagged AS (
+        |  SELECT user_id, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+        |  FROM ev
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |                              ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(us) AS w_start_us,
+        |  MAX(us) + 1800000000 AS w_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sn
+        |ORDER BY user_id, w_start_us""".stripMargin,
+    "q97_negative_samples" ->
+      s"""WITH $sessCte, pool AS (
+         |  SELECT category_id, COUNT(*) AS cat_events FROM enr
+         |  GROUP BY category_id ORDER BY cat_events DESC, category_id LIMIT 10
+         |), fs AS (
+         |  SELECT user_id, category_id, MIN(epoch_s) AS first_seen_s
+         |  FROM enr GROUP BY user_id, category_id
+         |), cand AS (
+         |  SELECT a.anchor_id, p.category_id, p.cat_events
+         |  FROM anchors a CROSS JOIN pool p
+         |  LEFT JOIN fs ON fs.user_id = a.user_id AND fs.category_id = p.category_id
+         |  WHERE fs.first_seen_s IS NULL OR fs.first_seen_s >= a.anchor_epoch_s
+         |), ranked AS (
+         |  SELECT anchor_id, category_id,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY cat_events DESC, category_id) AS neg_rank
+         |  FROM cand
+         |)
+         |SELECT anchor_id, category_id, CAST(neg_rank AS INT) AS neg_rank
+         |FROM ranked WHERE neg_rank <= 5
+         |ORDER BY anchor_id, neg_rank""".stripMargin,
+    // All te inputs are counts < 2^53, so the double arithmetic (same
+    // expression shape both sides) reproduces bit-for-bit.
+    "q98_target_encoding" ->
+      """WITH ev AS (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS category_id,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS g_n, CAST(SUM(y) AS BIGINT) AS g_pos FROM ev
+        |), per AS (
+        |  SELECT category_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM ev GROUP BY category_id
+        |)
+        |SELECT category_id, n_rows,
+        |  CAST(floor(1000000.0 *
+        |    ((CAST(pos AS DOUBLE) + 20.0 * (CAST(g_pos AS DOUBLE) / CAST(g_n AS DOUBLE)))
+        |     / (CAST(n_rows AS DOUBLE) + 20.0))) AS BIGINT) AS te_micro
+        |FROM per CROSS JOIN g ORDER BY category_id""".stripMargin,
+    // k-th order statistic (k = max(1, ceil(p*n))) is tie-independent;
+    // clipped mean = exact decimal sum / count, micro-quantized.
+    "q99_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), th AS (
+        |  SELECT l_returnflag,
+        |    MAX(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1) THEN l_extendedprice END) AS p_lo,
+        |    MAX(CASE WHEN rn = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1) THEN l_extendedprice END) AS p_hi
+        |  FROM ranked GROUP BY l_returnflag
+        |)
+        |SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MAX(t.p_lo) AS p_lo, MAX(t.p_hi) AS p_hi,
+        |  CAST(floor(1000000.0 *
+        |    CAST(SUM(CAST(least(greatest(l.l_extendedprice, t.p_lo), t.p_hi) AS DECIMAL(28,4))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_clip_micro
+        |FROM lineitem l JOIN th t ON l.l_returnflag = t.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    "q100_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        |), t AS (
+        |  SELECT tok,
+        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST(('0x' || substring(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM toks WHERE length(tok) > 0
+        |)
+        |SELECT bucket, CAST(SUM(sign) AS BIGINT) AS signed_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Per-row products of ≤2-decimal doubles are exact, so the decimal
+    // sums are order-independent; the final formula is identical IEEE
+    // double arithmetic on both sides.
+    "q101_correlation" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx_qp,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy_qp,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx_qp,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy_qp,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy_qp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sy_pd,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS syy_pd,
+        |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sxy_pd
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n_rows,
+        |  CASE WHEN sqrt((CAST(n_rows AS DOUBLE) * sxx_qp - sx_qp * sx_qp)
+        |               * (CAST(n_rows AS DOUBLE) * syy_qp - sy_qp * sy_qp)) = 0.0 THEN NULL
+        |       ELSE CAST(floor(1000000.0 * (CAST(n_rows AS DOUBLE) * sxy_qp - sx_qp * sy_qp)
+        |         / sqrt((CAST(n_rows AS DOUBLE) * sxx_qp - sx_qp * sx_qp)
+        |              * (CAST(n_rows AS DOUBLE) * syy_qp - sy_qp * sy_qp))) AS BIGINT)
+        |  END AS corr_qty_price_micro,
+        |  CASE WHEN sqrt((CAST(n_rows AS DOUBLE) * syy_qp - sy_qp * sy_qp)
+        |               * (CAST(n_rows AS DOUBLE) * syy_pd - sy_pd * sy_pd)) = 0.0 THEN NULL
+        |       ELSE CAST(floor(1000000.0 * (CAST(n_rows AS DOUBLE) * sxy_pd - sy_qp * sy_pd)
+        |         / sqrt((CAST(n_rows AS DOUBLE) * syy_qp - sy_qp * sy_qp)
+        |              * (CAST(n_rows AS DOUBLE) * syy_pd - sy_pd * sy_pd))) AS BIGINT)
+        |  END AS corr_price_disc_micro
+        |FROM sums ORDER BY l_returnflag""".stripMargin)
 }

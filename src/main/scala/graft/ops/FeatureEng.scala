@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators for training-data preparation: target
+  * encoding, winsorization, the hashing trick, and exact-reproducible
+  * Pearson correlation. These extend the reference's feature matrix
+  * stage (`prepare_training_data_pyspark.py:441-632` builds 18 base
+  * features with log1p/coalesce/when) with the standard tabular-ML
+  * encoders a large-scale pipeline needs.
+  *
+  * Float discipline (CLAUDE.md): every double is derived from exact
+  * integer/decimal aggregates and quantized to integer micro units at
+  * the contract boundary, so results are bit-identical across engines,
+  * partitionings, and re-runs.
+  */
+object FeatureEng {
+
+  /** Smoothed target (mean) encoding of a categorical key against a
+    * 0/1 label: te = (pos + alpha·prior) / (n + alpha), with prior the
+    * global positive rate. One two-phase hash aggregation over the
+    * fact table + a single-row global aggregate broadcast into the
+    * result — no shuffle carries raw rows, so the shape holds at any
+    * scale. The encoded value is exact: all inputs are counts < 2^53,
+    * so the double arithmetic is deterministic IEEE and the micro
+    * quantization is reproducible cross-engine.
+    *
+    * @param df      fact rows
+    * @param keyCol  categorical column to encode
+    * @param labelCol 0/1 integer label column
+    * @param alpha   smoothing pseudo-count
+    */
+  def targetEncoding(
+      df: DataFrame,
+      keyCol: String,
+      labelCol: String,
+      alpha: Int): DataFrame = {
+    val global = df.agg(
+      count(lit(1)).as("g_n"),
+      sum(col(labelCol).cast("long")).as("g_pos"))
+    val per = df
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(labelCol).cast("long")).as("pos"))
+    val prior = col("g_pos").cast("double") / col("g_n").cast("double")
+    val te = (col("pos").cast("double") + lit(alpha.toDouble) * prior) /
+      (col("n_rows").cast("double") + lit(alpha.toDouble))
+    per
+      .crossJoin(broadcast(global))
+      .select(
+        col(keyCol),
+        col("n_rows"),
+        floor(lit(1000000.0) * te).cast("long").as("te_micro"))
+  }
+
+  /** Winsorized per-group stats: clamp `valueCol` to its group's
+    * [loP, hiP] exact order statistics (k-th smallest, k =
+    * max(1, ceil(p·n))), then return count / thresholds / clipped mean.
+    * Plan: one exchange on the group key for the rank window, a
+    * broadcast of the tiny per-group threshold table back onto the
+    * fact, and one final hash aggregation. The k-th order statistic is
+    * tie-break-independent (equal values give the same k-th value for
+    * any permutation), so the unique tieCols only make the row_number
+    * itself deterministic.
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCols: Seq[String],
+      loP: Double = 0.05,
+      hiP: Double = 0.95): DataFrame = {
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc +: tieCols.map(c => col(c).asc): _*)
+    val ranked = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def kOf(p: Double): Column =
+      greatest(ceil(lit(p) * col("n")), lit(1L))
+    val thresholds = ranked
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("rn") === kOf(loP), col(valueCol))).as("p_lo"),
+        max(when(col("rn") === kOf(hiP), col(valueCol))).as("p_hi"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .withColumn("v_clip", least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("p_lo")).as("p_lo"),
+        max(col("p_hi")).as("p_hi"),
+        floor(lit(1000000.0) *
+          sum(col("v_clip").cast("decimal(28,4)")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("avg_clip_micro"))
+  }
+
+  /** Hashing trick over whitespace tokens: md5-derived bucket in
+    * [0, nBuckets) and a ±1 sign bit (the signed variant keeps the
+    * hashed representation unbiased, Weinberger et al. 2009). Pure
+    * scan-side projection + one hash aggregation keyed by bucket —
+    * the output is nBuckets rows regardless of corpus size, and the
+    * md5 hash reproduces exactly in any engine.
+    */
+  def featureHash(df: DataFrame, textCol: String, nBuckets: Int): DataFrame = {
+    val toks = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+    val sign = when(
+      conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    toks
+      .select(bucket.as("bucket"), sign.as("sign"), col("tok"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("sign")).as("signed_sum"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_terms"))
+  }
+
+  /** Per-group Pearson correlation of column pairs, micro-quantized.
+    * Single two-phase aggregation computing exact decimal sums of x, y,
+    * x², y², xy (the per-row products of ≤2-decimal doubles are exact
+    * in both the double and the decimal(28,4), so the sums are
+    * order-independent), then the textbook formula in double — identical
+    * IEEE operations reproduce bit-for-bit cross-engine.
+    *
+    * @param pairs (xCol, yCol, outName) triples; each yields one
+    *              `<outName>_micro` column (null when degenerate).
+    */
+  def pearsonMicro(
+      df: DataFrame,
+      groupCol: String,
+      pairs: Seq[(String, String, String)]): DataFrame = {
+    def s(c: Column): Column = sum(c.cast("decimal(28,4)")).cast("double")
+    val aggs = pairs.flatMap { case (x, y, nm) =>
+      Seq(
+        s(col(x)).as(s"sx_$nm"),
+        s(col(y)).as(s"sy_$nm"),
+        s(col(x) * col(x)).as(s"sxx_$nm"),
+        s(col(y) * col(y)).as(s"syy_$nm"),
+        s(col(x) * col(y)).as(s"sxy_$nm"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val base = df
+      .groupBy(col(groupCol))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val outCols = pairs.map { case (_, _, nm) =>
+      val nD = col("n_rows").cast("double")
+      val num = nD * col(s"sxy_$nm") - col(s"sx_$nm") * col(s"sy_$nm")
+      val den = sqrt(
+        (nD * col(s"sxx_$nm") - col(s"sx_$nm") * col(s"sx_$nm")) *
+          (nD * col(s"syy_$nm") - col(s"sy_$nm") * col(s"sy_$nm")))
+      when(den === 0.0, lit(null))
+        .otherwise(floor(lit(1000000.0) * num / den))
+        .cast("long")
+        .as(s"${nm}_micro")
+    }
+    base.select(col(groupCol) +: col("n_rows") +: outCols: _*)
+  }
+}

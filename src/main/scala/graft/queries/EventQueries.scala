@@ -444,4 +444,74 @@ object EventQueries {
         broadcastRanks = true)
       .select(col("id").as("item_id"), col("pr_micro"))
       .orderBy(col("item_id"))
+
+  /** Spark-native batch `session_window` aggregation — the built-in
+    * session operator (shared with Structured Streaming) applied to the
+    * same 30-minute gap rule as [[Windows.sessionize]]. Boundary
+    * semantics pinned by FeatureEngSpec: a gap of exactly 1800 s merges
+    * (split only when gap > 1800 s), identical to our lag-based rule.
+    * One exchange on user_id; no per-user window sort is needed — the
+    * session-merge runs on pre-sorted partitions inside the agg.
+    */
+  def sessionWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("w_start_us"),
+        unix_micros(col("w.end")).as("w_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("w_start_us"))
+
+  /** Negative sampling for training pairs: for each purchase anchor,
+    * the top-5 globally-popular categories the user had NOT interacted
+    * with before the anchor (point-in-time-correct negatives — the
+    * standard recsys complement to the reference's positive-label
+    * candidates). Popularity pool = orderBy+limit (TakeOrderedAndProject,
+    * no global window); first-seen table joins on (user, category);
+    * final per-anchor rank is a partitioned row_number.
+    */
+  def negativeSamples(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val anchors = Pipeline.anchors(enriched)
+    val pool = enriched
+      .groupBy(col("category_id"))
+      .agg(count(lit(1)).as("cat_events"))
+      .orderBy(col("cat_events").desc, col("category_id").asc)
+      .limit(10)
+    val firstSeen = enriched
+      .groupBy(col("user_id"), col("category_id"))
+      .agg(min(col("epoch_s")).as("first_seen_s"))
+    val cand = Joins
+      .crossWithTop(
+        anchors.select("anchor_id", "user_id", "anchor_epoch_s"), pool)
+      .join(firstSeen, Seq("user_id", "category_id"), "left")
+      .filter(
+        col("first_seen_s").isNull ||
+          col("first_seen_s") >= col("anchor_epoch_s"))
+    Windows
+      .topKPerGroup(cand, Seq("anchor_id"), col("cat_events"),
+        Seq("category_id"), k = 5)
+      .select(col("anchor_id"), col("category_id"), col("rn").as("neg_rank"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
+  /** Smoothed target encoding of category against the purchase label
+    * (FeatureEng.targetEncoding over the raw-event projection).
+    */
+  def targetEncoding(s: SparkSession, d: String): DataFrame =
+    graft.ops.FeatureEng
+      .targetEncoding(
+        Tables.events(s, d)
+          .select(
+            (get_json_object(col("props"), "$.k").cast("long") %
+              Pipeline.NumCategories).as("category_id"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+          .filter(col("category_id").isNotNull),
+        "category_id",
+        "y",
+        alpha = 20)
+      .orderBy(col("category_id"))
 }

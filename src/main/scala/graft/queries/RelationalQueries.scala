@@ -421,4 +421,35 @@ object RelationalQueries {
           col("c_mktsegment")),
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
       .orderBy(col("column"))
+
+  /** Winsorized price stats per return flag: exact p05/p95 order
+    * statistics, outliers clamped, clipped mean micro-quantized
+    * ([[graft.ops.FeatureEng.winsorizedStats]]).
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame =
+    graft.ops.FeatureEng
+      .winsorizedStats(
+        Tables.lineitem(s, d).select(
+          col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag",
+        "l_extendedprice",
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pearson correlation of (quantity, price) and (price, discount)
+    * per return flag, micro-quantized from exact decimal sums
+    * ([[graft.ops.FeatureEng.pearsonMicro]]).
+    */
+  def correlation(s: SparkSession, d: String): DataFrame =
+    graft.ops.FeatureEng
+      .pearsonMicro(
+        Tables.lineitem(s, d).select(
+          col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")),
+        "l_returnflag",
+        Seq(
+          ("l_quantity", "l_extendedprice", "corr_qty_price"),
+          ("l_extendedprice", "l_discount", "corr_price_disc")))
+      .orderBy(col("l_returnflag"))
 }

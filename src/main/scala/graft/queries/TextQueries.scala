@@ -451,4 +451,14 @@ object TextQueries {
         col("n_chars"), col("rn").cast("long").as("rn"))
       .orderBy(col("doc_id"))
   }
+
+  /** Hashing-trick representation of the corpus vocabulary: 64
+    * md5-derived signed buckets over whitespace tokens
+    * ([[graft.ops.FeatureEng.featureHash]]).
+    */
+  def featureHashing(s: SparkSession, d: String): DataFrame =
+    graft.ops.FeatureEng
+      .featureHash(Tables.documents(s, d).select(col("text")), "text",
+        nBuckets = 64)
+      .orderBy(col("bucket"))
 }
