@@ -138,7 +138,10 @@ object SparkEntry {
     "q98_target_encoding" -> (EQ.targetEncoding _),
     "q99_winsorize" -> (RQ.winsorize _),
     "q100_feature_hashing" -> (TQ.featureHashing _),
-    "q101_correlation" -> (RQ.correlation _))
+    "q101_correlation" -> (RQ.correlation _),
+    "q102_dup_spans" -> (TQ.dupSpans _),
+    "q103_bigram_surprisal" -> (TQ.bigramSurprisalScores _),
+    "q104_upsert" -> (RQ.upsertCustomers _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1766,5 +1769,69 @@ object SparkEntry {
         |         / sqrt((CAST(n_rows AS DOUBLE) * syy_qp - sy_qp * sy_qp)
         |              * (CAST(n_rows AS DOUBLE) * syy_pd - sy_pd * sy_pd))) AS BIGINT)
         |  END AS corr_price_disc_micro
-        |FROM sums ORDER BY l_returnflag""".stripMargin)
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
+    "q102_dup_spans" ->
+      """WITH spans AS (
+        |  SELECT doc_id, md5(substring(text, CAST(i * 32 + 1 AS INT), 64)) AS fp
+        |  FROM documents, unnest(generate_series(0, (length(text) - 64) // 32)) AS t(i)
+        |  WHERE length(text) >= 64
+        |), counted AS (
+        |  SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS occ FROM spans
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) * 1000000
+        |       // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q103_bigram_surprisal" ->
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), bg_all AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM toked, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |  WHERE len(toks) >= 2
+        |), train AS (
+        |  SELECT * FROM bg_all WHERE doc_id % 2 = 0
+        |), score AS (
+        |  SELECT * FROM bg_all WHERE doc_id % 2 = 1
+        |), bg AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM train GROUP BY w1, w2
+        |), heads AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1
+        |), vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+        |    SELECT w1 AS w FROM train UNION ALL SELECT w2 AS w FROM train)
+        |), scored AS (
+        |  SELECT s.doc_id,
+        |    CAST(round(-ln((CAST(COALESCE(bg.c12, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(COALESCE(h.c1, 0) AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1000000) AS BIGINT) AS s_micro
+        |  FROM score s
+        |  LEFT JOIN bg ON s.w1 = bg.w1 AND s.w2 = bg.w2
+        |  LEFT JOIN heads h ON s.w1 = h.w1
+        |  CROSS JOIN vocab v
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(floor(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*)) AS BIGINT) AS surprisal_micro
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q104_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer
+        |), upd AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS c_acctbal,
+        |         'ACTIVE' AS c_mktsegment
+        |  FROM orders GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 10000000 + o_orderkey,
+        |         CAST(o_totalprice AS DECIMAL(18,2)), 'NEW'
+        |  FROM orders WHERE o_orderkey % 1000 = 0
+        |)
+        |SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+        |  b.c_name AS c_name, b.c_nationkey AS c_nationkey,
+        |  COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |  COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal
+        |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin)
 }

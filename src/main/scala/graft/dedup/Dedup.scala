@@ -650,4 +650,55 @@ object Dedup {
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select("id_a", "id_b", "inter_count", "union_count", "jaccard_ppm")
   }
+
+  /** Exact duplicated-SPAN detection: slide a `spanLen`-char window at
+    * `stride` over every document, fingerprint each span (md5), and
+    * flag spans whose fingerprint occurs ≥ 2 times in the corpus
+    * (including within-doc repeats). The substring-level complement to
+    * set-based near-dup — the op behind exact substring dedup /
+    * decontamination of training corpora (long verbatim repeats
+    * survive shingle-set Jaccard but not this).
+    *
+    * Scale shape: spans ≈ (corpus chars / stride) rows — line-rate.
+    * One exchange keyed by fingerprint for the occurrence count (a
+    * count-only window, so a corpus-wide boilerplate span costs O(f)
+    * rows in one partition, no pair blowup), then one hash agg back to
+    * doc_id. Returns (doc_id, n_spans, n_dup_spans, dup_ppm) for every
+    * doc with at least one full window.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanLen: Int,
+      stride: Int): DataFrame = {
+    val spans = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= spanLen)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(
+          lit(0L),
+          expr(s"(length(text) - $spanLen) div $stride").cast("long")))
+          .as("i"))
+      .select(
+        col("doc_id"),
+        md5(col("text").substr(
+          (col("i") * stride + 1).cast("int"), lit(spanLen))).as("fp"))
+    val counted = spans.withColumn(
+      "occ",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    counted
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        col("n_dup_spans"),
+        expr("n_dup_spans * 1000000 div n_spans").as("dup_ppm"))
+  }
 }

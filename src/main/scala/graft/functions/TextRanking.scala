@@ -158,4 +158,55 @@ object TextRanking {
         round(log(col("co_docs").cast("double") * col("n_docs") / (col("df_a") * col("df_b")))
           * 1000000).cast("long").as("pmi_micro"))
   }
+
+  /** Held-out bigram-LM surprisal — the train/score split version of
+    * [[unigramSurprisal]] (a KenLM-style quality filter shape): train a
+    * Laplace-smoothed bigram model on even doc_ids, score odd doc_ids
+    * with s(w1,w2) = −ln((c(w1,w2)+1) / (c(w1,·)+V)); unseen bigrams
+    * and unseen heads degrade gracefully through the +1 / +V smoothing.
+    * Per-bigram surprisal is micro-quantized BEFORE the per-doc sum
+    * (the module's ln rule), so the doc score is an exact integer mean.
+    *
+    * Scale shape: bigram extraction is row-local (explode over token
+    * index); model counts are two hash aggs; the score join shuffles by
+    * (w1, w2) — word-count shape throughout. V and the head-count table
+    * are vocabulary-sized; heads broadcast when small.
+    * Output: (doc_id, n_bigrams, surprisal_micro) for scored docs with
+    * ≥ 1 bigram.
+    */
+  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(
+        col("doc_id"),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+    val train = bigrams(docs.filter(col(idCol) % 2 === 0))
+    val scoreSide = bigrams(docs.filter(col(idCol) % 2 === 1))
+    val bg = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val heads = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = train
+      .select(explode(array(col("w1"), col("w2"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    scoreSide
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "s_micro",
+        round(-log(
+          (coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") + col("v").cast("double")))
+          * lit(1000000)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        floor(sum(col("s_micro")).cast("double") / count(lit(1)))
+          .cast("long").as("surprisal_micro"))
+  }
 }

@@ -308,4 +308,26 @@ object Joins {
       .join(replicated, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** MERGE/upsert: apply `updates` onto `base` by `keys` — matched rows
+    * take the update's non-null column values (SCD type 1), unmatched
+    * update rows are inserted, unmatched base rows pass through. The
+    * lakehouse MERGE INTO re-expressed as one full-outer shuffle join;
+    * at scale both sides hash-partition by the key once, and pre-
+    * bucketed tables make it exchange-free (BucketingSpec pattern).
+    * Columns = base's columns; updates may carry a subset (missing ones
+    * keep the base value).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = base.columns.filterNot(keys.contains)
+    val updCols = updates.columns.toSet
+    val cond = keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _)
+    val merged = base.as("b").join(updates.as("u"), cond, "full_outer")
+    val outCols = keys.map(k => coalesce(col(s"b.$k"), col(s"u.$k")).as(k)) ++
+      valueCols.map { c =>
+        if (updCols.contains(c)) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
+        else col(s"b.$c").as(c)
+      }
+    merged.select(outCols: _*)
+  }
 }

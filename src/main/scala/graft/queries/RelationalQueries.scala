@@ -437,6 +437,35 @@ object RelationalQueries {
         tieCols = Seq("l_orderkey", "l_linenumber"))
       .orderBy(col("l_returnflag"))
 
+  /** MERGE/upsert ([[Joins.upsert]]): per-customer order totals update
+    * balance + segment of matched customers; synthetic high-key rows
+    * exercise the insert path; order-less customers pass through.
+    */
+  def upsertCustomers(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"),
+      col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+    val o = Tables.orders(s, d)
+    val upd = o
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("c_acctbal"))
+      .select(
+        col("o_custkey").as("c_custkey"),
+        col("c_acctbal"),
+        lit("ACTIVE").as("c_mktsegment"))
+    val ins = o
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(
+        (lit(10000000L) + col("o_orderkey")).as("c_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("c_acctbal"),
+        lit("NEW").as("c_mktsegment"))
+    Joins
+      .upsert(base, upd.unionByName(ins), Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Pearson correlation of (quantity, price) and (price, discount)
     * per return flag, micro-quantized from exact decimal sums
     * ([[graft.ops.FeatureEng.pearsonMicro]]).

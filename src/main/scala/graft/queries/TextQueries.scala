@@ -461,4 +461,21 @@ object TextQueries {
       .featureHash(Tables.documents(s, d).select(col("text")), "text",
         nBuckets = 64)
       .orderBy(col("bucket"))
+
+  /** Exact duplicated-span rates, 64-char windows at stride 32
+    * ([[Dedup.duplicatedSpans]]).
+    */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .duplicatedSpans(Tables.documents(s, d), "text", "doc_id",
+        spanLen = 64, stride = 32)
+      .orderBy(col("doc_id"))
+
+  /** Held-out bigram-LM surprisal (train even doc_ids, score odd —
+    * [[TextRanking.bigramSurprisal]]).
+    */
+  def bigramSurprisalScores(s: SparkSession, d: String): DataFrame =
+    TextRanking
+      .bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("doc_id"))
 }
