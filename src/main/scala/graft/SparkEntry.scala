@@ -141,7 +141,8 @@ object SparkEntry {
     "q101_correlation" -> (RQ.correlation _),
     "q102_dup_spans" -> (TQ.dupSpans _),
     "q103_bigram_surprisal" -> (TQ.bigramSurprisalScores _),
-    "q104_upsert" -> (RQ.upsertCustomers _))
+    "q104_upsert" -> (RQ.upsertCustomers _),
+    "q105_sql_subqueries" -> (RQ.sqlSubqueries _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1833,5 +1834,17 @@ object SparkEntry {
         |  COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
         |  COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal
         |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    // Same statement Spark executes via spark.sql — both engines'
+    // planners decorrelate it; results must agree exactly.
+    "q105_sql_subqueries" ->
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c.c_custkey""".stripMargin)
 }

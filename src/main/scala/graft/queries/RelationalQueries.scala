@@ -466,6 +466,27 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** The `spark.sql` entry surface: correlated EXISTS (→ left semi),
+    * null-aware NOT IN (→ left anti), and a correlated scalar COUNT
+    * subquery (→ decorrelated outer-join aggregate) in one statement —
+    * Catalyst's subquery rewrites produce keyed shuffle joins, never a
+    * per-row re-execution, so the statement scales like its join plan.
+    */
+  def sqlSubqueries(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c.c_custkey, c.c_mktsegment,
+        (SELECT COUNT(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+      ORDER BY c.c_custkey""")
+  }
+
   /** Pearson correlation of (quantity, price) and (price, discount)
     * per return flag, micro-quantized from exact decimal sums
     * ([[graft.ops.FeatureEng.pearsonMicro]]).

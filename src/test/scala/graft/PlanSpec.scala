@@ -101,4 +101,38 @@ class PlanSpec extends SparkSpec {
     assert(evals == 1,
       s"filter pushdown must not duplicate the per-row n-gram pass ($evals evals):\n$p")
   }
+
+  test("winsorize: per-group thresholds re-attach via broadcast") {
+    val p = plan(RelationalQueries.winsorize(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"3-row threshold table must broadcast, not shuffle the fact:\n$p")
+  }
+
+  test("target encoding: global prior arrives via broadcast, one fact pass") {
+    val p = plan(EventQueries.targetEncoding(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("negative samples: popularity pool is a broadcast, no cartesian") {
+    val p = plan(EventQueries.negativeSamples(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"anchors x top-10 pool must be a broadcast nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dup spans: occurrence counting shuffles once by fingerprint, no self-join") {
+    val p = plan(graft.dedup.Dedup.duplicatedSpans(
+      graft.core.Tables.documents(spark, dir), "text", "doc_id", 64, 32))
+    assert(!p.contains("Join"), s"span counting must not join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, // fp window + doc_id agg
+      s"expected fp + doc_id exchanges only:\n$p")
+  }
+
+  test("feature hashing: one aggregation keyed by bucket, scan-side hash") {
+    val p = plan(graft.ops.FeatureEng.featureHash(
+      graft.core.Tables.documents(spark, dir), "text", 64))
+    assert(!p.contains("Join"))
+  }
 }
