@@ -142,7 +142,8 @@ object SparkEntry {
     "q102_dup_spans" -> (TQ.dupSpans _),
     "q103_bigram_surprisal" -> (TQ.bigramSurprisalScores _),
     "q104_upsert" -> (RQ.upsertCustomers _),
-    "q105_sql_subqueries" -> (RQ.sqlSubqueries _))
+    "q105_sql_subqueries" -> (RQ.sqlSubqueries _),
+    "q106_logq_sketch" -> (RQ.logQuantileSketch _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1705,7 +1706,8 @@ object SparkEntry {
         |    ((CAST(pos AS DOUBLE) + 20.0 * (CAST(g_pos AS DOUBLE) / CAST(g_n AS DOUBLE)))
         |     / (CAST(n_rows AS DOUBLE) + 20.0))) AS BIGINT) AS te_micro
         |FROM per CROSS JOIN g ORDER BY category_id""".stripMargin,
-    // k-th order statistic (k = max(1, ceil(p*n))) is tie-independent;
+    // k-th order statistic (k = max(1, ceil(ppm*n/1e6)) in pure integer
+    // math — float ceil flips at exact multiples) is tie-independent;
     // clipped mean = exact decimal sum / count, micro-quantized.
     "q99_winsorize" ->
       """WITH ranked AS (
@@ -1716,8 +1718,8 @@ object SparkEntry {
         |  FROM lineitem
         |), th AS (
         |  SELECT l_returnflag,
-        |    MAX(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1) THEN l_extendedprice END) AS p_lo,
-        |    MAX(CASE WHEN rn = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1) THEN l_extendedprice END) AS p_hi
+        |    MAX(CASE WHEN rn = greatest((n * 50000 + 999999) // 1000000, 1) THEN l_extendedprice END) AS p_lo,
+        |    MAX(CASE WHEN rn = greatest((n * 950000 + 999999) // 1000000, 1) THEN l_extendedprice END) AS p_hi
         |  FROM ranked GROUP BY l_returnflag
         |)
         |SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1846,5 +1848,40 @@ object SparkEntry {
         |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
         |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
         |                          WHERE o_orderpriority = '1-URGENT')
-        |ORDER BY c.c_custkey""".stripMargin)
+        |ORDER BY c.c_custkey""".stripMargin,
+    // bin() (exact floor-log2 via string length — no float log at
+    // bucket boundaries) matches Spark's bin(); all rank math in ppm
+    // integers.
+    "q106_logq_sketch" ->
+      """WITH v AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN cents < 16 THEN cents
+        |         ELSE CAST(length(bin(cents)) - 1 AS BIGINT) * 16
+        |            + (cents // (CAST(1 AS BIGINT) << (length(bin(cents)) - 5))) - 16
+        |    END AS bucket
+        |  FROM v
+        |), c AS (
+        |  SELECT l_returnflag, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY l_returnflag, bucket
+        |), w AS (
+        |  SELECT l_returnflag, bucket,
+        |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM c
+        |), picked AS (
+        |  SELECT l_returnflag, MAX(n) AS n_rows,
+        |    MIN(CASE WHEN cum >= greatest((n * 500000 + 999999) // 1000000, 1) THEN bucket END) AS b50,
+        |    MIN(CASE WHEN cum >= greatest((n * 950000 + 999999) // 1000000, 1) THEN bucket END) AS b95,
+        |    MIN(CASE WHEN cum >= greatest((n * 990000 + 999999) // 1000000, 1) THEN bucket END) AS b99
+        |  FROM w GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n_rows,
+        |  CASE WHEN b50 < 16 THEN b50 ELSE (b50 % 16 + 16) << (b50 // 16 - 4) END AS p50_lb,
+        |  CASE WHEN b95 < 16 THEN b95 ELSE (b95 % 16 + 16) << (b95 // 16 - 4) END AS p95_lb,
+        |  CASE WHEN b99 < 16 THEN b99 ELSE (b99 % 16 + 16) << (b99 // 16 - 4) END AS p99_lb
+        |FROM picked ORDER BY l_returnflag""".stripMargin)
 }

@@ -57,35 +57,41 @@ object FeatureEng {
   }
 
   /** Winsorized per-group stats: clamp `valueCol` to its group's
-    * [loP, hiP] exact order statistics (k-th smallest, k =
-    * max(1, ceil(p·n))), then return count / thresholds / clipped mean.
-    * Plan: one exchange on the group key for the rank window, a
-    * broadcast of the tiny per-group threshold table back onto the
-    * fact, and one final hash aggregation. The k-th order statistic is
-    * tie-break-independent (equal values give the same k-th value for
-    * any permutation), so the unique tieCols only make the row_number
-    * itself deterministic.
+    * [loPpm, hiPpm] exact order statistics (k-th smallest, k =
+    * max(1, ⌈ppm·n/10⁶⌉) computed in pure INTEGER math — a float
+    * ceil(p·n) is a cross-engine hazard: 0.05·n is decimal-exact in
+    * one engine and an epsilon above the integer in IEEE double,
+    * flipping the ceil exactly when n is a multiple of 20), then
+    * return count / thresholds / clipped mean. Plan: one exchange on
+    * the group key for the rank window, a broadcast of the tiny
+    * per-group threshold table back onto the fact, and one final hash
+    * aggregation. The k-th order statistic is tie-break-independent
+    * (equal values give the same k-th value for any permutation), so
+    * the unique tieCols only make the row_number itself deterministic.
     */
   def winsorizedStats(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       tieCols: Seq[String],
-      loP: Double = 0.05,
-      hiP: Double = 0.95): DataFrame = {
+      loPpm: Long = 50000L,
+      hiPpm: Long = 950000L): DataFrame = {
     val w = Window
       .partitionBy(col(groupCol))
       .orderBy(col(valueCol).asc +: tieCols.map(c => col(c).asc): _*)
     val ranked = df
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-    def kOf(p: Double): Column =
-      greatest(ceil(lit(p) * col("n")), lit(1L))
+    // exact ⌈ppm·n/10⁶⌉; n must stay below ~9.7e12 per group (long
+    // overflow bound of n·ppm) — far past any per-group row count that
+    // an exact rank window could handle anyway
+    def kOf(ppm: Long): Column =
+      greatest(expr(s"(n * $ppm + 999999) div 1000000"), lit(1L))
     val thresholds = ranked
       .groupBy(col(groupCol))
       .agg(
-        max(when(col("rn") === kOf(loP), col(valueCol))).as("p_lo"),
-        max(when(col("rn") === kOf(hiP), col(valueCol))).as("p_hi"))
+        max(when(col("rn") === kOf(loPpm), col(valueCol))).as("p_lo"),
+        max(when(col("rn") === kOf(hiPpm), col(valueCol))).as("p_hi"))
     df.join(broadcast(thresholds), Seq(groupCol))
       .withColumn("v_clip", least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
       .groupBy(col(groupCol))

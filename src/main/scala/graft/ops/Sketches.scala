@@ -52,4 +52,85 @@ object Sketches {
   def hllMergeEstimate(sketches: DataFrame, groupCol: String): DataFrame =
     sketches.groupBy(col(groupCol))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
+
+  // ——— deterministic log-histogram quantile sketch (DDSketch family) ———
+  //
+  // Buckets for a non-negative long v: v < 16 is stored exactly
+  // (bucket = v); otherwise e = floor(log2 v) (computed EXACTLY as
+  // length(bin(v)) − 1 — no float log at bucket boundaries), the top
+  // 4 mantissa bits pick a sub-bucket s = v div 2^(e−4) ∈ [16, 32), and
+  // bucket = e·16 + s − 16. ≤ 1024 buckets cover the full long range,
+  // the bucket lower bound under-estimates its members by < 1/16
+  // relative, and everything is integer arithmetic — identical in any
+  // engine, so unlike HLL this sketch IS DuckDB-oracle-checkable.
+  //
+  // Why it matters at 100 TB: exact quantiles need a full sort or a
+  // two-pass rank narrowing; the sketch is a ≤1024-counter additive
+  // state per group — partials combine map-side, persistable per
+  // partition/day, re-mergeable later (same contract as the HLL and
+  // MinHash partials, but for rank statistics).
+
+  /** Exact floor-log2 bucket id of a non-negative long column (by
+    * name — the expression is pure integer/string ops, no float log).
+    */
+  def logBucket(vName: String): Column =
+    expr(s"""CASE WHEN $vName < 16 THEN CAST($vName AS BIGINT)
+            | ELSE CAST(length(bin($vName)) - 1 AS BIGINT) * 16
+            |    + ($vName div shiftleft(CAST(1 AS BIGINT),
+            |                            cast(length(bin($vName)) - 5 as int))) - 16
+            | END""".stripMargin)
+
+  /** Lower bound of a bucket id — the sketch's quantile answer. */
+  def bucketLower(bName: String): Column =
+    expr(s"""CASE WHEN $bName < 16 THEN CAST($bName AS BIGINT)
+            | ELSE shiftleft($bName % 16 + 16, cast($bName div 16 - 4 as int))
+            | END""".stripMargin)
+
+  /** The persistable partial: per-(group, bucket) counts. Additive —
+    * merging partials is a plain sum, see [[logHistQuantilesFromCounts]].
+    */
+  def logHistCounts(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol), logBucket(valueCol).as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from (group, bucket, cnt) partials: for each
+    * requested quantile (in ppm — integer rank math, no float ceil),
+    * the lower bound of the bucket holding the ⌈ppm·n/10⁶⌉-th value.
+    * One bounded-width window walk per group.
+    */
+  def logHistQuantilesFromCounts(
+      counts: DataFrame,
+      groupCol: String,
+      qs: Seq[(Long, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = counts
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val walked = merged
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val aggs = qs.map { case (ppm, name) =>
+      val rank = greatest(expr(s"(n * $ppm + 999999) div 1000000"), lit(1L))
+      min(when(col("cum") >= rank, col("bucket"))).as(s"__b_$name")
+    }
+    val picked = walked
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_rows"), aggs: _*)
+    qs.foldLeft(picked) { case (d, (_, name)) =>
+      d.withColumn(name, bucketLower(s"__b_$name"))
+        .drop(s"__b_$name")
+    }
+  }
+
+  /** One-shot per-group sketch quantiles over a raw value column. */
+  def logHistQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[(Long, String)]): DataFrame =
+    logHistQuantilesFromCounts(logHistCounts(df, groupCol, valueCol), groupCol, qs)
 }

@@ -466,6 +466,22 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Deterministic log-histogram quantile sketch (DDSketch family,
+    * [[graft.ops.Sketches.logHistQuantiles]]) of price cents per return
+    * flag — bounded ≤1024-counter additive state, < 1/16 relative
+    * error, pure integer math (oracle-checkable, unlike HLL).
+    */
+  def logQuantileSketch(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sketches
+      .logHistQuantiles(
+        Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag",
+        "cents",
+        Seq((500000L, "p50_lb"), (950000L, "p95_lb"), (990000L, "p99_lb")))
+      .orderBy(col("l_returnflag"))
+
   /** The `spark.sql` entry surface: correlated EXISTS (→ left semi),
     * null-aware NOT IN (→ left anti), and a correlated scalar COUNT
     * subquery (→ decorrelated outer-join aggregate) in one statement —

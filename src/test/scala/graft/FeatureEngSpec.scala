@@ -55,7 +55,7 @@ class FeatureEngSpec extends SparkSpec {
     // (sum(1..19) + 19)/20 = 209/20 = 10.45
     val df = (1 to 20).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
     val r = FeatureEng
-      .winsorizedStats(df, "g", "v", Seq("id"), 0.05, 0.95)
+      .winsorizedStats(df, "g", "v", Seq("id"), 50000L, 950000L)
       .collect().head
     assert(r.getAs[Long]("n_rows") == 20L)
     assert(r.getAs[Double]("p_lo") == 1.0)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.{Dedup, MinHashSketch}
-import graft.ops.Joins
+import graft.ops.{Joins, Sketches}
 import org.apache.spark.sql.functions._
 
 class SkewAndSketchSpec extends SparkSpec {
@@ -87,5 +87,45 @@ class SkewAndSketchSpec extends SparkSpec {
     val merged = Sketches.hllMergeEstimate(parts, "event_type")
       .as[(String, Long)].collect().toMap
     assert(merged == approx, "union of partial sketches must equal the whole-data sketch")
+  }
+
+  test("log-histogram sketch: bucket round-trip brackets the value, < 1/16 relative") {
+    val vals = Seq(0L, 1L, 15L, 16L, 17L, 31L, 32L, 100L, 1023L, 1024L,
+      123456789L, Long.MaxValue / 2)
+    val df = vals.toDF("v").select(col("v"), Sketches.logBucket("v").as("b"))
+      .select(col("v"), col("b"), Sketches.bucketLower("b").as("lo"))
+    df.collect().foreach { r =>
+      val (v, lo) = (r.getLong(0), r.getLong(2))
+      assert(lo <= v, s"lower bound $lo above value $v")
+      if (v < 16) assert(lo == v, "small values must be exact")
+      else assert((v - lo).toDouble / v < 1.0 / 16, s"v=$v lo=$lo relative error too big")
+    }
+  }
+
+  test("log-histogram quantiles: exact k-th bracket + merge/partition invariance") {
+    val vals = (1 to 2000).map(i => (i * i).toLong) // skewed spread
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    val qs = Seq((500000L, "p50"), (950000L, "p95"), (990000L, "p99"))
+    val out = Sketches.logHistQuantiles(df, "g", "v", qs).collect().head
+    val sorted = vals.sorted
+    def exactK(ppm: Long): Long =
+      sorted(((sorted.size * ppm + 999999L) / 1000000L).toInt.max(1) - 1)
+    for ((ppm, name) <- qs) {
+      val lb = out.getAs[Long](name)
+      val ex = exactK(ppm)
+      assert(lb <= ex && (ex - lb).toDouble / ex < 1.0 / 16,
+        s"$name: sketch $lb vs exact $ex")
+    }
+    // additive partials: sketch(half1) ∪ sketch(half2) == sketch(whole)
+    val h1 = Sketches.logHistCounts(df.filter(col("v") % 2 === 0), "g", "v")
+    val h2 = Sketches.logHistCounts(df.filter(col("v") % 2 =!= 0), "g", "v")
+    val mergedOut = Sketches
+      .logHistQuantilesFromCounts(h1.unionByName(h2), "g", qs)
+      .collect().head
+    assert(mergedOut == out, "merged partials must reproduce the whole-data sketch")
+    // partitioning invariance
+    val repart = Sketches.logHistQuantiles(df.repartition(13), "g", "v", qs)
+      .collect().head
+    assert(repart == out)
   }
 }
