@@ -28,6 +28,32 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == 500L)
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the incremental-reload contract at 100 TB: rewriting one day/split
+    // must not wipe sibling partitions (static overwrite mode does)
+    val dir = Files.createTempDirectory("sinks-dyn").toString + "/out"
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Sinks.writeParquet(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "part"), dir,
+        partitionByCols = Seq("part"))
+      // overwrite ONLY partition a with a new row
+      Sinks.writeParquet(
+        Seq((99L, "a")).toDF("id", "part"), dir,
+        partitionByCols = Seq("part"))
+      val back = spark.read.parquet(dir)
+        .as[(Long, String)].collect().toSet
+      assert(back == Set((99L, "a"), (2L, "b")),
+        "partition b must survive the partial overwrite")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("jsonl: roundtrip with explicit schema, gzip files") {
     val dir = Files.createTempDirectory("sinks").toString + "/jsonl"
     val df = (1L to 100L).map(i => (i, s"text $i", i * 0.5)).toDF("id", "text", "score")
