@@ -54,6 +54,18 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: mergeSchema unifies columns added over time") {
+    val dir = Files.createTempDirectory("sinks-evo").toString + "/out"
+    // day 1: (id); day 2 adds a column — the additive-evolution contract
+    Seq(1L, 2L).toDF("id").write.parquet(dir + "/day=1")
+    Seq((3L, "x")).toDF("id", "extra").write.parquet(dir + "/day=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("id", "extra", "day"))
+    // old rows surface the new column as null, no rewrite of day 1
+    assert(back.filter(col("day") === 1 && col("extra").isNull).count() == 2)
+    assert(back.filter(col("extra") === "x").count() == 1)
+  }
+
   test("jsonl: roundtrip with explicit schema, gzip files") {
     val dir = Files.createTempDirectory("sinks").toString + "/jsonl"
     val df = (1L to 100L).map(i => (i, s"text $i", i * 0.5)).toDF("id", "text", "score")
