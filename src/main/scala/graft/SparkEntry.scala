@@ -143,7 +143,8 @@ object SparkEntry {
     "q103_bigram_surprisal" -> (TQ.bigramSurprisalScores _),
     "q104_upsert" -> (RQ.upsertCustomers _),
     "q105_sql_subqueries" -> (RQ.sqlSubqueries _),
-    "q106_logq_sketch" -> (RQ.logQuantileSketch _))
+    "q106_logq_sketch" -> (RQ.logQuantileSketch _),
+    "q107_paragraph_dedup" -> (CQ.paragraphDedup _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1883,5 +1884,41 @@ object SparkEntry {
         |  CASE WHEN b50 < 16 THEN b50 ELSE (b50 % 16 + 16) << (b50 // 16 - 4) END AS p50_lb,
         |  CASE WHEN b95 < 16 THEN b95 ELSE (b95 % 16 + 16) << (b95 // 16 - 4) END AS p95_lb,
         |  CASE WHEN b99 < 16 THEN b99 ELSE (b99 % 16 + 16) << (b99 // 16 - 4) END AS p99_lb
-        |FROM picked ORDER BY l_returnflag""".stripMargin)
+        |FROM picked ORDER BY l_returnflag""".stripMargin,
+    // first-occurrence-wins paragraph dedup over the synthesized
+    // banner+content corpus (parallel unnests zip para/pos; 1- vs
+    // 0-based pos is order-equivalent)
+    "q107_paragraph_dedup" ->
+      """WITH paraed AS (
+        |  SELECT doc_id,
+        |    'SOURCE ' || source || ' BANNER' || chr(10) || chr(10) ||
+        |    substring(text, 1, 100) || chr(10) || chr(10) ||
+        |    substring(text, 101, 100) AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS para,
+        |    unnest(range(1, len(string_split(text, chr(10) || chr(10))) + 1)) AS pos
+        |  FROM paraed
+        |), pf AS (
+        |  SELECT * FROM paras WHERE length(trim(para)) > 0
+        |), owned AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        |  FROM pf
+        |), kept AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+        |  FROM owned WHERE rn = 1 GROUP BY doc_id
+        |), totals AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM pf GROUP BY doc_id
+        |)
+        |SELECT p.doc_id,
+        |  COALESCE(t.n_paras, 0) AS n_paras,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.text_dedup, '') AS text_dedup
+        |FROM paraed p
+        |LEFT JOIN totals t USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin)
 }

@@ -68,4 +68,49 @@ object Lines {
         (col("n_lines_total") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Corpus-wide PARAGRAPH dedup, first occurrence wins (the C4/Dolma
+    * sub-document exact-dedup rule — [[stripBoilerplate]] drops lines by
+    * FREQUENCY; this keeps exactly ONE copy of every duplicated
+    * paragraph, owned by its earliest (doc, position)). Documents are
+    * rebuilt from their surviving paragraphs in order; fully-duplicate
+    * documents survive with empty text (dropping stays an explicit
+    * downstream decision).
+    *
+    * Scale shape: one row-local posexplode on the separator; ownership
+    * is row_number() == 1 over (paragraph fingerprint) ordered by
+    * (doc, pos) — one exchange keyed by fingerprint whose hot keys cost
+    * O(f) rows each (count/rank only, no pair blowup); the rebuild is
+    * the struct-sorted collect_list on the doc key.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val owned = paras.withColumn(
+      "rn",
+      row_number().over(
+        Window.partitionBy(md5(col("para"))).orderBy(col(idCol), col("pos"))))
+    val kept = owned
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        Aggregates.sortedStringAgg(Seq(col("pos")), col("para"), sep).as("text_dedup"))
+    val totals = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -135,6 +135,25 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Paragraph-level exact dedup, first occurrence wins
+    * ([[Lines.paragraphDedup]]): the synthesized corpus gives every doc
+    * a per-source banner paragraph plus two content paragraphs — the
+    * banner survives only in its source's earliest doc, content stays
+    * unless the generator emitted verbatim duplicates (it does — the
+    * same dups q27 exact-dedup finds, here deduped at paragraph grain).
+    */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val paraed = concat(
+      lit("SOURCE "), col("source"), lit(" BANNER\n\n"),
+      substring(col("text"), 1, 100), lit("\n\n"),
+      substring(col("text"), 101, 100))
+    Lines
+      .paragraphDedup(
+        Tables.documents(s, d).select(col("doc_id"), paraed.as("text")),
+        "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Typo-variant fuzzy dedup over the part-name vocabulary
     * ([[graft.ops.Fuzzy.levenshteinPairs]], blocked on the noun
     * token). The query plants one first-character typo per 40th part

@@ -69,6 +69,20 @@ class SpanMergeSpec extends SparkSpec {
       (4L, None, 40.0))) // inserted; missing cols null
   }
 
+  test("paragraphDedup: first occurrence wins, order preserved, empty-doc survival") {
+    val docs = Seq(
+      (1L, "shared intro\n\nunique one\n\nshared outro"),
+      (2L, "shared intro\n\nunique two\n\nshared outro"),
+      (3L, "shared intro")) // loses everything -> survives empty
+      .toDF("doc_id", "text")
+    val out = graft.ops.Lines.paragraphDedup(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 3L, "shared intro\n\nunique one\n\nshared outro")))
+    assert(out(1) == ((2L, 3L, 1L, "unique two")))
+    assert(out(2) == ((3L, 1L, 0L, "")))
+  }
+
   test("upsert: composite keys and column subset") {
     val base = Seq((1L, "x", "v1", 1L), (1L, "y", "v2", 2L)).toDF("k1", "k2", "v", "extra")
     val updates = Seq((1L, "y", "V2NEW")).toDF("k1", "k2", "v")
