@@ -144,7 +144,8 @@ object SparkEntry {
     "q104_upsert" -> (RQ.upsertCustomers _),
     "q105_sql_subqueries" -> (RQ.sqlSubqueries _),
     "q106_logq_sketch" -> (RQ.logQuantileSketch _),
-    "q107_paragraph_dedup" -> (CQ.paragraphDedup _))
+    "q107_paragraph_dedup" -> (CQ.paragraphDedup _),
+    "q108_decayed_popularity" -> (EQ.decayedPopularity _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1920,5 +1921,21 @@ object SparkEntry {
         |FROM paraed p
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
-        |ORDER BY p.doc_id""".stripMargin)
+        |ORDER BY p.doc_id""".stripMargin,
+    // exp micro-quantized per event BEFORE the sum (probe-verified JVM
+    // and DuckDB exp agree post-rounding on this data, same as the ln
+    // rule); the aggregate is an exact integer sum
+    "q108_decayed_popularity" ->
+      """WITH ev AS (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS category_id,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS s
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |), mx AS (
+        |  SELECT MAX(s) AS t_max FROM ev
+        |)
+        |SELECT category_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(exp(CAST(t_max - s AS DOUBLE) / -604800.0) * 1000000) AS BIGINT)) AS BIGINT) AS decayed_pop_micro
+        |FROM ev CROSS JOIN mx
+        |GROUP BY category_id ORDER BY category_id""".stripMargin)
 }

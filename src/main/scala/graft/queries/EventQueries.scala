@@ -498,6 +498,35 @@ object EventQueries {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** Exponentially time-decayed category popularity (1-week time
+    * constant) — the recency-weighted form of the popularity candidate
+    * strategy (`prepare_training_data_pyspark.py:331-338` counts
+    * unweighted). Per-event decay weights are micro-quantized BEFORE
+    * the sum (the module ln/exp rule: probe-verified that JVM and
+    * DuckDB exp agree bit-for-bit post-rounding), so the aggregate is
+    * an exact integer sum — deterministic under any partitioning. One
+    * fact pass + a broadcast 1-row max; no shuffle carries raw rows.
+    */
+  def decayedPopularity(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(
+        (get_json_object(col("props"), "$.k").cast("long") %
+          Pipeline.NumCategories).as("category_id"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .filter(col("category_id").isNotNull)
+    val mx = ev.agg(max(col("epoch_s")).as("t_max"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn(
+        "w_micro",
+        round(exp((col("t_max") - col("epoch_s")).cast("double") / lit(-604800.0))
+          * 1000000).cast("long"))
+      .groupBy(col("category_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("w_micro")).as("decayed_pop_micro"))
+      .orderBy(col("category_id"))
+  }
+
   /** Smoothed target encoding of category against the purchase label
     * (FeatureEng.targetEncoding over the raw-event projection).
     */
