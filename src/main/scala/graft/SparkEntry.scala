@@ -145,7 +145,8 @@ object SparkEntry {
     "q105_sql_subqueries" -> (RQ.sqlSubqueries _),
     "q106_logq_sketch" -> (RQ.logQuantileSketch _),
     "q107_paragraph_dedup" -> (CQ.paragraphDedup _),
-    "q108_decayed_popularity" -> (EQ.decayedPopularity _))
+    "q108_decayed_popularity" -> (EQ.decayedPopularity _),
+    "q109_locf_impute" -> (EQ.locfImpute _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1937,5 +1938,26 @@ object SparkEntry {
         |SELECT category_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(round(exp(CAST(t_max - s AS DOUBLE) / -604800.0) * 1000000) AS BIGINT)) AS BIGINT) AS decayed_pop_micro
         |FROM ev CROSS JOIN mx
-        |GROUP BY category_id ORDER BY category_id""".stripMargin)
+        |GROUP BY category_id ORDER BY category_id""".stripMargin,
+    "q109_locf_impute" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day_num,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS day_value
+        |  FROM events GROUP BY user_id, day_num
+        |), spans AS (
+        |  SELECT user_id, MIN(day_num) AS mn, MAX(day_num) AS mx FROM daily GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(range(mn, mx + 1)) AS day_num FROM spans
+        |), joined AS (
+        |  SELECT g.user_id, g.day_num, d.day_value
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day_num = d.day_num
+        |)
+        |SELECT user_id, day_num, day_value,
+        |  last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day_num
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS is_imputed
+        |FROM joined ORDER BY user_id, day_num""".stripMargin)
 }

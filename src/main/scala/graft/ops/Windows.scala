@@ -166,4 +166,23 @@ object Windows {
       .select(
         col(keyCol), col("run_seq"), col(valueCol), col("valid_from"), col("valid_to"))
   }
+
+  /** Last-observation-carried-forward (LOCF) imputation: fill nulls in
+    * `valueCol` with the most recent non-null value within the key,
+    * ordered by `orderCol` — `last(ignoreNulls)` over the running
+    * frame, one exchange on the key. `orderCol` must be unique per key
+    * (a dense grid day number, an event id) so the running frame is
+    * well-defined; rows before the first observation stay null.
+    */
+  def locfFill(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      filledName: String): DataFrame =
+    df.withColumn(
+      filledName,
+      last(col(valueCol), ignoreNulls = true).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 }

@@ -498,6 +498,42 @@ object EventQueries {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** LOCF imputation over a dense per-user daily grid: sparse daily
+    * value sums (decimal-exact) gap-filled to every calendar day
+    * between the user's first and last activity (the q78 map+sequence
+    * shape — no calendar join), then nulls forward-filled with
+    * [[Windows.locfFill]]. The imputation member of the
+    * feature-preparation family.
+    */
+  def locfImpute(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(
+        col("user_id"),
+        expr("cast(ts as long) div 86400").as("day_num"),
+        col("value"))
+      .groupBy(col("user_id"), col("day_num"))
+      .agg(sum(col("value").cast("decimal(28,6)"))
+        .cast("decimal(28,6)").as("day_value"))
+    val grid = daily
+      .groupBy(col("user_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("day_num"), col("day_value")))).as("m"),
+        min(col("day_num")).as("d0"),
+        max(col("day_num")).as("d1"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day_num"),
+        col("m"))
+      .select(
+        col("user_id"),
+        col("day_num"),
+        element_at(col("m"), col("day_num")).as("day_value"))
+    Windows
+      .locfFill(grid, "user_id", "day_num", "day_value", "filled_value")
+      .withColumn("is_imputed", when(col("day_value").isNull, 1).otherwise(0))
+      .orderBy(col("user_id"), col("day_num"))
+  }
+
   /** Exponentially time-decayed category popularity (1-week time
     * constant) — the recency-weighted form of the popularity candidate
     * strategy (`prepare_training_data_pyspark.py:331-338` counts

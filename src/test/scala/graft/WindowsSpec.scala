@@ -150,4 +150,19 @@ class WindowsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"change-lag, interval-lead and run_seq must share one shuffle:\n$p")
   }
+
+  test("locfFill: nulls take the last prior observation, leading nulls stay") {
+    import spark.implicits._
+    val df = Seq[(Long, Long, Option[Long])](
+      (1L, 1L, None), (1L, 2L, Some(10L)), (1L, 3L, None), (1L, 4L, None),
+      (1L, 5L, Some(20L)), (2L, 1L, Some(7L)), (2L, 2L, None))
+      .toDF("k", "t", "v")
+    val out = Windows.locfFill(df, "k", "t", "v", "f")
+      .orderBy("k", "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, -1L), (1L, 2L, 10L), (1L, 3L, 10L), (1L, 4L, 10L),
+      (1L, 5L, 20L), (2L, 1L, 7L), (2L, 2L, 7L)))
+  }
 }
