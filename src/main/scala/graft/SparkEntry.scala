@@ -146,7 +146,9 @@ object SparkEntry {
     "q106_logq_sketch" -> (RQ.logQuantileSketch _),
     "q107_paragraph_dedup" -> (CQ.paragraphDedup _),
     "q108_decayed_popularity" -> (EQ.decayedPopularity _),
-    "q109_locf_impute" -> (EQ.locfImpute _))
+    "q109_locf_impute" -> (EQ.locfImpute _),
+    "q110_ctr_wilson" -> (EQ.ctrWilson _),
+    "q111_item_cosine" -> (EQ.itemCosine _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1959,5 +1961,52 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day_num
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
         |  CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS is_imputed
-        |FROM joined ORDER BY user_id, day_num""".stripMargin)
+        |FROM joined ORDER BY user_id, day_num""".stripMargin,
+    // Wilson lower bound: sqrt/division are correctly rounded IEEE, so
+    // identical expression shape reproduces bit-for-bit from exact
+    // counts — only the final micro floor quantizes.
+    "q110_ctr_wilson" ->
+      """WITH ev AS (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS category_id,
+        |         event_type
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |), agg AS (
+        |  SELECT category_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+        |  FROM ev GROUP BY category_id
+        |), f AS (
+        |  SELECT *, CAST(n_events AS DOUBLE) AS nd,
+        |         CAST(purchases AS DOUBLE) / CAST(n_events AS DOUBLE) AS p,
+        |         CAST(1.96 AS DOUBLE) AS z
+        |  FROM agg WHERE n_events > 0
+        |)
+        |SELECT category_id, n_events, purchases,
+        |  CAST(floor(1000000.0 * p) AS BIGINT) AS ctr_micro,
+        |  CAST(floor(1000000.0 * (((p + z * z / (2.0 * nd))
+        |    - z * sqrt((p * (1.0 - p) + z * z / (4.0 * nd * nd)) / nd))
+        |    / (1.0 + z * z / nd))) AS BIGINT) AS wilson_lo_micro
+        |FROM f ORDER BY category_id""".stripMargin,
+    "q111_item_cosine" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM sess WHERE item_id IS NOT NULL
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), base AS (
+         |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS c FROM dik GROUP BY item_id
+         |)
+         |SELECT p.item_a, p.item_b, p.pair_count,
+         |  CAST(floor(1000000.0 * CAST(p.pair_count AS DOUBLE) /
+         |       sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) AS BIGINT) AS cosine_micro
+         |FROM pairs p
+         |JOIN base ca ON p.item_a = ca.item_id
+         |JOIN base cb ON p.item_b = cb.item_id
+         |ORDER BY item_a, item_b""".stripMargin)
 }

@@ -498,6 +498,73 @@ object EventQueries {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** Per-category conversion rate with the Wilson lower confidence
+    * bound (z = 1.96) — the A/B-metrics primitive that orders arms by
+    * "how good is this, pessimistically". Unlike ln/exp, sqrt and
+    * division are IEEE-correctly-rounded, so the whole bound is
+    * bit-deterministic cross-engine from exact counts with identical
+    * expression shape — no per-row quantization needed, only the final
+    * micro floor. One fact pass, group-sized output.
+    */
+  def ctrWilson(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.events(s, d)
+      .select(
+        (get_json_object(col("props"), "$.k").cast("long") %
+          Pipeline.NumCategories).as("category_id"),
+        col("event_type"))
+      .filter(col("category_id").isNotNull)
+      .groupBy(col("category_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Ag.countIf(col("event_type") === "purchase").as("purchases"))
+      .filter(col("n_events") > 0)
+    val nD = col("n_events").cast("double")
+    val p = col("purchases").cast("double") / nD
+    val z = lit(1.96)
+    val denom = lit(1.0) + z * z / nD
+    val center = p + z * z / (lit(2.0) * nD)
+    val rad = z * sqrt((p * (lit(1.0) - p) + z * z / (lit(4.0) * nD * nD)) / nD)
+    agg
+      .select(
+        col("category_id"), col("n_events"), col("purchases"),
+        floor(lit(1000000.0) * p).cast("long").as("ctr_micro"),
+        floor(lit(1000000.0) * ((center - rad) / denom)).cast("long")
+          .as("wilson_lo_micro"))
+      .orderBy(col("category_id"))
+  }
+
+  /** Item-item cosine similarity over session co-occurrence sets (the
+    * classic item-kNN recommender): sim = c_ab / √(c_a·c_b) with c_*
+    * distinct-session counts, micro-quantized (sqrt is correctly
+    * rounded — deterministic). Pairs come from the capped covis
+    * self-join; per-item counts are a catalog-sized table the optimizer
+    * broadcasts back onto the pairs.
+    */
+  def itemCosine(s: SparkSession, d: String): DataFrame = {
+    val di = Pipeline.sessionizedEvents(s, d)
+      .select(col("session_id"), col("item_id"))
+      .filter(col("item_id").isNotNull)
+      .distinct()
+    val dik = graft.core.Caches.cache(
+      di.join(
+        di.groupBy(col("session_id")).agg(count(lit(1)).as("sz"))
+          .filter(col("sz") <= 200).select(col("session_id")),
+        Seq("session_id"), "left_semi"))
+    val pairs = Joins.covisitationPairsDistinct(
+      dik, "session_id", "item_id",
+      minCount = 2L, maxGroupSize = None, materialize = false)
+    val base = dik.groupBy(col("item_id")).agg(count(lit(1)).as("c"))
+    pairs
+      .join(base.select(col("item_id").as("item_a"), col("c").as("c_a")), Seq("item_a"))
+      .join(base.select(col("item_id").as("item_b"), col("c").as("c_b")), Seq("item_b"))
+      .select(
+        col("item_a"), col("item_b"), col("pair_count"),
+        floor(lit(1000000.0) * col("pair_count").cast("double") /
+          sqrt(col("c_a").cast("double") * col("c_b").cast("double")))
+          .cast("long").as("cosine_micro"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   /** LOCF imputation over a dense per-user daily grid: sparse daily
     * value sums (decimal-exact) gap-filled to every calendar day
     * between the user's first and last activity (the q78 map+sequence
