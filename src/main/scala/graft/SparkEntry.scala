@@ -148,7 +148,8 @@ object SparkEntry {
     "q108_decayed_popularity" -> (EQ.decayedPopularity _),
     "q109_locf_impute" -> (EQ.locfImpute _),
     "q110_ctr_wilson" -> (EQ.ctrWilson _),
-    "q111_item_cosine" -> (EQ.itemCosine _))
+    "q111_item_cosine" -> (EQ.itemCosine _),
+    "q112_hitrate_eval" -> (EQ.hitRateEval _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2008,5 +2009,39 @@ object SparkEntry {
          |FROM pairs p
          |JOIN base ca ON p.item_a = ca.item_id
          |JOIN base cb ON p.item_b = cb.item_id
-         |ORDER BY item_a, item_b""".stripMargin)
+         |ORDER BY item_a, item_b""".stripMargin,
+    "q112_hitrate_eval" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |), trans AS (
+         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
+         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+         |), di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), directed AS (
+         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+         |), top3 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |                ORDER BY pair_count DESC, dst ASC) AS rn
+         |    FROM directed) WHERE rn <= 3
+         |)
+         |SELECT CAST(SUM(t.transition_count) AS BIGINT) AS n_transitions,
+         |  CAST(SUM(CASE WHEN h.dst IS NOT NULL THEN t.transition_count ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN h.dst IS NOT NULL THEN t.transition_count ELSE 0 END) * 1000000
+         |       // SUM(t.transition_count) AS BIGINT) AS hit_ppm
+         |FROM trans t
+         |LEFT JOIN top3 h ON t.item_a = h.src AND t.item_b = h.dst""".stripMargin)
 }

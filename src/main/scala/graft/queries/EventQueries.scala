@@ -498,6 +498,43 @@ object EventQueries {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** Offline hit-rate@3 of the co-visitation candidate generator
+    * against actual next-item transitions — the evaluation metric that
+    * closes the candidates→features→EVAL loop (recall@k for the
+    * reference's covis strategy). Each directed transition occurrence
+    * (a→b) is a hit iff b ranks in a's top-3 covis neighbors
+    * (pair_count desc, unique tie-break). Both inputs reuse the
+    * pipeline's cached enriched events; the neighbor table is
+    * catalog²-bounded and joins broadcast-style onto the transition
+    * aggregate — no per-event work past the two aggregations.
+    */
+  def hitRateEval(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val directed = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
+      .unionByName(pairs
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+    val top3 = Windows
+      .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 3)
+      .select(col("src").as("item_a"), col("dst").as("item_b"), lit(1).as("hit"))
+    trans
+      .join(top3, Seq("item_a", "item_b"), "left")
+      .agg(
+        sum(col("transition_count")).as("n_transitions"),
+        sum(when(col("hit").isNotNull, col("transition_count")).otherwise(0L))
+          .as("n_hits"))
+      .select(
+        col("n_transitions"),
+        col("n_hits"),
+        expr("n_hits * 1000000 div n_transitions").as("hit_ppm"))
+  }
+
   /** Per-category conversion rate with the Wilson lower confidence
     * bound (z = 1.96) — the A/B-metrics primitive that orders arms by
     * "how good is this, pessimistically". Unlike ln/exp, sqrt and
