@@ -149,7 +149,8 @@ object SparkEntry {
     "q109_locf_impute" -> (EQ.locfImpute _),
     "q110_ctr_wilson" -> (EQ.ctrWilson _),
     "q111_item_cosine" -> (EQ.itemCosine _),
-    "q112_hitrate_eval" -> (EQ.hitRateEval _))
+    "q112_hitrate_eval" -> (EQ.hitRateEval _),
+    "q113_quality_survivors" -> (TQ.qualitySurvivors _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -191,6 +192,59 @@ object SparkEntry {
        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
        |  FROM docs, unnest(generate_series(1, len(toks) - ${n - 1})) AS t(i)
        |)""".stripMargin
+
+  /** The q42 near-dup machinery as a reusable CTE chain (must follow a
+    * `WITH RECURSIVE`): 4-gram shingles → 16-lane MinHash → 4-band LSH
+    * (bucket cap 100) → exact Jaccard verify ≥ 0.5 → recursive-CTE
+    * connected components ending in `comp(id, component)`.
+    */
+  private val neardupComponentsCte: String = {
+    val sigCols = (0 until 16).map(i => s"    min(md5('s$i|' || shingle)) AS h$i").mkString(",\n")
+    val bandSelects = (0 until 4)
+      .map { b =>
+        val key = (0 until 4).map(r => s"h${4 * b + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""${shingleCte(4)}, sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id,
+       |$sigCols
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |$bandSelects
+       |), ok AS (
+       |  SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) <= 100
+       |), keptb AS (
+       |  SELECT b.* FROM bands b JOIN ok USING (band_idx, band_key)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keptb a JOIN keptb b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), inter AS (
+       |  SELECT p.id_a, p.id_b, COUNT(*) AS inter_count
+       |  FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.id_a
+       |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY p.id_a, p.id_b
+       |), verified AS (
+       |  SELECT i.id_a, i.id_b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.id_a
+       |  JOIN sizes zb ON zb.doc_id = i.id_b
+       |  WHERE floor(i.inter_count * 1000000 / (za.n + zb.n - i.inter_count)) >= 500000
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM verified
+       |), reach(id, peer) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+       |), comp AS (
+       |  SELECT id, MIN(peer) AS component FROM reach GROUP BY id
+       |)""".stripMargin
+  }
 
   /** Quantized-embedding CTE body: vec_id + round(x*10000) BIGINT list. */
   private val quantCte =
@@ -801,57 +855,12 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rn <= 5
          |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin,
-    "q42_neardup_dedup" -> {
-      val sigCols = (0 until 16).map(i => s"    min(md5('s$i|' || shingle)) AS h$i").mkString(",\n")
-      val bandSelects = (0 until 4)
-        .map { b =>
-          val key = (0 until 4).map(r => s"h${4 * b + r}").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
-        }
-        .mkString("\nUNION ALL\n")
-      s"""WITH RECURSIVE ${shingleCte(4)}, sizes AS (
-         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-         |), sig AS (
-         |  SELECT doc_id,
-         |$sigCols
-         |  FROM sh GROUP BY doc_id
-         |), bands AS (
-         |$bandSelects
-         |), ok AS (
-         |  SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) <= 100
-         |), keptb AS (
-         |  SELECT b.* FROM bands b JOIN ok USING (band_idx, band_key)
-         |), pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM keptb a JOIN keptb b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |), inter AS (
-         |  SELECT p.id_a, p.id_b, COUNT(*) AS inter_count
-         |  FROM pairs p
-         |  JOIN sh sa ON sa.doc_id = p.id_a
-         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
-         |  GROUP BY p.id_a, p.id_b
-         |), verified AS (
-         |  SELECT i.id_a, i.id_b FROM inter i
-         |  JOIN sizes za ON za.doc_id = i.id_a
-         |  JOIN sizes zb ON zb.doc_id = i.id_b
-         |  WHERE floor(i.inter_count * 1000000 / (za.n + zb.n - i.inter_count)) >= 500000
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM verified
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM verified
-         |), reach(id, peer) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
-         |), comp AS (
-         |  SELECT id, MIN(peer) AS component FROM reach GROUP BY id
-         |)
+    "q42_neardup_dedup" ->
+      s"""WITH RECURSIVE $neardupComponentsCte
          |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
          |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+         |ORDER BY d.doc_id""".stripMargin,
     "q43_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
@@ -2043,5 +2052,12 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN h.dst IS NOT NULL THEN t.transition_count ELSE 0 END) * 1000000
          |       // SUM(t.transition_count) AS BIGINT) AS hit_ppm
          |FROM trans t
-         |LEFT JOIN top3 h ON t.item_a = h.src AND t.item_b = h.dst""".stripMargin)
+         |LEFT JOIN top3 h ON t.item_a = h.src AND t.item_b = h.dst""".stripMargin,
+    "q113_quality_survivors" ->
+      s"""WITH RECURSIVE $neardupComponentsCte
+         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars,
+         |  (row_number() OVER (PARTITION BY COALESCE(c.component, d.doc_id)
+         |                      ORDER BY d.n_chars DESC, d.doc_id ASC) = 1) AS keep
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin)
 }

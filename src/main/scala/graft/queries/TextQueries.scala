@@ -478,4 +478,28 @@ object TextQueries {
     TextRanking
       .bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
       .orderBy(col("doc_id"))
+
+  /** Quality-based survivor selection over the q42 near-dup clusters:
+    * production dedup keeps the BEST document per duplicate cluster,
+    * not the lowest id — here the longest (n_chars desc, doc_id asc
+    * tie-break). Same verified LSH→Jaccard→connected-components
+    * machinery; only the per-cluster argmax changes (a partitioned
+    * rank over cluster-sized groups).
+    */
+  def qualitySurvivors(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    Dedup
+      .nearDupDedup(docs, "text", "doc_id",
+        shingleN = 4, numHashes = 16, bands = 4, minJaccardPpm = 500000L)
+      .select(col("doc_id"), col("component"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn(
+        "keep",
+        row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)) === 1)
+      .select(col("doc_id"), col("component"), col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
 }
