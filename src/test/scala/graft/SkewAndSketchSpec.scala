@@ -89,6 +89,28 @@ class SkewAndSketchSpec extends SparkSpec {
     assert(merged == approx, "union of partial sketches must equal the whole-data sketch")
   }
 
+  test("HLL rolling window: daily partials re-merged per 3-day window == direct estimate") {
+    // the incremental-analytics pattern: persist ONE sketch per day,
+    // answer any later window by merging partials — never rescan raw
+    val ev = graft.core.Tables.events(spark, sf("sf0.01"))
+      .select(expr("cast(ts as long) div 86400").as("day"), col("user_id"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+      .cache()
+    val days = daily.select("day").as[Long].collect().sorted
+    val win3 = days.drop(2).take(3) // three 3-day windows
+    win3.foreach { end =>
+      val merged = daily.filter(col("day").between(end - 2, end))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n"))
+        .as[Long].head()
+      val direct = ev.filter(col("day").between(end - 2, end))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("n"))
+        .as[Long].head()
+      assert(merged == direct,
+        s"window ending $end: merged partials $merged != direct $direct")
+    }
+  }
+
   test("log-histogram sketch: bucket round-trip brackets the value, < 1/16 relative") {
     val vals = Seq(0L, 1L, 15L, 16L, 17L, 31L, 32L, 100L, 1023L, 1024L,
       123456789L, Long.MaxValue / 2)
