@@ -150,7 +150,8 @@ object SparkEntry {
     "q110_ctr_wilson" -> (EQ.ctrWilson _),
     "q111_item_cosine" -> (EQ.itemCosine _),
     "q112_hitrate_eval" -> (EQ.hitRateEval _),
-    "q113_quality_survivors" -> (TQ.qualitySurvivors _))
+    "q113_quality_survivors" -> (TQ.qualitySurvivors _),
+    "q114_mad_outliers" -> (RQ.madOutliers _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2059,5 +2060,36 @@ object SparkEntry {
          |  (row_number() OVER (PARTITION BY COALESCE(c.component, d.doc_id)
          |                      ORDER BY d.n_chars DESC, d.doc_id ASC) = 1) AS keep
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    // integer-exact robust stats: lower-median rank (n+1)//2 on cents
+    "q114_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem
+        |), r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |              ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM v
+        |), med AS (
+        |  SELECT l_returnflag, MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med
+        |  FROM r1 GROUP BY l_returnflag
+        |), dev AS (
+        |  SELECT v.*, m.med, abs(v.cents - m.med) AS dev
+        |  FROM v JOIN med m USING (l_returnflag)
+        |), r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |              ORDER BY dev, l_orderkey, l_linenumber) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM dev
+        |), mad AS (
+        |  SELECT l_returnflag, MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+        |  FROM r2 GROUP BY l_returnflag
+        |)
+        |SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MAX(d.med) AS median_cents, MAX(ma.mad) AS mad_cents,
+        |  CAST(SUM(CASE WHEN d.dev > 3 * ma.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad ma USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin)
 }

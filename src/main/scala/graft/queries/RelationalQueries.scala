@@ -482,6 +482,49 @@ object RelationalQueries {
         Seq((500000L, "p50_lb"), (950000L, "p95_lb"), (990000L, "p99_lb")))
       .orderBy(col("l_returnflag"))
 
+  /** Robust outlier detection per group: median / MAD (median absolute
+    * deviation) / |x − med| > 3·MAD counts — entirely in integer cents
+    * with integer median ranks ((n+1) div 2, the lower median), so the
+    * whole statistic is exact and engine-independent. Plan: one
+    * exchange on the group key serves BOTH rank windows (the broadcast
+    * threshold join preserves partitioning), then one final hash agg.
+    */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val w1 = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val medTbl = v
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("med"))
+    val dev = v
+      .join(broadcast(medTbl), Seq("l_returnflag"))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val w2 = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("dev").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val madTbl = dev
+      .withColumn("rn", row_number().over(w2))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+    dev
+      .join(broadcast(madTbl), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("med")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        graft.ops.Aggregates.countIf(col("dev") > lit(3L) * col("mad"))
+          .as("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** The `spark.sql` entry surface: correlated EXISTS (→ left semi),
     * null-aware NOT IN (→ left anti), and a correlated scalar COUNT
     * subquery (→ decorrelated outer-join aggregate) in one statement —
