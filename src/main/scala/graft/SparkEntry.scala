@@ -151,7 +151,8 @@ object SparkEntry {
     "q111_item_cosine" -> (EQ.itemCosine _),
     "q112_hitrate_eval" -> (EQ.hitRateEval _),
     "q113_quality_survivors" -> (TQ.qualitySurvivors _),
-    "q114_mad_outliers" -> (RQ.madOutliers _))
+    "q114_mad_outliers" -> (RQ.madOutliers _),
+    "q115_sequence_detect" -> (EQ.sequenceDetect _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2091,5 +2092,30 @@ object SparkEntry {
         |  MAX(d.med) AS median_cents, MAX(ma.mad) AS mad_cents,
         |  CAST(SUM(CASE WHEN d.dev > 3 * ma.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad ma USING (l_returnflag)
-        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+    // running-window MATCH_RECOGNIZE shape: qualified-click running max
+    "q115_sequence_detect" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |), rv AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'view' THEN epoch_s END)
+        |    OVER w AS run_view
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id
+        |                      ROWS UNBOUNDED PRECEDING)
+        |), qc AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND run_view >= epoch_s - 3600
+        |                 THEN epoch_s END AS qual_click
+        |  FROM rv
+        |), rq AS (
+        |  SELECT *, MAX(qual_click) OVER w2 AS run_qclick
+        |  FROM qc WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_s, event_id
+        |                        ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN run_qclick >= epoch_s - 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN run_qclick >= epoch_s - 3600 THEN 1 ELSE 0 END) * 1000000
+        |       // COUNT(*) AS BIGINT) AS match_ppm
+        |FROM rq WHERE event_type = 'purchase'""".stripMargin)
 }

@@ -498,6 +498,43 @@ object EventQueries {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** CEP-style ordered-sequence detection: purchases preceded by a
+    * view→click chain where each hop lands within 1 h (the
+    * MATCH_RECOGNIZE shape, expressed with running windows only). The
+    * trick that keeps it one window pass: a click is QUALIFIED if the
+    * running last-view is within its hour; a purchase matches if the
+    * running last-QUALIFIED-click is within its own hour — no joins,
+    * no struct carrying, one exchange on user.
+    */
+  def sequenceDetect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .withColumn(
+        "run_view",
+        max(when(col("event_type") === "view", col("epoch_s"))).over(w))
+      .withColumn(
+        "qual_click",
+        when(
+          col("event_type") === "click" &&
+            col("run_view") >= col("epoch_s") - 3600L,
+          col("epoch_s")))
+      .withColumn("run_qclick", max(col("qual_click")).over(w))
+    ev.filter(col("event_type") === "purchase")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        Ag.countIf(col("run_qclick") >= col("epoch_s") - 3600L).as("n_matched"))
+      .select(
+        col("n_purchases"),
+        col("n_matched"),
+        expr("n_matched * 1000000 div n_purchases").as("match_ppm"))
+  }
+
   /** Offline hit-rate@3 of the co-visitation candidate generator
     * against actual next-item transitions — the evaluation metric that
     * closes the candidates→features→EVAL loop (recall@k for the
