@@ -54,6 +54,26 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("ignoreCorruptFiles: a damaged part file degrades to partial data, not job failure") {
+    val dir = Files.createTempDirectory("sinks-corrupt").toString + "/out"
+    Seq(1L, 2L, 3L).toDF("id").repartition(1).write.parquet(dir)
+    // plant a corrupt sibling part file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-99999-corrupt.snappy.parquet"),
+      "not a parquet file".getBytes)
+    val before = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val n = spark.read.parquet(dir).count()
+      assert(n == 3L, "healthy rows must survive a corrupt sibling file")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+        case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+      }
+    }
+  }
+
   test("schema evolution: mergeSchema unifies columns added over time") {
     val dir = Files.createTempDirectory("sinks-evo").toString + "/out"
     // day 1: (id); day 2 adds a column — the additive-evolution contract
