@@ -152,7 +152,8 @@ object SparkEntry {
     "q112_hitrate_eval" -> (EQ.hitRateEval _),
     "q113_quality_survivors" -> (TQ.qualitySurvivors _),
     "q114_mad_outliers" -> (RQ.madOutliers _),
-    "q115_sequence_detect" -> (EQ.sequenceDetect _))
+    "q115_sequence_detect" -> (EQ.sequenceDetect _),
+    "q116_candidate_recall" -> (EQ.candidateRecall _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -184,6 +185,54 @@ object SparkEntry {
       |  SELECT event_id AS anchor_id, session_id, user_id,
       |         epoch_s AS anchor_epoch_s, item_id, category_id
       |  FROM enr WHERE event_type = 'purchase'
+      |)""".stripMargin
+
+  /** The 4-strategy candidate union (q23's oracle body) as a reusable
+    * fragment ending in `cands(anchor_id, category_id)`. Must follow
+    * `$sessCte` in the WITH chain (uses enr/anchors).
+    */
+  private val candidatesCte: String =
+    """prefix_cand AS (
+      |  SELECT DISTINCT a.anchor_id, e.category_id
+      |  FROM anchors a JOIN enr e ON a.session_id = e.session_id AND e.epoch_s < a.anchor_epoch_s
+      |), di AS (
+      |  SELECT DISTINCT session_id, category_id FROM enr
+      |), pairs AS (
+      |  SELECT a.category_id AS item_a, b.category_id AS item_b, COUNT(*) AS pair_count
+      |  FROM di a JOIN di b ON a.session_id = b.session_id AND a.category_id < b.category_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), directed AS (
+      |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+      |  UNION ALL
+      |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+      |), top_directed AS (
+      |  SELECT src, dst FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY pair_count DESC, dst ASC) AS rn
+      |    FROM directed
+      |  ) WHERE rn <= 10
+      |), covis_cand AS (
+      |  SELECT DISTINCT p.anchor_id, t.dst AS category_id
+      |  FROM prefix_cand p JOIN top_directed t ON p.category_id = t.src
+      |), top_pop AS (
+      |  SELECT category_id FROM enr GROUP BY category_id
+      |  ORDER BY CAST(COUNT(DISTINCT session_id) AS BIGINT) DESC, category_id ASC LIMIT 5
+      |), pop_cand AS (
+      |  SELECT anchors.anchor_id, top_pop.category_id FROM anchors CROSS JOIN top_pop
+      |), last_seen AS (
+      |  SELECT user_id, category_id, MAX(epoch_s) AS last_seen FROM enr GROUP BY 1, 2
+      |), hist_cand AS (
+      |  SELECT anchor_id, category_id FROM (
+      |    SELECT a.anchor_id, l.category_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY l.last_seen DESC, l.category_id ASC) AS rn
+      |    FROM anchors a JOIN last_seen l ON a.user_id = l.user_id AND l.last_seen < a.anchor_epoch_s
+      |  ) WHERE rn <= 10
+      |), cands AS (
+      |  SELECT DISTINCT anchor_id, category_id FROM (
+      |    SELECT * FROM prefix_cand
+      |    UNION ALL SELECT * FROM covis_cand
+      |    UNION ALL SELECT * FROM pop_cand
+      |    UNION ALL SELECT * FROM hist_cand
+      |  )
       |)""".stripMargin
 
   /** Whitespace tokens + word n-gram shingles over documents. */
@@ -511,47 +560,9 @@ object SparkEntry {
          |SELECT anchor_id, category_id FROM j WHERE rn <= 10
          |ORDER BY anchor_id, category_id""".stripMargin,
     "q23_candidates" ->
-      s"""WITH $sessCte, prefix_cand AS (
-         |  SELECT DISTINCT a.anchor_id, e.category_id
-         |  FROM anchors a JOIN enr e ON a.session_id = e.session_id AND e.epoch_s < a.anchor_epoch_s
-         |), di AS (
-         |  SELECT DISTINCT session_id, category_id FROM enr
-         |), pairs AS (
-         |  SELECT a.category_id AS item_a, b.category_id AS item_b, COUNT(*) AS pair_count
-         |  FROM di a JOIN di b ON a.session_id = b.session_id AND a.category_id < b.category_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |), directed AS (
-         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
-         |  UNION ALL
-         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
-         |), top_directed AS (
-         |  SELECT src, dst FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY pair_count DESC, dst ASC) AS rn
-         |    FROM directed
-         |  ) WHERE rn <= 10
-         |), covis_cand AS (
-         |  SELECT DISTINCT p.anchor_id, t.dst AS category_id
-         |  FROM prefix_cand p JOIN top_directed t ON p.category_id = t.src
-         |), top_pop AS (
-         |  SELECT category_id FROM enr GROUP BY category_id
-         |  ORDER BY CAST(COUNT(DISTINCT session_id) AS BIGINT) DESC, category_id ASC LIMIT 5
-         |), pop_cand AS (
-         |  SELECT anchors.anchor_id, top_pop.category_id FROM anchors CROSS JOIN top_pop
-         |), last_seen AS (
-         |  SELECT user_id, category_id, MAX(epoch_s) AS last_seen FROM enr GROUP BY 1, 2
-         |), hist_cand AS (
-         |  SELECT anchor_id, category_id FROM (
-         |    SELECT a.anchor_id, l.category_id,
-         |      ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY l.last_seen DESC, l.category_id ASC) AS rn
-         |    FROM anchors a JOIN last_seen l ON a.user_id = l.user_id AND l.last_seen < a.anchor_epoch_s
-         |  ) WHERE rn <= 10
-         |)
-         |SELECT DISTINCT anchor_id, category_id FROM (
-         |  SELECT * FROM prefix_cand
-         |  UNION ALL SELECT * FROM covis_cand
-         |  UNION ALL SELECT * FROM pop_cand
-         |  UNION ALL SELECT * FROM hist_cand
-         |) ORDER BY anchor_id, category_id""".stripMargin,
+      s"""WITH $sessCte, $candidatesCte
+         |SELECT anchor_id, category_id FROM cands
+         |ORDER BY anchor_id, category_id""".stripMargin,
     "q24_session_item_seq" ->
       s"""WITH $sessCte
          |SELECT session_id,
@@ -2117,5 +2128,16 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN run_qclick >= epoch_s - 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
         |  CAST(SUM(CASE WHEN run_qclick >= epoch_s - 3600 THEN 1 ELSE 0 END) * 1000000
         |       // COUNT(*) AS BIGINT) AS match_ppm
-        |FROM rq WHERE event_type = 'purchase'""".stripMargin)
+        |FROM rq WHERE event_type = 'purchase'""".stripMargin,
+    // the reference's own offline metric: is the anchor's true category
+    // inside its 4-strategy candidate set (label y=1 rows)?
+    "q116_candidate_recall" ->
+      s"""WITH $sessCte, $candidatesCte, hit AS (
+         |  SELECT a.anchor_id FROM anchors a JOIN cands c
+         |    ON a.anchor_id = c.anchor_id AND a.category_id = c.category_id
+         |)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM anchors) AS n_anchors,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CAST((SELECT COUNT(*) FROM hit) * 1000000
+         |       // (SELECT COUNT(*) FROM anchors) AS BIGINT) AS recall_ppm""".stripMargin)
 }

@@ -498,6 +498,27 @@ object EventQueries {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** Recall of the 4-strategy candidate union against each anchor's
+    * TRUE category — the reference pipeline's own offline metric (its
+    * label y=1 marks exactly these hits,
+    * `prepare_training_data_pyspark.py:593`). Semi-join of anchors
+    * against their candidate rows; exact integer ppm.
+    */
+  def candidateRecall(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val anchors = Pipeline.anchors(enriched)
+      .select(col("anchor_id"), col("category_id"))
+    val cands = Pipeline.candidates(s, d)
+    val hit = anchors.join(cands, Seq("anchor_id", "category_id"), "left_semi")
+    anchors
+      .agg(count(lit(1)).as("n_anchors"))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(
+        col("n_anchors"),
+        col("n_hit"),
+        expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
+  }
+
   /** CEP-style ordered-sequence detection: purchases preceded by a
     * view→click chain where each hop lands within 1 h (the
     * MATCH_RECOGNIZE shape, expressed with running windows only). The
