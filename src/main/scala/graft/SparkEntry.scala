@@ -153,7 +153,8 @@ object SparkEntry {
     "q113_quality_survivors" -> (TQ.qualitySurvivors _),
     "q114_mad_outliers" -> (RQ.madOutliers _),
     "q115_sequence_detect" -> (EQ.sequenceDetect _),
-    "q116_candidate_recall" -> (EQ.candidateRecall _))
+    "q116_candidate_recall" -> (EQ.candidateRecall _),
+    "q117_strategy_recall" -> (EQ.strategyRecall _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2139,5 +2140,28 @@ object SparkEntry {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM anchors) AS n_anchors,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
          |  CAST((SELECT COUNT(*) FROM hit) * 1000000
-         |       // (SELECT COUNT(*) FROM anchors) AS BIGINT) AS recall_ppm""".stripMargin)
+         |       // (SELECT COUNT(*) FROM anchors) AS BIGINT) AS recall_ppm""".stripMargin,
+    "q117_strategy_recall" ->
+      s"""WITH $sessCte, $candidatesCte, na AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors FROM anchors
+         |), hits AS (
+         |  SELECT 'prefix' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM anchors a JOIN prefix_cand c
+         |    ON a.anchor_id = c.anchor_id AND a.category_id = c.category_id
+         |  UNION ALL
+         |  SELECT 'covis', CAST(COUNT(*) AS BIGINT)
+         |  FROM anchors a JOIN covis_cand c
+         |    ON a.anchor_id = c.anchor_id AND a.category_id = c.category_id
+         |  UNION ALL
+         |  SELECT 'popularity', CAST(COUNT(*) AS BIGINT)
+         |  FROM anchors a JOIN pop_cand c
+         |    ON a.anchor_id = c.anchor_id AND a.category_id = c.category_id
+         |  UNION ALL
+         |  SELECT 'history', CAST(COUNT(*) AS BIGINT)
+         |  FROM anchors a JOIN hist_cand c
+         |    ON a.anchor_id = c.anchor_id AND a.category_id = c.category_id
+         |)
+         |SELECT h.strategy, na.n_anchors, h.n_hit,
+         |  CAST(h.n_hit * 1000000 // na.n_anchors AS BIGINT) AS recall_ppm
+         |FROM hits h CROSS JOIN na ORDER BY h.strategy""".stripMargin)
 }

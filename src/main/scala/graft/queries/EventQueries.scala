@@ -519,6 +519,38 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Per-strategy recall ablation of the candidate generator: which of
+    * the four strategies (prefix / covis / popularity / history)
+    * actually covers each anchor's true category — the analysis behind
+    * the reference's strategy mix. Four semi-join counts over the same
+    * cached enriched events.
+    */
+  def strategyRecall(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val a = Pipeline.anchors(enriched)
+    val anchors = a.select(col("anchor_id"), col("category_id"))
+    def recallOf(name: String, cand: DataFrame): DataFrame =
+      anchors
+        .join(cand.select("anchor_id", "category_id"),
+          Seq("anchor_id", "category_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(name).as("strategy"), col("n_hit"))
+    val perStrategy = Seq(
+      recallOf("prefix", Pipeline.prefixCandidates(a, enriched)),
+      recallOf("covis", Pipeline.covisCandidates(a, enriched, minPairCount = 2, topK = 10)),
+      recallOf("popularity", Pipeline.popularityCandidates(a, enriched, topN = 5)),
+      recallOf("history", Pipeline.userHistoryCandidates(a, enriched, topK = 10)))
+      .reduce(_ unionByName _)
+    perStrategy
+      .crossJoin(broadcast(anchors.agg(count(lit(1)).as("n_anchors"))))
+      .select(
+        col("strategy"),
+        col("n_anchors"),
+        col("n_hit"),
+        expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
+      .orderBy(col("strategy"))
+  }
+
   /** CEP-style ordered-sequence detection: purchases preceded by a
     * view→click chain where each hop lands within 1 h (the
     * MATCH_RECOGNIZE shape, expressed with running windows only). The
