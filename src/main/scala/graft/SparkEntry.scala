@@ -154,7 +154,8 @@ object SparkEntry {
     "q114_mad_outliers" -> (RQ.madOutliers _),
     "q115_sequence_detect" -> (EQ.sequenceDetect _),
     "q116_candidate_recall" -> (EQ.candidateRecall _),
-    "q117_strategy_recall" -> (EQ.strategyRecall _))
+    "q117_strategy_recall" -> (EQ.strategyRecall _),
+    "q118_psi_drift" -> (EQ.psiDrift _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2163,5 +2164,28 @@ object SparkEntry {
          |)
          |SELECT h.strategy, na.n_anchors, h.n_hit,
          |  CAST(h.n_hit * 1000000 // na.n_anchors AS BIGINT) AS recall_ppm
-         |FROM hits h CROSS JOIN na ORDER BY h.strategy""".stripMargin)
+         |FROM hits h CROSS JOIN na ORDER BY h.strategy""".stripMargin,
+    // per-bin (p-q)*ln(p/q) micro-quantized; Laplace +1 dense bins
+    "q118_psi_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 % 2 AS split,
+        |    CAST(least(greatest(floor(value / 50.0), 0.0), 9.0) AS BIGINT) AS bin
+        |  FROM events
+        |), counts AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM b GROUP BY bin
+        |), dense AS (
+        |  SELECT g.bin, COALESCE(c.c_ref, 0) + 1 AS n_ref, COALESCE(c.c_cur, 0) + 1 AS n_cur
+        |  FROM (SELECT unnest(range(0, 10)) AS bin) g LEFT JOIN counts c ON g.bin = c.bin
+        |), t AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM dense
+        |)
+        |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(round(1000000.0 *
+        |    (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)) *
+        |    ln((CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)) / (CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)))) AS BIGINT)
+        |    AS psi_contrib_micro
+        |FROM dense CROSS JOIN t ORDER BY bin""".stripMargin)
 }

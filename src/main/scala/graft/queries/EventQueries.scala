@@ -519,6 +519,47 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Population-stability-index drift between time splits (even vs odd
+    * activity days) over fixed-width value bins — the ML-ops
+    * drift-monitoring primitive. Laplace-smoothed dense bins (a bin
+    * absent from one split must not zero the ratio), per-bin
+    * contribution (p−q)·ln(p/q) micro-quantized (the ln rule), exact
+    * integer everywhere else. One fact pass + a 10-row reshape.
+    */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val nBins = 10
+    val binned = Tables.events(s, d)
+      .select(
+        (expr("cast(ts as long) div 86400") % 2).as("split"),
+        least(greatest(floor(col("value") / 50.0), lit(0.0)), lit((nBins - 1).toDouble))
+          .cast("long").as("bin"))
+    val counts = binned
+      .groupBy(col("bin"))
+      .agg(
+        Ag.countIf(col("split") === 0).as("c_ref"),
+        Ag.countIf(col("split") === 1).as("c_cur"))
+    // dense 0..9 bins + Laplace +1 so empty bins stay finite
+    val dense = s.range(nBins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        (coalesce(col("c_ref"), lit(0L)) + 1L).as("n_ref"),
+        (coalesce(col("c_cur"), lit(0L)) + 1L).as("n_cur"))
+    val totals = dense.agg(
+      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    dense
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bin"), col("n_ref"), col("n_cur"),
+        round(lit(1000000.0) *
+          (col("n_ref").cast("double") / col("t_ref").cast("double") -
+            col("n_cur").cast("double") / col("t_cur").cast("double")) *
+          log((col("n_ref").cast("double") / col("t_ref").cast("double")) /
+            (col("n_cur").cast("double") / col("t_cur").cast("double"))))
+          .cast("long").as("psi_contrib_micro"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-strategy recall ablation of the candidate generator: which of
     * the four strategies (prefix / covis / popularity / history)
     * actually covers each anchor's true category — the analysis behind
