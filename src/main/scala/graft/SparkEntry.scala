@@ -155,7 +155,8 @@ object SparkEntry {
     "q115_sequence_detect" -> (EQ.sequenceDetect _),
     "q116_candidate_recall" -> (EQ.candidateRecall _),
     "q117_strategy_recall" -> (EQ.strategyRecall _),
-    "q118_psi_drift" -> (EQ.psiDrift _))
+    "q118_psi_drift" -> (EQ.psiDrift _),
+    "q119_ks_drift" -> (EQ.ksDrift _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2187,5 +2188,33 @@ object SparkEntry {
         |    (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)) *
         |    ln((CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)) / (CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)))) AS BIGINT)
         |    AS psi_contrib_micro
-        |FROM dense CROSS JOIN t ORDER BY bin""".stripMargin)
+        |FROM dense CROSS JOIN t ORDER BY bin""".stripMargin,
+    // exact KS: integer |cum_ref*n_cur - cum_cur*n_ref| maximized in
+    // decimal; the only float is the final micro division
+    "q119_ks_drift" ->
+      """WITH b AS (
+        |  SELECT (CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400) % 2 AS split,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT cents,
+        |    CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM b GROUP BY cents
+        |), w AS (
+        |  SELECT *,
+        |    CAST(SUM(c_ref) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref,
+        |    CAST(SUM(c_cur) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cur
+        |  FROM c
+        |), t AS (
+        |  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref, CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM c
+        |), dmax AS (
+        |  SELECT MAX(abs(CAST(w.cum_ref AS DECIMAL(19,0)) * CAST(t.n_cur AS DECIMAL(19,0))
+        |              - CAST(w.cum_cur AS DECIMAL(19,0)) * CAST(t.n_ref AS DECIMAL(19,0)))) AS d_num
+        |  FROM w CROSS JOIN t
+        |)
+        |SELECT t.n_ref, t.n_cur,
+        |  CAST(floor(1000000.0 * CAST(d.d_num AS DOUBLE)
+        |       / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE))) AS BIGINT) AS ks_micro
+        |FROM t CROSS JOIN dmax d""".stripMargin)
 }

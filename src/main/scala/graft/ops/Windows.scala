@@ -167,6 +167,42 @@ object Windows {
         col(keyCol), col("run_seq"), col(valueCol), col("valid_from"), col("valid_to"))
   }
 
+  /** GLOBAL running sums without a global single-partition window (the
+    * scale antipattern): shard by a monotone bucket of the order key,
+    * run per-shard windows, and add each shard's prefix offset (the sum
+    * of strictly-earlier shard totals, computed on the shard-count-sized
+    * totals table). `orderCol` must be unique (callers pre-aggregate to
+    * one row per key). Emits `cum_<name>` per value column.
+    */
+  def shardedCumsum(
+      df: DataFrame,
+      orderCol: String,
+      valueCols: Seq[String],
+      shardExpr: Column): DataFrame = {
+    val sharded = df.withColumn("__shard", shardExpr)
+    val w = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = valueCols.foldLeft(sharded) { (d, c) =>
+      d.withColumn(s"__w_$c", sum(col(c)).over(w))
+    }
+    val totals = sharded
+      .groupBy(col("__shard"))
+      .agg(valueCols.map(c => sum(col(c)).as(s"__t_$c")).head,
+        valueCols.map(c => sum(col(c)).as(s"__t_$c")).tail: _*)
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__shard") < col("a.__shard"), "left")
+      .groupBy(col("a.__shard").as("__shard"))
+      .agg(valueCols.map(c => sum(col(s"b.__t_$c")).as(s"__o_$c")).head,
+        valueCols.map(c => sum(col(s"b.__t_$c")).as(s"__o_$c")).tail: _*)
+    val out = within.join(broadcast(offsets), Seq("__shard"), "left")
+    valueCols
+      .foldLeft(out) { (d, c) =>
+        d.withColumn(s"cum_$c", col(s"__w_$c") + coalesce(col(s"__o_$c"), lit(0L)))
+          .drop(s"__w_$c").drop(s"__o_$c")
+      }
+      .drop("__shard")
+  }
+
   /** Last-observation-carried-forward (LOCF) imputation: fill nulls in
     * `valueCol` with the most recent non-null value within the key,
     * ordered by `orderCol` — `last(ignoreNulls)` over the running

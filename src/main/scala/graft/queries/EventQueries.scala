@@ -519,6 +519,44 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the even/odd
+    * day splits of `value` — drift companion to [[psiDrift]] with NO
+    * transcendentals: D is maximized as the integer
+    * |cum_ref·n_cur − cum_cur·n_ref| over pooled distinct cents
+    * (decimal-exact products), divided out only at the end. The global
+    * CDF running sums use [[Windows.shardedCumsum]] (per-shard windows
+    * + broadcast prefix offsets), never a single-partition window.
+    */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(
+        (expr("cast(ts as long) div 86400") % 2).as("split"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("cents"))
+      .agg(
+        Ag.countIf(col("split") === 0).as("c_ref"),
+        Ag.countIf(col("split") === 1).as("c_cur"))
+    val cums = Windows.shardedCumsum(
+      counts, "cents", Seq("c_ref", "c_cur"),
+      expr("cents div 5000"))
+    val totals = counts.agg(
+      sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    cums
+      .crossJoin(broadcast(totals))
+      .select(
+        col("n_ref"), col("n_cur"),
+        abs(col("cum_c_ref").cast("decimal(19,0)") * col("n_cur").cast("decimal(19,0)") -
+          col("cum_c_cur").cast("decimal(19,0)") * col("n_ref").cast("decimal(19,0)"))
+          .as("d_num"))
+      .groupBy(col("n_ref"), col("n_cur"))
+      .agg(max(col("d_num")).as("d_num"))
+      .select(
+        col("n_ref"), col("n_cur"),
+        floor(lit(1000000.0) * col("d_num").cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")))
+          .cast("long").as("ks_micro"))
+  }
+
   /** Population-stability-index drift between time splits (even vs odd
     * activity days) over fixed-width value bins — the ML-ops
     * drift-monitoring primitive. Laplace-smoothed dense bins (a bin

@@ -151,6 +151,21 @@ class WindowsSpec extends SparkSpec {
     assert(exchanges == 1, s"change-lag, interval-lead and run_seq must share one shuffle:\n$p")
   }
 
+  test("shardedCumsum == naive global running sum, across shard boundaries") {
+    import spark.implicits._
+    val df = (1L to 97L).map(k => (k, k % 7, k % 3)).toDF("k", "a", "b")
+    val out = graft.ops.Windows
+      .shardedCumsum(df, "k", Seq("a", "b"), expr("k div 10"))
+      .orderBy("k")
+      .select("k", "cum_a", "cum_b")
+      .as[(Long, Long, Long)].collect()
+    var (ca, cb) = (0L, 0L)
+    (1L to 97L).zip(out).foreach { case (k, (ko, cao, cbo)) =>
+      ca += k % 7; cb += k % 3
+      assert(ko == k && cao == ca && cbo == cb, s"at k=$k")
+    }
+  }
+
   test("locfFill: nulls take the last prior observation, leading nulls stay") {
     import spark.implicits._
     val df = Seq[(Long, Long, Option[Long])](
