@@ -156,7 +156,8 @@ object SparkEntry {
     "q116_candidate_recall" -> (EQ.candidateRecall _),
     "q117_strategy_recall" -> (EQ.strategyRecall _),
     "q118_psi_drift" -> (EQ.psiDrift _),
-    "q119_ks_drift" -> (EQ.ksDrift _))
+    "q119_ks_drift" -> (EQ.ksDrift _),
+    "q120_auc_eval" -> (EQ.aucEval _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2216,5 +2217,30 @@ object SparkEntry {
         |SELECT t.n_ref, t.n_cur,
         |  CAST(floor(1000000.0 * CAST(d.d_num AS DOUBLE)
         |       / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE))) AS BIGINT) AS ks_micro
-        |FROM t CROSS JOIN dmax d""".stripMargin)
+        |FROM t CROSS JOIN dmax d""".stripMargin,
+    // exact Mann-Whitney AUC: integer concordant/tied pair counts via
+    // the global CDF; only the final micro division is float
+    "q120_auc_eval" ->
+      """WITH c AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_c,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg_c
+        |  FROM events GROUP BY cents
+        |), w AS (
+        |  SELECT *,
+        |    CAST(SUM(n_neg_c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      - n_neg_c AS neg_below
+        |  FROM c
+        |), agg AS (
+        |  SELECT CAST(SUM(n_pos_c) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n_neg_c) AS BIGINT) AS n_neg,
+        |    SUM(CAST(n_pos_c AS DECIMAL(19,0)) * CAST(neg_below AS DECIMAL(19,0))) AS concordant,
+        |    SUM(CAST(n_pos_c AS DECIMAL(19,0)) * CAST(n_neg_c AS DECIMAL(19,0))) AS tied
+        |  FROM w
+        |)
+        |SELECT n_pos, n_neg,
+        |  CAST(floor(1000000.0 *
+        |    (2.0 * CAST(concordant AS DOUBLE) + CAST(tied AS DOUBLE)) /
+        |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS BIGINT) AS auc_micro
+        |FROM agg""".stripMargin)
 }

@@ -519,6 +519,44 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Exact Mann–Whitney AUC of `value` as a purchase predictor — the
+    * ranking-model evaluation metric, computed entirely in integers:
+    * AUC = (2·concordant + tied) / (2·n_pos·n_neg) where concordant =
+    * Σ_score n_pos(score)·cum_neg(below score) via the sharded global
+    * cumsum, tied = Σ n_pos·n_neg at equal scores. Only the final micro
+    * division is float (correctly-rounded IEEE).
+    */
+  def aucEval(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(
+        round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("cents"))
+      .agg(
+        sum(col("y")).as("n_pos_c"),
+        sum(lit(1L) - col("y")).as("n_neg_c"))
+    val cums = Windows.shardedCumsum(
+      counts, "cents", Seq("n_pos_c", "n_neg_c"), expr("cents div 5000"))
+    val agg = cums
+      .select(
+        col("n_pos_c"), col("n_neg_c"),
+        // cum below this score = running cum minus own count
+        (col("cum_n_neg_c") - col("n_neg_c")).as("neg_below"))
+      .agg(
+        sum(col("n_pos_c")).as("n_pos"),
+        sum(col("n_neg_c")).as("n_neg"),
+        sum(col("n_pos_c").cast("decimal(19,0)") *
+          col("neg_below").cast("decimal(19,0)")).as("concordant"),
+        sum(col("n_pos_c").cast("decimal(19,0)") *
+          col("n_neg_c").cast("decimal(19,0)")).as("tied"))
+    agg.select(
+      col("n_pos"), col("n_neg"),
+      floor(lit(1000000.0) *
+        (lit(2.0) * col("concordant").cast("double") + col("tied").cast("double")) /
+        (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+        .cast("long").as("auc_micro"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the even/odd
     * day splits of `value` — drift companion to [[psiDrift]] with NO
     * transcendentals: D is maximized as the integer
