@@ -157,7 +157,8 @@ object SparkEntry {
     "q117_strategy_recall" -> (EQ.strategyRecall _),
     "q118_psi_drift" -> (EQ.psiDrift _),
     "q119_ks_drift" -> (EQ.ksDrift _),
-    "q120_auc_eval" -> (EQ.aucEval _))
+    "q120_auc_eval" -> (EQ.aucEval _),
+    "q121_bootstrap_ci" -> (EQ.bootstrapCi _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2242,5 +2243,24 @@ object SparkEntry {
         |  CAST(floor(1000000.0 *
         |    (2.0 * CAST(concordant AS DOUBLE) + CAST(tied AS DOUBLE)) /
         |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS BIGINT) AS auc_micro
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    // per-(row, replicate) md5 multiplicity ~ Poisson(1); exact integer
+    // weighted means per replicate
+    "q121_bootstrap_ci" ->
+      """WITH fan AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS id,
+        |         CAST(round(value * 100) AS BIGINT) AS v,
+        |         b AS replicate
+        |  FROM events, unnest(range(0, 32)) AS t(b)
+        |), wgt AS (
+        |  SELECT replicate, v,
+        |    CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+        |         WHEN u < 920 THEN 2 ELSE 3 END AS w
+        |  FROM (
+        |    SELECT *, CAST(('0x' || substring(md5(id || '|' || CAST(replicate AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS u
+        |    FROM fan)
+        |)
+        |SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(w * v) AS BIGINT) * 1000000 // CAST(SUM(w) AS BIGINT) AS mean_micro
+        |FROM wgt GROUP BY replicate ORDER BY replicate""".stripMargin)
 }

@@ -101,4 +101,42 @@ object Sampling {
       .orderBy(col("cnt").desc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** Deterministic Poisson bootstrap: all B resample replicates of a
+    * weighted mean in ONE pass. Each (row, replicate) gets an integer
+    * multiplicity drawn from a fixed ≈Poisson(1) pmf via the md5
+    * bucket of (id, b) — a pure function of the data, so every
+    * replicate reproduces across engines/partitionings/re-runs (the
+    * distributed bootstrap: no per-replicate shuffles, no sampling with
+    * replacement; Chamandy et al.'s estimator shape). The row-side
+    * explode is ×B scan-side fan-out feeding a B-group hash agg with
+    * map-side combine — the shuffle carries B partial states total.
+    * Output: (replicate, n_eff, mean_micro) — exact integer mean of
+    * `valueCol` per resample; quantiles of the B means give the CI.
+    */
+  def bootstrapMeans(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      nReplicates: Int): DataFrame = {
+    val fan = df
+      .select(col(idCol).cast("string").as("__id"), col(valueCol).as("__v"))
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(nReplicates - 1))).as("replicate"))
+    val u = conv(
+      substring(md5(concat(col("__id"), lit("|"), col("replicate"))), 1, 8),
+      16, 10).cast("long") % 1000
+    // ≈Poisson(1): P(0)=.368, P(1)=.368, P(2)=.184, P(3)=.080
+    val w = when(u < 368, 0L).when(u < 736, 1L).when(u < 920, 2L).otherwise(3L)
+    fan
+      .select(col("replicate"), w.as("w"), col("__v"))
+      .groupBy(col("replicate"))
+      .agg(
+        sum(col("w")).as("n_eff"),
+        sum(col("w") * col("__v")).as("wsum"))
+      .select(
+        col("replicate"),
+        col("n_eff"),
+        expr("(wsum * 1000000) div n_eff").as("mean_micro"))
+  }
 }

@@ -519,6 +519,21 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Deterministic Poisson-bootstrap replicate means of value cents
+    * ([[graft.ops.Sampling.bootstrapMeans]], B = 32) — uncertainty
+    * quantification in one pass; quantiles of the 32 means give the CI.
+    */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling
+      .bootstrapMeans(
+        Tables.events(s, d).select(
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_id",
+        "cents",
+        nReplicates = 32)
+      .orderBy(col("replicate"))
+
   /** Exact Mann–Whitney AUC of `value` as a purchase predictor — the
     * ranking-model evaluation metric, computed entirely in integers:
     * AUC = (2·concordant + tied) / (2·n_pos·n_neg) where concordant =
