@@ -158,7 +158,8 @@ object SparkEntry {
     "q118_psi_drift" -> (EQ.psiDrift _),
     "q119_ks_drift" -> (EQ.ksDrift _),
     "q120_auc_eval" -> (EQ.aucEval _),
-    "q121_bootstrap_ci" -> (EQ.bootstrapCi _))
+    "q121_bootstrap_ci" -> (EQ.bootstrapCi _),
+    "q122_cross_source_dups" -> (TQ.crossSourceDups _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2262,5 +2263,27 @@ object SparkEntry {
         |)
         |SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
         |  CAST(SUM(w * v) AS BIGINT) * 1000000 // CAST(SUM(w) AS BIGINT) AS mean_micro
-        |FROM wgt GROUP BY replicate ORDER BY replicate""".stripMargin)
+        |FROM wgt GROUP BY replicate ORDER BY replicate""".stripMargin,
+    "q122_cross_source_dups" ->
+      s"""WITH ${shingleCte(4)}, fsh AS (
+         |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id
+         |), cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_count
+         |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), vp AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE floor(inter_count * 1000000 / (sa.n + sb.n - inter_count)) >= 500000
+         |)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+         |FROM vp
+         |JOIN documents da ON vp.id_a = da.doc_id
+         |JOIN documents db ON vp.id_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
 }

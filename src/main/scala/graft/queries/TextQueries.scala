@@ -479,6 +479,29 @@ object TextQueries {
       .bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Cross-source duplication matrix: exact near-dup pairs (the q85
+    * prefix-filter path, τ = 0.5 over 4-gram fingerprints) grouped by
+    * canonicalized source pair — the curation diagnostic that shows
+    * which corpus sources copy from each other (within-source rows are
+    * the diagonal). Pair table joins two broadcastable doc→source
+    * projections.
+    */
+  def crossSourceDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPrefixFilterPairs(
+      docs, "text", "doc_id", n = 4, minJaccardPpm = 500000L)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Quality-based survivor selection over the q42 near-dup clusters:
     * production dedup keeps the BEST document per duplicate cluster,
     * not the lowest id — here the longest (n_chars desc, doc_id asc
