@@ -159,7 +159,8 @@ object SparkEntry {
     "q119_ks_drift" -> (EQ.ksDrift _),
     "q120_auc_eval" -> (EQ.aucEval _),
     "q121_bootstrap_ci" -> (EQ.bootstrapCi _),
-    "q122_cross_source_dups" -> (TQ.crossSourceDups _))
+    "q122_cross_source_dups" -> (TQ.crossSourceDups _),
+    "q123_vocab_growth" -> (TQ.vocabGrowth _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2285,5 +2286,24 @@ object SparkEntry {
          |FROM vp
          |JOIN documents da ON vp.id_a = da.doc_id
          |JOIN documents db ON vp.id_b = db.doc_id
-         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "q123_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), fs AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM toks GROUP BY term
+        |), nn AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_terms FROM fs GROUP BY doc_id
+        |), per AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+        |    COALESCE(n.n_new_terms, 0) AS n_new_terms
+        |  FROM documents d LEFT JOIN nn n ON d.doc_id = n.doc_id
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(n_new_terms) OVER w AS BIGINT) AS cum_vocab
+        |FROM per WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -479,6 +479,42 @@ object TextQueries {
       .bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Vocabulary-growth curve (the Heaps'-law corpus diagnostic): for
+    * each document in id order, the cumulative distinct-term count and
+    * cumulative token count — how fast the vocabulary grows as the
+    * corpus is consumed. Exact and shuffle-light: each term contributes
+    * one first-occurrence row (min doc_id per term — a word-count-shaped
+    * agg), per-doc new-term counts re-aggregate, and the global running
+    * sums use [[graft.ops.Windows.shardedCumsum]] — no global window,
+    * no sequential scan.
+    */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(
+      col("doc_id"),
+      explode(TF.tokens(col("text"))).as("term"))
+    val firstSeen = toks
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val perDoc = docs
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(firstSeen, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+    graft.ops.Windows
+      .shardedCumsum(perDoc, "doc_id", Seq("n_tokens", "n_new_terms"),
+        expr("doc_id div 1000"))
+      .select(
+        col("doc_id"),
+        col("cum_n_tokens").as("cum_tokens"),
+        col("cum_n_new_terms").as("cum_vocab"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-source duplication matrix: exact near-dup pairs (the q85
     * prefix-filter path, τ = 0.5 over 4-gram fingerprints) grouped by
     * canonicalized source pair — the curation diagnostic that shows
