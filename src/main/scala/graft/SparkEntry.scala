@@ -160,7 +160,8 @@ object SparkEntry {
     "q120_auc_eval" -> (EQ.aucEval _),
     "q121_bootstrap_ci" -> (EQ.bootstrapCi _),
     "q122_cross_source_dups" -> (TQ.crossSourceDups _),
-    "q123_vocab_growth" -> (TQ.vocabGrowth _))
+    "q123_vocab_growth" -> (TQ.vocabGrowth _),
+    "q124_peak_concurrency" -> (EQ.peakConcurrency _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2305,5 +2306,24 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
         |  CAST(SUM(n_new_terms) OVER w AS BIGINT) AS cum_vocab
         |FROM per WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q124_peak_concurrency" ->
+      s"""WITH $sessCte, sp AS (
+         |  SELECT session_id, MIN(epoch_s) AS start_s, MAX(epoch_s) AS end_s
+         |  FROM sess GROUP BY session_id
+         |), deltas AS (
+         |  SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM (
+         |    SELECT start_s AS t, 1 AS d FROM sp
+         |    UNION ALL
+         |    SELECT end_s + 1 AS t, -1 AS d FROM sp
+         |  ) GROUP BY t
+         |), conc AS (
+         |  SELECT t, CAST(SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+         |  FROM deltas
+         |), peak AS (
+         |  SELECT MAX(concurrency) AS peak_concurrency FROM conc
+         |)
+         |SELECT p.peak_concurrency, MIN(c.t) AS first_peak_s
+         |FROM conc c JOIN peak p ON c.concurrency = p.peak_concurrency
+         |GROUP BY p.peak_concurrency""".stripMargin)
 }

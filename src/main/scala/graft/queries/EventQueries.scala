@@ -519,6 +519,34 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Peak session concurrency: the maximum number of simultaneously
+    * open sessions (inclusive [start, end] intervals) and the earliest
+    * second it is reached — the classic sweep-line interval count, at
+    * scale: ±1 deltas per boundary, net delta per distinct second, the
+    * global running sum via [[Windows.shardedCumsum]], then one max
+    * aggregate with a deterministic earliest-timestamp tie-break.
+    */
+  def peakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sessions = Pipeline.sessionizedEvents(s, d)
+      .groupBy(col("session_id"))
+      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s"))
+    val deltas = sessions
+      .select(col("start_s").as("t"), lit(1L).as("d"))
+      .unionByName(sessions.select((col("end_s") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t"))
+      .agg(sum(col("d")).as("net"))
+    val conc = graft.core.Caches.cache(
+      Windows
+        .shardedCumsum(deltas, "t", Seq("net"), expr("t div 86400"))
+        .select(col("t"), col("cum_net").as("concurrency")))
+    val peak = conc.agg(max(col("concurrency")).as("peak_concurrency"))
+    conc
+      .crossJoin(broadcast(peak))
+      .filter(col("concurrency") === col("peak_concurrency"))
+      .groupBy(col("peak_concurrency"))
+      .agg(min(col("t")).as("first_peak_s"))
+  }
+
   /** Deterministic Poisson-bootstrap replicate means of value cents
     * ([[graft.ops.Sampling.bootstrapMeans]], B = 32) — uncertainty
     * quantification in one pass; quantiles of the 32 means give the CI.
