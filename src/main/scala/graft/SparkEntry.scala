@@ -161,7 +161,8 @@ object SparkEntry {
     "q121_bootstrap_ci" -> (EQ.bootstrapCi _),
     "q122_cross_source_dups" -> (TQ.crossSourceDups _),
     "q123_vocab_growth" -> (TQ.vocabGrowth _),
-    "q124_peak_concurrency" -> (EQ.peakConcurrency _))
+    "q124_peak_concurrency" -> (EQ.peakConcurrency _),
+    "q125_visits" -> (EQ.visitsOfSessions _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2325,5 +2326,27 @@ object SparkEntry {
          |)
          |SELECT p.peak_concurrency, MIN(c.t) AS first_peak_s
          |FROM conc c JOIN peak p ON c.concurrency = p.peak_concurrency
-         |GROUP BY p.peak_concurrency""".stripMargin)
+         |GROUP BY p.peak_concurrency""".stripMargin,
+    "q125_visits" ->
+      s"""WITH $sessCte, sp AS (
+         |  SELECT user_id, session_id, MIN(epoch_s) AS start_s, MAX(epoch_s) AS end_s,
+         |         CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM sess GROUP BY user_id, session_id
+         |), lag2 AS (
+         |  SELECT *, lag(end_s) OVER w AS prev_end
+         |  FROM sp WINDOW w AS (PARTITION BY user_id ORDER BY start_s, session_id)
+         |), flag2 AS (
+         |  SELECT *, CASE WHEN prev_end IS NULL OR start_s - prev_end > 604800
+         |                 THEN 1 ELSE 0 END AS is_new
+         |  FROM lag2
+         |), vis AS (
+         |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY start_s, session_id
+         |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS visit_num
+         |  FROM flag2
+         |)
+         |SELECT user_id, visit_num, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+         |  MIN(start_s) AS visit_start_s, MAX(end_s) AS visit_end_s
+         |FROM vis GROUP BY user_id, visit_num
+         |ORDER BY user_id, visit_num""".stripMargin)
 }

@@ -519,6 +519,39 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Two-level sessionization: 30-minute sessions grouped into
+    * 7-day-gap VISITS (sessions-of-sessions) — the hierarchical form of
+    * the gap rule, applied to the sessionizer's own output. Second
+    * exchange reuses the user key; same lag/running-sum shape one level
+    * up.
+    */
+  def visitsOfSessions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = Pipeline.sessionizedEvents(s, d)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("epoch_s")).as("start_s"),
+        max(col("epoch_s")).as("end_s"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_s"), col("session_id"))
+    sessions
+      .withColumn("prev_end", lag(col("end_s"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("prev_end").isNull ||
+          col("start_s") - col("prev_end") > 604800L, 1L).otherwise(0L))
+      .withColumn("visit_num", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("visit_num"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        min(col("start_s")).as("visit_start_s"),
+        max(col("end_s")).as("visit_end_s"))
+      .orderBy(col("user_id"), col("visit_num"))
+  }
+
   /** Peak session concurrency: the maximum number of simultaneously
     * open sessions (inclusive [start, end] intervals) and the earliest
     * second it is reached — the classic sweep-line interval count, at
