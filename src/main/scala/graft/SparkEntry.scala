@@ -162,7 +162,8 @@ object SparkEntry {
     "q122_cross_source_dups" -> (TQ.crossSourceDups _),
     "q123_vocab_growth" -> (TQ.vocabGrowth _),
     "q124_peak_concurrency" -> (EQ.peakConcurrency _),
-    "q125_visits" -> (EQ.visitsOfSessions _))
+    "q125_visits" -> (EQ.visitsOfSessions _),
+    "q126_frequent_triples" -> (EQ.frequentTriples _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2348,5 +2349,27 @@ object SparkEntry {
          |  CAST(SUM(n_events) AS BIGINT) AS n_events,
          |  MIN(start_s) AS visit_start_s, MAX(end_s) AS visit_end_s
          |FROM vis GROUP BY user_id, visit_num
-         |ORDER BY user_id, visit_num""".stripMargin)
+         |ORDER BY user_id, visit_num""".stripMargin,
+    // brute-force triple enumeration; the engine's apriori pruning is
+    // lossless so the sets must match exactly
+    "q126_frequent_triples" ->
+      """WITH di AS (
+        |  SELECT DISTINCT
+        |    CAST(user_id AS VARCHAR) || '_' ||
+        |      CAST(CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS VARCHAR) AS basket,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |), small AS (
+        |  SELECT basket FROM di GROUP BY basket HAVING COUNT(*) <= 200
+        |), dik AS (
+        |  SELECT di.* FROM di JOIN small USING (basket)
+        |)
+        |SELECT a.item_id AS item_a, b.item_id AS item_b, c.item_id AS item_c,
+        |  CAST(COUNT(*) AS BIGINT) AS triple_count
+        |FROM dik a
+        |JOIN dik b ON a.basket = b.basket AND a.item_id < b.item_id
+        |JOIN dik c ON a.basket = c.basket AND c.item_id > b.item_id
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        |ORDER BY item_a, item_b, item_c""".stripMargin)
 }

@@ -309,6 +309,58 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Frequent 3-itemsets (apriori step): extend frequent pairs to
+    * triples by joining a third in-session item, count, threshold.
+    * The apriori property makes the pruning LOSSLESS: every subset of
+    * a frequent triple is frequent, so only items appearing in some
+    * frequent pair can extend one — the third-item side is semi-joined
+    * down before the enumeration join, which keeps the fan-out at
+    * (frequent pairs × their sessions' pruned items), not sessions'
+    * item³. Input must be a DISTINCT (group, item) table.
+    */
+  def frequentTriples(
+      distinctItems: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      minCount: Long,
+      maxGroupSize: Option[Int] = Some(200)): DataFrame = {
+    val di = graft.core.Caches.cache(maxGroupSize match {
+      case Some(cap) =>
+        val keep = distinctItems.groupBy(col(groupCol)).count()
+          .filter(col("count") <= cap).select(col(groupCol))
+        distinctItems.join(keep, Seq(groupCol), "left_semi")
+      case None => distinctItems
+    })
+    val pairs = di.as("a")
+      .join(di.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col(s"a.$itemCol") < col(s"b.$itemCol"))
+      .select(
+        col(s"a.$groupCol").as(groupCol),
+        col(s"a.$itemCol").as("item_a"),
+        col(s"b.$itemCol").as("item_b"))
+    val freqPairs = graft.core.Caches.cache(
+      pairs.groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("pair_count"))
+        .filter(col("pair_count") >= minCount))
+    // apriori prune: third items must participate in SOME frequent pair
+    val frequentItems = freqPairs.select(col("item_a").as(itemCol))
+      .unionByName(freqPairs.select(col("item_b").as(itemCol)))
+      .distinct()
+    val third = di.join(frequentItems, Seq(itemCol), "left_semi")
+    pairs
+      .join(freqPairs.select("item_a", "item_b"), Seq("item_a", "item_b"), "left_semi")
+      .as("p")
+      .join(third.as("c"),
+        col(s"p.$groupCol") === col(s"c.$groupCol") &&
+          col(s"c.$itemCol") > col("p.item_b"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"),
+        col(s"c.$itemCol").as("item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("triple_count"))
+      .filter(col("triple_count") >= minCount)
+  }
+
   /** MERGE/upsert: apply `updates` onto `base` by `keys` — matched rows
     * take the update's non-null column values (SCD type 1), unmatched
     * update rows are inserted, unmatched base rows pass through. The

@@ -519,6 +519,25 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Frequent 3-itemsets over (user, day) baskets (apriori pruning,
+    * [[Joins.frequentTriples]]) — the basket-mining family beside
+    * pairwise co-visitation. Daily user baskets are the classic
+    * market-basket grain: denser than 30-min sessions, bounded unlike
+    * whole-user histories.
+    */
+  def frequentTriples(s: SparkSession, d: String): DataFrame =
+    Joins
+      .frequentTriples(
+        Tables.events(s, d)
+          .select(
+            concat(col("user_id").cast("string"), lit("_"),
+              expr("cast(ts as long) div 86400").cast("string")).as("basket"),
+            get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+          .filter(col("item_id").isNotNull)
+          .distinct(),
+        "basket", "item_id", minCount = 2L)
+      .orderBy(col("item_a"), col("item_b"), col("item_c"))
+
   /** Two-level sessionization: 30-minute sessions grouped into
     * 7-day-gap VISITS (sessions-of-sessions) — the hierarchical form of
     * the gap rule, applied to the sessionizer's own output. Second
