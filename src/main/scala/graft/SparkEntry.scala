@@ -163,7 +163,8 @@ object SparkEntry {
     "q123_vocab_growth" -> (TQ.vocabGrowth _),
     "q124_peak_concurrency" -> (EQ.peakConcurrency _),
     "q125_visits" -> (EQ.visitsOfSessions _),
-    "q126_frequent_triples" -> (EQ.frequentTriples _))
+    "q126_frequent_triples" -> (EQ.frequentTriples _),
+    "q127_rolling_wau" -> (EQ.rollingActiveUsers _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2371,5 +2372,16 @@ object SparkEntry {
         |JOIN dik b ON a.basket = b.basket AND a.item_id < b.item_id
         |JOIN dik c ON a.basket = c.basket AND c.item_id > b.item_id
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
-        |ORDER BY item_a, item_b, item_c""".stripMargin)
+        |ORDER BY item_a, item_b, item_c""".stripMargin,
+    "q127_rolling_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |), contrib AS (
+        |  SELECT DISTINCT user_id, w_day
+        |  FROM du, unnest(generate_series(day, day + 6)) AS t(w_day)
+        |)
+        |SELECT w_day, CAST(COUNT(*) AS BIGINT) AS wau
+        |FROM contrib GROUP BY w_day ORDER BY w_day""".stripMargin)
 }

@@ -519,6 +519,26 @@ object EventQueries {
         expr("n_hit * 1000000 div n_anchors").as("recall_ppm"))
   }
 
+  /** Exact rolling 7-day active users per day (WAU) — each active
+    * (user, day) contributes to the 7 windows ending on days d..d+6
+    * (row-local explode, ×7 fan-out), then a distinct + count per
+    * window day. The exact form of the engagement metric; at extreme
+    * scale swap the distinct for the per-day HLL partials
+    * (SkewAndSketchSpec's rolling-union pattern) with the same window
+    * algebra.
+    */
+  def rollingActiveUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .distinct()
+      .select(
+        col("user_id"),
+        explode(sequence(col("day"), col("day") + 6L)).as("w_day"))
+      .distinct()
+      .groupBy(col("w_day"))
+      .agg(count(lit(1)).as("wau"))
+      .orderBy(col("w_day"))
+
   /** Frequent 3-itemsets over (user, day) baskets (apriori pruning,
     * [[Joins.frequentTriples]]) — the basket-mining family beside
     * pairwise co-visitation. Daily user baskets are the classic
