@@ -427,7 +427,7 @@ object Dedup {
     // one bounded row: the serialized sketch (null when benchmark is empty)
     val bf = bench
       .agg(bloomFilterAgg(xxhash64(col("shingle")), expectedShingles, numBits).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     if (bf == null) corpus
     else {
       val hits = shingles(corpus, textCol, idCol, n)

@@ -97,6 +97,6 @@ object Embeddings {
     val dimCols = (0 until dims).map(i =>
       coalesce(element_at(col("emb"), i + 1), lit(0.0f)).cast("float").as(s"cat_emb_$i"))
     // keep the caller's column order (the equi-join hoists keyCol first)
-    joined.select(features.columns.map(col) ++ dimCols: _*)
+    joined.select((features.columns.map(col) ++ dimCols).toIndexedSeq: _*)
   }
 }
