@@ -1858,22 +1858,22 @@ object SparkEntry {
     "q104_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-        |         CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
         |  FROM customer
         |), upd AS (
         |  SELECT o_custkey AS c_custkey,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS c_acctbal,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
         |         'ACTIVE' AS c_mktsegment
         |  FROM orders GROUP BY o_custkey
         |  UNION ALL
         |  SELECT 10000000 + o_orderkey,
-        |         CAST(o_totalprice AS DECIMAL(18,2)), 'NEW'
+        |         CAST(round(o_totalprice * 100) AS BIGINT), 'NEW'
         |  FROM orders WHERE o_orderkey % 1000 = 0
         |)
         |SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
         |  b.c_name AS c_name, b.c_nationkey AS c_nationkey,
         |  COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
-        |  COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal
+        |  COALESCE(u.acctbal_cents, b.acctbal_cents) AS acctbal_cents
         |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
     // Same statement Spark executes via spark.sql — both engines'
@@ -1979,22 +1979,22 @@ object SparkEntry {
       """WITH daily AS (
         |  SELECT user_id,
         |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day_num,
-        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS day_value
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
         |  FROM events GROUP BY user_id, day_num
         |), spans AS (
         |  SELECT user_id, MIN(day_num) AS mn, MAX(day_num) AS mx FROM daily GROUP BY user_id
         |), grid AS (
         |  SELECT user_id, unnest(range(mn, mx + 1)) AS day_num FROM spans
         |), joined AS (
-        |  SELECT g.user_id, g.day_num, d.day_value
+        |  SELECT g.user_id, g.day_num, d.day_cents
         |  FROM grid g LEFT JOIN daily d
         |    ON g.user_id = d.user_id AND g.day_num = d.day_num
         |)
-        |SELECT user_id, day_num, day_value,
-        |  last_value(day_value IGNORE NULLS) OVER (
+        |SELECT user_id, day_num, day_cents,
+        |  last_value(day_cents IGNORE NULLS) OVER (
         |    PARTITION BY user_id ORDER BY day_num
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
-        |  CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS is_imputed
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+        |  CASE WHEN day_cents IS NULL THEN 1 ELSE 0 END AS is_imputed
         |FROM joined ORDER BY user_id, day_num""".stripMargin,
     // Wilson lower bound: sqrt/division are correctly rounded IEEE, so
     // identical expression shape reproduces bit-for-bit from exact

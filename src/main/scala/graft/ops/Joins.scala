@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators beyond plain equi-joins: point-in-time prefix
@@ -369,12 +370,31 @@ object Joins {
     * bucketed tables make it exchange-free (BucketingSpec pattern).
     * Columns = base's columns; updates may carry a subset (missing ones
     * keep the base value).
+    *
+    * PRECONDITION: `updates` must be unique per key tuple — duplicate
+    * update keys would multiply matched base rows through the
+    * full-outer join (standard MERGE raises on this; we require the
+    * caller to guarantee it). When updates carry a version/timestamp,
+    * pass it as `latestBy` and the latest row per key wins
+    * (deduplicated with a window before the join — one extra exchange
+    * on the same key, absorbed by the join's own partitioning).
     */
-  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      latestBy: Option[Column] = None): DataFrame = {
+    val upd = latestBy match {
+      case Some(ord) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => updates
+    }
     val valueCols = base.columns.filterNot(keys.contains)
-    val updCols = updates.columns.toSet
+    val updCols = upd.columns.toSet
     val cond = keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _)
-    val merged = base.as("b").join(updates.as("u"), cond, "full_outer")
+    val merged = base.as("b").join(upd.as("u"), cond, "full_outer")
     val outCols = keys.map(k => coalesce(col(s"b.$k"), col(s"u.$k")).as(k)) ++
       valueCols.map { c =>
         if (updCols.contains(c)) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)

@@ -925,10 +925,12 @@ object EventQueries {
   }
 
   /** LOCF imputation over a dense per-user daily grid: sparse daily
-    * value sums (decimal-exact) gap-filled to every calendar day
-    * between the user's first and last activity (the q78 map+sequence
-    * shape — no calendar join), then nulls forward-filled with
-    * [[Windows.locfFill]]. The imputation member of the
+    * value sums (integer cents — the suite's money convention; final
+    * DECIMAL columns hash-diverge across DuckDB builds) gap-filled to
+    * every calendar day between the user's first and last activity
+    * (the q78 map+sequence shape — no calendar join), then nulls
+    * forward-filled with [[Windows.locfFill]]. NULL stays NULL for the
+    * pre-first-observation rows. The imputation member of the
     * feature-preparation family.
     */
   def locfImpute(s: SparkSession, d: String): DataFrame = {
@@ -936,14 +938,13 @@ object EventQueries {
       .select(
         col("user_id"),
         expr("cast(ts as long) div 86400").as("day_num"),
-        col("value"))
+        round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("user_id"), col("day_num"))
-      .agg(sum(col("value").cast("decimal(28,6)"))
-        .cast("decimal(28,6)").as("day_value"))
+      .agg(sum(col("cents")).as("day_cents"))
     val grid = daily
       .groupBy(col("user_id"))
       .agg(
-        map_from_entries(collect_list(struct(col("day_num"), col("day_value")))).as("m"),
+        map_from_entries(collect_list(struct(col("day_num"), col("day_cents")))).as("m"),
         min(col("day_num")).as("d0"),
         max(col("day_num")).as("d1"))
       .select(
@@ -953,10 +954,10 @@ object EventQueries {
       .select(
         col("user_id"),
         col("day_num"),
-        element_at(col("m"), col("day_num")).as("day_value"))
+        element_at(col("m"), col("day_num")).as("day_cents"))
     Windows
-      .locfFill(grid, "user_id", "day_num", "day_value", "filled_value")
-      .withColumn("is_imputed", when(col("day_value").isNull, 1).otherwise(0))
+      .locfFill(grid, "user_id", "day_num", "day_cents", "filled_cents")
+      .withColumn("is_imputed", when(col("day_cents").isNull, 1).otherwise(0))
       .orderBy(col("user_id"), col("day_num"))
   }
 

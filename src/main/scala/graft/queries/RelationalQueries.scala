@@ -440,26 +440,29 @@ object RelationalQueries {
   /** MERGE/upsert ([[Joins.upsert]]): per-customer order totals update
     * balance + segment of matched customers; synthetic high-key rows
     * exercise the insert path; order-less customers pass through.
+    * Balances are integer cents end-to-end (the suite's money
+    * convention — DECIMAL-typed final columns hash-diverge across
+    * DuckDB builds; see VERDICT r5 item 1).
     */
   def upsertCustomers(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(
       col("c_custkey"), col("c_name"), col("c_nationkey"),
       col("c_mktsegment"),
-      col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+      round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
     val o = Tables.orders(s, d)
     val upd = o
       .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)").as("c_acctbal"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("acctbal_cents"))
       .select(
         col("o_custkey").as("c_custkey"),
-        col("c_acctbal"),
+        col("acctbal_cents"),
         lit("ACTIVE").as("c_mktsegment"))
     val ins = o
       .filter(col("o_orderkey") % 1000 === 0)
       .select(
         (lit(10000000L) + col("o_orderkey")).as("c_custkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("c_acctbal"),
+        round(col("o_totalprice") * 100).cast("long").as("acctbal_cents"),
         lit("NEW").as("c_mktsegment"))
     Joins
       .upsert(base, upd.unionByName(ins), Seq("c_custkey"))

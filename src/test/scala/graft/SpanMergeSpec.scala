@@ -91,4 +91,14 @@ class SpanMergeSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
     assert(out.toSeq == Seq(("x", "v1", 1L), ("y", "V2NEW", 2L)))
   }
+
+  test("upsert: latestBy dedupes duplicate update keys, latest wins, no row multiplication") {
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+    val updates = Seq((1L, 100.0, 1L), (1L, 111.0, 3L), (1L, 105.0, 2L), (2L, 222.0, 5L))
+      .toDF("k", "bal", "ver")
+    val out2 = Joins.upsert(base, updates, Seq("k"), latestBy = Some(col("ver")))
+      .select("k", "bal").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out2.toSeq == Seq((1L, 111.0), (2L, 222.0)))
+  }
 }
