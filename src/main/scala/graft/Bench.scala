@@ -80,9 +80,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalSh = results.map(_._3).sum
+    // Key order: bulky per-query dicts FIRST, headline totals LAST —
+    // JSON parsers don't care, but a last-2KB raw-text tail of this
+    // line must always retain wall/failed/shuffle_mb_total (r05's tail
+    // truncated the seconds dict out of the artifact).
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""failed":$failed,"shuffle_mb":$sh,"shuffle_mb_total":$totalSh%.1f,"sf":"$sfDir"}""")
+      f"""{"queries":$qs,"shuffle_mb":$sh,""" +
+        f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
+        f""""failed":$failed,"shuffle_mb_total":$totalSh%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

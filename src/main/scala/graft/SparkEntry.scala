@@ -2268,7 +2268,7 @@ object SparkEntry {
         |)
         |SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
         |  CAST(SUM(w * v) AS BIGINT) * 1000000 // CAST(SUM(w) AS BIGINT) AS mean_micro
-        |FROM wgt GROUP BY replicate ORDER BY replicate""".stripMargin,
+        |FROM wgt GROUP BY replicate HAVING SUM(w) > 0 ORDER BY replicate""".stripMargin,
     "q122_cross_source_dups" ->
       s"""WITH ${shingleCte(4)}, fsh AS (
          |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle FROM sh

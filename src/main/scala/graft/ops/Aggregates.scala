@@ -162,15 +162,27 @@ object Aggregates {
     *  pass 2  value-counts WITHIN that bucket only (≤ bucket-width rows
     *          collected, integers) — walk to the exact rank.
     *
+    * Hot-bucket guard: pass 2's driver collect is bounded by the
+    * bucket's VALUE WIDTH, which for a wide value range (width =
+    * range/buckets) can still exceed any sane driver budget when the
+    * data concentrates into one bucket. When the selected bucket is
+    * wider than `collectBound`, RECURSE into it instead of collecting:
+    * re-histogram just that bucket's range, shrinking width by a factor
+    * of `buckets` per pass (≤ log_buckets(range) ≈ 6 extra scans worst
+    * case over the full 64-bit range), until the terminal bucket holds
+    * ≤ `collectBound` distinct values.
+    *
     * Every pass is a map-side-combined aggregation; nothing is sorted
-    * globally and driver traffic is bounded by `buckets` + bucket
-    * width, independent of row count. Deterministic: type-1 median
-    * (the lower-middle VALUE, an actual data point).
+    * globally and driver traffic is bounded by `buckets` histogram rows
+    * per pass + `collectBound` terminal rows, independent of row count
+    * AND of value distribution. Deterministic: type-1 median (the
+    * lower-middle VALUE, an actual data point).
     */
   def exactMedianTwoPass(
       df: DataFrame,
       valueCol: Column,
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096,
+      collectBound: Long = 1L << 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(valueCol.cast("long").as("v")).filter(col("v").isNotNull)
@@ -180,28 +192,64 @@ object Aggregates {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val k = (n - 1) / 2 // 0-based rank of the type-1 median
-    // width via BigInt (hi - lo alone can overflow Long), capped into
-    // Long range; bucket id = the SAME `v div width` expression in the
-    // histogram AND the pass-2 filter — truncating division is monotone
-    // in v, so bucket order is value order, and using one expression on
-    // both passes removes any boundary-arithmetic disagreement.
-    val width = ((BigInt(hi) - BigInt(lo)) / buckets + 1).min(BigInt(Long.MaxValue)).toLong
-    val bucketOf = expr(s"v div ${width}L")
-    val hist = v
-      .groupBy(bucketOf.as("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var cum = 0L
-    val (bkt, below) = hist
-      .find { case (_, c) => { val hit = cum + c > k; if (!hit) cum += c; hit } }
-      .map { case (b, _) => (b, cum) }
-      .get
-    val inBucket = v
-      .filter(bucketOf === bkt)
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var cum2 = below
-    val median = inBucket.find { case (_, c) => { val hit = cum2 + c > k; if (!hit) cum2 += c; hit } }.get._1
-    Seq((n, median)).toDF("n_rows", "median")
+    // range bounds of the bucket still containing rank k; `below` = rows
+    // strictly below the current range
+    var curLo = BigInt(lo)
+    var curHi = BigInt(hi)
+    var below = 0L
+    var median: Option[Long] = None
+    while (median.isEmpty) {
+      // width via BigInt (hi - lo alone can overflow Long), capped into
+      // Long range; bucket id = the SAME `v div width` expression in the
+      // histogram AND the narrowing filter — truncating division is
+      // monotone in v, so bucket order is value order, and using one
+      // expression on both passes removes boundary-arithmetic
+      // disagreement.
+      val width = ((curHi - curLo) / buckets + 1).min(BigInt(Long.MaxValue)).toLong
+      val bucketOf = expr(s"v div ${width}L")
+      val vin = v.filter(col("v").between(curLo.toLong, curHi.toLong))
+      if (width <= collectBound) {
+        // terminal pass: ≤ `buckets` candidate buckets remain; find the
+        // rank-k bucket, then collect its ≤ width distinct value-counts
+        val hist = vin
+          .groupBy(bucketOf.as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cum = below
+        val (bkt, cumBelow) = hist
+          .find { case (_, c) => { val hit = cum + c > k; if (!hit) cum += c; hit } }
+          .map { case (b, _) => (b, cum) }.get
+        val inBucket = vin
+          .filter(bucketOf === bkt)
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cum2 = cumBelow
+        median = inBucket
+          .find { case (_, c) => { val hit = cum2 + c > k; if (!hit) cum2 += c; hit } }
+          .map(_._1)
+      } else {
+        // hot-bucket recursion: locate the rank-k bucket and narrow the
+        // range to it. Trunc-division bucket b spans [b·w−w+1, b·w] for
+        // b<0, [b·w, b·w+w−1] for b>0, and [−w+1, w−1] for b=0 (both
+        // signs divide to 0) — clamped to the current range.
+        val hist = vin
+          .groupBy(bucketOf.as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cum = below
+        val (bkt, cumBelow) = hist
+          .find { case (_, c) => { val hit = cum + c > k; if (!hit) cum += c; hit } }
+          .map { case (b, _) => (b, cum) }.get
+        val bw = BigInt(bkt) * width
+        val (bLo, bHi) =
+          if (bkt > 0) (bw, bw + width - 1)
+          else if (bkt < 0) (bw - width + 1, bw)
+          else (BigInt(1) - width, BigInt(width) - 1)
+        curLo = bLo.max(curLo)
+        curHi = bHi.min(curHi)
+        below = cumBelow
+      }
+    }
+    Seq((n, median.get)).toDF("n_rows", "median")
   }
 }

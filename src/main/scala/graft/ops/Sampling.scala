@@ -134,9 +134,17 @@ object Sampling {
       .agg(
         sum(col("w")).as("n_eff"),
         sum(col("w") * col("__v")).as("wsum"))
+      // an all-zero-multiplicity replicate (P ≈ e^-n, only plausible on
+      // near-empty inputs) has no defined mean — drop it rather than
+      // emit a NULL row
+      .filter(col("n_eff") > 0)
       .select(
         col("replicate"),
         col("n_eff"),
-        expr("(wsum * 1000000) div n_eff").as("mean_micro"))
+        // decimal128 intermediate: wsum*1e6 overflows Long once wsum
+        // passes ~9.2e12 — i.e. billions of rows at thousands of cents,
+        // exactly the scale this estimator targets
+        expr("(cast(wsum as decimal(38,0)) * 1000000) div n_eff")
+          .as("mean_micro"))
   }
 }

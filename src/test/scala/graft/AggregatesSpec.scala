@@ -99,4 +99,26 @@ class AggregatesSpec extends SparkSpec {
     val expected = data.sorted.apply((data.length - 1) / 2)
     assert(med(data, buckets = 8) == ((501L, expected)))
   }
+
+  test("exactMedianTwoPass: hot-bucket recursion keeps the driver collect bounded") {
+    // 90%-one-value concentration over a huge value range: with
+    // buckets=4 the first histogram puts ~all mass in one very wide
+    // bucket — a direct pass-2 collect would pull every distinct value
+    // in it. collectBound=64 forces the recursion path (several
+    // narrowing scans) and must still land on the exact type-1 median.
+    def med(vals: Seq[Long], buckets: Int, bound: Long) = Aggregates
+      .exactMedianTwoPass(vals.toDF("x"), col("x"), buckets, bound)
+      .as[(Long, Long)].head()
+    val rnd = new scala.util.Random(7)
+    val hot = Seq.fill(900)(1234567890123L)
+    val spread = Seq.fill(100)(1234567000000L + rnd.nextInt(2000000000).toLong)
+    val data = rnd.shuffle(hot ++ spread)
+    val expected = data.sorted.apply((data.length - 1) / 2)
+    assert(med(data, buckets = 4, bound = 64L) == ((1000L, expected)))
+    // negative-range + zero-straddling bucket narrowing
+    val neg = Seq.fill(50)(-987654321098L) ++ Seq(-5L, 0L, 3L, 7L) ++
+      Seq.fill(49)(987654321098L)
+    val expNeg = neg.sorted.apply((neg.length - 1) / 2)
+    assert(med(rnd.shuffle(neg), buckets = 4, bound = 16L) == ((103L, expNeg)))
+  }
 }
