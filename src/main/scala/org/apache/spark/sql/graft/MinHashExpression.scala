@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
@@ -17,25 +17,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * with a reused MessageDigest instead of `numHashes` interpreted
   * higher-order-function lanes each traversing the array with
   * per-element expression dispatch (measured ~6× on the dedup path).
-  * CodegenFallback: the md5 calls dominate, codegen of the loop shell
-  * would not pay for itself.
+  *
+  * Codegen: generated code calls [[sign]] on a referenced copy of this
+  * expression, so the md5 loop stays a compiled JVM method and the
+  * enclosing project stays inside one WholeStageCodegen span (the prior
+  * CodegenFallback forced a row-materialization boundary mid-scan).
+  * The MessageDigest is thread-local: one instance per executor task
+  * thread instead of one allocation per row.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_signature"
 
-  private lazy val salts: Array[Array[Byte]] =
+  @transient private lazy val salts: Array[Array[Byte]] =
     Array.tabulate(numHashes)(i => s"s$i|".getBytes("UTF-8"))
-  private val hexChars = "0123456789abcdef".toCharArray
+  @transient private lazy val localMd =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Per-row kernel, shared verbatim by interpreted eval and codegen. */
+  def sign(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = new Array[String](numHashes)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
+    val hexChars = MinHashSignature.hexChars
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
@@ -63,11 +73,21 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     new GenericArrayData(mins.map(m => if (m == null) null else UTF8String.fromString(m)))
   }
 
+  override def nullSafeEval(input: Any): Any =
+    sign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sign($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
 
 object MinHashSignature {
+  private[graft] val hexChars = "0123456789abcdef".toCharArray
+
   def apply(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(shingles), numHashes))

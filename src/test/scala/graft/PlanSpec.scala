@@ -130,6 +130,20 @@ class PlanSpec extends SparkSpec {
       s"expected fp + doc_id exchanges only:\n$p")
   }
 
+  test("word_shingles + minhash_signature stay inside whole-stage codegen") {
+    // these were CodegenFallback through round 5, which forced the
+    // project out of the scan stage's codegen span on the three hottest
+    // text queries (q28/q42/q85)
+    val df = graft.core.Tables.documents(spark, dir).select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.MinHashSignature(
+        org.apache.spark.sql.graft.WordShingles(col("text"), 5), 16).as("sig"))
+    val p = plan(df)
+    assert(
+      p.linesIterator.exists(l => l.contains("word_shingles") && l.contains("*(")),
+      s"shingle/minhash project fell out of WholeStageCodegen:\n$p")
+  }
+
   test("feature hashing: one aggregation keyed by bucket, scan-side hash") {
     val p = plan(graft.ops.FeatureEng.featureHash(
       graft.core.Tables.documents(spark, dir), "text", 64))
