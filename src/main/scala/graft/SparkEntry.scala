@@ -164,7 +164,8 @@ object SparkEntry {
     "q124_peak_concurrency" -> (EQ.peakConcurrency _),
     "q125_visits" -> (EQ.visitsOfSessions _),
     "q126_frequent_triples" -> (EQ.frequentTriples _),
-    "q127_rolling_wau" -> (EQ.rollingActiveUsers _))
+    "q127_rolling_wau" -> (EQ.rollingActiveUsers _),
+    "q128_substring_repeats" -> (TQ.substringRepeats _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2383,5 +2384,31 @@ object SparkEntry {
         |  FROM du, unnest(generate_series(day, day + 6)) AS t(w_day)
         |)
         |SELECT w_day, CAST(COUNT(*) AS BIGINT) AS wau
-        |FROM contrib GROUP BY w_day ORDER BY w_day""".stripMargin)
+        |FROM contrib GROUP BY w_day ORDER BY w_day""".stripMargin,
+    // stride-1 48-char window fingerprints; occ>=2 positions merged into
+    // maximal ranges (equal-length intervals: break when gap > 48)
+    "q128_substring_repeats" ->
+      """WITH pos AS (
+        |  SELECT doc_id, i,
+        |    substring(md5(substr(text, CAST(i + 1 AS INT), 48)), 1, 16) AS fp
+        |  FROM documents, unnest(generate_series(0, length(text) - 48)) AS t(i)
+        |  WHERE length(text) >= 48
+        |), dup AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY fp) AS occ FROM pos)
+        |  WHERE occ >= 2
+        |), grp AS (
+        |  SELECT doc_id, i,
+        |    SUM(CASE WHEN prev IS NULL OR i - prev > 48 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM (
+        |    SELECT doc_id, i,
+        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |    FROM dup)
+        |)
+        |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS start_pos,
+        |  CAST(MAX(i) + 48 AS BIGINT) AS end_pos,
+        |  CAST(MAX(i) + 48 - MIN(i) AS BIGINT) AS rep_len
+        |FROM grp GROUP BY doc_id, g
+        |ORDER BY doc_id, start_pos""".stripMargin)
 }

@@ -701,4 +701,72 @@ object Dedup {
         col("n_dup_spans"),
         expr("n_dup_spans * 1000000 div n_spans").as("dup_ppm"))
   }
+
+  /** Exact substring dedup at ARBITRARY length and alignment: the
+    * maximal character ranges of each document that appear (≥ minLen
+    * chars, verbatim) at least twice in the corpus — the training-data
+    * curation primitive behind "cut every repeated passage", which
+    * [[duplicatedSpans]]' fixed 64-char/32-stride windows approximate
+    * but miss for shorter-than-window or misaligned repeats.
+    *
+    * Suffix-array-free exactness: a repeat of length M ≥ minLen exists
+    * at position i iff at least one of its stride-1 minLen-windows is
+    * duplicated corpus-wide, and the union of those windows covers the
+    * full M characters. So: fingerprint EVERY minLen-window (stride 1),
+    * count occurrences per fingerprint (the count-only window — a
+    * corpus-wide boilerplate fp costs O(f) rows in one partition, never
+    * O(f²) pairs), keep positions with occ ≥ 2, and merge per doc into
+    * maximal ranges (gaps-and-islands: equal-length intervals sorted by
+    * start merge while start − prev_start ≤ minLen). Same result set as
+    * an LCP-array sweep over a corpus suffix array, via two hash
+    * exchanges (fp, then doc) instead of a distributed sort.
+    *
+    * Scale shape: positions ≈ corpus chars, each shuffled once as a
+    * ~32-byte (doc, pos, fp16) row. The md5-per-window scan is O(L)
+    * work per position — at petabyte scale swap the scan-side
+    * fingerprint for an O(1)-per-position polynomial rolling hash (the
+    * contract here keeps md5 because the DuckDB oracle reproduces it
+    * bit-for-bit; the plan shape is identical).
+    *
+    * Returns (doc_id, start_pos, end_pos, rep_len): 0-based [start,
+    * end) character ranges, ordered, one row per maximal range.
+    */
+  def maximalRepeatRanges(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minLen
+    val pos = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= L)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - L).cast("long"))).as("i"))
+      .select(
+        col("doc_id"),
+        col("i"),
+        substring(md5(col("text").substr((col("i") + 1).cast("int"), lit(L))), 1, 16)
+          .as("fp"))
+    val dup = pos
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"), col("i"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    dup
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(w) > L, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("start_pos"), (max(col("i")) + L).as("end_pos"))
+      .select(
+        col("doc_id"),
+        col("start_pos"),
+        col("end_pos"),
+        (col("end_pos") - col("start_pos")).as("rep_len"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
 }

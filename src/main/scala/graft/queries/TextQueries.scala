@@ -471,6 +471,15 @@ object TextQueries {
         spanLen = 64, stride = 32)
       .orderBy(col("doc_id"))
 
+  /** Maximal duplicated character ranges, exact at any length ≥ 48 and
+    * any alignment ([[Dedup.maximalRepeatRanges]]) — the
+    * arbitrary-length exact-substring complement to [[dupSpans]]'
+    * fixed-window rates.
+    */
+  def substringRepeats(s: SparkSession, d: String): DataFrame =
+    Dedup.maximalRepeatRanges(Tables.documents(s, d), "text", "doc_id",
+      minLen = 48)
+
   /** Held-out bigram-LM surprisal (train even doc_ids, score odd —
     * [[TextRanking.bigramSurprisal]]).
     */

@@ -105,4 +105,43 @@ class DedupSpec extends SparkSpec {
     // 13 dies (fp seen in corpus, case/whitespace-insensitively); 10 survives for {10,11}
     assert(out == Set((10L, 2L), (12L, 1L)))
   }
+
+  test("maximalRepeatRanges finds a planted 48-char misaligned repeat that fixed windows miss") {
+    import spark.implicits._
+    val rep = "the quick brown fox jumps over the lazy dog 1234"
+    assert(rep.length == 48)
+    // doc 1 carries the repeat at offset 10, doc 2 at offset 3 (misaligned
+    // vs any 32-stride grid); both docs are otherwise unique and >= 64
+    // chars so q102's 64-char windows exist but never cover the repeat
+    // identically in both docs
+    val d1 = "B" * 10 + rep + "C" * 30
+    val d2 = "xyz" + rep + "D" * 40
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    // fixed 64/32 windows: zero duplicated spans (the op this extends)
+    val fixed = Dedup.duplicatedSpans(docs, "text", "doc_id", 64, 32)
+      .agg(org.apache.spark.sql.functions.sum("n_dup_spans")).as[Long].head()
+    assert(fixed == 0L, "fixed-window op unexpectedly caught the misaligned repeat")
+    // arbitrary-alignment ranges: exactly the planted 48 chars in both docs
+    val got = Dedup.maximalRepeatRanges(docs, "text", "doc_id", minLen = 48)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 58L, 48L), (2L, 3L, 51L, 48L)))
+  }
+
+  test("maximalRepeatRanges merges overlapping windows of a long repeat into ONE maximal range") {
+    import spark.implicits._
+    // non-periodic 135-char repeat (pseudo-random chars, no internal
+    // 48-gram repeats — a periodic fixture would legitimately extend
+    // the duplicated region into matching boundary context)
+    val rep = Seq.tabulate(135)(i => ('a' + ((i * 17 + (i * i) % 31) % 26)).toChar).mkString
+    assert(rep.length == 135 && rep.sliding(48).toSeq.distinct.size == 135 - 47)
+    val docs = Seq(
+      (1L, "head--" + rep + "tail-one-abcdefghijklmnop"),
+      (2L, "completely different lead-in text " + rep + "x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.maximalRepeatRanges(docs, "text", "doc_id", minLen = 48)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 6L, 6L + rep.length, rep.length.toLong),
+      (2L, 34L, 34L + rep.length, rep.length.toLong)))
+  }
 }

@@ -130,6 +130,15 @@ class PlanSpec extends SparkSpec {
       s"expected fp + doc_id exchanges only:\n$p")
   }
 
+  test("substring repeats: no join, fp + doc exchanges only") {
+    val p = plan(graft.dedup.Dedup.maximalRepeatRanges(
+      graft.core.Tables.documents(spark, dir), "text", "doc_id", 48))
+    assert(!p.contains("Join"), s"window-occurrence counting must not join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, // fp occurrence window + doc_id islands/agg
+      s"expected fp + doc_id exchanges only:\n$p")
+  }
+
   test("word_shingles + minhash_signature stay inside whole-stage codegen") {
     // these were CodegenFallback through round 5, which forced the
     // project out of the scan stage's codegen span on the three hottest
