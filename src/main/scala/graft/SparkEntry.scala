@@ -807,11 +807,14 @@ object SparkEntry {
         |)
         |SELECT doc_id, fp, CAST(('0x' || substring(fp, 1, 8)) AS BIGINT) AS fp32
         |FROM t ORDER BY doc_id""".stripMargin,
-    // multi-table LSH (4 tables x 4 planes, global plane indices 0-15):
+    // multi-table LSH (8 tables x 3 planes, global plane indices 0-23):
     // same literal hyperplanes, candidate union, exact rerank
     "q36_knn_lsh" ->
       s"""WITH $quantCte, b AS (
-         |  SELECT vec_id, v, 0 AS tbl, CAST(${bucketSql("v", 4, 64, 0)} AS BIGINT) AS bucket FROM qv UNION ALL\n         |  SELECT vec_id, v, 1 AS tbl, CAST(${bucketSql("v", 4, 64, 4)} AS BIGINT) AS bucket FROM qv UNION ALL\n         |  SELECT vec_id, v, 2 AS tbl, CAST(${bucketSql("v", 4, 64, 8)} AS BIGINT) AS bucket FROM qv UNION ALL\n         |  SELECT vec_id, v, 3 AS tbl, CAST(${bucketSql("v", 4, 64, 12)} AS BIGINT) AS bucket FROM qv
+         |${(0 until 8)
+          .map(t =>
+            s"  SELECT vec_id, v, $t AS tbl, CAST(${bucketSql("v", 3, 64, t * 3)} AS BIGINT) AS bucket FROM qv")
+          .mkString(" UNION ALL\n")}
          |), cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
@@ -850,12 +853,14 @@ object SparkEntry {
          |)
          |SELECT DISTINCT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    // 16 seeds, 6 probes, 2-cell spill lists (assigned rn <= 2) with a
+    // DISTINCT pair collapse before ranking — mirrors nAssign = 2
     "q41_knn_ivf" ->
       s"""WITH $quantCte, ranked AS (
          |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
          |  FROM qv
          |), seeds AS (
-         |  SELECT CAST(srn - 1 AS BIGINT) AS cid, v AS cq FROM ranked WHERE srn <= 8
+         |  SELECT CAST(srn - 1 AS BIGINT) AS cid, v AS cq FROM ranked WHERE srn <= 16
          |), a0 AS (
          |  ${assignSql("qv", "seeds", "vid", 64)} WHERE rn = 1
          |), centd AS (
@@ -865,13 +870,13 @@ object SparkEntry {
          |), cent AS (
          |  SELECT cid, list(cv ORDER BY i) AS cq FROM centd GROUP BY cid
          |), assigned AS (
-         |  ${assignSql("qv", "cent", "vid", 64)} WHERE rn = 1
+         |  ${assignSql("qv", "cent", "vid", 64)} WHERE rn <= 2
          |), queries AS (
          |  SELECT vec_id, v FROM qv WHERE vec_id < 64
          |), probes AS (
-         |  ${assignSql("queries", "cent", "query_id", 64)} WHERE rn <= 2
+         |  ${assignSql("queries", "cent", "query_id", 64)} WHERE rn <= 6
          |), scored AS (
-         |  SELECT p.query_id, a.vid AS neighbor_id,
+         |  SELECT DISTINCT p.query_id, a.vid AS neighbor_id,
          |    ${cosineSql("p.v", "a.v", 64)} AS cosine_sim
          |  FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vid <> p.query_id
          |), r AS (

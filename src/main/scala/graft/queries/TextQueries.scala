@@ -77,10 +77,12 @@ object TextQueries {
     */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // 8 tables × 3 planes: recall@5 0.88 measured vs brute force on the
+    // sf0.001 fixture (4×4 was 0.41) — SimilaritySpec pins the 0.7 floor
     Similarity
       .lshBucketedTopK(
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
-        k = 5, planes = 4, dim = 64, tables = 4)
+        k = 5, planes = 3, dim = 64, tables = 8)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
@@ -104,10 +106,12 @@ object TextQueries {
     */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // 16 cells, 6 probes, 2-cell spill lists: recall@5 0.88 measured
+    // (8/2/1 was 0.50) — SimilaritySpec pins the 0.7 floor
     Similarity
       .ivfTopKDeterministic(
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
-        k = 5, nCentroids = 8, nProbe = 2)
+        k = 5, nCentroids = 16, nProbe = 6, nAssign = 2)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }

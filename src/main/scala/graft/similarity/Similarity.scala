@@ -184,7 +184,8 @@ object Similarity {
       embCol: String,
       k: Int,
       nCentroids: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      nAssign: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
@@ -222,7 +223,11 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("cq"))
 
-    val assigned = assignTo(c, "neighbor_id", "c_emb", cent, 1)
+    // spill lists: index each corpus vector in its nAssign nearest
+    // cells — the standard recall lever that keeps the PROBE side
+    // selective (a boundary vector is reachable from both adjacent
+    // cells at the cost of an nAssign× bigger index, not a wider scan)
+    val assigned = assignTo(c, "neighbor_id", "c_emb", cent, nAssign)
       .select("neighbor_id", "c_emb", "cid")
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
     val probes = assignTo(q, "query_id", "q_emb", cent, nProbe)
@@ -231,6 +236,8 @@ object Similarity {
     val scored = probes
       .join(assigned, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .dropDuplicates("query_id", "neighbor_id") // same pair via several cells
       .select(
         col("query_id"),
         col("neighbor_id"),

@@ -81,21 +81,24 @@ class SimilaritySpec extends SparkSpec {
       }
       per.sum / per.size
     }
+    // the q36/q41 production configs: 8 tables × 3 planes measured
+    // 0.884, 16-cell/6-probe/2-assign IVF measured 0.884 (round-6
+    // ProbeRecall sweep; 4×4 LSH was 0.41, 8/2/1 IVF 0.50)
     val lsh = recallOf(topSets(
       Similarity.lshBucketedTopK(queries, emb, "vec_id", "embedding",
-        k = 5, planes = 4, dim = 64, tables = 4)))
+        k = 5, planes = 3, dim = 64, tables = 8)))
     val ivf = recallOf(topSets(
       Similarity.ivfTopKDeterministic(queries, emb, "vec_id", "embedding",
-        k = 5, nCentroids = 8, nProbe = 2)))
+        k = 5, nCentroids = 16, nProbe = 6, nAssign = 2)))
     info(f"recall@5 lsh=$lsh%.3f ivf=$ivf%.3f (corpus=500, queries=64)")
-    // floors chosen below the measured values to catch REGRESSIONS in
-    // the bucketing/probing logic, not to certify index quality
-    assert(lsh >= 0.25, f"LSH recall collapsed: $lsh%.3f")
-    assert(ivf >= 0.40, f"IVF recall collapsed: $ivf%.3f")
+    // floors below the measured values to catch REGRESSIONS in the
+    // bucketing/probing logic; ≥ 0.7 is the library's quality claim
+    assert(lsh >= 0.70, f"LSH recall collapsed: $lsh%.3f")
+    assert(ivf >= 0.70, f"IVF recall collapsed: $ivf%.3f")
     // determinism: the approximate result is bit-stable across re-runs
     val lsh2 = recallOf(topSets(
       Similarity.lshBucketedTopK(queries, emb, "vec_id", "embedding",
-        k = 5, planes = 4, dim = 64, tables = 4)))
+        k = 5, planes = 3, dim = 64, tables = 8)))
     assert(lsh2 == lsh)
   }
 }
