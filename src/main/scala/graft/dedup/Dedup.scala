@@ -736,32 +736,67 @@ object Dedup {
       textCol: String,
       idCol: String,
       minLen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val L = minLen
     val pos = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .filter(length(col("text")) >= L)
+      .filter(length(col("text")) >= minLen)
       .select(
         col("doc_id"),
         col("text"),
-        explode(sequence(lit(0L), (length(col("text")) - L).cast("long"))).as("i"))
+        explode(sequence(lit(0L), (length(col("text")) - minLen).cast("long"))).as("i"))
       .select(
         col("doc_id"),
         col("i"),
-        substring(md5(col("text").substr((col("i") + 1).cast("int"), lit(L))), 1, 16)
+        substring(md5(col("text").substr((col("i") + 1).cast("int"), lit(minLen))), 1, 16)
           .as("fp"))
+    mergeDupPositions(pos, minLen)
+  }
+
+  /** [[maximalRepeatRanges]] with the O(1)-per-position rolling-hash
+    * scan (`rolling_window_fps`, one fused pass per doc) instead of the
+    * O(minLen) md5-per-window scan — the petabyte path, same plan shape
+    * and, collision risk aside (≈ m²/2^65, can only add a spurious
+    * range), the SAME output ranges: the merge depends only on window
+    * EQUALITY, not on which fingerprint family witnessed it
+    * (DedupSpec pins path equality on the fixture corpus). Offsets are
+    * BYTE offsets — identical to character offsets on ASCII corpora;
+    * not oracle-checked because DuckDB cannot reproduce the rolled
+    * 64-bit arithmetic.
+    */
+  def maximalRepeatRangesRolling(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+      .select(
+        col("doc_id"),
+        posexplode(
+          org.apache.spark.sql.graft.RollingWindowFps(col("text"), minLen))
+          .as(Seq("i", "fp")))
+    mergeDupPositions(pos, minLen)
+  }
+
+  /** Shared tail of the substring-dedup paths: corpus-wide occurrence
+    * count per fingerprint (count-only window — a hot span costs O(f)
+    * rows, never pairs), then per-doc gaps-and-islands merge of the
+    * occ ≥ 2 positions into maximal [start, end) ranges.
+    */
+  private def mergeDupPositions(pos: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dup = pos
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("occ") >= 2)
-      .select(col("doc_id"), col("i"))
+      .select(col("doc_id"), col("i").cast("long").as("i"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     dup
       .withColumn("brk",
-        when(col("i") - lag(col("i"), 1).over(w) > L, 1L).otherwise(0L))
+        when(col("i") - lag(col("i"), 1).over(w) > minLen, 1L).otherwise(0L))
       .withColumn("grp",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("i")).as("start_pos"), (max(col("i")) + L).as("end_pos"))
+      .agg(min(col("i")).as("start_pos"), (max(col("i")) + minLen).as("end_pos"))
       .select(
         col("doc_id"),
         col("start_pos"),

@@ -144,4 +144,18 @@ class DedupSpec extends SparkSpec {
       (1L, 6L, 6L + rep.length, rep.length.toLong),
       (2L, 34L, 34L + rep.length, rep.length.toLong)))
   }
+
+  test("rolling-hash scan path produces the same maximal ranges as the md5 path") {
+    import spark.implicits._
+    // real fixture corpus (ASCII): byte offsets == char offsets, and the
+    // merge depends only on window equality — so the O(1)-per-position
+    // rolling scan must reproduce the md5 path's ranges exactly
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    def ranges(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val md5Ranges = ranges(Dedup.maximalRepeatRanges(docs, "text", "doc_id", 48))
+    val rollRanges = ranges(Dedup.maximalRepeatRangesRolling(docs, "text", "doc_id", 48))
+    assert(md5Ranges.nonEmpty, "fixture corpus has no repeats — test is vacuous")
+    assert(rollRanges == md5Ranges)
+  }
 }
