@@ -2395,7 +2395,7 @@ object SparkEntry {
     "q128_substring_repeats" ->
       """WITH pos AS (
         |  SELECT doc_id, i,
-        |    substring(md5(substr(text, CAST(i + 1 AS INT), 48)), 1, 16) AS fp
+        |    CAST(('0x' || substring(md5(substr(text, CAST(i + 1 AS INT), 48)), 1, 15)) AS BIGINT) AS fp
         |  FROM documents, unnest(generate_series(0, length(text) - 48)) AS t(i)
         |  WHERE length(text) >= 48
         |), dup AS (
