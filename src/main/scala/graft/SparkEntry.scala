@@ -165,7 +165,8 @@ object SparkEntry {
     "q125_visits" -> (EQ.visitsOfSessions _),
     "q126_frequent_triples" -> (EQ.frequentTriples _),
     "q127_rolling_wau" -> (EQ.rollingActiveUsers _),
-    "q128_substring_repeats" -> (TQ.substringRepeats _))
+    "q128_substring_repeats" -> (TQ.substringRepeats _),
+    "q129_best_of_cluster" -> (TQ.bestOfClusterDedup _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2415,5 +2416,27 @@ object SparkEntry {
         |  CAST(MAX(i) + 48 AS BIGINT) AS end_pos,
         |  CAST(MAX(i) + 48 - MIN(i) AS BIGINT) AS rep_len
         |FROM grp GROUP BY doc_id, g
-        |ORDER BY doc_id, start_pos""".stripMargin)
+        |ORDER BY doc_id, start_pos""".stripMargin,
+    // q42's clusters + q33's stopword-ppm quality; survivor = best copy
+    // per component (quality DESC, doc_id ASC)
+    "q129_best_of_cluster" -> {
+      val stop = langScoreSql(Seq("the", "a", "and", "of"))
+      s"""WITH RECURSIVE $neardupComponentsCte, q AS (
+         |  SELECT doc_id,
+         |    CAST(floor($stop * 1000000 /
+         |      len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS quality_ppm
+         |  FROM documents
+         |), labeled AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, q.quality_ppm
+         |  FROM documents d
+         |  LEFT JOIN comp c ON d.doc_id = c.id
+         |  JOIN q ON q.doc_id = d.doc_id
+         |), r AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY component ORDER BY quality_ppm DESC, doc_id ASC) AS rn
+         |  FROM labeled
+         |)
+         |SELECT doc_id, component, quality_ppm, (rn = 1) AS is_survivor
+         |FROM r ORDER BY doc_id""".stripMargin
+    })
 }

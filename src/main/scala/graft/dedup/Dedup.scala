@@ -345,6 +345,22 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       bands: Int,
+      minJaccardPpm: Long): DataFrame =
+    nearDupComponents(docs, textCol, idCol, shingleN, numHashes, bands, minJaccardPpm)
+      .withColumn("is_survivor", col(idCol) === col("component"))
+
+  /** The cluster stage shared by the survivorship policies: every input
+    * doc labeled with its verified near-dup component (own id when
+    * unpaired). MinHash-LSH blocking → exact-Jaccard verify →
+    * transitive grouping.
+    */
+  private def nearDupComponents(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
       minJaccardPpm: Long): DataFrame = {
     // one shingle-array pass feeds BOTH the signatures (row-local
     // array_min lanes) and the exact-verify shingle rows (explode)
@@ -369,7 +385,42 @@ object Dedup {
       .select(
         col("id").as(idCol),
         coalesce(col("component"), col("id")).as("component"))
-      .withColumn("is_survivor", col(idCol) === col("component"))
+  }
+
+  /** Survivorship-POLICY near-dup dedup (the curation pattern of
+    * CCNet/RefinedWeb-style pipelines: when near-duplicates cluster,
+    * keep the BEST copy, not an arbitrary one): same clusters as
+    * [[nearDupDedup]], survivor = the cluster row with the highest
+    * `scoreCol` (tie → lowest id). `docs` must carry `scoreCol`
+    * precomputed (any integer quality signal — stopword ppm, length,
+    * model score). Output: (idCol, component, scoreCol, is_survivor)
+    * for every input doc.
+    *
+    * Scale shape: adds ONE window exchange keyed by component on top of
+    * the cluster stage — the same key the components table already
+    * groups by; cluster sizes are the hot-bucket concern and inherit
+    * the LSH path's per-bucket caps.
+    */
+  def bestOfCluster(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      scoreCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      minJaccardPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = nearDupComponents(docs, textCol, idCol, shingleN, numHashes, bands, minJaccardPpm)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs
+      .select(col(idCol), col(scoreCol))
+      .join(comps, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("is_survivor", col("__rn") === 1)
+      .drop("__rn")
+      .select(col(idCol), col("component"), col(scoreCol), col("is_survivor"))
   }
 
   /** Benchmark decontamination — the LLM-training-pipeline staple:

@@ -475,6 +475,24 @@ object TextQueries {
         spanLen = 64, stride = 32)
       .orderBy(col("doc_id"))
 
+  /** Survivorship-policy near-dup dedup ([[Dedup.bestOfCluster]]):
+    * q42's clusters, but the survivor is the highest-stopword-ppm copy
+    * (the q33 quality signal; tie → lowest id) — keep the BEST
+    * duplicate, not an arbitrary one.
+    */
+  def bestOfClusterDedup(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of")
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text"),
+      floor(TF.langScore(col("text"), stop) * 1000000L / TF.tokenCount(col("text")))
+        .cast("long").as("quality_ppm"))
+    Dedup
+      .bestOfCluster(docs, "text", "doc_id", "quality_ppm",
+        shingleN = 4, numHashes = 16, bands = 4, minJaccardPpm = 500000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Maximal duplicated character ranges, exact at any length ≥ 48 and
     * any alignment ([[Dedup.maximalRepeatRanges]]) — the
     * arbitrary-length exact-substring complement to [[dupSpans]]'

@@ -106,6 +106,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((10L, 2L), (12L, 1L)))
   }
 
+  test("bestOfCluster: survivor is the highest-score copy, not the lowest id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10/11/12 near-dup cluster (same as the nearDupDedup fixture);
+    // scores make the HIGHEST id the best copy — min-id policy would
+    // pick 10, the quality policy must pick 12; 13 is its own
+    // singleton component and survives regardless of score
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", 100L),
+      (11L, "alpha beta gamma delta epsilon zeta eta", 200L),
+      (12L, "alpha beta gamma delta epsilon zeta theta", 300L),
+      (13L, "completely different text about nothing shared", 1L))
+      .toDF("doc_id", "text", "score")
+    val out = Dedup
+      .bestOfCluster(corpus, "text", "doc_id", "score",
+        shingleN = 3, numHashes = 8, bands = 4, minJaccardPpm = 500000L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, comp, score, surv) => id -> ((comp, score, surv)) }.toMap
+    assert(out(10L) == ((10L, 100L, false)))
+    assert(out(11L) == ((10L, 200L, false)))
+    assert(out(12L) == ((10L, 300L, true))) // best score wins, not min id
+    assert(out(13L) == ((13L, 1L, true)))
+  }
+
   test("maximalRepeatRanges finds a planted 48-char misaligned repeat that fixed windows miss") {
     import spark.implicits._
     val rep = "the quick brown fox jumps over the lazy dog 1234"
