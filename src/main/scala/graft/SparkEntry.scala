@@ -1445,12 +1445,12 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(synth, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
         |  CAST(len(regexp_extract_all(synth, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
         |FROM s ORDER BY doc_id""".stripMargin,
-    // set elements are 64-bit shingle fingerprints (md5 hex prefix) —
-    // the operator's documented semantics; values match string-shingle
-    // Jaccard absent a 2⁻⁶⁴ collision
+    // set elements are 60-bit integer shingle fingerprints (hex-cast
+    // md5 prefix) — the operator's documented semantics; values match
+    // string-shingle Jaccard absent a 2^-60 collision
     "q85_jaccard_prefix" ->
       s"""WITH ${shingleCte(4)}, fsh AS (
-         |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle FROM sh
+         |  SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle FROM sh
          |), sizes AS (
          |  SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id
          |), cand AS (
@@ -2278,7 +2278,7 @@ object SparkEntry {
         |FROM wgt GROUP BY replicate HAVING SUM(w) > 0 ORDER BY replicate""".stripMargin,
     "q122_cross_source_dups" ->
       s"""WITH ${shingleCte(4)}, fsh AS (
-         |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle FROM sh
+         |  SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle FROM sh
          |), sizes AS (
          |  SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id
          |), cand AS (

