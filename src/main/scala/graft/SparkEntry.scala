@@ -166,7 +166,9 @@ object SparkEntry {
     "q126_frequent_triples" -> (EQ.frequentTriples _),
     "q127_rolling_wau" -> (EQ.rollingActiveUsers _),
     "q128_substring_repeats" -> (TQ.substringRepeats _),
-    "q129_best_of_cluster" -> (TQ.bestOfClusterDedup _))
+    "q129_best_of_cluster" -> (TQ.bestOfClusterDedup _),
+    "q130_token_budget" -> (TQ.tokenBudget _),
+    "q131_leakage_split" -> (TQ.leakageSplit _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2438,5 +2440,30 @@ object SparkEntry {
          |)
          |SELECT doc_id, component, quality_ppm, (rn = 1) AS is_survivor
          |FROM r ORDER BY doc_id""".stripMargin
-    })
+    },
+    // greedy longest-first prefix per source under a 3000-token budget
+    "q130_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |  CAST(CASE WHEN cum_tokens <= 3000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // whole near-dup components hashed to splits — no straddling pair
+    "q131_leakage_split" ->
+      s"""WITH RECURSIVE $neardupComponentsCte, labeled AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |)
+         |SELECT doc_id, component,
+         |  CASE WHEN CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200
+         |       THEN 'valid' ELSE 'train' END AS split
+         |FROM labeled ORDER BY doc_id""".stripMargin)
 }

@@ -423,6 +423,30 @@ object Dedup {
       .select(col(idCol), col("component"), col(scoreCol), col("is_survivor"))
   }
 
+  /** Leakage-free train/valid split: assign near-dup COMPONENTS, not
+    * documents, to splits — a doc and its near-duplicate can never
+    * straddle the boundary (the eval-leakage failure mode of naive
+    * per-doc hashing: the model "memorizes" a valid doc from its train
+    * twin). Split is a pure function of the component id (md5 permille,
+    * the engine's hash-sampling pattern), so it reproduces across
+    * engines and re-runs. Output: every doc with (component, split).
+    */
+  def leakageFreeSplit(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      validPermille: Int,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      minJaccardPpm: Long): DataFrame =
+    nearDupComponents(docs, textCol, idCol, shingleN, numHashes, bands, minJaccardPpm)
+      .withColumn(
+        "split",
+        when(
+          graft.ops.Sampling.hashBucketPermille(col("component")) < validPermille,
+          "valid").otherwise("train"))
+
   /** Benchmark decontamination — the LLM-training-pipeline staple:
     * which corpus documents share any word `n`-gram with a benchmark/
     * eval set? Inverted-index join on shingles with the benchmark side

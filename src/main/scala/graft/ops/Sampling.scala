@@ -102,6 +102,39 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-group TOKEN-budget cap — how LLM training mixtures are
+    * actually specified ("at most N tokens from source X"), vs the
+    * row-count caps of `capPerDomain`: rank each group's rows by
+    * `priority` (descending, `idCol` tie-break), take the inclusive
+    * running token sum, and keep rows while it fits `budgetTokens`.
+    * Greedy-prefix semantics: a row is kept iff the budget survives
+    * THROUGH it, so one oversized row can block later smaller ones —
+    * the deterministic contract (knapsack-style backfill would depend
+    * on solver order). Returns every row with (cum_tokens, kept 0/1);
+    * filter kept=1 to materialize the capped mixture.
+    *
+    * Scale shape: one exchange keyed by group for the running-sum
+    * window. Rows-per-group is the skew axis — for a source carrying
+    * billions of docs, swap the window for the [[graft.ops.Windows]]
+    * sharded-cumsum pattern keyed (group, shard) exactly as q119/q127
+    * do globally; the greedy-prefix semantics are unchanged because
+    * the shard offsets are exact.
+    */
+  def tokenBudgetCap(
+      df: DataFrame,
+      groupCol: String,
+      priority: Column,
+      idCol: String,
+      tokens: Column,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(priority.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .withColumn("kept", when(col("cum_tokens") <= budgetTokens, 1L).otherwise(0L))
+  }
+
   /** Deterministic Poisson bootstrap: all B resample replicates of a
     * weighted mean in ONE pass. Each (row, replicate) gets an integer
     * multiplicity drawn from a fixed ≈Poisson(1) pmf via the md5

@@ -493,6 +493,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token-budget cap ([[graft.ops.Sampling
+    * .tokenBudgetCap]]): each source keeps its longest documents
+    * (doc_id tie-break) until 3 000 whitespace tokens — mixture
+    * specification by token budget, the LLM-pipeline form of q77's
+    * row-count domain cap.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling
+      .tokenBudgetCap(
+        Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", col("n_tokens"), "doc_id", col("n_tokens"),
+        budgetTokens = 3000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"), col("kept"))
+      .orderBy(col("doc_id"))
+
+  /** Leakage-free split ([[Dedup.leakageFreeSplit]]): q42's near-dup
+    * components hashed to train/valid (20% valid) as WHOLE clusters —
+    * no near-duplicate pair ever straddles the split.
+    */
+  def leakageSplit(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .leakageFreeSplit(Tables.documents(s, d), "text", "doc_id",
+        validPermille = 200, shingleN = 4, numHashes = 16, bands = 4,
+        minJaccardPpm = 500000L)
+      .orderBy(col("doc_id"))
+
   /** Maximal duplicated character ranges, exact at any length ≥ 48 and
     * any alignment ([[Dedup.maximalRepeatRanges]]) — the
     * arbitrary-length exact-substring complement to [[dupSpans]]'

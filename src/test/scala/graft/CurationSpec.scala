@@ -108,6 +108,27 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("tokenBudgetCap: greedy longest-first prefix per group, budget-inclusive") {
+    import spark.implicits._
+    val docs = Seq(
+      // group a: 60+50+40=150 fits, +35 would break at budget 150
+      (1L, "a", 50L), (2L, "a", 60L), (3L, "a", 40L), (4L, "a", 35L),
+      // group b independent: one oversized doc blocks everything after it
+      (5L, "b", 200L), (6L, "b", 10L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = graft.ops.Sampling
+      .tokenBudgetCap(docs, "grp", col("n_tokens"), "doc_id", col("n_tokens"), 150L)
+      .select("doc_id", "cum_tokens", "kept")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, cum, k) => id -> ((cum, k)) }.toMap
+    assert(out(2L) == ((60L, 1L))) // longest first
+    assert(out(1L) == ((110L, 1L)))
+    assert(out(3L) == ((150L, 1L))) // budget-inclusive boundary
+    assert(out(4L) == ((185L, 0L))) // first over-budget row dropped
+    assert(out(5L) == ((200L, 0L))) // oversized head blocks its group
+    assert(out(6L) == ((210L, 0L))) // greedy prefix: no backfill
+  }
+
   test("mixture sample keeps only rows under their stratum rate") {
     val out = CurationQueries.mixtureSample(spark, dir)
     assert(out.filter(col("bucket") >= col("rate_permille")).count() == 0)

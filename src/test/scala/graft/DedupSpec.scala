@@ -130,6 +130,30 @@ class DedupSpec extends SparkSpec {
     assert(out(13L) == ((13L, 1L, true)))
   }
 
+  test("leakageFreeSplit: a near-dup cluster lands WHOLE on one side of the split") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta"),
+      (12L, "alpha beta gamma delta epsilon zeta theta"),
+      (13L, "completely different text about nothing shared"))
+      .toDF("doc_id", "text")
+    val out = Dedup
+      .leakageFreeSplit(corpus, "text", "doc_id", validPermille = 500,
+        shingleN = 3, numHashes = 8, bands = 4, minJaccardPpm = 500000L)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, comp, split) => id -> ((comp, split)) }.toMap
+    // the {10,11,12} cluster inherits ONE split from its component id
+    assert(Set(out(10L), out(11L), out(12L)).size == 1,
+      s"near-dup cluster straddles the split: $out")
+    assert(out(10L)._1 == 10L && out(13L)._1 == 13L)
+    // split is the md5-permille of the component — reproducible
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("10".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val expected = if (java.lang.Long.parseLong(hex, 16) % 1000 < 500) "valid" else "train"
+    assert(out(10L)._2 == expected)
+  }
+
   test("maximalRepeatRanges finds a planted 48-char misaligned repeat that fixed windows miss") {
     import spark.implicits._
     val rep = "the quick brown fox jumps over the lazy dog 1234"
