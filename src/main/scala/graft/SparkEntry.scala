@@ -168,7 +168,8 @@ object SparkEntry {
     "q128_substring_repeats" -> (TQ.substringRepeats _),
     "q129_best_of_cluster" -> (TQ.bestOfClusterDedup _),
     "q130_token_budget" -> (TQ.tokenBudget _),
-    "q131_leakage_split" -> (TQ.leakageSplit _))
+    "q131_leakage_split" -> (TQ.leakageSplit _),
+    "q132_temperature_mix" -> (TQ.temperatureMix _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2465,5 +2466,26 @@ object SparkEntry {
          |SELECT doc_id, component,
          |  CASE WHEN CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200
          |       THEN 'valid' ELSE 'train' END AS split
-         |FROM labeled ORDER BY doc_id""".stripMargin)
+         |FROM labeled ORDER BY doc_id""".stripMargin,
+    // per-source keep rate = floor(1000*sqrt(min_tokens/src_tokens));
+    // sqrt/div are correctly-rounded IEEE -> bit-identical cross-engine
+    "q132_temperature_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), sz AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY source
+         |), m AS (
+         |  SELECT MIN(src_tokens) AS min_tokens FROM sz
+         |), r AS (
+         |  SELECT source,
+         |    CAST(floor(1000 * sqrt(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE))) AS BIGINT)
+         |      AS keep_permille
+         |  FROM sz CROSS JOIN m
+         |)
+         |SELECT t.doc_id, t.source, t.n_tokens, r.keep_permille
+         |FROM t JOIN r USING (source)
+         |WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < r.keep_permille
+         |ORDER BY t.doc_id""".stripMargin)
 }

@@ -135,6 +135,39 @@ object Sampling {
       .withColumn("kept", when(col("cum_tokens") <= budgetTokens, 1L).otherwise(0L))
   }
 
+  /** Temperature-flattened multi-source sampling at α = 0.5 — the
+    * standard "sample source s ∝ size_s^α" mixture flattening that
+    * up-weights small sources relative to proportional sampling.
+    * Per-source keep rate = ⌊1000·√(size_min/size_s)⌋ permille (the
+    * smallest source keeps everything), applied with the stable md5
+    * row hash, so the sample is a pure function of the data.
+    *
+    * α is FIXED at 0.5 because IEEE sqrt/division are correctly
+    * rounded — identical expression shape reproduces bit-for-bit in
+    * the DuckDB oracle (the Wilson-bound precedent). A general-α
+    * variant needs pow(), which differs across libm at ULP and would
+    * break the floor at rate boundaries; quantize upstream if needed.
+    *
+    * Scale shape: one map-side-combined size aggregation, rates
+    * broadcast back; the filter runs scan-side — zero corpus shuffles.
+    */
+  def temperatureMixSqrt(
+      df: DataFrame,
+      groupCol: String,
+      weight: Column,
+      idCol: String): DataFrame = {
+    val sizes = df.groupBy(col(groupCol)).agg(sum(weight).as("__sz"))
+    val minSz = sizes.agg(min(col("__sz")).as("__minsz"))
+    val rates = sizes
+      .crossJoin(broadcast(minSz))
+      .select(
+        col(groupCol),
+        floor(lit(1000) * sqrt(col("__minsz").cast("double") / col("__sz").cast("double")))
+          .cast("long").as("keep_permille"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucketPermille(col(idCol)) < col("keep_permille"))
+  }
+
   /** Deterministic Poisson bootstrap: all B resample replicates of a
     * weighted mean in ONE pass. Each (row, replicate) gets an integer
     * multiplicity drawn from a fixed ≈Poisson(1) pmf via the md5

@@ -510,6 +510,20 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"), col("kept"))
       .orderBy(col("doc_id"))
 
+  /** Token-weighted temperature-flattened source mixture
+    * ([[graft.ops.Sampling.temperatureMixSqrt]], α = 0.5): big sources
+    * sampled down toward the smallest's token mass, md5-stable rows.
+    */
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling
+      .temperatureMixSqrt(
+        Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", col("n_tokens"), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_permille"))
+      .orderBy(col("doc_id"))
+
   /** Leakage-free split ([[Dedup.leakageFreeSplit]]): q42's near-dup
     * components hashed to train/valid (20% valid) as WHOLE clusters —
     * no near-duplicate pair ever straddles the split.

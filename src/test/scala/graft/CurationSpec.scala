@@ -129,6 +129,33 @@ class CurationSpec extends SparkSpec {
     assert(out(6L) == ((210L, 0L))) // greedy prefix: no backfill
   }
 
+  test("temperatureMixSqrt: smallest source keeps all, larger flattened by sqrt, md5-stable") {
+    import spark.implicits._
+    // source a: 4 tokens total (smallest); b: 16 -> rate floor(1000*sqrt(4/16))=500
+    val docs = Seq(
+      (1L, "a", 4L),
+      (10L, "b", 4L), (11L, "b", 4L), (12L, "b", 4L), (13L, "b", 4L))
+      .toDF("doc_id", "src", "n_tokens")
+    val out = graft.ops.Sampling
+      .temperatureMixSqrt(docs, "src", col("n_tokens"), "doc_id")
+      .select("doc_id", "keep_permille").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1000L, "smallest source must keep everything")
+    // b-rows kept are exactly those whose md5 bucket < 500
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    val expectedB = Seq(10L, 11L, 12L, 13L).filter(bucket(_) < 500).toSet
+    assert(out.keySet.filter(_ >= 10L) == expectedB)
+    assert(expectedB.forall(out(_) == 500L))
+    // partitioning-invariant
+    val out2 = graft.ops.Sampling
+      .temperatureMixSqrt(docs.repartition(7), "src", col("n_tokens"), "doc_id")
+      .select("doc_id", "keep_permille").as[(Long, Long)].collect().toMap
+    assert(out2 == out)
+  }
+
   test("mixture sample keeps only rows under their stratum rate") {
     val out = CurationQueries.mixtureSample(spark, dir)
     assert(out.filter(col("bucket") >= col("rate_permille")).count() == 0)
