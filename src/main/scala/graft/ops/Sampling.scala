@@ -156,10 +156,15 @@ object Sampling {
       groupCol: String,
       weight: Column,
       idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sizes = df.groupBy(col(groupCol)).agg(sum(weight).as("__sz"))
-    val minSz = sizes.agg(min(col("__sz")).as("__minsz"))
+    // min via a global window over the |groups|-row agg output (bounded
+    // by group count) instead of a second aggregation — a separate
+    // `sizes.agg(min)` subtree would re-scan and re-aggregate the whole
+    // corpus because `sizes` is referenced twice (PlanSpec pins ONE
+    // corpus-side exchange)
     val rates = sizes
-      .crossJoin(broadcast(minSz))
+      .withColumn("__minsz", min(col("__sz")).over(Window.partitionBy()))
       .select(
         col(groupCol),
         floor(lit(1000) * sqrt(col("__minsz").cast("double") / col("__sz").cast("double")))

@@ -130,6 +130,26 @@ class PlanSpec extends SparkSpec {
       s"expected fp + doc_id exchanges only:\n$p")
   }
 
+  test("temperature mix: rates broadcast back, corpus never hash-exchanged") {
+    val p = plan(graft.ops.Sampling.temperatureMixSqrt(
+      graft.core.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("w")),
+      "source", col("w"), "doc_id"))
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, // the per-source size aggregation only
+      s"only the size agg may hash-exchange; the corpus filter is scan-side:\n$p")
+  }
+
+  test("token budget: one exchange keyed by group for the running sum") {
+    val p = plan(graft.ops.Sampling.tokenBudgetCap(
+      graft.core.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("w")),
+      "source", col("w"), "doc_id", col("w"), 1000L))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected the group window exchange only:\n$p")
+  }
+
   test("substring repeats: no join, fp + doc exchanges only") {
     val p = plan(graft.dedup.Dedup.maximalRepeatRanges(
       graft.core.Tables.documents(spark, dir), "text", "doc_id", 48))
