@@ -169,7 +169,13 @@ object SparkEntry {
     "q129_best_of_cluster" -> (TQ.bestOfClusterDedup _),
     "q130_token_budget" -> (TQ.tokenBudget _),
     "q131_leakage_split" -> (TQ.leakageSplit _),
-    "q132_temperature_mix" -> (TQ.temperatureMix _))
+    "q132_temperature_mix" -> (TQ.temperatureMix _),
+    // — round-6 extensions: asymmetric dedup, MOSS, rank-aware eval —
+    "q133_containment" -> (TQ.containmentDedup _),
+    "q134_winnowing" -> (TQ.winnowingPairs _),
+    "q135_mrr_eval" -> (EQ.mrrEval _),
+    "q136_calibration" -> (EQ.calibrationBins _),
+    "q137_triangles" -> (EQ.covisTriangles _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2487,5 +2493,133 @@ object SparkEntry {
          |SELECT t.doc_id, t.source, t.n_tokens, r.keep_permille
          |FROM t JOIN r USING (source)
          |WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < r.keep_permille
-         |ORDER BY t.doc_id""".stripMargin)
+         |ORDER BY t.doc_id""".stripMargin,
+    // asymmetric containment: both directions of each canonical pair
+    "q133_containment" ->
+      s"""WITH ${shingleCte(4)}, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_count
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), dirs AS (
+         |  SELECT c.id_a AS doc_id, c.id_b AS contained_in, c.inter_count, sa.n AS n_id
+         |  FROM cand c JOIN sizes sa ON c.id_a = sa.doc_id
+         |  UNION ALL
+         |  SELECT c.id_b AS doc_id, c.id_a AS contained_in, c.inter_count, sb.n AS n_id
+         |  FROM cand c JOIN sizes sb ON c.id_b = sb.doc_id
+         |)
+         |SELECT doc_id, contained_in,
+         |  CAST(inter_count AS BIGINT) AS inter_count,
+         |  CAST(n_id AS BIGINT) AS n_id,
+         |  CAST(floor(inter_count * 1000000 / n_id) AS BIGINT) AS containment_ppm
+         |FROM dirs
+         |WHERE n_id >= 5 AND floor(inter_count * 1000000 / n_id) >= 600000
+         |ORDER BY containment_ppm DESC, doc_id, contained_in LIMIT 100""".stripMargin,
+    // winnowing: positional 3-gram 60-bit hashes, window-4 minima;
+    // the pair overlap uses the fp SET, so the rightmost-tie rule
+    // (positions) cannot affect this contract
+    "q134_winnowing" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+         |), ph AS (
+         |  SELECT doc_id, i AS pos,
+         |    CAST(('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+         |), starts AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+         |  FROM ph
+         |), fps AS (
+         |  SELECT DISTINCT doc_id, mn AS fp FROM starts WHERE cnt = 4
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps
+         |FROM pairs WHERE shared_fps >= 2
+         |ORDER BY shared_fps DESC, id_a, id_b LIMIT 50""".stripMargin,
+    // rank-aware covis eval: q112's CTE chain with rank kept to 10
+    "q135_mrr_eval" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |), trans AS (
+         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
+         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+         |), di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), directed AS (
+         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+         |), top10 AS (
+         |  SELECT src, dst, CAST(rn AS BIGINT) AS rn FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |                ORDER BY pair_count DESC, dst ASC) AS rn
+         |    FROM directed) WHERE rn <= 10
+         |)
+         |SELECT CAST(SUM(t.transition_count) AS BIGINT) AS n_transitions,
+         |  CAST(SUM(CASE WHEN h.rn IS NOT NULL THEN t.transition_count ELSE 0 END) AS BIGINT) AS n_hits10,
+         |  CAST(SUM(CASE WHEN h.rn IS NOT NULL THEN t.transition_count * (1000000 // h.rn) ELSE 0 END)
+         |       // SUM(t.transition_count) AS BIGINT) AS mrr_micro
+         |FROM trans t
+         |LEFT JOIN top10 h ON t.item_a = h.src AND t.item_b = h.dst""".stripMargin,
+    // reliability bins: train-half category rates scored on eval half
+    "q136_calibration" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS category_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |), pred AS (
+        |  SELECT category_id, CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pred_ppm
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY category_id
+        |)
+        |SELECT CAST(least(pred_ppm * 10 // 1000000, 9) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(pred_ppm) // COUNT(*) AS BIGINT) AS mean_pred_ppm,
+        |  CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS emp_ppm
+        |FROM e JOIN pred USING (category_id)
+        |WHERE event_id % 2 = 1
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    // exact triangle census of the covis graph (a<b<c enumeration)
+    "q137_triangles" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2
+         |), tri AS (
+         |  SELECT ab.item_a AS a, ab.item_b AS b, bc.item_b AS c
+         |  FROM pairs ab
+         |  JOIN pairs bc ON ab.item_b = bc.item_a
+         |  JOIN pairs ac ON ac.item_a = ab.item_a AND ac.item_b = bc.item_b
+         |), v AS (
+         |  SELECT a AS item_id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri
+         |)
+         |SELECT item_id, CAST(COUNT(*) AS BIGINT) AS tri_count
+         |FROM v GROUP BY item_id
+         |ORDER BY tri_count DESC, item_id ASC LIMIT 10""".stripMargin)
 }

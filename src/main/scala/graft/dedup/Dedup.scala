@@ -887,4 +887,173 @@ object Dedup {
         (col("end_pos") - col("start_pos")).as("rep_len"))
       .orderBy(col("doc_id"), col("start_pos"))
   }
+
+  /** Asymmetric CONTAINMENT similarity: C(A→B) = |A∩B| / |A| over
+    * n-gram shingle sets. Jaccard misses quote-inclusion — a short doc
+    * fully embedded in a long one has tiny Jaccard but containment 1.0;
+    * this is the dedup signal for "B wraps A in boilerplate" and for
+    * quotation/aggregator detection in training corpora.
+    *
+    * Returns every ORDERED pair (id, contained_in) with
+    * containment_ppm ≥ `minContainPpm` and |A| ≥ `minShingles` (tiny
+    * shingle sets make containment meaningless). Output columns:
+    * (id, contained_in, inter_count, n_id, containment_ppm).
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — ONE postings
+    * exchange (each shared shingle contributes one canonical a<b pair
+    * row), one pair-count agg, then two catalog-sized size-attach
+    * joins; the two directions are emitted row-locally from the
+    * canonical pair, so asymmetry costs nothing. Same stop-shingle
+    * skew note as Jaccard: posting lists are f²-pair generators — cap
+    * upstream for boilerplate-heavy corpora when exactness isn't
+    * contractual.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minContainPpm: Long,
+      minShingles: Long = 5L): DataFrame = {
+    val shArr = docs
+      .select(col(idCol).as("id"), array_distinct(wordShingles(col(textCol), n)).as("__sh"))
+    val sizes = shArr.select(col("id"), size(col("__sh")).cast("long").as("n"))
+    val post = shArr
+      .select(explode(col("__sh")).as("shingle"), col("id"))
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairExpr = flatten(
+      transform(
+        col("ids"),
+        (x, i) =>
+          transform(
+            slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))
+    val inter = post
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter_count"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+    // both directions from the canonical pair, row-locally
+    inter
+      .select(
+        explode(
+          array(
+            struct(
+              col("id_a").as("id"), col("id_b").as("contained_in"),
+              col("inter_count"), col("n_a").as("n_id")),
+            struct(
+              col("id_b").as("id"), col("id_a").as("contained_in"),
+              col("inter_count"), col("n_b").as("n_id")))).as("d"))
+      .select(col("d.*"))
+      .filter(col("n_id") >= minShingles)
+      .withColumn("containment_ppm", floor(col("inter_count") * 1000000L / col("n_id")))
+      .filter(col("containment_ppm") >= minContainPpm)
+      .select("id", "contained_in", "inter_count", "n_id", "containment_ppm")
+  }
+
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the
+    * MOSS algorithm): hash every positional word `n`-shingle to a
+    * 60-bit integer, slide a `w`-window over the hash SEQUENCE, and
+    * select the minimum of each window (rightmost occurrence on ties).
+    * Guarantees: any shared run of ≥ w+n−1 words between two docs
+    * shares ≥ 1 selected fingerprint (detection guarantee), while only
+    * ~2/(w+1) of positions are kept (density guarantee) — robust
+    * local fingerprinting that, unlike fixed-stride spans (q102/q128's
+    * regime), survives single-word edits shifting alignment.
+    *
+    * Returns one row per doc per DISTINCT selected (pos, hash):
+    * (id, pos, fp) — pos is the 1-based shingle index. Entirely
+    * row-local (zero exchanges): the hash array is materialized once
+    * per row, then the window argmin is O(len·w) array math on it.
+    */
+  def winnowedFingerprints(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      w: Int): DataFrame = {
+    // two selects: `hs` is a materialized column, so the per-element
+    // transform below references an attribute, not a recomputed
+    // subtree (the composed-HOF re-evaluation trap)
+    val hashed = docs.select(
+      col(idCol).as("id"),
+      transform(wordShingles(col(textCol), n), s =>
+        conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
+    // window starting at i (0-based): slice hs[i+1 .. i+w]; min hash;
+    // rightmost argmin = w − first-position-in-reversed-window + i
+    val sel = transform(
+      sequence(lit(0), size(col("hs")) - w),
+      i => {
+        val win = slice(col("hs"), i + 1, lit(w))
+        val mn = array_min(win)
+        struct(
+          (i + lit(w) + 1L - array_position(reverse(win), mn)).as("pos"),
+          mn.as("fp"))
+      })
+    hashed
+      .filter(size(col("hs")) >= w)
+      .select(col("id"), explode(array_distinct(sel)).as("s"))
+      .select(col("id"), col("s.pos").cast("long").as("pos"), col("s.fp").as("fp"))
+  }
+
+  /** Row-local distinct selected fingerprint SET per doc (no
+    * positions): (id, fps array<long>). Same selection rule as
+    * [[winnowedFingerprints]]; the distinct happens inside the row, so
+    * downstream postings need no corpus-wide DISTINCT exchange.
+    */
+  private def winnowedFpSets(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      w: Int): DataFrame = {
+    val hashed = docs.select(
+      col(idCol).as("id"),
+      transform(wordShingles(col(textCol), n), s =>
+        conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
+    val sel = transform(
+      sequence(lit(0), size(col("hs")) - w),
+      i => array_min(slice(col("hs"), i + 1, lit(w))))
+    hashed
+      .filter(size(col("hs")) >= w)
+      .select(col("id"), array_distinct(sel).as("fps"))
+  }
+
+  /** Winnowing overlap matrix: doc pairs ranked by the number of
+    * DISTINCT shared selected fingerprints — the MOSS similarity
+    * report. Postings-shaped like [[ngramJaccardPairs]] (one exchange
+    * keyed by fp; each shared fp emits its canonical pairs from a
+    * sorted posting list), so cost is line-rate in selected
+    * fingerprints — which winnowing already thinned to ~2/(w+1) of
+    * shingle positions; the fingerprint table a full-content postings
+    * join would shuffle is ~(w+1)/2× larger.
+    */
+  def winnowingOverlapPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      w: Int,
+      minShared: Long): DataFrame = {
+    val post = winnowedFpSets(docs, textCol, idCol, n, w)
+      .select(explode(col("fps")).as("fp"), col("id"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairExpr = flatten(
+      transform(
+        col("ids"),
+        (x, i) =>
+          transform(
+            slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))
+    post
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

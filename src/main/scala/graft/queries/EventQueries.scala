@@ -1006,4 +1006,101 @@ object EventQueries {
         "y",
         alpha = 20)
       .orderBy(col("category_id"))
+
+  /** Mean reciprocal rank @10 of the covis candidate ranking against
+    * actual next-item transitions — the rank-sensitive companion to
+    * q112's hit-rate (a recommender that always ranks the true item
+    * 10th and one that ranks it 1st have the same hit@10 but 10× the
+    * MRR). Entirely integer: each transition occurrence contributes
+    * `1e6 div rank` micro-units, the mean is one floor division at the
+    * end — bit-deterministic cross-engine.
+    *
+    * Same scale shape as hitRateEval: two catalog²-bounded aggregates
+    * (transitions, covis pairs), a catalog-sized top-k window, one
+    * broadcast-sized join — no per-event work past the aggregations.
+    */
+  def mrrEval(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val directed = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
+      .unionByName(pairs
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+    val top10 = Windows
+      .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
+      .select(col("src").as("item_a"), col("dst").as("item_b"), col("rn"))
+    trans
+      .join(top10, Seq("item_a", "item_b"), "left")
+      .agg(
+        sum(col("transition_count")).as("n_transitions"),
+        sum(when(col("rn").isNotNull, col("transition_count")).otherwise(0L))
+          .as("n_hits10"),
+        sum(when(col("rn").isNotNull,
+          col("transition_count") * expr("1000000 div rn")).otherwise(0L))
+          .as("rr_sum_micro"))
+      .select(
+        col("n_transitions"),
+        col("n_hits10"),
+        expr("rr_sum_micro div n_transitions").as("mrr_micro"))
+  }
+
+  /** Model-calibration reliability bins: score every eval event with
+    * its category's TRAIN-split purchase rate (the simplest well-formed
+    * probabilistic model), bucket predictions into 10 fixed bins, and
+    * compare mean predicted vs empirical rate per bin — the reliability
+    * diagram behind "is this model over/under-confident", and the
+    * monitoring primitive for any deployed scorer. Disjoint
+    * train/eval halves by event-id parity (deterministic, hash-free).
+    *
+    * Integer end-to-end: predictions are ppm (floor division),
+    * bin = min(pred_ppm·10 div 1e6, 9), per-bin means are floor
+    * divisions of exact sums. Two fact-table aggregations (train rates
+    * are category-sized and broadcast back onto eval events); one
+    * group-sized output exchange.
+    */
+  def calibrationBins(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(
+        col("event_id"),
+        (get_json_object(col("props"), "$.k").cast("long") %
+          Pipeline.NumCategories).as("category_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .filter(col("category_id").isNotNull)
+    val pred = ev
+      .filter(pmod(col("event_id"), lit(2L)) === 0L)
+      .groupBy(col("category_id"))
+      .agg(expr("sum(y) * 1000000 div count(1)").as("pred_ppm"))
+    ev.filter(pmod(col("event_id"), lit(2L)) === 1L)
+      .join(broadcast(pred), Seq("category_id"))
+      .groupBy(least(expr("pred_ppm * 10 div 1000000"), lit(9L)).as("bin"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        expr("sum(pred_ppm) div count(1)").as("mean_pred_ppm"),
+        expr("sum(y) * 1000000 div count(1)").as("emp_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  /** Triangle census of the co-visitation item graph: the top-10 items
+    * by exact triangle membership (community-density hubs). Edges are
+    * ALL session-capped covis pairs (support ≥ 1: the support-2 cut
+    * leaves this catalog too sparse to close any triangle) — already
+    * canonical item_a < item_b — so [[graft.ops.Graph.triangleCounts]]
+    * applies directly.
+    */
+  def covisTriangles(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 1L)
+    graft.ops.Graph
+      .triangleCounts(pairs, "item_a", "item_b")
+      .select(col("id").as("item_id"), col("tri_count"))
+      .orderBy(col("tri_count").desc, col("item_id").asc)
+      .limit(10)
+  }
 }

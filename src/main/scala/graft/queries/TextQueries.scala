@@ -634,4 +634,32 @@ object TextQueries {
       .select(col("doc_id"), col("component"), col("n_chars"), col("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Asymmetric containment dedup (quote-inclusion detection): ordered
+    * doc pairs where ≥ 60% of the smaller side's 4-gram shingles
+    * appear in the other doc — the near-dup class Jaccard structurally
+    * misses (a tweet quoted inside an article has Jaccard ≈ 0 but
+    * containment ≈ 1).
+    */
+  def containmentDedup(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .containmentPairs(
+        Tables.documents(s, d), "text", "doc_id",
+        n = 4, minContainPpm = 600000L, minShingles = 5L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("containment_ppm").desc, col("doc_id"), col("contained_in"))
+      .limit(100)
+
+  /** Winnowing (MOSS) fingerprint overlap: top doc pairs by DISTINCT
+    * shared window-min fingerprints (3-gram shingles, window 4 — any
+    * shared run of ≥ 6 words guarantees a shared fingerprint while
+    * keeping only ~2/5 of positions).
+    */
+  def winnowingPairs(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .winnowingOverlapPairs(
+        Tables.documents(s, d), "text", "doc_id",
+        n = 3, w = 4, minShared = 2L)
+      .orderBy(col("shared_fps").desc, col("id_a"), col("id_b"))
+      .limit(50)
 }

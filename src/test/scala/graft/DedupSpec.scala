@@ -206,4 +206,93 @@ class DedupSpec extends SparkSpec {
     assert(md5Ranges.nonEmpty, "fixture corpus has no repeats — test is vacuous")
     assert(rollRanges == md5Ranges)
   }
+
+  test("containmentPairs: full embedding scores 1.0 one way, below threshold the other") {
+    import spark.implicits._
+    // doc 1 (8 words, 5 distinct 4-shingles) embedded verbatim in doc 2
+    // (16 words, 13 shingles): C(1→2)=5/5, C(2→1)=5/13 < 0.6
+    val inner = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val cdocs = Seq(
+      (1L, inner),
+      (2L, "zz yy xx " + inner + " ww vv uu tt ss"),
+      (3L, "nothing shared with the others at all in this sentence"))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .containmentPairs(cdocs, "text", "doc_id", n = 4, minContainPpm = 600000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 5L, 5L, 1000000L)))
+    // lowering the threshold surfaces the reverse direction too
+    val both = Dedup
+      .containmentPairs(cdocs, "text", "doc_id", n = 4, minContainPpm = 100000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(both == Set(
+      (1L, 2L, 5L, 5L, 1000000L),
+      (2L, 1L, 5L, 13L, 5L * 1000000L / 13L)))
+  }
+
+  test("containmentPairs: minShingles suppresses meaninglessly small sides") {
+    import spark.implicits._
+    // doc 1 has 4 words -> 1 shingle; fully contained in doc 2, but
+    // |A|=1 < minShingles=5 kills the direction (and 2→1 is sub-threshold)
+    val cdocs = Seq(
+      (1L, "alpha bravo charlie delta"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"))
+      .toDF("doc_id", "text")
+    val n = Dedup
+      .containmentPairs(cdocs, "text", "doc_id", n = 4, minContainPpm = 600000L)
+      .count()
+    assert(n == 0L)
+  }
+
+  test("winnowing: detection guarantee — a shared run of w+n-1 words shares a fingerprint") {
+    import spark.implicits._
+    // n=3, w=4: any shared run of >= 6 words must share >= 1 selected fp
+    val run = "one two three four five six"
+    val wdocs = Seq(
+      (1L, "aa bb cc dd " + run + " ee ff gg hh"),
+      (2L, "pp qq rr " + run + " ss tt uu vv ww"),
+      (3L, "xx yy zz completely disjoint tokens here padding words extra"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup
+      .winnowingOverlapPairs(wdocs, "text", "doc_id", n = 3, w = 4, minShared = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+      "docs sharing a 6-word run must share a winnowed fingerprint")
+    assert(pairs.forall(p => p._1 < p._2), "pairs must be canonical id_a < id_b")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc matched")
+  }
+
+  test("winnowing: every window of w hashes has its minimum selected (coverage invariant)") {
+    import spark.implicits._
+    val text = Seq.tabulate(40)(i => s"w${(i * 13 + 5) % 23}").mkString(" ")
+    val wdocs = Seq((1L, text)).toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(wdocs, "text", "doc_id", n = 3, w = 4)
+      .as[(Long, Long, Long)].collect().map(f => f._2 -> f._3).toMap
+    // recompute the positional hash sequence exactly as the operator does
+    val hs = spark.createDataFrame(Seq(Tuple1(text))).toDF("text")
+      .select(transform(graft.functions.TextFunctions.wordShingles(col("text"), 3),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
+      .as[Seq[Long]].head()
+    (0 to hs.length - 4).foreach { i =>
+      val win = hs.slice(i, i + 4)
+      val mn = win.min
+      val hit = (i + 1 to i + 4).exists(p => fps.get(p.toLong).contains(mn))
+      assert(hit, s"window at $i: min $mn not selected at any of its positions")
+    }
+    // density: selected positions are a strict subset of all positions
+    assert(fps.size < hs.length - 3 + 1)
+  }
+
+  test("winnowing: single-word edit still leaves surrounding fingerprints shared") {
+    import spark.implicits._
+    val base = Seq.tabulate(30)(i => s"t${(i * 7 + 3) % 19}").mkString(" ")
+    val toks = base.split(" ")
+    val edited = (toks.take(15) ++ Array("EDITED") ++ toks.drop(16)).mkString(" ")
+    val wdocs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val shared = Dedup
+      .winnowingOverlapPairs(wdocs, "text", "doc_id", n = 3, w = 4, minShared = 1L)
+      .as[(Long, Long, Long)].collect()
+    assert(shared.length == 1 && shared.head._3 >= 2L,
+      "one-word edit must not wipe out winnowed overlap")
+  }
 }

@@ -43,4 +43,36 @@ class GraphSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(bcast == shuffled, "broadcast mode must not change a single rank")
   }
+
+  test("triangleCounts: K4 plus a pendant edge — 3 triangles per clique vertex, pendant absent") {
+    // K4 on {1,2,3,4} (canonical src<dst) + pendant 4-5: C(4,3)=4 triangles,
+    // every clique vertex sits in exactly 3; vertex 5 closes none.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("item_a", "item_b")
+    val got = graft.core.Caches.withScope {
+      Graph.triangleCounts(e, "item_a", "item_b")
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free graph (path + star) yields no rows") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (1L, 6L)).toDF("s", "d")
+    val n = graft.core.Caches.withScope {
+      Graph.triangleCounts(e, "s", "d").count()
+    }
+    assert(n == 0L)
+  }
+
+  test("triangleCounts: bit-identical under repartitioning") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 4L), (4L, 6L), (5L, 6L))
+      .toDF("a", "b")
+    val one = graft.core.Caches.withScope {
+      Graph.triangleCounts(e.coalesce(1), "a", "b").orderBy("id").collect().toSeq
+    }
+    val many = graft.core.Caches.withScope {
+      Graph.triangleCounts(e.repartition(7), "a", "b").orderBy("id").collect().toSeq
+    }
+    assert(one == many)
+  }
 }
