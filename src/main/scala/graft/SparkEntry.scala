@@ -175,7 +175,9 @@ object SparkEntry {
     "q134_winnowing" -> (TQ.winnowingPairs _),
     "q135_mrr_eval" -> (EQ.mrrEval _),
     "q136_calibration" -> (EQ.calibrationBins _),
-    "q137_triangles" -> (EQ.covisTriangles _))
+    "q137_triangles" -> (EQ.covisTriangles _),
+    "q138_ndcg_eval" -> (EQ.ndcgEval _),
+    "q139_covis_clustering" -> (EQ.covisClustering _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2621,5 +2623,83 @@ object SparkEntry {
          |)
          |SELECT item_id, CAST(COUNT(*) AS BIGINT) AS tri_count
          |FROM v GROUP BY item_id
-         |ORDER BY tri_count DESC, item_id ASC LIMIT 10""".stripMargin)
+         |ORDER BY tri_count DESC, item_id ASC LIMIT 10""".stripMargin,
+    // nDCG@10: q135's CTE chain, discount = floor(1e6/log2(rn+1)) as
+    // integer literals (identical constants on the Spark side — no
+    // runtime transcendental in either engine)
+    "q138_ndcg_eval" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |), trans AS (
+         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
+         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+         |), di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), directed AS (
+         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+         |), top10 AS (
+         |  SELECT src, dst, CAST(rn AS BIGINT) AS rn FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |                ORDER BY pair_count DESC, dst ASC) AS rn
+         |    FROM directed) WHERE rn <= 10
+         |), scored AS (
+         |  SELECT t.transition_count,
+         |    CASE h.rn WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000
+         |     WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207
+         |     WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029
+         |     WHEN 10 THEN 289064 ELSE 0 END AS disc
+         |  FROM trans t
+         |  LEFT JOIN top10 h ON t.item_a = h.src AND t.item_b = h.dst
+         |)
+         |SELECT CAST(SUM(transition_count) AS BIGINT) AS n_transitions,
+         |  CAST(SUM(transition_count * disc) AS BIGINT) AS dcg_sum_micro,
+         |  CAST(SUM(transition_count * disc) // SUM(transition_count) AS BIGINT) AS ndcg_micro
+         |FROM scored""".stripMargin,
+    // local clustering coefficient: q137's triangle CTEs + degree scan
+    "q139_covis_clustering" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2
+         |), tri AS (
+         |  SELECT ab.item_a AS a, ab.item_b AS b, bc.item_b AS c
+         |  FROM pairs ab
+         |  JOIN pairs bc ON ab.item_b = bc.item_a
+         |  JOIN pairs ac ON ac.item_a = ab.item_a AND ac.item_b = bc.item_b
+         |), tc AS (
+         |  SELECT item_id, COUNT(*) AS tri_count FROM (
+         |    SELECT a AS item_id FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri
+         |  ) GROUP BY item_id
+         |), deg AS (
+         |  SELECT item_id, COUNT(*) AS degree FROM (
+         |    SELECT item_a AS item_id FROM pairs
+         |    UNION ALL SELECT item_b FROM pairs
+         |  ) GROUP BY item_id
+         |)
+         |SELECT d.item_id, CAST(d.degree AS BIGINT) AS degree,
+         |  CAST(COALESCE(tc.tri_count, 0) AS BIGINT) AS tri_count,
+         |  CAST(2 * COALESCE(tc.tri_count, 0) * 1000000 // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_ppm
+         |FROM deg d LEFT JOIN tc USING (item_id)
+         |WHERE d.degree >= 2
+         |ORDER BY cc_ppm DESC, degree DESC, d.item_id ASC LIMIT 20""".stripMargin)
 }

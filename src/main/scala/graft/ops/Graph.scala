@@ -116,4 +116,33 @@ object Graph {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("tri_count"))
   }
+
+  /** Local clustering coefficient in exact integer ppm:
+    * cc = 2·triangles / (deg·(deg−1)) per vertex with deg ≥ 2 — how
+    * clique-like each vertex's neighborhood is (1e6 = all neighbors
+    * pairwise adjacent). Output: (id, degree, tri_count, cc_ppm).
+    *
+    * Degrees are one explode+agg over the edge list; triangles via
+    * [[triangleCounts]] on the SAME select — Spark's cache manager
+    * keys InMemoryRelations on the analyzed plan, so both passes read
+    * one cached edge set. Zero-triangle vertices survive via the left
+    * join (cc 0), degree-1 vertices are dropped (cc undefined).
+    */
+  def clusteringCoefficientMicro(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = Caches.cache(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val deg = e
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+    deg
+      .join(triangleCounts(e, "src", "dst"), Seq("id"), "left")
+      .na.fill(0L, Seq("tri_count"))
+      .filter(col("degree") >= 2)
+      .withColumn("cc_ppm", expr("2 * tri_count * 1000000 div (degree * (degree - 1))"))
+      .select(col("id"), col("degree"), col("tri_count"), col("cc_ppm"))
+  }
 }

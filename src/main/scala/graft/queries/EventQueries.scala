@@ -1019,7 +1019,27 @@ object EventQueries {
     * (transitions, covis pairs), a catalog-sized top-k window, one
     * broadcast-sized join — no per-event work past the aggregations.
     */
-  def mrrEval(s: SparkSession, d: String): DataFrame = {
+  def mrrEval(s: SparkSession, d: String): DataFrame =
+    transitionsVsCovisTop10(s, d)
+      .agg(
+        sum(col("transition_count")).as("n_transitions"),
+        sum(when(col("rn").isNotNull, col("transition_count")).otherwise(0L))
+          .as("n_hits10"),
+        sum(when(col("rn").isNotNull,
+          col("transition_count") * expr("1000000 div rn")).otherwise(0L))
+          .as("rr_sum_micro"))
+      .select(
+        col("n_transitions"),
+        col("n_hits10"),
+        expr("rr_sum_micro div n_transitions").as("mrr_micro"))
+
+  /** Shared eval scaffold for q112/q135/q138: every observed next-item
+    * transition left-joined to the covis top-10 ranking (rn NULL when
+    * the true next item is outside the candidate list). Two
+    * catalog²-bounded aggregates, a catalog-sized top-k window, one
+    * broadcast-sized join — no per-event work past the aggregations.
+    */
+  private def transitionsVsCovisTop10(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
     val trans = Windows.transitionCounts(
       enriched, "session_id",
@@ -1034,19 +1054,32 @@ object EventQueries {
     val top10 = Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
       .select(col("src").as("item_a"), col("dst").as("item_b"), col("rn"))
-    trans
-      .join(top10, Seq("item_a", "item_b"), "left")
+    trans.join(top10, Seq("item_a", "item_b"), "left")
+  }
+
+  /** nDCG@10 of the covis ranking against next-item transitions — the
+    * graded-discount member of the eval triad (q112 hit@10 is
+    * position-blind, q135 MRR is 1/rank, nDCG is 1/log2(rank+1) — the
+    * industry-standard report for ranked recommenders). With exactly one
+    * relevant item per transition the ideal DCG is 1, so per-transition
+    * nDCG IS the discount. The ten discounts are precomputed
+    * floor(1e6/log2(r+1)) INTEGER LITERALS identical in both engines —
+    * no runtime transcendental anywhere (the libm-ULP trap).
+    */
+  def ndcgEval(s: SparkSession, d: String): DataFrame = {
+    val disc = expr(
+      """CASE rn WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000
+        | WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207
+        | WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029
+        | WHEN 10 THEN 289064 ELSE 0 END""".stripMargin)
+    transitionsVsCovisTop10(s, d)
       .agg(
         sum(col("transition_count")).as("n_transitions"),
-        sum(when(col("rn").isNotNull, col("transition_count")).otherwise(0L))
-          .as("n_hits10"),
-        sum(when(col("rn").isNotNull,
-          col("transition_count") * expr("1000000 div rn")).otherwise(0L))
-          .as("rr_sum_micro"))
+        sum(col("transition_count") * disc).as("dcg_sum_micro"))
       .select(
         col("n_transitions"),
-        col("n_hits10"),
-        expr("rr_sum_micro div n_transitions").as("mrr_micro"))
+        col("dcg_sum_micro"),
+        expr("dcg_sum_micro div n_transitions").as("ndcg_micro"))
   }
 
   /** Model-calibration reliability bins: score every eval event with
@@ -1102,5 +1135,25 @@ object EventQueries {
       .select(col("id").as("item_id"), col("tri_count"))
       .orderBy(col("tri_count").desc, col("item_id").asc)
       .limit(10)
+  }
+
+  /** Local clustering coefficient of the covis item graph:
+    * cc = 2·triangles / (deg·(deg−1)) per vertex with deg ≥ 2 — "how
+    * clique-like is this item's neighborhood" (1.0 = its co-visited
+    * items are all co-visited with each other; the community-tightness
+    * signal behind bundle detection). Exact integer ppm; top 20 with a
+    * full (cc, degree, id) tie-break chain. See
+    * [[graft.ops.Graph.clusteringCoefficientMicro]] for the shape.
+    */
+  def covisClustering(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 1L)
+    graft.ops.Graph
+      .clusteringCoefficientMicro(pairs, "item_a", "item_b")
+      .select(col("id").as("item_id"), col("degree"), col("tri_count"), col("cc_ppm"))
+      .orderBy(col("cc_ppm").desc, col("degree").desc, col("item_id").asc)
+      .limit(20)
   }
 }

@@ -64,6 +64,32 @@ class GraphSpec extends SparkSpec {
     assert(n == 0L)
   }
 
+  test("clusteringCoefficientMicro: K4 vertices at 1.0, bridge diluted, pendant dropped") {
+    // K4 on {1,2,3,4} + pendant 4-5: cc(1..3) = 2*3/(3*2) = 1e6,
+    // cc(4) = 2*3/(4*3) = 5e5, vertex 5 has degree 1 -> excluded
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("item_a", "item_b")
+    val got = graft.core.Caches.withScope {
+      Graph.clusteringCoefficientMicro(e, "item_a", "item_b")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    }
+    assert(got == Map(
+      1L -> ((3L, 3L, 1000000L)),
+      2L -> ((3L, 3L, 1000000L)),
+      3L -> ((3L, 3L, 1000000L)),
+      4L -> ((4L, 3L, 500000L))))
+  }
+
+  test("clusteringCoefficientMicro: triangle-free vertices report cc 0, not absent") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = graft.core.Caches.withScope {
+      Graph.clusteringCoefficientMicro(e, "s", "d")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    assert(got == Set((2L, 2L, 0L, 0L)))
+  }
+
   test("triangleCounts: bit-identical under repartitioning") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 4L), (4L, 6L), (5L, 6L))
       .toDF("a", "b")
