@@ -1003,24 +1003,18 @@ object Dedup {
     * positions): (id, fps array<long>). Same selection rule as
     * [[winnowedFingerprints]]; the distinct happens inside the row, so
     * downstream postings need no corpus-wide DISTINCT exchange.
+    * Native one-pass kernel (WinnowedFps scaladoc: the composed-HOF
+    * form re-evaluated per postings-explode output element — 14×).
     */
   private def winnowedFpSets(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       n: Int,
-      w: Int): DataFrame = {
-    val hashed = docs.select(
+      w: Int): DataFrame =
+    docs.select(
       col(idCol).as("id"),
-      transform(wordShingles(col(textCol), n), s =>
-        conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
-    val sel = transform(
-      sequence(lit(0), size(col("hs")) - w),
-      i => array_min(slice(col("hs"), i + 1, lit(w))))
-    hashed
-      .filter(size(col("hs")) >= w)
-      .select(col("id"), array_distinct(sel).as("fps"))
-  }
+      org.apache.spark.sql.graft.WinnowedFps(wordShingles(col(textCol), n), w).as("fps"))
 
   /** Winnowing overlap matrix: doc pairs ranked by the number of
     * DISTINCT shared selected fingerprints — the MOSS similarity

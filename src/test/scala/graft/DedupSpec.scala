@@ -283,6 +283,27 @@ class DedupSpec extends SparkSpec {
     assert(fps.size < hs.length - 3 + 1)
   }
 
+  test("winnowing: native one-pass kernel matches the composed-HOF selection exactly") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.wordShingles
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val native = docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.WinnowedFps(wordShingles(col("text"), 3), 4)).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    val hs = transform(wordShingles(col("text"), 3), s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val hof = docs
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("hs")) - 4),
+        i => array_min(slice(col("hs"), i + 1, lit(4)))))).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    assert(native.nonEmpty, "fixture corpus selected no fingerprints — vacuous")
+    assert(native == hof)
+  }
+
   test("winnowing: single-word edit still leaves surrounding fingerprints shared") {
     import spark.implicits._
     val base = Seq.tabulate(30)(i => s"t${(i * 7 + 3) % 19}").mkString(" ")
