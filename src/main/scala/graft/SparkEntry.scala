@@ -177,7 +177,8 @@ object SparkEntry {
     "q136_calibration" -> (EQ.calibrationBins _),
     "q137_triangles" -> (EQ.covisTriangles _),
     "q138_ndcg_eval" -> (EQ.ndcgEval _),
-    "q139_covis_clustering" -> (EQ.covisClustering _))
+    "q139_covis_clustering" -> (EQ.covisClustering _),
+    "q140_kcore" -> (EQ.covisKcore _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -388,6 +389,24 @@ object SparkEntry {
 
   private def substrCountSql(padded: String, needle: String): String =
     s"CAST((length($padded) - length(replace($padded, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  /** `rounds` rounds of k-core peeling over `e0(src, dst)` — each round
+    * keeps vertices with degree ≥ k, then edges with both endpoints
+    * alive. Ends in edge table `e<rounds>` (mirrors Graph.kCorePeel).
+    */
+  private def kcorePeelCte(k: Int, rounds: Int): String =
+    (1 to rounds)
+      .map { r =>
+        s"""d$r AS (
+           |  SELECT id FROM (
+           |    SELECT src AS id FROM e${r - 1} UNION ALL SELECT dst FROM e${r - 1}
+           |  ) GROUP BY id HAVING COUNT(*) >= $k
+           |), e$r AS (
+           |  SELECT e.src, e.dst FROM e${r - 1} e
+           |  JOIN d$r x ON e.src = x.id JOIN d$r y ON e.dst = y.id
+           |)""".stripMargin
+      }
+      .mkString(", ")
 
   private def langScoreSql(markers: Seq[String]): String =
     markers
@@ -2701,5 +2720,22 @@ object SparkEntry {
          |  CAST(2 * COALESCE(tc.tri_count, 0) * 1000000 // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_ppm
          |FROM deg d LEFT JOIN tc USING (item_id)
          |WHERE d.degree >= 2
-         |ORDER BY cc_ppm DESC, degree DESC, d.item_id ASC LIMIT 20""".stripMargin)
+         |ORDER BY cc_ppm DESC, degree DESC, d.item_id ASC LIMIT 20""".stripMargin,
+    // 3-core via 3 bounded peeling rounds (q137's covis edge CTEs + the
+    // generated peel chain; mirrors Graph.kCorePeel exactly)
+    "q140_kcore" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), e0 AS (
+         |  SELECT a.item_id AS src, b.item_id AS dst
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2
+         |), ${kcorePeelCte(3, 3)}
+         |SELECT id AS item_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM (SELECT src AS id FROM e3 UNION ALL SELECT dst FROM e3)
+         |GROUP BY id ORDER BY degree DESC, item_id ASC""".stripMargin)
 }

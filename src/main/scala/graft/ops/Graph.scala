@@ -128,6 +128,48 @@ object Graph {
     * one cached edge set. Zero-triangle vertices survive via the left
     * join (cc 0), degree-1 vertices are dropped (cc undefined).
     */
+  /** Bounded-round k-core peeling over an undirected canonical
+    * (src < dst, deduplicated) edge set: `rounds` synchronous rounds of
+    * "drop every vertex with degree < k, keep only edges with both
+    * endpoints alive". The k-core (maximal subgraph of min-degree ≥ k)
+    * is the classic dense-community / spam-farm detector on item and
+    * link graphs; the full decomposition iterates the peel to a
+    * fixpoint, and a FIXED round count keeps the stage graph static
+    * (plannable, resumable, oracle-expressible as a chained CTE) while
+    * each round strictly shrinks the graph — small k converges in a few
+    * rounds on real graphs (spec pins a converged case). Output:
+    * (id, degree) of the surviving subgraph's vertices.
+    *
+    * Scale shape per round: one map-side-combined degree aggregation
+    * (edge-sized in, vertex-sized out) and two semi-joins re-keying the
+    * edge table on src then dst; the alive set is vertex-sized
+    * (catalog-bounded on item graphs) so AQE broadcasts both semi-joins
+    * and the edge table is never exchanged. Each round's edge table is
+    * cached via [[graft.core.Caches]] so round r+1 peels materialized
+    * edges, not a 2r-join lineage chain.
+    */
+  def kCorePeel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+    var e = Caches.cache(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    for (_ <- 1 to rounds) {
+      val alive = degrees(e).filter(col("degree") >= k).select(col("id"))
+      e = Caches.cache(
+        e.join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+    }
+    degrees(e)
+  }
+
   def clusteringCoefficientMicro(
       edges: DataFrame,
       srcCol: String,

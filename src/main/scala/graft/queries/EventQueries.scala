@@ -1156,4 +1156,22 @@ object EventQueries {
       .orderBy(col("cc_ppm").desc, col("degree").desc, col("item_id").asc)
       .limit(20)
   }
+
+  /** 3-core of the co-visitation item graph via 3 peeling rounds —
+    * the dense-community backbone (items that survive are each
+    * co-visited with ≥ 3 other survivors: the "always bought together"
+    * cluster seeds, and on web/link graphs the spam-farm signal). See
+    * [[graft.ops.Graph.kCorePeel]] for the bounded-round semantics and
+    * per-round shape.
+    */
+  def covisKcore(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 1L)
+    graft.ops.Graph
+      .kCorePeel(pairs, "item_a", "item_b", k = 3, rounds = 3)
+      .select(col("id").as("item_id"), col("degree"))
+      .orderBy(col("degree").desc, col("item_id").asc)
+  }
 }

@@ -90,6 +90,46 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((2L, 2L, 0L, 0L)))
   }
 
+  test("kCorePeel: K4 plus a pendant chain — 3-core is exactly the K4, converged") {
+    // K4 on {1,2,3,4} + chain 4-5, 5-6: the 3-core is the K4 alone.
+    // Round 1 drops 5 and 6 (degree ≤ 2); rounds 2-3 are no-ops —
+    // pins that extra rounds past the fixpoint change nothing.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("item_a", "item_b")
+    val got = graft.core.Caches.withScope {
+      Graph.kCorePeel(e, "item_a", "item_b", k = 3, rounds = 3)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCorePeel: cascading peel needs the later round (chain collapses one hop per round)") {
+    // Triangle {1,2,3} with a tail 3-4, 4-5 under k=2: round 1 drops 5
+    // (degree 1), round 2 drops the now-degree-1 vertex 4 — the
+    // cascade that makes peeling iterative, not a single filter.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val after1 = graft.core.Caches.withScope {
+      Graph.kCorePeel(e, "a", "b", k = 2, rounds = 1).as[(Long, Long)].collect().toMap
+    }
+    val after2 = graft.core.Caches.withScope {
+      Graph.kCorePeel(e, "a", "b", k = 2, rounds = 2).as[(Long, Long)].collect().toMap
+    }
+    assert(after1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L), "round 1 keeps the dangling 3-4 edge")
+    assert(after2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), "round 2 peels the cascade")
+  }
+
+  test("kCorePeel: bit-identical under repartitioning") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 4L), (4L, 6L), (5L, 6L))
+      .toDF("a", "b")
+    val one = graft.core.Caches.withScope {
+      Graph.kCorePeel(e.coalesce(1), "a", "b", k = 2, rounds = 2).orderBy("id").collect().toSeq
+    }
+    val many = graft.core.Caches.withScope {
+      Graph.kCorePeel(e.repartition(7), "a", "b", k = 2, rounds = 2).orderBy("id").collect().toSeq
+    }
+    assert(one == many)
+  }
+
   test("triangleCounts: bit-identical under repartitioning") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 4L), (4L, 6L), (5L, 6L))
       .toDF("a", "b")
