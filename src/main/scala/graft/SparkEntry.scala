@@ -178,7 +178,9 @@ object SparkEntry {
     "q137_triangles" -> (EQ.covisTriangles _),
     "q138_ndcg_eval" -> (EQ.ndcgEval _),
     "q139_covis_clustering" -> (EQ.covisClustering _),
-    "q140_kcore" -> (EQ.covisKcore _))
+    "q140_kcore" -> (EQ.covisKcore _),
+    "q141_dsir_select" -> (TQ.dsirSelect _),
+    "q142_semantic_dedup" -> (TQ.semanticDedup _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2737,5 +2739,62 @@ object SparkEntry {
          |), ${kcorePeelCte(3, 3)}
          |SELECT id AS item_id, CAST(COUNT(*) AS BIGINT) AS degree
          |FROM (SELECT src AS id FROM e3 UNION ALL SELECT dst FROM e3)
-         |GROUP BY id ORDER BY degree DESC, item_id ASC""".stripMargin)
+         |GROUP BY id ORDER BY degree DESC, item_id ASC""".stripMargin,
+    // DSIR importance log-weights toward the lang='en' target
+    // distribution: Laplace-smoothed unigram log-ratios, micro-quantized
+    // per term before the per-doc sum (mirrors TextRanking.dsirLogWeights)
+    "q141_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS is_target,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        |), by_term AS (
+        |  SELECT term, COUNT(*) AS c_r,
+        |         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
+        |  FROM toks GROUP BY term
+        |), totals AS (
+        |  SELECT COUNT(*) AS n_r,
+        |         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_t,
+        |         COUNT(DISTINCT term) AS v
+        |  FROM toks
+        |), per_term AS (
+        |  SELECT term,
+        |    CAST(round(ln(((c_t + 1.0) / (n_t + v)) / ((c_r + 1.0) / (n_r + v))) * 1000000)
+        |      AS BIGINT) AS lr_micro
+        |  FROM by_term CROSS JOIN totals
+        |)
+        |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf.tf * per_term.lr_micro) AS BIGINT) AS logweight_micro
+        |FROM tf JOIN per_term USING (term)
+        |GROUP BY tf.doc_id
+        |ORDER BY logweight_micro DESC, doc_id ASC LIMIT 50""".stripMargin,
+    // SemDeDup: q41's deterministic quantizer (16 seeds, one exact Lloyd
+    // step, rn=1 assignment), within-cell cosine >= 0.5 pairs, lower-id
+    // survivor wins (mirrors Similarity.semanticDedup)
+    "q142_semantic_dedup" ->
+      s"""WITH $quantCte, ranked AS (
+         |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+         |  FROM qv
+         |), seeds AS (
+         |  SELECT CAST(srn - 1 AS BIGINT) AS cid, v AS cq FROM ranked WHERE srn <= 16
+         |), a0 AS (
+         |  ${assignSql("qv", "seeds", "vid", 64)} WHERE rn = 1
+         |), centd AS (
+         |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM a0, unnest(generate_series(1, 64)) AS t(i)
+         |  GROUP BY cid, i
+         |), cent AS (
+         |  SELECT cid, list(cv ORDER BY i) AS cq FROM centd GROUP BY cid
+         |), assigned AS (
+         |  ${assignSql("qv", "cent", "vid", 64)} WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b.vid AS vec_id
+         |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vid < b.vid
+         |  WHERE ${cosineSql("a.v", "b.v", 64)} >= 0.4
+         |)
+         |SELECT s.vid AS vec_id, s.cid AS cell_id, (d.vec_id IS NULL) AS is_kept
+         |FROM assigned s LEFT JOIN dropped d ON s.vid = d.vec_id
+         |ORDER BY vec_id""".stripMargin)
 }

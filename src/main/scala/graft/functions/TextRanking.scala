@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.ops.Windows
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Term-weighting operators for training-data pipelines: TF-IDF top
@@ -157,6 +157,57 @@ object TextRanking {
         col("co_docs"),
         round(log(col("co_docs").cast("double") * col("n_docs") / (col("df_a") * col("df_b")))
           * 1000000).cast("long").as("pmi_micro"))
+  }
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its unigrams are under the
+    * TARGET distribution (rows where `isTarget`) than under the RAW
+    * corpus distribution — the data-selection primitive that upsamples
+    * target-domain-looking text out of a crawl. Laplace-smoothed
+    * document-level models over the shared vocabulary:
+    * `lr(w) = ln( ((c_t(w)+1)/(N_t+V)) / ((c_r(w)+1)/(N_r+V)) )`,
+    * micro-quantized per TERM (the module's ln rule), so each doc's
+    * log-weight `Σ tf(w)·lr_micro(w)` is an exact long sum —
+    * bit-deterministic ranking.
+    *
+    * Scale shape: one explode + the word-count aggregations (per-doc
+    * tf, raw term counts, target term counts via conditional agg in the
+    * SAME pass), a vocabulary-sized score table joined back onto tf by
+    * term, one broadcast 1-row totals aggregate. No pairwise work; the
+    * target side needs no second corpus scan.
+    * Output: (doc_id, n_tokens, logweight_micro).
+    */
+  def dsirLogWeights(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      isTarget.cast("boolean").as("is_target"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val byTerm = toks.groupBy(col("term")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
+    val totals = toks.agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"),
+      countDistinct(col("term")).as("v"))
+    val perTerm = byTerm
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"),
+        round(log(
+          ((col("c_t") + lit(1L)).cast("double") / (col("n_t") + col("v"))) /
+            ((col("c_r") + lit(1L)).cast("double") / (col("n_r") + col("v"))))
+          * lit(1000000)).cast("long").as("lr_micro"))
+    tf.join(perTerm, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("lr_micro")).as("logweight_micro"))
   }
 
   /** Held-out bigram-LM surprisal — the train/score split version of

@@ -398,6 +398,28 @@ object TextQueries {
       .pmiPairs(Tables.documents(s, d), "text", "doc_id", minCoDocs = 5L)
       .orderBy(col("term_a"), col("term_b"))
 
+  /** SemDeDup over the embeddings table: within-cell cosine near-
+    * coincidence under the deterministic 16-cell quantizer, first-wins
+    * survivorship. See [[graft.similarity.Similarity.semanticDedup]].
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .semanticDedup(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        nCentroids = 16, threshold = 0.4)
+      .orderBy(col("vec_id"))
+
+  /** DSIR data selection: top-50 documents by importance log-weight
+    * toward the English-language target distribution — which crawl
+    * docs "look most like" the target domain. See
+    * [[graft.functions.TextRanking.dsirLogWeights]].
+    */
+  def dsirSelect(s: SparkSession, d: String): DataFrame =
+    TextRanking
+      .dsirLogWeights(Tables.documents(s, d), "text", "doc_id", col("lang") === "en")
+      .orderBy(col("logweight_micro").desc, col("doc_id").asc)
+      .limit(50)
+
   /** Incremental-ingest dedup: batch sources src0-2 against the rest
     * of the corpus as the already-seen index.
     */

@@ -144,6 +144,114 @@ object Similarity {
     * DuckDB oracle generator (SparkEntry), which embeds the same
     * constants as literal plane vectors.
     */
+  /** Nearest-cell assignment by exact integer L2 — top `top` cells per
+    * vector by maximizing `2·v·c − ||c||²`, tie → min cid. Centroid
+    * table is broadcast; the "scan" is a catalog×k codegen'd dot
+    * product, no exchange beyond the top-k window's.
+    */
+  private[graft] def assignTo(
+      vecs: DataFrame,
+      idC: String,
+      embC: String,
+      cents: DataFrame,
+      top: Int): DataFrame =
+    Windows.topKPerGroup(
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("negdist", qdot(col(embC), col("cq")) * 2 - qnorm2(col("cq"))),
+      Seq(idC), col("negdist"), Seq("cid"), top)
+
+  /** The fully deterministic coarse quantizer shared by
+    * [[ivfTopKDeterministic]] and [[semanticDedup]]: `nCentroids` seed
+    * vectors picked by md5-rank of the id (deterministic pseudo-random
+    * sample, planned as TakeOrderedAndProject — no global sort), then
+    * ONE Lloyd refinement where every arithmetic step is exact
+    * (integer L2 assignment with min-cid tie-break; per-dimension
+    * `floor(sum/count)` update on integer sums — associative, so
+    * bit-identical under any partitioning, engine, or re-run). The k
+    * collected seed rows are the same bounded driver materialization
+    * every coarse quantizer makes; the result is broadcast back out.
+    * Input must be (id, quantized emb); returns (cid, cq).
+    */
+  private[graft] def deterministicCentroids(
+      c: DataFrame,
+      idC: String,
+      embC: String,
+      nCentroids: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val seedPool = c
+      .withColumn("h", md5(col(idC).cast("string")))
+      .orderBy(col("h"), col(idC))
+      .limit(nCentroids)
+      .select(col("h"), col(idC).cast("string").as("nid"), col(embC))
+      .collect()
+    val seeds0 = seedPool
+      .sortBy(r => (r.getString(0), r.getString(1)))
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](2)) }
+      .toSeq
+      .toDF("cid", "cq")
+    val a0 = assignTo(c, idC, embC, seeds0, 1)
+      .select(col(idC), col(embC), col("cid"))
+    a0
+      .select(col("cid"), posexplode(col(embC)).as(Seq("pos", "val")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("cid"))
+      .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("cq"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): drop documents
+    * whose EMBEDDINGS nearly coincide with a kept document's — the
+    * semantic sibling of MinHash near-dup (catches paraphrases and
+    * re-renderings that share no shingles). Pairwise cosine is computed
+    * only WITHIN each deterministic quantizer cell (the paper's
+    * k-means-then-intra-cluster trick), so the pair work is
+    * Σ|cell|² — bounded by the coarse quantizer, never corpus². Keep
+    * rule: a vector is dropped iff a LOWER-id vector in its cell is
+    * cosine-≥-threshold similar (first-wins survivorship, matching the
+    * suite's dedup convention).
+    *
+    * Scale shape: one corpus scan for the quantizer (+ its broadcast
+    * centroid table), one cell-keyed exchange for the self-join; the
+    * per-cell quadratic is the documented hot-cell failure mode —
+    * at 100 TB, bound cell size by raising nCentroids (cells track
+    * corpus/k) and salt or cap outlier cells, same playbook as the LSH
+    * band-bucket cap.
+    * Output: (vec_id, cell_id, is_kept) for every corpus vector.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCentroids: Int,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("q_emb"))
+    val cent = deterministicCentroids(c, "vec_id", "q_emb", nCentroids)
+    // assigned is referenced twice (both self-join sides) — cache so the
+    // quantizer's corpus scan + assignment window runs once
+    val assigned = graft.core.Caches.cache(
+      assignTo(c, "vec_id", "q_emb", cent, 1)
+        .select(col("vec_id"), col("q_emb"), col("cid")))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        qcosine(
+          qdot(col("a.q_emb"), col("b.q_emb")),
+          qnorm2(col("a.q_emb")),
+          qnorm2(col("b.q_emb"))) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cid").as("cell_id"),
+        col("is_dropped").isNull.as("is_kept"))
+  }
+
   private[graft] def planeComponent(p: Int, i: Int): Long = {
     val hex = java.security.MessageDigest
       .getInstance("MD5")
@@ -189,39 +297,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
-
-    // Deterministic k-seed pick without a global window: TakeOrderedAndProject
-    // keeps top-k per partition and merges only k rows; cid = md5-rank, stamped
-    // driver-side on the k collected rows (the seed table is broadcast anyway).
-    val seedPool = c
-      .withColumn("h", md5(col("neighbor_id").cast("string")))
-      .orderBy(col("h"), col("neighbor_id"))
-      .limit(nCentroids)
-      .select(col("h"), col("neighbor_id").cast("string").as("nid"), col("c_emb"))
-      .collect()
-    val seeds0 = seedPool
-      .sortBy(r => (r.getString(0), r.getString(1)))
-      .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Long](2)) }
-      .toSeq
-      .toDF("cid", "cq")
-
-    // nearest cell by exact integer L2: maximize 2·v·c − ||c||², tie → min cid
-    def assignTo(vecs: DataFrame, idC: String, embC: String, cents: DataFrame, top: Int) =
-      Windows.topKPerGroup(
-        vecs.crossJoin(broadcast(cents))
-          .withColumn("negdist", qdot(col(embC), col("cq")) * 2 - qnorm2(col("cq"))),
-        Seq(idC), col("negdist"), Seq("cid"), top)
-
-    val a0 = assignTo(c, "neighbor_id", "c_emb", seeds0, 1)
-      .select("neighbor_id", "c_emb", "cid")
-    // one Lloyd step, exact: per-dim floor(mean) on integer sums
-    val cent = a0
-      .select(col("cid"), posexplode(col("c_emb")).as(Seq("pos", "val")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("cv"))
-      .groupBy(col("cid"))
-      .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("cq"))
+    val cent = deterministicCentroids(c, "neighbor_id", "c_emb", nCentroids)
 
     // spill lists: index each corpus vector in its nAssign nearest
     // cells — the standard recall lever that keeps the PROBE side

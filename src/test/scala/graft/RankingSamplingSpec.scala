@@ -41,6 +41,35 @@ class RankingSamplingSpec extends SparkSpec {
     assert(byId(3L).getAs[Long]("score_micro") < 3 * byId(1L).getAs[Long]("score_micro"))
   }
 
+  test("dsirLogWeights: target-vocabulary docs out-weigh raw-typical docs; zero-information split is flat") {
+    // target docs (0,1) speak 'alpha/beta'; raw-only docs (2,3) speak
+    // 'gamma/delta'. A doc made of target terms must carry a strictly
+    // higher importance weight than one made of raw-only terms.
+    val d = Seq(
+      (0L, true, "alpha beta alpha"),
+      (1L, true, "beta alpha beta"),
+      (2L, false, "gamma delta gamma"),
+      (3L, false, "delta gamma delta")).toDF("doc_id", "is_t", "text")
+    val w = TextRanking.dsirLogWeights(d, "text", "doc_id", col("is_t"))
+      .select("doc_id", "logweight_micro").as[(Long, Long)].collect().toMap
+    assert(w(0L) > w(2L) && w(1L) > w(3L))
+    assert(w(0L) > 0L && w(2L) < 0L, "target-only terms weigh positive, raw-only negative")
+    // when every doc is target, p_t == p_r and every weight is exactly 0
+    val flat = TextRanking.dsirLogWeights(d, "text", "doc_id", lit(true))
+      .select("logweight_micro").as[Long].collect()
+    assert(flat.forall(_ == 0L))
+  }
+
+  test("dsirLogWeights: repartition-stable") {
+    val d = Seq(
+      (0L, "alpha beta gamma"), (1L, "beta beta delta"),
+      (2L, "gamma delta alpha"), (3L, "alpha alpha beta")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextRanking.dsirLogWeights(df, "text", "doc_id", col("doc_id") % 2 === 0)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(d.repartition(5)) == run(d.coalesce(1)))
+  }
+
   test("stratifiedHashSample keeps rate-1000 strata fully and is repartition-stable") {
     val df = spark.range(0, 2000).select(
       col("id").as("event_id"),

@@ -51,6 +51,35 @@ class SimilaritySpec extends SparkSpec {
     assert(sim == 1.0)
   }
 
+  test("semanticDedup: exact-duplicate embeddings drop to the lowest id, distinct ones survive") {
+    // 1 and 2 identical (cosine exactly 1), 5 identical to both; 3 and 4
+    // far from everything. Single cell (nCentroids=1) removes quantizer
+    // luck: first-wins must keep 1, drop 2 and 5, keep 3 and 4.
+    val vecs = Seq(
+      (1L, Seq(0.3f, 0.4f, 0.0f)),
+      (2L, Seq(0.3f, 0.4f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.2f, 0.0f)),
+      (5L, Seq(0.3f, 0.4f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.core.Caches.withScope {
+      Similarity.semanticDedup(vecs, "vec_id", "embedding", nCentroids = 1, threshold = 0.9)
+        .select("vec_id", "is_kept").as[(Long, Boolean)].collect().toMap
+    }
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> false))
+  }
+
+  test("semanticDedup: bit-identical under repartitioning") {
+    val vecs = (1L to 40L)
+      .map(i => (i, Seq((i % 7).toFloat / 7f, (i % 3).toFloat / 3f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.core.Caches.withScope {
+      Similarity.semanticDedup(df, "vec_id", "embedding", nCentroids = 4, threshold = 0.99)
+        .orderBy("vec_id").collect().toSeq
+    }
+    assert(run(vecs.repartition(7)) == run(vecs.coalesce(1)))
+  }
+
   test("labelCentroids: exact integer floor-mean per dim, partitioning-invariant") {
     val vecs = Seq(
       (1, Seq(0.1f, 0.2f)), (1, Seq(0.2f, 0.3f)),  // label 1: mean of (1000,2000),(2000,3000)
