@@ -180,7 +180,10 @@ object SparkEntry {
     "q139_covis_clustering" -> (EQ.covisClustering _),
     "q140_kcore" -> (EQ.covisKcore _),
     "q141_dsir_select" -> (TQ.dsirSelect _),
-    "q142_semantic_dedup" -> (TQ.semanticDedup _))
+    "q142_semantic_dedup" -> (TQ.semanticDedup _),
+    "q143_rec_coverage" -> (EQ.recCoverage _),
+    "q144_chi2_terms" -> (TQ.chi2Terms _),
+    "q145_transition_entropy" -> (EQ.transitionEntropy _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2796,5 +2799,105 @@ object SparkEntry {
          |)
          |SELECT s.vid AS vec_id, s.cid AS cell_id, (d.vec_id IS NULL) AS is_kept
          |FROM assigned s LEFT JOIN dropped d ON s.vid = d.vec_id
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+    // aggregate diversity of the covis top-10 lists: catalog coverage +
+    // exact integer Gini over per-item recommendation frequency
+    // (zeros included; rank ties are permutation-invariant in S i*x_i)
+    "q143_rec_coverage" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), directed AS (
+         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+         |), top10 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |                ORDER BY pair_count DESC, dst ASC) AS rn
+         |    FROM directed) WHERE rn <= 10
+         |), catalog AS (
+         |  SELECT DISTINCT item_id FROM enr
+         |), freq AS (
+         |  SELECT c.item_id, COALESCE(f.f, 0) AS f
+         |  FROM catalog c LEFT JOIN (
+         |    SELECT dst AS item_id, COUNT(*) AS f FROM top10 GROUP BY dst) f
+         |  USING (item_id)
+         |), ranked AS (
+         |  SELECT f, ROW_NUMBER() OVER (ORDER BY f, item_id) AS i FROM freq
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS catalog_size,
+         |  CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recommended,
+         |  CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS coverage_ppm,
+         |  CAST((2 * SUM(i * f) - (COUNT(*) + 1) * SUM(f)) * 1000000
+         |    // (COUNT(*) * SUM(f)) AS BIGINT) AS gini_ppm
+         |FROM ranked""".stripMargin,
+    // chi-squared term-language association over document-level
+    // incidence; HUGEINT numerator mirrors the Spark DECIMAL(38,0) path
+    "q144_chi2_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+        |  FROM documents
+        |), term_lang AS (
+        |  SELECT term, lang, COUNT(*) AS a FROM toks GROUP BY 1, 2
+        |), term_total AS (
+        |  SELECT term, SUM(a) AS df FROM term_lang GROUP BY 1 HAVING SUM(a) >= 5
+        |), by_lang AS (
+        |  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), cells AS (
+        |  SELECT lang, term, a, df, n_lang, n_docs,
+        |         df - a AS b, n_lang - a AS c, n_docs - df - (n_lang - a) AS dd
+        |  FROM term_lang JOIN term_total USING (term)
+        |  JOIN by_lang USING (lang) CROSS JOIN n
+        |  WHERE df < n_docs
+        |), chi AS (
+        |  SELECT lang, term, a, df,
+        |    CAST((CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c)
+        |       * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c)
+        |       * n_docs * 1000000
+        |      // (CAST(df AS HUGEINT) * (n_docs - df) * n_lang * (n_docs - n_lang))
+        |      AS BIGINT) AS chi2_micro
+        |  FROM cells
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |            ORDER BY chi2_micro DESC, term ASC) AS rn
+        |  FROM chi
+        |)
+        |SELECT lang, term, CAST(a AS BIGINT) AS n_docs_in_lang,
+        |  CAST(df AS BIGINT) AS df, chi2_micro, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    // per-item outgoing-transition Shannon entropy (micro-nats;
+    // surprisal quantized per destination before the weighted sum)
+    "q145_transition_entropy" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |), trans AS (
+         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+         |), totals AS (
+         |  SELECT item_a, SUM(c) AS total_out, COUNT(*) AS n_out
+         |  FROM trans GROUP BY 1 HAVING SUM(c) >= 5
+         |), s AS (
+         |  SELECT t.item_a, tt.total_out, tt.n_out, t.c,
+         |    CAST(round(-ln(CAST(t.c AS DOUBLE) / tt.total_out) * 1000000) AS BIGINT) AS s_micro
+         |  FROM trans t JOIN totals tt USING (item_a)
+         |)
+         |SELECT item_a AS item_id, CAST(n_out AS BIGINT) AS n_out,
+         |  CAST(total_out AS BIGINT) AS total_out,
+         |  CAST(SUM(c * s_micro) // total_out AS BIGINT) AS entropy_micro
+         |FROM s GROUP BY item_a, total_out, n_out
+         |ORDER BY entropy_micro DESC, n_out DESC, item_id ASC LIMIT 100""".stripMargin)
 }

@@ -178,6 +178,69 @@ object Aggregates {
     * AND of value distribution. Deterministic: type-1 median (the
     * lower-middle VALUE, an actual data point).
     */
+  /** Exact integer Gini coefficient in ppm over a non-negative long
+    * `valueCol` (zeros included — concentration is only meaningful
+    * against the full population): one row
+    * `(n, total, gini_ppm)` from the rank identity
+    * `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)` with rows ranked by
+    * (value, tieCol). Within a tied-value block Σ i·x_i is
+    * permutation-invariant, so the tie-break never changes the result —
+    * bit-deterministic. `gini_ppm` is NULL when Σx = 0 (undefined).
+    *
+    * Scale: the ranking window is over the INPUT table — intended for
+    * catalog-/vocabulary-sized frequency tables (the bounded regime);
+    * Σ i·x_i ≤ n·Σx stays in long through ~10⁸ rows of 10-ish counts.
+    * For fact-table-sized inputs, pre-aggregate first or swap the
+    * window for [[graft.ops.Windows.shardedCumsum]].
+    */
+  def giniPpm(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+    val ranked = df.withColumn(
+      "__i",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(valueCol), col(tieCol))))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol)).as("total"),
+      sum(col("__i") * col(valueCol)).as("__s1"))
+      .select(
+        col("n"),
+        col("total"),
+        when(col("total") > 0,
+          expr("(2 * __s1 - (n + 1) * total) * 1000000 div (n * total)"))
+          .as("gini_ppm"))
+  }
+
+  /** Shannon entropy in micro-nats of each key's discrete distribution,
+    * given pre-aggregated `(key, count)` rows: per-outcome surprisal is
+    * quantized to micro BEFORE the weighted sum (the suite's ln rule),
+    * so `H = Σ c·round(−ln(c/total)·1e6) div total` is exact integer
+    * arithmetic — bit-deterministic cross-engine. Keys with total <
+    * `minTotal` are dropped (entropy of a handful of observations is
+    * noise). Output: key cols + (n_outcomes, total, entropy_micro).
+    *
+    * Scale shape: one key-sized aggregation for totals, broadcast back
+    * onto the (key, outcome) table, one final key-sized aggregation —
+    * word-count shape, no per-fact work.
+    */
+  def entropyMicroPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      countCol: String,
+      minTotal: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val totals = df
+      .groupBy(keys: _*)
+      .agg(sum(col(countCol)).as("total"), count(lit(1)).as("n_outcomes"))
+      .filter(col("total") >= minTotal)
+    df.join(broadcast(totals), keyCols)
+      .withColumn(
+        "__s_micro",
+        round(-log(col(countCol).cast("double") / col("total")) * lit(1000000)).cast("long"))
+      .groupBy((keys :+ col("total")) :+ col("n_outcomes"): _*)
+      .agg(expr(s"sum($countCol * __s_micro) div total").as("entropy_micro"))
+      .select((keys :+ col("n_outcomes")) :+ col("total") :+ col("entropy_micro"): _*)
+  }
+
   def exactMedianTwoPass(
       df: DataFrame,
       valueCol: Column,

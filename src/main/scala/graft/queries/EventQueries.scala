@@ -1157,6 +1157,83 @@ object EventQueries {
       .limit(20)
   }
 
+  /** Catalog coverage and Gini concentration of the covis top-10
+    * recommendation lists — the aggregate-diversity report card for a
+    * recommender (a system can score well on accuracy while
+    * recommending 2% of the catalog; Gini says how concentrated the
+    * exposure is). Coverage = distinct recommended items / catalog;
+    * Gini over per-item recommendation frequency INCLUDING the
+    * never-recommended zeros, computed from the exact integer identity
+    * `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)` with items ranked by
+    * (freq, item_id) — within a tied-frequency block Σ i·x_i is
+    * permutation-invariant, so the tie-break changes nothing and the
+    * ppm result is bit-deterministic.
+    *
+    * Scale: the ranking window runs over the CATALOG-sized frequency
+    * table (the same bounded regime as every top-k ranking here), never
+    * the fact table; Σ i·x_i ≤ 10·n² stays in long through ~10⁸-item
+    * catalogs. Output is one row.
+    */
+  def recCoverage(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val catalog = enriched.select(col("item_id")).distinct()
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val directed = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
+      .unionByName(pairs
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+    val top10 = Windows
+      .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
+    // freq feeds both the coverage aggregate and the Gini ranking —
+    // cache so the covis-pair lineage runs once
+    val freq = graft.core.Caches.cache(catalog
+      .join(top10.groupBy(col("dst").as("item_id")).agg(count(lit(1)).as("f")),
+        Seq("item_id"), "left")
+      .na.fill(0L, Seq("f")))
+    val cov = freq.agg(
+      count(lit(1)).as("catalog_size"),
+      Ag.countIf(col("f") > 0).as("n_recommended"))
+    cov
+      .crossJoin(Ag.giniPpm(freq, "f", "item_id").select(col("gini_ppm")))
+      .select(
+        col("catalog_size"),
+        col("n_recommended"),
+        expr("n_recommended * 1000000 div catalog_size").as("coverage_ppm"),
+        col("gini_ppm"))
+  }
+
+  /** Shannon entropy (micro-nats) of each item's outgoing next-item
+    * transition distribution — low entropy = the item determines its
+    * successor (a series opener), high = a hub with diffuse follow-ups;
+    * the sequence-predictability signal behind "is a Markov recommender
+    * even viable for this item". Per-destination surprisal is
+    * micro-quantized BEFORE the weighted sum (the suite's ln rule), so
+    * `H = Σ c·round(−ln(c/total)·1e6) div total` is exact integer
+    * arithmetic. Top 100 highest-entropy items with ≥ 5 outgoing
+    * transitions, full (entropy, n_out, item) tie-break chain.
+    *
+    * Scale shape: transitions are a catalog²-bounded aggregate; totals
+    * are catalog-sized and broadcast back; no per-event work after the
+    * two aggregations.
+    */
+  def transitionEntropy(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    Ag
+      .entropyMicroPerKey(trans, Seq("item_a"), "transition_count", minTotal = 5L)
+      .select(
+        col("item_a").as("item_id"),
+        col("n_outcomes").as("n_out"),
+        col("total").as("total_out"),
+        col("entropy_micro"))
+      .orderBy(col("entropy_micro").desc, col("n_out").desc, col("item_id").asc)
+      .limit(100)
+  }
+
   /** 3-core of the co-visitation item graph via 3 peeling rounds —
     * the dense-community backbone (items that survive are each
     * co-visited with ≥ 3 other survivors: the "always bought together"

@@ -398,6 +398,56 @@ object TextQueries {
       .pmiPairs(Tables.documents(s, d), "text", "doc_id", minCoDocs = 5L)
       .orderBy(col("term_a"), col("term_b"))
 
+  /** χ²-discriminative terms per language: the classic feature-
+    * selection statistic over the document-level term×class incidence
+    * table — which words are most characteristic of each language
+    * stratum (the corpus-diagnostic behind "did my lang-id leak" and
+    * supervised vocabulary pruning). For each (term, lang) with
+    * df ≥ 5: `χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` on exact
+    * counts; the squared numerator leaves long range (~3·10¹⁹ even at
+    * 500 docs), so it's computed in DECIMAL(38,0) and only the final
+    * integral-divided micro score is a BIGINT. Terms present in every
+    * document are excluded (zero denominator, zero information). Top 5
+    * per language, term tie-break. At extreme corpus scale the counts
+    * themselves rescale to ppm before squaring — same statistic, same
+    * ordering, bounded digits.
+    *
+    * Scale shape: explode + two word-count aggregations; class sizes
+    * and the corpus total are broadcast 1-row/class-sized aggregates;
+    * the χ² arithmetic is row-local over the vocabulary-sized
+    * (term, lang) table.
+    */
+  def chi2Terms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val incidence = docs.select(
+      col("doc_id"), col("lang"),
+      explode(array_distinct(TF.tokens(col("text")))).as("term"))
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val termLang = incidence.groupBy(col("term"), col("lang")).agg(count(lit(1)).as("a"))
+    val termTotal = termLang.groupBy(col("term")).agg(sum(col("a")).as("df"))
+      .filter(col("df") >= 5)
+    val scored = termLang
+      .join(termTotal, Seq("term"))
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") < col("n_docs"))
+      .withColumn("b", col("df") - col("a"))
+      .withColumn("c", col("n_lang") - col("a"))
+      .withColumn("dd", col("n_docs") - col("df") - col("c"))
+      .withColumn("delta", expr("CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * c"))
+      .withColumn(
+        "chi2_micro",
+        expr("""CAST((delta * delta * n_docs * 1000000) div
+               |(CAST(df AS DECIMAL(38,0)) * (n_docs - df) * n_lang * (n_docs - n_lang))
+               |AS BIGINT)""".stripMargin))
+    graft.ops.Windows
+      .topKPerGroup(scored, Seq("lang"), col("chi2_micro"), Seq("term"), k = 5)
+      .select(col("lang"), col("term"), col("a").as("n_docs_in_lang"),
+        col("df"), col("chi2_micro"), col("rn").cast("long").as("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** SemDeDup over the embeddings table: within-cell cosine near-
     * coincidence under the deterministic 16-cell quantizer, first-wins
     * survivorship. See [[graft.similarity.Similarity.semanticDedup]].

@@ -83,6 +83,43 @@ class AggregatesSpec extends SparkSpec {
     assert(out == Set((1L, "view", 1L), (2L, "click", 0L)))
   }
 
+  test("giniPpm: uniform is 0, single-holder approaches 1, zeros count, Sx=0 is NULL") {
+    def gini(xs: Seq[Long]): Option[Long] = {
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      Option(Aggregates.giniPpm(df, "v", "id").select("gini_ppm").head().get(0))
+        .map(_.asInstanceOf[Long])
+    }
+    assert(gini(Seq(5L, 5L, 5L, 5L)) == Some(0L), "equal shares ⇒ zero concentration")
+    // one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert(gini(Seq(0L, 0L, 0L, 12L)) == Some(750000L))
+    // zeros must dilute: {1,1} vs {0,0,1,1} differ
+    assert(gini(Seq(1L, 1L)) == Some(0L))
+    assert(gini(Seq(0L, 0L, 1L, 1L)) == Some(500000L))
+    assert(gini(Seq(0L, 0L, 0L)).isEmpty, "all-zero population ⇒ NULL, not a crash")
+  }
+
+  test("giniPpm: tie-break permutation cannot move the result (repartition-stable)") {
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "v")
+    val a = Aggregates.giniPpm(df.repartition(13), "v", "id").collect().toSeq
+    val b = Aggregates.giniPpm(df.coalesce(1), "v", "id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("entropyMicroPerKey: uniform hits ln(k) micro, deterministic is 0, minTotal drops sparse keys") {
+    val counts = Seq(
+      ("u4", "a", 3L), ("u4", "b", 3L), ("u4", "c", 3L), ("u4", "d", 3L), // uniform over 4
+      ("det", "only", 9L),                                                // single outcome
+      ("thin", "x", 1L), ("thin", "y", 1L))                               // total 2 < minTotal
+      .toDF("k", "outcome", "c")
+    val got = Aggregates.entropyMicroPerKey(counts, Seq("k"), "c", minTotal = 5L)
+      .select("k", "n_outcomes", "total", "entropy_micro")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!got.contains("thin"))
+    assert(got("det") == ((1L, 9L, 0L)), "a deterministic distribution has zero entropy")
+    // uniform over 4: H = ln 4 = 1.386294... -> s_micro = 1386294 per outcome, exact mean
+    assert(got("u4") == ((4L, 12L, 1386294L)))
+  }
+
   test("exactMedianTwoPass: type-1 median, bucket-boundary and skew cases") {
     def med(vals: Seq[Long], buckets: Int = 4) = Aggregates
       .exactMedianTwoPass(vals.toDF("x"), col("x"), buckets)
