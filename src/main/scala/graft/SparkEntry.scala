@@ -183,7 +183,10 @@ object SparkEntry {
     "q142_semantic_dedup" -> (TQ.semanticDedup _),
     "q143_rec_coverage" -> (EQ.recCoverage _),
     "q144_chi2_terms" -> (TQ.chi2Terms _),
-    "q145_transition_entropy" -> (EQ.transitionEntropy _))
+    "q145_transition_entropy" -> (EQ.transitionEntropy _),
+    "q146_hard_negatives" -> (TQ.hardNegatives _),
+    "q147_cusum_drift" -> (EQ.cusumDrift _),
+    "q148_bpe_merges" -> (TQ.bpeMerges _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -412,6 +415,25 @@ object SparkEntry {
            |)""".stripMargin
       }
       .mkString(", ")
+
+  /** One BPE round over `s<r-1>(wc, seq)` — pair counts from the
+    * double-separator symbol encoding, lexicographic-tie argmax, greedy
+    * left-to-right merge rewrite. Ends in tables `b<r>` (the winning
+    * merge) and `s<r>` (rewritten sequences). Mirrors Bpe.learnMerges.
+    */
+  private def bpeRoundCte(r: Int): String =
+    s"""p$r AS (
+       |  SELECT s[i] AS a, s[i + 1] AS b, SUM(wc) AS c
+       |  FROM (SELECT wc, string_split(trim(seq), '  ') AS s FROM s${r - 1}),
+       |       unnest(generate_series(1, len(s) - 1)) AS t(i)
+       |  GROUP BY 1, 2
+       |), b$r AS (
+       |  SELECT a, b, c FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1
+       |), s$r AS (
+       |  SELECT wc, replace(seq, (SELECT ' ' || a || '  ' || b || ' ' FROM b$r),
+       |                          (SELECT ' ' || a || b || ' ' FROM b$r)) AS seq
+       |  FROM s${r - 1}
+       |)""".stripMargin
 
   private def langScoreSql(markers: Seq[String]): String =
     markers
@@ -2899,5 +2921,65 @@ object SparkEntry {
          |  CAST(total_out AS BIGINT) AS total_out,
          |  CAST(SUM(c * s_micro) // total_out AS BIGINT) AS entropy_micro
          |FROM s GROUP BY item_a, total_out, n_out
-         |ORDER BY entropy_micro DESC, n_out DESC, item_id ASC LIMIT 100""".stripMargin)
+         |ORDER BY entropy_micro DESC, n_out DESC, item_id ASC LIMIT 100""".stripMargin,
+    // hard negatives: brute-force cosine top-5 restricted to
+    // different-label corpus vectors (quantized-integer cosine)
+    "q146_hard_negatives" ->
+      """WITH qv AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT * FROM qv WHERE vec_id < 32
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS DOUBLE) /
+        |      sqrt(CAST(list_sum(list_transform(q.v, x -> x * x)) AS DOUBLE)) /
+        |      sqrt(CAST(list_sum(list_transform(c.v, x -> x * x)) AS DOUBLE)) AS cosine_sim
+        |  FROM q JOIN qv c ON q.label <> c.label
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rn <= 5
+        |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin,
+    // CUSUM level-shift scan over daily event counts: deviations scaled
+    // by the day count (c*D - T) so the running sum is exact integers
+    "q147_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day_num,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT SUM(n_events) AS t, COUNT(*) AS d_days FROM daily
+        |), cusum AS (
+        |  SELECT day_num, n_events,
+        |    SUM(n_events * d_days - t) OVER (ORDER BY day_num
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_scaled
+        |  FROM daily CROSS JOIN tot
+        |), peak AS (
+        |  SELECT MAX(abs(cusum_scaled)) AS p FROM cusum
+        |)
+        |SELECT day_num, n_events, CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+        |  (abs(cusum_scaled) = p) AS is_peak
+        |FROM cusum CROSS JOIN peak ORDER BY day_num""".stripMargin,
+    // first 4 BPE merges: vocabulary word counts -> double-separator
+    // char sequences -> per-round pair-count argmax + greedy rewrite
+    "q148_bpe_merges" ->
+      s"""WITH w0 AS (
+         |  SELECT w, COUNT(*) AS wc FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w
+         |), s0 AS (
+         |  SELECT wc,
+         |    ' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), '  ') || ' ' AS seq
+         |  FROM w0
+         |), ${bpeRoundCte(1)}, ${bpeRoundCte(2)}, ${bpeRoundCte(3)}, ${bpeRoundCte(4)}
+         |SELECT CAST(1 AS BIGINT) AS round, a AS pair_a, b AS pair_b,
+         |  a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM b1
+         |UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM b2
+         |UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM b3
+         |UNION ALL SELECT CAST(4 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM b4
+         |ORDER BY round""".stripMargin)
 }

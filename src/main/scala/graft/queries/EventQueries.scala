@@ -1234,6 +1234,44 @@ object EventQueries {
       .limit(100)
   }
 
+  /** CUSUM changepoint scan over the daily event-count series — the
+    * classic "when did the level shift" monitor (PSI/KS say THAT two
+    * windows differ; CUSUM localizes WHERE the drift starts: the
+    * |cusum| peak). Exact integer arithmetic: deviations are scaled by
+    * the day count (`c_d·D − T` instead of `c_d − T/D`), so the
+    * cumulative sum needs no division anywhere and ends at exactly 0 —
+    * bit-deterministic, and the argmax day is stable. Output: one row
+    * per active day `(day_num, n_events, cusum_scaled, is_peak)`.
+    *
+    * Scale shape: one fact-table aggregation to the day grain; the
+    * cumulative window runs over the DAY-sized series (the bounded
+    * time dimension — thousands of rows for decade-long logs), with
+    * totals broadcast. Never a fact-sized window.
+    */
+  def cusumDrift(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("unix_timestamp(ts) div 86400").as("day_num"))
+      .groupBy(col("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(
+      sum(col("n_events")).as("t"), count(lit(1)).as("d_days"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_num"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cusum = daily
+      .crossJoin(broadcast(tot))
+      .withColumn("cusum_scaled", sum(col("n_events") * col("d_days") - col("t")).over(w))
+    val peak = cusum.agg(max(abs(col("cusum_scaled"))).as("peak_abs"))
+    cusum
+      .crossJoin(broadcast(peak))
+      .select(
+        col("day_num"),
+        col("n_events"),
+        col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("peak_abs")).as("is_peak"))
+      .orderBy(col("day_num"))
+  }
+
   /** 3-core of the co-visitation item graph via 3 peeling rounds —
     * the dense-community backbone (items that survive are each
     * co-visited with ≥ 3 other survivors: the "always bought together"

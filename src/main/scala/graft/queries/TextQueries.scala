@@ -398,6 +398,48 @@ object TextQueries {
       .pmiPairs(Tables.documents(s, d), "text", "doc_id", minCoDocs = 5L)
       .orderBy(col("term_a"), col("term_b"))
 
+  /** Hard-negative mining for contrastive/metric training: per query
+    * vector (vec_id < 32), the top-5 most-cosine-similar corpus vectors
+    * with a DIFFERENT label — the "looks like a positive but isn't"
+    * examples a triplet/InfoNCE loss needs. Composition of the
+    * quantized-integer cosine kernel and the top-k window with a label
+    * anti-filter; brute force here, and at scale the filter composes
+    * unchanged with the IVF/LSH candidate generators (filter the
+    * candidate list, not the corpus).
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 32).select(
+      col("vec_id").as("query_id"),
+      Similarity.quantize(col("embedding")).as("q_emb"),
+      col("label").as("q_label"))
+    val c = emb.select(
+      col("vec_id").as("neighbor_id"),
+      Similarity.quantize(col("embedding")).as("c_emb"),
+      col("label").as("c_label"))
+    val scored = q.join(c, col("q_label") =!= col("c_label"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        Similarity.qcosine(
+          Similarity.qdot(col("q_emb"), col("c_emb")),
+          Similarity.qnorm2(col("q_emb")),
+          Similarity.qnorm2(col("c_emb"))).as("cosine_sim"))
+    graft.ops.Windows
+      .topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
+  }
+
+  /** First 4 learned BPE merges over the corpus vocabulary — the
+    * tokenizer-training primitive. See
+    * [[graft.functions.Bpe.learnMerges]].
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.functions.Bpe
+      .learnMerges(Tables.documents(s, d), "text", rounds = 4)
+      .orderBy(col("round"))
+
   /** χ²-discriminative terms per language: the classic feature-
     * selection statistic over the document-level term×class incidence
     * table — which words are most characteristic of each language

@@ -25,7 +25,10 @@ class ContractHygieneSpec extends SparkSpec {
     "q25_scalar_functions", "q26_features", "q31_knn_cosine",
     "q36_knn_lsh", "q39_embedding_neardup", "q40_embedding_neardup_lsh",
     "q41_knn_ivf", "q46_group_quantiles", "q66_reconcile", "q72_rollup",
-    "q79_cube", "q88_grouping_sets", "q99_winsorize")
+    "q79_cube", "q88_grouping_sets", "q99_winsorize",
+    // quantized-integer cosine (exact int dot/norms, one IEEE division
+    // chain identical in both engines) — same bit-exactness as q31/q36
+    "q146_hard_negatives")
 
   private def leafTypes(dt: DataType): Seq[DataType] = dt match {
     case s: StructType => s.fields.toSeq.flatMap(f => leafTypes(f.dataType))
