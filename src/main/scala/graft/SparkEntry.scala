@@ -186,7 +186,10 @@ object SparkEntry {
     "q145_transition_entropy" -> (EQ.transitionEntropy _),
     "q146_hard_negatives" -> (TQ.hardNegatives _),
     "q147_cusum_drift" -> (EQ.cusumDrift _),
-    "q148_bpe_merges" -> (TQ.bpeMerges _))
+    "q148_bpe_merges" -> (TQ.bpeMerges _),
+    "q149_lang_id_kappa" -> (TQ.langIdKappa _),
+    "q150_seq_patterns" -> (EQ.seqPatterns _),
+    "q151_js_divergence" -> (TQ.jsDivergence _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -2981,5 +2984,96 @@ object SparkEntry {
          |UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM b2
          |UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM b3
          |UNION ALL SELECT CAST(4 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM b4
-         |ORDER BY round""".stripMargin)
+         |ORDER BY round""".stripMargin,
+    // Cohen's kappa of the q32 lang-id vs the gold label; DuckDB's //
+    // is floor division, mirrored by the Spark pmod floor-div
+    "q149_lang_id_kappa" -> {
+      val best = TQ.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |${TQ.langMarkers
+          .map { case (l, ms) => s"    ${langScoreSql(ms)} AS s_$l" }
+          .mkString(",\n")}
+         |  FROM documents
+         |), p AS (
+         |  SELECT lang,
+         |    CASE ${TQ.langMarkers
+          .map { case (l, _) => s"WHEN s_$l = $best AND $best > 0 THEN '$l'" }
+          .mkString(" ")} ELSE 'und' END AS pred_lang
+         |  FROM scored
+         |), t AS (
+         |  SELECT COUNT(*) AS n, SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS a FROM p
+         |), r AS (
+         |  SELECT lang AS lbl, COUNT(*) AS rc FROM p GROUP BY 1
+         |), c AS (
+         |  SELECT pred_lang AS lbl, COUNT(*) AS cc FROM p GROUP BY 1
+         |), sm AS (
+         |  SELECT COALESCE(SUM(rc * cc), 0) AS s FROM r JOIN c USING (lbl)
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_docs, CAST(a AS BIGINT) AS n_agree,
+         |  CAST(s AS BIGINT) AS marginal_product_sum,
+         |  CAST((a * n - s) * 1000000 // (n * n - s) AS BIGINT) AS kappa_ppm
+         |FROM t CROSS JOIN sm""".stripMargin
+    },
+    // directed "a then eventually b" support over sessions (first
+    // occurrences from a per-session row_number; 200-item group cap)
+    "q150_seq_patterns" ->
+      s"""WITH $sessCte, pos AS (
+         |  SELECT session_id, item_id,
+         |         ROW_NUMBER() OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS pos
+         |  FROM enr
+         |), fi AS (
+         |  SELECT session_id, item_id, MIN(pos) AS first_pos FROM pos GROUP BY 1, 2
+         |), small AS (
+         |  SELECT session_id FROM fi GROUP BY session_id HAVING COUNT(*) <= 200
+         |), fik AS (
+         |  SELECT fi.* FROM fi JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS n_sessions
+         |  FROM fik a JOIN fik b
+         |    ON a.session_id = b.session_id AND a.first_pos < b.first_pos
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), rr AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, item_a, item_b) AS rn
+         |  FROM pairs
+         |)
+         |SELECT item_a, item_b, CAST(n_sessions AS BIGINT) AS n_sessions
+         |FROM rr WHERE rn <= 50
+         |ORDER BY n_sessions DESC, item_a, item_b""".stripMargin,
+    // per-source Jensen-Shannon divergence vs the rest of the corpus
+    // (full source x pruned-term grid; nano-quantized contributions)
+    "q151_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), by_src AS (
+        |  SELECT source, term, COUNT(*) AS c_s FROM toks GROUP BY 1, 2
+        |), corpus AS (
+        |  SELECT term, COUNT(*) AS c_all FROM toks GROUP BY 1 HAVING COUNT(*) >= 5
+        |), src_totals AS (
+        |  SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1
+        |), all_total AS (
+        |  SELECT COUNT(*) AS n_all FROM toks
+        |), cells AS (
+        |  SELECT st.source, c.term,
+        |    CAST(COALESCE(b.c_s, 0) AS DOUBLE) AS cs,
+        |    CAST(c.c_all - COALESCE(b.c_s, 0) AS DOUBLE) AS cr,
+        |    CAST(st.n_s AS DOUBLE) AS ns,
+        |    CAST(a.n_all - st.n_s AS DOUBLE) AS nr
+        |  FROM corpus c CROSS JOIN src_totals st
+        |  LEFT JOIN by_src b ON b.source = st.source AND b.term = c.term
+        |  CROSS JOIN all_total a
+        |), contrib AS (
+        |  SELECT source, cs,
+        |    CAST(round((
+        |      CASE WHEN cs / ns > 0
+        |        THEN (cs / ns) * ln((cs / ns) / ((cs / ns + cr / nr) / 2.0)) ELSE 0.0 END +
+        |      CASE WHEN cr / nr > 0
+        |        THEN (cr / nr) * ln((cr / nr) / ((cs / ns + cr / nr) / 2.0)) ELSE 0.0 END
+        |      ) * 500000000) AS BIGINT) AS contrib_nano
+        |  FROM cells
+        |)
+        |SELECT source, CAST(SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+        |  CAST(SUM(contrib_nano) AS BIGINT) AS jsd_nano
+        |FROM contrib GROUP BY source ORDER BY source""".stripMargin)
 }

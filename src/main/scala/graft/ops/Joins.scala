@@ -194,6 +194,48 @@ object Joins {
       .filter(col("pair_count") >= minCount)
   }
 
+  /** DIRECTED precedence pairs — the order-sensitive sibling of
+    * [[covisitationPairsDistinct]] and the 2-sequence case of
+    * sequential-pattern mining (PrefixSpan/SPAM's first level):
+    * `(item_a, item_b, n_groups)` where item_a's FIRST occurrence
+    * strictly precedes item_b's within the group, counted over groups.
+    * Input is one row per (group, item) with `posCol` = the item's
+    * first position in the group (unique within the group — ties are
+    * impossible by construction when positions come from a
+    * row_number). Unlike co-visitation, (a,b) and (b,a) are distinct
+    * outcomes; unlike transitions, "precedes" is eventual, not
+    * adjacent.
+    *
+    * Scale shape: identical to the covis self-join — group-keyed
+    * equi-join over distinct (group, item) rows with the same
+    * distinct-item group cap bounding the quadratic fan-out, one pair
+    * exchange out. The support filter applies post-aggregation
+    * (map-side combined).
+    */
+  def precedencePairs(
+      firstPositions: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      posCol: String,
+      minCount: Long,
+      maxGroupSize: Option[Int] = Some(200)): DataFrame = {
+    val capped = maxGroupSize match {
+      case Some(cap) =>
+        val d = graft.core.Caches.cache(firstPositions)
+        val keep = d.groupBy(col(groupCol)).count()
+          .filter(col("count") <= cap).select(col(groupCol))
+        d.join(keep, Seq(groupCol), "left_semi")
+      case None => firstPositions
+    }
+    val a = capped.select(col(groupCol), col(itemCol).as("item_a"), col(posCol).as("__pa"))
+    val b = capped.select(col(groupCol), col(itemCol).as("item_b"), col(posCol).as("__pb"))
+    a.join(b, Seq(groupCol))
+      .filter(col("__pa") < col("__pb"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= minCount)
+  }
+
   /** Broadcast cross join of every anchor row with a global top-k
     * dimension (reference popularity candidates, `:339-340`).
     * `top` must be tiny (top-k) — forced broadcast nested-loop.

@@ -1234,6 +1234,31 @@ object EventQueries {
       .limit(100)
   }
 
+  /** Sequential 2-patterns over sessions: "item_a then (eventually)
+    * item_b" support counts — the order-sensitive mining primitive
+    * between transitions (adjacent-only) and co-visitation
+    * (order-blind); asymmetric support (a→b ≫ b→a) is the
+    * funnel-direction signal. First positions come from a per-session
+    * row_number (unique ⇒ strict precedence is well-defined); top 50
+    * by support with a full tie-break chain. See
+    * [[graft.ops.Joins.precedencePairs]] for the join shape.
+    */
+  def seqPatterns(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("session_id"))
+      .orderBy(col("epoch_s"), col("event_id"))
+    val first = enriched
+      .select(col("session_id"), col("item_id"), row_number().over(w).as("pos"))
+      .groupBy(col("session_id"), col("item_id"))
+      .agg(min(col("pos")).as("first_pos"))
+    Joins
+      .precedencePairs(first, "session_id", "item_id", "first_pos", minCount = 2L)
+      .orderBy(col("n_groups").desc, col("item_a").asc, col("item_b").asc)
+      .limit(50)
+      .withColumnRenamed("n_groups", "n_sessions")
+  }
+
   /** CUSUM changepoint scan over the daily event-count series — the
     * classic "when did the level shift" monitor (PSI/KS say THAT two
     * windows differ; CUSUM localizes WHERE the drift starts: the

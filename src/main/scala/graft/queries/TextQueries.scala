@@ -431,6 +431,98 @@ object TextQueries {
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
+  /** Cohen's kappa of the heuristic language-ID against the gold
+    * `lang` label — chance-corrected agreement, the honest version of
+    * raw accuracy when the class balance is skewed (a classifier that
+    * always predicts the majority language scores high accuracy and
+    * kappa ≈ 0). Entirely integer from the confusion marginals:
+    * `κ = (A·N − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l)`, emitted
+    * in ppm via an exact FLOOR division (`(x − pmod(x, y)) div y`) so a
+    * worse-than-chance negative κ still matches DuckDB's floor `//`
+    * semantics — trunc-vs-floor on negatives is a cross-engine trap.
+    *
+    * Scale: one corpus scan for predictions; marginals are
+    * class-count-sized aggregates; the kappa arithmetic is one row.
+    */
+  def langIdKappa(s: SparkSession, d: String): DataFrame = {
+    val preds = graft.core.Caches.cache(
+      Tables.documents(s, d).select(
+        col("lang"),
+        TF.langId(col("text"), langMarkers, "und").as("pred_lang")))
+    val t = preds.agg(
+      count(lit(1)).as("n_docs"),
+      graft.ops.Aggregates.countIf(col("lang") === col("pred_lang")).as("n_agree"))
+    val rows = preds.groupBy(col("lang").as("lbl")).agg(count(lit(1)).as("rc"))
+    val cols = preds.groupBy(col("pred_lang").as("lbl")).agg(count(lit(1)).as("cc"))
+    val sm = rows.join(cols, Seq("lbl"))
+      .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("marginal_product_sum"))
+    t.crossJoin(broadcast(sm))
+      .select(
+        col("n_docs"),
+        col("n_agree"),
+        col("marginal_product_sum"),
+        expr("""CAST(((n_agree * n_docs - marginal_product_sum) * 1000000
+               | - pmod((n_agree * n_docs - marginal_product_sum) * 1000000,
+               |        n_docs * n_docs - marginal_product_sum))
+               | div (n_docs * n_docs - marginal_product_sum) AS BIGINT)""".stripMargin)
+          .as("kappa_ppm"))
+  }
+
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * against the REST of the corpus — which sources are lexical
+    * outliers (the per-source drift diagnostic behind mixture-weight
+    * debugging; symmetric and bounded at ln 2, unlike KL). Terms with
+    * corpus count < 5 are pruned (hapax noise); zero-count sides
+    * contribute their exact `p·ln 2` branch. Per-(source, term)
+    * contributions are quantized to NANO units before the exact long
+    * sum (the suite's ln rule at a resolution fit for sub-ppm
+    * divergences).
+    *
+    * Scale shape: two word-count aggregations (per-source and corpus
+    * term counts), corpus totals broadcast back; the divergence sum is
+    * a source-keyed aggregation over the vocabulary×sources table. No
+    * pairwise source×source work — each source compares against the
+    * complement, computed by subtraction from broadcast corpus totals.
+    */
+  def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(
+      col("source"),
+      explode(TF.tokens(col("text"))).as("term"))
+    val bySrc = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_s"))
+    val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("c_all"))
+      .filter(col("c_all") >= 5)
+    val srcTotals = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val allTotal = toks.agg(count(lit(1)).as("n_all"))
+    // full source×term grid (a source ABSENT from a term still owes its
+    // q-branch); complement counts by subtraction from broadcast corpus
+    // totals — no second scan, no source×source pairing
+    val cells = corpus
+      .crossJoin(broadcast(srcTotals))
+      .join(bySrc, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("c_s"))
+      .crossJoin(broadcast(allTotal))
+      .select(
+        col("source"), col("term"),
+        col("c_s").cast("double").as("cs"),
+        (col("c_all") - col("c_s")).cast("double").as("cr"),
+        col("n_s").cast("double").as("ns"),
+        (col("n_all") - col("n_s")).cast("double").as("nr"))
+      .withColumn("p", col("cs") / col("ns"))
+      .withColumn("q", col("cr") / col("nr"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn(
+        "contrib_nano",
+        round((when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0.0)) +
+          when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(lit(0.0))) *
+          lit(500000000L)).cast("long"))
+    cells
+      .groupBy(col("source"))
+      .agg(
+        graft.ops.Aggregates.countIf(col("cs") > 0).as("n_terms"),
+        sum(col("contrib_nano")).as("jsd_nano"))
+      .orderBy(col("source"))
+  }
+
   /** First 4 learned BPE merges over the corpus vocabulary — the
     * tokenizer-training primitive. See
     * [[graft.functions.Bpe.learnMerges]].

@@ -100,6 +100,37 @@ class JoinsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("precedencePairs: directed eventual order, asymmetric counts, threshold") {
+    // g1: a(1) b(2) c(3); g2: b(1) a(2); g3: a(1) c(2)
+    // a->b: g1 only (g2 reverses); b->a: g2; a->c: g1+g3 = 2; b->c, c->*: 1/0
+    val fi = Seq(
+      ("g1", "a", 1), ("g1", "b", 2), ("g1", "c", 3),
+      ("g2", "b", 1), ("g2", "a", 2),
+      ("g3", "a", 1), ("g3", "c", 2))
+      .toDF("g", "item", "first_pos")
+    val all = graft.core.Caches.withScope {
+      Joins.precedencePairs(fi, "g", "item", "first_pos", minCount = 1L)
+        .as[(String, String, Long)].collect().toSet
+    }
+    assert(all == Set(
+      ("a", "b", 1L), ("b", "a", 1L), ("a", "c", 2L), ("b", "c", 1L)))
+    val thresh = graft.core.Caches.withScope {
+      Joins.precedencePairs(fi, "g", "item", "first_pos", minCount = 2L)
+        .as[(String, String, Long)].collect().toSet
+    }
+    assert(thresh == Set(("a", "c", 2L)), "support filter keeps only the repeated direction")
+  }
+
+  test("precedencePairs: group cap drops oversized groups entirely") {
+    val big = (1 to 5).map(i => ("big", s"i$i", i)) :+ (("ok", "x", 1)) :+ (("ok", "y", 2))
+    val fi = big.toDF("g", "item", "first_pos")
+    val got = graft.core.Caches.withScope {
+      Joins.precedencePairs(fi, "g", "item", "first_pos", minCount = 1L, maxGroupSize = Some(4))
+        .as[(String, String, Long)].collect().toSet
+    }
+    assert(got == Set(("x", "y", 1L)), "the 5-item group must contribute nothing")
+  }
+
   test("historyJoin: only history strictly before anchor") {
     val anchors = Seq((1L, 100L, "a1")).toDF("user_id", "at_s", "anchor_id")
     val hist = Seq((1L, 99L, "c1"), (1L, 100L, "c2"), (1L, 101L, "c3"))
