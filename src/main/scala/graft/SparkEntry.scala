@@ -189,7 +189,8 @@ object SparkEntry {
     "q148_bpe_merges" -> (TQ.bpeMerges _),
     "q149_lang_id_kappa" -> (TQ.langIdKappa _),
     "q150_seq_patterns" -> (EQ.seqPatterns _),
-    "q151_js_divergence" -> (TQ.jsDivergence _))
+    "q151_js_divergence" -> (TQ.jsDivergence _),
+    "q152_band_join" -> (EQ.bandGapHistogram _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3075,5 +3076,19 @@ object SparkEntry {
         |)
         |SELECT source, CAST(SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
         |  CAST(SUM(contrib_nano) AS BIGINT) AS jsd_nano
-        |FROM contrib GROUP BY source ORDER BY source""".stripMargin)
+        |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
+    // purchase<->view coincidence pairs within +-30 s (custom band
+    // join on the engine side; DuckDB plans BETWEEN as an IEJoin),
+    // binned into 10-s signed-gap buckets — all-integer
+    "q152_band_join" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |), p AS (SELECT epoch_s AS p_s FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT epoch_s AS v_s FROM e WHERE event_type = 'view')
+        |SELECT CAST((v_s - p_s + 30) // 10 AS BIGINT) AS gap_bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(v_s - p_s) AS BIGINT) AS sum_gap_s
+        |FROM p JOIN v ON v_s BETWEEN p_s - 30 AND p_s + 30
+        |GROUP BY 1 ORDER BY gap_bin""".stripMargin)
 }

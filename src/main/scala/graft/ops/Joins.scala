@@ -236,6 +236,26 @@ object Joins {
       .filter(col("n_groups") >= minCount)
   }
 
+  /** Pure band join: every (l, r) pair with `|l.key − r.key| ≤ epsilon`
+    * (inclusive, LONG keys, null keys never match) — the one join shape
+    * Catalyst has no good plan for (no equi-key ⇒ BroadcastNestedLoop /
+    * cartesian + filter, O(|L|·|R|)). Delegates to the engine's custom
+    * range-partitioned sweep-merge physical operator
+    * ([[org.apache.spark.sql.graft.BandJoinExec]]): one shuffle per
+    * side, right rows replicated only across ε-straddled range cuts,
+    * per-partition sorted sweep. Use for time-proximity joins with no
+    * shared key (cross-entity coincidence windows); when an equi-key
+    * EXISTS, prefer [[intervalJoin]] — equi-join + residual keeps AQE.
+    * Sides must not share attribute IDs (alias a self-join first).
+    */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String,
+      rightKeyCol: String,
+      epsilon: Long): DataFrame =
+    org.apache.spark.sql.graft.BandJoin(left, right, leftKeyCol, rightKeyCol, epsilon)
+
   /** Broadcast cross join of every anchor row with a global top-k
     * dimension (reference popularity candidates, `:339-340`).
     * `top` must be tiny (top-k) — forced broadcast nested-loop.

@@ -1259,6 +1259,30 @@ object EventQueries {
       .withColumnRenamed("n_groups", "n_sessions")
   }
 
+  /** Cross-entity time-proximity histogram via the custom band join:
+    * every (purchase, view) event pair within ±30 s — REGARDLESS of
+    * user or item, the "what does the site see around a conversion"
+    * coincidence window — binned into 10-s signed-gap buckets. No
+    * equi-key exists, so Catalyst's only built-in plan is a nested-loop
+    * cartesian; [[graft.ops.Joins.bandJoin]] plans it as the
+    * range-partitioned sweep-merge instead (one shuffle per side,
+    * ε-boundary replication only). All-integer contract: signed gap
+    * seconds, floor-div binning on the non-negative shifted gap.
+    */
+  def bandGapHistogram(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_type"), unix_timestamp(col("ts")).as("epoch_s"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("epoch_s").as("p_s"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("epoch_s").as("v_s"))
+    Joins.bandJoin(p, v, "p_s", "v_s", 30L)
+      .select((col("v_s") - col("p_s")).as("gap"))
+      .groupBy(expr("(gap + 30) div 10").as("gap_bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("gap")).as("sum_gap_s"))
+      .orderBy(col("gap_bin"))
+  }
+
   /** CUSUM changepoint scan over the daily event-count series — the
     * classic "when did the level shift" monitor (PSI/KS say THAT two
     * windows differ; CUSUM localizes WHERE the drift starts: the

@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.IntegerType
   * available to SQL: `SELECT long_vector_dot(a, b) FROM t`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => BandJoinStrategy)
+  }
 }
 
 object GraftFunctions {
