@@ -190,7 +190,9 @@ object SparkEntry {
     "q149_lang_id_kappa" -> (TQ.langIdKappa _),
     "q150_seq_patterns" -> (EQ.seqPatterns _),
     "q151_js_divergence" -> (TQ.jsDivergence _),
-    "q152_band_join" -> (EQ.bandGapHistogram _))
+    "q152_band_join" -> (EQ.bandGapHistogram _),
+    "q153_asof_join" -> (EQ.asOfClickGap _),
+    "q154_ks_drift" -> (EQ.ksValueDrift _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3090,5 +3092,43 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(v_s - p_s) AS BIGINT) AS sum_gap_s
         |FROM p JOIN v ON v_s BETWEEN p_s - 30 AND p_s + 30
-        |GROUP BY 1 ORDER BY gap_bin""".stripMargin)
+        |GROUP BY 1 ORDER BY gap_bin""".stripMargin,
+    // nearest preceding click per purchase (DuckDB native ASOF LEFT
+    // JOIN; engine side is the union+carry-forward window operator),
+    // 10-min latency buckets, -1 = never clicked
+    "q153_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |), p AS (SELECT user_id, epoch_s AS p_s FROM e WHERE event_type = 'purchase'),
+        |c0 AS (
+        |  SELECT user_id, epoch_s AS c_s,
+        |         row_number() OVER (PARTITION BY user_id, epoch_s ORDER BY event_id DESC) AS rn
+        |  FROM e WHERE event_type = 'click'
+        |), c AS (SELECT user_id, c_s FROM c0 WHERE rn = 1)
+        |SELECT CAST(COALESCE((p_s - c_s) // 600, -1) AS BIGINT) AS gap_bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_s >= c.c_s
+        |GROUP BY 1 ORDER BY gap_bin""".stripMargin,
+    // exact two-sample KS: D = max|C1*n2 - C2*n1| over the merged
+    // sorted support; division only at the final ppm emit
+    "q154_ks_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE event_type IN ('purchase', 'view')
+        |), counts AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1
+        |), cums AS (
+        |  SELECT SUM(ca) OVER (ORDER BY value) AS cum_a,
+        |         SUM(cb) OVER (ORDER BY value) AS cum_b
+        |  FROM counts
+        |), t AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM counts)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+        |  CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
+        |FROM cums CROSS JOIN t GROUP BY n_a, n_b""".stripMargin)
 }

@@ -236,6 +236,64 @@ object Joins {
       .filter(col("n_groups") >= minCount)
   }
 
+  /** AS-OF join: each left row picks the single LATEST right row with
+    * `right.time ≤ left.time` (inclusive) sharing `keys` — the
+    * point-in-time-correct feature attach ("most recent signal before
+    * the anchor"), the nearest-match sibling of [[historyJoin]] (which
+    * keeps ALL preceding rows). Left-outer semantics: no preceding
+    * right row ⇒ nulls.
+    *
+    * Physical shape — the reason this exists as an operator: the naive
+    * equi-join + `r.t ≤ l.t` residual + row_number-pick materializes
+    * EVERY (anchor, preceding-row) pair before discarding all but one —
+    * O(Σ matches) shuffle that grows with history depth. This instead
+    * tags both sides, unions them, and runs ONE running-frame window
+    * per key (`last(value, ignoreNulls)` over unbounded-preceding):
+    * one hash exchange of |L|+|R| rows + a per-partition sort,
+    * independent of history depth. Right rows sort BEFORE left rows at
+    * equal times, so ties are inclusive (DuckDB `ASOF ... ON l.t >=
+    * r.t` parity).
+    *
+    * Preconditions (documented, not checked): right is unique per
+    * (keys, time) — pre-dedup latest-wins otherwise; right value
+    * columns are non-null (the carry-forward would otherwise reach
+    * past a genuine null to an older row); non-key column names are
+    * disjoint across sides (alias first).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rVals = right.columns.toSeq.diff(keys)
+    val collisions = lCols.toSet.intersect(rVals.toSet)
+    require(collisions.isEmpty, s"asOfJoin column collision: $collisions")
+    val lTagged = left.select(
+      keys.map(col) ++
+        Seq(col(leftTimeCol).as("__t"), lit(1).as("__side")) ++
+        lCols.diff(keys).map(col) ++
+        rVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right.select(
+      keys.map(col) ++
+        Seq(col(rightTimeCol).as("__t"), lit(0).as("__side")) ++
+        lCols.diff(keys).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rVals.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val filled = rVals.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++ rVals.map(col): _*)
+  }
+
   /** Pure band join: every (l, r) pair with `|l.key − r.key| ≤ epsilon`
     * (inclusive, LONG keys, null keys never match) — the one join shape
     * Catalyst has no good plan for (no equi-key ⇒ BroadcastNestedLoop /

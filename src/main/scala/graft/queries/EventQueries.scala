@@ -1283,6 +1283,81 @@ object EventQueries {
       .orderBy(col("gap_bin"))
   }
 
+  /** Point-in-time as-of attach: each purchase picks the user's single
+    * most recent click at-or-before it ([[graft.ops.Joins.asOfJoin]] —
+    * one union+window exchange, no preceding-pair blowup), then the
+    * click→purchase latency distribution in 10-minute buckets with
+    * never-clicked purchases in bucket −1. The leakage-safe "state as
+    * of the anchor" feature shape (same contract DuckDB expresses as
+    * `ASOF LEFT JOIN`). Clicks are deduped latest-event_id per
+    * (user, second) to satisfy the operator's uniqueness precondition
+    * on both engines identically.
+    */
+  def asOfClickGap(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("epoch_s"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("epoch_s").as("p_s"))
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("c_s"))
+      .orderBy(col("event_id").desc)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("epoch_s").as("c_s"), col("event_id"))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("c_s"))
+    Joins.asOfJoin(p, c, Seq("user_id"), "p_s", "c_s")
+      .groupBy(coalesce(expr("(p_s - c_s) div 600"), lit(-1L)).as("gap_bin"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("gap_bin"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * purchase and view `value` distributions — the distribution-drift
+    * companion to CUSUM (q147 localizes WHEN a level shifts; KS says
+    * WHETHER two samples draw from one distribution, sensitive to
+    * shape, not just mean). All-integer cross-multiplication: D =
+    * max|F1−F2| becomes `max |C1(v)·n2 − C2(v)·n1|` over the merged
+    * sorted support with cumulative counts C — no division until the
+    * final ppm emit (floor div on non-negatives, `//`-identical in
+    * DuckDB).
+    *
+    * Scale shape: one aggregation to per-value counts (support-sized,
+    * not sample-sized), then a global-order running sum over the
+    * DISTINCT support — the one inherently global step of any exact
+    * CDF statistic. Bounded by support cardinality; for unbounded
+    * continuous domains, quantize values first (the q106 log-bucket
+    * route) and the window input stays small.
+    */
+  def ksValueDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), col("value"))
+    val counts = e.groupBy(col("value"))
+      .agg(
+        Ag.countIf(col("event_type") === "purchase").as("ca"),
+        Ag.countIf(col("event_type") === "view").as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    counts
+      .select(
+        sum(col("ca")).over(w).as("cum_a"),
+        sum(col("cb")).over(w).as("cum_b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("ks_num"))
+      .select(
+        col("n_a"), col("n_b"), col("ks_num"),
+        expr("CAST(ks_num * 1000000 div (n_a * n_b) AS BIGINT)").as("ks_ppm"))
+  }
+
   /** CUSUM changepoint scan over the daily event-count series — the
     * classic "when did the level shift" monitor (PSI/KS say THAT two
     * windows differ; CUSUM localizes WHERE the drift starts: the

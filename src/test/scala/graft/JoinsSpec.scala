@@ -131,6 +131,32 @@ class JoinsSpec extends SparkSpec {
     assert(got == Set(("x", "y", 1L)), "the 5-item group must contribute nothing")
   }
 
+  test("asOfJoin: latest at-or-before match, inclusive tie, null when none") {
+    val l = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 50L, "q"))
+      .toDF("k", "lt", "lid")
+    val r = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 25L, "c"), (3L, 1L, "z"))
+      .toDF("k", "rt", "v")
+    val got = Joins.asOfJoin(l, r, Seq("k"), "lt", "rt")
+      .select($"lid", $"rt", $"v").as[(String, Option[Long], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      ("p1", Some(10L), Some("a")), // tie: rt == lt matches (inclusive)
+      ("p2", Some(15L), Some("b")), // latest preceding, not just any
+      ("p0", None, None),           // nothing at-or-before
+      ("q", None, None)))           // key with no right rows at all
+  }
+
+  test("asOfJoin: multi-column keys and multiple value columns move together") {
+    val l = Seq((1L, "x", 100L, "a1"), (1L, "y", 100L, "a2")).toDF("k1", "k2", "lt", "lid")
+    val r = Seq((1L, "x", 90L, "v90", 9L), (1L, "x", 95L, "v95", 5L))
+      .toDF("k1", "k2", "rt", "v", "w")
+    val got = Joins.asOfJoin(l, r, Seq("k1", "k2"), "lt", "rt")
+      .select($"lid", $"v", $"w").as[(String, Option[String], Option[Long])]
+      .collect().toSet
+    // both value columns come from the SAME (latest) right row
+    assert(got == Set(("a1", Some("v95"), Some(5L)), ("a2", None, None)))
+  }
+
   test("historyJoin: only history strictly before anchor") {
     val anchors = Seq((1L, 100L, "a1")).toDF("user_id", "at_s", "anchor_id")
     val hist = Seq((1L, 99L, "c1"), (1L, 100L, "c2"), (1L, 101L, "c3"))
