@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Stream-STREAM event-time interval join — the continuous form of the
+  * reference's J6 user-history attach (`prepare_training_data_pyspark
+  * .py:349-353`, equi-key + time residual): each purchase joined to the
+  * same user's clicks in the preceding lookback window, both sides
+  * unbounded streams.
+  *
+  * Scale shape: unlike the stateless stream-static join
+  * ([[StreamingEnrich]]), BOTH sides buffer in the state store here.
+  * The event-time range condition must live in the JOIN condition (not
+  * a post-filter) — that is what lets Spark derive a state watermark
+  * per side and evict: clicks older than `click watermark + lookback`
+  * and purchases older than their watermark can never match a future
+  * row and are dropped. State is bounded by rate × (watermark +
+  * lookback), independent of stream age — the property that makes the
+  * join runnable forever at feed scale. Inner-join matches emit the
+  * micro-batch they are found in (no held-back tail; watermarks bound
+  * STATE, not emission, for inner joins).
+  */
+object StreamingIntervalJoin {
+
+  /** (purchase, preceding click within `lookback`) pairs per user. */
+  def clickPurchasePairs(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      lookback: String = "30 minutes",
+      clickWatermark: String = "1 hour",
+      purchaseWatermark: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .select(
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", clickWatermark)
+    val p = purchases
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", purchaseWatermark)
+    p.join(
+        c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"interval $lookback"))
+      .select(
+        col("p_user").as("user_id"),
+        col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
+  /** Bounded-run harness (the [[StreamingEnrich.runBounded]] pattern):
+    * one events parquet drives BOTH stream sides (filtered by event
+    * type) into an in-memory sink; returns the completed rows.
+    */
+  def runBounded(
+      spark: SparkSession,
+      parquetPath: String,
+      name: String,
+      lookback: String = "30 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = java.nio.file.Paths.get(parquetPath)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("stream-src")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+        d.toString
+      } else parquetPath
+    def side(eventType: String): DataFrame = spark.readStream
+      .schema(StreamingSessions.eventSchema)
+      .parquet(srcPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === eventType)
+    val q: StreamingQuery =
+      clickPurchasePairs(side("click"), side("purchase"), lookback).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
