@@ -56,6 +56,28 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangleCountsDegreeOriented: identical per-vertex counts to the id-oriented plan") {
+    // K4 + pendant (above) AND a random-ish sparse graph with a hub:
+    // orientation is internal, the triangle multiset must not change
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val rnd = new scala.util.Random(11)
+    val hub = (2L to 40L).map(i => (1L, i)) // hub with LOW id: id-oriented worst case
+    val sparse = (1 to 60).map { _ =>
+      val a = 2L + rnd.nextInt(39); val b = 2L + rnd.nextInt(39)
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    for (edges <- Seq(k4, (hub ++ sparse).distinct)) {
+      val e = edges.toDF("item_a", "item_b")
+      val (idOr, degOr) = graft.core.Caches.withScope {
+        (Graph.triangleCounts(e, "item_a", "item_b")
+          .as[(Long, Long)].collect().toMap,
+          Graph.triangleCountsDegreeOriented(e, "item_a", "item_b")
+            .as[(Long, Long)].collect().toMap)
+      }
+      assert(degOr == idOr)
+    }
+  }
+
   test("triangleCounts: triangle-free graph (path + star) yields no rows") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (1L, 6L)).toDF("s", "d")
     val n = graft.core.Caches.withScope {
