@@ -192,7 +192,8 @@ object SparkEntry {
     "q151_js_divergence" -> (TQ.jsDivergence _),
     "q152_band_join" -> (EQ.bandGapHistogram _),
     "q153_asof_join" -> (EQ.asOfClickGap _),
-    "q154_ks_drift" -> (EQ.ksValueDrift _))
+    "q154_ks_drift" -> (EQ.ksValueDrift _),
+    "q155_knn_pq" -> (TQ.knnPq _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3130,5 +3131,70 @@ object SparkEntry {
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
         |  CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
-        |FROM cums CROSS JOIN t GROUP BY n_a, n_b""".stripMargin)
+        |FROM cums CROSS JOIN t GROUP BY n_a, n_b""".stripMargin,
+    // product-quantization ANN: 32 md5-rank seed vectors sliced into
+    // 16 4-dim sub-codebooks, one exact-integer Lloyd step per
+    // subspace, ADC candidate scan (gathered approximate dot / exact
+    // corpus norm), exact-cosine rerank of the top 32 — mirrors
+    // Similarity.pqTopK(m=16, ksub=32, rerank=32)
+    "q155_knn_pq" ->
+      s"""WITH $quantCte, ranked AS (
+         |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+         |  FROM qv
+         |), seedcb AS (
+         |  SELECT CAST(srn - 1 AS BIGINT) AS cid, j, v[(j*4+1):(j*4+4)] AS cq
+         |  FROM ranked, unnest(generate_series(0, 15)) AS tj(j) WHERE srn <= 32
+         |), csub AS (
+         |  SELECT vec_id, j, v[(j*4+1):(j*4+4)] AS sv
+         |  FROM qv, unnest(generate_series(0, 15)) AS tj(j)
+         |), a0 AS (
+         |  SELECT vec_id, j, sv, cid FROM (
+         |    SELECT c.vec_id, c.j, c.sv, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.j ORDER BY
+         |        2 * ${dotSql("c.sv", "s.cq", 4)} - ${norm2Sql("s.cq")} DESC, s.cid ASC) AS rn
+         |    FROM csub c JOIN seedcb s ON c.j = s.j
+         |  ) WHERE rn = 1
+         |), centd AS (
+         |  SELECT j, cid, i, CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM a0, unnest(generate_series(1, 4)) AS ti(i)
+         |  GROUP BY j, cid, i
+         |), cent AS (
+         |  SELECT j, cid, list(cv ORDER BY i) AS cq FROM centd GROUP BY j, cid
+         |), enc AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT c.vec_id, c.j, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.j ORDER BY
+         |        2 * ${dotSql("c.sv", "s.cq", 4)} - ${norm2Sql("s.cq")} DESC, s.cid ASC) AS rn
+         |    FROM csub c JOIN cent s ON c.j = s.j
+         |  ) WHERE rn = 1
+         |), qsub AS (
+         |  SELECT vec_id AS query_id, j, sv FROM csub WHERE vec_id < 64
+         |), lut AS (
+         |  SELECT q.query_id, s.j, s.cid, ${dotSql("q.sv", "s.cq", 4)} AS part
+         |  FROM qsub q JOIN cent s ON q.j = s.j
+         |), scored AS (
+         |  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.part) AS BIGINT) AS adc_dot
+         |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.cid
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY l.query_id, e.vec_id
+         |), cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+         |        CAST(s.adc_dot AS DOUBLE) / sqrt(CAST(${norm2Sql("nn.v")} AS DOUBLE)) DESC,
+         |        s.neighbor_id ASC) AS rn
+         |    FROM scored s JOIN qv nn ON nn.vec_id = s.neighbor_id
+         |  ) WHERE rn <= 32
+         |), rr AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${cosineSql("qq.v", "nn.v", 64)} AS cosine_sim
+         |  FROM cand
+         |  JOIN qv qq ON qq.vec_id = cand.query_id
+         |  JOIN qv nn ON nn.vec_id = cand.neighbor_id
+         |), fin AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM rr
+         |)
+         |SELECT query_id, neighbor_id, cosine_sim FROM fin WHERE rn <= 5
+         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)
 }

@@ -116,6 +116,24 @@ object TextQueries {
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
+  /** Product-quantization ANN (q155): 16 subspaces × 32 cells compress
+    * each 64-dim vector to 16 codes (~10 bytes vs 256 — the index that
+    * still fits in memory at corpus sizes where full vectors don't);
+    * ADC scans the codes, exact cosine reranks the top 32. recall@5
+    * 0.93 measured vs brute force (ProbePq sweep; 8×16 was 0.53).
+    * Deterministic (md5 seeds + exact-integer Lloyd + integer ADC
+    * gather) ⇒ oracle-checkable like q41.
+    */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .pqTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
+        k = 5, m = 16, ksub = 32, rerank = 32)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
+  }
+
   /** LSH-blocked embedding near-dup (scale path; deterministic
     * buckets ⇒ oracle-checkable).
     */

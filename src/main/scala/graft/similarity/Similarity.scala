@@ -328,6 +328,166 @@ object Similarity {
     Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
   }
 
+  /** One row per (vector, subspace): `sv` = the `j`-th length-`dsub`
+    * slice of `embC`. Literal-argument slices compose into a plain
+    * array (no HOF ⇒ no CodegenFallback, no explode-re-evaluation
+    * trap), then posexplode fans out the m subspaces.
+    */
+  private def subRows(df: DataFrame, embC: String, m: Int, dsub: Int): DataFrame =
+    df.select(
+      col("*"),
+      posexplode(array((0 until m).map(j =>
+        slice(col(embC), j * dsub + 1, dsub)): _*)).as(Seq("j", "sv")))
+
+  /** Per-subspace nearest-sub-centroid assignment: top-1 by exact
+    * integer `2·sv·cq − ||cq||²` (≡ argmin L2), tie → min cid. `cb`
+    * is the (j, cid, cq) codebook, broadcast.
+    */
+  private def pqAssign(sub: DataFrame, idC: String, cb: DataFrame): DataFrame =
+    Windows.topKPerGroup(
+      sub.join(broadcast(cb), Seq("j"))
+        .withColumn("negdist", qdot(col("sv"), col("cq")) * 2 - qnorm2(col("cq"))),
+      Seq(idC, "j"), col("negdist"), Seq("cid"), 1)
+
+  /** Deterministic per-subspace PQ codebook: the `ksub` md5-rank seed
+    * vectors' j-th slices seed subspace j, then ONE exact-integer Lloyd
+    * refinement per subspace (same arithmetic contract as
+    * [[deterministicCentroids]] — integer L2 assignment, min-cid
+    * tie-break, floor-mean update — so the codebook is bit-identical
+    * across engines/partitionings). Returns (j, cid, cq); cells left
+    * empty by the refinement drop out (consistently on both engine and
+    * oracle sides — codes never reference them).
+    */
+  private[graft] def pqCodebook(
+      c: DataFrame,
+      idC: String,
+      embC: String,
+      m: Int,
+      dsub: Int,
+      ksub: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val seedPool = c
+      .withColumn("h", md5(col(idC).cast("string")))
+      .orderBy(col("h"), col(idC))
+      .limit(ksub)
+      .select(col("h"), col(idC).cast("string").as("nid"), col(embC))
+      .collect()
+    val seeds = seedPool
+      .sortBy(r => (r.getString(0), r.getString(1)))
+      .zipWithIndex
+      .flatMap { case (r, i) =>
+        val v = r.getSeq[Long](2)
+        (0 until m).map(j => (j, i.toLong, v.slice(j * dsub, (j + 1) * dsub)))
+      }
+      .toSeq
+      .toDF("j", "cid", "cq")
+    val sub = subRows(c, embC, m, dsub).select(col(idC), col("j"), col("sv"))
+    pqAssign(sub, idC, seeds)
+      .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "val")))
+      .groupBy(col("j"), col("cid"), col("pos"))
+      .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("j"), col("cid"))
+      .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("cq"))
+  }
+
+  /** Product-quantization ANN (Jégou et al. 2011): the corpus is
+    * compressed to m sub-quantizer codes per vector (m·⌈log2 ksub⌉
+    * bits ≈ 8 bytes vs dim·8 — the representation that still fits in
+    * memory when full vectors don't), queries scan the CODES with an
+    * ADC lookup table, and the top-`rerank` candidates are re-scored
+    * with exact cosine on full vectors. The ADC score targets COSINE:
+    * the gathered integer approximates only the dot product (LUT part
+    * = q_j · cent_j), divided by the corpus vector's EXACT norm stored
+    * with its codes — so quantization error never touches the norms.
+    * Fully deterministic (md5 seeds + exact-integer Lloyd + integer
+    * gather + correctly-rounded IEEE division, ties → min id) ⇒
+    * oracle-checkable.
+    *
+    * Scale shape: codebook learning is one corpus×m sub-row exchange;
+    * encoding and the ADC scan are broadcast-join scans (the corpus
+    * never shuffles — the scan reads codes only, and `pq_adc` is a
+    * native codegen'd gather); candidate top-N is a window over
+    * |Q|·corpus scalar rows (map-side prunable at higher k via
+    * partial top-k); the exact rerank touches |Q|·rerank rows. At
+    * 100 TB the ADC scan composes with the IVF cell filter
+    * ([[ivfTopKDeterministic]]) so each query scans codes of its probe
+    * cells only — the standard IVFPQ layout.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      rerank: Int,
+      dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val c = graft.core.Caches.cache(
+      corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb")))
+    val cb = graft.core.Caches.cache(pqCodebook(c, "neighbor_id", "c_emb", m, dsub, ksub))
+
+    // corpus → m codes per vector (ordered by subspace) + the EXACT
+    // squared norm (Σ_j ||sv_j||² = ||v||², integer): the ADC ranking
+    // targets COSINE, so only the dot is approximated — the norm is
+    // part of the 8-byte-per-vector index, standard cosine-PQ layout
+    val enc = pqAssign(
+      subRows(c, "c_emb", m, dsub).select(col("neighbor_id"), col("j"), col("sv")),
+      "neighbor_id", cb)
+      .groupBy(col("neighbor_id"))
+      .agg(
+        graft.ops.Aggregates.sortedList(Seq(col("j")), col("cid")).as("codes"),
+        sum(qnorm2(col("sv"))).as("cnorm2"))
+
+    // per-query DENSE m×ksub ADC table, flat-indexed j·ksub + cid:
+    // parts exist only for surviving codebook cells; the full grid
+    // left-join densifies (filler 0 is never gathered — codes only
+    // reference surviving cells)
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+    val parts = subRows(q, "q_emb", m, dsub)
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), col("j"), col("cid"),
+        qdot(col("sv"), col("cq")).as("part"))
+    val grid = spark.range(m.toLong * ksub).select(
+      (col("id") / ksub).cast("int").as("j"),
+      (col("id") % ksub).as("cid"))
+    val lut = q.select(col("query_id")).crossJoin(broadcast(grid))
+      .join(parts, Seq("query_id", "j", "cid"), "left")
+      .groupBy(col("query_id"))
+      .agg(graft.ops.Aggregates
+        .sortedList(Seq(col("j"), col("cid")), coalesce(col("part"), lit(0L))).as("lut"))
+
+    // ADC scan over (codes, cnorm2) only: approx cosine = gathered
+    // approximate dot / exact corpus norm (query norm is constant per
+    // query — rank-irrelevant); top-`rerank` candidates per query
+    val qTab = broadcast(q.join(lut, Seq("query_id")))
+    val cand = Windows.topKPerGroup(
+      enc.crossJoin(qTab)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_emb"), col("neighbor_id"),
+          (org.apache.spark.sql.graft.VectorExpressions
+            .pqAdcScore(col("codes"), col("lut"), ksub).cast("double") /
+            sqrt(col("cnorm2").cast("double"))).as("adc")),
+      Seq("query_id"), col("adc"), Seq("neighbor_id"), rerank)
+
+    // exact-cosine rerank of the candidate set on full vectors
+    val rescored = c
+      .join(broadcast(cand.select(col("query_id"), col("q_emb"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        qcosine(
+          qdot(col("q_emb"), col("c_emb")),
+          qnorm2(col("q_emb")),
+          qnorm2(col("c_emb"))).as("cosine_sim"))
+    Windows.topKPerGroup(rescored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Vectors in the same bucket are similar with high prob.
     * Each plane projection is one fused `long_vector_dot` against a

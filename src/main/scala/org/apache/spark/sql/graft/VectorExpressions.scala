@@ -57,6 +57,51 @@ case class LongVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ asymmetric-distance gather: Σ_j lut[j·ksub + codes[j]] — the ADC
+  * inner loop of product-quantized similarity scan (Jégou et al. 2011,
+  * "Product Quantization for Nearest Neighbor Search"). `codes` is a
+  * vector's m sub-quantizer cell ids; `lut` is one query's flattened
+  * m×ksub table of per-cell score parts. One fused codegen loop per
+  * (query, vector) pair keeps the compressed-corpus scan — the whole
+  * point of PQ at scale — inside the scan stage's codegen span.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0L
+    var j = 0
+    while (j < m) { acc += lut.getLong(j * ksub + codes.getLong(j).toInt); j += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $codes.numElements();
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lut.getLong($j * $ksub + (int) $codes.getLong($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def longVectorDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -64,4 +109,8 @@ object VectorExpressions {
 
   /** Σ x_i² without reading the array twice. */
   def longVectorNorm2(a: Column): Column = longVectorDot(a, a)
+
+  def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
+    ExpressionUtils.column(
+      PqAdcScore(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ksub))
 }

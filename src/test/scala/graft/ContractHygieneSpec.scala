@@ -28,7 +28,9 @@ class ContractHygieneSpec extends SparkSpec {
     "q79_cube", "q88_grouping_sets", "q99_winsorize",
     // quantized-integer cosine (exact int dot/norms, one IEEE division
     // chain identical in both engines) — same bit-exactness as q31/q36
-    "q146_hard_negatives")
+    "q146_hard_negatives",
+    // PQ rerank emits the same quantized-integer cosine as q31/q36/q41
+    "q155_knn_pq")
 
   private def leafTypes(dt: DataType): Seq[DataType] = dt match {
     case s: StructType => s.fields.toSeq.flatMap(f => leafTypes(f.dataType))

@@ -130,4 +130,41 @@ class SimilaritySpec extends SparkSpec {
         k = 5, planes = 3, dim = 64, tables = 8)))
     assert(lsh2 == lsh)
   }
+
+  test("pq_adc: gathers lut[j*ksub + codes[j]] exactly") {
+    val df = Seq((Seq(0L, 2L, 1L), Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L)))
+      .toDF("codes", "lut")
+    // ksub=3: 10 (j=0,c=0) + 60 (j=1,c=2) + 80 (j=2,c=1)
+    val got = df.select(
+      org.apache.spark.sql.graft.VectorExpressions
+        .pqAdcScore(col("codes"), col("lut"), 3).as("s"))
+      .head().getLong(0)
+    assert(got == 150L)
+  }
+
+  test("pqTopK: recall@5 vs brute force clears the floor, bit-stable re-run") {
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 64)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the q155 production config: 16×32 measured 0.928 (ProbePq sweep;
+    // 8×16 was 0.53 — too coarse for cosine on this corpus)
+    val (exact, pq, pq2) = graft.core.Caches.withScope {
+      val e = topSets(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+      val p = topSets(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, m = 16, ksub = 32, rerank = 32))
+      val p2 = topSets(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, m = 16, ksub = 32, rerank = 32))
+      (e, p, p2)
+    }
+    val per = exact.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = per.sum / per.size
+    info(f"recall@5 pq=$recall%.3f (m=16, ksub=32, rerank=32, corpus=500)")
+    assert(recall >= 0.85, f"PQ recall collapsed: $recall%.3f")
+    assert(pq2 == pq)
+  }
 }
