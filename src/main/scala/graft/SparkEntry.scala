@@ -193,7 +193,9 @@ object SparkEntry {
     "q152_band_join" -> (EQ.bandGapHistogram _),
     "q153_asof_join" -> (EQ.asOfClickGap _),
     "q154_ks_drift" -> (EQ.ksValueDrift _),
-    "q155_knn_pq" -> (TQ.knnPq _))
+    "q155_knn_pq" -> (TQ.knnPq _),
+    "q156_rrf_fusion" -> (EQ.rrfFusion _),
+    "q157_communities" -> (EQ.covisCommunities _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3196,5 +3198,95 @@ object SparkEntry {
          |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM rr
          |)
          |SELECT query_id, neighbor_id, cosine_sim FROM fin WHERE rn <= 5
-         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)
+         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin,
+    // reciprocal-rank fusion of covis top-10 and transition top-10 per
+    // anchor: score = sum of floor(1e6/(60+rank)) over the lists the
+    // candidate appears in; top 5 fused
+    "q156_rrf_fusion" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |), trans AS (
+         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
+         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+         |), ttop AS (
+         |  SELECT item_a, item_b, CAST(rn AS BIGINT) AS rank_t FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
+         |                ORDER BY transition_count DESC, item_b ASC) AS rn
+         |    FROM trans) WHERE rn <= 10
+         |), di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), directed AS (
+         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+         |), ctop AS (
+         |  SELECT src, dst, CAST(rn AS BIGINT) AS rank_c FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |                ORDER BY pair_count DESC, dst ASC) AS rn
+         |    FROM directed) WHERE rn <= 10
+         |), fused AS (
+         |  SELECT COALESCE(c.src, t.item_a) AS item_a,
+         |         COALESCE(c.dst, t.item_b) AS item_b,
+         |         COALESCE(1000000 // (60 + c.rank_c), 0) +
+         |         COALESCE(1000000 // (60 + t.rank_t), 0) AS rrf_micro
+         |  FROM ctop c FULL JOIN ttop t ON c.src = t.item_a AND c.dst = t.item_b
+         |), r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
+         |            ORDER BY rrf_micro DESC, item_b ASC) AS rn
+         |  FROM fused
+         |)
+         |SELECT item_a, item_b, CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY item_a, rn""".stripMargin,
+    // 4 unrolled synchronized LPA rounds (most-frequent neighbor
+    // label, tie -> min label), then community sizes
+    "q157_communities" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), und AS (
+         |  SELECT item_a AS src, item_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst FROM pairs
+         |), l0 AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM und
+         |), ${lpaRoundsSql(4)},
+         |sizes AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size FROM l4 GROUP BY 1
+         |)
+         |SELECT l4.id AS item_id, l4.label AS community, sizes.community_size
+         |FROM l4 JOIN sizes USING (label) ORDER BY item_id""".stripMargin)
+
+  /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
+    * adopting the most frequent neighbor label with a min-label
+    * tie-break — the SQL mirror of [[graft.ops.Graph
+    * .labelPropagation]]'s per-round DataFrame step.
+    */
+  private def lpaRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""l$r AS (
+         |  SELECT id, label FROM (
+         |    SELECT u.src AS id, p.label,
+         |      ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+         |    FROM und u JOIN $prev p ON u.dst = p.id
+         |    GROUP BY u.src, p.label) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
 }

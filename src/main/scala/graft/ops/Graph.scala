@@ -223,6 +223,45 @@ object Graph {
       .agg(count(lit(1)).as("tri_count"))
   }
 
+  /** Synchronized label propagation (Raghavan et al. 2007), `rounds`
+    * fixed rounds — community detection, the coarser sibling of
+    * connected components (components merge anything reachable; LPA
+    * communities stop at dense cores, so two cliques sharing one
+    * bridge edge keep distinct labels). Every vertex starts labeled
+    * with its own id; each round it adopts the MOST FREQUENT label
+    * among its neighbors, ties → smallest label — fully deterministic,
+    * so a fixed round count is oracle-checkable (the async/random
+    * variants are not).
+    *
+    * Scale shape per round: one edge-keyed join (labels onto the
+    * static cached undirected edge table) + one (vertex, label) count
+    * agg (map-side combinable) + one top-1 window keyed by vertex —
+    * all line-rate in |E|; lineage stays linear in rounds (each round
+    * references the previous labels once), same discipline as
+    * [[pagerankMicro]].
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = Caches.cache(
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      labels = Windows.topKPerGroup(
+        und
+          .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src").as("id"), col("label"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("id"), col("cnt"), Seq("label"), 1)
+        .select(col("id"), col("label"))
+    }
+    labels
+  }
+
   def clusteringCoefficientMicro(
       edges: DataFrame,
       srcCol: String,

@@ -1413,4 +1413,68 @@ object EventQueries {
       .select(col("id").as("item_id"), col("degree"))
       .orderBy(col("degree").desc, col("item_id").asc)
   }
+
+  /** Reciprocal-rank fusion (q156) of the two item retrievers the
+    * suite already ranks separately (q112-family): per anchor item,
+    * the covis top-10 (symmetric session co-occurrence) and the
+    * transition top-10 (directed next-item frequency) fuse by
+    * `Σ floor(1e6 / (60 + rank))` — the Cormack et al. RRF constant —
+    * and the top 5 fused candidates are emitted. The standard way a
+    * recommender blends heterogeneous candidate generators without
+    * score calibration, all-integer ⇒ oracle-exact.
+    *
+    * Scale shape: both retrievers are catalog²-bounded aggregates
+    * (session-capped covis, windowed transitions); the fusion join and
+    * final window touch only the 2×10-per-anchor candidate rows —
+    * nothing event-sized past the two source aggregations.
+    */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    val transTop = Windows
+      .topKPerGroup(trans, Seq("item_a"), col("transition_count"), Seq("item_b"), 10)
+      .select(col("item_a"), col("item_b"), col("rn").cast("long").as("rank_t"))
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val directed = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
+      .unionByName(pairs
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+    val covisTop = Windows
+      .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), 10)
+      .select(col("src").as("item_a"), col("dst").as("item_b"), col("rn").cast("long").as("rank_c"))
+    val fused = covisTop
+      .join(transTop, Seq("item_a", "item_b"), "full")
+      .select(
+        col("item_a"), col("item_b"),
+        (coalesce(expr("1000000 div (60 + rank_c)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_t)"), lit(0L))).as("rrf_micro"))
+    Windows.topKPerGroup(fused, Seq("item_a"), col("rrf_micro"), Seq("item_b"), 5)
+      .select(col("item_a"), col("item_b"), col("rrf_micro"), col("rn").cast("long").as("rn"))
+      .orderBy(col("item_a"), col("rn"))
+  }
+
+  /** Label-propagation communities over the covis graph (q157):
+    * 4 synchronized min-tie rounds ([[graft.ops.Graph
+    * .labelPropagation]]) — item neighborhoods that co-occur densely
+    * converge onto one label (the "theme" clusters a recommender uses
+    * for diversification), while bridge edges that would merge
+    * everything under connected components do not flip a dense core.
+    */
+  def covisCommunities(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val labels = graft.core.Caches.cache(
+      graft.ops.Graph.labelPropagation(pairs, "item_a", "item_b", rounds = 4))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels
+      .join(broadcast(sizes), Seq("label"))
+      .select(col("id").as("item_id"), col("label").as("community"), col("community_size"))
+      .orderBy(col("item_id"))
+  }
 }

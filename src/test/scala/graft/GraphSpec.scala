@@ -78,6 +78,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: two cliques with a bridge keep distinct communities; components would merge them") {
+    // K4 on {1..4}, K4 on {11..14}, bridge 4—11
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (a, b) => (a + 10L, b + 10L) }
+    val e = (k4a ++ k4b :+ (4L, 11L)).toDF("s", "t")
+    val labels = graft.core.Caches.withScope {
+      Graph.labelPropagation(e, "s", "t", rounds = 4).as[(Long, Long)].collect().toMap
+    }
+    // each clique converges onto its min id; the bridge does not merge
+    assert(Set(1L, 2L, 3L, 4L).map(labels) == Set(1L))
+    assert(Set(11L, 12L, 13L, 14L).map(labels) == Set(11L))
+  }
+
+  test("labelPropagation: bit-identical under repartitioning") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 80).map { _ =>
+      val a = 1L + rnd.nextInt(30); val b = 1L + rnd.nextInt(30)
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    val e = edges.toDF("s", "t")
+    val (l1, l2) = graft.core.Caches.withScope {
+      (Graph.labelPropagation(e, "s", "t", rounds = 4).as[(Long, Long)].collect().toMap,
+        Graph.labelPropagation(e.repartition(13), "s", "t", rounds = 4)
+          .as[(Long, Long)].collect().toMap)
+    }
+    assert(l1 == l2)
+  }
+
   test("triangleCounts: triangle-free graph (path + star) yields no rows") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (1L, 6L)).toDF("s", "d")
     val n = graft.core.Caches.withScope {
