@@ -195,7 +195,9 @@ object SparkEntry {
     "q154_ks_drift" -> (EQ.ksValueDrift _),
     "q155_knn_pq" -> (TQ.knnPq _),
     "q156_rrf_fusion" -> (EQ.rrfFusion _),
-    "q157_communities" -> (EQ.covisCommunities _))
+    "q157_communities" -> (EQ.covisCommunities _),
+    "q158_cuped_uplift" -> (EQ.cupedUplift _),
+    "q159_theil_sen" -> (EQ.theilSenTrend _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3271,7 +3273,73 @@ object SparkEntry {
          |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size FROM l4 GROUP BY 1
          |)
          |SELECT l4.id AS item_id, l4.label AS community, sizes.community_size
-         |FROM l4 JOIN sizes USING (label) ORDER BY item_id""".stripMargin)
+         |FROM l4 JOIN sizes USING (label) ORDER BY item_id""".stripMargin,
+    // CUPED: md5-parity variants, pre/post split at the mid epoch-day,
+    // exact integer cent moments (HUGEINT-widened N/D), one double
+    // division chain written identically to the engine side
+    "q158_cuped_uplift" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), mid AS (
+        |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e
+        |), pu AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN day < mid THEN cents ELSE 0 END) AS x,
+        |    SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS y,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS variant
+        |  FROM e CROSS JOIN mid GROUP BY 1
+        |), mo AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+        |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS sx_a,
+        |    SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS sx_b,
+        |    SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sy_a,
+        |    SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS sy_b
+        |  FROM pu
+        |), th AS (
+        |  SELECT *,
+        |    CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |         - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS theta
+        |  FROM mo
+        |)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, theta,
+        |  (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |   - (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS raw_uplift,
+        |  (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |   - (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))) AS cuped_uplift
+        |FROM th""".stripMargin,
+    // Theil-Sen: median pairwise slope of the daily count series per
+    // event type; exact-int dy/dx compared as correctly-rounded
+    // doubles, q46 floor-rank median
+    "q159_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), slopes AS (
+        |  SELECT a.event_type, b.n_events - a.n_events AS dy, b.day - a.day AS dx,
+        |    CAST(b.n_events - a.n_events AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+        |), r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope ASC, dy ASC, dx ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM slopes
+        |)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  dy AS med_dy, dx AS med_dx, slope
+        |FROM r WHERE rn = CAST(floor(0.5 * (n_pairs - 1)) AS BIGINT) + 1
+        |ORDER BY event_type""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

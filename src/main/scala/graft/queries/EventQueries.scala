@@ -1477,4 +1477,102 @@ object EventQueries {
       .select(col("id").as("item_id"), col("label").as("community"), col("community_size"))
       .orderBy(col("item_id"))
   }
+
+  /** CUPED variance-reduced A/B uplift (q158; Deng et al. 2013,
+    * "Improving the sensitivity of online controlled experiments").
+    * Users hash deterministically into two variants (md5 parity);
+    * outcome y = post-period spend, covariate x = PRE-period spend
+    * (pre-experiment data is independent of assignment, so adjusting
+    * y − θ·x removes the covariate's variance share without bias).
+    * θ = cov(x,y)/var(x) pooled. All moments are exact integer cents
+    * (N and D widened past the Long range before the one double
+    * division), so theta and both uplift columns are bit-identical
+    * cross-engine — the q146-class IEEE-chain determinism.
+    *
+    * Scale shape: one (user) aggregation of the events scan (map-side
+    * combinable conditional sums), then a single global moment row —
+    * nothing after the per-user agg is data-sized.
+    */
+  def cupedUplift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("user_id"),
+      expr("unix_timestamp(ts) div 86400").as("day"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val perUser = e
+      .crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+    perUser
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        Ag.countIf(col("variant") === 0).as("n_a"),
+        Ag.countIf(col("variant") === 1).as("n_b"),
+        sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
+        sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"))
+      .withColumn("theta", expr(
+        // N/D exact (decimal-widened), then ONE double division
+        """cast(cast(n as decimal(38,0)) * cast(sxy as decimal(38,0))
+          |     - cast(sx as decimal(38,0)) * cast(sy as decimal(38,0)) as double) /
+          |cast(cast(n as decimal(38,0)) * cast(sxx as decimal(38,0))
+          |     - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)) as double)"""
+          .stripMargin))
+      .withColumn("raw_uplift", expr(
+        """(cast(sy_b as double) / cast(n_b as double))
+          | - (cast(sy_a as double) / cast(n_a as double))""".stripMargin))
+      .withColumn("cuped_uplift", expr(
+        """(cast(sy_b as double) / cast(n_b as double)
+          |  - theta * (cast(sx_b as double) / cast(n_b as double)))
+          | - (cast(sy_a as double) / cast(n_a as double)
+          |  - theta * (cast(sx_a as double) / cast(n_a as double)))""".stripMargin))
+      .select(col("n_a"), col("n_b"), col("theta"), col("raw_uplift"), col("cuped_uplift"))
+  }
+
+  /** Theil–Sen robust trend (q159): per event type, the MEDIAN of all
+    * pairwise day-over-day slopes of the daily event count series —
+    * the breakdown-resistant alternative to least-squares trend (up to
+    * 29% outlier days cannot move it). Slopes are exact-integer ratios
+    * compared as correctly-rounded doubles with (dy, dx) integer
+    * tie-breaks; the median is the q46 floor-rank order statistic —
+    * deterministic cross-engine.
+    *
+    * Scale shape: the pair join is days², not events² (the series is
+    * the daily aggregate), so the quadratic is bounded by the time
+    * range; the daily agg itself is one map-side combinable exchange.
+    */
+  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .transform(graft.core.Caches.cache)
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(
+        col("a.event_type").as("event_type"),
+        (col("b.n_events") - col("a.n_events")).as("dy"),
+        (col("b.day") - col("a.day")).as("dx"))
+      .withColumn("slope", expr("cast(dy as double) / cast(dx as double)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    slopes
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("slope").asc, col("dy").asc, col("dx").asc)))
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .filter(col("rn") === expr("cast(floor(0.5 * (n_pairs - 1)) as bigint) + 1"))
+      .select(
+        col("event_type"), col("n_pairs"),
+        col("dy").as("med_dy"), col("dx").as("med_dx"), col("slope"))
+      .orderBy(col("event_type"))
+  }
 }
