@@ -43,6 +43,19 @@ object ProbePq {
       }
       println(f"[probe-pq] m=$m%2d ksub=$ksub%2d rerank=$rerank%2d recall@5=$r%.3f")
     }
+    for {
+      nProbe <- Seq(6, 8)
+      nAssign <- Seq(2, 3)
+      rerank <- Seq(32, 64)
+    } {
+      val r = graft.core.Caches.withScope {
+        recallOf(topSets(Similarity.ivfPqTopK(
+          queries, emb, "vec_id", "embedding", k = 5,
+          nCentroids = 16, nProbe = nProbe, m = 16, ksub = 32,
+          rerank = rerank, nAssign = nAssign)))
+      }
+      println(f"[probe-ivfpq] cells=16 probe=$nProbe%d assign=$nAssign%d rerank=$rerank%2d recall@5=$r%.3f")
+    }
     spark.stop()
   }
 }

@@ -197,7 +197,8 @@ object SparkEntry {
     "q156_rrf_fusion" -> (EQ.rrfFusion _),
     "q157_communities" -> (EQ.covisCommunities _),
     "q158_cuped_uplift" -> (EQ.cupedUplift _),
-    "q159_theil_sen" -> (EQ.theilSenTrend _))
+    "q159_theil_sen" -> (EQ.theilSenTrend _),
+    "q160_knn_ivfpq" -> (TQ.knnIvfPq _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3339,7 +3340,91 @@ object SparkEntry {
         |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
         |  dy AS med_dy, dx AS med_dx, slope
         |FROM r WHERE rn = CAST(floor(0.5 * (n_pairs - 1)) AS BIGINT) + 1
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    // IVFPQ: the q41 coarse-cell chain (16 seeds, 1 Lloyd step,
+    // 3-cell spill lists, 6 probes) prunes candidates; the q155 PQ
+    // chain (32 seeds x 16 subspaces) ADC-scores them; exact-cosine
+    // rerank of the top 32
+    "q160_knn_ivfpq" ->
+      s"""WITH $quantCte, ranked AS (
+         |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+         |  FROM qv
+         |), seeds AS (
+         |  SELECT CAST(srn - 1 AS BIGINT) AS cid, v AS cq FROM ranked WHERE srn <= 16
+         |), a0 AS (
+         |  ${assignSql("qv", "seeds", "vid", 64)} WHERE rn = 1
+         |), centd AS (
+         |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM a0, unnest(generate_series(1, 64)) AS t(i)
+         |  GROUP BY cid, i
+         |), cent AS (
+         |  SELECT cid, list(cv ORDER BY i) AS cq FROM centd GROUP BY cid
+         |), assigned AS (
+         |  ${assignSql("qv", "cent", "vid", 64)} WHERE rn <= 3
+         |), queries AS (
+         |  SELECT vec_id, v FROM qv WHERE vec_id < 64
+         |), probes AS (
+         |  ${assignSql("queries", "cent", "query_id", 64)} WHERE rn <= 6
+         |), pqseed AS (
+         |  SELECT CAST(srn - 1 AS BIGINT) AS cid, j, v[(j*4+1):(j*4+4)] AS cq
+         |  FROM ranked, unnest(generate_series(0, 15)) AS tj(j) WHERE srn <= 32
+         |), csub AS (
+         |  SELECT vec_id, j, v[(j*4+1):(j*4+4)] AS sv
+         |  FROM qv, unnest(generate_series(0, 15)) AS tj(j)
+         |), pqa0 AS (
+         |  SELECT vec_id, j, sv, cid FROM (
+         |    SELECT c.vec_id, c.j, c.sv, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.j ORDER BY
+         |        2 * ${dotSql("c.sv", "s.cq", 4)} - ${norm2Sql("s.cq")} DESC, s.cid ASC) AS rn
+         |    FROM csub c JOIN pqseed s ON c.j = s.j
+         |  ) WHERE rn = 1
+         |), pqcentd AS (
+         |  SELECT j, cid, i, CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM pqa0, unnest(generate_series(1, 4)) AS ti(i)
+         |  GROUP BY j, cid, i
+         |), pqcent AS (
+         |  SELECT j, cid, list(cv ORDER BY i) AS cq FROM pqcentd GROUP BY j, cid
+         |), enc AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT c.vec_id, c.j, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.j ORDER BY
+         |        2 * ${dotSql("c.sv", "s.cq", 4)} - ${norm2Sql("s.cq")} DESC, s.cid ASC) AS rn
+         |    FROM csub c JOIN pqcent s ON c.j = s.j
+         |  ) WHERE rn = 1
+         |), qsub AS (
+         |  SELECT vec_id AS query_id, j, sv FROM csub WHERE vec_id < 64
+         |), lut AS (
+         |  SELECT q.query_id, s.j, s.cid, ${dotSql("q.sv", "s.cq", 4)} AS part
+         |  FROM qsub q JOIN pqcent s ON q.j = s.j
+         |), cpair AS (
+         |  SELECT DISTINCT p.query_id, a.vid AS neighbor_id
+         |  FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vid <> p.query_id
+         |), scored AS (
+         |  SELECT cp.query_id, cp.neighbor_id, CAST(SUM(l.part) AS BIGINT) AS adc_dot
+         |  FROM cpair cp
+         |  JOIN enc e ON e.vec_id = cp.neighbor_id
+         |  JOIN lut l ON l.query_id = cp.query_id AND l.j = e.j AND l.cid = e.cid
+         |  GROUP BY cp.query_id, cp.neighbor_id
+         |), cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+         |        CAST(s.adc_dot AS DOUBLE) / sqrt(CAST(${norm2Sql("nn.v")} AS DOUBLE)) DESC,
+         |        s.neighbor_id ASC) AS rn
+         |    FROM scored s JOIN qv nn ON nn.vec_id = s.neighbor_id
+         |  ) WHERE rn <= 32
+         |), rr AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${cosineSql("qq.v", "nn.v", 64)} AS cosine_sim
+         |  FROM cand
+         |  JOIN qv qq ON qq.vec_id = cand.query_id
+         |  JOIN qv nn ON nn.vec_id = cand.neighbor_id
+         |), fin AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM rr
+         |)
+         |SELECT query_id, neighbor_id, cosine_sim FROM fin WHERE rn <= 5
+         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

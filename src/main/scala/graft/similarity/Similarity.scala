@@ -488,6 +488,92 @@ object Similarity {
     Windows.topKPerGroup(rescored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
   }
 
+  /** IVFPQ (Jégou et al. 2011, §IV): the coarse IVF quantizer prunes
+    * the scan to `nProbe` cells per query and the scan itself reads
+    * PQ CODES, not vectors — the composition that holds at 100 TB,
+    * where [[ivfTopKDeterministic]]'s full-vector cells no longer fit
+    * memory and [[pqTopK]]'s whole-corpus code scan is still
+    * corpus-sized per query. Index = (cell, codes, exact norm) per
+    * corpus vector (nAssign spill lists as in IVF); query side probes
+    * cells and ADC-scores only their codes; exact-cosine rerank of the
+    * top `rerank`. Deterministic end-to-end (both quantizers are the
+    * md5-seed + exact-integer-Lloyd construction) ⇒ oracle-checkable.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      m: Int,
+      ksub: Int,
+      rerank: Int,
+      nAssign: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val c = graft.core.Caches.cache(
+      corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb")))
+    val cent = deterministicCentroids(c, "neighbor_id", "c_emb", nCentroids)
+    val assigned = assignTo(c, "neighbor_id", "c_emb", cent, nAssign)
+      .select(col("neighbor_id"), col("cid"))
+    val cb = graft.core.Caches.cache(pqCodebook(c, "neighbor_id", "c_emb", m, dsub, ksub))
+    val enc = pqAssign(
+      subRows(c, "c_emb", m, dsub).select(col("neighbor_id"), col("j"), col("sv")),
+      "neighbor_id", cb)
+      .groupBy(col("neighbor_id"))
+      .agg(
+        graft.ops.Aggregates.sortedList(Seq(col("j")), col("cid")).as("codes"),
+        sum(qnorm2(col("sv"))).as("cnorm2"))
+    // the scan-side index: cell id + codes + exact norm, no vectors
+    val index = graft.core.Caches.cache(assigned.join(enc, Seq("neighbor_id")))
+
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+    val probes = assignTo(q, "query_id", "q_emb", cent, nProbe)
+      .select(col("query_id"), col("cid"))
+    val parts = subRows(q, "q_emb", m, dsub)
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), col("j"), col("cid"),
+        qdot(col("sv"), col("cq")).as("part"))
+    val grid = spark.range(m.toLong * ksub).select(
+      (col("id") / ksub).cast("int").as("j"),
+      (col("id") % ksub).as("cid"))
+    val lut = q.select(col("query_id")).crossJoin(broadcast(grid))
+      .join(parts, Seq("query_id", "j", "cid"), "left")
+      .groupBy(col("query_id"))
+      .agg(graft.ops.Aggregates
+        .sortedList(Seq(col("j"), col("cid")), coalesce(col("part"), lit(0L))).as("lut"))
+
+    // probe cells → ADC over that cell's codes only; spill lists can
+    // surface one pair via several cells → dedup the scalar rows
+    val qTab = broadcast(q.join(lut, Seq("query_id")))
+    val cand = Windows.topKPerGroup(
+      probes.join(qTab, Seq("query_id"))
+        .join(index, Seq("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_emb"), col("neighbor_id"),
+          (org.apache.spark.sql.graft.VectorExpressions
+            .pqAdcScore(col("codes"), col("lut"), ksub).cast("double") /
+            sqrt(col("cnorm2").cast("double"))).as("adc"))
+        .dropDuplicates("query_id", "neighbor_id"),
+      Seq("query_id"), col("adc"), Seq("neighbor_id"), rerank)
+
+    val rescored = c
+      .join(broadcast(cand.select(col("query_id"), col("q_emb"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        qcosine(
+          qdot(col("q_emb"), col("c_emb")),
+          qnorm2(col("q_emb")),
+          qnorm2(col("c_emb"))).as("cosine_sim"))
+    Windows.topKPerGroup(rescored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Vectors in the same bucket are similar with high prob.
     * Each plane projection is one fused `long_vector_dot` against a

@@ -30,7 +30,7 @@ class ContractHygieneSpec extends SparkSpec {
     // chain identical in both engines) — same bit-exactness as q31/q36
     "q146_hard_negatives",
     // PQ rerank emits the same quantized-integer cosine as q31/q36/q41
-    "q155_knn_pq",
+    "q155_knn_pq", "q160_knn_ivfpq",
     // theta/uplifts: one IEEE division/multiply chain on exact integer
     // cent moments, written textually identically on both sides
     "q158_cuped_uplift",

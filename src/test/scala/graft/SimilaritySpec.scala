@@ -167,4 +167,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, f"PQ recall collapsed: $recall%.3f")
     assert(pq2 == pq)
   }
+
+  test("ivfPqTopK: recall@5 clears the floor, bit-stable re-run") {
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 64)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def run() = graft.core.Caches.withScope {
+      topSets(Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 6, m = 16, ksub = 32,
+        rerank = 32, nAssign = 3))
+    }
+    val exact = graft.core.Caches.withScope {
+      topSets(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    }
+    val (a, b) = (run(), run())
+    val per = exact.map { case (q, truth) =>
+      a.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = per.sum / per.size
+    // the q160 production config measured 0.881 (ProbePq sweep)
+    info(f"recall@5 ivfpq=$recall%.3f (cells=16, probe=6, assign=3, rerank=32)")
+    assert(recall >= 0.80, f"IVFPQ recall collapsed: $recall%.3f")
+    assert(a == b)
+  }
 }
