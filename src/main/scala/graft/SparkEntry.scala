@@ -198,7 +198,10 @@ object SparkEntry {
     "q157_communities" -> (EQ.covisCommunities _),
     "q158_cuped_uplift" -> (EQ.cupedUplift _),
     "q159_theil_sen" -> (EQ.theilSenTrend _),
-    "q160_knn_ivfpq" -> (TQ.knnIvfPq _))
+    "q160_knn_ivfpq" -> (TQ.knnIvfPq _),
+    "q161_gini_stumps" -> (EQ.giniStumps _),
+    "q162_autocorrelation" -> (EQ.autocorrelation _),
+    "q163_mase_forecast" -> (EQ.maseForecast _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3424,7 +3427,94 @@ object SparkEntry {
          |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM rr
          |)
          |SELECT query_id, neighbor_id, cosine_sim FROM fin WHERE rn <= 5
-         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)
+         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin,
+    // per-feature best Gini split: purity score = two double divisions
+    // on exact integer prefix counts, ties -> min threshold
+    "q161_gini_stumps" ->
+      """WITH e AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS hour,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CAST(round(value * 100) AS BIGINT) // 1000 AS vb,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), lng AS (
+        |  SELECT 'hour' AS feature, hour AS fval, y FROM e
+        |  UNION ALL SELECT 'dow', dow, y FROM e
+        |  UNION ALL SELECT 'value_bucket', vb, y FROM e
+        |), grp AS (
+        |  SELECT feature, fval, CAST(SUM(y) AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lng GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT *,
+        |    CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY fval
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+        |    CAST(SUM(n) OVER (PARTITION BY feature ORDER BY fval
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS tp,
+        |    CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS tn
+        |  FROM grp
+        |), sc AS (
+        |  SELECT *,
+        |    CAST(cp * cp + (cn - cp) * (cn - cp) AS DOUBLE) / CAST(cn AS DOUBLE)
+        |     + CAST((tp - cp) * (tp - cp) + ((tn - cn) - (tp - cp)) * ((tn - cn) - (tp - cp)) AS DOUBLE)
+        |       / CAST(tn - cn AS DOUBLE) AS score
+        |  FROM cum WHERE cn < tn
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY feature ORDER BY score DESC, fval ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT feature, fval AS threshold, cn AS n_left, tn - cn AS n_right,
+        |  cp AS pos_left, tp - cp AS pos_right, score
+        |FROM r WHERE rn = 1 ORDER BY feature""".stripMargin,
+    // sample ACF at lags 1..7, estimator multiplied through by n^2 so
+    // num/den are exact integers; one double division per lag
+    "q162_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |), totals AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM daily
+        |), den AS (
+        |  SELECT CAST(SUM((n * x - sx) * (n * x - sx)) AS BIGINT) AS den
+        |  FROM daily CROSS JOIN totals
+        |), lags AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag FROM unnest(generate_series(1, 7)) AS t(lag)
+        |), pr AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM((t.n * a.x - t.sx) * (t.n * b.x - t.sx)) AS BIGINT) AS num
+        |  FROM daily a
+        |  JOIN lags l ON TRUE
+        |  JOIN daily b ON b.day = a.day + l.lag
+        |  CROSS JOIN totals t
+        |  GROUP BY 1
+        |)
+        |SELECT pr.lag, pr.n_pairs, pr.num, den.den,
+        |  CAST(pr.num AS DOUBLE) / CAST(den.den AS DOUBLE) AS acf
+        |FROM pr CROSS JOIN den ORDER BY lag""".stripMargin,
+    // seasonal-naive (lag-7) MAE scaled by one-step-naive (lag-1) MAE
+    "q163_mase_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), l7 AS (
+        |  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n7,
+        |    CAST(SUM(abs(b.x - a.x)) AS BIGINT) AS sae7
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.day = a.day + 7
+        |  GROUP BY 1
+        |), l1 AS (
+        |  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n1,
+        |    CAST(SUM(abs(b.x - a.x)) AS BIGINT) AS sae1
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.day = a.day + 1
+        |  GROUP BY 1
+        |)
+        |SELECT l7.event_type, n7, n1, sae7, sae1,
+        |  (CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+        |   / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
+        |FROM l7 JOIN l1 ON l7.event_type = l1.event_type
+        |ORDER BY l7.event_type""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

@@ -1539,6 +1539,130 @@ object EventQueries {
       .select(col("n_a"), col("n_b"), col("theta"), col("raw_uplift"), col("cuped_uplift"))
   }
 
+  /** Single-split decision stumps (q161): per candidate feature, the
+    * binary threshold maximizing the Gini purity gain for predicting
+    * purchases — the feature-screening primitive of tree learners
+    * (and the explainable "which signal splits converters best"
+    * report). Purity score `Σ_side (pos² + neg²) / n_side` (maximizing
+    * it ≡ minimizing weighted Gini impurity) is computed as TWO
+    * correctly-rounded double divisions on exact integer prefix
+    * counts — deterministic cross-engine, ties → min threshold.
+    *
+    * Scale shape: one (feature, value) pre-aggregation (map-side
+    * combinable, catalog-sized output), then prefix sums windowed BY
+    * FEATURE over the tiny aggregated table — no event-level window
+    * anywhere.
+    */
+  def giniStumps(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      expr("hour(ts)").cast("long").as("hour"),
+      expr("dayofweek(ts)").cast("long").as("dow"),
+      expr("cast(round(value * 100) as bigint) div 1000").as("vb"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val long = e.select(
+      posexplode(array(
+        struct(lit("hour").as("feature"), col("hour").as("fval")),
+        struct(lit("dow").as("feature"), col("dow").as("fval")),
+        struct(lit("value_bucket").as("feature"), col("vb").as("fval"))))
+        .as(Seq("i", "f")),
+      col("y"))
+      .select(col("f.feature").as("feature"), col("f.fval").as("fval"), col("y"))
+    val grp = long.groupBy(col("feature"), col("fval"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(col("fval"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
+    grp
+      .withColumn("cp", sum(col("pos")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("tp", sum(col("pos")).over(wAll))
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .filter(col("cn") < col("tn")) // full-left split carries no information
+      .withColumn("score", expr(
+        """cast(cp * cp + (cn - cp) * (cn - cp) as double) / cast(cn as double)
+          | + cast((tp - cp) * (tp - cp) + ((tn - cn) - (tp - cp)) * ((tn - cn) - (tp - cp)) as double)
+          |   / cast(tn - cn as double)""".stripMargin))
+      .transform(df => Windows.topKPerGroup(df, Seq("feature"), col("score"), Seq("fval"), 1))
+      .select(
+        col("feature"), col("fval").as("threshold"),
+        col("cn").as("n_left"), (col("tn") - col("cn")).as("n_right"),
+        col("cp").as("pos_left"), (col("tp") - col("cp")).as("pos_right"),
+        col("score"))
+      .orderBy(col("feature"))
+  }
+
+  /** Exact sample autocorrelation (q162) of the daily event-count
+    * series at lags 1..7 — the serial-dependence companion to the
+    * drift family (q118 PSI, q147 CUSUM, q154 KS). Multiplying the
+    * textbook estimator through by n² makes numerator and denominator
+    * exact integers (Σ(n·x_t − Sx)(n·x_{t+k} − Sx) over the lag-k
+    * overlap / Σ(n·x_t − Sx)² over the full series); one double
+    * division emits r_k.
+    *
+    * Scale shape: the series is the daily aggregate (one map-side
+    * combinable exchange); lags join the tiny series to itself —
+    * days-sized work, never events-sized.
+    */
+  def autocorrelation(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .transform(graft.core.Caches.cache)
+    val totals = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val den = daily.crossJoin(broadcast(totals))
+      .agg(sum(expr("(n * x - sx) * (n * x - sx)")).as("den"))
+    val lags = Seq.range(1, 8).toDF("lag")
+    val pairs = daily.select(col("day"), col("x"))
+      .crossJoin(broadcast(lags))
+      .join(
+        daily.select(col("day").as("day2"), col("x").as("x2")),
+        col("day2") === col("day") + col("lag"))
+    pairs
+      .crossJoin(broadcast(totals))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("(n * x - sx) * (n * x2 - sx)")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(
+        col("lag").cast("long").as("lag"), col("n_pairs"),
+        col("num"), col("den"),
+        expr("cast(num as double) / cast(den as double)").as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** MASE forecast evaluation (q163; Hyndman & Koehler 2006): per
+    * event type, the seasonal-naive (lag-7) forecast's mean absolute
+    * error scaled by the one-step-naive (lag-1) MAE — the
+    * scale-free forecast-quality report (< 1 beats naive). Absolute
+    * errors are exact integers; the final ratio is one double chain.
+    */
+  def maseForecast(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .transform(graft.core.Caches.cache)
+    def lagJoin(k: Int) = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") === col("a.day") + k)
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(
+        count(lit(1)).as(s"n$k"),
+        sum(abs(col("b.x") - col("a.x"))).as(s"sae$k"))
+    lagJoin(7)
+      .join(lagJoin(1), Seq("event_type"))
+      .select(
+        col("event_type"), col("n7"), col("n1"), col("sae7"), col("sae1"),
+        expr(
+          """(cast(sae7 as double) / cast(n7 as double))
+            | / (cast(sae1 as double) / cast(n1 as double))""".stripMargin).as("mase"))
+      .orderBy(col("event_type"))
+  }
+
   /** Theil–Sen robust trend (q159): per event type, the MEDIAN of all
     * pairwise day-over-day slopes of the daily event count series —
     * the breakdown-resistant alternative to least-squares trend (up to

@@ -35,7 +35,10 @@ class ContractHygieneSpec extends SparkSpec {
     // cent moments, written textually identically on both sides
     "q158_cuped_uplift",
     // slope: CAST(int)/CAST(int) correctly rounded double
-    "q159_theil_sen")
+    "q159_theil_sen",
+    // purity score / acf / mase: double chains on exact integer
+    // moments, written textually identically on both sides
+    "q161_gini_stumps", "q162_autocorrelation", "q163_mase_forecast")
 
   private def leafTypes(dt: DataType): Seq[DataType] = dt match {
     case s: StructType => s.fields.toSeq.flatMap(f => leafTypes(f.dataType))
