@@ -201,7 +201,8 @@ object SparkEntry {
     "q160_knn_ivfpq" -> (TQ.knnIvfPq _),
     "q161_gini_stumps" -> (EQ.giniStumps _),
     "q162_autocorrelation" -> (EQ.autocorrelation _),
-    "q163_mase_forecast" -> (EQ.maseForecast _))
+    "q163_mase_forecast" -> (EQ.maseForecast _),
+    "q164_cms_sketch" -> (EQ.cmsFrequency _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3514,7 +3515,36 @@ object SparkEntry {
         |  (CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE))
         |   / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
         |FROM l7 JOIN l1 ON l7.event_type = l1.event_type
-        |ORDER BY l7.event_type""".stripMargin)
+        |ORDER BY l7.event_type""".stripMargin,
+    // 4x64 count-min sketch over item ids, probed for the top-10 items:
+    // est = min over rows of the md5-bucketed cell; overcount >= 0 is
+    // the sketch's own never-undercount guarantee, carried as output
+    "q164_cms_sketch" ->
+      """WITH it AS (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |), cms AS (
+        |  SELECT CAST(r AS BIGINT) AS r,
+        |    CAST(('0x' || substring(md5('r' || CAST(r AS VARCHAR) || '|' || CAST(item AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM it, unnest(generate_series(0, 3)) AS t(r)
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT item, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        |  FROM it GROUP BY 1 ORDER BY true_cnt DESC, item ASC LIMIT 10
+        |), probes AS (
+        |  SELECT top.item, top.true_cnt, CAST(r AS BIGINT) AS r,
+        |    CAST(('0x' || substring(md5('r' || CAST(r AS VARCHAR) || '|' || CAST(item AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM top, unnest(generate_series(0, 3)) AS t(r)
+        |), est AS (
+        |  SELECT p.item, p.true_cnt, MIN(COALESCE(c.cnt, 0)) AS est
+        |  FROM probes p LEFT JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+        |  GROUP BY 1, 2
+        |)
+        |SELECT item, true_cnt, CAST(est AS BIGINT) AS est,
+        |  CAST(est - true_cnt AS BIGINT) AS overcount
+        |FROM est ORDER BY item""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

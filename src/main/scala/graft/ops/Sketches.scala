@@ -27,6 +27,56 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Count-min sketch as a RELATION (Cormode & Muthukrishnan 2005):
+    * `depth` hash rows × `width` buckets of exact counts — the
+    * frequency sketch next to the HLL cardinality sketch and the
+    * Misra–Gries top-k. Unlike MG, the CMS state is a pure SUM per
+    * (row, bucket): associative and order-independent, so the sketch
+    * table is bit-identical under any partitioning AND
+    * oracle-checkable (q164). Point estimate = min over rows of the
+    * probed cell — never an undercount, overshoots by at most the
+    * collision mass (≤ N/width expected per row).
+    *
+    * Why it matters at 100 TB: the sketch is `depth·width` cells
+    * regardless of key cardinality — heavy-key frequency questions
+    * (abuse detection, hot-key diagnosis) answered from kilobytes of
+    * mergeable map-side-combinable state instead of a full distinct
+    * aggregation; per-day sketch tables ADD cell-wise.
+    */
+  def cmsBucket(item: Column, r: Column, width: Int): Column =
+    conv(substring(md5(
+      concat(lit("r"), r.cast("string"), lit("|"), item.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** The (r, bucket, cnt) sketch table over `itemCol`. */
+  def cmsTable(df: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame =
+    df.select(col(itemCol).as("item"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r").cast("long").as("r"),
+        cmsBucket(col("item"), col("r"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `probes(item)` against a sketch table:
+    * min over rows of the probed cell. Missing cells read 0 (an item
+    * hashed to an untouched bucket has true count 0).
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    val probeCells = probes
+      .select(col(itemCol).as("item"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("item"), col("r").cast("long").as("r"),
+        cmsBucket(col("item"), col("r"), width).as("bucket"))
+    probeCells
+      .join(sketch, Seq("r", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Per-group approximate distinct count of `keyCol`. */
   def hllDistinctPerGroup(
       df: DataFrame,

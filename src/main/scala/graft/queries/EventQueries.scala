@@ -1663,6 +1663,28 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Count-min sketch frequency estimates (q164): the 4×64 CMS table
+    * over item ids, probed for the 10 most frequent items — the
+    * contract carries the sketch's own guarantee (overcount ≥ 0,
+    * never an undercount) as an output column. See
+    * [[graft.ops.Sketches.cmsTable]] for the 100 TB role.
+    */
+  def cmsFrequency(s: SparkSession, d: String): DataFrame = {
+    val it = Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .transform(graft.core.Caches.cache)
+    val sketch = graft.ops.Sketches.cmsTable(it, "item", depth = 4, width = 64)
+    val top = it.groupBy(col("item")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("item").asc)
+      .limit(10)
+    val est = graft.ops.Sketches.cmsEstimate(sketch, top, "item", depth = 4, width = 64)
+    top.join(est, Seq("item"))
+      .select(col("item"), col("true_cnt"), col("est"),
+        (col("est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("item"))
+  }
+
   /** Theil–Sen robust trend (q159): per event type, the MEDIAN of all
     * pairwise day-over-day slopes of the daily event count series —
     * the breakdown-resistant alternative to least-squares trend (up to

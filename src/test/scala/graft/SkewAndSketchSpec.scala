@@ -111,6 +111,34 @@ class SkewAndSketchSpec extends SparkSpec {
     }
   }
 
+  test("CMS: never undercounts any item, bounded overcount, partitioning-invariant") {
+    // zipf-ish multiset: item i appears ~200/i times
+    val items = (1 to 40).flatMap(i => Seq.fill(200 / i)(i.toLong))
+    val df = items.toDF("item")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val allItems = truth.keys.toSeq.toDF("item")
+    val (est, est13) = graft.core.Caches.withScope {
+      val s = Sketches.cmsTable(df, "item", depth = 4, width = 64)
+      val s13 = Sketches.cmsTable(df.repartition(13), "item", depth = 4, width = 64)
+      (Sketches.cmsEstimate(s, allItems, "item", 4, 64)
+        .as[(Long, Long)].collect().toMap,
+        Sketches.cmsEstimate(s13, allItems, "item", 4, 64)
+          .as[(Long, Long)].collect().toMap)
+    }
+    assert(est == est13) // sums are associative — sketch is exactly partition-invariant
+    truth.foreach { case (i, t) =>
+      assert(est(i) >= t, s"CMS undercounted item $i: ${est(i)} < $t")
+    }
+    // total overcount bounded by collision mass: each row spreads
+    // n=${items.size} counts over 64 buckets; min-of-4 stays well under
+    // one row's expected collision share for every probe
+    val n = items.size.toLong
+    truth.foreach { case (i, t) =>
+      assert(est(i) - t <= n / 8,
+        s"CMS overcount for $i implausibly large: ${est(i)} vs $t (n=$n)")
+    }
+  }
+
   test("log-histogram sketch: bucket round-trip brackets the value, < 1/16 relative") {
     val vals = Seq(0L, 1L, 15L, 16L, 17L, 31L, 32L, 100L, 1023L, 1024L,
       123456789L, Long.MaxValue / 2)
