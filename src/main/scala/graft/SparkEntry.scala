@@ -202,7 +202,8 @@ object SparkEntry {
     "q161_gini_stumps" -> (EQ.giniStumps _),
     "q162_autocorrelation" -> (EQ.autocorrelation _),
     "q163_mase_forecast" -> (EQ.maseForecast _),
-    "q164_cms_sketch" -> (EQ.cmsFrequency _))
+    "q164_cms_sketch" -> (EQ.cmsFrequency _),
+    "q165_mann_whitney" -> (EQ.mannWhitneyU _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3544,7 +3545,32 @@ object SparkEntry {
         |)
         |SELECT item, true_cnt, CAST(est AS BIGINT) AS est,
         |  CAST(est - true_cnt AS BIGINT) AS overcount
-        |FROM est ORDER BY item""".stripMargin)
+        |FROM est ORDER BY item""".stripMargin,
+    // tie-corrected Mann-Whitney U via doubled midranks (2c + t + 1),
+    // all-integer; effect size in ppm
+    "q165_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE event_type IN ('purchase', 'view')
+        |), counts AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1
+        |), cums AS (
+        |  SELECT ca, cb,
+        |    COALESCE(SUM(ca + cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+        |  FROM counts
+        |), t AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2,
+        |    CAST(SUM(ca * (c_before * 2 + ca + cb + 1)) AS BIGINT) AS r1_x2
+        |  FROM cums
+        |)
+        |SELECT n1, n2,
+        |  CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+        |  CAST(n1 * n2 * 2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+        |  CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2) AS BIGINT) AS cles_ppm
+        |FROM t""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

@@ -1663,6 +1663,40 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Mann–Whitney U rank-sum test (q165) between the purchase and view
+    * `value` distributions — the nonparametric A/B companion to q154's
+    * KS (U asks "does one sample stochastically dominate"; KS asks
+    * "same distribution at all"). Tie-corrected midranks are kept
+    * integer by DOUBLING: for a value with `c` observations strictly
+    * below and `t` ties, 2·midrank = 2c + t + 1, so 2·R₁ and 2·U₁ are
+    * exact integers; the common-language effect size emits as ppm
+    * (floor division on non-negatives). Same value-support scaffold as
+    * q154 — counts per distinct value, one cumulative window over the
+    * value-bounded support, never the events.
+    */
+  def mannWhitneyU(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(col("value"))
+      .agg(
+        Ag.countIf(col("event_type") === "purchase").as("ca"),
+        Ag.countIf(col("event_type") === "view").as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counts
+      .withColumn("c_before", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .agg(
+        sum(col("ca")).as("n1"),
+        sum(col("cb")).as("n2"),
+        sum(col("ca") * (col("c_before") * 2 + col("ca") + col("cb") + 1)).as("r1_x2"))
+      .select(
+        col("n1"), col("n2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        (col("n1") * col("n2") * 2 - (col("r1_x2") - col("n1") * (col("n1") + 1))).as("u2_x2"),
+        expr("(r1_x2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2)").as("cles_ppm"))
+  }
+
   /** Count-min sketch frequency estimates (q164): the 4×64 CMS table
     * over item ids, probed for the 10 most frequent items — the
     * contract carries the sketch's own guarantee (overcount ≥ 0,

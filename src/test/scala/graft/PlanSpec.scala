@@ -178,4 +178,44 @@ class PlanSpec extends SparkSpec {
       graft.core.Tables.documents(spark, dir), "text", 64))
     assert(!p.contains("Join"))
   }
+
+  test("pq_adc scan stays inside whole-stage codegen (q155 ADC stage)") {
+    // the compressed-codes scan is the whole point of PQ at scale: the
+    // gather must not fall out of the scan stage's codegen span
+    val df = spark.range(10).selectExpr(
+      "array(id % 2, (id + 1) % 2) AS codes", "array(1L, 2L, 3L, 4L) AS lut")
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .pqAdcScore(col("codes"), col("lut"), 2).as("adc"))
+    val p = plan(df)
+    assert(
+      p.linesIterator.exists(l => l.contains("pq_adc") && l.contains("*(")),
+      s"pq_adc fell out of WholeStageCodegen:\n$p")
+  }
+
+  test("gini stumps: windows run over the aggregated feature table, not events") {
+    // the prefix-sum windows must sit ABOVE the (feature, fval) agg —
+    // their exchange is catalog-sized; the only event-sized exchange is
+    // the aggregation itself
+    val p = plan(EventQueries.giniStumps(spark, dir))
+    val aggFirst = p.indexOf("HashAggregate")
+    val winFirst = p.indexOf("Window")
+    assert(aggFirst >= 0 && winFirst >= 0)
+    assert(winFirst < aggFirst, // executedPlan prints top-down: window above agg
+      s"expected Window above HashAggregate (agg-then-window):\n$p")
+  }
+
+  test("mann-whitney: single row out, no event-level window") {
+    val p = plan(EventQueries.mannWhitneyU(spark, dir))
+    // the cumulative window partitions the distinct-value support —
+    // upstream of it must be the value aggregation, not raw events
+    val winIdx = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"expected the support aggregation BELOW the cumulative window:\n$p")
+  }
+
+  test("rrf fusion: final ranking touches candidate rows, no cartesian") {
+    val p = plan(EventQueries.rrfFusion(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in RRF plan:\n$p")
+  }
 }
