@@ -203,7 +203,9 @@ object SparkEntry {
     "q162_autocorrelation" -> (EQ.autocorrelation _),
     "q163_mase_forecast" -> (EQ.maseForecast _),
     "q164_cms_sketch" -> (EQ.cmsFrequency _),
-    "q165_mann_whitney" -> (EQ.mannWhitneyU _))
+    "q165_mann_whitney" -> (EQ.mannWhitneyU _),
+    "q166_ips_ctr" -> (EQ.ipsCtr _),
+    "q167_woe_binning" -> (EQ.woeBinning _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3570,7 +3572,58 @@ object SparkEntry {
         |  CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
         |  CAST(n1 * n2 * 2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
         |  CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2) AS BIGINT) AS cles_ppm
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+    // 1/pos examination model (capped at 10): click at session position
+    // p carries weight p; all-integer ppm
+    "q166_ips_ctr" ->
+      s"""WITH $sessCte, vc AS (
+         |  SELECT session_id, item_id, event_type, epoch_s, event_id
+         |  FROM enr WHERE event_type IN ('view', 'click')
+         |), posd AS (
+         |  SELECT item_id, event_type,
+         |    least(ROW_NUMBER() OVER (PARTITION BY session_id ORDER BY epoch_s, event_id), 10) AS pos
+         |  FROM vc
+         |), agg AS (
+         |  SELECT item_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_impressions,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN pos ELSE 0 END) AS BIGINT) AS ips_num
+         |  FROM posd GROUP BY 1
+         |)
+         |SELECT item_id, n_impressions, n_clicks,
+         |  CAST(n_clicks * 1000000 // n_impressions AS BIGINT) AS raw_ctr_ppm,
+         |  ips_num,
+         |  CAST(ips_num * 1000000 // n_impressions AS BIGINT) AS ips_ctr_ppm
+         |FROM agg WHERE n_impressions >= 20 ORDER BY item_id""".stripMargin,
+    // rank deciles over the distinct cent support (ties share a bin),
+    // per-bin WOE = micro-rounded ln odds ratio (q43 ln discipline)
+    "q167_woe_binning" ->
+      """WITH c0 AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), counts AS (
+        |  SELECT cents, CAST(SUM(y) AS BIGINT) AS ca, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c0 GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS pos_tot, CAST(SUM(n) AS BIGINT) AS n_tot FROM counts
+        |), cums AS (
+        |  SELECT cents, ca, n,
+        |    COALESCE(SUM(n) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+        |  FROM counts
+        |), binned AS (
+        |  SELECT CAST(c_before * 10 // n_tot + 1 AS BIGINT) AS bin, ca, n
+        |  FROM cums CROSS JOIN tot
+        |), agg AS (
+        |  SELECT bin, CAST(SUM(n) AS BIGINT) AS n_b, CAST(SUM(ca) AS BIGINT) AS pos_b,
+        |    CAST(SUM(n) - SUM(ca) AS BIGINT) AS neg_b
+        |  FROM binned GROUP BY 1
+        |)
+        |SELECT bin, n_b, pos_b, neg_b,
+        |  CAST(round(ln(CAST(pos_b * (n_tot - pos_tot) AS DOUBLE)
+        |                / CAST(neg_b * pos_tot AS DOUBLE)) * 1000000) AS BIGINT) AS woe_micro
+        |FROM agg CROSS JOIN tot ORDER BY bin""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

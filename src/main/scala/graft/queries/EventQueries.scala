@@ -1663,6 +1663,77 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Inverse-propensity-scored CTR (q166): clicks weighted by their
+    * session position under the 1/pos examination model (capped at
+    * 10) — the standard position-bias correction for logged
+    * interaction data (an item clicked at position 8 carries 8× the
+    * evidence of one clicked at position 1). All-integer ppm contract;
+    * positions come from a per-session window, the only event-sized
+    * exchange.
+    */
+  def ipsCtr(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+      .filter(col("event_type").isin("view", "click"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("session_id"))
+      .orderBy(col("epoch_s"), col("event_id"))
+    enriched
+      .withColumn("pos", least(row_number().over(w).cast("long"), lit(10L)))
+      .groupBy(col("item_id"))
+      .agg(
+        count(lit(1)).as("n_impressions"),
+        Ag.countIf(col("event_type") === "click").as("n_clicks"),
+        sum(when(col("event_type") === "click", col("pos")).otherwise(0L)).as("ips_num"))
+      .filter(col("n_impressions") >= 20)
+      .select(
+        col("item_id"), col("n_impressions"), col("n_clicks"),
+        expr("n_clicks * 1000000 div n_impressions").as("raw_ctr_ppm"),
+        col("ips_num"),
+        expr("ips_num * 1000000 div n_impressions").as("ips_ctr_ppm"))
+      .orderBy(col("item_id"))
+  }
+
+  /** Weight-of-evidence decile binning (q167): `value` cents binned
+    * into 10 rank deciles with TIES KEPT TOGETHER (bin = 10·c_before
+    * div n + 1 over the distinct-value support — every occurrence of a
+    * value lands in one bin, deterministically), then per-bin
+    * WOE = ln(odds ratio vs global) in micro units — the credit-risk /
+    * feature-screening encoding next to q98's target encoding. The ln
+    * is micro-rounded on BOTH sides (q43's libm-ULP discipline); all
+    * other arithmetic is integer. The cumulative window runs over the
+    * value support, never events (swap in Windows.shardedCumsum when
+    * the support itself outgrows one partition).
+    */
+  def woeBinning(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("cents"))
+      .agg(sum(col("y")).as("ca"), count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = counts.agg(sum(col("ca")).as("pos_tot"), sum(col("n")).as("n_tot"))
+    counts
+      .withColumn("c_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr("c_before * 10 div n_tot + 1"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(col("n")).as("n_b"),
+        sum(col("ca")).as("pos_b"),
+        (sum(col("n")) - sum(col("ca"))).as("neg_b"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"), col("n_b"), col("pos_b"), col("neg_b"),
+        expr(
+          """cast(round(ln(cast(pos_b * (n_tot - pos_tot) as double)
+            |              / cast(neg_b * pos_tot as double)) * 1000000) as bigint)"""
+            .stripMargin).as("woe_micro"))
+      .orderBy(col("bin"))
+  }
+
   /** Mann–Whitney U rank-sum test (q165) between the purchase and view
     * `value` distributions — the nonparametric A/B companion to q154's
     * KS (U asks "does one sample stochastically dominate"; KS asks
