@@ -205,7 +205,9 @@ object SparkEntry {
     "q164_cms_sketch" -> (EQ.cmsFrequency _),
     "q165_mann_whitney" -> (EQ.mannWhitneyU _),
     "q166_ips_ctr" -> (EQ.ipsCtr _),
-    "q167_woe_binning" -> (EQ.woeBinning _))
+    "q167_woe_binning" -> (EQ.woeBinning _),
+    "q168_top_paths" -> (EQ.topSessionPaths _),
+    "q169_burst_days" -> (EQ.burstDays _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3623,7 +3625,46 @@ object SparkEntry {
         |SELECT bin, n_b, pos_b, neg_b,
         |  CAST(round(ln(CAST(pos_b * (n_tot - pos_tot) AS DOUBLE)
         |                / CAST(neg_b * pos_tot AS DOUBLE)) * 1000000) AS BIGINT) AS woe_micro
-        |FROM agg CROSS JOIN tot ORDER BY bin""".stripMargin)
+        |FROM agg CROSS JOIN tot ORDER BY bin""".stripMargin,
+    // run-length-collapsed session paths, top 20 by frequency
+    "q168_top_paths" ->
+      s"""WITH $sessCte, lagged2 AS (
+         |  SELECT session_id, item_id, epoch_s, event_id,
+         |    lag(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS prev
+         |  FROM enr
+         |), kept AS (
+         |  SELECT * FROM lagged2 WHERE prev IS NULL OR prev <> item_id
+         |), paths AS (
+         |  SELECT session_id,
+         |    string_agg(CAST(item_id AS VARCHAR), '->' ORDER BY epoch_s, event_id) AS path,
+         |    CAST(COUNT(*) AS BIGINT) AS path_len
+         |  FROM kept GROUP BY 1
+         |), agg AS (
+         |  SELECT path, path_len, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         |  FROM paths GROUP BY 1, 2
+         |)
+         |SELECT path, path_len, n_sessions FROM agg
+         |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+    // 2-sigma burst days with the z comparison cross-multiplied into
+    // integers: (x*n - Sx)^2 > 4*(n*Sxx - Sx^2), positive side only
+    "q169_burst_days" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT d.event_type, d.day, d.x AS n_events, s.n AS n_days,
+        |  CAST(d.x * s.n - s.sx AS BIGINT) AS dev_n,
+        |  CAST(s.n * s.sxx - s.sx * s.sx AS BIGINT) AS var_n2
+        |FROM daily d JOIN stats s ON d.event_type = s.event_type
+        |WHERE d.x * s.n - s.sx > 0
+        |  AND (d.x * s.n - s.sx) * (d.x * s.n - s.sx) > 4 * (s.n * s.sxx - s.sx * s.sx)
+        |ORDER BY d.event_type, d.day""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

@@ -1734,6 +1734,62 @@ object EventQueries {
       .orderBy(col("bin"))
   }
 
+  /** Top collapsed session paths (q168): consecutive repeats dropped
+    * (run-length collapse — the standard clickstream cleaning before
+    * path analysis), the remaining item sequence serialized per
+    * session, top 20 paths by frequency. Deterministic: unique
+    * (epoch_s, event_id) order keys make the serialization exact, the
+    * top-k is TakeOrderedAndProject with a path tie-break.
+    */
+  def topSessionPaths(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("session_id")).orderBy(col("epoch_s"), col("event_id"))
+    val kept = enriched
+      .withColumn("prev", lag(col("item_id"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("item_id"))
+    kept
+      .groupBy(col("session_id"))
+      .agg(
+        Ag.sortedStringAgg(Seq(col("epoch_s"), col("event_id")), col("item_id"), "->")
+          .as("path"),
+        count(lit(1)).as("path_len"))
+      .groupBy(col("path"), col("path_len"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  /** Exact 2-sigma burst days (q169): per event type, the days whose
+    * count exceeds mean + 2σ (population σ) — with the comparison
+    * cross-multiplied into pure integers: (x−μ)² > k²σ² on both sides
+    * ×n² gives (x·n − Sx)² > k²·(n·Sxx − Sx²), positive side only. The
+    * anomaly flags are bit-identical cross-engine with no floating
+    * point anywhere — the alerting-threshold primitive behind ops
+    * dashboards, exact where the usual z-score is float.
+    */
+  def burstDays(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    daily
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(expr(
+        """x * n - sx > 0 AND
+          |(x * n - sx) * (x * n - sx) > 4 * (n * sxx - sx * sx)""".stripMargin))
+      .select(
+        col("event_type"), col("day"), col("x").as("n_events"),
+        col("n").as("n_days"),
+        expr("x * n - sx").as("dev_n"),
+        expr("n * sxx - sx * sx").as("var_n2"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Mann–Whitney U rank-sum test (q165) between the purchase and view
     * `value` distributions — the nonparametric A/B companion to q154's
     * KS (U asks "does one sample stochastically dominate"; KS asks
