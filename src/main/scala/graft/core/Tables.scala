@@ -24,16 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * map to its µs TimestampType. We read nanos as long
-    * (`nanosAsLong`) and truncate to µs ourselves — same floor
-    * semantics Spark applies to µs data, and all downstream logic works
-    * on floor-second epochs anyway (cross-engine reproducible).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some data
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in
+    * others, so the reader adapts to the footer instead of assuming:
+    *   - NANOS: Spark 4 refuses to map nanos to its µs TimestampType,
+    *     so we read nanos as long (`nanosAsLong`) and floor-truncate
+    *     to µs ourselves — the same floor semantics Spark applies to
+    *     µs data.
+    *   - MICROS (NTZ): cast NTZ → TimestampType; all sessions run with
+    *     `spark.sql.session.timeZone=UTC`, so the cast is
+    *     instant-preserving and yields the identical µs epoch values.
+    * Downstream logic works on floor-second epochs either way
+    * (cross-engine reproducible).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

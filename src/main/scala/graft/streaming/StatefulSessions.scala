@@ -81,7 +81,6 @@ object StatefulSessions {
     */
   def runBounded(spark: SparkSession, parquetPath: String, name: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = java.nio.file.Paths.get(parquetPath)
     val srcPath =
       if (java.nio.file.Files.isRegularFile(p)) {
@@ -89,10 +88,7 @@ object StatefulSessions {
         java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
         d.toString
       } else parquetPath
-    val src = spark.readStream
-      .schema(StreamingSessions.eventSchema)
-      .parquet(srcPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = StreamingSessions.eventStream(spark, srcPath)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), col("value"), col("event_id"))
       .as[Ev]

@@ -44,7 +44,6 @@ object StreamingEnrich {
       parquetPath: String,
       dim: DataFrame,
       name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = java.nio.file.Paths.get(parquetPath)
     val srcPath =
       if (java.nio.file.Files.isRegularFile(p)) {
@@ -52,10 +51,7 @@ object StreamingEnrich {
         java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
         d.toString
       } else parquetPath
-    val src = spark.readStream
-      .schema(StreamingSessions.eventSchema)
-      .parquet(srcPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = StreamingSessions.eventStream(spark, srcPath)
     val q: StreamingQuery = enrichedWindowCounts(src, dim).writeStream
       .format("memory")
       .queryName(name)

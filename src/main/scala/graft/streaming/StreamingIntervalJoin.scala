@@ -63,7 +63,6 @@ object StreamingIntervalJoin {
       parquetPath: String,
       name: String,
       lookback: String = "30 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = java.nio.file.Paths.get(parquetPath)
     val srcPath =
       if (java.nio.file.Files.isRegularFile(p)) {
@@ -71,11 +70,9 @@ object StreamingIntervalJoin {
         java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
         d.toString
       } else parquetPath
-    def side(eventType: String): DataFrame = spark.readStream
-      .schema(StreamingSessions.eventSchema)
-      .parquet(srcPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .filter(col("event_type") === eventType)
+    def side(eventType: String): DataFrame =
+      StreamingSessions.eventStream(spark, srcPath)
+        .filter(col("event_type") === eventType)
     val q: StreamingQuery =
       clickPurchasePairs(side("click"), side("purchase"), lookback).writeStream
         .format("memory")

@@ -29,6 +29,30 @@ object StreamingSessions {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming events source with `ts` normalized to a µs
+    * TimestampType — the streaming sibling of
+    * [[graft.core.Tables.events]]. The events data has shipped as
+    * TIMESTAMP(NANOS) (read as long via `nanosAsLong`, floor-divided
+    * to µs) and as TIMESTAMP(MICROS, NTZ) (cast NTZ → LTZ;
+    * instant-preserving under the UTC session timezone all graft
+    * sessions set), so the reader probes the footer with a static read
+    * and adapts the explicit streaming schema to match.
+    */
+  def eventStream(spark: SparkSession, srcPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(srcPath).schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema).parquet(srcPath)
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   /** Per-session aggregate over a streaming source: one output row per
     * closed (user, session) with event count, value sum, bounds.
     */
@@ -53,7 +77,6 @@ object StreamingSessions {
     * with a real trigger.)
     */
   def runBounded(spark: SparkSession, parquetPath: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource wants a directory; wrap a bare file in a tmp dir
     // of symlinks so callers can point at a single parquet file.
     val p = java.nio.file.Paths.get(parquetPath)
@@ -63,10 +86,7 @@ object StreamingSessions {
         java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
         d.toString
       } else parquetPath
-    val src = spark.readStream
-      .schema(eventSchema)
-      .parquet(srcPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventStream(spark, srcPath)
     val q: StreamingQuery = sessionAggregates(src)
       .select(
         col("user_id"),

@@ -12,14 +12,10 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 class StreamingDedupSpec extends SparkSpec {
 
   private def streamEvents(dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = java.nio.file.Paths.get(s"$dir/events.parquet")
     val d = java.nio.file.Files.createTempDirectory("stream-src")
     java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
-    spark.readStream
-      .schema(StreamingSessions.eventSchema)
-      .parquet(d.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    StreamingSessions.eventStream(spark, d.toString)
   }
 
   private def runToTable(df: DataFrame, name: String): DataFrame = {
