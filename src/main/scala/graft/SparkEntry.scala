@@ -3003,8 +3003,9 @@ object SparkEntry {
          |UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM b3
          |UNION ALL SELECT CAST(4 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM b4
          |ORDER BY round""".stripMargin,
-    // Cohen's kappa of the q32 lang-id vs the gold label; DuckDB's //
-    // is floor division, mirrored by the Spark pmod floor-div
+    // Cohen's kappa of the q32 lang-id vs the gold label; DuckDB's
+    // integer // TRUNCATES toward zero exactly like Spark's div, so a
+    // negative kappa needs no floor emulation on either side
     "q149_lang_id_kappa" -> {
       val best = TQ.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
       s"""WITH scored AS (

@@ -182,26 +182,31 @@ object Aggregates {
     * `valueCol` (zeros included — concentration is only meaningful
     * against the full population): one row
     * `(n, total, gini_ppm)` from the rank identity
-    * `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)` with rows ranked by
-    * (value, tieCol). Within a tied-value block Σ i·x_i is
-    * permutation-invariant, so the tie-break never changes the result —
-    * bit-deterministic. `gini_ppm` is NULL when Σx = 0 (undefined).
+    * `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`. Within a tied-value
+    * block Σ i·x_i is permutation-invariant, so the whole block
+    * collapses: for a value v with c occurrences and C rows strictly
+    * below, Σ i·x over the block = v·(c·C + c(c+1)/2) — no per-row
+    * ranking exists at all. `tieCol` is retained for API stability
+    * but no longer consulted (the identity is tie-free).
+    * `gini_ppm` is NULL when Σx = 0 (undefined).
     *
-    * Scale: the ranking window is over the INPUT table — intended for
-    * catalog-/vocabulary-sized frequency tables (the bounded regime);
+    * Scale: one map-side-combinable aggregation to distinct-value
+    * counts, then [[graft.ops.Windows.shardedCumsum]] over the
+    * distinct-VALUE support (never the input rows, never one task) —
+    * survives catalog-sized inputs with any value distribution.
     * Σ i·x_i ≤ n·Σx stays in long through ~10⁸ rows of 10-ish counts.
-    * For fact-table-sized inputs, pre-aggregate first or swap the
-    * window for [[graft.ops.Windows.shardedCumsum]].
     */
   def giniPpm(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
-    val ranked = df.withColumn(
-      "__i",
-      row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(valueCol), col(tieCol))))
-    ranked.agg(
-      count(lit(1)).as("n"),
-      sum(col(valueCol)).as("total"),
-      sum(col("__i") * col(valueCol)).as("__s1"))
+    val byValue = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+    Windows
+      .shardedCumsum(byValue, "__v", Seq("__c"), expr("__v div 4096"))
+      .select(
+        col("__v"), col("__c"),
+        (col("cum___c") - col("__c")).as("__cb"))
+      .agg(
+        sum(col("__c")).as("n"),
+        sum(col("__v") * col("__c")).as("total"),
+        sum(expr("__v * (__c * __cb + (__c * (__c + 1)) div 2)")).as("__s1"))
       .select(
         col("n"),
         col("total"),

@@ -178,23 +178,46 @@ object Windows {
       df: DataFrame,
       orderCol: String,
       valueCols: Seq[String],
+      shardExpr: Column): DataFrame =
+    shardedCumsumBy(df, Nil, orderCol, valueCols, shardExpr)
+
+  /** [[shardedCumsum]] generalized to per-partition running sums: the
+    * cumulative order restarts at every distinct `partCols` tuple, and
+    * WITHIN a partition the window is sharded by `shardExpr` (a
+    * monotone bucket of `orderCol`) — so no single task ever holds a
+    * partition's whole support, even when `partCols` has a handful of
+    * distinct values over an unbounded per-partition domain (the
+    * per-feature value-support shape). Offsets are computed on the
+    * (partitions × shards)-sized totals table and broadcast back.
+    * `orderCol` must be unique within each `partCols` group.
+    */
+  def shardedCumsumBy(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: String,
+      valueCols: Seq[String],
       shardExpr: Column): DataFrame = {
     val sharded = df.withColumn("__shard", shardExpr)
-    val w = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
+    val w = Window
+      .partitionBy((partCols :+ "__shard").map(col): _*)
+      .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = valueCols.foldLeft(sharded) { (d, c) =>
       d.withColumn(s"__w_$c", sum(col(c)).over(w))
     }
     val totals = sharded
-      .groupBy(col("__shard"))
+      .groupBy((partCols :+ "__shard").map(col): _*)
       .agg(valueCols.map(c => sum(col(c)).as(s"__t_$c")).head,
         valueCols.map(c => sum(col(c)).as(s"__t_$c")).tail: _*)
+    val sameKey = partCols
+      .map(c => col(s"b.$c") === col(s"a.$c"))
+      .foldLeft(col("b.__shard") < col("a.__shard"))(_ && _)
     val offsets = totals.as("a")
-      .join(totals.as("b"), col("b.__shard") < col("a.__shard"), "left")
-      .groupBy(col("a.__shard").as("__shard"))
+      .join(totals.as("b"), sameKey, "left")
+      .groupBy((partCols :+ "__shard").map(c => col(s"a.$c").as(c)): _*)
       .agg(valueCols.map(c => sum(col(s"b.__t_$c")).as(s"__o_$c")).head,
         valueCols.map(c => sum(col(s"b.__t_$c")).as(s"__o_$c")).tail: _*)
-    val out = within.join(broadcast(offsets), Seq("__shard"), "left")
+    val out = within.join(broadcast(offsets), partCols :+ "__shard", "left")
     valueCols
       .foldLeft(out) { (d, c) =>
         d.withColumn(s"cum_$c", col(s"__w_$c") + coalesce(col(s"__o_$c"), lit(0L)))

@@ -1326,11 +1326,11 @@ object EventQueries {
     * DuckDB).
     *
     * Scale shape: one aggregation to per-value counts (support-sized,
-    * not sample-sized), then a global-order running sum over the
-    * DISTINCT support — the one inherently global step of any exact
-    * CDF statistic. Bounded by support cardinality; for unbounded
-    * continuous domains, quantize values first (the q106 log-bucket
-    * route) and the window input stays small.
+    * not sample-sized), then the CDF running sums via
+    * [[Windows.shardedCumsum]] (per-shard windows keyed by a monotone
+    * cents bucket + broadcast prefix offsets) — no single task ever
+    * holds the whole distinct-value support, so the shape survives
+    * unbounded money-cents cardinality at 100 TB.
     */
   def ksValueDrift(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
@@ -1340,16 +1340,11 @@ object EventQueries {
       .agg(
         Ag.countIf(col("event_type") === "purchase").as("ca"),
         Ag.countIf(col("event_type") === "view").as("cb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("value"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val totals = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    counts
-      .select(
-        sum(col("ca")).over(w).as("cum_a"),
-        sum(col("cb")).over(w).as("cum_b"))
+    Windows
+      .shardedCumsum(counts, "value", Seq("ca", "cb"),
+        expr("cast(round(value * 100) as bigint) div 5000"))
+      .select(col("cum_ca").as("cum_a"), col("cum_cb").as("cum_b"))
       .crossJoin(broadcast(totals))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("ks_num"))
@@ -1549,9 +1544,12 @@ object EventQueries {
     * counts — deterministic cross-engine, ties → min threshold.
     *
     * Scale shape: one (feature, value) pre-aggregation (map-side
-    * combinable, catalog-sized output), then prefix sums windowed BY
-    * FEATURE over the tiny aggregated table — no event-level window
-    * anywhere.
+    * combinable, catalog-sized output), then prefix sums via
+    * [[Windows.shardedCumsumBy]] — per-(feature, value-bucket) windows
+    * with broadcast offsets, so a feature whose value support is
+    * unbounded (the money axis) never lands in one task; per-feature
+    * totals are an aggregate re-attached by broadcast, not a
+    * whole-feature window. No event-level window anywhere.
     */
   def giniStumps(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(
@@ -1567,17 +1565,17 @@ object EventQueries {
         .as(Seq("i", "f")),
       col("y"))
       .select(col("f.feature").as("feature"), col("f.fval").as("fval"), col("y"))
-    val grp = long.groupBy(col("feature"), col("fval"))
-      .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("feature")).orderBy(col("fval"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
-    grp
-      .withColumn("cp", sum(col("pos")).over(w))
-      .withColumn("cn", sum(col("n")).over(w))
-      .withColumn("tp", sum(col("pos")).over(wAll))
-      .withColumn("tn", sum(col("n")).over(wAll))
+    val grp = graft.core.Caches.cache(
+      long.groupBy(col("feature"), col("fval"))
+        .agg(sum(col("y")).as("pos"), count(lit(1)).as("n")))
+    val tots = grp.groupBy(col("feature"))
+      .agg(sum(col("pos")).as("tp"), sum(col("n")).as("tn"))
+    Windows
+      .shardedCumsumBy(grp, Seq("feature"), "fval", Seq("pos", "n"),
+        expr("fval div 16"))
+      .withColumn("cp", col("cum_pos"))
+      .withColumn("cn", col("cum_n"))
+      .join(broadcast(tots), Seq("feature"))
       .filter(col("cn") < col("tn")) // full-left split carries no information
       .withColumn("score", expr(
         """cast(cp * cp + (cn - cp) * (cn - cp) as double) / cast(cn as double)
@@ -1700,9 +1698,9 @@ object EventQueries {
     * WOE = ln(odds ratio vs global) in micro units — the credit-risk /
     * feature-screening encoding next to q98's target encoding. The ln
     * is micro-rounded on BOTH sides (q43's libm-ULP discipline); all
-    * other arithmetic is integer. The cumulative window runs over the
-    * value support, never events (swap in Windows.shardedCumsum when
-    * the support itself outgrows one partition).
+    * other arithmetic is integer. The cumulative sums run over the
+    * value support via [[Windows.shardedCumsum]] (exclusive prefix =
+    * inclusive cum minus own count) — never events, never one task.
     */
   def woeBinning(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.events(s, d)
@@ -1711,12 +1709,10 @@ object EventQueries {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
       .groupBy(col("cents"))
       .agg(sum(col("y")).as("ca"), count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cents"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val tot = counts.agg(sum(col("ca")).as("pos_tot"), sum(col("n")).as("n_tot"))
-    counts
-      .withColumn("c_before", coalesce(sum(col("n")).over(w), lit(0L)))
+    Windows
+      .shardedCumsum(counts, "cents", Seq("n"), expr("cents div 5000"))
+      .withColumn("c_before", col("cum_n") - col("n"))
       .crossJoin(broadcast(tot))
       .withColumn("bin", expr("c_before * 10 div n_tot + 1"))
       .groupBy(col("bin"))
@@ -1798,8 +1794,9 @@ object EventQueries {
     * below and `t` ties, 2·midrank = 2c + t + 1, so 2·R₁ and 2·U₁ are
     * exact integers; the common-language effect size emits as ppm
     * (floor division on non-negatives). Same value-support scaffold as
-    * q154 — counts per distinct value, one cumulative window over the
-    * value-bounded support, never the events.
+    * q154 — counts per distinct value, cumulative sums via
+    * [[Windows.shardedCumsum]] over the value-bounded support (exclusive
+    * prefix = inclusive cum minus own count), never the events.
     */
   def mannWhitneyU(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.events(s, d)
@@ -1808,11 +1805,11 @@ object EventQueries {
       .agg(
         Ag.countIf(col("event_type") === "purchase").as("ca"),
         Ag.countIf(col("event_type") === "view").as("cb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("value"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    counts
-      .withColumn("c_before", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+    Windows
+      .shardedCumsum(counts, "value", Seq("ca", "cb"),
+        expr("cast(round(value * 100) as bigint) div 5000"))
+      .withColumn(
+        "c_before", col("cum_ca") + col("cum_cb") - col("ca") - col("cb"))
       .agg(
         sum(col("ca")).as("n1"),
         sum(col("cb")).as("n2"),

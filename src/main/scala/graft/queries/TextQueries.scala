@@ -473,9 +473,11 @@ object TextQueries {
     * always predicts the majority language scores high accuracy and
     * kappa ≈ 0). Entirely integer from the confusion marginals:
     * `κ = (A·N − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l)`, emitted
-    * in ppm via an exact FLOOR division (`(x − pmod(x, y)) div y`) so a
-    * worse-than-chance negative κ still matches DuckDB's floor `//`
-    * semantics — trunc-vs-floor on negatives is a cross-engine trap.
+    * in ppm via plain integer division: Spark's `div` and DuckDB's
+    * integer `//` BOTH truncate toward zero (measured: −7//2 = −3 in
+    * DuckDB), so a worse-than-chance negative κ matches exactly. (A
+    * hand-rolled floor here would DIVERGE on negatives — the r07
+    * sf0.001 fixture exercises that branch.)
     *
     * Scale: one corpus scan for predictions; marginals are
     * class-count-sized aggregates; the kappa arithmetic is one row.
@@ -497,9 +499,7 @@ object TextQueries {
         col("n_docs"),
         col("n_agree"),
         col("marginal_product_sum"),
-        expr("""CAST(((n_agree * n_docs - marginal_product_sum) * 1000000
-               | - pmod((n_agree * n_docs - marginal_product_sum) * 1000000,
-               |        n_docs * n_docs - marginal_product_sum))
+        expr("""CAST((n_agree * n_docs - marginal_product_sum) * 1000000
                | div (n_docs * n_docs - marginal_product_sum) AS BIGINT)""".stripMargin)
           .as("kappa_ppm"))
   }

@@ -214,6 +214,39 @@ class PlanSpec extends SparkSpec {
       s"expected the support aggregation BELOW the cumulative window:\n$p")
   }
 
+  test("no contract query plans an unpartitioned Window over unbounded input") {
+    // the one scale-killer class a green oracle can hide: a global
+    // `Window.orderBy(...)` pulls its whole input into ONE task. The
+    // engine's answer is Windows.shardedCumsum(By); any remaining
+    // empty-partition-spec Window must be over a provably BOUNDED
+    // input (a day-grained series, a fixed replicate table) and be
+    // allowlisted here with that justification.
+    val allowlist: Set[String] = Set(
+      // day-bounded series: the window input is the daily aggregate
+      // (thousands of rows for decade-long logs), not events/support
+      "q147_cusum_drift",
+      // no-order min() window over the per-SOURCE size table — bounded
+      // by the mixture's source catalog (dozens), deliberately a window
+      // so the corpus-side aggregation runs once (PlanSpec pins one
+      // corpus exchange for temperatureMixSqrt)
+      "q132_temperature_mix"
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      if (allowlist.contains(name)) Seq.empty
+      else {
+        val plan = f(spark, dir).queryExecution.optimizedPlan
+        plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty =>
+            s"$name: Window(order=${w.orderSpec.map(_.sql).mkString(",")})"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in contract plans (shard it or allowlist with a " +
+        s"boundedness justification): ${offenders.mkString("; ")}")
+  }
+
   test("rrf fusion: final ranking touches candidate rows, no cartesian") {
     val p = plan(EventQueries.rrfFusion(spark, dir))
     assert(!p.contains("CartesianProduct"), s"cartesian in RRF plan:\n$p")

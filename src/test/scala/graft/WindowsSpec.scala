@@ -166,6 +166,24 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("shardedCumsumBy == naive per-partition running sum, across shard boundaries") {
+    import spark.implicits._
+    val df = (for { g <- Seq("x", "y"); k <- 1L to 53L } yield (g, k, k % 5))
+      .toDF("g", "k", "a")
+    val out = graft.ops.Windows
+      .shardedCumsumBy(df, Seq("g"), "k", Seq("a"), expr("k div 10"))
+      .orderBy("g", "k")
+      .select("g", "k", "cum_a")
+      .as[(String, Long, Long)].collect()
+    for (g <- Seq("x", "y")) {
+      var c = 0L
+      (1L to 53L).zip(out.filter(_._1 == g)).foreach { case (k, (go, ko, co)) =>
+        c += k % 5
+        assert(go == g && ko == k && co == c, s"at ($g, $k)")
+      }
+    }
+  }
+
   test("locfFill: nulls take the last prior observation, leading nulls stay") {
     import spark.implicits._
     val df = Seq[(Long, Long, Option[Long])](
