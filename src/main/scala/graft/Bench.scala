@@ -88,6 +88,13 @@ object Bench {
       f"""{"queries":$qs,"shuffle_mb":$sh,""" +
         f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""failed":$failed,"shuffle_mb_total":$totalSh%.1f,"sf":"$sfDir"}""")
+    // The full line above can exceed the driver's capture window (r05/r06
+    // arrived head-truncated, "parsed": null). The VERY LAST stdout line
+    // is therefore a standalone compact summary that always parses whole.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","wall_s":$total%.3f,""" +
+        f""""n_queries":${results.size},"failed":$failed,""" +
+        f""""shuffle_mb_total":$totalSh%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
