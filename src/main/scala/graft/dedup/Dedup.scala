@@ -259,8 +259,9 @@ object Dedup {
     * iterations needed = graph diameter (near-dup clusters are
     * shallow — a handful). `maxIter` bounds the work; the loop exits
     * early at fixpoint (no label changed). For adversarial deep chains
-    * at extreme scale, switch to the large-star/small-star algorithm —
-    * same interface.
+    * at extreme scale, [[connectedComponentsStar]] converges in
+    * O(log² n) rounds regardless of diameter — same interface, and
+    * [[connectedComponentsAuto]] routes to it past the driver limit.
     *
     * Input: pairs (id_a, id_b). Output: (id, component) for every id
     * present in any pair.
@@ -280,7 +281,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)]
     val local = edges.limit((driverEdgeLimit + 1).toInt).collect()
-    if (local.length > driverEdgeLimit) return connectedComponents(pairs)
+    if (local.length > driverEdgeLimit) return connectedComponentsStar(pairs)
     val parent = collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -306,30 +307,127 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .coalesce(8)
       .transform(graft.core.Caches.cache)
+    // each round is localCheckpoint'ed: lineage otherwise triples per
+    // iteration (labels referenced by the join AND the union) and the
+    // 3^maxIter logical plan OOMs on stringification alone long before
+    // the data does; snapshots are reclaimed by the ContextCleaner once
+    // the previous round's reference drops
     var labels = edges.select(col("src").as("id"), col("src").as("component"))
       .union(edges.select(col("dst").as("id"), col("dst").as("component")))
       .groupBy("id").agg(min("component").as("component"))
-      .transform(graft.core.Caches.cache)
+      .localCheckpoint(true)
     // labels only ever DECREASE, so Σ component strictly decreases iff
     // any label changed — convergence is one cheap agg, not a join
     var prevSum = labels.agg(sum("component")).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("component"))
-      val next = labels.union(viaNeighbors)
+      val next = labels
+        .union(edges
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("src").as("id"), col("component")))
         .groupBy("id").agg(min("component").as("component"))
-        .transform(graft.core.Caches.cache)
+        .localCheckpoint(true)
       val nextSum = next.agg(sum("component")).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1
     }
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the web-scale
+    * path of [[connectedComponentsAuto]]: converges in O(log² n)
+    * rounds REGARDLESS of graph diameter, where [[connectedComponents]]
+    * min-label propagation needs diameter rounds and its `maxIter = 10`
+    * silently under-merges an adversarial deep chain.
+    *
+    * Edges are kept canonical (u, v) with u > v and deduplicated.
+    * Large-star rewires every strictly-larger neighbor of a node to the
+    * minimum of its closed neighborhood; small-star then rewires the
+    * smaller-or-equal neighbors (and the node itself) to that minimum.
+    * Both steps are one groupBy(node) + one equi-join — no diameter
+    * dependence, per-round shuffle bounded by the (shrinking) edge set.
+    * Component labels are the component-minimum id, identical to the
+    * min-label and union-find paths, so the three routes are
+    * interchangeable. Convergence is an EXACT edge-set equality check
+    * (count + except — no probabilistic checksum), once per round.
+    *
+    * Output contract matches [[connectedComponents]]: (id, component)
+    * for every id present in any input pair, self-labeled when its
+    * pairs were all self-loops.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("id_a").cast("long").as("id"))
+      .union(pairs.select(col("id_b").cast("long").as("id")))
+      .distinct()
+    // round-local caches (adjacency, min-join) are freed as soon as the
+    // round's output is materialized — 50 iterations must not pin 100
+    // intermediate edge sets
+    var roundCaches = List.empty[DataFrame]
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .transform(graft.core.Caches.cache)
+      roundCaches ::= adj
+      val m = adj.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      // every (u, v) with v > u becomes (v, m(u)); m(u) <= u < v keeps
+      // the canonical direction and precludes self-loops
+      adj.filter(col("v") > col("u"))
+        .join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical input (u > v): the open neighborhood grouped by u IS
+      // the smaller-side neighborhood, so m = min(v) < u directly
+      val withM = e
+        .join(e.groupBy(col("u")).agg(min(col("v")).as("m")), Seq("u"))
+        .transform(graft.core.Caches.cache)
+      roundCaches ::= withM
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // each round's output is localCheckpoint'ed: without lineage
+    // truncation the logical plan multiplies ~8x per round (union +
+    // self-join both reference the previous round twice) and plan
+    // stringification alone OOMs after ~8 rounds. Dropped round
+    // snapshots are reclaimed by the ContextCleaner once unreferenced.
+    var e = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextCount = next.count()
+      // exact set equality: same cardinality and no edge in next \ e
+      converged =
+        nextCount == eCount && next.except(e).isEmpty
+      roundCaches.foreach(_.unpersist())
+      roundCaches = Nil
+      e = next
+      eCount = nextCount
+      i += 1
+    }
+    // at the star fixpoint every non-minimum node carries exactly one
+    // edge to its component minimum; minima and self-loop-only nodes
+    // label themselves
+    nodes
+      .join(e.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      // defensive min-reduce: a maxIter bailout mid-convergence could
+      // leave a node with several candidate parents; keep the smallest
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
   }
 
   /** End-to-end near-duplicate dedup: MinHash-LSH blocking → exact

@@ -70,6 +70,43 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponentsStar: deep chain (diameter >> 10) where min-label@10 under-merges") {
+    // path graph 0-1-2-...-200: diameter 200. min-label propagation
+    // moves labels one hop per round, so maxIter = 10 CANNOT collapse
+    // it; large-star/small-star halves chain length per round.
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(chain).as[(Long, Long)].collect()
+    assert(star.length == 201)
+    assert(star.forall(_._2 == 0L), s"star must collapse the chain to component 0")
+    val minLabel = Dedup.connectedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(minLabel.exists(_._2 != 0L),
+      "planted premise broken: min-label at 10 iterations should under-merge a 200-chain")
+  }
+
+  test("connectedComponentsStar == union-find on shallow graphs, incl. self-loops") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (7L, 9L), (9L, 7L), (4L, 4L), (3L, 1L))
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L, 4L -> 4L))
+    val auto = Dedup.connectedComponentsAuto(pairs.filter($"id_a" =!= $"id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(star.view.filterKeys(_ != 4L).toMap == auto)
+  }
+
+  test("connectedComponentsAuto routes past the driver edge limit to the star path") {
+    // 2500 edges > a 2000-edge driver limit -> distributed star path;
+    // 50 chains of 50 nodes each collapse to their chain minimum
+    val edges = (0L until 50L).flatMap(c =>
+      (0L until 49L).map(i => (c * 100 + i, c * 100 + i + 1)))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsAuto(edges, driverEdgeLimit = 2000L)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 50 * 50)
+    assert(cc.forall { case (id, comp) => comp == (id / 100) * 100 })
+  }
+
   test("nearDupDedup: end-to-end survivors, singletons self-labeled") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight"),
