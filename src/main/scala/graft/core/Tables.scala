@@ -39,6 +39,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→LTZ cast below is instant-preserving ONLY under UTC; an
+    // ad-hoc session built without the config would silently shift
+    // every event by the host offset, so the adaptation enforces its
+    // own precondition instead of assuming the builder set it
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingSessions {
 
-  /** Raw file schema: `ts` arrives as nano-epoch long (see
-    * graft.core.Tables.events) and is converted to a µs timestamp
-    * before windowing.
+  /** Base schema TEMPLATE: the `ts` field here is a placeholder slot —
+    * [[eventStream]] overrides it with the type probed from the source
+    * parquet footer (LongType for TIMESTAMP(NANOS) generations read via
+    * `nanosAsLong`, TimestampNTZType for TIMESTAMP(MICROS, NTZ) ones)
+    * and normalizes to a µs TimestampType before windowing.
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -37,10 +39,19 @@ object StreamingSessions {
     * instant-preserving under the UTC session timezone all graft
     * sessions set), so the reader probes the footer with a static read
     * and adapts the explicit streaming schema to match.
+    *
+    * The probe requires `srcPath` to be NON-EMPTY at stream start (an
+    * empty directory has no footer to probe and the static read
+    * throws); when the probe fails we fall back to the LongType
+    * template so an initially-empty directory still starts, matching
+    * the pre-probe behavior.
     */
   def eventStream(spark: SparkSession, srcPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(srcPath).schema("ts").dataType
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsType =
+      try spark.read.parquet(srcPath).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val schema = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val raw = spark.readStream.schema(schema).parquet(srcPath)

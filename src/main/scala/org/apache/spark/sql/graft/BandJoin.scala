@@ -21,8 +21,9 @@ import scala.jdk.CollectionConverters._
   * bounds → replicate only boundary-straddling right rows → per-
   * partition sorted sweep, O((|L|+|R|)·log + output) work and one
   * shuffle of each side, no quadratic compare. Semantics mirror the
-  * reference's window-predicate joins (recsys_queries.sql:33-41 time-
-  * window co-occurrence) generalized to an explicit ±ε contract.
+  * reference's window-predicate joins (time-windowed co-occurrence,
+  * `prepare_training_data_pyspark.py:236-240`) generalized to an
+  * explicit ±ε contract.
   */
 case class BandJoinPlan(
     left: LogicalPlan,
