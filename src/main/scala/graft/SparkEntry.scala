@@ -241,6 +241,21 @@ object SparkEntry {
       |  FROM enr WHERE event_type = 'purchase'
       |)""".stripMargin
 
+  /** Shared value-support scaffold of the two-sample statistics family
+    * (q154 KS, q165 MWU — EventQueries.purchaseViewSupport on the
+    * engine side): per distinct `value`, purchase and view counts in
+    * `counts(value, ca, cb)`.
+    */
+  private val pvSupportCte =
+    """e AS (
+      |  SELECT event_type, value FROM events WHERE event_type IN ('purchase', 'view')
+      |), counts AS (
+      |  SELECT value,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+      |  FROM e GROUP BY 1
+      |)""".stripMargin
+
   /** The 4-strategy candidate union (q23's oracle body) as a reusable
     * fragment ending in `cands(anchor_id, category_id)`. Must follow
     * `$sessCte` in the WITH chain (uses enr/anchors).
@@ -3131,14 +3146,7 @@ object SparkEntry {
     // exact two-sample KS: D = max|C1*n2 - C2*n1| over the merged
     // sorted support; division only at the final ppm emit
     "q154_ks_drift" ->
-      """WITH e AS (
-        |  SELECT event_type, value FROM events WHERE event_type IN ('purchase', 'view')
-        |), counts AS (
-        |  SELECT value,
-        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
-        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
-        |  FROM e GROUP BY 1
-        |), cums AS (
+      s"""WITH $pvSupportCte, cums AS (
         |  SELECT SUM(ca) OVER (ORDER BY value) AS cum_a,
         |         SUM(cb) OVER (ORDER BY value) AS cum_b
         |  FROM counts
@@ -3554,14 +3562,7 @@ object SparkEntry {
     // tie-corrected Mann-Whitney U via doubled midranks (2c + t + 1),
     // all-integer; effect size in ppm
     "q165_mann_whitney" ->
-      """WITH e AS (
-        |  SELECT event_type, value FROM events WHERE event_type IN ('purchase', 'view')
-        |), counts AS (
-        |  SELECT value,
-        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
-        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
-        |  FROM e GROUP BY 1
-        |), cums AS (
+      s"""WITH $pvSupportCte, cums AS (
         |  SELECT ca, cb,
         |    COALESCE(SUM(ca + cb) OVER (ORDER BY value
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before

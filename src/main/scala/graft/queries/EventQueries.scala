@@ -1332,18 +1332,34 @@ object EventQueries {
     * holds the whole distinct-value support, so the shape survives
     * unbounded money-cents cardinality at 100 TB.
     */
-  def ksValueDrift(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+  /** Shared value-support scaffold of the two-sample statistics family
+    * (q154 KS, q165 MWU — the shape their oracle SQL shares as the
+    * `pvSupportCte`): per distinct raw `value`, purchase and view
+    * counts. Support-sized and map-side combinable — the one fact-table
+    * pass of the family.
+    */
+  private def purchaseViewSupport(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .filter(col("event_type").isin("purchase", "view"))
-      .select(col("event_type"), col("value"))
-    val counts = e.groupBy(col("value"))
+      .groupBy(col("value"))
       .agg(
         Ag.countIf(col("event_type") === "purchase").as("ca"),
         Ag.countIf(col("event_type") === "view").as("cb"))
+
+  /** Inclusive cumulative (cum_ca, cum_cb) over the value support via
+    * [[Windows.shardedCumsum]], sharded on a monotone cents bucket —
+    * the family's one ordered step, never a single-partition window;
+    * a new two-sample statistic composes these two factors instead of
+    * forking the shape.
+    */
+  private def valueSupportCums(counts: DataFrame): DataFrame =
+    Windows.shardedCumsum(counts, "value", Seq("ca", "cb"),
+      expr("cast(round(value * 100) as bigint) div 5000"))
+
+  def ksValueDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = purchaseViewSupport(s, d)
     val totals = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    Windows
-      .shardedCumsum(counts, "value", Seq("ca", "cb"),
-        expr("cast(round(value * 100) as bigint) div 5000"))
+    valueSupportCums(counts)
       .select(col("cum_ca").as("cum_a"), col("cum_cb").as("cum_b"))
       .crossJoin(broadcast(totals))
       .groupBy(col("n_a"), col("n_b"))
@@ -1798,16 +1814,8 @@ object EventQueries {
     * [[Windows.shardedCumsum]] over the value-bounded support (exclusive
     * prefix = inclusive cum minus own count), never the events.
     */
-  def mannWhitneyU(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.events(s, d)
-      .filter(col("event_type").isin("purchase", "view"))
-      .groupBy(col("value"))
-      .agg(
-        Ag.countIf(col("event_type") === "purchase").as("ca"),
-        Ag.countIf(col("event_type") === "view").as("cb"))
-    Windows
-      .shardedCumsum(counts, "value", Seq("ca", "cb"),
-        expr("cast(round(value * 100) as bigint) div 5000"))
+  def mannWhitneyU(s: SparkSession, d: String): DataFrame =
+    valueSupportCums(purchaseViewSupport(s, d))
       .withColumn(
         "c_before", col("cum_ca") + col("cum_cb") - col("ca") - col("cb"))
       .agg(
@@ -1819,7 +1827,6 @@ object EventQueries {
         (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
         (col("n1") * col("n2") * 2 - (col("r1_x2") - col("n1") * (col("n1") + 1))).as("u2_x2"),
         expr("(r1_x2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2)").as("cles_ppm"))
-  }
 
   /** Count-min sketch frequency estimates (q164): the 4×64 CMS table
     * over item ids, probed for the 10 most frequent items — the
