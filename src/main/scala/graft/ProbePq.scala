@@ -36,25 +36,28 @@ object ProbePq {
     for {
       (m, ksub) <- Seq((8, 16), (8, 32), (16, 16), (16, 32), (32, 16), (32, 32))
       rerank <- Seq(32, 64)
+      opq <- Seq(false, true)
     } {
       val r = graft.core.Caches.withScope {
         recallOf(topSets(Similarity.pqTopK(
-          queries, emb, "vec_id", "embedding", k = 5, m = m, ksub = ksub, rerank = rerank)))
+          queries, emb, "vec_id", "embedding", k = 5, m = m, ksub = ksub,
+          rerank = rerank, opqPermute = opq)))
       }
-      println(f"[probe-pq] m=$m%2d ksub=$ksub%2d rerank=$rerank%2d recall@5=$r%.3f")
+      println(f"[probe-pq] m=$m%2d ksub=$ksub%2d rerank=$rerank%2d opq=$opq%-5s recall@5=$r%.3f")
     }
     for {
       nProbe <- Seq(6, 8)
       nAssign <- Seq(2, 3)
       rerank <- Seq(32, 64)
+      opq <- Seq(false, true)
     } {
       val r = graft.core.Caches.withScope {
         recallOf(topSets(Similarity.ivfPqTopK(
           queries, emb, "vec_id", "embedding", k = 5,
           nCentroids = 16, nProbe = nProbe, m = 16, ksub = 32,
-          rerank = rerank, nAssign = nAssign)))
+          rerank = rerank, nAssign = nAssign, opqPermute = opq)))
       }
-      println(f"[probe-ivfpq] cells=16 probe=$nProbe%d assign=$nAssign%d rerank=$rerank%2d recall@5=$r%.3f")
+      println(f"[probe-ivfpq] cells=16 probe=$nProbe%d assign=$nAssign%d rerank=$rerank%2d opq=$opq%-5s recall@5=$r%.3f")
     }
     spark.stop()
   }

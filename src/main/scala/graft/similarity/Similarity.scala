@@ -349,6 +349,62 @@ object Similarity {
         .withColumn("negdist", qdot(col("sv"), col("cq")) * 2 - qnorm2(col("cq"))),
       Seq(idC, "j"), col("negdist"), Seq("cid"), 1)
 
+  /** OPQ-style deterministic pre-permutation (the cheap cousin of the
+    * learned OPQ rotation, Ge et al. 2013): per-dimension variance is
+    * computed EXACTLY on the quantized ints (n·Σx² − (Σx)², one
+    * dim-sized aggregate), dimensions are ranked by descending variance
+    * (tie → dim asc) and dealt ROUND-ROBIN into the m subspaces, so
+    * every subspace mixes high- and low-variance coordinates instead of
+    * inheriting whatever correlated block the original layout put
+    * adjacent. Returns perm where output position p reads original
+    * coordinate perm(p). Deterministic and corpus-derived — the same
+    * construction is reproducible in SQL, and norms/dots of permuted
+    * vectors are unchanged (permutations are orthogonal), so only the
+    * candidate quality shifts, never the rerank arithmetic.
+    */
+  private[graft] def varianceBalancedPerm(
+      c: DataFrame,
+      embC: String,
+      dim: Int,
+      m: Int): Seq[Int] = {
+    val dsub = dim / m
+    val ranked = c
+      .select(posexplode(col(embC)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("pos"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_n2"))
+      .collect() // dim rows — bounded by the embedding width
+      .map(r => (r.getLong(1), r.getInt(0)))
+      .sortBy { case (v, p) => (-v, p) }
+      .map(_._2)
+    (0 until dim).map(p => ranked((p % dsub) * m + p / dsub))
+  }
+
+  /** Literal-index projection applying a [[varianceBalancedPerm]] —
+    * stays inside whole-stage codegen (no HOF).
+    */
+  private def permuteArray(emb: Column, perm: Seq[Int]): Column =
+    array(perm.map(i => emb.getItem(i)): _*)
+
+  /** The embedding preparation both PQ entry points share: quantize,
+    * plus the OPQ permutation when opted in (one corpus-side dim-sized
+    * aggregate to learn it; both sides must apply the SAME perm).
+    */
+  private def permPrep(
+      corpus: DataFrame,
+      embCol: String,
+      dim: Int,
+      m: Int,
+      opqPermute: Boolean): Column => Column =
+    if (!opqPermute) quantize
+    else {
+      val perm = varianceBalancedPerm(
+        corpus.select(quantize(col(embCol)).as("__qe")), "__qe", dim, m)
+      e => permuteArray(quantize(e), perm)
+    }
+
   /** Deterministic per-subspace PQ codebook: the `ksub` md5-rank seed
     * vectors' j-th slices seed subspace j, then ONE exact-integer Lloyd
     * refinement per subspace (same arithmetic contract as
@@ -423,12 +479,14 @@ object Similarity {
       m: Int,
       ksub: Int,
       rerank: Int,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      opqPermute: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
+    val prep = permPrep(corpus, embCol, dim, m, opqPermute)
     val c = graft.core.Caches.cache(
-      corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb")))
+      corpus.select(col(idCol).as("neighbor_id"), prep(col(embCol)).as("c_emb")))
     val cb = graft.core.Caches.cache(pqCodebook(c, "neighbor_id", "c_emb", m, dsub, ksub))
 
     // corpus → m codes per vector (ordered by subspace) + the EXACT
@@ -447,7 +505,7 @@ object Similarity {
     // parts exist only for surviving codebook cells; the full grid
     // left-join densifies (filler 0 is never gathered — codes only
     // reference surviving cells)
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+    val q = queries.select(col(idCol).as("query_id"), prep(col(embCol)).as("q_emb"))
     val parts = subRows(q, "q_emb", m, dsub)
       .join(broadcast(cb), Seq("j"))
       .select(col("query_id"), col("j"), col("cid"),
@@ -511,12 +569,17 @@ object Similarity {
       ksub: Int,
       rerank: Int,
       nAssign: Int = 1,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      opqPermute: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
+    // the permutation is orthogonal: coarse L2 assignment and every
+    // norm/dot are unchanged, so IVF cells are identical and only the
+    // PQ sub-codebooks see the rebalanced layout
+    val prep = permPrep(corpus, embCol, dim, m, opqPermute)
     val c = graft.core.Caches.cache(
-      corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb")))
+      corpus.select(col(idCol).as("neighbor_id"), prep(col(embCol)).as("c_emb")))
     val cent = deterministicCentroids(c, "neighbor_id", "c_emb", nCentroids)
     val assigned = assignTo(c, "neighbor_id", "c_emb", cent, nAssign)
       .select(col("neighbor_id"), col("cid"))
@@ -531,7 +594,7 @@ object Similarity {
     // the scan-side index: cell id + codes + exact norm, no vectors
     val index = graft.core.Caches.cache(assigned.join(enc, Seq("neighbor_id")))
 
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
+    val q = queries.select(col(idCol).as("query_id"), prep(col(embCol)).as("q_emb"))
     val probes = assignTo(q, "query_id", "q_emb", cent, nProbe)
       .select(col("query_id"), col("cid"))
     val parts = subRows(q, "q_emb", m, dsub)

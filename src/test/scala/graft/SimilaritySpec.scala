@@ -168,6 +168,35 @@ class SimilaritySpec extends SparkSpec {
     assert(pq2 == pq)
   }
 
+  test("opq permutation: true permutation; permuted pqTopK deterministic and within floor") {
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val perm = Similarity.varianceBalancedPerm(
+      emb.select(Similarity.quantize(col("embedding")).as("__qe")), "__qe", dim = 64, m = 16)
+    assert(perm.sorted == (0 until 64), s"not a permutation: $perm")
+    val queries = emb.filter(col("vec_id") < 64)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def run() = graft.core.Caches.withScope {
+      topSets(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, m = 16, ksub = 32, rerank = 32, opqPermute = true))
+    }
+    val (a, b) = (run(), run())
+    assert(a == b, "permuted PQ must stay bit-stable")
+    val exact = graft.core.Caches.withScope {
+      topSets(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    }
+    val per = exact.map { case (q, truth) =>
+      a.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = per.sum / per.size
+    // measured 0.897 on this corpus (vs 0.928 identity — the DESIGN.md
+    // "measured, NOT adopted" table); floor guards the machinery only
+    info(f"recall@5 pq+opq=$recall%.3f")
+    assert(recall >= 0.80, f"permuted-PQ machinery broke: $recall%.3f")
+  }
+
   test("ivfPqTopK: recall@5 clears the floor, bit-stable re-run") {
     val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 64)
