@@ -207,7 +207,13 @@ object SparkEntry {
     "q166_ips_ctr" -> (EQ.ipsCtr _),
     "q167_woe_binning" -> (EQ.woeBinning _),
     "q168_top_paths" -> (EQ.topSessionPaths _),
-    "q169_burst_days" -> (EQ.burstDays _))
+    "q169_burst_days" -> (EQ.burstDays _),
+    "q170_kruskal_wallis" -> (EQ.kruskalWallis _),
+    "q171_mad_cents" -> (EQ.madCents _),
+    "q172_trimmed_mean" -> (EQ.trimmedMean _),
+    "q173_hits" -> (EQ.hitsTransitions _),
+    "q174_cramers_v" -> (EQ.contingencyCramersV _),
+    "q175_kendall_tau" -> (EQ.kendallDaily _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3666,7 +3672,191 @@ object SparkEntry {
         |FROM daily d JOIN stats s ON d.event_type = s.event_type
         |WHERE d.x * s.n - s.sx > 0
         |  AND (d.x * s.n - s.sx) * (d.x * s.n - s.sx) > 4 * (s.n * s.sxx - s.sx * s.sx)
-        |ORDER BY d.event_type, d.day""".stripMargin)
+        |ORDER BY d.event_type, d.day""".stripMargin,
+    // Kruskal-Wallis across view/click/purchase: doubled tie-corrected
+    // midranks (exact ints), H via the generated twin expression
+    "q170_kruskal_wallis" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value FROM events
+         |  WHERE event_type IN ('view', 'click', 'purchase')
+         |), counts AS (
+         |  SELECT value,
+         |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c0,
+         |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
+         |    COUNT(*) AS t
+         |  FROM e GROUP BY 1
+         |), m AS (
+         |  SELECT c0, c1, c2, t,
+         |    (SUM(t) OVER (ORDER BY value) - t) * 2 + t + 1 AS mid2
+         |  FROM counts
+         |), aggd AS (
+         |  SELECT CAST(SUM(c0) AS BIGINT) AS n1, CAST(SUM(c1) AS BIGINT) AS n2,
+         |    CAST(SUM(c2) AS BIGINT) AS n3,
+         |    CAST(SUM(c0 * mid2) AS BIGINT) AS r1_x2,
+         |    CAST(SUM(c1 * mid2) AS BIGINT) AS r2_x2,
+         |    CAST(SUM(c2 * mid2) AS BIGINT) AS r3_x2,
+         |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
+         |  FROM m
+         |)
+         |SELECT n1, n2, n3, r1_x2, r2_x2, r3_x2, ties3,
+         |  ${graft.ops.Stats.kruskalWallisHSql(3)} AS h_micro
+         |FROM aggd""".stripMargin,
+    // two chained type-1 medians over cent supports (median, then
+    // median absolute deviation); rank (n+1)//2, min value at-or-past it
+    "q171_mad_cents" ->
+      """WITH c0 AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), counts AS (
+        |  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n FROM c0 GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total FROM counts GROUP BY 1
+        |), cums AS (
+        |  SELECT event_type, cents, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum_n
+        |  FROM counts
+        |), med AS (
+        |  SELECT c.event_type, t.n_total, CAST(MIN(c.cents) AS BIGINT) AS median_cents
+        |  FROM cums c JOIN tot t USING (event_type)
+        |  WHERE c.cum_n >= (t.n_total + 1) // 2 GROUP BY 1, 2
+        |), devc AS (
+        |  SELECT c.event_type, abs(c.cents - m.median_cents) AS dev,
+        |    CAST(SUM(c.n) AS BIGINT) AS n
+        |  FROM counts c JOIN med m USING (event_type) GROUP BY 1, 2
+        |), dtot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total FROM devc GROUP BY 1
+        |), dcums AS (
+        |  SELECT event_type, dev, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY dev) AS cum_n
+        |  FROM devc
+        |), mad AS (
+        |  SELECT c.event_type, t.n_total, CAST(MIN(c.dev) AS BIGINT) AS mad_cents
+        |  FROM dcums c JOIN dtot t USING (event_type)
+        |  WHERE c.cum_n >= (t.n_total + 1) // 2 GROUP BY 1, 2
+        |)
+        |SELECT d.event_type, d.n_total, m.median_cents, d.mad_cents
+        |FROM mad d JOIN med m USING (event_type) ORDER BY d.event_type""".stripMargin,
+    // 5-95% trimmed mean: kept mass of a tied cent block = overlap with
+    // rank interval [lo+1, n-lo]; mean in integer micro-cents
+    "q172_trimmed_mean" ->
+      """WITH c0 AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), counts AS (
+        |  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n FROM c0 GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total FROM counts GROUP BY 1
+        |), cums AS (
+        |  SELECT event_type, cents, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum_n
+        |  FROM counts
+        |), kept AS (
+        |  SELECT c.event_type, t.n_total, c.cents,
+        |    greatest(0, least(c.cum_n, t.n_total - (t.n_total * 50000 // 1000000))
+        |      - greatest(c.cum_n - c.n, t.n_total * 50000 // 1000000)) AS k
+        |  FROM cums c JOIN tot t USING (event_type)
+        |)
+        |SELECT event_type, n_total, CAST(SUM(k) AS BIGINT) AS n_kept,
+        |  CAST(SUM(k * cents) AS BIGINT) AS kept_sum,
+        |  CAST(SUM(k * cents) * 1000000 // SUM(k) AS BIGINT) AS trimmed_mean_micro
+        |FROM kept GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+    // HITS, 2 exact-integer alternations: contributions h*w / a*w keyed
+    // by the receiving vertex, each half-step renormalized to total
+    // mass 1e6 by floor division — mirrors Graph.hitsMicro exactly
+    "q173_hits" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |), ew AS (
+         |  SELECT item_id AS src, next_item AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+         |), nodes AS (
+         |  SELECT src AS id FROM ew UNION SELECT dst FROM ew
+         |), h0 AS (
+         |  SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes
+         |), a1r AS (
+         |  SELECT ew.dst AS id, CAST(SUM(h.h * ew.w) AS BIGINT) AS a
+         |  FROM ew JOIN h0 h ON ew.src = h.id GROUP BY 1
+         |), a1 AS (
+         |  SELECT n.id,
+         |    CAST(COALESCE(r.a, 0) * 1000000 // (SELECT SUM(a) FROM a1r) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN a1r r USING (id)
+         |), h1r AS (
+         |  SELECT ew.src AS id, CAST(SUM(a.a * ew.w) AS BIGINT) AS h
+         |  FROM ew JOIN a1 a ON ew.dst = a.id GROUP BY 1
+         |), h1 AS (
+         |  SELECT n.id,
+         |    CAST(COALESCE(r.h, 0) * 1000000 // (SELECT SUM(h) FROM h1r) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN h1r r USING (id)
+         |), a2r AS (
+         |  SELECT ew.dst AS id, CAST(SUM(h.h * ew.w) AS BIGINT) AS a
+         |  FROM ew JOIN h1 h ON ew.src = h.id GROUP BY 1
+         |), a2 AS (
+         |  SELECT n.id,
+         |    CAST(COALESCE(r.a, 0) * 1000000 // (SELECT SUM(a) FROM a2r) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN a2r r USING (id)
+         |), h2r AS (
+         |  SELECT ew.src AS id, CAST(SUM(a.a * ew.w) AS BIGINT) AS h
+         |  FROM ew JOIN a2 a ON ew.dst = a.id GROUP BY 1
+         |), h2 AS (
+         |  SELECT n.id,
+         |    CAST(COALESCE(r.h, 0) * 1000000 // (SELECT SUM(h) FROM h2r) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN h2r r USING (id)
+         |)
+         |SELECT n.id AS item_id, h2.h AS hub_micro, a2.a AS auth_micro
+         |FROM nodes n JOIN h2 USING (id) JOIN a2 USING (id)
+         |ORDER BY a2.a DESC, h2.h DESC, n.id ASC LIMIT 20""".stripMargin,
+    // hour x type contingency: per-cell chi2 contributions micro-
+    // quantized BEFORE the sum (exact integer chi2), V = one sqrt chain
+    "q174_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS hr, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2
+        |), r AS (SELECT hr, CAST(SUM(obs) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        |c AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(obs) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_cols
+        |  FROM obs
+        |), cells AS (
+        |  SELECT n_events, n_rows, n_cols,
+        |    CAST(round(CAST(n_events * obs - rt * ct AS DOUBLE)
+        |     * CAST(n_events * obs - rt * ct AS DOUBLE)
+        |     / (CAST(n_events AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |     * 1000000) AS BIGINT) AS cell_micro
+        |  FROM obs JOIN r USING (hr) JOIN c USING (event_type) CROSS JOIN t
+        |), agg AS (
+        |  SELECT n_events, n_rows, n_cols, CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro
+        |  FROM cells GROUP BY 1, 2, 3
+        |)
+        |SELECT n_events, n_rows, n_cols, chi2_micro,
+        |  CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+        | / CAST(n_events AS DOUBLE)
+        | / CAST(least(n_rows, n_cols) - 1 AS DOUBLE)) * 1000000) AS BIGINT) AS cramers_v_micro
+        |FROM agg""".stripMargin,
+    // Kendall tau-b between the daily view and purchase series: exact
+    // integer pair counts over day pairs, one micro-rounded sqrt chain
+    "q175_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), p AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+        |    CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+        |    CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+        |  FROM daily a JOIN daily b ON a.day < b.day
+        |)
+        |SELECT n0, n_c, n_d, ties_x, ties_y,
+        |  CAST(round(CAST(n_c - n_d AS DOUBLE)
+        | / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE))
+        | * 1000000) AS BIGINT) AS tau_b_micro
+        |FROM p""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

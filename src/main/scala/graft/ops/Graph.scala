@@ -85,6 +85,66 @@ object Graph {
     pr
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), `iters` fixed
+    * alternations in micro units — the DIRECTED companion to
+    * [[pagerankMicro]] on transition graphs: an authority is an item
+    * sessions converge ON (a(v) = Σ_in h·w), a hub is one they fan out
+    * FROM (h(u) = Σ_out a·w). Each half-step renormalizes to total
+    * mass 1e6 by exact integer floor division (`x·1e6 div Σx`), so
+    * every score is a pure integer function of the edge multiset —
+    * bit-identical cross-engine, oracle-expressible as unrolled CTEs.
+    *
+    * Scale: per half-step one edge-sized contribution aggregation
+    * (map-side combined, keyed by the receiving vertex) + one
+    * broadcast of the single-row mass total; score tables are
+    * node-sized. Same regime as pagerankMicro; ranks localCheckpoint
+    * each round so lineage stays flat over the iteration.
+    */
+  def hitsMicro(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int): DataFrame = {
+    val e = Caches.cache(
+      edges.select(
+        col(srcCol).as("src"),
+        col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w")))
+    val nodes = Caches.cache(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    def normalize(raw: DataFrame, c: String): DataFrame = {
+      val tot = raw.agg(sum(col(c)).as("__tot"))
+      nodes
+        .join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(
+          col("id"),
+          expr(s"coalesce($c, 0L) * 1000000 div __tot").as(c))
+    }
+    var h = nodes.select(col("id"), lit(1000000L).as("h"))
+    var a = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      a = normalize(
+        e.join(h, e("src") === h("id"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("h") * col("w")).as("a")),
+        "a").localCheckpoint(true)
+      h = normalize(
+        e.join(a, e("dst") === a("id"))
+          .groupBy(col("src").as("id"))
+          .agg(sum(col("a") * col("w")).as("h")),
+        "h").localCheckpoint(true)
+    }
+    nodes
+      .join(h, Seq("id"), "left")
+      .join(a, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("h"), lit(0L)).as("hub_micro"),
+        coalesce(col("a"), lit(0L)).as("auth_micro"))
+  }
+
   /** Exact per-vertex TRIANGLE counts on an undirected graph given as
     * canonical edges (src < dst, deduplicated). Triangle counting is
     * the clustering-coefficient numerator — community density on the

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Order-statistics and rank-test operators over COUNT-compressED
+  * supports: every operator here takes (or builds) a `(key, count)`
+  * support table — support-sized, map-side combinable — and runs its
+  * one ordered step through [[Windows.shardedCumsum]]/
+  * [[Windows.shardedCumsumBy]], so no statistic ever pulls a raw
+  * sample (or even a whole support) into one task. The family contract
+  * matches the experimentation queries (q154/q158–q165): exact integer
+  * moments end-to-end, with at most ONE final double chain written
+  * textually identically in the DuckDB oracle (correctly-rounded IEEE
+  * ops on identical exact inputs are bit-identical cross-engine).
+  */
+object Stats {
+
+  /** Kruskal–Wallis H rank test across k classes of `valueCol` — the
+    * k-group extension of the Mann–Whitney shape (MWU asks which of
+    * TWO samples dominates; KW asks whether ANY of k differs).
+    * Tie-corrected midranks are kept integer by DOUBLING (2·midrank =
+    * 2·c_before + t + 1), so every per-class rank sum `r<i>_x2` is
+    * exact; `h_micro` is the one double chain: tie-corrected
+    * `H / (1 − Σ(t³−t)/(N³−N))`, micro-rounded.
+    *
+    * `shardExpr` must be a monotone bucket of `valueCol` (the
+    * [[Windows.shardedCumsum]] contract). Output: one row with
+    * `n<i>`, `r<i>_x2` per class (1-based), `ties3`, `h_micro`.
+    */
+  def kruskalWallisMicro(
+      df: DataFrame,
+      valueCol: String,
+      classCol: String,
+      classes: Seq[String],
+      shardExpr: Column): DataFrame = {
+    require(classes.nonEmpty)
+    val k = classes.size
+    val cnts = classes.zipWithIndex.map { case (c, i) =>
+      Aggregates.countIf(col(classCol) === c).as(s"c$i")
+    }
+    val counts = df
+      .filter(col(classCol).isin(classes: _*))
+      .groupBy(col(valueCol))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("t", (0 until k).map(i => col(s"c$i")).reduce(_ + _))
+    val aggs =
+      (0 until k).map(i => sum(col(s"c$i")).as(s"n${i + 1}")) ++
+        (0 until k).map(i => sum(col(s"c$i") * col("mid2")).as(s"r${i + 1}_x2")) :+
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties3")
+    Windows
+      .shardedCumsum(counts, valueCol, Seq("t"), shardExpr)
+      .withColumn("mid2", (col("cum_t") - col("t")) * 2 + col("t") + 1)
+      .agg(aggs.head, aggs.tail: _*)
+      // H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1) with R_j = r_x2/2, then the
+      // tie-correction divisor — the ONE shared template, so the Spark
+      // expression and the oracle SQL cannot drift
+      .withColumn("h_micro", expr(kruskalWallisHSql(k)))
+  }
+
+  /** Oracle-SQL twin of [[kruskalWallisMicro]]'s `h_micro` expression —
+    * generated from the same template so the two sides cannot drift.
+    */
+  def kruskalWallisHSql(k: Int): String = {
+    val nSum = (1 to k).map(i => s"n$i").mkString(" + ")
+    val sTerm = (1 to k)
+      .map(i =>
+        s"CAST(r${i}_x2 AS DOUBLE) * CAST(r${i}_x2 AS DOUBLE) / CAST(n$i AS DOUBLE)")
+      .mkString(" + ")
+    s"""CAST(round((3.0 * ($sTerm)
+       |  / (CAST($nSum AS DOUBLE) * CAST($nSum + 1 AS DOUBLE))
+       |  - 3.0 * CAST($nSum + 1 AS DOUBLE))
+       | / (1.0 - CAST(ties3 AS DOUBLE)
+       |    / (CAST($nSum AS DOUBLE) * CAST($nSum AS DOUBLE)
+       |       * CAST($nSum AS DOUBLE) - CAST($nSum AS DOUBLE)))
+       | * 1000000) AS BIGINT)""".stripMargin
+  }
+
+  /** Type-1 (lower-middle) median per group from a COUNT-compressed
+    * support `(partCols..., keyCol, cntCol)`: rank `(n+1) div 2` over
+    * the key order — the selected value is an actual data point,
+    * deterministic among duplicates. One sharded cumulative pass +
+    * one broadcast totals join; never a per-row window.
+    * Output: partCols + `(n_total, median)` where median is named
+    * `<outName>`.
+    */
+  def medianFromCounts(
+      counts: DataFrame,
+      partCols: Seq[String],
+      keyCol: String,
+      cntCol: String,
+      shardExpr: Column,
+      outName: String): DataFrame = {
+    val cums = Windows.shardedCumsumBy(counts, partCols, keyCol, Seq(cntCol), shardExpr)
+    val tot = counts
+      .groupBy(partCols.map(col): _*)
+      .agg(sum(col(cntCol)).as("n_total"))
+    val joined =
+      if (partCols.isEmpty) cums.crossJoin(broadcast(tot))
+      else cums.join(broadcast(tot), partCols)
+    joined
+      .filter(col(s"cum_$cntCol") >= expr("(n_total + 1) div 2"))
+      .groupBy((partCols.map(col) :+ col("n_total")): _*)
+      .agg(min(col(keyCol)).as(outName))
+  }
+
+  /** Trimmed mean per group from a COUNT-compressed support: drop the
+    * lowest and highest `trimPpm` (floor, in rows) of each group's
+    * distribution and average the rest — the outlier-robust mean that
+    * DROPS tails where q99's winsorize CLAMPS them. Pure integer: the
+    * kept mass of a tied block is its overlap with the kept rank
+    * interval `[lo+1, n−lo]` (`lo = n·trimPpm div 1e6` — floor
+    * division, identical in both engines), and the mean emits in micro
+    * units of the key via integer division. Output: partCols +
+    * `(n_total, n_kept, kept_sum, trimmed_mean_micro)`.
+    */
+  def trimmedMeanMicroFromCounts(
+      counts: DataFrame,
+      partCols: Seq[String],
+      keyCol: String,
+      cntCol: String,
+      shardExpr: Column,
+      trimPpm: Long): DataFrame = {
+    val cums = Windows.shardedCumsumBy(counts, partCols, keyCol, Seq(cntCol), shardExpr)
+    val tot = counts
+      .groupBy(partCols.map(col): _*)
+      .agg(sum(col(cntCol)).as("n_total"))
+    val joined =
+      if (partCols.isEmpty) cums.crossJoin(broadcast(tot))
+      else cums.join(broadcast(tot), partCols)
+    joined
+      .withColumn("__lo", expr(s"n_total * $trimPpm div 1000000"))
+      .withColumn(
+        "__kept",
+        greatest(
+          lit(0L),
+          least(col(s"cum_$cntCol"), col("n_total") - col("__lo")) -
+            greatest(col(s"cum_$cntCol") - col(cntCol), col("__lo"))))
+      .groupBy((partCols.map(col) :+ col("n_total")): _*)
+      .agg(
+        sum(col("__kept")).as("n_kept"),
+        sum(col("__kept") * col(keyCol)).as("kept_sum"))
+      .withColumn(
+        "trimmed_mean_micro", expr("kept_sum * 1000000 div n_kept"))
+  }
+
+  /** Kendall rank correlation τ-b between paired series `(xCol, yCol)`
+    * (one row per observation; `tieCol` must be unique — pairs are
+    * enumerated once as tie < tie). Concordant/discordant/tied pair
+    * counts are exact integers from the pairwise join; `tau_b_micro`
+    * is the one double chain (÷ √((n0−n1)(n0−n2))), micro-rounded
+    * identically in the oracle.
+    *
+    * Scale: the pair join is |rows|² — intended for BOUNDED series
+    * (daily aggregates: the q159 Theil–Sen regime), never facts.
+    */
+  def kendallTauBMicro(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      tieCol: String): DataFrame = {
+    val a = df.select(
+      col(tieCol).as("ka"), col(xCol).as("xa"), col(yCol).as("ya"))
+    val b = df.select(
+      col(tieCol).as("kb"), col(xCol).as("xb"), col(yCol).as("yb"))
+    a.join(b, col("ka") < col("kb"))
+      .agg(
+        count(lit(1)).as("n0"),
+        Aggregates
+          .countIf((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0)
+          .as("n_c"),
+        Aggregates
+          .countIf((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0)
+          .as("n_d"),
+        Aggregates.countIf(col("xa") === col("xb")).as("ties_x"),
+        Aggregates.countIf(col("ya") === col("yb")).as("ties_y"))
+      .withColumn(
+        "tau_b_micro",
+        expr("""CAST(round(CAST(n_c - n_d AS DOUBLE)
+               | / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE))
+               | * 1000000) AS BIGINT)""".stripMargin))
+  }
+}

@@ -1336,7 +1336,8 @@ object EventQueries {
     * (q154 KS, q165 MWU — the shape their oracle SQL shares as the
     * `pvSupportCte`): per distinct raw `value`, purchase and view
     * counts. Support-sized and map-side combinable — the one fact-table
-    * pass of the family.
+    * pass of the family. The k-class sibling lives in
+    * [[graft.ops.Stats.kruskalWallisMicro]] (q170).
     */
   private def purchaseViewSupport(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -1848,6 +1849,151 @@ object EventQueries {
       .select(col("item"), col("true_cnt"), col("est"),
         (col("est") - col("true_cnt")).as("overcount"))
       .orderBy(col("item"))
+  }
+
+  /** Kruskal–Wallis H rank test (q170) across the view / click /
+    * purchase `value` samples — the k-group member of the rank-test
+    * family (q165 MWU asks which of TWO dominates; KW asks whether ANY
+    * of k differs). See [[graft.ops.Stats.kruskalWallisMicro]]: doubled
+    * tie-corrected midranks on the value-support scaffold, one
+    * micro-rounded double chain for H.
+    */
+  def kruskalWallis(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.kruskalWallisMicro(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      "value", "event_type", Seq("view", "click", "purchase"),
+      expr("cast(round(value * 100) as bigint) div 5000"))
+
+  /** Median absolute deviation (q171) of value cents per event type —
+    * the robust dispersion companion to q159's Theil–Sen location
+    * trend (σ blows up on one fat-fingered order; MAD tolerates 50%
+    * contamination). Two [[graft.ops.Stats.medianFromCounts]] passes
+    * (median, then median of |x − median|) over COUNT-compressed cent
+    * supports — all integer, type-1 medians, never a per-row window.
+    */
+  def madCents(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.core.Caches.cache)
+    val med = graft.ops.Stats.medianFromCounts(
+      counts, Seq("event_type"), "cents", "n",
+      expr("cents div 5000"), "median_cents")
+    val devCounts = counts
+      .join(broadcast(med.select(col("event_type"), col("median_cents"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("cents") - col("median_cents")).as("dev"))
+      .agg(sum(col("n")).as("n"))
+    graft.ops.Stats
+      .medianFromCounts(
+        devCounts, Seq("event_type"), "dev", "n",
+        expr("dev div 5000"), "mad_cents")
+      .join(med.select(col("event_type"), col("median_cents")), Seq("event_type"))
+      .select(
+        col("event_type"), col("n_total"), col("median_cents"), col("mad_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** 5–95% trimmed mean (q172) of value cents per event type — the
+    * robust mean that DROPS the tails where q99's winsorize CLAMPS
+    * them. [[graft.ops.Stats.trimmedMeanMicroFromCounts]]: kept mass of
+    * each tied cent block is its integer overlap with the kept rank
+    * interval; mean in micro-cents by integer division. No floats
+    * anywhere.
+    */
+  def trimmedMean(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats
+      .trimmedMeanMicroFromCounts(
+        Tables.events(s, d)
+          .select(
+            col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("n")),
+        Seq("event_type"), "cents", "n",
+        expr("cents div 5000"), trimPpm = 50000L)
+      .orderBy(col("event_type"))
+
+  /** HITS hubs & authorities (q173) on the directed session-transition
+    * item graph — the directed companion to q87's PageRank: an
+    * authority is an item sessions converge ON, a hub one they fan out
+    * FROM (a series opener vs a basket staple). Two exact-integer
+    * alternations ([[graft.ops.Graph.hitsMicro]]); top 20 authorities
+    * with full (auth, hub, item) tie-break.
+    */
+  def hitsTransitions(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    graft.ops.Graph
+      .hitsMicro(trans, "item_a", "item_b", "transition_count", iters = 2)
+      .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("id").asc)
+      .limit(20)
+      .select(col("id").as("item_id"), col("hub_micro"), col("auth_micro"))
+  }
+
+  /** Hour-of-day × event-type contingency chi² and Cramér's V (q174) —
+    * "is activity MIX time-of-day dependent, and how strongly" (chi²
+    * grows with N; V ∈ [0,1] is the effect size that survives scale).
+    * Per-cell contributions are micro-quantized BEFORE the sum (the
+    * suite's ln rule applied to chi²), so chi2_micro is an exact
+    * integer; V is one sqrt chain on it, micro-rounded identically in
+    * the oracle.
+    *
+    * Scale: one fact pass to the 24×|types| table; everything after is
+    * constant-sized with broadcast marginals.
+    */
+  def contingencyCramersV(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .groupBy(
+        expr("hour(ts)").cast("long").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("obs"))
+      .transform(graft.core.Caches.cache)
+    val rows = obs.groupBy(col("hr")).agg(sum(col("obs")).as("rt"))
+    val cols_ = obs.groupBy(col("event_type")).agg(sum(col("obs")).as("ct"))
+    val tot = obs.agg(
+      sum(col("obs")).as("n_events"),
+      countDistinct(col("hr")).as("n_rows"),
+      countDistinct(col("event_type")).as("n_cols"))
+    obs
+      .join(broadcast(rows), Seq("hr"))
+      .join(broadcast(cols_), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n_events"), col("n_rows"), col("n_cols"),
+        expr("""CAST(round(CAST(n_events * obs - rt * ct AS DOUBLE)
+               | * CAST(n_events * obs - rt * ct AS DOUBLE)
+               | / (CAST(n_events AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+               | * 1000000) AS BIGINT)""".stripMargin).as("cell_micro"))
+      .groupBy(col("n_events"), col("n_rows"), col("n_cols"))
+      .agg(sum(col("cell_micro")).as("chi2_micro"))
+      .select(
+        col("n_events"), col("n_rows"), col("n_cols"), col("chi2_micro"),
+        expr("""CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+               | / CAST(n_events AS DOUBLE)
+               | / CAST(least(n_rows, n_cols) - 1 AS DOUBLE)) * 1000000) AS BIGINT)"""
+          .stripMargin).as("cramers_v_micro"))
+  }
+
+  /** Kendall τ-b (q175) between the daily VIEW and PURCHASE count
+    * series — "do busy browse days rank as busy buy days" with a
+    * statistic immune to outlier magnitudes (Pearson isn't). Exact
+    * integer concordant/discordant/tie counts over day pairs
+    * ([[graft.ops.Stats.kendallTauBMicro]] — the days²-bounded q159
+    * regime), one micro-rounded sqrt chain for τ-b.
+    */
+  def kendallDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(
+        Ag.countIf(col("event_type") === "view").as("x"),
+        Ag.countIf(col("event_type") === "purchase").as("y"))
+    graft.ops.Stats.kendallTauBMicro(daily, "x", "y", "day")
   }
 
   /** Theil–Sen robust trend (q159): per event type, the MEDIAN of all

@@ -44,6 +44,24 @@ class GraphSpec extends SparkSpec {
     assert(bcast == shuffled, "broadcast mode must not change a single rank")
   }
 
+  test("hitsMicro: co-cited authority takes all mass, its two hubs split it exactly") {
+    // a -> b, c -> b: b is the sole authority (1e6), a and c are equal
+    // hubs (500000 each) — exact under the integer renormalization
+    val e = Seq((10L, 20L, 1L), (30L, 20L, 1L)).toDF("s", "d", "w")
+    val out = Graph.hitsMicro(e, "s", "d", "w", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((10L, 500000L, 0L), (30L, 500000L, 0L), (20L, 0L, 1000000L)))
+  }
+
+  test("hitsMicro: bit-identical under repartitioning") {
+    val e = edges
+    val one = Graph.hitsMicro(e.coalesce(1), "src", "dst", "w", iters = 2)
+      .orderBy("id").collect().toSeq
+    val many = Graph.hitsMicro(e.repartition(7), "src", "dst", "w", iters = 2)
+      .orderBy("id").collect().toSeq
+    assert(one == many)
+  }
+
   test("triangleCounts: K4 plus a pendant edge — 3 triangles per clique vertex, pendant absent") {
     // K4 on {1,2,3,4} (canonical src<dst) + pendant 4-5: C(4,3)=4 triangles,
     // every clique vertex sits in exactly 3; vertex 5 closes none.

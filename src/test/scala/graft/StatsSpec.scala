@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+
+/** Known-value tests for the count-compressed statistics operators —
+  * the oracle compare only proves Spark == DuckDB; these prove the
+  * statistics equal their textbook values on hand-computed fixtures.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kruskalWallisMicro: perfectly separated groups hit the textbook H = 7.2") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L),
+      ("c", 7L), ("c", 8L), ("c", 9L)).toDF("cls", "v")
+    val r = Stats
+      .kruskalWallisMicro(df, "v", "cls", Seq("a", "b", "c"), expr("v div 4"))
+      .head()
+    assert(r.getAs[Long]("n1") == 3 && r.getAs[Long]("n2") == 3 && r.getAs[Long]("n3") == 3)
+    assert(r.getAs[Long]("r1_x2") == 12) // ranks 1+2+3 doubled
+    assert(r.getAs[Long]("r3_x2") == 48) // ranks 7+8+9 doubled
+    assert(r.getAs[Long]("ties3") == 0)
+    assert(r.getAs[Long]("h_micro") == 7200000L,
+      s"H for fully separated 3x3 groups is exactly 7.2, got ${r.getAs[Long]("h_micro")}")
+  }
+
+  test("kruskalWallisMicro: tie correction — H = 2.4 / (1 - 12/60) = 3.0 exactly") {
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("cls", "v")
+    val r = Stats
+      .kruskalWallisMicro(df, "v", "cls", Seq("a", "b"), expr("v div 10"))
+      .head()
+    assert(r.getAs[Long]("r1_x2") == 6) // 2 x doubled midrank 3 (= 2*1.5)
+    assert(r.getAs[Long]("r2_x2") == 14) // 2 x doubled midrank 7 (= 2*3.5)
+    assert(r.getAs[Long]("ties3") == 12)
+    assert(r.getAs[Long]("h_micro") == 3000000L)
+  }
+
+  test("medianFromCounts: type-1 lower-middle value, per group, across shards") {
+    val counts = Seq(
+      ("g", 1L, 2L), ("g", 5L, 1L), ("g", 9L, 1L), // n=4 -> rank 2 -> 1
+      ("h", 10L, 1L), ("h", 20L, 1L), ("h", 30L, 1L)) // n=3 -> rank 2 -> 20
+      .toDF("grp", "k", "n")
+    val out = Stats
+      .medianFromCounts(counts, Seq("grp"), "k", "n", expr("k div 7"), "med")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_total"), r.getAs[Long]("med")))
+      .toSet
+    assert(out == Set(("g", 4L, 1L), ("h", 3L, 20L)))
+  }
+
+  test("trimmedMeanMicroFromCounts: 10% trim of 1..10 keeps ranks 2-9, mean 5.5") {
+    val counts = (1L to 10L).map(v => ("g", v, 1L)).toDF("grp", "k", "n")
+    val r = Stats
+      .trimmedMeanMicroFromCounts(
+        counts, Seq("grp"), "k", "n", expr("k div 4"), trimPpm = 100000L)
+      .head()
+    assert(r.getAs[Long]("n_kept") == 8)
+    assert(r.getAs[Long]("kept_sum") == 44)
+    assert(r.getAs[Long]("trimmed_mean_micro") == 5500000L)
+  }
+
+  test("trimmedMeanMicroFromCounts: tied block keeps only its in-interval overlap") {
+    // 1 x4, 2 x4: n=8, 25% trim -> lo=2, keep ranks 3..6 = two 1s + two 2s
+    val counts = Seq(("g", 1L, 4L), ("g", 2L, 4L)).toDF("grp", "k", "n")
+    val r = Stats
+      .trimmedMeanMicroFromCounts(
+        counts, Seq("grp"), "k", "n", expr("k div 10"), trimPpm = 250000L)
+      .head()
+    assert(r.getAs[Long]("n_kept") == 4)
+    assert(r.getAs[Long]("kept_sum") == 6)
+    assert(r.getAs[Long]("trimmed_mean_micro") == 1500000L)
+  }
+
+  test("kendallTauBMicro: perfect agreement is 1.0; y-ties hit the exact tau-b") {
+    val perfect = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L))
+      .toDF("k", "x", "y")
+      .select(col("k"), col("x"), col("y"))
+    val r1 = Stats.kendallTauBMicro(perfect, "x", "y", "k").head()
+    assert(r1.getAs[Long]("tau_b_micro") == 1000000L)
+    // x=[1,2,3,4], y=[1,1,2,2]: n0=6, C=4, D=0, ties_y=2
+    // tau-b = 4/sqrt(6*4) = 0.81649658... -> 816497
+    val tied = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 4L, 2L))
+      .toDF("k", "x", "y")
+    val r2 = Stats.kendallTauBMicro(tied, "x", "y", "k").head()
+    assert(r2.getAs[Long]("n_c") == 4 && r2.getAs[Long]("n_d") == 0)
+    assert(r2.getAs[Long]("ties_x") == 0 && r2.getAs[Long]("ties_y") == 2)
+    assert(r2.getAs[Long]("tau_b_micro") == 816497L)
+  }
+}
