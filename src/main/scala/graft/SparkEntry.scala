@@ -213,7 +213,10 @@ object SparkEntry {
     "q172_trimmed_mean" -> (EQ.trimmedMean _),
     "q173_hits" -> (EQ.hitsTransitions _),
     "q174_cramers_v" -> (EQ.contingencyCramersV _),
-    "q175_kendall_tau" -> (EQ.kendallDaily _))
+    "q175_kendall_tau" -> (EQ.kendallDaily _),
+    "q176_link_prediction" -> (EQ.covisLinkPrediction _),
+    "q177_assortativity" -> (EQ.covisAssortativity _),
+    "q178_reciprocity" -> (EQ.transitionReciprocity _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3856,7 +3859,95 @@ object SparkEntry {
         |  CAST(round(CAST(n_c - n_d AS DOUBLE)
         | / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE))
         | * 1000000) AS BIGINT) AS tau_b_micro
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+    // common-neighbor link prediction: wedge join through the shared
+    // neighbor, RA = sum of 1e6 // deg(z) (integer — no ln), anti-join
+    // against existing edges, neighborhood Jaccard in ppm
+    "q176_link_prediction" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2
+         |), und AS (
+         |  SELECT item_a AS z, item_b AS n FROM pairs
+         |  UNION ALL SELECT item_b AS z, item_a AS n FROM pairs
+         |), deg AS (
+         |  SELECT z AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1
+         |), undd AS (
+         |  SELECT u.z, u.n, d.deg FROM und u JOIN deg d ON u.z = d.id
+         |), wed AS (
+         |  SELECT l.n AS u, r.n AS v, 1000000 // l.deg AS ra_c
+         |  FROM undd l JOIN und r ON l.z = r.z AND l.n < r.n
+         |), cand AS (
+         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+         |    CAST(SUM(ra_c) AS BIGINT) AS ra_micro
+         |  FROM wed GROUP BY 1, 2
+         |), nonadj AS (
+         |  SELECT c.* FROM cand c
+         |  LEFT JOIN pairs p ON c.u = p.item_a AND c.v = p.item_b
+         |  WHERE p.item_a IS NULL
+         |)
+         |SELECT n.u AS item_a, n.v AS item_b, n.cn, n.ra_micro,
+         |  CAST(n.cn * 1000000 // (du.deg + dv.deg - n.cn) AS BIGINT) AS jaccard_ppm
+         |FROM nonadj n JOIN deg du ON n.u = du.id JOIN deg dv ON n.v = dv.id
+         |ORDER BY n.ra_micro DESC, n.cn DESC, n.u ASC, n.v ASC LIMIT 20""".stripMargin,
+    // degree assortativity: exact integer degree moments over the 2|E|
+    // directed edge stubs, one micro-rounded Pearson chain
+    "q177_assortativity" ->
+      s"""WITH $sessCte, di AS (
+         |  SELECT DISTINCT session_id, item_id FROM enr
+         |), small AS (
+         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+         |), dik AS (
+         |  SELECT di.* FROM di JOIN small USING (session_id)
+         |), pairs AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b
+         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2
+         |), deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT item_a AS id FROM pairs UNION ALL SELECT item_b FROM pairs
+         |  ) GROUP BY 1
+         |), stubs AS (
+         |  SELECT item_a AS x_id, item_b AS y_id FROM pairs
+         |  UNION ALL SELECT item_b AS x_id, item_a AS y_id FROM pairs
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dx.deg) AS BIGINT) AS sx,
+         |    CAST(SUM(dy.deg) AS BIGINT) AS sy,
+         |    CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
+         |    CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sx2,
+         |    CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS sy2
+         |  FROM stubs s JOIN deg dx ON s.x_id = dx.id JOIN deg dy ON s.y_id = dy.id
+         |)
+         |SELECT n, sx, sy, sxy, sx2, sy2,
+         |  ${graft.ops.Graph.pearsonMicroSql} AS r_micro
+         |FROM m""".stripMargin,
+    // directed-transition reciprocity per source category: left join
+    // against the DISTINCT reversed pair set, integer ppm
+    "q178_reciprocity" ->
+      s"""WITH $sessCte, led AS (
+         |  SELECT session_id, item_id,
+         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+         |  FROM enr
+         |), ew AS (
+         |  SELECT item_id AS src, next_item AS dst
+         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+         |), rev AS (
+         |  SELECT DISTINCT dst AS src, src AS dst FROM ew
+         |)
+         |SELECT e.src % 20 AS src_category, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |  CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+         |  CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |       // COUNT(*) AS BIGINT) AS recip_ppm
+         |FROM ew e LEFT JOIN rev r ON e.src = r.src AND e.dst = r.dst
+         |GROUP BY 1 ORDER BY src_category""".stripMargin)
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

@@ -322,6 +322,130 @@ object Graph {
     labels
   }
 
+  /** Common-neighbor link prediction over an undirected canonical
+    * (src < dst, deduplicated) edge set: for every NON-adjacent vertex
+    * pair sharing at least one neighbor, three classic scores —
+    * `cn` (common-neighbor count), `ra_micro` (resource allocation,
+    * Adamic–Adar's rational sibling: Σ_z 1e6 div deg(z) — no
+    * transcendental, so exact integer and oracle-identical), and
+    * `jaccard_ppm` (|Γu∩Γv| / |Γu∪Γv|). The "which items WILL
+    * co-occur" question behind complement recommendation and graph
+    * densification.
+    *
+    * Shape: one wedge self-join through the shared neighbor z (the
+    * triangle-counting regime: Σ deg(z)² work, hub-capped upstream by
+    * the covis session cap), one anti-join against existing edges, one
+    * degree attach. Candidate pairs are emitted canonical (u < v).
+    */
+  def linkPredictionScores(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = Caches.cache(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+    val und = e.select(col("a").as("z"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = und.groupBy(col("z").as("id")).agg(count(lit(1)).as("deg"))
+    val undD = Caches.cache(
+      und.join(deg.withColumnRenamed("id", "z"), Seq("z")))
+    val wedges = undD.as("l")
+      .join(
+        undD.select(col("z"), col("n")).as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(
+        col("l.n").as("u"), col("r.n").as("v"),
+        expr("1000000 div deg").as("ra_c"))
+    val cand = wedges
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("ra_c")).as("ra_micro"))
+      .join(
+        e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))), Seq("v"))
+      .select(
+        col("u"), col("v"), col("cn"), col("ra_micro"),
+        expr("cn * 1000000 div (du + dv - cn)").as("jaccard_ppm"))
+  }
+
+  /** Degree assortativity of an undirected canonical edge set — the
+    * Pearson correlation of endpoint degrees over directed edge stubs
+    * (Newman 2002): positive = hubs attach to hubs (social nets),
+    * negative = hubs attach to leaves (catalogs, the web). All five
+    * moments are exact integer sums over the 2|E| stubs; `r_micro` is
+    * the one double chain, micro-rounded identically in the oracle.
+    * Long-exact while n·Σxy < 2⁶³ — switch the moment accumulators to
+    * decimal(38,0) past ~10⁹ edge-stubs·deg², same note as
+    * [[pagerankMicro]].
+    *
+    * Shape: one degree agg + two broadcast degree attaches + one
+    * global agg — line-rate in |E|, no quadratic anywhere.
+    */
+  def degreeAssortativityMicro(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = Caches.cache(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val stubs = e.select(col("a").as("x_id"), col("b").as("y_id"))
+      .unionByName(e.select(col("b").as("x_id"), col("a").as("y_id")))
+    stubs
+      .join(broadcast(deg.select(col("id").as("x_id"), col("deg").as("x"))), Seq("x_id"))
+      .join(broadcast(deg.select(col("id").as("y_id"), col("deg").as("y"))), Seq("y_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .withColumn("r_micro", expr(pearsonMicroSql))
+  }
+
+  /** Oracle-SQL twin of [[degreeAssortativityMicro]]'s `r_micro` (and
+    * any integer-moment Pearson): generated from one template so the
+    * Spark expression and the oracle cannot drift. Expects columns
+    * `n, sx, sy, sxy, sx2, sy2`.
+    */
+  val pearsonMicroSql: String =
+    """CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      | / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+      |        * CAST(n * sy2 - sy * sy AS DOUBLE))
+      | * 1000000) AS BIGINT)""".stripMargin
+
+  /** Per-group reciprocity of a DIRECTED edge set (each (src,dst) pair
+    * distinct): the fraction of edges whose reverse edge also exists —
+    * on transition graphs, "is A→B traffic a two-way relationship or a
+    * one-way funnel". `groupCols` are edge attributes for reporting
+    * (e.g. source category); reciprocation is always checked against
+    * the FULL graph. Output per group: n_edges, n_recip, recip_ppm.
+    *
+    * Shape: one self-semi-join keyed on the reversed pair + one
+    * map-side-combinable agg — line-rate in |E|.
+    */
+  def reciprocityPpm(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val e = Caches.cache(edges.select(
+      (groupCols.map(col) :+ col(srcCol).as("src") :+ col(dstCol).as("dst")): _*))
+    val rev = e
+      .select(col("dst").as("src"), col("src").as("dst"))
+      .distinct()
+      .withColumn("__r", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(coalesce(col("__r"), lit(0L))).as("n_recip"))
+      .withColumn("recip_ppm", expr("n_recip * 1000000 div n_edges"))
+  }
+
   def clusteringCoefficientMicro(
       edges: DataFrame,
       srcCol: String,

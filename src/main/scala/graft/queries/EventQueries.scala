@@ -2032,4 +2032,62 @@ object EventQueries {
         col("dy").as("med_dy"), col("dx").as("med_dx"), col("slope"))
       .orderBy(col("event_type"))
   }
+
+  /** Common-neighbor link prediction (q176) on the covis item graph:
+    * the top-20 NON-adjacent item pairs most likely to co-occur next,
+    * scored by resource allocation (Adamic–Adar's rational sibling —
+    * exact integer, no ln), common-neighbor count, and neighborhood
+    * Jaccard. See [[graft.ops.Graph.linkPredictionScores]] — the wedge
+    * join is the triangle-counting regime, hub-capped by the covis
+    * session cap upstream.
+    */
+  def covisLinkPrediction(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 1L)
+    graft.ops.Graph
+      .linkPredictionScores(pairs, "item_a", "item_b")
+      .select(
+        col("u").as("item_a"), col("v").as("item_b"),
+        col("cn"), col("ra_micro"), col("jaccard_ppm"))
+      .orderBy(
+        col("ra_micro").desc, col("cn").desc,
+        col("item_a").asc, col("item_b").asc)
+      .limit(20)
+  }
+
+  /** Degree assortativity (q177) of the covis item graph — do
+    * frequently-co-visited hub items pair with other hubs (positive r)
+    * or with long-tail items (negative r, the catalog norm)? Exact
+    * integer degree moments over edge stubs, one micro-rounded double
+    * chain ([[graft.ops.Graph.degreeAssortativityMicro]]).
+    */
+  def covisAssortativity(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 1L)
+    graft.ops.Graph.degreeAssortativityMicro(pairs, "item_a", "item_b")
+  }
+
+  /** Transition reciprocity (q178) per source category: what fraction
+    * of A→B session transitions have a B→A counterpart — two-way
+    * relationships (substitutes browsed back and forth) vs one-way
+    * funnels (accessory follows the main item). Reciprocation is
+    * checked on the full directed transition graph; the category is a
+    * reporting attribute of the edge's source
+    * ([[graft.ops.Graph.reciprocityPpm]]).
+    */
+  def transitionReciprocity(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    graft.ops.Graph
+      .reciprocityPpm(
+        trans.withColumn("src_category", pmod(col("item_a"), lit(20L))),
+        "item_a", "item_b", Seq("src_category"))
+      .orderBy(col("src_category"))
+  }
 }

@@ -209,4 +209,95 @@ class GraphSpec extends SparkSpec {
     }
     assert(one == many)
   }
+
+  test("linkPredictionScores: open wedge scores its endpoints, closed pairs excluded") {
+    // path 1-2-3 plus edge 3-4: candidates are the OPEN pairs only.
+    // (1,3) share z=2 (deg 2): cn=1, ra=500000, jaccard=1/(1+2-1).
+    // (2,4) share z=3 (deg 2): same scores. (1,4),(1,2) etc. absent.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("item_a", "item_b")
+    val got = graft.core.Caches.withScope {
+      Graph.linkPredictionScores(e, "item_a", "item_b")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    }
+    assert(got == Map(
+      (1L, 3L) -> ((1L, 500000L, 500000L)),
+      (2L, 4L) -> ((1L, 500000L, 500000L))))
+  }
+
+  test("linkPredictionScores: adjacent pairs never appear even with many common neighbors") {
+    // K4: every pair is adjacent AND shares 2 neighbors -> no candidates
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val n = graft.core.Caches.withScope {
+      Graph.linkPredictionScores(e, "a", "b").count()
+    }
+    assert(n == 0L)
+  }
+
+  test("linkPredictionScores: RA favors the pair sharing a LOW-degree neighbor") {
+    // star center 10 (high degree) closes (1,2); private vertex 20
+    // (degree 2) closes (3,4): RA must rank (3,4) above (1,2)
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L),
+      (3L, 20L), (4L, 20L)).toDF("a", "b")
+    val got = graft.core.Caches.withScope {
+      Graph.linkPredictionScores(e, "a", "b")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+    }
+    // (3,4): z=10 (deg 5 -> 200000) + z=20 (deg 2 -> 500000) = 700000
+    assert(got((3L, 4L)) == 700000L)
+    assert(got((1L, 2L)) == 200000L)
+    assert(got((3L, 4L)) > got((1L, 2L)))
+  }
+
+  test("degreeAssortativityMicro: perfect disassortativity on a star, perfect assortativity on disjoint uniform cliques") {
+    // star K1,4: every edge joins deg 4 to deg 1 -> r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val rStar = graft.core.Caches.withScope {
+      Graph.degreeAssortativityMicro(star, "a", "b")
+        .select("r_micro").as[Long].head()
+    }
+    assert(rStar == -1000000L)
+    // K3 + disjoint edge: degrees {2,2,2} and {1,1} — every edge joins
+    // equal degrees -> r = +1
+    val mix = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("a", "b")
+    val rMix = graft.core.Caches.withScope {
+      Graph.degreeAssortativityMicro(mix, "a", "b")
+        .select("r_micro").as[Long].head()
+    }
+    assert(rMix == 1000000L)
+  }
+
+  test("reciprocityPpm: mutual pair counts on both edges, one-way does not") {
+    // 1->2, 2->1 (mutual), 1->3 (one-way); group = src parity
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+      .withColumn("g", col("s") % 2)
+    val got = graft.core.Caches.withScope {
+      Graph.reciprocityPpm(e, "s", "d", Seq("g"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    }
+    assert(got == Map(
+      1L -> ((2L, 1L, 500000L)), // src 1: edges ->2 (recip), ->3 (not)
+      0L -> ((1L, 1L, 1000000L)))) // src 2: ->1 reciprocated
+  }
+
+  test("linkPredictionScores: bit-identical under repartitioning") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 60).map { _ =>
+      val a = 1L + rnd.nextInt(25); val b = 1L + rnd.nextInt(25)
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    val e = edges.toDF("a", "b")
+    val one = graft.core.Caches.withScope {
+      Graph.linkPredictionScores(e.coalesce(1), "a", "b")
+        .orderBy("u", "v").collect().toSeq
+    }
+    val many = graft.core.Caches.withScope {
+      Graph.linkPredictionScores(e.repartition(9), "a", "b")
+        .orderBy("u", "v").collect().toSeq
+    }
+    assert(one == many)
+  }
 }
