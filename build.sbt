@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. sbt's default LoggedOutput prefixes forked-process output with
+// "[info] " and appends a "[success] Total time ..." trailer — both broke
+// the parse for three rounds (BENCH_r05..r07 "parsed": null). Inherit the
+// child's stdout directly and drop the success banner so the compact JSON
+// summary Bench prints is the literal last line of the sbt process.
+Compile / run / outputStrategy := Some(StdoutOutput) // runMain forks via Compile/run's forkOptions
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
