@@ -375,9 +375,14 @@ object Graph {
     * negative = hubs attach to leaves (catalogs, the web). All five
     * moments are exact integer sums over the 2|E| stubs; `r_micro` is
     * the one double chain, micro-rounded identically in the oracle.
-    * Long-exact while n·Σxy < 2⁶³ — switch the moment accumulators to
-    * decimal(38,0) past ~10⁹ edge-stubs·deg², same note as
-    * [[pagerankMicro]].
+    * Long-exact while n·Σxy < 2⁶³ (~10⁹ edge-stubs·deg²) — ENFORCED:
+    * an `assert_true` guard in the plan fails loud on the Spark side
+    * the moment any `n·moment` or `Σx·Σy` product would wrap, instead
+    * of silently wrapping while the DuckDB oracle errors. Past that
+    * scale, switch the moment accumulators to decimal(38,0), same note
+    * as [[pagerankMicro]]. Zero-variance inputs (degree-regular graphs:
+    * perfect matchings, single cycles) yield NULL `r_micro` on both
+    * engines via the shared template's CASE guard, not NaN.
     *
     * Shape: one degree agg + two broadcast degree attaches + one
     * global agg — line-rate in |E|, no quadratic anywhere.
@@ -403,7 +408,21 @@ object Graph {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sx2"),
         sum(col("y") * col("y")).as("sy2"))
-      .withColumn("r_micro", expr(pearsonMicroSql))
+      // Loud int64-overflow guard: every product the template forms
+      // (n·sxy, n·sx2, n·sy2, sx·sy, sx·sx, sy·sy) must fit a Long.
+      // assert_true returns NULL on success, so gating r_micro on its
+      // null-ness forces evaluation without adding an output column.
+      .withColumn("__ovf_ok", expr(
+        """assert_true(
+          |  n = 0 OR (
+          |    greatest(abs(sxy), sx2, sy2)
+          |      <= 9223372036854775807 div n
+          |    AND greatest(abs(sx), abs(sy)) <= 3037000499),
+          |  'degreeAssortativityMicro: int64 moment overflow -- switch accumulators to decimal(38,0)')"""
+          .stripMargin))
+      .withColumn("r_micro",
+        when(col("__ovf_ok").isNull, expr(pearsonMicroSql)))
+      .drop("__ovf_ok")
   }
 
   /** Oracle-SQL twin of [[degreeAssortativityMicro]]'s `r_micro` (and
@@ -412,10 +431,11 @@ object Graph {
     * `n, sx, sy, sxy, sx2, sy2`.
     */
   val pearsonMicroSql: String =
-    """CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-      | / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
-      |        * CAST(n * sy2 - sy * sy AS DOUBLE))
-      | * 1000000) AS BIGINT)""".stripMargin
+    """CASE WHEN n * sx2 - sx * sx = 0 OR n * sy2 - sy * sy = 0 THEN NULL
+      | ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |   / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+      |          * CAST(n * sy2 - sy * sy AS DOUBLE))
+      |   * 1000000) AS BIGINT) END""".stripMargin
 
   /** Per-group reciprocity of a DIRECTED edge set (each (src,dst) pair
     * distinct): the fraction of edges whose reverse edge also exists —

@@ -269,6 +269,20 @@ class GraphSpec extends SparkSpec {
     assert(rMix == 1000000L)
   }
 
+  test("degreeAssortativityMicro: degree-regular graph (zero variance) yields NULL r_micro, not NaN/0") {
+    // 6-cycle: every vertex has degree 2 -> both stub-degree variances
+    // are 0. Before the shared-template CASE guard this was 0/sqrt(0):
+    // NaN in Spark (cast -> silent 0) but a cast ERROR in DuckDB.
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L)).toDF("a", "b")
+    val row = graft.core.Caches.withScope {
+      Graph.degreeAssortativityMicro(cycle, "a", "b")
+        .select("n", "r_micro").collect().head
+    }
+    assert(row.getLong(0) == 12L) // 2|E| stubs reached the agg
+    assert(row.isNullAt(1))
+  }
+
   test("reciprocityPpm: mutual pair counts on both edges, one-way does not") {
     // 1->2, 2->1 (mutual), 1->3 (one-way); group = src parity
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
