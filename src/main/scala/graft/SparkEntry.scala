@@ -216,7 +216,9 @@ object SparkEntry {
     "q175_kendall_tau" -> (EQ.kendallDaily _),
     "q176_link_prediction" -> (EQ.covisLinkPrediction _),
     "q177_assortativity" -> (EQ.covisAssortativity _),
-    "q178_reciprocity" -> (EQ.transitionReciprocity _))
+    "q178_reciprocity" -> (EQ.transitionReciprocity _),
+    "q179_short_repeats" -> (TQ.shortRepeats _),
+    "q180_personalized_pagerank" -> (EQ.personalizedPagerankAnchor _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -264,6 +266,110 @@ object SparkEntry {
       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
       |  FROM e GROUP BY 1
       |)""".stripMargin
+
+  /** Session item-transition edges (mirrors Windows.transitionCounts on
+    * the enriched stream): `trans(item_a, item_b, transition_count)`.
+    * Must follow `$sessCte`. Shared by the transition-graph family
+    * (q55/q87/q112/q135/q138/q173/q178/q180) so the edge definition
+    * cannot drift between them.
+    */
+  private val transCte =
+    """led AS (
+      |  SELECT session_id, item_id,
+      |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
+      |  FROM enr
+      |), trans AS (
+      |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
+      |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Hub-capped (≤ 200 items/session) distinct session→item incidence:
+    * `di`, `small`, `dik(session_id, item_id)`. Must follow `$sessCte`.
+    */
+  private val covisDikCte =
+    """di AS (
+      |  SELECT DISTINCT session_id, item_id FROM enr
+      |), small AS (
+      |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
+      |), dik AS (
+      |  SELECT di.* FROM di JOIN small USING (session_id)
+      |)""".stripMargin
+
+  /** Co-visitation pairs with min-support 2:
+    * `pairs(item_a, item_b, pair_count)` (canonical a<b). Shared by the
+    * covis-recommendation family (q19/q111/q112/q135/q138/q143).
+    */
+  private val covisPairsCte =
+    s"""$covisDikCte, pairs AS (
+       |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
+       |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |)""".stripMargin
+
+  /** Distinct co-visitation edge set (no support floor):
+    * `pairs(item_a, item_b)` (canonical a<b). Shared by the covis
+    * graph-structure family (q137/q139/q140/q176/q177).
+    */
+  private val covisEdgesCte =
+    s"""$covisDikCte, pairs AS (
+       |  SELECT a.item_id AS item_a, b.item_id AS item_b
+       |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** Both directions of `pairs`: `directed(src, dst, pair_count)`. */
+  private val covisDirectedCte =
+    """directed AS (
+      |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
+      |  UNION ALL
+      |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
+      |)""".stripMargin
+
+  /** Top-`k` covis recommendations per source off `directed`, CTE named
+    * `name`; `withRn` keeps the 1-based rank column for MRR/nDCG.
+    */
+  private def covisTopSql(name: String, k: Int, withRn: Boolean): String =
+    s"""$name AS (
+       |  SELECT src, dst${if (withRn) ", CAST(rn AS BIGINT) AS rn" else ""} FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+       |                ORDER BY pair_count DESC, dst ASC) AS rn
+       |    FROM directed) WHERE rn <= $k
+       |)""".stripMargin
+
+  /** `iters` unrolled exact-integer PageRank iterations over `trans`
+    * (damping 850000 ppm, floor division at both steps — mirrors
+    * [[graft.ops.Graph.pagerankMicro]] / `personalizedPagerankMicro`):
+    * `nodes(id, is_seed)`, `p0..p$iters(id, pr)`. `seedPredicate`
+    * concentrates the teleport mass (q180); None is uniform PageRank
+    * (q87, every node is a seed). Must follow `$transCte`.
+    */
+  private def pagerankUnrollSql(iters: Int, seedPredicate: Option[String]): String = {
+    val seedExpr =
+      seedPredicate.map(p => s"CASE WHEN $p THEN 1 ELSE 0 END").getOrElse("1")
+    val head =
+      s"""outw AS (
+         |  SELECT item_a AS src, CAST(SUM(transition_count) AS BIGINT) AS out_w
+         |  FROM trans GROUP BY 1
+         |), ew AS (
+         |  SELECT t.item_a AS src, t.item_b AS dst, t.transition_count AS w, o.out_w
+         |  FROM trans t JOIN outw o ON t.item_a = o.src
+         |), nodes AS (
+         |  SELECT id, CAST($seedExpr AS BIGINT) AS is_seed FROM (
+         |    SELECT item_a AS id FROM trans UNION SELECT item_b FROM trans)
+         |), p0 AS (
+         |  SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS pr FROM nodes
+         |)""".stripMargin
+    val iterations = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT ew.dst AS id, CAST(SUM((p.pr * ew.w) // ew.out_w) AS BIGINT) AS inc
+         |  FROM ew JOIN p${i - 1} p ON ew.src = p.id GROUP BY 1
+         |), p$i AS (
+         |  SELECT n.id, CAST(n.is_seed * 150000 + (850000 * COALESCE(c.inc, 0)) // 1000000 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i c USING (id)
+         |)""".stripMargin
+    }
+    (head +: iterations).mkString(", ")
+  }
 
   /** The 4-strategy candidate union (q23's oracle body) as a reusable
     * fragment ending in `cands(anchor_id, category_id)`. Must follow
@@ -638,16 +744,8 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_id""".stripMargin,
     "q19_covis_pairs" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM sess WHERE item_id IS NOT NULL
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |)
-         |SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
-         |FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      s"""WITH $sessCte, $covisPairsCte
+         |SELECT item_a, item_b, pair_count FROM pairs
          |ORDER BY item_a, item_b""".stripMargin,
     "q20_prefix_stats" ->
       s"""WITH $sessCte
@@ -1156,14 +1254,9 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY item_a, item_b""".stripMargin,
     "q55_item_transitions" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |)
-         |SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
-         |FROM led WHERE next_item IS NOT NULL
-         |GROUP BY 1, 2 ORDER BY item_a, item_b""".stripMargin,
+      s"""WITH $sessCte, $transCte
+         |SELECT item_a, item_b, transition_count FROM trans
+         |ORDER BY item_a, item_b""".stripMargin,
     "q56_retention_cohorts" ->
       """WITH w AS (
         |  SELECT user_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 604800 AS week
@@ -1608,40 +1701,7 @@ object SparkEntry {
     // at both steps matches the engine's `div`; SUMs cast back to
     // BIGINT (DuckDB SUM(BIGINT) widens to DECIMAL)
     "q87_pagerank" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |), edges AS (
-         |  SELECT item_id AS src, next_item AS dst, CAST(COUNT(*) AS BIGINT) AS w
-         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
-         |), outw AS (
-         |  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY 1
-         |), ew AS (
-         |  SELECT e.src, e.dst, e.w, o.out_w FROM edges e JOIN outw o USING (src)
-         |), nodes AS (
-         |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
-         |), p0 AS (
-         |  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes
-         |), c1 AS (
-         |  SELECT ew.dst AS id, CAST(SUM((p.pr * ew.w) // ew.out_w) AS BIGINT) AS inc
-         |  FROM ew JOIN p0 p ON ew.src = p.id GROUP BY 1
-         |), p1 AS (
-         |  SELECT n.id, CAST(150000 + (850000 * COALESCE(c.inc, 0)) // 1000000 AS BIGINT) AS pr
-         |  FROM nodes n LEFT JOIN c1 c USING (id)
-         |), c2 AS (
-         |  SELECT ew.dst AS id, CAST(SUM((p.pr * ew.w) // ew.out_w) AS BIGINT) AS inc
-         |  FROM ew JOIN p1 p ON ew.src = p.id GROUP BY 1
-         |), p2 AS (
-         |  SELECT n.id, CAST(150000 + (850000 * COALESCE(c.inc, 0)) // 1000000 AS BIGINT) AS pr
-         |  FROM nodes n LEFT JOIN c2 c USING (id)
-         |), c3 AS (
-         |  SELECT ew.dst AS id, CAST(SUM((p.pr * ew.w) // ew.out_w) AS BIGINT) AS inc
-         |  FROM ew JOIN p2 p ON ew.src = p.id GROUP BY 1
-         |), p3 AS (
-         |  SELECT n.id, CAST(150000 + (850000 * COALESCE(c.inc, 0)) // 1000000 AS BIGINT) AS pr
-         |  FROM nodes n LEFT JOIN c3 c USING (id)
-         |)
+      s"""WITH $sessCte, $transCte, ${pagerankUnrollSql(3, None)}
          |SELECT id AS item_id, pr AS pr_micro FROM p3 ORDER BY item_id""".stripMargin,
     "q88_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -2132,17 +2192,7 @@ object SparkEntry {
         |    / (1.0 + z * z / nd))) AS BIGINT) AS wilson_lo_micro
         |FROM f ORDER BY category_id""".stripMargin,
     "q111_item_cosine" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM sess WHERE item_id IS NOT NULL
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |), base AS (
+      s"""WITH $sessCte, $covisPairsCte, base AS (
          |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS c FROM dik GROUP BY item_id
          |)
          |SELECT p.item_a, p.item_b, p.pair_count,
@@ -2153,33 +2203,7 @@ object SparkEntry {
          |JOIN base cb ON p.item_b = cb.item_id
          |ORDER BY item_a, item_b""".stripMargin,
     "q112_hitrate_eval" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |), trans AS (
-         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
-         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
-         |), di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |), directed AS (
-         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
-         |  UNION ALL
-         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
-         |), top3 AS (
-         |  SELECT src, dst FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-         |                ORDER BY pair_count DESC, dst ASC) AS rn
-         |    FROM directed) WHERE rn <= 3
-         |)
+      s"""WITH $sessCte, $transCte, $covisPairsCte, $covisDirectedCte, ${covisTopSql("top3", 3, withRn = false)}
          |SELECT CAST(SUM(t.transition_count) AS BIGINT) AS n_transitions,
          |  CAST(SUM(CASE WHEN h.dst IS NOT NULL THEN t.transition_count ELSE 0 END) AS BIGINT) AS n_hits,
          |  CAST(SUM(CASE WHEN h.dst IS NOT NULL THEN t.transition_count ELSE 0 END) * 1000000
@@ -2495,30 +2519,7 @@ object SparkEntry {
         |FROM contrib GROUP BY w_day ORDER BY w_day""".stripMargin,
     // stride-1 48-char window fingerprints; occ>=2 positions merged into
     // maximal ranges (equal-length intervals: break when gap > 48)
-    "q128_substring_repeats" ->
-      """WITH pos AS (
-        |  SELECT doc_id, i,
-        |    CAST(('0x' || substring(md5(substr(text, CAST(i + 1 AS INT), 48)), 1, 15)) AS BIGINT) AS fp
-        |  FROM documents, unnest(generate_series(0, length(text) - 48)) AS t(i)
-        |  WHERE length(text) >= 48
-        |), dup AS (
-        |  SELECT doc_id, i FROM (
-        |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY fp) AS occ FROM pos)
-        |  WHERE occ >= 2
-        |), grp AS (
-        |  SELECT doc_id, i,
-        |    SUM(CASE WHEN prev IS NULL OR i - prev > 48 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY i) AS g
-        |  FROM (
-        |    SELECT doc_id, i,
-        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-        |    FROM dup)
-        |)
-        |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS start_pos,
-        |  CAST(MAX(i) + 48 AS BIGINT) AS end_pos,
-        |  CAST(MAX(i) + 48 - MIN(i) AS BIGINT) AS rep_len
-        |FROM grp GROUP BY doc_id, g
-        |ORDER BY doc_id, start_pos""".stripMargin,
+    "q128_substring_repeats" -> substringRepeatsSql(48),
     // q42's clusters + q33's stopword-ppm quality; survivor = best copy
     // per component (quality DESC, doc_id ASC)
     "q129_best_of_cluster" -> {
@@ -2638,33 +2639,7 @@ object SparkEntry {
          |ORDER BY shared_fps DESC, id_a, id_b LIMIT 50""".stripMargin,
     // rank-aware covis eval: q112's CTE chain with rank kept to 10
     "q135_mrr_eval" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |), trans AS (
-         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
-         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
-         |), di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |), directed AS (
-         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
-         |  UNION ALL
-         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
-         |), top10 AS (
-         |  SELECT src, dst, CAST(rn AS BIGINT) AS rn FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-         |                ORDER BY pair_count DESC, dst ASC) AS rn
-         |    FROM directed) WHERE rn <= 10
-         |)
+      s"""WITH $sessCte, $transCte, $covisPairsCte, $covisDirectedCte, ${covisTopSql("top10", 10, withRn = true)}
          |SELECT CAST(SUM(t.transition_count) AS BIGINT) AS n_transitions,
          |  CAST(SUM(CASE WHEN h.rn IS NOT NULL THEN t.transition_count ELSE 0 END) AS BIGINT) AS n_hits10,
          |  CAST(SUM(CASE WHEN h.rn IS NOT NULL THEN t.transition_count * (1000000 // h.rn) ELSE 0 END)
@@ -2692,17 +2667,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY bin""".stripMargin,
     // exact triangle census of the covis graph (a<b<c enumeration)
     "q137_triangles" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2
-         |), tri AS (
+      s"""WITH $sessCte, $covisEdgesCte, tri AS (
          |  SELECT ab.item_a AS a, ab.item_b AS b, bc.item_b AS c
          |  FROM pairs ab
          |  JOIN pairs bc ON ab.item_b = bc.item_a
@@ -2719,33 +2684,7 @@ object SparkEntry {
     // integer literals (identical constants on the Spark side — no
     // runtime transcendental in either engine)
     "q138_ndcg_eval" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |), trans AS (
-         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
-         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
-         |), di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |), directed AS (
-         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
-         |  UNION ALL
-         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
-         |), top10 AS (
-         |  SELECT src, dst, CAST(rn AS BIGINT) AS rn FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-         |                ORDER BY pair_count DESC, dst ASC) AS rn
-         |    FROM directed) WHERE rn <= 10
-         |), scored AS (
+      s"""WITH $sessCte, $transCte, $covisPairsCte, $covisDirectedCte, ${covisTopSql("top10", 10, withRn = true)}, scored AS (
          |  SELECT t.transition_count,
          |    CASE h.rn WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000
          |     WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207
@@ -2760,17 +2699,7 @@ object SparkEntry {
          |FROM scored""".stripMargin,
     // local clustering coefficient: q137's triangle CTEs + degree scan
     "q139_covis_clustering" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2
-         |), tri AS (
+      s"""WITH $sessCte, $covisEdgesCte, tri AS (
          |  SELECT ab.item_a AS a, ab.item_b AS b, bc.item_b AS c
          |  FROM pairs ab
          |  JOIN pairs bc ON ab.item_b = bc.item_a
@@ -2796,16 +2725,8 @@ object SparkEntry {
     // 3-core via 3 bounded peeling rounds (q137's covis edge CTEs + the
     // generated peel chain; mirrors Graph.kCorePeel exactly)
     "q140_kcore" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), e0 AS (
-         |  SELECT a.item_id AS src, b.item_id AS dst
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2
+      s"""WITH $sessCte, $covisEdgesCte, e0 AS (
+         |  SELECT item_a AS src, item_b AS dst FROM pairs
          |), ${kcorePeelCte(3, 3)}
          |SELECT id AS item_id, CAST(COUNT(*) AS BIGINT) AS degree
          |FROM (SELECT src AS id FROM e3 UNION ALL SELECT dst FROM e3)
@@ -2871,26 +2792,8 @@ object SparkEntry {
     // exact integer Gini over per-item recommendation frequency
     // (zeros included; rank ties are permutation-invariant in S i*x_i)
     "q143_rec_coverage" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |), directed AS (
-         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
-         |  UNION ALL
-         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
-         |), top10 AS (
-         |  SELECT src, dst FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-         |                ORDER BY pair_count DESC, dst ASC) AS rn
-         |    FROM directed) WHERE rn <= 10
-         |), catalog AS (
+      s"""WITH $sessCte, $covisPairsCte, $covisDirectedCte,
+         |${covisTopSql("top10", 10, withRn = false)}, catalog AS (
          |  SELECT DISTINCT item_id FROM enr
          |), freq AS (
          |  SELECT c.item_id, COALESCE(f.f, 0) AS f
@@ -2947,19 +2850,12 @@ object SparkEntry {
     // per-item outgoing-transition Shannon entropy (micro-nats;
     // surprisal quantized per destination before the weighted sum)
     "q145_transition_entropy" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |), trans AS (
-         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
-         |), totals AS (
-         |  SELECT item_a, SUM(c) AS total_out, COUNT(*) AS n_out
-         |  FROM trans GROUP BY 1 HAVING SUM(c) >= 5
+      s"""WITH $sessCte, $transCte, totals AS (
+         |  SELECT item_a, SUM(transition_count) AS total_out, COUNT(*) AS n_out
+         |  FROM trans GROUP BY 1 HAVING SUM(transition_count) >= 5
          |), s AS (
-         |  SELECT t.item_a, tt.total_out, tt.n_out, t.c,
-         |    CAST(round(-ln(CAST(t.c AS DOUBLE) / tt.total_out) * 1000000) AS BIGINT) AS s_micro
+         |  SELECT t.item_a, tt.total_out, tt.n_out, t.transition_count AS c,
+         |    CAST(round(-ln(CAST(t.transition_count AS DOUBLE) / tt.total_out) * 1000000) AS BIGINT) AS s_micro
          |  FROM trans t JOIN totals tt USING (item_a)
          |)
          |SELECT item_a AS item_id, CAST(n_out AS BIGINT) AS n_out,
@@ -3233,33 +3129,12 @@ object SparkEntry {
     // anchor: score = sum of floor(1e6/(60+rank)) over the lists the
     // candidate appears in; top 5 fused
     "q156_rrf_fusion" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |), trans AS (
-         |  SELECT item_id AS item_a, next_item AS item_b, CAST(COUNT(*) AS BIGINT) AS transition_count
-         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
-         |), ttop AS (
+      s"""WITH $sessCte, $transCte, ttop AS (
          |  SELECT item_a, item_b, CAST(rn AS BIGINT) AS rank_t FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
          |                ORDER BY transition_count DESC, item_b ASC) AS rn
          |    FROM trans) WHERE rn <= 10
-         |), di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |), directed AS (
-         |  SELECT item_a AS src, item_b AS dst, pair_count FROM pairs
-         |  UNION ALL
-         |  SELECT item_b AS src, item_a AS dst, pair_count FROM pairs
-         |), ctop AS (
+         |), $covisPairsCte, $covisDirectedCte, ctop AS (
          |  SELECT src, dst, CAST(rn AS BIGINT) AS rank_c FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
          |                ORDER BY pair_count DESC, dst ASC) AS rn
@@ -3280,17 +3155,7 @@ object SparkEntry {
     // 4 unrolled synchronized LPA rounds (most-frequent neighbor
     // label, tie -> min label), then community sizes
     "q157_communities" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS pair_count
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |), und AS (
+      s"""WITH $sessCte, $covisPairsCte, und AS (
          |  SELECT item_a AS src, item_b AS dst FROM pairs
          |  UNION ALL
          |  SELECT item_b AS src, item_a AS dst FROM pairs
@@ -3766,13 +3631,8 @@ object SparkEntry {
     // by the receiving vertex, each half-step renormalized to total
     // mass 1e6 by floor division — mirrors Graph.hitsMicro exactly
     "q173_hits" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |), ew AS (
-         |  SELECT item_id AS src, next_item AS dst, CAST(COUNT(*) AS BIGINT) AS w
-         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+      s"""WITH $sessCte, $transCte, ew AS (
+         |  SELECT item_a AS src, item_b AS dst, transition_count AS w FROM trans
          |), nodes AS (
          |  SELECT src AS id FROM ew UNION SELECT dst FROM ew
          |), h0 AS (
@@ -3864,17 +3724,7 @@ object SparkEntry {
     // neighbor, RA = sum of 1e6 // deg(z) (integer — no ln), anti-join
     // against existing edges, neighborhood Jaccard in ppm
     "q176_link_prediction" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2
-         |), und AS (
+      s"""WITH $sessCte, $covisEdgesCte, und AS (
          |  SELECT item_a AS z, item_b AS n FROM pairs
          |  UNION ALL SELECT item_b AS z, item_a AS n FROM pairs
          |), deg AS (
@@ -3900,17 +3750,7 @@ object SparkEntry {
     // degree assortativity: exact integer degree moments over the 2|E|
     // directed edge stubs, one micro-rounded Pearson chain
     "q177_assortativity" ->
-      s"""WITH $sessCte, di AS (
-         |  SELECT DISTINCT session_id, item_id FROM enr
-         |), small AS (
-         |  SELECT session_id FROM di GROUP BY session_id HAVING COUNT(*) <= 200
-         |), dik AS (
-         |  SELECT di.* FROM di JOIN small USING (session_id)
-         |), pairs AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b
-         |  FROM dik a JOIN dik b ON a.session_id = b.session_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2
-         |), deg AS (
+      s"""WITH $sessCte, $covisEdgesCte, deg AS (
          |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
          |    SELECT item_a AS id FROM pairs UNION ALL SELECT item_b FROM pairs
          |  ) GROUP BY 1
@@ -3932,13 +3772,8 @@ object SparkEntry {
     // directed-transition reciprocity per source category: left join
     // against the DISTINCT reversed pair set, integer ppm
     "q178_reciprocity" ->
-      s"""WITH $sessCte, led AS (
-         |  SELECT session_id, item_id,
-         |         lead(item_id) OVER (PARTITION BY session_id ORDER BY epoch_s, event_id) AS next_item
-         |  FROM enr
-         |), ew AS (
-         |  SELECT item_id AS src, next_item AS dst
-         |  FROM led WHERE next_item IS NOT NULL GROUP BY 1, 2
+      s"""WITH $sessCte, $transCte, ew AS (
+         |  SELECT item_a AS src, item_b AS dst FROM trans
          |), rev AS (
          |  SELECT DISTINCT dst AS src, src AS dst FROM ew
          |)
@@ -3947,7 +3782,48 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1000000
          |       // COUNT(*) AS BIGINT) AS recip_ppm
          |FROM ew e LEFT JOIN rev r ON e.src = r.src AND e.dst = r.dst
-         |GROUP BY 1 ORDER BY src_category""".stripMargin)
+         |GROUP BY 1 ORDER BY src_category""".stripMargin,
+    // the 16-47 short-repeat band q102/q128 both miss: same stride-1
+    // machinery as q128, floor dropped to 16
+    "q179_short_repeats" -> substringRepeatsSql(16),
+    // q87's unrolled integer iterations with the teleport mass
+    // concentrated on the anchor slice id % 97 = 3 (is_seed gates both
+    // the init mass and the per-iteration base term); unreachable
+    // items stay exactly 0
+    "q180_personalized_pagerank" ->
+      s"""WITH $sessCte, $transCte, ${pagerankUnrollSql(3, Some("id % 97 = 3"))}
+         |SELECT id AS item_id, pr AS ppr_micro FROM p3 ORDER BY item_id""".stripMargin)
+
+  /** Oracle twin of [[graft.dedup.Dedup.maximalRepeatRanges]] at a
+    * given window floor: stride-1 `minLen`-char md5 window fingerprints
+    * (60-bit hex-cast), corpus-wide occ >= 2 positions merged into
+    * maximal ranges (break when gap > `minLen`). Shared by
+    * q128 (48) and q179 (16) so the two bands cannot drift.
+    */
+  private def substringRepeatsSql(minLen: Int): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, i,
+       |    CAST(('0x' || substring(md5(substr(text, CAST(i + 1 AS INT), $minLen)), 1, 15)) AS BIGINT) AS fp
+       |  FROM documents, unnest(generate_series(0, length(text) - $minLen)) AS t(i)
+       |  WHERE length(text) >= $minLen
+       |), dup AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY fp) AS occ FROM pos)
+       |  WHERE occ >= 2
+       |), grp AS (
+       |  SELECT doc_id, i,
+       |    SUM(CASE WHEN prev IS NULL OR i - prev > $minLen THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |  FROM (
+       |    SELECT doc_id, i,
+       |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       |    FROM dup)
+       |)
+       |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS start_pos,
+       |  CAST(MAX(i) + $minLen AS BIGINT) AS end_pos,
+       |  CAST(MAX(i) + $minLen - MIN(i) AS BIGINT) AS rep_len
+       |FROM grp GROUP BY doc_id, g
+       |ORDER BY doc_id, start_pos""".stripMargin
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

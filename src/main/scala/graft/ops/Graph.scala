@@ -85,6 +85,71 @@ object Graph {
     pr
   }
 
+  /** Personalized PageRank / random-walk-with-restart, `iters` fixed
+    * iterations in micro units — [[pagerankMicro]] with the teleport
+    * mass concentrated on `seeds` instead of spread uniformly: the
+    * item-conditioned neighborhood operator behind "recommend around
+    * THIS item / this user's anchors". Each seed injects
+    * `1e6 − dampingPpm` micro of restart mass per iteration (per-seed
+    * mass 1e6, so the result is the sum of per-seed PPR vectors);
+    * non-seed nodes get mass only through in-edges, and nodes
+    * unreachable from the seed set stay at exactly 0. All arithmetic
+    * is floor-division integer, bit-identical cross-engine — the
+    * oracle unrolls the iterations as CTEs exactly like q87's.
+    *
+    * Seed rows whose id is not a graph node are ignored (the seed
+    * attach is a left join from the node table), so callers may pass
+    * any cheap superset — e.g. the item catalog filtered by a
+    * predicate — without intersecting it against the edge set first.
+    *
+    * Scale shape: identical to [[pagerankMicro]] — edge table shuffled
+    * once and cached, per-iteration one edge-sized contribution agg
+    * (map-side combined) + one node-sized rank join, `broadcastRanks`
+    * for catalog-bounded vertex sets. The seed flag rides the cached
+    * node table; no extra exchange anywhere.
+    */
+  def personalizedPagerankMicro(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      iters: Int,
+      dampingPpm: Long = 850000L,
+      broadcastRanks: Boolean = false): DataFrame = {
+    val basePpm = 1000000L - dampingPpm
+    val e = Caches.cache(
+      edges.select(
+        col(srcCol).as("src"),
+        col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w")))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val ew = Caches.cache(e.join(outW, Seq("src")))
+    val nodes = Caches.cache(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+        .join(
+          broadcast(seeds.select(col("id")).distinct().withColumn("__s", lit(1L))),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("is_seed")))
+    def side(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+    var pr = nodes.select(col("id"), (col("is_seed") * 1000000L).as("ppr_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(side(pr), ew("src") === pr("id"))
+        .select(col("dst"), expr("(ppr_micro * w) div out_w").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_c"))
+      pr = Caches.cache(
+        nodes
+          .join(side(contrib), nodes("id") === contrib("dst"), "left")
+          .select(
+            col("id"),
+            expr(s"is_seed * $basePpm + ($dampingPpm * coalesce(in_c, 0L)) div 1000000")
+              .as("ppr_micro")))
+    }
+    pr
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999), `iters` fixed
     * alternations in micro units — the DIRECTED companion to
     * [[pagerankMicro]] on transition graphs: an authority is an item

@@ -445,6 +445,37 @@ object EventQueries {
       .select(col("id").as("item_id"), col("pr_micro"))
       .orderBy(col("item_id"))
 
+  /** Personalized PageRank (3 iterations, micro-scaled) over the same
+    * session item-transition graph as q87, restart mass on the
+    * deterministic anchor slice `item_id % 97 = 3` —
+    * [[graft.ops.Graph.personalizedPagerankMicro]]: the
+    * item-conditioned neighborhood ("what does the walk reach from
+    * THIS item") vs q87's global importance. Unreachable items stay at
+    * exactly 0; the oracle unrolls the same three integer iterations
+    * as CTEs with the seed flag in the rank recurrence.
+    */
+  def personalizedPagerankAnchor(s: SparkSession, d: String): DataFrame = {
+    val enr = Pipeline.enrichedEvents(s, d)
+    graft.ops.Graph
+      .personalizedPagerankMicro(
+        Windows.transitionCounts(
+          enr,
+          "session_id",
+          Seq(col("epoch_s").asc, col("event_id").asc),
+          "item_id"),
+        "item_a",
+        "item_b",
+        "transition_count",
+        // cheap catalog superset off the already-cached enriched table;
+        // non-node ids are ignored by the operator's left seed attach
+        enr.select(col("item_id").as("id")).distinct()
+          .filter(pmod(col("id"), lit(97)) === 3),
+        iters = 3,
+        broadcastRanks = true)
+      .select(col("id").as("item_id"), col("ppr_micro"))
+      .orderBy(col("item_id"))
+  }
+
   /** Spark-native batch `session_window` aggregation — the built-in
     * session operator (shared with Structured Streaming) applied to the
     * same 30-minute gap rule as [[Windows.sessionize]]. Boundary

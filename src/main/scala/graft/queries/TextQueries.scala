@@ -786,6 +786,17 @@ object TextQueries {
     Dedup.maximalRepeatRanges(Tables.documents(s, d), "text", "doc_id",
       minLen = 48)
 
+  /** [[substringRepeats]] at minLen = 16 — the short-repeat band
+    * (16–47 chars) that q102's 64/32 fixed windows and q128's ≥ 48
+    * floor both miss: short verbatim boilerplate (bylines, disclaimers,
+    * navigation crumbs) that survives every longer-window pass. Same
+    * stride-1 fingerprint machinery, ~1 position-row per corpus char
+    * either way, so the band costs what q128 costs.
+    */
+  def shortRepeats(s: SparkSession, d: String): DataFrame =
+    Dedup.maximalRepeatRanges(Tables.documents(s, d), "text", "doc_id",
+      minLen = 16)
+
   /** Held-out bigram-LM surprisal (train even doc_ids, score odd —
     * [[TextRanking.bigramSurprisal]]).
     */

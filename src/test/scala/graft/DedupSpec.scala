@@ -212,6 +212,28 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 58L, 48L), (2L, 3L, 51L, 48L)))
   }
 
+  test("minLen=16 pass (q179 band) finds a planted 20-char repeat invisible to both q102 and q128") {
+    import spark.implicits._
+    val rep = "THE-20-CHAR-REPEAT-Z"
+    assert(rep.length == 20)
+    // Non-periodic context (no char runs, no shared 16-windows outside
+    // the plant — a "C"*30 filler would itself contain 15 identical
+    // 16-char windows and pollute the result). Both docs < 64 chars so
+    // q102's 64-char windows don't even exist; the repeat is 20 < 48 so
+    // q128's floor misses it.
+    val d1 = "abcdefghij" + rep + "klmnopqrstuvwxy0123456789"
+    val d2 = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543" + rep + "zz"
+    assert(d1.length == 55 && d2.length == 55)
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val q102 = Dedup.duplicatedSpans(docs, "text", "doc_id", 64, 32).count()
+    assert(q102 == 0L, "64-char fixed windows should not exist in 55-char docs")
+    val q128 = Dedup.maximalRepeatRanges(docs, "text", "doc_id", minLen = 48).count()
+    assert(q128 == 0L, ">=48 floor should miss the 20-char repeat")
+    val got = Dedup.maximalRepeatRanges(docs, "text", "doc_id", minLen = 16)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 30L, 20L), (2L, 33L, 53L, 20L)))
+  }
+
   test("maximalRepeatRanges merges overlapping windows of a long repeat into ONE maximal range") {
     import spark.implicits._
     // non-periodic 135-char repeat (pseudo-random chars, no internal

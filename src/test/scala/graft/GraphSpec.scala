@@ -44,6 +44,45 @@ class GraphSpec extends SparkSpec {
     assert(bcast == shuffled, "broadcast mode must not change a single rank")
   }
 
+  test("personalizedPagerankMicro: hand-computed chain, unreachable component stays exactly 0") {
+    // chain 1 -> 2 -> 3 seeded at 1; disjoint edge 8 -> 9 carries no
+    // seed so both its nodes must hold exactly 0 through every
+    // iteration. 2 iterations, damping 850000:
+    //   p1 = (150000, 850000, 0);  p2 = (150000, 127500, 722500)
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (8L, 9L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = graft.core.Caches.withScope {
+      Graph.personalizedPagerankMicro(e, "src", "dst", "w", seeds, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got == Map(
+      1L -> 150000L, 2L -> 127500L, 3L -> 722500L, 8L -> 0L, 9L -> 0L))
+  }
+
+  test("personalizedPagerankMicro: zero damping puts the full teleport mass on the seeds, nothing anywhere else") {
+    val seeds = Seq(2L).toDF("id")
+    val got = graft.core.Caches.withScope {
+      Graph.personalizedPagerankMicro(edges, "src", "dst", "w", seeds,
+        iters = 3, dampingPpm = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got(2L) == 1000000L)
+    assert((got - 2L).values.forall(_ == 0L))
+  }
+
+  test("personalizedPagerankMicro: seed ids outside the graph are ignored; bit-identical under repartitioning and broadcast regime") {
+    val seeds = Seq(1L, 999L).toDF("id") // 999 is not a node
+    def run(e: org.apache.spark.sql.DataFrame, bc: Boolean) =
+      graft.core.Caches.withScope {
+        Graph.personalizedPagerankMicro(e, "src", "dst", "w", seeds,
+          iters = 3, broadcastRanks = bc).orderBy("id").collect().toSeq
+      }
+    val one = run(edges.coalesce(1), bc = false)
+    val many = run(edges.repartition(7), bc = true)
+    assert(one == many)
+    assert(one.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L), "no phantom node from seed 999")
+  }
+
   test("hitsMicro: co-cited authority takes all mass, its two hubs split it exactly") {
     // a -> b, c -> b: b is the sole authority (1e6), a and c are equal
     // hubs (500000 each) — exact under the integer renormalization
