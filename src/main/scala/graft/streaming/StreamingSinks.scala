@@ -54,6 +54,51 @@ object StreamingSinks {
       .parquet(outDir)
   }
 
+  /** The MERGE leg of the idempotent-batch story, for sinks WITHOUT
+    * atomic partition replace (JDBC, key-value stores): apply `batch`
+    * onto the keyed table `base` via [[graft.ops.Joins.upsert]] on the
+    * row key, with the deterministic `batchId` stamped as a plain
+    * column. Replay safety is MERGE semantics, not partition replace:
+    * a replayed row lands on its own key and overwrites its earlier
+    * write, so an at-least-once replay can never produce a duplicate
+    * key — calling this twice with the same (batch, batchId) is a
+    * fixpoint. One full-outer shuffle join keyed by the row key;
+    * pre-bucketed base tables make it exchange-free.
+    */
+  def mergeBatch(
+      base: DataFrame,
+      batch: Dataset[Row],
+      batchId: Long,
+      keys: Seq[String]): DataFrame =
+    graft.ops.Joins.upsert(base, batch.withColumn("batch_id", lit(batchId)), keys)
+
+  /** Exactly-once keyed MERGE sink: `foreachBatch` read-modify-write
+    * of a parquet table through [[mergeBatch]] — the composition a
+    * JDBC/KV sink uses where `publishBatch`'s partition overwrite is
+    * unavailable (the parquet RMW stands in for the store's MERGE).
+    * `localCheckpoint` snapshots the merged result before the write
+    * because the overwrite replaces its own input files.
+    */
+  def keyedMergeSink(
+      df: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      keys: Seq[String]): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val stamped = batch.withColumn("batch_id", lit(batchId))
+        val next =
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir))) stamped
+          else mergeBatch(spark.read.parquet(tableDir), batch, batchId, keys)
+            .localCheckpoint(true)
+        next.write.mode("overwrite").parquet(tableDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Exactly-once-per-batch parquet sink: `foreachBatch` over
     * [[publishBatch]] with checkpointed offsets, so each source batch
     * is published once even across driver restarts mid-batch.

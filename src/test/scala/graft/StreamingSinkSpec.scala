@@ -63,4 +63,55 @@ class StreamingSinkSpec extends SparkSpec {
     assert(rows == Set((0L, 1L, "a"), (0L, 2L, "b"), (1L, 3L, "c2")),
       "replay must replace the batch_id=1 partition and leave batch_id=0 intact")
   }
+
+  test("MERGE leg: batch replay through Joins.upsert is a fixpoint — zero duplicate keys") {
+    import spark.implicits._
+    // the keyed-table pattern for sinks without atomic partition
+    // replace: (batch_id, key) travels as columns, replay lands on the
+    // same key and overwrites its own earlier write
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "v", "batch_id")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+    val t1 = StreamingSinks.mergeBatch(
+      StreamingSinks.mergeBatch(empty, b0, 0L, Seq("id")), b1, 1L, Seq("id"))
+    // crash-replay: the SAME batchId with the SAME data
+    val t1r = StreamingSinks.mergeBatch(t1, b1, 1L, Seq("id"))
+    assert(t1r.as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 0L), (2L, "b2", 1L), (3L, "c", 1L)))
+    assert(t1r.groupBy("id").count().filter(col("count") > 1).count() == 0,
+      "an append sink would have duplicated keys 2 and 3 here")
+    // corrected replay replaces the value in place, still keyed-once
+    val t1c = StreamingSinks.mergeBatch(
+      t1r, Seq((3L, "c-fixed")).toDF("id", "v"), 1L, Seq("id"))
+    assert(t1c.as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 0L), (2L, "b2", 1L), (3L, "c-fixed", 1L)))
+  }
+
+  test("keyedMergeSink: streamed keyed table has one row per key; verbatim batch replay changes nothing") {
+    val table = tmpDir("merge-out") + "/t" // must not pre-exist
+    val ckpt = tmpDir("merge-ckpt")
+    val srcFile = java.nio.file.Paths.get(s"${sf("sf0.001")}/events.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("merge-src")
+    java.nio.file.Files.createSymbolicLink(srcDir.resolve(srcFile.getFileName), srcFile)
+    val src = StreamingSessions
+      .eventStream(spark, srcDir.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    StreamingSinks.keyedMergeSink(src, table, ckpt, Seq("event_id")).awaitTermination()
+
+    val t = spark.read.parquet(table)
+    val expected = graft.core.Tables.events(spark, sf("sf0.001"))
+      .select("event_id").distinct().count()
+    assert(t.count() == expected, "keyed table must hold one row per source key")
+    assert(t.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    // crash-replay the latest batch verbatim through the same merge
+    val lastId = t.agg(max(col("batch_id"))).collect().head.getLong(0)
+    val replay = t.filter(col("batch_id") === lastId).drop("batch_id")
+      .localCheckpoint(true)
+    StreamingSinks.mergeBatch(spark.read.parquet(table), replay, lastId, Seq("event_id"))
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(table)
+    val after = spark.read.parquet(table)
+    assert(after.count() == expected, "verbatim replay must be a fixpoint")
+    assert(after.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
 }
