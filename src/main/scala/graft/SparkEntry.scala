@@ -218,7 +218,8 @@ object SparkEntry {
     "q177_assortativity" -> (EQ.covisAssortativity _),
     "q178_reciprocity" -> (EQ.transitionReciprocity _),
     "q179_short_repeats" -> (TQ.shortRepeats _),
-    "q180_personalized_pagerank" -> (EQ.personalizedPagerankAnchor _))
+    "q180_personalized_pagerank" -> (EQ.personalizedPagerankAnchor _),
+    "q181_random_walks" -> (EQ.transitionWalks _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -1016,10 +1017,13 @@ object SparkEntry {
           .map(t =>
             s"  SELECT vec_id, v, $t AS tbl, CAST(${bucketSql("v", 3, 64, t * 3)} AS BIGINT) AS bucket FROM qv")
           .mkString(" UNION ALL\n")}
+         |), qb AS (
+         |  SELECT vec_id, tbl, bucket FROM b WHERE vec_id < 64
+         |  UNION ALL SELECT vec_id, tbl, CAST(xor(bucket, 1) AS BIGINT) AS bucket FROM b WHERE vec_id < 64
+         |  UNION ALL SELECT vec_id, tbl, CAST(xor(bucket, 2) AS BIGINT) AS bucket FROM b WHERE vec_id < 64
          |), cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 64
+         |  FROM qb q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |), scored AS (
          |  SELECT cand.query_id, cand.neighbor_id,
          |    ${cosineSql("qq.v", "cc.v", 64)} AS cosine_sim
@@ -3792,7 +3796,40 @@ object SparkEntry {
     // items stay exactly 0
     "q180_personalized_pagerank" ->
       s"""WITH $sessCte, $transCte, ${pagerankUnrollSql(3, Some("id % 97 = 3"))}
-         |SELECT id AS item_id, pr AS ppr_micro FROM p3 ORDER BY item_id""".stripMargin)
+         |SELECT id AS item_id, pr AS ppr_micro FROM p3 ORDER BY item_id""".stripMargin,
+    // 4 unrolled deterministic walk hops: the md5(walk_id||'_'||step)
+    // 60-bit hash mod out-weight picks the unique out-edge whose
+    // cumulative-weight interval contains it (mirrors Graph.randomWalks)
+    "q181_random_walks" ->
+      s"""WITH $sessCte, $transCte, ew AS (
+         |  SELECT item_a AS src, item_b AS dst, transition_count AS w,
+         |    CAST(SUM(transition_count) OVER (PARTITION BY item_a ORDER BY item_b
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w,
+         |    CAST(SUM(transition_count) OVER (PARTITION BY item_a) AS BIGINT) AS out_w
+         |  FROM trans
+         |), s0 AS (
+         |  SELECT DISTINCT item_id AS walk_id, item_id AS node, CAST(0 AS BIGINT) AS step
+         |  FROM enr WHERE item_id % 11 = 3
+         |), ${randomWalkStepsSql(4)}
+         |SELECT walk_id, step, node FROM (
+         |  SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+         |ORDER BY walk_id, step""".stripMargin)
+
+  /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
+    * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL
+    * mirror of [[graft.ops.Graph.randomWalks]]'s per-hop join.
+    */
+  private def randomWalkStepsSql(steps: Int): String =
+    (1 to steps).map { s =>
+      val h = "CAST(('0x' || substring(md5(CAST(c.walk_id AS VARCHAR) || " +
+        s"'_$s'), 1, 15)) AS BIGINT) % e.out_w"
+      s"""s$s AS (
+         |  SELECT c.walk_id, e.dst AS node, CAST($s AS BIGINT) AS step
+         |  FROM s${s - 1} c JOIN ew e ON c.node = e.src
+         |  WHERE e.cum_w - e.w <= $h AND $h < e.cum_w
+         |)""".stripMargin
+    }.mkString(", ")
 
   /** Oracle twin of [[graft.dedup.Dedup.maximalRepeatRanges]] at a
     * given window floor: stride-1 `minLen`-char md5 window fingerprints

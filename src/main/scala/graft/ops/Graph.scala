@@ -210,6 +210,71 @@ object Graph {
         coalesce(col("a"), lit(0L)).as("auth_micro"))
   }
 
+  /** Deterministic weighted random walks over a directed edge set —
+    * the walk-corpus generator behind node2vec/DeepWalk-style
+    * embedding training: each start node emits one walk of up to
+    * `steps` hops, each hop choosing an out-edge with probability
+    * proportional to its weight. "Random" is a pure integer function
+    * of (walk_id, step): the hash `md5(walk_id || '_' || step)`
+    * (15 hex chars → 60-bit int, the q121 hex-cast pattern) taken
+    * `mod out_w(node)` selects the unique out-edge whose cumulative
+    * weight interval contains it — bit-identical on any engine,
+    * partitioning, or re-run, and exactly mirrorable in SQL as
+    * unrolled CTEs. Walks stop early at sink nodes (no out-edges).
+    *
+    * Output: (walk_id, step, node), step 0 = the start node.
+    *
+    * Scale shape: the edge table gets its cumulative-weight windows
+    * once (one exchange keyed by src) and is cached; each step is one
+    * equi-join of the walk frontier (|walks| rows) against the edges
+    * keyed by node, with per-row fan-out bounded by out-degree before
+    * the interval filter collapses it back to exactly one row.
+    * Σ walks·deg(node) work per step — the hub-cap lever upstream
+    * (covis session cap) bounds deg. For catalog-bounded graphs the
+    * edge side broadcasts (`broadcastEdges`), making every step
+    * shuffle-free.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      starts: DataFrame,
+      steps: Int,
+      broadcastEdges: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(col("src"))
+      .orderBy(col("dst")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e0 = Caches.cache(
+      edges
+        .select(
+          col(srcCol).as("src"),
+          col(dstCol).as("dst"),
+          col(weightCol).cast("long").as("w"))
+        .withColumn("cum_w", sum(col("w")).over(cum))
+        .withColumn("out_w",
+          sum(col("w")).over(Window.partitionBy(col("src")))))
+    val e = if (broadcastEdges) broadcast(e0) else e0
+    var cur = starts.select(
+      col("id").as("walk_id"), col("id").as("node"), lit(0L).as("step"))
+    val legs = Seq.newBuilder[DataFrame]
+    legs += cur
+    for (s <- 1 to steps) {
+      val r = conv(
+        substring(md5(concat_ws("_", col("walk_id"), lit(s))), 1, 15), 16, 10)
+        .cast("long") % col("out_w")
+      // cache each frontier: the final union references every leg, and
+      // leg s would otherwise re-run the whole join chain 1..s
+      cur = Caches.cache(
+        cur
+          .join(e, cur("node") === e("src"))
+          .filter(col("cum_w") - col("w") <= r && r < col("cum_w"))
+          .select(col("walk_id"), col("dst").as("node"), lit(s.toLong).as("step")))
+      legs += cur
+    }
+    legs.result().reduce(_ unionByName _)
+  }
+
   /** Exact per-vertex TRIANGLE counts on an undirected graph given as
     * canonical edges (src < dst, deduplicated). Triangle counting is
     * the clustering-coefficient numerator — community density on the

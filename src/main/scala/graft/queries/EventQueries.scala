@@ -476,6 +476,33 @@ object EventQueries {
       .orderBy(col("item_id"))
   }
 
+  /** Deterministic weighted random walks (4 hops) over the transition
+    * graph from the anchor slice `item_id % 11 = 3` —
+    * [[graft.ops.Graph.randomWalks]]: the node2vec/DeepWalk walk-corpus
+    * generator, with the hop choice a pure integer function of
+    * (walk_id, step) so the corpus is bit-identical on any engine and
+    * the oracle unrolls the hops as CTEs.
+    */
+  def transitionWalks(s: SparkSession, d: String): DataFrame = {
+    val enr = Pipeline.enrichedEvents(s, d)
+    graft.ops.Graph
+      .randomWalks(
+        Windows.transitionCounts(
+          enr,
+          "session_id",
+          Seq(col("epoch_s").asc, col("event_id").asc),
+          "item_id"),
+        "item_a",
+        "item_b",
+        "transition_count",
+        enr.select(col("item_id").as("id")).distinct()
+          .filter(pmod(col("id"), lit(11)) === 3),
+        steps = 4,
+        broadcastEdges = true)
+      .select(col("walk_id"), col("step"), col("node"))
+      .orderBy(col("walk_id"), col("step"))
+  }
+
   /** Spark-native batch `session_window` aggregation — the built-in
     * session operator (shared with Structured Streaming) applied to the
     * same 30-minute gap rule as [[Windows.sessionize]]. Boundary

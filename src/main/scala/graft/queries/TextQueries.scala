@@ -77,12 +77,14 @@ object TextQueries {
     */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    // 8 tables × 3 planes: recall@5 0.88 measured vs brute force on the
-    // sf0.001 fixture (4×4 was 0.41) — SimilaritySpec pins the 0.7 floor
+    // 8 tables × 3 planes + 2 Hamming-1 probe bits: recall@5 0.997
+    // measured vs brute force on the sf0.001 fixture (0.884 without
+    // probes, 0.41 at 4×4 — ProbeLsh sweep; probing beats adding
+    // tables at the same index size). SimilaritySpec pins the floors.
     Similarity
       .lshBucketedTopK(
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
-        k = 5, planes = 3, dim = 64, tables = 8)
+        k = 5, planes = 3, dim = 64, tables = 8, probeBits = 2)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
       .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }

@@ -676,13 +676,34 @@ object Similarity {
       k: Int,
       planes: Int,
       dim: Int,
-      tables: Int = 1): DataFrame = {
+      tables: Int = 1,
+      probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= planes,
+      s"probeBits must be in [0, planes]; got $probeBits with planes=$planes")
     def withBuckets(df: DataFrame, emb: String) = df.select(
       col("*"),
       posexplode(array((0 until tables).map(t =>
         lshBucket(col(emb), planes, dim, planeOffset = t * planes)): _*))
         .as(Seq("tbl", "bucket")))
-    val q = broadcast(withBuckets(
+    // Multi-probe (opt-in, QUERY side only): besides its own bucket,
+    // each query probes the `probeBits` buckets at Hamming distance 1
+    // (one sign bit flipped) per table — the classic recall lever that
+    // costs query-side fanout ×(1+probeBits) but leaves the corpus at
+    // one row per table (the side that matters: queries are broadcast,
+    // the corpus is the big side and never re-fans or shuffles).
+    def withProbedBuckets(df: DataFrame, emb: String) = df
+      .select(
+        col("*"),
+        explode(flatten(array((0 until tables).map { t =>
+          val b = lshBucket(col(emb), planes, dim, planeOffset = t * planes)
+          val variants = b +: (0 until probeBits).map(p =>
+            b.bitwiseXOR(shiftleft(lit(1L), p)))
+          array(variants.map(v =>
+            struct(lit(t).as("tbl"), v.as("bucket"))): _*)
+        }: _*))).as("__tb"))
+      .select(col("*"), col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+      .drop("__tb")
+    val q = broadcast(withProbedBuckets(
       queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb")), "q_emb"))
     val c = withBuckets(
       corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb")), "c_emb")

@@ -83,6 +83,50 @@ class GraphSpec extends SparkSpec {
     assert(one.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L), "no phantom node from seed 999")
   }
 
+  test("randomWalks: single-path chain is followed exactly; sinks stop the walk; one successor per step") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3 -> 4: every node has exactly one out-edge, so
+    // the weighted choice is forced regardless of the hash draw
+    val chain = Seq((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 7L)).toDF("s", "d", "w")
+    val starts = Seq(1L, 4L).toDF("id")
+    val got = graft.core.Caches.withScope {
+      Graph.randomWalks(chain, "s", "d", "w", starts, steps = 4)
+        .as[(Long, Long, Long)].collect().toSet // (walk_id, node, step)
+    }
+    assert(got == Set(
+      (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L), // stops at sink 4
+      (4L, 4L, 0L))) // start with no out-edges: step 0 only
+  }
+
+  test("randomWalks: weighted fan-out picks exactly one successor per step, always an existing edge, bit-identical across regimes") {
+    import spark.implicits._
+    // fan graph with skewed weights and several hops available
+    val e = Seq(
+      (1L, 2L, 10L), (1L, 3L, 1L), (2L, 1L, 3L), (2L, 3L, 3L),
+      (3L, 1L, 5L), (3L, 2L, 2L)).toDF("s", "d", "w")
+    val starts = Seq(1L, 2L, 3L).toDF("id")
+    def run(ed: org.apache.spark.sql.DataFrame, bc: Boolean) =
+      graft.core.Caches.withScope {
+        Graph.randomWalks(ed, "s", "d", "w", starts, steps = 5, broadcastEdges = bc)
+          .orderBy("walk_id", "step").collect().toSeq
+      }
+    val one = run(e.coalesce(1), bc = false)
+    val many = run(e.repartition(7), bc = true)
+    assert(one == many, "walks must be a pure function of (walk_id, step)")
+    // every walk visits exactly one node per step 0..5 (no sink here)
+    val byWalk = one.map(r => (r.getLong(0), r.getLong(2))).groupBy(identity)
+    assert(byWalk.values.forall(_.size == 1), "duplicate (walk, step) row")
+    assert(one.size == 3 * 6)
+    // every hop is an existing edge
+    val edges = Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L))
+    val hops = one.groupBy(_.getLong(0)).values.flatMap { rows =>
+      rows.sortBy(_.getLong(2)).sliding(2).map {
+        case Seq(a, b) => (a.getLong(1), b.getLong(1))
+      }
+    }
+    assert(hops.forall(edges.contains), "walk used a non-existent edge")
+  }
+
   test("hitsMicro: co-cited authority takes all mass, its two hubs split it exactly") {
     // a -> b, c -> b: b is the sole authority (1e6), a and c are equal
     // hubs (500000 each) — exact under the integer renormalization

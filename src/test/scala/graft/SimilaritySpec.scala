@@ -124,6 +124,13 @@ class SimilaritySpec extends SparkSpec {
     // bucketing/probing logic; ≥ 0.7 is the library's quality claim
     assert(lsh >= 0.70, f"LSH recall collapsed: $lsh%.3f")
     assert(ivf >= 0.70, f"IVF recall collapsed: $ivf%.3f")
+    // q36's production config adds 2 Hamming-1 probe bits per table:
+    // measured 0.997 (ProbeLsh sweep); floor well above the no-probe
+    // 0.884 so a probing regression cannot hide
+    val lshMp = recallOf(topSets(
+      Similarity.lshBucketedTopK(queries, emb, "vec_id", "embedding",
+        k = 5, planes = 3, dim = 64, tables = 8, probeBits = 2)))
+    assert(lshMp >= 0.95, f"multi-probe LSH recall collapsed: $lshMp%.3f")
     // determinism: the approximate result is bit-stable across re-runs
     val lsh2 = recallOf(topSets(
       Similarity.lshBucketedTopK(queries, emb, "vec_id", "embedding",
