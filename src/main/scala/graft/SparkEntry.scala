@@ -219,7 +219,13 @@ object SparkEntry {
     "q178_reciprocity" -> (EQ.transitionReciprocity _),
     "q179_short_repeats" -> (TQ.shortRepeats _),
     "q180_personalized_pagerank" -> (EQ.personalizedPagerankAnchor _),
-    "q181_random_walks" -> (EQ.transitionWalks _))
+    "q181_random_walks" -> (EQ.transitionWalks _),
+    "q182_spearman_rho" -> (EQ.spearmanDaily _),
+    "q183_welch_ttest" -> (EQ.welchValues _),
+    "q184_harmonic_centrality" -> (EQ.harmonicCentrality _),
+    "q185_mcnemar" -> (EQ.mcnemarStrategies _),
+    "q186_rake_keyphrases" -> (TQ.rakeKeyphrases _),
+    "q187_cdc_chunks" -> (TQ.cdcChunks _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3814,7 +3820,176 @@ object SparkEntry {
          |SELECT walk_id, step, node FROM (
          |  SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
          |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
-         |ORDER BY walk_id, step""".stripMargin)
+         |ORDER BY walk_id, step""".stripMargin,
+    // Spearman rho on the q175 daily series: doubled tie-averaged
+    // midranks (2*c_before + t + 1) keep every rank moment exact
+    // integer; the shared Pearson template is the one double chain
+    "q182_spearman_rho" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1
+         |), joint AS (
+         |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY 1, 2
+         |), rx AS (
+         |  SELECT x, 2 * (cum_t - t) + t + 1 AS mid2x FROM (
+         |    SELECT x, t, CAST(SUM(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t
+         |    FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1))
+         |), ry AS (
+         |  SELECT y, 2 * (cum_t - t) + t + 1 AS mid2y FROM (
+         |    SELECT y, t, CAST(SUM(t) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t
+         |    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1))
+         |), m AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         |    CAST(SUM(cnt * mid2x) AS BIGINT) AS sx,
+         |    CAST(SUM(cnt * mid2y) AS BIGINT) AS sy,
+         |    CAST(SUM(cnt * mid2x * mid2y) AS BIGINT) AS sxy,
+         |    CAST(SUM(cnt * mid2x * mid2x) AS BIGINT) AS sx2,
+         |    CAST(SUM(cnt * mid2y * mid2y) AS BIGINT) AS sy2
+         |  FROM joint JOIN rx USING (x) JOIN ry USING (y)
+         |)
+         |SELECT n, sx, sy, sxy, sx2, sy2,
+         |  ${graft.ops.Graph.pearsonMicroSql} AS rho_micro
+         |FROM m""".stripMargin,
+    // Welch t on the q154/q165 value support regrouped to integer
+    // cents: exact integer moments, the shared welch templates are the
+    // only double chains
+    "q183_welch_ttest" ->
+      s"""WITH $pvSupportCte, cc AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+         |  FROM counts GROUP BY 1
+         |), m AS (
+         |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         |    CAST(SUM(ca * cents) AS BIGINT) AS sa,
+         |    CAST(SUM(ca * cents * cents) AS BIGINT) AS ssa,
+         |    CAST(SUM(cb) AS BIGINT) AS nb,
+         |    CAST(SUM(cb * cents) AS BIGINT) AS sb,
+         |    CAST(SUM(cb * cents * cents) AS BIGINT) AS ssb
+         |  FROM cc
+         |)
+         |SELECT na, sa, ssa, nb, sb, ssb,
+         |  ${graft.ops.Stats.welchTSql} AS t_micro,
+         |  ${graft.ops.Stats.welchDofSql} AS dof_micro
+         |FROM m""".stripMargin,
+    // 3 unrolled BFS hops from the q181 anchor slice; exact integer
+    // 1e6 // dist over min hop distances
+    "q184_harmonic_centrality" ->
+      s"""WITH $sessCte, $transCte, ew AS (
+         |  SELECT DISTINCT item_a AS src, item_b AS dst FROM trans
+         |), f0 AS (
+         |  SELECT DISTINCT item_id AS seed, item_id AS node FROM enr WHERE item_id % 11 = 3
+         |), f1 AS (
+         |  SELECT DISTINCT f.seed, e.dst AS node FROM f0 f JOIN ew e ON f.node = e.src
+         |), f2 AS (
+         |  SELECT DISTINCT f.seed, e.dst AS node FROM f1 f JOIN ew e ON f.node = e.src
+         |), f3 AS (
+         |  SELECT DISTINCT f.seed, e.dst AS node FROM f2 f JOIN ew e ON f.node = e.src
+         |), reach AS (
+         |  SELECT seed, node, MIN(step) AS dist FROM (
+         |    SELECT seed, node, 0 AS step FROM f0
+         |    UNION ALL SELECT seed, node, 1 FROM f1
+         |    UNION ALL SELECT seed, node, 2 FROM f2
+         |    UNION ALL SELECT seed, node, 3 FROM f3)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT seed AS item_id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+         |FROM reach WHERE dist > 0 GROUP BY 1 ORDER BY item_id""".stripMargin,
+    // McNemar on paired per-anchor hit flags of the covis vs history
+    // strategies (the q117 candidate sets) — pure integer statistic
+    "q185_mcnemar" ->
+      s"""WITH $sessCte, $candidatesCte, ha AS (
+         |  SELECT DISTINCT a.anchor_id FROM anchors a JOIN covis_cand c
+         |    ON a.anchor_id = c.anchor_id AND a.category_id = c.category_id
+         |), hb AS (
+         |  SELECT DISTINCT a.anchor_id FROM anchors a JOIN hist_cand c
+         |    ON a.anchor_id = c.anchor_id AND a.category_id = c.category_id
+         |), f AS (
+         |  SELECT a.anchor_id,
+         |    CASE WHEN ha.anchor_id IS NOT NULL THEN 1 ELSE 0 END AS hit_a,
+         |    CASE WHEN hb.anchor_id IS NOT NULL THEN 1 ELSE 0 END AS hit_b
+         |  FROM anchors a LEFT JOIN ha ON a.anchor_id = ha.anchor_id
+         |                 LEFT JOIN hb ON a.anchor_id = hb.anchor_id
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(hit_a * hit_b) AS BIGINT) AS n11,
+         |    CAST(SUM(hit_a * (1 - hit_b)) AS BIGINT) AS n10,
+         |    CAST(SUM((1 - hit_a) * hit_b) AS BIGINT) AS n01,
+         |    CAST(SUM((1 - hit_a) * (1 - hit_b)) AS BIGINT) AS n00
+         |  FROM f
+         |)
+         |SELECT n, n11, n10, n01, n00,
+         |  CASE WHEN n10 + n01 = 0 THEN NULL
+         |       ELSE CAST((n10 - n01) * (n10 - n01) * 1000000 // (n10 + n01) AS BIGINT)
+         |  END AS chi2_micro
+         |FROM agg""".stripMargin,
+    // RAKE: stopword-bounded phrase islands (doc-partitioned windows),
+    // integer deg*1e6 // freq word scores, exact phrase-score sums
+    "q186_rake_keyphrases" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |       unnest(generate_series(1, len(toks))) AS t(i)
+        |), flags AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN regexp_matches(tok, '^[a-z]+$')
+        |          AND tok NOT IN ('the', 'a', 'and', 'of') THEN 1 ELSE 0 END AS is_word
+        |  FROM toks
+        |), grps AS (
+        |  SELECT doc_id, pos, tok, is_word,
+        |    CAST(SUM(1 - is_word) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+        |  FROM flags
+        |), words AS (
+        |  SELECT doc_id, grp, pos, tok,
+        |    COUNT(*) OVER (PARTITION BY doc_id, grp) AS phrase_len
+        |  FROM grps WHERE is_word = 1
+        |), capped AS (
+        |  SELECT * FROM words WHERE phrase_len <= 4
+        |), scores AS (
+        |  SELECT tok, CAST(SUM(phrase_len) * 1000000 // COUNT(*) AS BIGINT) AS score_micro
+        |  FROM capped GROUP BY 1
+        |), ph AS (
+        |  SELECT c.doc_id, c.grp,
+        |    string_agg(c.tok, ' ' ORDER BY c.pos) AS phrase,
+        |    CAST(MAX(c.phrase_len) AS BIGINT) AS n_words,
+        |    CAST(SUM(s.score_micro) AS BIGINT) AS psc
+        |  FROM capped c JOIN scores s USING (tok) GROUP BY 1, 2
+        |)
+        |SELECT phrase, MAX(n_words) AS n_words, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  MAX(psc) AS score_micro
+        |FROM ph GROUP BY 1 ORDER BY score_micro DESC, phrase ASC LIMIT 25""".stripMargin,
+    // content-defined chunking: cut where the 16-char window fp ending
+    // there is 0 mod 64 (the q128 60-bit md5 fingerprint), chunks
+    // re-hashed, corpus occ attached per chunk fp
+    "q187_cdc_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
+        |), cuts AS (
+        |  SELECT doc_id, i + 16 AS b
+        |  FROM base, unnest(generate_series(0, len - 17)) AS t(i)
+        |  WHERE len > 16
+        |    AND CAST(('0x' || substring(md5(substr(text, CAST(i + 1 AS INT), 16)), 1, 15)) AS BIGINT) % 64 = 0
+        |), bounds AS (
+        |  SELECT doc_id, b FROM cuts UNION ALL SELECT doc_id, len AS b FROM base
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS BIGINT) AS chunk_idx,
+        |    CAST(COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS BIGINT) AS start_pos,
+        |    CAST(b AS BIGINT) AS end_pos
+        |  FROM bounds
+        |), wf AS (
+        |  SELECT c.doc_id, c.chunk_idx, c.start_pos, c.end_pos,
+        |    c.end_pos - c.start_pos AS chunk_len,
+        |    CAST(('0x' || substring(md5(substr(t.text, CAST(c.start_pos + 1 AS INT),
+        |      CAST(c.end_pos - c.start_pos AS INT))), 1, 15)) AS BIGINT) AS chunk_fp
+        |  FROM chunks c JOIN base t USING (doc_id)
+        |)
+        |SELECT doc_id, chunk_idx, start_pos, end_pos, chunk_len, chunk_fp,
+        |  CAST(COUNT(*) OVER (PARTITION BY chunk_fp) AS BIGINT) AS occ
+        |FROM wf ORDER BY doc_id, chunk_idx""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

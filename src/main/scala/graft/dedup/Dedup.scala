@@ -959,6 +959,67 @@ object Dedup {
     mergeDupPositions(pos, minLen)
   }
 
+  /** Content-defined chunking (CDC): split each document at positions
+    * where the fingerprint of the `window`-char run ENDING there is
+    * ≡ 0 (mod `divisor`) — boundaries are a function of local CONTENT,
+    * not offsets, so inserting one char early in a document shifts at
+    * most the chunk containing the edit while byte-offset chunking
+    * (q50) shifts every subsequent chunk. This is the rsync/LBFS
+    * primitive that makes chunk-level dedup robust to edits; expected
+    * chunk length ≈ `divisor` + `window`.
+    *
+    * Cut rule, exactly: a boundary at offset b ∈ [window, len) iff
+    * fp(text[b−window, b)) % divisor == 0, where fp is the 60-bit md5
+    * window fingerprint shared with [[maximalRepeatRanges]] (the
+    * DuckDB-reproducible contract; swap in the rolling-hash kernel at
+    * petabyte scale — identical plan shape). Chunks are the intervals
+    * between consecutive boundaries plus the tail to len; a document
+    * with no qualifying position is one chunk.
+    *
+    * Shape: one stride-1 fingerprint scan (positions ≈ corpus chars,
+    * filtered to ~1/divisor on the map side before any exchange), then
+    * ONE doc-partitioned window pass (lag + row_number — never an
+    * unpartitioned window) and a row-local chunk re-hash. Returns
+    * (doc_id, chunk_idx, start_pos, end_pos, chunk_len, chunk_fp),
+    * 0-based [start, end) offsets.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      divisor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col(idCol).as("doc_id"), col(textCol).as("text"),
+      length(col(textCol)).cast("long").as("len"))
+    val cuts = base
+      .filter(col("len") > window)
+      .select(
+        col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("len") - window - 1)).as("i"))
+      .filter(
+        conv(substring(md5(col("text").substr((col("i") + 1).cast("int"), lit(window))), 1, 15),
+          16, 10).cast("long") % divisor === 0)
+      .select(col("doc_id"), col("text"), (col("i") + window).as("b"))
+    val bounds = cuts.unionByName(
+      base.select(col("doc_id"), col("text"), col("len").as("b")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+    bounds
+      .withColumn("start_pos", coalesce(lag(col("b"), 1).over(w), lit(0L)))
+      .withColumn("chunk_idx", (row_number().over(w) - 1).cast("long"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("start_pos"),
+        col("b").as("end_pos"),
+        (col("b") - col("start_pos")).as("chunk_len"),
+        conv(substring(md5(col("text").substr(
+          (col("start_pos") + 1).cast("int"),
+          (col("b") - col("start_pos")).cast("int"))), 1, 15), 16, 10)
+          .cast("long").as("chunk_fp"))
+  }
+
   /** Shared tail of the substring-dedup paths: corpus-wide occurrence
     * count per fingerprint (count-only window — a hot span costs O(f)
     * rows, never pairs), then per-doc gaps-and-islands merge of the

@@ -260,4 +260,70 @@ object TextRanking {
         floor(sum(col("s_micro")).cast("double") / count(lit(1)))
           .cast("long").as("surprisal_micro"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal runs of content tokens between breakers (stopwords or
+    * any non-purely-alphabetic token), capped at `maxPhraseLen` words;
+    * each word scores deg/freq (deg = Σ phrase length over its
+    * occurrences, freq = its occurrence count — favoring words that
+    * live in LONG phrases), and a phrase scores the sum of its member
+    * word scores. Pure integer: word scores are `deg·1e6 div freq`,
+    * phrase scores exact sums of those — no floats anywhere, so the
+    * oracle matches bit-for-bit. Two identical phrase strings are
+    * always the same word multiset, so collapsing occurrences by
+    * phrase text cannot merge different scores.
+    *
+    * Shape: one posexplode + ONE doc-partitioned window pass
+    * (breaker-cumsum islands + per-island length — never an
+    * unpartitioned window), a vocabulary-sized word-score agg, one
+    * shuffle join back on the word, and a TakeOrderedAndProject cut.
+    * Output: top-`k` `(phrase, n_words, n_occ, score_micro)` by
+    * (score DESC, phrase ASC).
+    */
+  def rakeKeyphrases(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      stopwords: Seq[String],
+      maxPhraseLen: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn(
+        "is_word",
+        col("tok").rlike("^[a-z]+$") && !col("tok").isin(stopwords: _*))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = graft.core.Caches.cache(
+      toks
+        .withColumn("brk", when(col("is_word"), 0L).otherwise(1L))
+        .withColumn("grp",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("is_word"))
+        .withColumn("phrase_len",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+        .filter(col("phrase_len") <= maxPhraseLen)
+        .select(col("doc_id"), col("grp"), col("pos"), col("tok"), col("phrase_len")))
+    val scores = words
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("deg"))
+      .select(col("tok"), expr("deg * 1000000 div freq").as("score_micro"))
+    words
+      .join(scores, Seq("tok"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("phrase"),
+        max(col("phrase_len")).as("n_words"),
+        sum(col("score_micro")).as("psc"))
+      .groupBy(col("phrase"))
+      .agg(
+        max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occ"),
+        max(col("psc")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(k)
+  }
 }

@@ -275,6 +275,56 @@ object Graph {
     legs.result().reduce(_ unionByName _)
   }
 
+  /** Bounded-hop harmonic centrality of a SEED slice: for each seed s,
+    * Σ_{v: 0 < d(s,v) ≤ hops} 1e6 div d(s,v) over exact BFS distances —
+    * the reach-weighted influence score that (unlike closeness) is
+    * well-defined on disconnected graphs, truncated at `hops` so the
+    * work is the seed neighborhood, never all-pairs shortest paths.
+    * Pure integer: distances are hop counts, 1e6 div d is exact, so the
+    * oracle unrolls the hops as CTEs and matches bit-for-bit.
+    *
+    * Shape: one frontier-join per hop with a per-hop DISTINCT (the
+    * frontier is (seed, node) pairs — never wider than seeds × |V|),
+    * each frontier cached (the [[randomWalks]] rule: the final union
+    * references every leg), then one min-dist agg + one per-seed agg.
+    * At 100×: cost is Σ_h |frontier_h| ≈ seeds × avg h-hop
+    * neighborhood; the levers are the seed slice width and `hops` —
+    * both caller-bounded. Output per seed:
+    * `(seed, n_reached, harmonic_micro)`.
+    */
+  def harmonicCentralityMicro(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      hops: Int): DataFrame = {
+    require(hops >= 1)
+    val e = Caches.cache(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    var frontier = Caches.cache(
+      seeds.select(col(seedCol).as("seed"), col(seedCol).as("node")).distinct())
+    val legs = Seq.newBuilder[DataFrame]
+    legs += frontier.select(col("seed"), col("node"), lit(0L).as("step"))
+    for (h <- 1 to hops) {
+      frontier = Caches.cache(
+        frontier
+          .join(e, frontier("node") === e("src"))
+          .select(col("seed"), col("dst").as("node"))
+          .distinct())
+      legs += frontier.select(col("seed"), col("node"), lit(h.toLong).as("step"))
+    }
+    legs.result()
+      .reduce(_ unionByName _)
+      .groupBy(col("seed"), col("node"))
+      .agg(min(col("step")).as("dist"))
+      .filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_micro"))
+  }
+
   /** Exact per-vertex TRIANGLE counts on an undirected graph given as
     * canonical edges (src < dst, deduplicated). Triangle counting is
     * the clustering-coefficient numerator — community density on the

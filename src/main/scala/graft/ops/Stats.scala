@@ -144,6 +144,165 @@ object Stats {
         "trimmed_mean_micro", expr("kept_sum * 1000000 div n_kept"))
   }
 
+  /** Spearman rank correlation ρ between paired series `(xCol, yCol)`:
+    * Pearson on tie-averaged midranks, kept exact-integer by DOUBLING
+    * (the [[kruskalWallisMicro]] mid2 trick: 2·midrank = 2·c_before +
+    * t + 1 — doubling both rank series leaves ρ unchanged), so every
+    * rank moment is an exact integer; `rho_micro` is the one shared
+    * [[Graph.pearsonMicroSql]] double chain, micro-rounded identically
+    * in the oracle, NULL when either rank series is constant.
+    *
+    * Shape: the fact pass collapses to the JOINT `(x, y)` support
+    * (map-side combinable); midranks come from the two marginal
+    * supports via [[Windows.shardedCumsum]] (never a single-partition
+    * window) and attach back with two broadcast support-sized joins.
+    * Int64 bound: doubled ranks reach 2n+…, so n·Σ(mid2²) ~ 4n⁴ —
+    * exact to n ≈ 38k observations (daily/bounded series, the q159
+    * regime); the same loud assert_true guard as
+    * [[Graph.degreeAssortativityMicro]] fails past it.
+    *
+    * `shardX`/`shardY` must be monotone buckets of the x / y values
+    * (the [[Windows.shardedCumsum]] contract), written against the
+    * ORIGINAL column names. Output: one row
+    * `(n, sx, sy, sxy, sx2, sy2, rho_micro)` of doubled-rank moments.
+    */
+  def spearmanRhoMicro(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      shardX: Column,
+      shardY: Column): DataFrame = {
+    val joint = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("cnt"))
+    def mid2(c: String, shard: Column): DataFrame = {
+      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("t"))
+      Windows
+        .shardedCumsum(counts, c, Seq("t"), shard)
+        .select(col(c), ((col("cum_t") - col("t")) * 2 + col("t") + 1).as(s"mid2_$c"))
+    }
+    joint
+      .join(broadcast(mid2(xCol, shardX)), Seq(xCol))
+      .join(broadcast(mid2(yCol, shardY)), Seq(yCol))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(col("cnt") * col(s"mid2_$xCol")).as("sx"),
+        sum(col("cnt") * col(s"mid2_$yCol")).as("sy"),
+        sum(col("cnt") * col(s"mid2_$xCol") * col(s"mid2_$yCol")).as("sxy"),
+        sum(col("cnt") * col(s"mid2_$xCol") * col(s"mid2_$xCol")).as("sx2"),
+        sum(col("cnt") * col(s"mid2_$yCol") * col(s"mid2_$yCol")).as("sy2"))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(
+          |  n = 0 OR (
+          |    greatest(abs(sxy), sx2, sy2)
+          |      <= 9223372036854775807 div n
+          |    AND greatest(abs(sx), abs(sy)) <= 3037000499),
+          |  'spearmanRhoMicro: int64 rank-moment overflow -- bounded-series operator, n <= ~38k')"""
+          .stripMargin))
+      .withColumn("rho_micro",
+        when(col("__ovf_ok").isNull, expr(Graph.pearsonMicroSql)))
+      .drop("__ovf_ok")
+  }
+
+  /** Welch two-sample t statistic (unequal variances) from a
+    * COUNT-compressed integer support `(keyCol, aCntCol, bCntCol)` —
+    * "are purchase and view order values drawn from the same mean"
+    * without the pooled-variance assumption the classic t test makes.
+    * The three moments per sample (n, Σk, Σk²) are exact integers from
+    * ONE support-sized aggregation; `t_micro` and the
+    * Welch–Satterthwaite `dof_micro` are the one double chain, written
+    * by [[welchTSql]]/[[welchDofSql]] so the oracle cannot drift.
+    * NULL when either sample has < 2 observations or both variances
+    * are 0. Int64 bound on Σk²: guarded loud via max|k| and n (double
+    * comparison — a guard, not a contract column).
+    *
+    * Output: one row `(na, sa, ssa, nb, sb, ssb, t_micro, dof_micro)`.
+    */
+  def welchTMicroFromCounts(
+      counts: DataFrame,
+      keyCol: String,
+      aCntCol: String,
+      bCntCol: String): DataFrame = {
+    val k = col(keyCol)
+    counts
+      .agg(
+        sum(col(aCntCol)).as("na"),
+        sum(col(aCntCol) * k).as("sa"),
+        sum(col(aCntCol) * k * k).as("ssa"),
+        sum(col(bCntCol)).as("nb"),
+        sum(col(bCntCol) * k).as("sb"),
+        sum(col(bCntCol) * k * k).as("ssb"),
+        max(abs(k)).as("__max_k"))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(
+          |  coalesce(na, 0) + coalesce(nb, 0) = 0 OR
+          |  cast(na + nb as double) * cast(__max_k as double) * cast(__max_k as double)
+          |    < 9.1e18,
+          |  'welchTMicroFromCounts: int64 sum-of-squares overflow -- rescale the key')"""
+          .stripMargin))
+      .withColumn("t_micro", when(col("__ovf_ok").isNull, expr(welchTSql)))
+      .withColumn("dof_micro", when(col("__ovf_ok").isNull, expr(welchDofSql)))
+      .drop("__max_k", "__ovf_ok")
+  }
+
+  /** The squared-standard-error term s²ᵢ/nᵢ of one Welch sample —
+    * spelled once so every use in [[welchTSql]]/[[welchDofSql]] (and
+    * the oracle) is textually identical, which is what makes the IEEE
+    * chains bit-identical cross-engine.
+    */
+  private def welchVn(n: String, s: String, ss: String): String =
+    s"((CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST($n AS DOUBLE))" +
+      s" / CAST($n - 1 AS DOUBLE) / CAST($n AS DOUBLE))"
+
+  /** Oracle-SQL twin of [[welchTMicroFromCounts]]'s `t_micro`. Expects
+    * columns `na, sa, ssa, nb, sb, ssb`.
+    */
+  val welchTSql: String = {
+    val va = welchVn("na", "sa", "ssa")
+    val vb = welchVn("nb", "sb", "ssb")
+    s"""CASE WHEN na < 2 OR nb < 2 OR $va + $vb = 0 THEN NULL
+       | ELSE CAST(round(
+       |   (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+       |   / sqrt($va + $vb) * 1000000) AS BIGINT) END""".stripMargin
+  }
+
+  /** Oracle-SQL twin of [[welchTMicroFromCounts]]'s Welch–Satterthwaite
+    * `dof_micro`. Expects columns `na, sa, ssa, nb, sb, ssb`.
+    */
+  val welchDofSql: String = {
+    val va = welchVn("na", "sa", "ssa")
+    val vb = welchVn("nb", "sb", "ssb")
+    s"""CASE WHEN na < 2 OR nb < 2 OR $va + $vb = 0 THEN NULL
+       | ELSE CAST(round(
+       |   ($va + $vb) * ($va + $vb)
+       |   / ($va * $va / CAST(na - 1 AS DOUBLE) + $vb * $vb / CAST(nb - 1 AS DOUBLE))
+       |   * 1000000) AS BIGINT) END""".stripMargin
+  }
+
+  /** McNemar test on PAIRED binary outcomes `(aCol, bCol)` (one row
+    * per subject, values 0/1): did treatment A help on the subjects
+    * where B failed, beyond the reverse — the correct test for
+    * comparing two retrieval strategies on the SAME anchors, where the
+    * two-proportion z test double-counts the concordant mass. Pure
+    * integer end-to-end: the statistic `(n10−n01)²·1e6 div (n10+n01)`
+    * needs no doubles at all (χ²₁, without continuity correction);
+    * NULL when there are no discordant pairs. Output: one row
+    * `(n, n11, n10, n01, n00, chi2_micro)`.
+    *
+    * Shape: one map-side-combinable agg over the paired flags —
+    * line-rate, no joins here (building the flags is the caller's
+    * semi-join business).
+    */
+  def mcnemarMicro(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.agg(
+        count(lit(1)).as("n"),
+        Aggregates.countIf(col(aCol) === 1 && col(bCol) === 1).as("n11"),
+        Aggregates.countIf(col(aCol) === 1 && col(bCol) === 0).as("n10"),
+        Aggregates.countIf(col(aCol) === 0 && col(bCol) === 1).as("n01"),
+        Aggregates.countIf(col(aCol) === 0 && col(bCol) === 0).as("n00"))
+      .withColumn(
+        "chi2_micro",
+        expr("""CASE WHEN n10 + n01 = 0 THEN NULL
+               | ELSE (n10 - n01) * (n10 - n01) * 1000000 div (n10 + n01) END""".stripMargin))
+
   /** Kendall rank correlation τ-b between paired series `(xCol, yCol)`
     * (one row per observation; `tieCol` must be unique — pairs are
     * enumerated once as tie < tie). Concordant/discordant/tied pair

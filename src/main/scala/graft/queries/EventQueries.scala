@@ -2148,4 +2148,90 @@ object EventQueries {
         "item_a", "item_b", Seq("src_category"))
       .orderBy(col("src_category"))
   }
+
+  /** Spearman ρ (q182) between the daily VIEW and PURCHASE count
+    * series — the rank-correlation sibling of q175's Kendall τ-b
+    * (Spearman weights by rank DISTANCE where Kendall counts
+    * inversions) and of q101's Pearson (which outlier days can move;
+    * ranks can't). Exact doubled-midrank moments over the joint
+    * support, one shared micro-rounded Pearson chain
+    * ([[graft.ops.Stats.spearmanRhoMicro]]).
+    */
+  def spearmanDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(
+        Ag.countIf(col("event_type") === "view").as("x"),
+        Ag.countIf(col("event_type") === "purchase").as("y"))
+    graft.ops.Stats.spearmanRhoMicro(
+      daily, "x", "y", expr("x div 64"), expr("y div 64"))
+  }
+
+  /** Welch two-sample t statistic (q183) on purchase vs view order
+    * values in cents — "do purchases carry a different mean value than
+    * views", with the unequal-variance correction (the two event
+    * populations have no reason to share a variance). Rides the q154/
+    * q165 value-support scaffold regrouped to integer cents; exact
+    * integer moments, one shared IEEE chain for t and the
+    * Welch–Satterthwaite dof ([[graft.ops.Stats.welchTMicroFromCounts]]).
+    */
+  def welchValues(s: SparkSession, d: String): DataFrame = {
+    val counts = purchaseViewSupport(s, d)
+      .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+      .groupBy(col("cents"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    graft.ops.Stats.welchTMicroFromCounts(counts, "cents", "ca", "cb")
+  }
+
+  /** Bounded-hop harmonic centrality (q184) of the q181 anchor slice
+    * (`item_id % 11 = 3`) over the directed session item-transition
+    * graph: which anchor items can reach the most of the catalog in
+    * ≤ 3 hops, distance-weighted — the reach/influence complement to
+    * q180's PPR mass (PPR says where the walk CONCENTRATES; harmonic
+    * says how far it can GET). Exact integer 1e6 div dist over BFS
+    * hop distances ([[graft.ops.Graph.harmonicCentralityMicro]]).
+    */
+  def harmonicCentrality(s: SparkSession, d: String): DataFrame = {
+    val enr = Pipeline.enrichedEvents(s, d)
+    graft.ops.Graph
+      .harmonicCentralityMicro(
+        Windows.transitionCounts(
+          enr, "session_id",
+          Seq(col("epoch_s").asc, col("event_id").asc), "item_id"),
+        "item_a", "item_b",
+        enr.select(col("item_id").as("id")).distinct()
+          .filter(pmod(col("id"), lit(11)) === 3),
+        "id",
+        hops = 3)
+      .select(col("seed").as("item_id"), col("n_reached"), col("harmonic_micro"))
+      .orderBy(col("item_id"))
+  }
+
+  /** McNemar paired test (q185): covis vs user-history candidate
+    * strategies on the SAME purchase anchors — q117 reports each
+    * strategy's marginal recall, but marginals can tie while one
+    * strategy strictly dominates on the anchors the other misses;
+    * McNemar tests exactly that discordant mass. Hit flags are two
+    * left marker joins off the q117 candidate sets; the statistic is
+    * pure integer ([[graft.ops.Stats.mcnemarMicro]]).
+    */
+  def mcnemarStrategies(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val a = Pipeline.anchors(enriched)
+    val anchors = a.select(col("anchor_id"), col("category_id"))
+    def hitFlag(cand: DataFrame, name: String): DataFrame =
+      cand.select(col("anchor_id"), col("category_id")).distinct()
+        .withColumn(name, lit(1L))
+    val flags = anchors
+      .join(
+        hitFlag(Pipeline.covisCandidates(a, enriched, minPairCount = 2, topK = 10), "hit_a"),
+        Seq("anchor_id", "category_id"), "left")
+      .join(
+        hitFlag(Pipeline.userHistoryCandidates(a, enriched, topK = 10), "hit_b"),
+        Seq("anchor_id", "category_id"), "left")
+      .select(
+        coalesce(col("hit_a"), lit(0L)).as("hit_a"),
+        coalesce(col("hit_b"), lit(0L)).as("hit_b"))
+    graft.ops.Stats.mcnemarMicro(flags, "hit_a", "hit_b")
+  }
 }

@@ -917,4 +917,34 @@ object TextQueries {
         n = 3, w = 4, minShared = 2L)
       .orderBy(col("shared_fps").desc, col("id_a"), col("id_b"))
       .limit(50)
+
+  /** RAKE keyphrase extraction (q186): corpus top-25 stopword-bounded
+    * phrases by the deg/freq co-occurrence score — the unsupervised
+    * keyword miner next to q43's TF-IDF (TF-IDF ranks single terms by
+    * rarity; RAKE surfaces multi-word phrases by how consistently
+    * their words travel together). Same q33 stopword list; pure
+    * integer scores ([[graft.functions.TextRanking.rakeKeyphrases]]).
+    */
+  def rakeKeyphrases(s: SparkSession, d: String): DataFrame =
+    TextRanking.rakeKeyphrases(
+      Tables.documents(s, d), "text", "doc_id",
+      stopwords = Seq("the", "a", "and", "of"), maxPhraseLen = 4, k = 25)
+
+  /** Content-defined chunking (q187): every document split at
+    * content-determined boundaries (16-char window fp ≡ 0 mod 64 —
+    * expected chunk ≈ 80 chars), each chunk re-fingerprinted, with the
+    * corpus-wide occurrence count attached per chunk fingerprint (the
+    * q128 count-only window) — the shift-robust chunk-level dedup
+    * table: an edit early in a copied document leaves every chunk
+    * after the edited one still matching, where q50's fixed-offset
+    * chunks all shift ([[graft.dedup.Dedup.cdcChunks]]).
+    */
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .cdcChunks(Tables.documents(s, d), "text", "doc_id",
+        window = 16, divisor = 64)
+      .withColumn("occ",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))
+      .orderBy(col("doc_id"), col("chunk_idx"))
 }

@@ -375,4 +375,41 @@ class DedupSpec extends SparkSpec {
     assert(shared.length == 1 && shared.head._3 >= 2L,
       "one-word edit must not wipe out winnowed overlap")
   }
+
+  test("cdcChunks: chunks tile each document exactly, short docs are one chunk") {
+    val fixtures = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then keeps running through the quiet field until dusk settles"),
+      (2L, "tiny"))
+    val docs = fixtures.toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(docs, "text", "doc_id", window = 16, divisor = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+    for ((id, txt) <- fixtures) {
+      val ch = out.filter(_.getAs[Long]("doc_id") == id)
+      assert(ch.head.getAs[Long]("start_pos") == 0L)
+      assert(ch.last.getAs[Long]("end_pos") == txt.length.toLong)
+      // contiguous: every start equals the previous end
+      ch.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_pos") == a.getAs[Long]("end_pos"))
+        case _ =>
+      }
+      assert(ch.forall(r => r.getAs[Long]("chunk_len") ==
+        r.getAs[Long]("end_pos") - r.getAs[Long]("start_pos")))
+    }
+    assert(out.count(_.getAs[Long]("doc_id") == 2L) == 1L, "short doc = one chunk")
+  }
+
+  test("cdcChunks: a prefix edit leaves later chunks byte-identical (the CDC point)") {
+    val base = "the quick brown fox jumps over the lazy dog and then keeps running " +
+      "through the quiet field until dusk settles on the far hills while birds " +
+      "circle slowly above the old barn near the river bend"
+    val docs = Seq((1L, base), (2L, "EDITED PREFIX " + base)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(docs, "text", "doc_id", window = 16, divisor = 4).collect()
+    val fps1 = out.filter(_.getAs[Long]("doc_id") == 1L).map(_.getAs[Long]("chunk_fp")).toSet
+    val fps2 = out.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[Long]("chunk_fp")).toSet
+    assert(out.count(_.getAs[Long]("doc_id") == 1L) >= 3,
+      "fixture must produce several chunks for the invariant to mean anything")
+    assert((fps1 & fps2).nonEmpty,
+      "content-defined boundaries must re-align after the edit; offset chunking would share nothing")
+  }
 }

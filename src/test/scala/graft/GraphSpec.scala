@@ -397,4 +397,41 @@ class GraphSpec extends SparkSpec {
     }
     assert(one == many)
   }
+
+  test("harmonicCentralityMicro: chain distances, hop truncation, min-dist on shortcuts") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    val seeds = Seq(1L, 4L).toDF("id")
+    val out = graft.core.Caches.withScope {
+      Graph.harmonicCentralityMicro(chain, "src", "dst", seeds, "id", hops = 3)
+        .collect().map(r => r.getAs[Long]("seed") ->
+          (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_micro"))).toMap
+    }
+    // seed 1 reaches 2@1, 3@2, 4@3 (5 is 4 hops away - truncated)
+    assert(out(1L) == ((3L, 1000000L + 500000L + 333333L)))
+    // seed 4 reaches only 5@1
+    assert(out(4L) == ((1L, 1000000L)))
+    // shortcut: direct edge wins over the 2-hop path
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val o2 = graft.core.Caches.withScope {
+      Graph.harmonicCentralityMicro(tri, "src", "dst", Seq(1L).toDF("id"), "id", hops = 3)
+        .head()
+    }
+    assert(o2.getAs[Long]("n_reached") == 2 && o2.getAs[Long]("harmonic_micro") == 2000000L)
+  }
+
+  test("harmonicCentralityMicro: unreachable seed emits no row; bit-identical under repartitioning") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("id") // 9 has no out-edges
+    val one = graft.core.Caches.withScope {
+      Graph.harmonicCentralityMicro(e, "src", "dst", seeds, "id", hops = 3)
+        .orderBy("seed").collect().toSeq
+    }
+    assert(one.map(_.getAs[Long]("seed")) == Seq(1L))
+    val many = graft.core.Caches.withScope {
+      Graph.harmonicCentralityMicro(e.repartition(7), "src", "dst", seeds.repartition(3), "id", hops = 3)
+        .orderBy("seed").collect().toSeq
+    }
+    assert(one == many)
+  }
 }

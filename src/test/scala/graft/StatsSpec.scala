@@ -87,4 +87,64 @@ class StatsSpec extends SparkSpec {
     assert(r2.getAs[Long]("ties_x") == 0 && r2.getAs[Long]("ties_y") == 2)
     assert(r2.getAs[Long]("tau_b_micro") == 816497L)
   }
+
+  test("spearmanRhoMicro: monotone series hit exactly +/-1e6; ties match the textbook 0.866") {
+    val up = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L)).toDF("k", "x", "y")
+    val r1 = Stats.spearmanRhoMicro(up, "x", "y", expr("x div 16"), expr("y div 16")).head()
+    assert(r1.getAs[Long]("rho_micro") == 1000000L)
+    val down = Seq((1L, 10L, 300L), (2L, 20L, 200L), (3L, 30L, 100L)).toDF("k", "x", "y")
+    val r2 = Stats.spearmanRhoMicro(down, "x", "y", expr("x div 16"), expr("y div 16")).head()
+    assert(r2.getAs[Long]("rho_micro") == -1000000L)
+    // x=[1,1,2] (midranks 1.5,1.5,3 -> doubled 3,3,6), y=[10,20,30]:
+    // rho = 18/sqrt(18*24) = 0.8660254... -> 866025
+    val tied = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 30L)).toDF("k", "x", "y")
+    val r3 = Stats.spearmanRhoMicro(tied, "x", "y", expr("x div 16"), expr("y div 16")).head()
+    assert(r3.getAs[Long]("n") == 3 && r3.getAs[Long]("sx") == 12 && r3.getAs[Long]("sy") == 12)
+    assert(r3.getAs[Long]("rho_micro") == 866025L)
+  }
+
+  test("spearmanRhoMicro: a constant series yields NULL, not NaN/0") {
+    val flat = Seq((1L, 5L, 10L), (2L, 5L, 20L), (3L, 5L, 30L)).toDF("k", "x", "y")
+    val r = Stats.spearmanRhoMicro(flat, "x", "y", expr("x div 16"), expr("y div 16")).head()
+    assert(r.isNullAt(r.fieldIndex("rho_micro")))
+  }
+
+  test("welchTMicroFromCounts: textbook t and Welch-Satterthwaite dof on 1..5 vs evens") {
+    // A = {1..5}: ma=3, va=2.5; B = {2,4,6,8,10}: mb=6, vb=10
+    // t = -3/sqrt(0.5+2) = -1.8973666 -> -1897367
+    // dof = 2.5^2/(0.25^2... ) = 6.25/1.0625 = 5.8823529 -> 5882353
+    val counts = Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L), (4L, 1L, 1L), (5L, 1L, 0L),
+      (6L, 0L, 1L), (8L, 0L, 1L), (10L, 0L, 1L)).toDF("cents", "ca", "cb")
+    val r = Stats.welchTMicroFromCounts(counts, "cents", "ca", "cb").head()
+    assert(r.getAs[Long]("na") == 5 && r.getAs[Long]("sa") == 15 && r.getAs[Long]("ssa") == 55)
+    assert(r.getAs[Long]("nb") == 5 && r.getAs[Long]("sb") == 30 && r.getAs[Long]("ssb") == 220)
+    assert(r.getAs[Long]("t_micro") == -1897367L)
+    assert(r.getAs[Long]("dof_micro") == 5882353L)
+  }
+
+  test("welchTMicroFromCounts: n<2 on either side or zero total variance yields NULL") {
+    val tiny = Seq((1L, 1L, 0L), (2L, 0L, 5L), (3L, 0L, 5L)).toDF("cents", "ca", "cb")
+    val r = Stats.welchTMicroFromCounts(tiny, "cents", "ca", "cb").head()
+    assert(r.isNullAt(r.fieldIndex("t_micro")) && r.isNullAt(r.fieldIndex("dof_micro")))
+    val flat = Seq((7L, 3L, 3L)).toDF("cents", "ca", "cb")
+    val r2 = Stats.welchTMicroFromCounts(flat, "cents", "ca", "cb").head()
+    assert(r2.isNullAt(r2.fieldIndex("t_micro")))
+  }
+
+  test("mcnemarMicro: chi2 = (b-c)^2*1e6/(b+c) on the discordant mass only") {
+    val flags = Seq(
+      (1L, 1L), (1L, 1L), // n11 = 2
+      (1L, 0L), (1L, 0L), (1L, 0L), // n10 = 3
+      (0L, 1L), // n01 = 1
+      (0L, 0L), (0L, 0L), (0L, 0L), (0L, 0L)) // n00 = 4
+      .toDF("hit_a", "hit_b")
+    val r = Stats.mcnemarMicro(flags, "hit_a", "hit_b").head()
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("n11") == 2 &&
+      r.getAs[Long]("n10") == 3 && r.getAs[Long]("n01") == 1 && r.getAs[Long]("n00") == 4)
+    assert(r.getAs[Long]("chi2_micro") == 1000000L) // (3-1)^2 * 1e6 / 4
+    val concordant = Seq((1L, 1L), (0L, 0L)).toDF("hit_a", "hit_b")
+    val r2 = Stats.mcnemarMicro(concordant, "hit_a", "hit_b").head()
+    assert(r2.isNullAt(r2.fieldIndex("chi2_micro")))
+  }
 }

@@ -112,4 +112,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kept.filter(col("rn") === 1 && col("domain") === "dom0.com")
       .select("id").as[Long].head() == 20L)
   }
+
+  test("rakeKeyphrases: deg/freq scores and phrase sums match the hand computation") {
+    val docs = Seq(
+      (1L, "deep learning of deep learning methods"),
+      (2L, "deep learning")).toDF("doc_id", "text")
+    val out = graft.core.Caches.withScope {
+      graft.functions.TextRanking
+        .rakeKeyphrases(docs, "text", "doc_id", Seq("of"), maxPhraseLen = 4, k = 10)
+        .collect().map(r => r.getAs[String]("phrase") ->
+          (r.getAs[Long]("n_words"), r.getAs[Long]("n_occ"), r.getAs[Long]("score_micro"))).toMap
+    }
+    // words: deep freq 3 deg 2+3+2=7 -> 2333333; learning same; methods freq 1 deg 3 -> 3000000
+    assert(out("deep learning methods") == ((3L, 1L, 2333333L + 2333333L + 3000000L)))
+    assert(out("deep learning") == ((2L, 2L, 2333333L * 2)))
+    assert(out.size == 2)
+  }
+
+  test("rakeKeyphrases: non-alphabetic tokens break phrases and never join them") {
+    val docs = Seq((1L, "neural nets, rock")).toDF("doc_id", "text")
+    val out = graft.core.Caches.withScope {
+      graft.functions.TextRanking
+        .rakeKeyphrases(docs, "text", "doc_id", Seq("the"), maxPhraseLen = 4, k = 10)
+        .collect().map(_.getAs[String]("phrase")).toSet
+    }
+    assert(out == Set("neural", "rock"), s"got $out")
+  }
+
+  test("rakeKeyphrases: phrases over maxPhraseLen are dropped entirely") {
+    val docs = Seq((1L, "one two three four five and six")).toDF("doc_id", "text")
+    val out = graft.core.Caches.withScope {
+      graft.functions.TextRanking
+        .rakeKeyphrases(docs, "text", "doc_id", Seq("and"), maxPhraseLen = 4, k = 10)
+        .collect().map(_.getAs[String]("phrase")).toSet
+    }
+    assert(out == Set("six"), s"the 5-word run must vanish, got $out")
+  }
 }
