@@ -225,7 +225,12 @@ object SparkEntry {
     "q184_harmonic_centrality" -> (EQ.harmonicCentrality _),
     "q185_mcnemar" -> (EQ.mcnemarStrategies _),
     "q186_rake_keyphrases" -> (TQ.rakeKeyphrases _),
-    "q187_cdc_chunks" -> (TQ.cdcChunks _))
+    "q187_cdc_chunks" -> (TQ.cdcChunks _),
+    "q188_seasonal_decomp" -> (EQ.seasonalDecomposition _),
+    "q189_exposure_gini" -> (EQ.exposureGini _),
+    "q190_benford" -> (EQ.benfordDigits _),
+    "q191_map_eval" -> (EQ.mapEval _),
+    "q192_dispersion" -> (EQ.dailyDispersion _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -3989,7 +3994,113 @@ object SparkEntry {
         |)
         |SELECT doc_id, chunk_idx, start_pos, end_pos, chunk_len, chunk_fp,
         |  CAST(COUNT(*) OVER (PARTITION BY chunk_fp) AS BIGINT) AS occ
-        |FROM wf ORDER BY doc_id, chunk_idx""".stripMargin)
+        |FROM wf ORDER BY doc_id, chunk_idx""".stripMargin,
+    // additive seasonal decomposition: 7-day centered MA trend via a
+    // days-sized self-join, dow means of the detrended series
+    // (offset-shifted before the floor division so Spark div and
+    // DuckDB // agree on negatives)
+    "q188_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1
+        |), tr AS (
+        |  SELECT a.day, a.n_events, COUNT(*) AS n7, CAST(SUM(b.n_events) AS BIGINT) AS sum7
+        |  FROM daily a JOIN daily b ON b.day BETWEEN a.day - 3 AND a.day + 3
+        |  GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT day, n_events, sum7 * 1000000 // 7 AS trend_micro,
+        |    n_events * 1000000 - sum7 * 1000000 // 7 AS detr_micro, day % 7 AS dow
+        |  FROM tr WHERE n7 = 7
+        |), seas AS (
+        |  SELECT dow,
+        |    (CAST(SUM(detr_micro) AS BIGINT) + CAST(COUNT(*) AS BIGINT) * 1000000000000)
+        |      // CAST(COUNT(*) AS BIGINT) - 1000000000000 AS seasonal_micro
+        |  FROM t2 GROUP BY 1
+        |)
+        |SELECT t2.day, t2.n_events, CAST(t2.trend_micro AS BIGINT) AS trend_micro,
+        |  CAST(seas.seasonal_micro AS BIGINT) AS seasonal_micro,
+        |  CAST(t2.detr_micro - seas.seasonal_micro AS BIGINT) AS resid_micro
+        |FROM t2 JOIN seas USING (dow) ORDER BY t2.day""".stripMargin,
+    // exposure Gini over the covis top-10 lists: rank-block integer
+    // identity on the count-compressed exposure support
+    "q189_exposure_gini" ->
+      s"""WITH $sessCte, $covisPairsCte, $covisDirectedCte, ${covisTopSql("top10", 10, withRn = false)}, sup AS (
+         |  SELECT e, CAST(COUNT(*) AS BIGINT) AS t FROM (
+         |    SELECT dst, CAST(COUNT(*) AS BIGINT) AS e FROM top10 GROUP BY 1)
+         |  GROUP BY 1
+         |), cums AS (
+         |  SELECT e, t, CAST(SUM(t) OVER (ORDER BY e ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t
+         |  FROM sup
+         |), m AS (
+         |  SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(e * t) AS BIGINT) AS total,
+         |    CAST(SUM(e * ((cum_t - t) * t + (t * (t + 1)) // 2)) AS BIGINT) AS s_rank
+         |  FROM cums
+         |)
+         |SELECT n AS n_items, total AS total_exposure,
+         |  CASE WHEN n = 0 OR total = 0 THEN NULL
+         |       ELSE (2 * s_rank - (n + 1) * total) * 1000000 // (n * total) END AS gini_micro
+         |FROM m""".stripMargin,
+    // Benford first-digit audit: expected ppm are shared integer
+    // literals, each chi2 cell is the one shared double chain
+    "q190_benford" ->
+      s"""WITH exp_t(digit, exp_ppm) AS (VALUES
+         |  ${graft.ops.Stats.benfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")}
+         |), obs_t AS (
+         |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(COUNT(*) AS BIGINT) AS obs
+         |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         |  WHERE cents > 0 GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(obs) AS BIGINT) AS n_values FROM obs_t
+         |), cells AS (
+         |  SELECT e.digit, COALESCE(o.obs, 0) AS obs, CAST(e.exp_ppm AS BIGINT) AS exp_ppm, t.n_values
+         |  FROM exp_t e LEFT JOIN obs_t o ON e.digit = o.digit CROSS JOIN tot t
+         |)
+         |SELECT CAST(digit AS BIGINT) AS digit, CAST(obs AS BIGINT) AS obs, exp_ppm,
+         |  ${graft.ops.Stats.benfordCellSql} AS cell_micro
+         |FROM cells ORDER BY digit""".stripMargin,
+    // MAP@10: per-source AP against the full next-item set, floor
+    // divisions end-to-end
+    "q191_map_eval" ->
+      s"""WITH $sessCte, $transCte, $covisPairsCte, $covisDirectedCte, ${covisTopSql("cand", 10, withRn = true)}, rel AS (
+         |  SELECT c.src, c.dst, c.rn, CASE WHEN t.item_a IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM cand c LEFT JOIN (SELECT DISTINCT item_a, item_b FROM trans) t
+         |    ON c.src = t.item_a AND c.dst = t.item_b
+         |), hits AS (
+         |  SELECT src, rn, rel,
+         |    CAST(SUM(rel) OVER (PARTITION BY src ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits
+         |  FROM rel
+         |), ap AS (
+         |  SELECT src, CAST(SUM(hits * 1000000 // rn) AS BIGINT) AS sum_p_micro
+         |  FROM hits WHERE rel = 1 GROUP BY 1
+         |), nrel AS (
+         |  SELECT item_a AS src, CAST(COUNT(DISTINCT item_b) AS BIGINT) AS n_rel
+         |  FROM trans GROUP BY 1
+         |), perq AS (
+         |  SELECT CASE WHEN a.src IS NOT NULL THEN 1 ELSE 0 END AS scored,
+         |    COALESCE(a.sum_p_micro // least(10, r.n_rel), 0) AS ap_micro
+         |  FROM nrel r LEFT JOIN ap a ON r.src = a.src
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(scored) AS BIGINT) AS n_scored,
+         |  CAST(SUM(ap_micro) // COUNT(*) AS BIGINT) AS map_micro
+         |FROM perq""".stripMargin,
+    // variance-to-mean ratio of the daily series per event type:
+    // exact integer moments, one shared micro-rounded chain
+    "q192_dispersion" ->
+      s"""WITH dc AS (
+         |  SELECT event_type, CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2
+         |), m AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         |    CAST(SUM(c * c) AS BIGINT) AS ss
+         |  FROM dc GROUP BY 1
+         |)
+         |SELECT event_type, n, s, ss,
+         |  ${graft.ops.Stats.vmrMicroSql} AS vmr_micro
+         |FROM m ORDER BY event_type""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

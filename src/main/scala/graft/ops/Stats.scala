@@ -303,6 +303,83 @@ object Stats {
         expr("""CASE WHEN n10 + n01 = 0 THEN NULL
                | ELSE (n10 - n01) * (n10 - n01) * 1000000 div (n10 + n01) END""".stripMargin))
 
+  /** Exact Gini coefficient of a nonnegative integer quantity from its
+    * COUNT-compressed support `(valCol, cntCol)` — the inequality
+    * measure behind "does the recommender expose a few head items to
+    * everyone" (exposure Gini) and any concentration report. Uses the
+    * rank-block identity: with items sorted ascending, a tied block of
+    * t items at value v and c_before predecessors contributes
+    * v·(c_before·t + t(t+1)/2) to Σ rank·x — all exact integers off
+    * ONE [[Windows.shardedCumsum]] pass over the support, so
+    * G = (2·Σrank·x − (n+1)·Σx) / (n·Σx) needs no sort of the raw
+    * rows and no doubles (`gini_micro` is a single integer floor
+    * division). NULL when n = 0 or Σx = 0. Int64 bound: Σrank·x ≲
+    * n·Σx must stay under 9.2e12 (the ·1e6 scaling) — loud assert
+    * past it. Output: one row `(n, total, gini_micro)`.
+    */
+  def giniMicroFromCounts(
+      counts: DataFrame,
+      valCol: String,
+      cntCol: String,
+      shardExpr: Column): DataFrame =
+    Windows
+      .shardedCumsum(counts, valCol, Seq(cntCol), shardExpr)
+      .withColumn(
+        "rank_sum",
+        expr(s"""$valCol * ((cum_$cntCol - $cntCol) * $cntCol
+                | + ($cntCol * ($cntCol + 1)) div 2)""".stripMargin))
+      .agg(
+        sum(col(cntCol)).as("n"),
+        sum(col(valCol) * col(cntCol)).as("total"),
+        sum(col("rank_sum")).as("s_rank"))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(
+          |  coalesce(n, 0) = 0 OR
+          |  greatest(abs(2 * s_rank - (n + 1) * total), n * total)
+          |    <= 9223372036854775807 div 1000000,
+          |  'giniMicroFromCounts: int64 overflow in the rank sum -- rescale the value')"""
+          .stripMargin))
+      .withColumn(
+        "gini_micro",
+        when(col("__ovf_ok").isNull, expr(
+          """CASE WHEN n = 0 OR total = 0 THEN NULL
+            | ELSE (2 * s_rank - (n + 1) * total) * 1000000 div (n * total) END"""
+            .stripMargin)))
+      .select(col("n"), col("total"), col("gini_micro"))
+
+  /** Benford first-digit expected frequencies, ppm: round(log10(1 +
+    * 1/d)·1e6) for d = 1..9 — precomputed integer literals (the q138
+    * discount-table pattern: no runtime transcendental on either
+    * side). They sum to exactly 1,000,000.
+    */
+  val benfordPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+
+  /** Oracle-SQL twin of the per-digit Benford χ² cell `(obs − E)²/E`
+    * with E = n_values·exp_ppm/1e6, micro-rounded. Expects columns
+    * `obs, exp_ppm, n_values`.
+    */
+  val benfordCellSql: String =
+    """CAST(round(
+      |  (CAST(obs AS DOUBLE) - CAST(n_values AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1000000.0)
+      |  * (CAST(obs AS DOUBLE) - CAST(n_values AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1000000.0)
+      |  / (CAST(n_values AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1000000.0)
+      |  * 1000000) AS BIGINT)""".stripMargin
+
+  /** Oracle-SQL twin of the variance-to-mean ratio (index of
+    * dispersion / Fano factor) from exact integer moments — the
+    * Poisson sanity check (VMR ≈ 1 Poisson, ≫ 1 bursty). Expects
+    * columns `n, s, ss`; NULL when n < 2 or the mean is 0.
+    */
+  val vmrMicroSql: String =
+    """CASE WHEN n < 2 OR s = 0 THEN NULL
+      | ELSE CAST(round(
+      |   (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |   / CAST(n - 1 AS DOUBLE)
+      |   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * 1000000) AS BIGINT) END""".stripMargin
+
   /** Kendall rank correlation τ-b between paired series `(xCol, yCol)`
     * (one row per observation; `tieCol` must be unique — pairs are
     * enumerated once as tie < tie). Concordant/discordant/tied pair

@@ -1102,6 +1102,17 @@ object EventQueries {
     val trans = Windows.transitionCounts(
       enriched, "session_id",
       Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    val top10 = covisTop10(s, d)
+      .select(col("src").as("item_a"), col("dst").as("item_b"), col("rn"))
+    trans.join(top10, Seq("item_a", "item_b"), "left")
+  }
+
+  /** The covis top-10 candidate ranking `(src, dst, rn)` the eval
+    * family (q112/q135/q138/q189/q191) scores — min-support-2 pairs,
+    * both directions, rank by (pair_count DESC, dst ASC).
+    */
+  private def covisTop10(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
     val pairs = Joins.covisitationPairs(
       enriched.select(col("session_id"), col("item_id")),
       "session_id", "item_id", minCount = 2L)
@@ -1109,10 +1120,9 @@ object EventQueries {
       .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
       .unionByName(pairs
         .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
-    val top10 = Windows
+    Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
-      .select(col("src").as("item_a"), col("dst").as("item_b"), col("rn"))
-    trans.join(top10, Seq("item_a", "item_b"), "left")
+      .select(col("src"), col("dst"), col("rn"))
   }
 
   /** nDCG@10 of the covis ranking against next-item transitions — the
@@ -2234,4 +2244,161 @@ object EventQueries {
         coalesce(col("hit_b"), lit(0L)).as("hit_b"))
     graft.ops.Stats.mcnemarMicro(flags, "hit_a", "hit_b")
   }
+
+  /** Classical additive seasonal decomposition (q188) of the daily
+    * event-count series: trend = centered 7-day moving average
+    * (interior days only), seasonal = day-of-week mean of the
+    * detrended series, residual = the rest — the STL-shaped "is
+    * Tuesday really bigger or is it just the trend" decomposition.
+    * Pure integer: trend/seasonal are floor divisions of exact sums
+    * (the seasonal mean is offset-shifted before dividing so Spark's
+    * truncating `div` and DuckDB's `//` agree on negative detrended
+    * values).
+    *
+    * Shape: one fact-table day agg, then everything is days-sized —
+    * the ±3-day trend join is a broadcast self-join of the tiny daily
+    * table (never a global-order window), the seasonal agg has 7
+    * groups.
+    */
+  def seasonalDecomposition(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .transform(graft.core.Caches.cache)
+    val tr = daily.as("a")
+      .join(broadcast(daily.as("b")),
+        col("b.day").between(col("a.day") - 3, col("a.day") + 3))
+      .groupBy(col("a.day").as("day"), col("a.n_events").as("n_events"))
+      .agg(count(lit(1)).as("n7"), sum(col("b.n_events")).as("sum7"))
+      .filter(col("n7") === 7)
+      .withColumn("trend_micro", expr("sum7 * 1000000 div 7"))
+      .withColumn("detr_micro", expr("n_events * 1000000 - trend_micro"))
+      .withColumn("dow", expr("day % 7"))
+      .transform(graft.core.Caches.cache)
+    val seas = tr
+      .groupBy(col("dow"))
+      .agg(expr(
+        "(sum(detr_micro) + count(1) * 1000000000000) div count(1) - 1000000000000")
+        .as("seasonal_micro"))
+    tr.join(broadcast(seas), Seq("dow"))
+      .select(
+        col("day"), col("n_events"), col("trend_micro"), col("seasonal_micro"),
+        (col("detr_micro") - col("seasonal_micro")).as("resid_micro"))
+      .orderBy(col("day"))
+  }
+
+  /** Exposure Gini (q189) of the covis top-10 recommender: how
+    * unequally the candidate lists distribute exposure over the items
+    * they recommend — the catalog-health metric behind "the
+    * recommender only ever shows the head" (coverage q143 counts WHO
+    * gets shown; Gini measures how UNEVENLY). Exposure of an item =
+    * number of top-10 lists containing it; the Gini runs on the
+    * count-compressed exposure support with exact rank-block integer
+    * arithmetic ([[graft.ops.Stats.giniMicroFromCounts]]).
+    */
+  def exposureGini(s: SparkSession, d: String): DataFrame = {
+    val support = covisTop10(s, d)
+      .groupBy(col("dst")).agg(count(lit(1)).as("e"))
+      .groupBy(col("e")).agg(count(lit(1)).as("t"))
+    graft.ops.Stats
+      .giniMicroFromCounts(support, "e", "t", expr("e div 4"))
+      .select(
+        col("n").as("n_items"),
+        col("total").as("total_exposure"),
+        col("gini_micro"))
+  }
+
+  /** Benford first-digit audit (q190) of order values in cents: the
+    * classic fabricated-data / instrumentation-bug detector — natural
+    * multi-scale quantities follow P(d) = log10(1+1/d); a spike on one
+    * digit flags synthetic or truncated values. Expected frequencies
+    * are precomputed ppm literals ([[graft.ops.Stats.benfordPpm]] —
+    * summing to exactly 1e6); each digit's χ² cell is the one shared
+    * double chain, micro-rounded (the q174 per-cell pattern).
+    */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = graft.ops.Stats.benfordPpm.toDF("digit", "exp_ppm")
+    val obs = Tables.events(s, d)
+      .select(expr("cast(round(value * 100) as bigint)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("cast(substring(cast(cents as string), 1, 1) as bigint)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val totals = obs.agg(sum(col("obs")).as("n_values"))
+    broadcast(expected)
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cell_micro", expr(graft.ops.Stats.benfordCellSql))
+      .select(col("digit"), col("obs"), col("exp_ppm"), col("cell_micro"))
+      .orderBy(col("digit"))
+  }
+
+  /** MAP@10 (q191) of the covis ranking against the FULL per-source
+    * next-item set — the multi-relevant member of the eval family:
+    * q112/q135/q138 score each transition occurrence independently
+    * (one relevant item at a time), MAP scores each SOURCE's whole
+    * candidate list against all its observed next items, rewarding
+    * rankings that pack several true continuations near the top.
+    * Exact integers: precision at each hit is `hits·1e6 div rank`, AP
+    * divides by min(10, |relevant|), the mean divides by the query
+    * count — floor divisions all the way, bit-deterministic.
+    *
+    * Shape: the candidate table is catalog-sized (10 rows/src); the
+    * running-hit window partitions by src (never global); queries with
+    * no candidate hits contribute AP = 0 through the left join.
+    */
+  def mapEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+      .transform(graft.core.Caches.cache)
+    val rel = covisTop10(s, d)
+      .join(
+        trans.select(col("item_a").as("src"), col("item_b").as("dst"))
+          .distinct().withColumn("rel", lit(1L)),
+        Seq("src", "dst"), "left")
+      .na.fill(0L, Seq("rel"))
+    val w = Window.partitionBy(col("src")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ap = rel
+      .withColumn("hits", sum(col("rel")).over(w))
+      .filter(col("rel") === 1)
+      .groupBy(col("src"))
+      .agg(sum(expr("hits * 1000000 div rn")).as("sum_p_micro"))
+    val nrel = trans
+      .groupBy(col("item_a").as("src"))
+      .agg(countDistinct(col("item_b")).as("n_rel"))
+    nrel
+      .join(ap, Seq("src"), "left")
+      .select(
+        when(col("sum_p_micro").isNotNull, 1L).otherwise(0L).as("scored"),
+        coalesce(expr("sum_p_micro div least(10, n_rel)"), lit(0L)).as("ap_micro"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("scored")).as("n_scored"),
+        expr("sum(ap_micro) div count(1)").as("map_micro"))
+  }
+
+  /** Index of dispersion (q192): variance-to-mean ratio of each event
+    * type's daily count series — the Poisson overdispersion check
+    * behind "are arrivals independent or bursty" (VMR ≈ 1 Poisson;
+    * q169's burst days localize WHICH days, this one number says
+    * WHETHER the series is bursty at all). Exact integer moments per
+    * type, one shared micro-rounded chain
+    * ([[graft.ops.Stats.vmrMicroSql]]).
+    */
+  def dailyDispersion(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .withColumn("vmr_micro", expr(graft.ops.Stats.vmrMicroSql))
+      .orderBy(col("event_type"))
 }

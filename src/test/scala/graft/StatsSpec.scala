@@ -147,4 +147,37 @@ class StatsSpec extends SparkSpec {
     val r2 = Stats.mcnemarMicro(concordant, "hit_a", "hit_b").head()
     assert(r2.isNullAt(r2.fieldIndex("chi2_micro")))
   }
+
+  test("giniMicroFromCounts: 0 on perfect equality, textbook values on hand supports") {
+    // all equal: G = 0
+    val eq = Seq((5L, 4L)).toDF("e", "t")
+    assert(Stats.giniMicroFromCounts(eq, "e", "t", expr("e div 4"))
+      .head().getAs[Long]("gini_micro") == 0L)
+    // values 1,2,3,4: G = 0.25
+    val ramp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("e", "t")
+    val r = Stats.giniMicroFromCounts(ramp, "e", "t", expr("e div 2")).head()
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("total") == 10)
+    assert(r.getAs[Long]("gini_micro") == 250000L)
+    // 0,0,0,10: G = 0.75
+    val head = Seq((0L, 3L), (10L, 1L)).toDF("e", "t")
+    assert(Stats.giniMicroFromCounts(head, "e", "t", expr("e div 4"))
+      .head().getAs[Long]("gini_micro") == 750000L)
+  }
+
+  test("vmrMicroSql: Poisson-like VMR=1, constant series VMR=0, n<2 NULL") {
+    val r = Seq((2L, 4L, 10L)).toDF("n", "s", "ss")
+      .withColumn("vmr_micro", expr(Stats.vmrMicroSql)).head()
+    assert(r.getAs[Long]("vmr_micro") == 1000000L) // [1,3]: var 2, mean 2
+    val flat = Seq((3L, 6L, 12L)).toDF("n", "s", "ss")
+      .withColumn("vmr_micro", expr(Stats.vmrMicroSql)).head()
+    assert(flat.getAs[Long]("vmr_micro") == 0L) // [2,2,2]
+    val tiny = Seq((1L, 2L, 4L)).toDF("n", "s", "ss")
+      .withColumn("vmr_micro", expr(Stats.vmrMicroSql)).head()
+    assert(tiny.isNullAt(tiny.fieldIndex("vmr_micro")))
+  }
+
+  test("benfordPpm: the nine expected frequencies sum to exactly 1e6") {
+    assert(Stats.benfordPpm.map(_._1) == (1L to 9L))
+    assert(Stats.benfordPpm.map(_._2).sum == 1000000L)
+  }
 }
