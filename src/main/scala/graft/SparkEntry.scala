@@ -230,7 +230,11 @@ object SparkEntry {
     "q189_exposure_gini" -> (EQ.exposureGini _),
     "q190_benford" -> (EQ.benfordDigits _),
     "q191_map_eval" -> (EQ.mapEval _),
-    "q192_dispersion" -> (EQ.dailyDispersion _))
+    "q192_dispersion" -> (EQ.dailyDispersion _),
+    "q193_ktruss" -> (EQ.covisKTruss _),
+    "q194_fleiss_kappa" -> (TQ.fleissKappa _),
+    "q195_did_uplift" -> (EQ.didUplift _),
+    "q196_sprt" -> (EQ.sprtMonitor _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -4100,7 +4104,85 @@ object SparkEntry {
          |)
          |SELECT event_type, n, s, ss,
          |  ${graft.ops.Stats.vmrMicroSql} AS vmr_micro
-         |FROM m ORDER BY event_type""".stripMargin)
+         |FROM m ORDER BY event_type""".stripMargin,
+    // 4-truss, 3 unrolled peel rounds over the q137 covis edges: each
+    // round recounts per-edge triangle support and drops support < 2
+    "q193_ktruss" ->
+      s"""WITH $sessCte, $covisEdgesCte, e0 AS (
+         |  SELECT item_a AS a, item_b AS b FROM pairs
+         |), ${trussRoundsSql(4, 3)}
+         |SELECT a AS item_a, b AS item_b, support
+         |FROM sup3 ORDER BY item_a, item_b""".stripMargin,
+    // Fleiss kappa across the three lang-id raters: exact integer
+    // agreement aggregates, one shared kappa chain
+    "q194_fleiss_kappa" ->
+      s"""WITH p1 AS (${langPredSql(TQ.raterMarkers(0))}
+         |), p2 AS (${langPredSql(TQ.raterMarkers(1))}
+         |), p3 AS (${langPredSql(TQ.raterMarkers(2))}
+         |), nij AS (
+         |  SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij FROM (
+         |    SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+         |  GROUP BY 1, 2
+         |), dm AS (
+         |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(SUM(nij * nij) AS BIGINT) AS s2
+         |  FROM nij
+         |), cm AS (
+         |  SELECT CAST(SUM(cj * cj) AS BIGINT) AS sc2 FROM (
+         |    SELECT cat, CAST(SUM(nij) AS BIGINT) AS cj FROM nij GROUP BY 1)
+         |)
+         |SELECT n_docs, s2, sc2,
+         |  ${graft.ops.Stats.fleissKappaSql(3)} AS kappa_micro
+         |FROM dm CROSS JOIN cm""".stripMargin,
+    // difference-in-differences on purchase cents, treated = odd
+    // items, pre/post split at the midpoint day; 8 exact cell moments
+    "q195_did_uplift" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) % 2 AS grp
+         |  FROM events WHERE event_type = 'purchase'
+         |), evf AS (
+         |  SELECT * FROM ev WHERE grp IS NOT NULL
+         |), sp AS (
+         |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS split_day FROM evf
+         |), m AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN grp = 1 AND day < split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+         |    CAST(SUM(CASE WHEN grp = 1 AND day < split_day THEN cents ELSE 0 END) AS BIGINT) AS s_t1,
+         |    CAST(SUM(CASE WHEN grp = 1 AND day >= split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_t2,
+         |    CAST(SUM(CASE WHEN grp = 1 AND day >= split_day THEN cents ELSE 0 END) AS BIGINT) AS s_t2,
+         |    CAST(SUM(CASE WHEN grp = 0 AND day < split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+         |    CAST(SUM(CASE WHEN grp = 0 AND day < split_day THEN cents ELSE 0 END) AS BIGINT) AS s_c1,
+         |    CAST(SUM(CASE WHEN grp = 0 AND day >= split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_c2,
+         |    CAST(SUM(CASE WHEN grp = 0 AND day >= split_day THEN cents ELSE 0 END) AS BIGINT) AS s_c2
+         |  FROM evf CROSS JOIN sp
+         |)
+         |SELECT n_t1, s_t1, n_t2, s_t2, n_c1, s_c1, n_c2, s_c2,
+         |  ${graft.ops.Stats.didMicroSql} AS did_micro
+         |FROM m""".stripMargin,
+    // Wald SPRT on the daily purchase rate: precomputed micro LLR
+    // literals, exact integer running sum, CASE decision per day
+    "q196_sprt" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+         |  FROM events GROUP BY 1
+         |), l AS (
+         |  SELECT *, n_success * ${graft.ops.Stats.SprtLlrSuccessMicro}
+         |    + (n_events - n_success) * (${graft.ops.Stats.SprtLlrFailMicro}) AS llr_micro
+         |  FROM daily
+         |), c AS (
+         |  SELECT *, CAST(SUM(llr_micro) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum_llr_micro
+         |  FROM l
+         |)
+         |SELECT day, n_events, n_success, CAST(llr_micro AS BIGINT) AS llr_micro, cum_llr_micro,
+         |  CASE WHEN cum_llr_micro >= ${graft.ops.Stats.SprtBoundMicro} THEN 'accept_h1'
+         |       WHEN cum_llr_micro <= ${-graft.ops.Stats.SprtBoundMicro} THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM c ORDER BY day""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL
@@ -4147,6 +4229,46 @@ object SparkEntry {
        |  CAST(MAX(i) + $minLen - MIN(i) AS BIGINT) AS rep_len
        |FROM grp GROUP BY doc_id, g
        |ORDER BY doc_id, start_pos""".stripMargin
+
+  /** `rounds` unrolled k-truss peel rounds tri1/sup1/e1..: per-edge
+    * triangle support over the surviving edge set, HAVING ≥ k−2 — the
+    * SQL mirror of [[graft.ops.Graph.kTrussEdges]]'s per-round step.
+    * Expects a canonical `e0(a, b)` edge CTE.
+    */
+  private def trussRoundsSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""tri$r AS (
+         |  SELECT ab.a, ab.b, bc.b AS c
+         |  FROM $prev ab JOIN $prev bc ON ab.b = bc.a
+         |  JOIN $prev ac ON ac.a = ab.a AND ac.b = bc.b
+         |), sup$r AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+         |    SELECT a, b FROM tri$r
+         |    UNION ALL SELECT b AS a, c AS b FROM tri$r
+         |    UNION ALL SELECT a, c AS b FROM tri$r)
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${k - 2}
+         |), e$r AS (
+         |  SELECT a, b FROM sup$r
+         |)""".stripMargin
+    }.mkString(", ")
+
+  /** One lang-id rater's `(doc_id, cat)` prediction SQL for a marker
+    * map — the q149 argmax CASE (first language reaching the best
+    * score wins ties, 'und' when no marker hits), factored so the
+    * Fleiss raters (q194) reuse the exact q32/q149 semantics.
+    */
+  private def langPredSql(markers: Seq[(String, Seq[String])]): String = {
+    val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    s"""SELECT doc_id, CASE ${markers
+        .map { case (l, _) => s"WHEN s_$l = $best AND $best > 0 THEN '$l'" }
+        .mkString(" ")} ELSE 'und' END AS cat
+       |  FROM (SELECT doc_id,
+       |${markers
+        .map { case (l, ms) => s"    ${langScoreSql(ms)} AS s_$l" }
+        .mkString(",\n")}
+       |  FROM documents)""".stripMargin
+  }
 
   /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
     * adopting the most frequent neighbor label with a min-label

@@ -325,6 +325,54 @@ object Graph {
         sum(expr("1000000 div dist")).as("harmonic_micro"))
   }
 
+  /** k-truss peeling over CANONICAL undirected edges (src < dst,
+    * deduplicated): each round counts per-edge triangle support with
+    * the same id-oriented two-join as [[triangleCounts]] and drops
+    * edges supporting < k−2 triangles — the cohesive-subgraph miner
+    * one notch stronger than triangles (an edge survives the 4-truss
+    * only if it sits in ≥ 2 triangles among SURVIVING edges, so
+    * bridge edges between communities peel away even when each closes
+    * one triangle). FIXED `rounds` synchronized rounds — the
+    * oracle-checkable contract (the LPA/HITS fixed-iteration
+    * adjudication); production convergence adds a cheap fixpoint
+    * check (`count` unchanged → stop), identical per-round plan.
+    *
+    * Returns the edges surviving round `rounds` with the support they
+    * had in that round's input graph: `(a, b, support)`.
+    *
+    * Shape: per round, one wedge self-join + one closure semi-join +
+    * one edge-ref agg — the triangle regime (Σ deg² wedge work,
+    * id-orientation; AQE skew-split covers moderate hubs, the covis
+    * session cap bounds them upstream). Each round's edge set is
+    * cached: it drives all three join sides of the next round.
+    */
+  def kTrussEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1)
+    var e = Caches.cache(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+    var result: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.b") === col("bc.a"))
+        .join(e.as("ac"),
+          col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+        .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
+      val edgeRefs = tri.select(col("a"), col("b"))
+        .unionByName(tri.select(col("b").as("a"), col("c").as("b")))
+        .unionByName(tri.select(col("a"), col("c").as("b")))
+      result = edgeRefs
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+      e = Caches.cache(result.select(col("a"), col("b")))
+    }
+    result
+  }
+
   /** Exact per-vertex TRIANGLE counts on an undirected graph given as
     * canonical edges (src < dst, deduplicated). Triangle counting is
     * the clustering-coefficient numerator — community density on the

@@ -380,6 +380,49 @@ object Stats {
       |   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
       |   * 1000000) AS BIGINT) END""".stripMargin
 
+  /** Oracle-SQL twin of the Fleiss κ chain for `nRaters` raters from
+    * exact integer aggregates: `s2` = Σᵢⱼ n_ij² (n_ij = raters
+    * assigning subject i to category j), `sc2` = Σⱼ(Σᵢ n_ij)²,
+    * `n_docs` = N. P̄ = (s2 − N·n)/(N·n(n−1)), P̄ₑ = sc2/(N·n)²,
+    * κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) micro-rounded; NULL when N = 0 or the
+    * raters are unanimous on one category everywhere (P̄ₑ = 1).
+    */
+  def fleissKappaSql(nRaters: Int): String = {
+    val n = nRaters
+    val pbar = s"((CAST(s2 AS DOUBLE) - CAST(n_docs AS DOUBLE) * $n.0)" +
+      s" / (CAST(n_docs AS DOUBLE) * ${n * (n - 1)}.0))"
+    val pe = s"(CAST(sc2 AS DOUBLE)" +
+      s" / (CAST(n_docs AS DOUBLE) * $n.0 * CAST(n_docs AS DOUBLE) * $n.0))"
+    s"""CASE WHEN n_docs = 0 OR sc2 = n_docs * n_docs * ${n * n} THEN NULL
+       | ELSE CAST(round(($pbar - $pe) / (1.0 - $pe) * 1000000) AS BIGINT) END"""
+      .stripMargin
+  }
+
+  /** Oracle-SQL twin of the difference-in-differences estimate in
+    * micro units of the outcome, from the 8 exact integer cell
+    * moments `(n_t1, s_t1, n_t2, s_t2, n_c1, s_c1, n_c2, s_c2)`
+    * (t/c = treated/control, 1/2 = pre/post): (Δtreated − Δcontrol)
+    * of the cell means; NULL when any cell is empty.
+    */
+  val didMicroSql: String = {
+    def m(c: String) = s"CAST(s_$c AS DOUBLE) / CAST(n_$c AS DOUBLE)"
+    s"""CASE WHEN n_t1 = 0 OR n_t2 = 0 OR n_c1 = 0 OR n_c2 = 0 THEN NULL
+       | ELSE CAST(round(((${m("t2")} - ${m("t1")}) - (${m("c2")} - ${m("c1")}))
+       |   * 1000000) AS BIGINT) END""".stripMargin
+  }
+
+  /** Wald SPRT per-observation log-likelihood-ratio increments for a
+    * Bernoulli rate test of H1: p = 0.12 vs H0: p = 0.10, and the
+    * symmetric decision bound ln((1−β)/α) at α = β = 0.05 —
+    * precomputed micro literals (round(ln·1e6), the q138/Benford
+    * pattern: no runtime transcendental on either side). A success
+    * adds ln(p1/p0), a failure adds ln((1−p1)/(1−p0)); cross +bound →
+    * accept H1, cross −bound → accept H0.
+    */
+  val SprtLlrSuccessMicro = 182322L
+  val SprtLlrFailMicro = -22473L
+  val SprtBoundMicro = 2944439L
+
   /** Kendall rank correlation τ-b between paired series `(xCol, yCol)`
     * (one row per observation; `tieCol` must be unique — pairs are
     * enumerated once as tie < tie). Concordant/discordant/tied pair

@@ -2382,6 +2382,91 @@ object EventQueries {
         expr("sum(ap_micro) div count(1)").as("map_micro"))
   }
 
+  /** 4-truss of the covis item graph (q193), 3 peel rounds: the
+    * cohesive cores one notch above q137's triangles — an edge
+    * survives only while it closes ≥ 2 triangles among SURVIVING
+    * edges, so community bridges peel away round by round where a
+    * raw triangle count keeps them ([[graft.ops.Graph.kTrussEdges]];
+    * fixed-round contract, the q157 LPA adjudication). Same covis
+    * edge set as q137 (support ≥ 1, canonical a < b).
+    */
+  def covisKTruss(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 1L)
+    graft.ops.Graph
+      .kTrussEdges(pairs, "item_a", "item_b", k = 4, rounds = 3)
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("support"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  /** Difference-in-differences (q195): the causal-inference workhorse
+    * for "did the change move the metric beyond what the control
+    * drifted" — purchase value in cents, treated = odd items, pre/post
+    * split at the midpoint day. Eight exact integer cell moments from
+    * ONE fact pass; the DiD estimate is the one shared micro chain
+    * ([[graft.ops.Stats.didMicroSql]]). The q158 CUPED query reduces
+    * variance WITHIN one experiment; DiD removes a common TREND across
+    * the boundary — complementary members of the experimentation
+    * family.
+    */
+  def didUplift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        (get_json_object(col("props"), "$.k").cast("long") % 2).as("grp"))
+      .filter(col("grp").isNotNull)
+    val split = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("split_day"))
+    def cell(name: String, pred: org.apache.spark.sql.Column) = Seq(
+      Ag.countIf(pred).as(s"n_$name"),
+      sum(when(pred, col("cents")).otherwise(0L)).as(s"s_$name"))
+    val t = col("grp") === 1
+    val post = col("day") >= col("split_day")
+    val aggs = cell("t1", t && !post) ++ cell("t2", t && post) ++
+      cell("c1", !t && !post) ++ cell("c2", !t && post)
+    ev.crossJoin(broadcast(split))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("did_micro", expr(graft.ops.Stats.didMicroSql))
+  }
+
+  /** Wald SPRT monitor (q196) on the daily purchase rate: sequential
+    * testing of H1 p=0.12 vs H0 p=0.10 with ±ln(19) bounds — the
+    * "peek every day without inflating α" experimentation primitive
+    * (fixed-horizon tests like q183 forbid peeking; SPRT is built for
+    * it). LLR increments are precomputed micro literals
+    * ([[graft.ops.Stats.SprtLlrSuccessMicro]]), the running sum is
+    * exact integer via the day-support [[Windows.shardedCumsum]], and
+    * the per-day decision is a pure CASE on the bound. Output one row
+    * per day: (day, n_events, n_success, llr_micro, cum_llr_micro,
+    * decision).
+    */
+  def sprtMonitor(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.{Stats => St}
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Ag.countIf(col("event_type") === "purchase").as("n_success"))
+      .withColumn(
+        "llr_micro",
+        col("n_success") * St.SprtLlrSuccessMicro +
+          (col("n_events") - col("n_success")) * St.SprtLlrFailMicro)
+    Windows
+      .shardedCumsum(daily, "day", Seq("llr_micro"), expr("day div 8"))
+      .withColumn(
+        "decision",
+        expr(s"""CASE WHEN cum_llr_micro >= ${St.SprtBoundMicro} THEN 'accept_h1'
+                |     WHEN cum_llr_micro <= ${-St.SprtBoundMicro} THEN 'accept_h0'
+                |     ELSE 'continue' END""".stripMargin))
+      .select(
+        col("day"), col("n_events"), col("n_success"),
+        col("llr_micro"), col("cum_llr_micro"), col("decision"))
+      .orderBy(col("day"))
+  }
+
   /** Index of dispersion (q192): variance-to-mean ratio of each event
     * type's daily count series — the Poisson overdispersion check
     * behind "are arrivals independent or bursty" (VMR ≈ 1 Poisson;

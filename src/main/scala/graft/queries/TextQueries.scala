@@ -918,6 +918,44 @@ object TextQueries {
       .orderBy(col("shared_fps").desc, col("id_a"), col("id_b"))
       .limit(50)
 
+  /** The three heuristic lang-id "raters" of the Fleiss κ query
+    * (q194): rater 1 is the q32 marker map; raters 2 and 3 each see
+    * only one marker per language (the first / the second), so they
+    * genuinely disagree on documents where the halves of a marker
+    * pair point different ways. Shared with the oracle so the rater
+    * definitions cannot drift.
+    */
+  val raterMarkers: Seq[Seq[(String, Seq[String])]] = Seq(
+    langMarkers,
+    langMarkers.map { case (l, ms) => l -> ms.take(1) },
+    langMarkers.map { case (l, ms) => l -> ms.drop(1) })
+
+  /** Fleiss' κ (q194) across the three lang-id raters: chance-
+    * corrected agreement for MORE than two raters — the labeling-
+    * pipeline QA statistic q149's Cohen κ (two raters) cannot express.
+    * All aggregates exact integers (Σ n_ij², Σ C_j², N); the κ chain
+    * is the one shared template ([[graft.ops.Stats.fleissKappaSql]]).
+    *
+    * Shape: one pass over documents computing 3 predictions row-
+    * locally, one (doc × category)-sized agg, two scalar aggs — no
+    * joins on the fact side.
+    */
+  def fleissKappa(s: SparkSession, d: String): DataFrame = {
+    val preds = Tables.documents(s, d).select(
+      col("doc_id"),
+      explode(array(
+        raterMarkers.map(m => TF.langId(col("text"), m, "und")): _*)).as("cat"))
+    val nij = preds.groupBy(col("doc_id"), col("cat")).agg(count(lit(1)).as("nij"))
+    val perDoc = nij.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("nij") * col("nij")).as("s2"))
+    val perCat = nij
+      .groupBy(col("cat")).agg(sum(col("nij")).as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("sc2"))
+    perDoc.crossJoin(broadcast(perCat))
+      .withColumn("kappa_micro", expr(graft.ops.Stats.fleissKappaSql(3)))
+  }
+
   /** RAKE keyphrase extraction (q186): corpus top-25 stopword-bounded
     * phrases by the deg/freq co-occurrence score — the unsupervised
     * keyword miner next to q43's TF-IDF (TF-IDF ranks single terms by

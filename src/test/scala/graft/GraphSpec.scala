@@ -434,4 +434,29 @@ class GraphSpec extends SparkSpec {
     }
     assert(one == many)
   }
+
+  test("kTrussEdges: K4 survives the 4-truss with support 2, a pendant triangle peels") {
+    // K4 on 1..4 plus triangle {4,5,6}
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val out = graft.core.Caches.withScope {
+      Graph.kTrussEdges(e, "a", "b", k = 4, rounds = 3)
+        .orderBy("a", "b").collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("support")))
+    }
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("kTrussEdges: peel cascades -- a triangle chain unravels over rounds") {
+    // triangles {1,2,3} and {2,3,4}: only edge (2,3) has support 2, but
+    // after the others peel it closes nothing -> empty by round 2
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val out = graft.core.Caches.withScope {
+      Graph.kTrussEdges(e, "a", "b", k = 4, rounds = 2).collect()
+    }
+    assert(out.isEmpty, "the shared edge must lose its triangles once its neighbors peel")
+  }
 }

@@ -180,4 +180,33 @@ class StatsSpec extends SparkSpec {
     assert(Stats.benfordPpm.map(_._1) == (1L to 9L))
     assert(Stats.benfordPpm.map(_._2).sum == 1000000L)
   }
+
+  test("fleissKappaSql: hand example kappa = -0.2 exactly; unanimity yields NULL") {
+    // 2 docs x 3 raters: doc1 aaa, doc2 aab -> s2 = 9 + 5 = 14, C = (a:5, b:1) -> sc2 = 26
+    val r = Seq((2L, 14L, 26L)).toDF("n_docs", "s2", "sc2")
+      .withColumn("kappa_micro", expr(Stats.fleissKappaSql(3))).head()
+    assert(r.getAs[Long]("kappa_micro") == -200000L)
+    val unan = Seq((2L, 18L, 36L)).toDF("n_docs", "s2", "sc2")
+      .withColumn("kappa_micro", expr(Stats.fleissKappaSql(3))).head()
+    assert(unan.isNullAt(unan.fieldIndex("kappa_micro")))
+  }
+
+  test("didMicroSql: (delta-treated - delta-control) of cell means; empty cell NULL") {
+    val r = Seq((1L, 10L, 1L, 15L, 1L, 8L, 1L, 9L))
+      .toDF("n_t1", "s_t1", "n_t2", "s_t2", "n_c1", "s_c1", "n_c2", "s_c2")
+      .withColumn("did_micro", expr(Stats.didMicroSql)).head()
+    assert(r.getAs[Long]("did_micro") == 4000000L)
+    val e = Seq((1L, 10L, 1L, 15L, 0L, 0L, 1L, 9L))
+      .toDF("n_t1", "s_t1", "n_t2", "s_t2", "n_c1", "s_c1", "n_c2", "s_c2")
+      .withColumn("did_micro", expr(Stats.didMicroSql)).head()
+    assert(e.isNullAt(e.fieldIndex("did_micro")))
+  }
+
+  test("SPRT constants are the micro-rounded Wald LLR increments and ln(19) bound") {
+    assert(math.round(math.log(0.12 / 0.10) * 1e6) == Stats.SprtLlrSuccessMicro)
+    assert(math.round(math.log(0.88 / 0.90) * 1e6) == Stats.SprtLlrFailMicro)
+    assert(math.round(math.log(0.95 / 0.05) * 1e6) == Stats.SprtBoundMicro)
+    // a success must push toward H1, a failure toward H0
+    assert(Stats.SprtLlrSuccessMicro > 0 && Stats.SprtLlrFailMicro < 0)
+  }
 }
