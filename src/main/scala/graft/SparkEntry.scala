@@ -234,7 +234,10 @@ object SparkEntry {
     "q193_ktruss" -> (EQ.covisKTruss _),
     "q194_fleiss_kappa" -> (TQ.fleissKappa _),
     "q195_did_uplift" -> (EQ.didUplift _),
-    "q196_sprt" -> (EQ.sprtMonitor _))
+    "q196_sprt" -> (EQ.sprtMonitor _),
+    "q197_anderson_darling" -> (EQ.andersonDarlingValues _),
+    "q198_churn_hazard" -> (EQ.churnHazard _),
+    "q199_random_projection" -> (TQ.randomProjection _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -4182,7 +4185,81 @@ object SparkEntry {
          |  CASE WHEN cum_llr_micro >= ${graft.ops.Stats.SprtBoundMicro} THEN 'accept_h1'
          |       WHEN cum_llr_micro <= ${-graft.ops.Stats.SprtBoundMicro} THEN 'accept_h0'
          |       ELSE 'continue' END AS decision
-         |FROM c ORDER BY day""".stripMargin)
+         |FROM c ORDER BY day""".stripMargin,
+    // two-sample Anderson-Darling (Scholz-Stephens midrank form) on
+    // the q154/q165 value support: doubled midrank cumulatives keep
+    // every block exact integer, each cell is the one shared chain
+    "q197_anderson_darling" ->
+      s"""WITH $pvSupportCte, base AS (
+         |  SELECT value, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+         |    CAST(ca + cb AS BIGINT) AS tb
+         |  FROM counts
+         |), cums AS (
+         |  SELECT *,
+         |    CAST(SUM(ca) OVER w AS BIGINT) AS cum_ca,
+         |    CAST(SUM(cb) OVER w AS BIGINT) AS cum_cb,
+         |    CAST(SUM(tb) OVER w AS BIGINT) AS cum_tb
+         |  FROM base WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+         |), tot AS (
+         |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM base
+         |), blocks AS (
+         |  SELECT *, na + nb AS n_total,
+         |    cum_tb * 2 - tb AS b2, cum_ca * 2 - ca AS m2a, cum_cb * 2 - cb AS m2b
+         |  FROM cums CROSS JOIN tot
+         |), cells AS (
+         |  SELECT *,
+         |    ${graft.ops.Stats.adCellSql("a")} AS cell_a,
+         |    ${graft.ops.Stats.adCellSql("b")} AS cell_b
+         |  FROM (SELECT *, b2 * (n_total * 2 - b2) - n_total * tb AS denom FROM blocks)
+         |  WHERE denom > 0
+         |)
+         |SELECT na, nb, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(SUM(cell_a + cell_b) AS BIGINT) AS a2_micro
+         |FROM cells GROUP BY na, nb""".stripMargin,
+    // discrete-time churn hazard over between-session gaps: at-risk
+    // counts from the reversed cumulative of the gap-day support
+    "q198_churn_hazard" ->
+      s"""WITH $sessCte, starts AS (
+         |  SELECT user_id, session_id, MIN(epoch_s) AS start_s
+         |  FROM sess GROUP BY 1, 2
+         |), gaps AS (
+         |  SELECT (next_s - start_s) // 86400 AS gap_days FROM (
+         |    SELECT start_s, lead(start_s) OVER (PARTITION BY user_id
+         |      ORDER BY start_s, session_id) AS next_s
+         |    FROM starts)
+         |  WHERE next_s IS NOT NULL
+         |), sup AS (
+         |  SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS c FROM gaps GROUP BY 1
+         |), cums AS (
+         |  SELECT *, CAST(SUM(c) OVER (ORDER BY gap_days ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+         |  FROM sup
+         |), tot AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM sup
+         |)
+         |SELECT gap_days, c AS n_ended, n_total - (cum_c - c) AS n_at_risk,
+         |  CAST(c * 1000000 // (n_total - (cum_c - c)) AS BIGINT) AS hazard_ppm
+         |FROM cums CROSS JOIN tot
+         |WHERE gap_days <= 30 ORDER BY gap_days""".stripMargin,
+    // deterministic JL +-1 projection: md5-parity sign matrix, exact
+    // integer dot products, q58-style serialized contract boundary
+    "q199_random_projection" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qv
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |), dd AS (
+        |  SELECT MAX(len(embedding)) AS d FROM embeddings
+        |), signs AS (
+        |  SELECT i, j, 1 - 2 * (CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2) AS sgn
+        |  FROM (SELECT unnest(generate_series(0, d - 1)) AS i FROM dd),
+        |       (SELECT unnest(generate_series(0, 15)) AS j)
+        |), p AS (
+        |  SELECT q.vec_id, s.j, CAST(SUM(s.sgn * q.qv) AS BIGINT) AS p
+        |  FROM q JOIN signs s ON q.i = s.i GROUP BY 1, 2
+        |)
+        |SELECT vec_id, array_to_string(list(p ORDER BY j), ',') AS proj,
+        |  CAST(SUM(p * p) AS BIGINT) AS norm2
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

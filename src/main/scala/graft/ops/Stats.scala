@@ -380,6 +380,72 @@ object Stats {
       |   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
       |   * 1000000) AS BIGINT) END""".stripMargin
 
+  /** Two-sample Anderson–Darling A² (Scholz–Stephens k-sample form,
+    * midrank/ties version, k = 2) from the COUNT-compressed support
+    * `(keyCol, aCntCol, bCntCol)` — the tail-sensitive member of the
+    * drift family: KS (q154) sees only the single largest CDF gap,
+    * AD integrates the squared gap with 1/(F(1−F)) weights, so
+    * divergence IN THE TAILS (where F(1−F) → 0) is exactly what it
+    * amplifies. Completes q118 PSI / q119+q154 KS / q151 JS / q165
+    * MWU with the statistic practitioners reach for when tail drift
+    * matters.
+    *
+    * Everything up to each block's cell is exact integer off ONE
+    * [[Windows.shardedCumsum]] pass: doubled midrank cumulatives
+    * B2 = 2·cum − t and per-sample M2 = 2·cum_i − c_i keep the
+    * half-ranks integral, and the identity
+    * (N·M − n·B)²/(B(N−B) − Nt/4) = (N·M2 − n·B2)²/(B2(2N−B2) − N·t)
+    * clears the quarters. Each block's two cells are the one shared
+    * double chain ([[adCellSql]]), micro-rounded, then summed as exact
+    * integers (the q174 per-cell pattern). Degenerate blocks
+    * (denominator ≤ 0 — a single all-value block) drop out. Int64
+    * bound: N·M2 ≤ 2N² ⇒ exact to N ≈ 2·10⁹ pooled observations.
+    * Output: one row `(na, nb, n_blocks, a2_micro)`.
+    */
+  def andersonDarlingMicroFromCounts(
+      counts: DataFrame,
+      keyCol: String,
+      aCntCol: String,
+      bCntCol: String,
+      shardExpr: Column): DataFrame = {
+    val base = counts
+      .select(col(keyCol), col(aCntCol).as("ca"), col(bCntCol).as("cb"))
+      .withColumn("tb", col("ca") + col("cb"))
+    val tot = base.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    Windows
+      .shardedCumsum(base, keyCol, Seq("ca", "cb", "tb"), shardExpr)
+      .crossJoin(broadcast(tot))
+      .withColumn("n_total", col("na") + col("nb"))
+      .withColumn("b2", col("cum_tb") * 2 - col("tb"))
+      .withColumn("m2a", col("cum_ca") * 2 - col("ca"))
+      .withColumn("m2b", col("cum_cb") * 2 - col("cb"))
+      .withColumn("denom",
+        col("b2") * (col("n_total") * 2 - col("b2")) - col("n_total") * col("tb"))
+      .filter(col("denom") > 0)
+      .withColumn("cell_a", expr(adCellSql("a")))
+      .withColumn("cell_b", expr(adCellSql("b")))
+      .groupBy(col("na"), col("nb"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("cell_a") + col("cell_b")).as("a2_micro"))
+  }
+
+  /** Oracle-SQL twin of one sample's per-block Anderson–Darling cell
+    * ((N−1)/N · t/(N·nᵢ) · (N·M2ᵢ − nᵢ·B2)²/denom, micro-rounded).
+    * Expects columns `n_total, tb, b2, denom, n<s>, m2<s>`; NULL when
+    * either sample is empty.
+    */
+  def adCellSql(sample: String): String = {
+    val num = s"CAST(n_total * m2$sample - n$sample * b2 AS DOUBLE)"
+    s"""CASE WHEN na = 0 OR nb = 0 THEN NULL
+       | ELSE CAST(round(
+       |  CAST(n_total - 1 AS DOUBLE) / CAST(n_total AS DOUBLE)
+       |  * CAST(tb AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n$sample AS DOUBLE))
+       |  * ($num * $num)
+       |  / CAST(denom AS DOUBLE)
+       |  * 1000000) AS BIGINT) END""".stripMargin
+  }
+
   /** Oracle-SQL twin of the Fleiss κ chain for `nRaters` raters from
     * exact integer aggregates: `s2` = Σᵢⱼ n_ij² (n_ij = raters
     * assigning subject i to category j), `sc2` = Σⱼ(Σᵢ n_ij)²,

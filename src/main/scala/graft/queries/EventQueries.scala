@@ -2467,6 +2467,52 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Two-sample Anderson–Darling (q197) on purchase vs view order
+    * values — the tail-weighted drift statistic on the SAME q154/q165
+    * value support: KS flags the biggest CDF gap (always mid-
+    * distribution), AD's 1/(F(1−F)) weight amplifies tail divergence,
+    * the regime where pricing anomalies actually live
+    * ([[graft.ops.Stats.andersonDarlingMicroFromCounts]]).
+    */
+  def andersonDarlingValues(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.andersonDarlingMicroFromCounts(
+      purchaseViewSupport(s, d), "value", "ca", "cb",
+      expr("cast(round(value * 100) as bigint) div 5000"))
+
+  /** Discrete-time churn hazard (q198): for each between-session gap
+    * length t (days), the probability a user who has been away t days
+    * returns exactly then — h(t) = #(gap = t) / #(gap ≥ t), the
+    * survival-analysis view of retention (q56's cohorts count WHO came
+    * back; the hazard says WHEN the risk of never returning
+    * concentrates). Complete gaps only (the open gap after a user's
+    * last session is right-censored and excluded). Exact integers:
+    * at-risk counts come from one [[Windows.shardedCumsum]] over the
+    * gap-day support, hazard is a ppm floor division. Output: one row
+    * per gap length ≤ 30 days.
+    */
+  def churnHazard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = Pipeline.sessionizedEvents(s, d)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("epoch_s")).as("start_s"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_s"), col("session_id"))
+    val support = starts
+      .withColumn("next_s", lead(col("start_s"), 1).over(w))
+      .filter(col("next_s").isNotNull)
+      .select(expr("(next_s - start_s) div 86400").as("gap_days"))
+      .groupBy(col("gap_days")).agg(count(lit(1)).as("c"))
+    val tot = support.agg(sum(col("c")).as("n_total"))
+    Windows
+      .shardedCumsum(support, "gap_days", Seq("c"), expr("gap_days div 8"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_at_risk", col("n_total") - (col("cum_c") - col("c")))
+      .filter(col("gap_days") <= 30)
+      .select(
+        col("gap_days"), col("c").as("n_ended"), col("n_at_risk"),
+        expr("c * 1000000 div n_at_risk").as("hazard_ppm"))
+      .orderBy(col("gap_days"))
+  }
+
   /** Index of dispersion (q192): variance-to-mean ratio of each event
     * type's daily count series — the Poisson overdispersion check
     * behind "are arrivals independent or bursty" (VMR ≈ 1 Poisson;

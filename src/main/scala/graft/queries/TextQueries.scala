@@ -918,6 +918,23 @@ object TextQueries {
       .orderBy(col("shared_fps").desc, col("id_a"), col("id_b"))
       .limit(50)
 
+  /** Johnson–Lindenstrauss ±1 random projection (q199) of the
+    * embeddings table to 16 dimensions — the dim-reduction front end
+    * for ANN at scale (project first, THEN index: q36's LSH and q41's
+    * IVF both get cheaper per vector). Deterministic md5-parity sign
+    * matrix, exact integer projections, serialized at the contract
+    * boundary like q58's centroids
+    * ([[graft.similarity.Similarity.randomProjection]]).
+    */
+  def randomProjection(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .randomProjection(Tables.embeddings(s, d), "vec_id", "embedding", outDims = 16)
+      .select(
+        col("vec_id"),
+        array_join(col("proj"), ",").as("proj"),
+        col("norm2"))
+      .orderBy(col("vec_id"))
+
   /** The three heuristic lang-id "raters" of the Fleiss κ query
     * (q194): rater 1 is the q32 marker map; raters 2 and 3 each see
     * only one marker per language (the first / the second), so they

@@ -749,4 +749,45 @@ object Similarity {
       .agg(
         graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("centroid"),
         max(col("n")).as("n_vectors"))
+
+  /** Deterministic ±1 random projection (Achlioptas/JL) of the
+    * quantized embeddings down to `outDims` dimensions: proj[j] =
+    * Σᵢ sgn(j,i)·q[i] with sgn a pure md5-parity function of the
+    * coordinate pair — the dimensionality-reduction step that makes
+    * downstream LSH/ANN cheap at scale (JL: pairwise distances are
+    * preserved within 1±ε for outDims = O(log n / ε²)). Exact integer
+    * end-to-end (quantized inputs, ±1 weights), so projections are
+    * bit-identical on any engine and the oracle replays the same
+    * md5-derived matrix — the q36 planes / q181 walk-hash pattern.
+    *
+    * Shape: one posexplode over vectors, a broadcast join against the
+    * (d × outDims)-row sign matrix (derived relationally — no driver
+    * collect), one (vec, j) agg, one per-vec reassembly. Each vector
+    * contributes d·outDims multiply-adds; nothing quadratic.
+    * Output: (vec_id, proj array<long> of length outDims, norm2).
+    */
+  def randomProjection(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDims: Int): DataFrame = {
+    val d = vecs.agg(max(size(col(embCol))).as("d"))
+    val signs = d
+      .select(explode(sequence(lit(0), col("d") - 1)).as("i"))
+      .crossJoin(d.select(explode(sequence(lit(0), lit(outDims - 1))).as("j")))
+      .withColumn(
+        "sgn",
+        lit(1L) - lit(2L) *
+          (conv(substring(md5(concat_ws("_", col("j"), col("i"))), 1, 1), 16, 10)
+            .cast("long") % 2))
+    vecs
+      .select(col(idCol).as("vec_id"), posexplode(quantize(col(embCol))).as(Seq("i", "qv")))
+      .join(broadcast(signs), Seq("i"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sgn") * col("qv")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(
+        graft.ops.Aggregates.sortedList(Seq(col("j")), col("p")).as("proj"),
+        sum(col("p") * col("p")).as("norm2"))
+  }
 }

@@ -229,4 +229,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.80, f"IVFPQ recall collapsed: $recall%.3f")
     assert(a == b)
   }
+
+  test("randomProjection: exact integer projections, sign matrix deterministic, JL shape") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.core.Caches.withScope {
+      graft.similarity.Similarity.randomProjection(vecs, "vec_id", "embedding", outDims = 4)
+        .orderBy("vec_id").collect()
+    }
+    assert(out.length == 3)
+    val p1 = out(0).getAs[scala.collection.Seq[Long]]("proj")
+    val p3 = out(2).getAs[scala.collection.Seq[Long]]("proj")
+    assert(p1.length == 4)
+    // a one-hot 1.0 projects to the +-1e4 sign column for that coordinate
+    assert(p1.forall(v => v == 10000L || v == -10000L))
+    // identical inputs -> bit-identical projections (determinism)
+    assert(p1 == p3 && out(0).getAs[Long]("norm2") == out(2).getAs[Long]("norm2"))
+    // different coordinates see different sign columns (md5 parity varies)
+    val p2 = out(1).getAs[scala.collection.Seq[Long]]("proj")
+    assert(p1 != p2 || p1.toSet != p2.toSet)
+    assert(out(0).getAs[Long]("norm2") == p1.map(v => v * v).sum)
+  }
 }

@@ -209,4 +209,27 @@ class StatsSpec extends SparkSpec {
     // a success must push toward H1, a failure toward H0
     assert(Stats.SprtLlrSuccessMicro > 0 && Stats.SprtLlrFailMicro < 0)
   }
+
+  test("andersonDarlingMicroFromCounts: hand values -- disjoint singletons 1.0, shifted pairs 1.25") {
+    // A={1}, B={2}: blocks give cells 0.25 each -> A2 = 1.0
+    val s1 = Seq((1L, 1L, 0L), (2L, 0L, 1L)).toDF("v", "ca", "cb")
+    val r1 = Stats.andersonDarlingMicroFromCounts(s1, "v", "ca", "cb", expr("v div 2")).head()
+    assert(r1.getAs[Long]("a2_micro") == 1000000L)
+    // A={1,2}, B={2,3}: cells 2x(0.125+0.375+0.125) -> A2 = 1.25
+    val s2 = Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 0L, 1L)).toDF("v", "ca", "cb")
+    val r2 = Stats.andersonDarlingMicroFromCounts(s2, "v", "ca", "cb", expr("v div 2")).head()
+    assert(r2.getAs[Long]("na") == 2 && r2.getAs[Long]("nb") == 2 && r2.getAs[Long]("n_blocks") == 3)
+    assert(r2.getAs[Long]("a2_micro") == 1250000L)
+  }
+
+  test("andersonDarlingMicroFromCounts: identical distributions score 0; partitioning-invariant") {
+    val same = Seq((1L, 1L, 1L), (2L, 1L, 1L)).toDF("v", "ca", "cb")
+    val r = Stats.andersonDarlingMicroFromCounts(same, "v", "ca", "cb", expr("v div 2")).head()
+    assert(r.getAs[Long]("a2_micro") == 0L)
+    val s2 = Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 0L, 1L)).toDF("v", "ca", "cb")
+    val one = Stats.andersonDarlingMicroFromCounts(s2, "v", "ca", "cb", expr("v div 2")).collect().toSeq
+    val many = Stats.andersonDarlingMicroFromCounts(
+      s2.repartition(7), "v", "ca", "cb", expr("v div 2")).collect().toSeq
+    assert(one == many)
+  }
 }
