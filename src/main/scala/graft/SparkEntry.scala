@@ -237,7 +237,34 @@ object SparkEntry {
     "q196_sprt" -> (EQ.sprtMonitor _),
     "q197_anderson_darling" -> (EQ.andersonDarlingValues _),
     "q198_churn_hazard" -> (EQ.churnHazard _),
-    "q199_random_projection" -> (TQ.randomProjection _))
+    "q199_random_projection" -> (TQ.randomProjection _),
+    "q200_ols_trend" -> (EQ.olsDailyRevenue _),
+    "q201_levene" -> (EQ.leveneValues _),
+    "q202_friedman" -> (EQ.friedmanDailyTypes _),
+    "q203_cochran_armitage" -> (EQ.trendPriceBands _),
+    "q204_durbin_watson" -> (EQ.durbinWatsonDaily _),
+    "q205_cronbach_alpha" -> (EQ.cronbachEngagement _),
+    "q206_daily_hhi" -> (EQ.dailyCategoryHhi _),
+    "q207_hill_tail" -> (EQ.hillPopularityTail _),
+    "q208_textrank" -> (TQ.textrankKeywords _),
+    "q209_kaplan_meier" -> (EQ.kaplanMeierReturns _),
+    "q210_isotonic" -> (EQ.isotonicPriceCalibration _),
+    "q211_salsa" -> (EQ.salsaTransitions _),
+    "q212_intra_list_diversity" -> (EQ.intraListDiversity _),
+    "q213_qq_deciles" -> (EQ.qqDeciles _),
+    "q214_tukey_outliers" -> (EQ.tukeyOutliers _),
+    "q215_community_purity" -> (EQ.communityPurity _),
+    "q216_pacf" -> (EQ.pacfLag2 _),
+    "q217_rec_novelty" -> (EQ.recNovelty _),
+    "q218_weighted_sample" -> (EQ.weightedItemSample _),
+    "q219_two_prop_z" -> (EQ.weekendPurchaseZ _),
+    "q220_mann_kendall" -> (EQ.mannKendallDaily _),
+    "q221_runs_test" -> (EQ.runsTestDaily _),
+    "q222_bradley_terry" -> (EQ.bradleyTerryItems _),
+    "q223_anova_f" -> (EQ.anovaDowVolume _),
+    "q224_capture_recapture" -> (EQ.captureRecapture _),
+    "q225_jackknife" -> (EQ.jackknifeDailyMean _),
+    "q226_entropy_rate" -> (EQ.entropyRate _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -385,6 +412,44 @@ object SparkEntry {
          |), p$i AS (
          |  SELECT n.id, CAST(n.is_seed * 150000 + (850000 * COALESCE(c.inc, 0)) // 1000000 AS BIGINT) AS pr
          |  FROM nodes n LEFT JOIN c$i c USING (id)
+         |)""".stripMargin
+    }
+    (head +: iterations).mkString(", ")
+  }
+
+  /** `iters` unrolled SALSA alternations over `trans` — the SQL mirror
+    * of [[graft.ops.Graph.salsaMicro]]: per half-step a local floor
+    * division by the SENDER's degree (out_w for hub→authority, in_w
+    * for authority→hub), no global normalizer. Ends in
+    * `a$iters(id, a)` / `h$iters(id, h)` plus `nodes(id)`. Must follow
+    * `$transCte`.
+    */
+  private def salsaUnrollSql(iters: Int): String = {
+    val head =
+      """outw AS (
+        |  SELECT item_a AS src, CAST(SUM(transition_count) AS BIGINT) AS out_w
+        |  FROM trans GROUP BY 1
+        |), inw AS (
+        |  SELECT item_b AS dst, CAST(SUM(transition_count) AS BIGINT) AS in_w
+        |  FROM trans GROUP BY 1
+        |), ew AS (
+        |  SELECT t.item_a AS src, t.item_b AS dst, t.transition_count AS w,
+        |    o.out_w, i.in_w
+        |  FROM trans t JOIN outw o ON t.item_a = o.src JOIN inw i ON t.item_b = i.dst
+        |), nodes AS (
+        |  SELECT item_a AS id FROM trans UNION SELECT item_b FROM trans
+        |), h0 AS (
+        |  SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes
+        |)""".stripMargin
+    val iterations = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT n.id, CAST(COALESCE(x.a, 0) AS BIGINT) AS a FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS id, CAST(SUM((h.h * ew.w) // ew.out_w) AS BIGINT) AS a
+         |    FROM ew JOIN h${i - 1} h ON ew.src = h.id GROUP BY 1) x USING (id)
+         |), h$i AS (
+         |  SELECT n.id, CAST(COALESCE(x.h, 0) AS BIGINT) AS h FROM nodes n LEFT JOIN (
+         |    SELECT ew.src AS id, CAST(SUM((a.a * ew.w) // ew.in_w) AS BIGINT) AS h
+         |    FROM ew JOIN a$i a ON ew.dst = a.id GROUP BY 1) x USING (id)
          |)""".stripMargin
     }
     (head +: iterations).mkString(", ")
@@ -4259,7 +4324,676 @@ object SparkEntry {
         |)
         |SELECT vec_id, array_to_string(list(p ORDER BY j), ',') AS proj,
         |  CAST(SUM(p * p) AS BIGINT) AS norm2
-        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // OLS daily-revenue trend: exact integer moments over day-indexed
+    // daily purchase cents, shared slope/intercept/r2 double chains
+    "q200_ols_trend" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |), xs AS (
+         |  SELECT day - (SELECT MIN(day) FROM daily) AS x, y FROM daily
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sx2, CAST(SUM(y * y) AS BIGINT) AS sy2
+         |  FROM xs
+         |)
+         |SELECT n, sx, sy, sxy, sx2, sy2,
+         |  ${graft.ops.Stats.olsSlopeSql} AS slope_micro,
+         |  ${graft.ops.Stats.olsInterceptSql} AS intercept_micro,
+         |  ${graft.ops.Stats.olsR2Sql} AS r2_micro
+         |FROM m""".stripMargin,
+    // Brown-Forsythe: group medians off the per-type value support,
+    // per-class micro cells summed exactly, shared W chain
+    "q201_levene" ->
+      s"""WITH support AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2
+         |), cums AS (
+         |  SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+         |  FROM support
+         |), tot AS (
+         |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_total
+         |  FROM support GROUP BY 1
+         |), med AS (
+         |  SELECT c.event_type, MIN(c.cents) AS med
+         |  FROM cums c JOIN tot t ON c.event_type = t.event_type
+         |  WHERE c.cum_c >= (t.n_total + 1) // 2
+         |  GROUP BY 1
+         |), z AS (
+         |  SELECT s.event_type, abs(s.cents - m.med) AS z, s.c
+         |  FROM support s JOIN med m ON s.event_type = m.event_type
+         |), per_class AS (
+         |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS ni,
+         |    CAST(SUM(z * c) AS BIGINT) AS si, CAST(SUM(z * z * c) AS BIGINT) AS ssi
+         |  FROM z GROUP BY 1
+         |), g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n_total,
+         |    CAST(SUM(si) AS BIGINT) AS s_total
+         |  FROM per_class
+         |), cells AS (
+         |  SELECT k, n_total,
+         |    ${graft.ops.Stats.bfCellNumSql} AS cell_num,
+         |    ${graft.ops.Stats.bfCellDenSql} AS cell_den
+         |  FROM per_class CROSS JOIN g
+         |), agg AS (
+         |  SELECT k, n_total, CAST(SUM(cell_num) AS BIGINT) AS num_micro,
+         |    CAST(SUM(cell_den) AS BIGINT) AS den_micro
+         |  FROM cells GROUP BY 1, 2
+         |)
+         |SELECT k, n_total, num_micro, den_micro,
+         |  ${graft.ops.Stats.bfWSql} AS w_micro
+         |FROM agg""".stripMargin,
+    // Friedman: doubled midranks within complete day blocks, Conover
+    // tie-corrected chi2 as one exact integer floor division
+    "q202_friedman" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), kt AS (
+        |  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM daily
+        |), sized AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY day) AS bsz FROM daily
+        |), complete AS (
+        |  SELECT s.day, s.event_type, s.c, kt.k FROM sized s CROSS JOIN kt
+        |  WHERE s.bsz = kt.k
+        |), ranked AS (
+        |  SELECT *, (rank() OVER (PARTITION BY day ORDER BY c) - 1) * 2
+        |    + COUNT(*) OVER (PARTITION BY day, c) + 1 AS mid2
+        |  FROM complete
+        |), per_treat AS (
+        |  SELECT k, event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(mid2) AS BIGINT) AS r2j,
+        |    CAST(SUM(mid2 * mid2) AS BIGINT) AS a2j
+        |  FROM ranked GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT k, n_blocks, CAST(SUM(a2j) AS BIGINT) AS a2,
+        |    CAST(SUM((r2j - n_blocks * (k + 1)) * (r2j - n_blocks * (k + 1))) AS BIGINT) AS num_sq
+        |  FROM per_treat GROUP BY 1, 2
+        |)
+        |SELECT k, n_blocks, a2, num_sq,
+        |  CASE WHEN a2 - n_blocks * k * (k + 1) * (k + 1) = 0 THEN NULL
+        |   ELSE CAST((k - 1) * num_sq * 1000000
+        |     // (a2 - n_blocks * k * (k + 1) * (k + 1)) AS BIGINT) END AS chi2_micro
+        |FROM agg""".stripMargin,
+    // Cochran-Armitage: purchase-rate trend over $50 price bands,
+    // five integer moments + the shared z chain
+    "q203_cochran_armitage" ->
+      s"""WITH ev AS (
+         |  SELECT LEAST(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS band,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+         |  FROM events WHERE event_type IN ('purchase', 'view')
+         |), sup AS (
+         |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_i, CAST(SUM(succ) AS BIGINT) AS r_i
+         |  FROM ev GROUP BY 1
+         |), m AS (
+         |  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+         |    CAST(SUM(band * n_i) AS BIGINT) AS swn,
+         |    CAST(SUM(band * r_i) AS BIGINT) AS swr,
+         |    CAST(SUM(band * band * n_i) AS BIGINT) AS sw2n
+         |  FROM sup
+         |)
+         |SELECT n, r, swn, swr, sw2n,
+         |  ${graft.ops.Stats.caZSql} AS z_micro
+         |FROM m""".stripMargin,
+    // Durbin-Watson per type on daily counts: mean cancels in the
+    // lag-1 differences, one exact integer floor division
+    "q204_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), lagd AS (
+        |  SELECT *, c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS dd
+        |  FROM daily
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss,
+        |    CAST(COALESCE(SUM(dd * dd), 0) AS BIGINT) AS sd2
+        |  FROM lagd GROUP BY 1
+        |)
+        |SELECT event_type, n, s, ss, sd2,
+        |  CASE WHEN n < 2 OR n * ss - s * s = 0 THEN NULL
+        |   ELSE CAST(n * sd2 * 1000000 // (n * ss - s * s) AS BIGINT) END AS dw_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Cronbach alpha: item/total variance masses as exact integers
+    // ((N-1)N denominators cancel), one shared double chain
+    "q205_cronbach_alpha" ->
+      s"""WITH cells AS (
+         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2
+         |), per_item AS (
+         |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS si, CAST(SUM(c * c) AS BIGINT) AS ssi
+         |  FROM cells GROUP BY 1
+         |), per_subj AS (
+         |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects, CAST(SUM(t) AS BIGINT) AS st,
+         |    CAST(SUM(t * t) AS BIGINT) AS sst
+         |  FROM per_subj
+         |), agg AS (
+         |  SELECT n_subjects, st, sst, CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(n_subjects * ssi - si * si) AS BIGINT) AS item_var_mass
+         |  FROM per_item CROSS JOIN tot GROUP BY 1, 2, 3
+         |), agg2 AS (
+         |  SELECT k, n_subjects, item_var_mass,
+         |    CAST(n_subjects * sst - st * st AS BIGINT) AS total_var_mass
+         |  FROM agg
+         |)
+         |SELECT k, n_subjects, item_var_mass, total_var_mass,
+         |  ${graft.ops.Stats.cronbachAlphaSql} AS alpha_micro
+         |FROM agg2""".stripMargin,
+    // daily category HHI: exact integer share-square mass per day
+    "q206_daily_hhi" ->
+      s"""WITH $sessCte, per_cat AS (
+         |  SELECT epoch_s // 86400 AS day, category_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM enr GROUP BY 1, 2
+         |), m AS (
+         |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_categories,
+         |    CAST(SUM(c) AS BIGINT) AS total, CAST(SUM(c * c) AS BIGINT) AS sum_sq
+         |  FROM per_cat GROUP BY 1
+         |)
+         |SELECT day, n_categories, total, sum_sq,
+         |  CAST(sum_sq * 1000000 // (total * total) AS BIGINT) AS hhi_ppm
+         |FROM m ORDER BY day""".stripMargin,
+    // Hill tail index: top-201 order statistics, nano-quantized ln
+    // contributions (ties at x_min contribute exactly 0), integer alpha
+    "q207_hill_tail" ->
+      s"""WITH $sessCte, pop AS (
+         |  SELECT item_id AS id, CAST(COUNT(*) AS BIGINT) AS c FROM enr GROUP BY 1
+         |), top AS (
+         |  SELECT id, c FROM pop ORDER BY c DESC, id ASC LIMIT 201
+         |), xm AS (
+         |  SELECT CAST(MIN(c) AS BIGINT) AS x_min FROM top
+         |), lns AS (
+         |  SELECT t.c, xm.x_min,
+         |    CAST(round(ln(CAST(t.c AS DOUBLE) / CAST(xm.x_min AS DOUBLE)) * 1000000000) AS BIGINT) AS ln_nano
+         |  FROM top t CROSS JOIN xm
+         |), agg AS (
+         |  SELECT x_min, CAST(COUNT(*) - 1 AS BIGINT) AS n_tail,
+         |    CAST(SUM(ln_nano) AS BIGINT) AS sum_ln_nano
+         |  FROM lns GROUP BY 1
+         |)
+         |SELECT n_tail, x_min, sum_ln_nano,
+         |  CASE WHEN sum_ln_nano = 0 THEN NULL
+         |   ELSE CAST(1000000 + n_tail * 1000000000000000 // sum_ln_nano AS BIGINT) END AS alpha_micro
+         |FROM agg""".stripMargin,
+    // TextRank: PageRank over the adjacent-token graph (>=5-occurrence
+    // vocabulary, both directions), q87's exact-integer unroll
+    "q208_textrank" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+         |), sq AS (
+         |  SELECT t[i] AS tok, t[i + 1] AS nxt
+         |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+         |), vocab AS (
+         |  SELECT tok FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+         |  HAVING COUNT(*) >= 5
+         |), und AS (
+         |  SELECT LEAST(tok, nxt) AS wa, GREATEST(tok, nxt) AS wb,
+         |    CAST(COUNT(*) AS BIGINT) AS cw
+         |  FROM sq
+         |  WHERE tok <> nxt AND tok IN (SELECT tok FROM vocab)
+         |    AND nxt IN (SELECT tok FROM vocab)
+         |  GROUP BY 1, 2
+         |), trans AS (
+         |  SELECT wa AS item_a, wb AS item_b, cw AS transition_count FROM und
+         |  UNION ALL
+         |  SELECT wb, wa, cw FROM und
+         |), ${pagerankUnrollSql(2, None)}
+         |SELECT id AS term, pr AS pr_micro FROM p2
+         |ORDER BY pr_micro DESC, term ASC LIMIT 20""".stripMargin,
+    // Kaplan-Meier weekly return survival: chained exact ppm floor
+    // divisions over the 5-bucket risk table
+    "q209_kaplan_meier" ->
+      s"""WITH $sessCte, starts AS (
+         |  SELECT user_id, session_id, MIN(epoch_s) AS start_s
+         |  FROM sess GROUP BY 1, 2
+         |), wks AS (
+         |  SELECT (next_s - start_s) // 86400 // 7 AS wk FROM (
+         |    SELECT start_s, lead(start_s) OVER (PARTITION BY user_id
+         |      ORDER BY start_s, session_id) AS next_s
+         |    FROM starts)
+         |  WHERE next_s IS NOT NULL
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         |    CAST(SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+         |    CAST(SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN wk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |    CAST(SUM(CASE WHEN wk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |    CAST(SUM(CASE WHEN wk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+         |  FROM wks
+         |), r AS (
+         |  SELECT *, n_total AS n0, n_total - d0 AS n1, n_total - d0 - d1 AS n2,
+         |    n_total - d0 - d1 - d2 AS n3, n_total - d0 - d1 - d2 - d3 AS n4
+         |  FROM m
+         |), v0 AS (
+         |  SELECT *, CASE WHEN n0 = 0 THEN NULL ELSE 1000000 * (n0 - d0) // n0 END AS s0 FROM r
+         |), v1 AS (
+         |  SELECT *, CASE WHEN n1 = 0 THEN NULL ELSE s0 * (n1 - d1) // n1 END AS s1 FROM v0
+         |), v2 AS (
+         |  SELECT *, CASE WHEN n2 = 0 THEN NULL ELSE s1 * (n2 - d2) // n2 END AS s2 FROM v1
+         |), v3 AS (
+         |  SELECT *, CASE WHEN n3 = 0 THEN NULL ELSE s2 * (n3 - d3) // n3 END AS s3 FROM v2
+         |), v4 AS (
+         |  SELECT *, CASE WHEN n4 = 0 THEN NULL ELSE s3 * (n4 - d4) // n4 END AS s4 FROM v3
+         |)
+         |SELECT CAST(0 AS BIGINT) AS week, n0 AS n_at_risk, d0 AS n_died, CAST(s0 AS BIGINT) AS surv_ppm FROM v4
+         |UNION ALL SELECT CAST(1 AS BIGINT), n1, d1, CAST(s1 AS BIGINT) FROM v4
+         |UNION ALL SELECT CAST(2 AS BIGINT), n2, d2, CAST(s2 AS BIGINT) FROM v4
+         |UNION ALL SELECT CAST(3 AS BIGINT), n3, d3, CAST(s3 AS BIGINT) FROM v4
+         |UNION ALL SELECT CAST(4 AS BIGINT), n4, d4, CAST(s4 AS BIGINT) FROM v4
+         |ORDER BY week""".stripMargin,
+    // isotonic calibration: minimax interval form of PAVA, pure
+    // integer ppm rates over the bounded band support
+    "q210_isotonic" ->
+      """WITH ev AS (
+        |  SELECT LEAST(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS band,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |), sup AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(succ) AS BIGINT) AS s
+        |  FROM ev GROUP BY 1
+        |), cums AS (
+        |  SELECT *, CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+        |    CAST(SUM(s) OVER w AS BIGINT) AS cum_s
+        |  FROM sup WINDOW w AS (ORDER BY band ROWS UNBOUNDED PRECEDING)
+        |), iv AS (
+        |  SELECT j.band AS jb, k.band AS kb,
+        |    CAST((k.cum_s - (j.cum_s - j.s)) * 1000000
+        |      // (k.cum_n - (j.cum_n - j.n)) AS BIGINT) AS rate_ppm
+        |  FROM cums j JOIN cums k ON j.band <= k.band
+        |), mn AS (
+        |  SELECT b.band, iv.jb, MIN(iv.rate_ppm) AS mnr
+        |  FROM cums b JOIN iv ON iv.jb <= b.band AND b.band <= iv.kb
+        |  GROUP BY 1, 2
+        |), fit AS (
+        |  SELECT band, CAST(MAX(mnr) AS BIGINT) AS iso_ppm FROM mn GROUP BY 1
+        |)
+        |SELECT c.band, c.n, c.s, CAST(c.s * 1000000 // c.n AS BIGINT) AS raw_ppm,
+        |  f.iso_ppm
+        |FROM cums c JOIN fit f USING (band) ORDER BY band""".stripMargin,
+    // SALSA: degree-normalized HITS, 2 unrolled alternations of local
+    // integer floor divisions (no global normalizer)
+    "q211_salsa" ->
+      s"""WITH $sessCte, $transCte, ${salsaUnrollSql(2)}
+         |SELECT n.id AS item_id, h2.h AS hub_micro, a2.a AS auth_micro
+         |FROM nodes n JOIN h2 USING (id) JOIN a2 USING (id)
+         |ORDER BY auth_micro DESC, hub_micro DESC, item_id ASC LIMIT 20""".stripMargin,
+    // intra-list diversity of the top-10 covis lists: cross-category
+    // pair fraction from per-category multiplicities (no pair join)
+    "q212_intra_list_diversity" ->
+      s"""WITH $sessCte, $covisPairsCte, $covisDirectedCte, ${covisTopSql("recs", 10, withRn = false)}, bycat AS (
+         |  SELECT src, dst % 20 AS cat, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM recs GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT src, CAST(SUM(m) AS BIGINT) AS n_recs,
+         |    CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS same_pairs
+         |  FROM bycat GROUP BY 1
+         |)
+         |SELECT src, n_recs, same_pairs,
+         |  CAST((n_recs * (n_recs - 1) // 2 - same_pairs) * 1000000
+         |    // (n_recs * (n_recs - 1) // 2) AS BIGINT) AS ild_ppm
+         |FROM agg WHERE n_recs >= 2 ORDER BY src""".stripMargin,
+    // two-sample Q-Q deciles: integer ppm order-statistic ranks over
+    // the shared purchase/view value support
+    "q213_qq_deciles" ->
+      s"""WITH $pvSupportCte, base AS (
+         |  SELECT value, CAST(round(value * 100) AS BIGINT) AS cents, ca, cb FROM counts
+         |), cums AS (
+         |  SELECT cents,
+         |    CAST(SUM(ca) OVER w AS BIGINT) AS cum_ca,
+         |    CAST(SUM(cb) OVER w AS BIGINT) AS cum_cb
+         |  FROM base WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+         |), tot AS (
+         |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM counts
+         |), ranks AS (
+         |  SELECT CAST(i * 100000 AS BIGINT) AS ppm,
+         |    (na * i * 100000 + 999999) // 1000000 AS rank_a,
+         |    (nb * i * 100000 + 999999) // 1000000 AS rank_b
+         |  FROM tot, unnest(generate_series(1, 9)) AS g(i)
+         |), qa AS (
+         |  SELECT r.ppm, CAST(MIN(c.cents) AS BIGINT) AS purchase_cents
+         |  FROM cums c JOIN ranks r ON c.cum_ca >= r.rank_a GROUP BY 1
+         |), qb AS (
+         |  SELECT r.ppm, CAST(MIN(c.cents) AS BIGINT) AS view_cents
+         |  FROM cums c JOIN ranks r ON c.cum_cb >= r.rank_b GROUP BY 1
+         |)
+         |SELECT ppm, purchase_cents, view_cents,
+         |  purchase_cents - view_cents AS gap_cents
+         |FROM qa JOIN qb USING (ppm) ORDER BY ppm""".stripMargin,
+    // Tukey fences per type: integer ppm Q1/Q3, doubled fences, tail
+    // mass by weighted conditional sums over the support
+    "q214_tukey_outliers" ->
+      """WITH sup AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), cums AS (
+        |  SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        |  FROM sup
+        |), tot AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM sup GROUP BY 1
+        |), j AS (
+        |  SELECT c.*, t.n FROM cums c JOIN tot t USING (event_type)
+        |), q1 AS (
+        |  SELECT event_type, n, MIN(cents) AS q1_cents FROM j
+        |  WHERE cum_c >= (n * 250000 + 999999) // 1000000 GROUP BY 1, 2
+        |), q3 AS (
+        |  SELECT event_type, n, MIN(cents) AS q3_cents FROM j
+        |  WHERE cum_c >= (n * 750000 + 999999) // 1000000 GROUP BY 1, 2
+        |), fences AS (
+        |  SELECT q1.event_type, q1.n, q1_cents, q3_cents,
+        |    q1_cents * 2 - (q3_cents - q1_cents) * 3 AS lo2,
+        |    q3_cents * 2 + (q3_cents - q1_cents) * 3 AS hi2
+        |  FROM q1 JOIN q3 USING (event_type, n)
+        |)
+        |SELECT s.event_type, f.n, f.q1_cents, f.q3_cents,
+        |  CAST(SUM(CASE WHEN s.cents * 2 < f.lo2 THEN s.c ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN s.cents * 2 > f.hi2 THEN s.c ELSE 0 END) AS BIGINT) AS n_high
+        |FROM sup s JOIN fences f USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+    // community purity: LPA labels (q157 unroll) vs category cells,
+    // max over exact integer counts -- no transcendentals
+    "q215_community_purity" ->
+      s"""WITH $sessCte, $covisPairsCte, und AS (
+         |  SELECT item_a AS src, item_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst FROM pairs
+         |), l0 AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM und
+         |), ${lpaRoundsSql(4)},
+         |cells AS (
+         |  SELECT label, id % 20 AS cat, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM l4 GROUP BY 1, 2
+         |), per_comm AS (
+         |  SELECT label, CAST(SUM(m) AS BIGINT) AS sz, CAST(MAX(m) AS BIGINT) AS top
+         |  FROM cells GROUP BY 1
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    CAST(SUM(sz) AS BIGINT) AS n_items, CAST(SUM(top) AS BIGINT) AS top_mass
+         |  FROM per_comm
+         |)
+         |SELECT n_communities, n_items, top_mass,
+         |  CAST(top_mass * 1000000 // n_items AS BIGINT) AS purity_ppm
+         |FROM agg""".stripMargin,
+    // PACF lag 2: Durbin-Levinson phi22 from the q162 exact integer
+    // moments, ratio chain in doubles (den^2 would overflow int64)
+    "q216_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM daily
+        |), dn AS (
+        |  SELECT CAST(SUM((n * x - sx) * (n * x - sx)) AS BIGINT) AS den
+        |  FROM daily CROSS JOIN tot
+        |), n1 AS (
+        |  SELECT CAST(SUM((n * a.x - sx) * (n * b.x - sx)) AS BIGINT) AS num1
+        |  FROM daily a CROSS JOIN tot JOIN daily b ON b.day = a.day + 1
+        |), n2 AS (
+        |  SELECT CAST(SUM((n * a.x - sx) * (n * b.x - sx)) AS BIGINT) AS num2
+        |  FROM daily a CROSS JOIN tot JOIN daily b ON b.day = a.day + 2
+        |)
+        |SELECT n, num1, num2, den,
+        |  CASE WHEN den = 0
+        |     OR cast(num1 as double) * cast(num1 as double)
+        |        = cast(den as double) * cast(den as double) THEN NULL
+        |   ELSE CAST(round(
+        |     (cast(num2 as double) / cast(den as double)
+        |      - (cast(num1 as double) / cast(den as double))
+        |        * (cast(num1 as double) / cast(den as double)))
+        |     / (1.0 - (cast(num1 as double) / cast(den as double))
+        |        * (cast(num1 as double) / cast(den as double)))
+        |     * 1000000) AS BIGINT) END AS pacf2_micro
+        |FROM tot CROSS JOIN n1 CROSS JOIN n2 CROSS JOIN dn""".stripMargin,
+    // novelty: nano-quantized self-information of each top-10 list
+    "q217_rec_novelty" ->
+      s"""WITH $sessCte, $covisPairsCte, $covisDirectedCte, ${covisTopSql("recs", 10, withRn = false)}, pop AS (
+         |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS c FROM enr GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM pop
+         |), info AS (
+         |  SELECT item_id AS dst,
+         |    CAST(round(ln(CAST(n_tot AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000000) AS BIGINT) AS info_nano
+         |  FROM pop CROSS JOIN tot
+         |), agg AS (
+         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_recs,
+         |    CAST(SUM(info_nano) AS BIGINT) AS info_sum_nano
+         |  FROM recs JOIN info USING (dst) GROUP BY 1
+         |)
+         |SELECT src, n_recs, info_sum_nano,
+         |  CAST(info_sum_nano // n_recs AS BIGINT) AS novelty_nano
+         |FROM agg ORDER BY src""".stripMargin,
+    // A-ES weighted sample: md5-uniform u, nano -ln(u) div weight,
+    // 100 smallest priorities
+    "q218_weighted_sample" ->
+      s"""WITH $sessCte, pop AS (
+         |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS weight FROM enr GROUP BY 1
+         |), keyed AS (
+         |  SELECT item_id, weight,
+         |    CAST(('0x' || substring(md5(CAST(item_id AS VARCHAR) || '_ws'), 1, 15)) AS BIGINT) AS h
+         |  FROM pop
+         |), pr AS (
+         |  SELECT item_id, weight,
+         |    CAST(round(-ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
+         |      * 1000000000) AS BIGINT) // weight AS priority
+         |  FROM keyed
+         |)
+         |SELECT item_id, weight, priority FROM pr
+         |ORDER BY priority ASC, item_id ASC LIMIT 100""".stripMargin,
+    // two-proportion z: weekend vs weekday purchase rate, four exact
+    // integer cells + the shared pooled-variance chain
+    "q219_two_prop_z" ->
+      s"""WITH e AS (
+         |  SELECT CASE WHEN (CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 + 3) % 7 >= 5
+         |      THEN 1 ELSE 0 END AS wknd,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+         |  FROM events WHERE event_type IN ('purchase', 'view')
+         |), m AS (
+         |  SELECT CAST(SUM(wknd) AS BIGINT) AS n1,
+         |    CAST(SUM(wknd * succ) AS BIGINT) AS r1,
+         |    CAST(SUM(1 - wknd) AS BIGINT) AS n2,
+         |    CAST(SUM((1 - wknd) * succ) AS BIGINT) AS r2
+         |  FROM e
+         |)
+         |SELECT n1, r1, n2, r2,
+         |  ${graft.ops.Stats.twoPropZSql} AS z_micro
+         |FROM m""".stripMargin,
+    // Mann-Kendall: exact integer S and tie term off the bounded daily
+    // series, shared continuity-corrected z chain
+    "q220_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |), sp AS (
+         |  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM daily a JOIN daily b ON a.day < b.day
+         |), t AS (
+         |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         |    CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS ties_term
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)
+         |)
+         |SELECT n, s, ties_term,
+         |  ${graft.ops.Stats.mkZSql} AS z_micro
+         |FROM t CROSS JOIN sp""".stripMargin,
+    // runs test: median-sign sequence, rank+1 self-join adjacency,
+    // shared mu/sigma chain
+    "q221_runs_test" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1
+         |), sup AS (
+         |  SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY 1
+         |), cums AS (
+         |  SELECT *, CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+         |  FROM sup
+         |), tot AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM sup
+         |), med AS (
+         |  SELECT MIN(x) AS med FROM cums CROSS JOIN tot
+         |  WHERE cum_c >= (n_total + 1) // 2
+         |), signed AS (
+         |  SELECT day, CASE WHEN x > med THEN 1 ELSE 0 END AS sgn
+         |  FROM daily CROSS JOIN med WHERE x <> med
+         |), ranked AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS rk, sgn FROM signed
+         |), chg AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN a.sgn <> b.sgn THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes
+         |  FROM ranked a JOIN ranked b ON b.rk = a.rk + 1
+         |), cnt AS (
+         |  SELECT CAST(SUM(sgn) AS BIGINT) AS n_above,
+         |    CAST(SUM(1 - sgn) AS BIGINT) AS n_below
+         |  FROM signed
+         |)
+         |SELECT n_above, n_below, CAST(n_changes + 1 AS BIGINT) AS n_runs,
+         |  ${graft.ops.Stats.runsZSql} AS z_micro
+         |FROM cnt CROSS JOIN chg""".stripMargin,
+    // Bradley-Terry: 2 unrolled MM iterations at pico precision over
+    // the symmetric game table (transitions read as preferences)
+    "q222_bradley_terry" ->
+      s"""WITH $sessCte, $transCte, nsl AS (
+         |  SELECT item_a, item_b, transition_count FROM trans WHERE item_a <> item_b
+         |), games AS (
+         |  SELECT a, b, CAST(SUM(nw) AS BIGINT) AS m FROM (
+         |    SELECT item_b AS a, item_a AS b, transition_count AS nw FROM nsl
+         |    UNION ALL
+         |    SELECT item_a AS a, item_b AS b, transition_count AS nw FROM nsl
+         |  ) GROUP BY 1, 2
+         |), totw AS (
+         |  SELECT item_b AS id, CAST(SUM(transition_count) AS BIGINT) AS w_total
+         |  FROM nsl GROUP BY 1
+         |), nodes AS (
+         |  SELECT g.a AS id, CAST(COALESCE(t.w_total, 0) AS BIGINT) AS w_total
+         |  FROM (SELECT DISTINCT a FROM games) g LEFT JOIN totw t ON g.a = t.id
+         |), s0 AS (
+         |  SELECT id, CAST(1000000 AS BIGINT) AS s_micro FROM nodes
+         |), d1 AS (
+         |  SELECT g.a AS id, CAST(SUM(CASE WHEN sa.s_micro + sb.s_micro = 0 THEN 0
+         |    ELSE g.m * 1000000000000 // (sa.s_micro + sb.s_micro) END) AS BIGINT) AS d_pico
+         |  FROM games g JOIN s0 sa ON g.a = sa.id JOIN s0 sb ON g.b = sb.id GROUP BY 1
+         |), s1 AS (
+         |  SELECT n.id, CAST(CASE WHEN d.d_pico IS NULL OR d.d_pico = 0 THEN 0
+         |    ELSE n.w_total * 1000000000000 // d.d_pico END AS BIGINT) AS s_micro
+         |  FROM nodes n LEFT JOIN d1 d USING (id)
+         |), d2 AS (
+         |  SELECT g.a AS id, CAST(SUM(CASE WHEN sa.s_micro + sb.s_micro = 0 THEN 0
+         |    ELSE g.m * 1000000000000 // (sa.s_micro + sb.s_micro) END) AS BIGINT) AS d_pico
+         |  FROM games g JOIN s1 sa ON g.a = sa.id JOIN s1 sb ON g.b = sb.id GROUP BY 1
+         |), s2 AS (
+         |  SELECT n.id, CAST(CASE WHEN d.d_pico IS NULL OR d.d_pico = 0 THEN 0
+         |    ELSE n.w_total * 1000000000000 // d.d_pico END AS BIGINT) AS s_micro
+         |  FROM nodes n LEFT JOIN d2 d USING (id)
+         |)
+         |SELECT id AS item_id, s_micro FROM s2
+         |ORDER BY s_micro DESC, item_id ASC LIMIT 20""".stripMargin,
+    // one-way ANOVA F across day-of-week groups: the q201 cell
+    // templates on raw values (BF is this statistic on |x - median|)
+    "q223_anova_f" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1
+         |), g AS (
+         |  SELECT (day + 3) % 7 AS dow, x FROM daily
+         |), per_class AS (
+         |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS ni, CAST(SUM(x) AS BIGINT) AS si,
+         |    CAST(SUM(x * x) AS BIGINT) AS ssi
+         |  FROM g GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n_total,
+         |    CAST(SUM(si) AS BIGINT) AS s_total
+         |  FROM per_class
+         |), cells AS (
+         |  SELECT k, n_total,
+         |    ${graft.ops.Stats.bfCellNumSql} AS cell_num,
+         |    ${graft.ops.Stats.bfCellDenSql} AS cell_den
+         |  FROM per_class CROSS JOIN t
+         |), agg AS (
+         |  SELECT k, n_total, CAST(SUM(cell_num) AS BIGINT) AS num_micro,
+         |    CAST(SUM(cell_den) AS BIGINT) AS den_micro
+         |  FROM cells GROUP BY 1, 2
+         |)
+         |SELECT k, n_total, num_micro, den_micro,
+         |  ${graft.ops.Stats.bfWSql} AS f_micro
+         |FROM agg""".stripMargin,
+    // Chapman capture-recapture: first/second half item captures,
+    // pure integer estimator
+    "q224_capture_recapture" ->
+      s"""WITH $sessCte, it AS (
+         |  SELECT item_id, epoch_s // 86400 AS day FROM enr
+         |), mid AS (
+         |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM it
+         |), per_item AS (
+         |  SELECT item_id,
+         |    MAX(CASE WHEN day < mid THEN 1 ELSE 0 END) AS in1,
+         |    MAX(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS in2
+         |  FROM it CROSS JOIN mid GROUP BY 1
+         |), mm AS (
+         |  SELECT CAST(SUM(in1) AS BIGINT) AS n1, CAST(SUM(in2) AS BIGINT) AS n2,
+         |    CAST(SUM(in1 * in2) AS BIGINT) AS m
+         |  FROM per_item
+         |)
+         |SELECT n1, n2, m,
+         |  CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS n_hat
+         |FROM mm""".stripMargin,
+    // jackknife over day blocks: micro-quantized leave-one-out
+    // pseudo-estimates, exact integer variance
+    "q225_jackknife" ->
+      """WITH daily AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS ni, CAST(SUM(cents) AS BIGINT) AS si
+        |  FROM (SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |          CAST(round(value * 100) AS BIGINT) AS cents
+        |        FROM events WHERE event_type = 'purchase')
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(ni) AS BIGINT) AS nn,
+        |    CAST(SUM(si) AS BIGINT) AS ss
+        |  FROM daily
+        |), th AS (
+        |  SELECT n_days, nn, ss,
+        |    CAST(round(CAST(ss - si AS DOUBLE) / CAST(nn - ni AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS theta_i
+        |  FROM daily CROSS JOIN tot WHERE nn > ni
+        |), mb AS (
+        |  SELECT CAST(SUM(theta_i) AS BIGINT) // COUNT(*) AS theta_bar FROM th
+        |), agg AS (
+        |  SELECT n_days, nn, ss,
+        |    CAST(SUM((theta_i - theta_bar) * (theta_i - theta_bar)) AS BIGINT) AS sdev2
+        |  FROM th CROSS JOIN mb GROUP BY 1, 2, 3
+        |)
+        |SELECT n_days, CAST(ss * 1000000 // nn AS BIGINT) AS theta_micro,
+        |  CAST((n_days - 1) * sdev2 // n_days AS BIGINT) AS var_jack_micro2,
+        |  CAST(round(sqrt(CAST((n_days - 1) * sdev2 // n_days AS DOUBLE))) AS BIGINT) AS se_micro
+        |FROM agg""".stripMargin,
+    // entropy rate: damped-stationary (q87 unroll) weighted per-state
+    // transition entropies, micro cells, one integer division
+    "q226_entropy_rate" ->
+      s"""WITH $sessCte, $transCte, ${pagerankUnrollSql(2, None)}, outw2 AS (
+         |  SELECT item_a AS id, CAST(SUM(transition_count) AS BIGINT) AS out_w
+         |  FROM trans GROUP BY 1
+         |), hh AS (
+         |  SELECT t.item_a AS id, CAST(SUM(CAST(round(
+         |    CAST(t.transition_count AS DOUBLE) / CAST(o.out_w AS DOUBLE)
+         |    * ln(CAST(o.out_w AS DOUBLE) / CAST(t.transition_count AS DOUBLE))
+         |    * 1000000) AS BIGINT)) AS BIGINT) AS h_micro
+         |  FROM trans t JOIN outw2 o ON t.item_a = o.id GROUP BY 1
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_states, CAST(SUM(p.pr) AS BIGINT) AS pr_total,
+         |    CAST(SUM(p.pr * COALESCE(h.h_micro, 0)) AS BIGINT) AS wh
+         |  FROM p2 p LEFT JOIN hh h USING (id)
+         |)
+         |SELECT n_states, pr_total, CAST(wh // pr_total AS BIGINT) AS rate_micro
+         |FROM agg""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

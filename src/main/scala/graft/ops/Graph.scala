@@ -210,6 +210,138 @@ object Graph {
         coalesce(col("a"), lit(0L)).as("auth_micro"))
   }
 
+  /** SALSA hubs & authorities (Lempel–Moran 2001), `iters` fixed
+    * alternations in micro units — [[hitsMicro]] with the mutual
+    * reinforcement DEGREE-NORMALIZED on the sending side: an authority
+    * receives `h·w div out_w(hub)`, a hub receives `a·w div in_w
+    * (authority)` — the alternating forward/backward random walk, so a
+    * high-degree hub no longer floods every neighbor with its full
+    * mass (TKC effect), the known HITS failure mode on commercial
+    * graphs. No global normalizer at all: every update is a local
+    * floor division, pure integer, bit-identical cross-engine and
+    * oracle-expressible as unrolled CTEs.
+    *
+    * Scale: identical shape to [[pagerankMicro]] — the edge table gets
+    * its two degree attaches once and is cached; each half-step is one
+    * edge-sized map-side-combined aggregation + one node-sized left
+    * join. Scores localCheckpoint each round to keep lineage flat.
+    */
+  def salsaMicro(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int): DataFrame = {
+    val e = Caches.cache(
+      edges.select(
+        col(srcCol).as("src"),
+        col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w")))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val inW = e.groupBy(col("dst")).agg(sum(col("w")).as("in_w"))
+    val ew = Caches.cache(e.join(outW, Seq("src")).join(inW, Seq("dst")))
+    val nodes = Caches.cache(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    var h = nodes.select(col("id"), lit(1000000L).as("h"))
+    var a = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      a = nodes
+        .join(
+          ew.join(h, ew("src") === h("id"))
+            .select(col("dst"), expr("(h * w) div out_w").as("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("a")),
+          nodes("id") === col("dst"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      h = nodes
+        .join(
+          ew.join(a, ew("dst") === a("id"))
+            .select(col("src"), expr("(a * w) div in_w").as("c"))
+            .groupBy(col("src"))
+            .agg(sum(col("c")).as("h")),
+          nodes("id") === col("src"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+    }
+    nodes
+      .join(h, Seq("id"), "left")
+      .join(a, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("h"), lit(0L)).as("hub_micro"),
+        coalesce(col("a"), lit(0L)).as("auth_micro"))
+  }
+
+  /** Bradley–Terry strength scores from pairwise win counts, `iters`
+    * fixed minorize–maximize iterations in micro units — "aggregate
+    * noisy pairwise preferences into one global ranking", the model
+    * behind chess Elo and RLHF preference aggregation. Input: directed
+    * `winsCol` wins of `winnerCol` over `loserCol` (one row per
+    * ordered pair). MM update sᵢ' = Wᵢ / Σⱼ mᵢⱼ/(sᵢ+sⱼ) with Wᵢ = total
+    * wins of i and mᵢⱼ = games between i and j, computed as nested
+    * exact floor divisions at pico precision (the documented
+    * quantization: d_pico = Σⱼ mᵢⱼ·1e12 div (sᵢ+sⱼ), s' = Wᵢ·1e12 div
+    * d_pico) — bit-identical cross-engine, oracle-expressible as
+    * unrolled CTEs. Items with zero wins go to 0 and stay there (the
+    * MM fixed point); the overall scale is arbitrary (BT is
+    * scale-invariant) and pinned only by the 1e6 start.
+    *
+    * Scale: per iteration one edge-sized join + map-side-combined agg
+    * keyed by item (the [[pagerankMicro]] shape); the symmetric game
+    * table is built once and cached. Int64 bound: mᵢⱼ·1e12 needs
+    * mᵢⱼ < 9.2e6 per pair — per-pair counts, not totals; loud past it.
+    */
+  def bradleyTerryMicro(
+      wins: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      winsCol: String,
+      iters: Int): DataFrame = {
+    val w = Caches.cache(
+      wins.select(
+        col(winnerCol).as("win"), col(loserCol).as("lose"),
+        col(winsCol).cast("long").as("nw")))
+    val games = Caches.cache(
+      w.select(col("win").as("a"), col("lose").as("b"), col("nw"))
+        .unionByName(
+          w.select(col("lose").as("a"), col("win").as("b"), col("nw")))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("nw")).as("m")))
+    val totW = w.groupBy(col("win").as("id")).agg(sum(col("nw")).as("w_total"))
+    val nodes = Caches.cache(
+      games.select(col("a").as("id")).distinct()
+        .join(totW, Seq("id"), "left")
+        .na.fill(0L, Seq("w_total")))
+    var s = nodes.select(col("id"), lit(1000000L).as("s_micro"))
+    for (_ <- 1 to iters) {
+      val d = games
+        .join(s.select(col("id").as("a"), col("s_micro").as("sa")), Seq("a"))
+        .join(s.select(col("id").as("b"), col("s_micro").as("sb")), Seq("b"))
+        .withColumn("__ovf_ok", expr(
+          """assert_true(m <= 9223372036854775807 div 1000000000000,
+            |  'bradleyTerryMicro: per-pair game count overflows the pico scale')"""
+            .stripMargin))
+        .select(col("a").as("id"),
+          when(col("__ovf_ok").isNull,
+            // a pair of two zero-strength items contributes 0 (their
+            // games are unmodelable) rather than dividing by zero
+            expr("CASE WHEN sa + sb = 0 THEN 0 ELSE m * 1000000000000 div (sa + sb) END"))
+            .as("term"))
+        .groupBy(col("id"))
+        .agg(sum(col("term")).as("d_pico"))
+      s = nodes
+        .join(d, Seq("id"), "left")
+        .select(
+          col("id"),
+          expr("""CASE WHEN d_pico IS NULL OR d_pico = 0 THEN 0
+                 | ELSE w_total * 1000000000000 div d_pico END""".stripMargin)
+            .as("s_micro"))
+        .localCheckpoint(true)
+    }
+    s
+  }
+
   /** Deterministic weighted random walks over a directed edge set —
     * the walk-corpus generator behind node2vec/DeepWalk-style
     * embedding training: each start node emits one walk of up to

@@ -173,6 +173,40 @@ object Sampling {
       .filter(hashBucketPermille(col(idCol)) < col("keep_permille"))
   }
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement (A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): the k
+    * rows with the smallest priority −ln(uᵢ)/wᵢ — equivalently the
+    * largest uᵢ^(1/wᵢ) — where uᵢ ∈ (0,1] is the md5-uniform of the
+    * id: heavier rows draw systematically smaller priorities, giving
+    * EXACTLY the successive weighted-without-replacement distribution,
+    * while staying a pure function of the data (the suite's sampling
+    * contract: re-runs, repartitions, and the oracle agree
+    * bit-for-bit). The ln is quantized to NANO before the integer
+    * floor division by the weight (the suite's ln rule), ties broken
+    * by id. Weights must be ≥ 1.
+    *
+    * Scale shape: scan-side hash + two arithmetic columns, then
+    * `TakeOrderedAndProject` for the k smallest — no global sort, no
+    * shuffle beyond the top-k reduction.
+    */
+  def weightedSampleTopK(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    val h = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit("_ws"))), 1, 15),
+      16, 10).cast("long")
+    df.select(col(idCol), col(weightCol).as("weight"), h.as("__h"))
+      .withColumn(
+        "priority",
+        expr("""cast(round(-ln((cast(__h as double) + 1) / 1152921504606846976.0)
+               | * 1000000000) as bigint) div weight""".stripMargin))
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("weight"), col("priority"))
+  }
+
   /** Deterministic Poisson bootstrap: all B resample replicates of a
     * weighted mean in ONE pass. Each (row, replicate) gets an integer
     * multiplicity drawn from a fixed ≈Poisson(1) pmf via the md5

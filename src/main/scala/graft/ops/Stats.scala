@@ -489,6 +489,612 @@ object Stats {
   val SprtLlrFailMicro = -22473L
   val SprtBoundMicro = 2944439L
 
+  /** Ordinary-least-squares simple linear regression of `yCol` on
+    * `xCol` (both integer-valued; one row per observation) — the
+    * parametric trend line next to q159's Theil–Sen: five exact integer
+    * moments from ONE map-side-combinable pass, then `slope_micro`
+    * (micro y-units per x-unit), `intercept_micro` (micro y at x = 0)
+    * and `r2_micro` as the shared double chains
+    * ([[olsSlopeSql]]/[[olsInterceptSql]]/[[olsR2Sql]]), NULL when
+    * n < 2 or x is constant (r² additionally NULL when y is constant).
+    * Int64 bound on n·Σxy / n·Σx² / n·Σy²: guarded loud (the
+    * [[spearmanRhoMicro]] pattern) — rescale x/y units past it.
+    * Output: one row `(n, sx, sy, sxy, sx2, sy2, slope_micro,
+    * intercept_micro, r2_micro)`.
+    */
+  def olsMicro(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(y).as("sy"),
+        sum(x * y).as("sxy"),
+        sum(x * x).as("sx2"),
+        sum(y * y).as("sy2"))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(
+          |  coalesce(n, 0) = 0 OR
+          |  greatest(abs(sxy), sx2, sy2, abs(sx) * abs(coalesce(sy, 0)))
+          |    <= 9223372036854775807 div greatest(n, 2),
+          |  'olsMicro: int64 moment overflow -- rescale x/y units')"""
+          .stripMargin))
+      .withColumn("slope_micro", when(col("__ovf_ok").isNull, expr(olsSlopeSql)))
+      .withColumn("intercept_micro", when(col("__ovf_ok").isNull, expr(olsInterceptSql)))
+      .withColumn("r2_micro", when(col("__ovf_ok").isNull, expr(olsR2Sql)))
+      .drop("__ovf_ok")
+  }
+
+  /** Oracle-SQL twin of [[olsMicro]]'s `slope_micro`: (n·Σxy − Σx·Σy)
+    * / (n·Σx² − Σx²), micro-rounded. Expects `n, sx, sy, sxy, sx2`.
+    */
+  val olsSlopeSql: String =
+    """CASE WHEN n < 2 OR n * sx2 - sx * sx = 0 THEN NULL
+      | ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |   / CAST(n * sx2 - sx * sx AS DOUBLE) * 1000000) AS BIGINT) END""".stripMargin
+
+  /** Oracle-SQL twin of [[olsMicro]]'s `intercept_micro`:
+    * (Σy·Σx² − Σx·Σxy) / (n·Σx² − Σx²), micro-rounded.
+    */
+  val olsInterceptSql: String =
+    """CASE WHEN n < 2 OR n * sx2 - sx * sx = 0 THEN NULL
+      | ELSE CAST(round(CAST(sy * sx2 - sx * sxy AS DOUBLE)
+      |   / CAST(n * sx2 - sx * sx AS DOUBLE) * 1000000) AS BIGINT) END""".stripMargin
+
+  /** Oracle-SQL twin of [[olsMicro]]'s `r2_micro`: (n·Σxy − Σx·Σy)²
+    * / ((n·Σx² − Σx²)(n·Σy² − Σy²)), micro-rounded.
+    */
+  val olsR2Sql: String =
+    """CASE WHEN n < 2 OR n * sx2 - sx * sx = 0 OR n * sy2 - sy * sy = 0 THEN NULL
+      | ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |   / (CAST(n * sx2 - sx * sx AS DOUBLE) * CAST(n * sy2 - sy * sy AS DOUBLE))
+      |   * 1000000) AS BIGINT) END""".stripMargin
+
+  /** Brown–Forsythe robust variance-homogeneity test (Levene's W on
+    * absolute deviations from the GROUP MEDIAN — the outlier-robust
+    * variant practitioners default to) across the dynamic classes of
+    * `classCol`, on integer `valueCol`. "Do purchase and click order
+    * values merely shift, or does their SPREAD differ" — the variance
+    * sibling of the location tests (q165 MWU / q183 Welch).
+    *
+    * Shape: everything runs on the (class × value) COUNT-compressed
+    * support — group medians via [[medianFromCounts]] (sharded, never a
+    * raw-row window), deviations re-keyed on the support, and per-class
+    * integer moments (nᵢ, Σz, Σz²). The between/within double cells are
+    * micro-rounded PER CLASS then exactly summed (the q174 per-cell
+    * pattern), so no cross-row double accumulation order exists; W is
+    * the one final chain ([[bfWSql]]), NULL when k < 2 or the within
+    * term is 0. Int64 bound on Σz²·c: guarded loud — rescale units.
+    * Output: one row `(k, n_total, num_micro, den_micro, w_micro)`.
+    */
+  def brownForsytheMicro(
+      df: DataFrame,
+      valueCol: String,
+      classCol: String,
+      shardExpr: Column): DataFrame = {
+    val support = df
+      .groupBy(col(classCol), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+    val med = medianFromCounts(
+      support, Seq(classCol), valueCol, "c", shardExpr, "med")
+      .select(col(classCol), col("med"))
+    val z = support
+      .join(broadcast(med), Seq(classCol))
+      .withColumn("z", abs(col(valueCol) - col("med")))
+    val perClass = z
+      .groupBy(col(classCol))
+      .agg(
+        sum(col("c")).as("ni"),
+        sum(col("z") * col("c")).as("si"),
+        sum(col("z") * col("z") * col("c")).as("ssi"),
+        max(col("z")).as("__max_z"))
+    val tot = perClass.agg(
+      count(lit(1)).as("k"),
+      sum(col("ni")).as("n_total"),
+      sum(col("si")).as("s_total"))
+    perClass
+      .crossJoin(broadcast(tot))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(
+          |  coalesce(ni, 0) = 0 OR
+          |  cast(ni as double) * cast(__max_z as double) * cast(__max_z as double) < 9.1e18,
+          |  'brownForsytheMicro: int64 sum-of-squares overflow -- rescale the value')"""
+          .stripMargin))
+      .withColumn("cell_num", when(col("__ovf_ok").isNull, expr(bfCellNumSql)))
+      .withColumn("cell_den", expr(bfCellDenSql))
+      .groupBy(col("k"), col("n_total"))
+      .agg(
+        sum(col("cell_num")).as("num_micro"),
+        sum(col("cell_den")).as("den_micro"))
+      .withColumn("w_micro", expr(bfWSql))
+  }
+
+  /** One-way ANOVA F across the dynamic classes of `classCol` on
+    * integer `valueCol` — the parametric location test completing the
+    * k-group family: q170's Kruskal–Wallis compares RANKS, this
+    * compares MEANS (efficient when the groups are roughly normal).
+    * Identical shape and cell templates as [[brownForsytheMicro]]
+    * (which IS this statistic applied to |x − median|): per-class
+    * exact integer moments, between/within double cells micro-rounded
+    * per class then exactly summed, one final
+    * ((N−k)/(k−1))·SSB/SSW chain. Output: one row
+    * `(k, n_total, num_micro, den_micro, f_micro)`.
+    */
+  def anovaFMicro(
+      df: DataFrame,
+      valueCol: String,
+      classCol: String): DataFrame = {
+    val perClass = df
+      .groupBy(col(classCol))
+      .agg(
+        count(lit(1)).as("ni"),
+        sum(col(valueCol)).as("si"),
+        sum(col(valueCol) * col(valueCol)).as("ssi"),
+        max(abs(col(valueCol))).as("__max_z"))
+    val tot = perClass.agg(
+      count(lit(1)).as("k"),
+      sum(col("ni")).as("n_total"),
+      sum(col("si")).as("s_total"))
+    perClass
+      .crossJoin(broadcast(tot))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(
+          |  coalesce(ni, 0) = 0 OR
+          |  cast(ni as double) * cast(__max_z as double) * cast(__max_z as double) < 9.1e18,
+          |  'anovaFMicro: int64 sum-of-squares overflow -- rescale the value')"""
+          .stripMargin))
+      .withColumn("cell_num", when(col("__ovf_ok").isNull, expr(bfCellNumSql)))
+      .withColumn("cell_den", expr(bfCellDenSql))
+      .groupBy(col("k"), col("n_total"))
+      .agg(
+        sum(col("cell_num")).as("num_micro"),
+        sum(col("cell_den")).as("den_micro"))
+      .withColumn("f_micro", expr(bfWSql))
+  }
+
+  /** Oracle-SQL twin of one class's Brown–Forsythe BETWEEN cell
+    * nᵢ·(z̄ᵢ − z̄)², micro-rounded. Expects `ni, si, n_total, s_total`.
+    */
+  val bfCellNumSql: String =
+    """CAST(round(CAST(ni AS DOUBLE)
+      | * (CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) - CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+      | * (CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) - CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+      | * 1000000) AS BIGINT)""".stripMargin
+
+  /** Oracle-SQL twin of one class's Brown–Forsythe WITHIN cell
+    * Σz² − (Σz)²/nᵢ, micro-rounded. Expects `ni, si, ssi`.
+    */
+  val bfCellDenSql: String =
+    """CAST(round((CAST(ssi AS DOUBLE)
+      | - CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))
+      | * 1000000) AS BIGINT)""".stripMargin
+
+  /** Oracle-SQL twin of the final Brown–Forsythe W chain
+    * ((N−k)/(k−1)) · num/den, micro-rounded. Expects
+    * `k, n_total, num_micro, den_micro`.
+    */
+  val bfWSql: String =
+    """CASE WHEN k < 2 OR den_micro = 0 THEN NULL
+      | ELSE CAST(round(CAST(n_total - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+      |   * CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE)
+      |   * 1000000) AS BIGINT) END""".stripMargin
+
+  /** Friedman rank test (Conover tie-corrected form) on COMPLETE blocks
+    * of `(blockCol, treatCol, valueCol)` — one row per (block,
+    * treatment), e.g. "does any event type's DAILY volume rank
+    * consistently above the others across days": the k-treatment
+    * repeated-measures sibling of [[kruskalWallisMicro]] (KW pools all
+    * observations; Friedman ranks WITHIN each block, removing the
+    * block effect). Blocks missing any treatment are dropped.
+    *
+    * Pure integer end-to-end via doubled midranks (the mid2 trick,
+    * computed per block — a k-row partitioned window, never global):
+    * with R2ⱼ = Σ_blocks mid2 and A2 = Σ mid2², Conover's
+    * χ² = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² / (ΣᵢⱼR²ᵢⱼ − nk(k+1)²/4) equals
+    * (k−1)·Σⱼ(R2ⱼ − n(k+1))² / (A2 − nk(k+1)²) exactly — one integer
+    * floor division, no doubles at all; NULL when the denominator is 0
+    * (all treatments tied in every block). Output: one row
+    * `(k, n_blocks, a2, num_sq, chi2_micro)`.
+    */
+  def friedmanMicro(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kTot = df.agg(countDistinct(col(treatCol)).as("k"))
+    val complete = df
+      .withColumn(
+        "__bsz",
+        count(lit(1)).over(Window.partitionBy(col(blockCol))))
+      .crossJoin(broadcast(kTot))
+      .filter(col("__bsz") === col("k"))
+    val wRank = Window.partitionBy(col(blockCol)).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(col(blockCol), col(valueCol))
+    val ranked = complete
+      .withColumn("__cb", rank().over(wRank) - 1)
+      .withColumn("__t", count(lit(1)).over(wTie))
+      .withColumn("mid2", col("__cb") * 2 + col("__t") + 1)
+    val perTreat = ranked
+      .groupBy(col("k"), col(treatCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("mid2")).as("r2j"),
+        sum(col("mid2") * col("mid2")).as("a2j"))
+    perTreat
+      .groupBy(col("k"), col("n_blocks"))
+      .agg(
+        sum(col("a2j")).as("a2"),
+        sum((col("r2j") - col("n_blocks") * (col("k") + 1))
+          * (col("r2j") - col("n_blocks") * (col("k") + 1))).as("num_sq"))
+      .withColumn(
+        "chi2_micro",
+        expr("""CASE WHEN a2 - n_blocks * k * (k + 1) * (k + 1) = 0 THEN NULL
+               | ELSE (k - 1) * num_sq * 1000000
+               |   div (a2 - n_blocks * k * (k + 1) * (k + 1)) END""".stripMargin))
+  }
+
+  /** Cochran–Armitage trend test from the COUNT-compressed ordered
+    * support `(scoreCol, nCol, rCol)` — nᵢ trials and rᵢ successes at
+    * integer score wᵢ: "does the purchase RATE rise monotonically with
+    * the price band", the dose-response test a k×2 χ² (q174) throws
+    * away the ordering for. Five exact integer moments off the
+    * support; `z_micro` is the one double chain ([[caZSql]]):
+    * T = Σwᵢrᵢ − R·Σwᵢnᵢ/N over √(p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N)),
+    * NULL when the variance term is 0 (constant score or p̄ ∈ {0,1}).
+    * Output: one row `(n, r, swn, swr, sw2n, z_micro)`.
+    */
+  def cochranArmitageMicro(
+      counts: DataFrame,
+      scoreCol: String,
+      nCol: String,
+      rCol: String): DataFrame = {
+    val w = col(scoreCol)
+    counts
+      .agg(
+        sum(col(nCol)).as("n"),
+        sum(col(rCol)).as("r"),
+        sum(w * col(nCol)).as("swn"),
+        sum(w * col(rCol)).as("swr"),
+        sum(w * w * col(nCol)).as("sw2n"))
+      .withColumn("z_micro", expr(caZSql))
+  }
+
+  /** Oracle-SQL twin of [[cochranArmitageMicro]]'s `z_micro`. Expects
+    * `n, r, swn, swr, sw2n`.
+    */
+  val caZSql: String = {
+    val p = "(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))"
+    val varW =
+      s"($p * (1.0 - $p) * (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) / CAST(n AS DOUBLE)))"
+    s"""CASE WHEN n = 0 OR r = 0 OR r = n
+       |   OR n * sw2n - swn * swn = 0 THEN NULL
+       | ELSE CAST(round(
+       |   (CAST(swr AS DOUBLE) - CAST(r AS DOUBLE) * CAST(swn AS DOUBLE) / CAST(n AS DOUBLE))
+       |   / sqrt($varW) * 1000000) AS BIGINT) END""".stripMargin
+  }
+
+  /** Durbin–Watson statistic per `partCols` group on the series
+    * `(orderCol, valueCol)` — first-order autocorrelation of the
+    * residuals from the group mean: DW ≈ 2 means independent
+    * fluctuations, → 0 positively-correlated runs, → 4 alternation.
+    * The q162 autocorrelation states the lag-1 correlation itself; DW
+    * is the regression-diagnostics form auditors ask for. Consecutive
+    * OBSERVED points are differenced (callers gap-fill first if
+    * calendar adjacency matters).
+    *
+    * Pure integer: multiplying numerator and denominator by n turns
+    * Σ(eₜ−eₜ₋₁)²/Σeₜ² into n·Σd² / (n·Σv² − s²) exactly (the mean
+    * cancels in the differences), so `dw_micro` is one floor division.
+    * NULL when n < 2 or the series is constant. The lag-1 difference
+    * is a `partCols`-partitioned window — never global. Output: one
+    * row per group `(partCols..., n, s, ss, sd2, dw_micro)`.
+    */
+  def durbinWatsonMicro(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val diffed = df
+      .withColumn("__d", col(valueCol) - lag(col(valueCol), 1).over(w))
+    diffed
+      .groupBy(partCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("s"),
+        sum(col(valueCol) * col(valueCol)).as("ss"),
+        coalesce(sum(col("__d") * col("__d")), lit(0L)).as("sd2"))
+      .withColumn(
+        "dw_micro",
+        expr("""CASE WHEN n < 2 OR n * ss - s * s = 0 THEN NULL
+               | ELSE n * sd2 * 1000000 div (n * ss - s * s) END""".stripMargin))
+  }
+
+  /** Cronbach's α internal-consistency reliability of the k-item
+    * instrument `(subjectCol, itemCol, valueCol)` (one row per
+    * OBSERVED subject×item; absent cells are zeros — correct by
+    * construction, since zero cells add nothing to any moment and the
+    * subject count comes from the distinct subjects): do the k items
+    * measure one underlying trait (α → 1) or unrelated things (α → 0)?
+    * The standard pre-check before summing per-type engagement counts
+    * into one "activity score".
+    *
+    * Exact integers end-to-end: with N subjects, Σᵢvarᵢ/var_T =
+    * Σᵢ(N·ssᵢ − sᵢ²) / (N·SST − ST²) — the (N−1)N denominators cancel
+    * — so both variance masses are exact integer sums
+    * (`item_var_mass`, `total_var_mass`) and α = k/(k−1)·(1 − A/B) is
+    * the one double chain ([[cronbachAlphaSql]]), NULL when k < 2 or
+    * B = 0. Output: one row
+    * `(k, n_subjects, item_var_mass, total_var_mass, alpha_micro)`.
+    */
+  def cronbachAlphaMicro(
+      df: DataFrame,
+      subjectCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    val perItem = df
+      .groupBy(col(itemCol))
+      .agg(
+        sum(col(valueCol)).as("si"),
+        sum(col(valueCol) * col(valueCol)).as("ssi"))
+    val perSubject = df
+      .groupBy(col(subjectCol))
+      .agg(sum(col(valueCol)).as("t"))
+    val totals = perSubject.agg(
+      count(lit(1)).as("n_subjects"),
+      sum(col("t")).as("st"),
+      sum(col("t") * col("t")).as("sst"))
+    perItem
+      .crossJoin(broadcast(totals))
+      .groupBy(col("n_subjects"), col("st"), col("sst"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("n_subjects") * col("ssi") - col("si") * col("si"))
+          .as("item_var_mass"))
+      .withColumn("total_var_mass", col("n_subjects") * col("sst") - col("st") * col("st"))
+      .withColumn("alpha_micro", expr(cronbachAlphaSql))
+      .select(
+        col("k"), col("n_subjects"), col("item_var_mass"),
+        col("total_var_mass"), col("alpha_micro"))
+  }
+
+  /** Oracle-SQL twin of [[cronbachAlphaMicro]]'s `alpha_micro`:
+    * k/(k−1)·(1 − A/B), micro-rounded. Expects
+    * `k, item_var_mass, total_var_mass`.
+    */
+  val cronbachAlphaSql: String =
+    """CASE WHEN k < 2 OR total_var_mass = 0 THEN NULL
+      | ELSE CAST(round(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+      |   * (1.0 - CAST(item_var_mass AS DOUBLE) / CAST(total_var_mass AS DOUBLE))
+      |   * 1000000) AS BIGINT) END""".stripMargin
+
+  /** Hill estimator of the power-law tail index over the top of a
+    * COUNT-compressed popularity table `(idCol, cntCol)`: α̂ = 1 +
+    * m / Σᵢ ln(xᵢ/x_min) over the m largest counts, with x_min the
+    * (m+1)-th order statistic — "how heavy is the head of the item
+    * distribution", the quantitative companion to q81's Zipf
+    * HISTOGRAM. Selection is a global top-(m+1) by (count DESC, id
+    * ASC) — `TakeOrderedAndProject`, never a global window — and ties
+    * AT x_min contribute exactly 0 (ln 1), so keeping them in the sum
+    * changes nothing. Per-item ln contributions are quantized to NANO
+    * before the exact integer sum (the suite's ln rule), and α lands
+    * as pure integer floor math: 1e6 + n_tail·1e15 div Σnano. With
+    * fewer than m+2 distinct ids the tail shrinks to what exists
+    * (n_tail = rows − 1). NULL when the whole tail ties (Σ = 0).
+    * Output: one row `(n_tail, x_min, sum_ln_nano, alpha_micro)`.
+    */
+  def hillTailAlphaMicro(
+      counts: DataFrame,
+      idCol: String,
+      cntCol: String,
+      m: Int): DataFrame = {
+    val top = counts
+      .select(col(idCol).as("__id"), col(cntCol).as("__c"))
+      .orderBy(col("__c").desc, col("__id").asc)
+      .limit(m + 1)
+    val xmin = top.agg(min(col("__c")).as("x_min"))
+    top
+      .crossJoin(broadcast(xmin))
+      .withColumn(
+        "__ln_nano",
+        round(log(col("__c").cast("double") / col("x_min").cast("double")) *
+          lit(1000000000L)).cast("long"))
+      .groupBy(col("x_min"))
+      .agg(
+        (count(lit(1)) - 1L).as("n_tail"),
+        sum(col("__ln_nano")).as("sum_ln_nano"))
+      .withColumn(
+        "alpha_micro",
+        expr("""CASE WHEN sum_ln_nano = 0 THEN NULL
+               | ELSE 1000000 + n_tail * 1000000000000000 div sum_ln_nano END"""
+          .stripMargin))
+      .select(col("n_tail"), col("x_min"), col("sum_ln_nano"), col("alpha_micro"))
+  }
+
+  /** Isotonic (monotone non-decreasing) calibration fit over a BOUNDED
+    * ordered support `(bandCol, nCol, sCol)` — nᵢ trials, sᵢ successes
+    * per score band: the calibration map behind "turn the model score
+    * into a probability that can only go UP with the score" (q136
+    * reports raw per-bin rates; this is the PAVA fit practitioners
+    * apply on top). Uses the minimax characterization of isotonic L2
+    * regression — fit(b) = max_{j≤b} min_{k≥b} rate(j..k) with
+    * rate(j..k) the pooled ppm rate of the contiguous band interval —
+    * which is pure integer here: pooled rates are single floor
+    * divisions of cumulative-count differences, and min/max over
+    * integers is exact. (Interval rates are ppm-FLOORED before the
+    * minimax, the documented quantization of this contract.)
+    *
+    * Scale: the support is CONTRACT-BOUNDED (score bands: tens, never
+    * facts) — the interval enumeration is |bands|² rows and the
+    * band×interval attach |bands|³, all broadcast-sized; the input
+    * aggregation upstream is the only fact-sized work. Output: one row
+    * per band `(bandCol, n, s, raw_ppm, iso_ppm)`.
+    */
+  def isotonicFitPpm(
+      counts: DataFrame,
+      bandCol: String,
+      nCol: String,
+      sCol: String): DataFrame = {
+    val cums = Windows
+      .shardedCumsum(
+        counts.select(
+          col(bandCol).as("band"), col(nCol).as("n"), col(sCol).as("s")),
+        "band", Seq("n", "s"), expr("band div 4"))
+      .select(col("band"), col("n"), col("s"), col("cum_n"), col("cum_s"))
+    val j = cums.select(
+      col("band").as("jb"),
+      (col("cum_n") - col("n")).as("n_before"),
+      (col("cum_s") - col("s")).as("s_before"))
+    val k = cums.select(
+      col("band").as("kb"), col("cum_n").as("n_to"), col("cum_s").as("s_to"))
+    val intervals = j
+      .join(k, col("jb") <= col("kb"))
+      .select(
+        col("jb"), col("kb"),
+        expr("(s_to - s_before) * 1000000 div (n_to - n_before)").as("rate_ppm"))
+    val fit = cums
+      .select(col("band"))
+      .join(broadcast(intervals), col("jb") <= col("band") && col("band") <= col("kb"))
+      .groupBy(col("band"), col("jb"))
+      .agg(min(col("rate_ppm")).as("mn"))
+      .groupBy(col("band"))
+      .agg(max(col("mn")).as("iso_ppm"))
+    cums
+      .join(broadcast(fit), Seq("band"))
+      .select(
+        col("band").as(bandCol), col("n"), col("s"),
+        expr("s * 1000000 div n").as("raw_ppm"), col("iso_ppm"))
+  }
+
+  /** Oracle-SQL twin of the classic two-proportion z test from the
+    * four exact integer cells `(n1, r1, n2, r2)`:
+    * z = (p₁ − p₂) / √(p̄(1−p̄)(1/n₁ + 1/n₂)), micro-rounded; NULL
+    * when either group is empty or the pooled rate is degenerate
+    * (p̄ ∈ {0,1}). The unpaired sibling of [[mcnemarMicro]] (paired)
+    * and the 2-group base case of [[cochranArmitageMicro]].
+    */
+  val twoPropZSql: String = {
+    val p1 = "(CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    val p2 = "(CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    val pb = "(CAST(r1 + r2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    s"""CASE WHEN n1 = 0 OR n2 = 0 OR r1 + r2 = 0 OR r1 + r2 = n1 + n2 THEN NULL
+       | ELSE CAST(round(($p1 - $p2)
+       |   / sqrt($pb * (1.0 - $pb) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+       |   * 1000000) AS BIGINT) END""".stripMargin
+  }
+
+  /** Mann–Kendall trend test on the series `(timeCol, valueCol)` (one
+    * row per time point, times unique): S = Σ_{i<j} sign(xⱼ − xᵢ) —
+    * "is the series monotonically drifting", the nonparametric trend
+    * TEST next to q159's Theil–Sen slope ESTIMATE (literally the same
+    * pair enumeration; MK is the significance half Theil–Sen lacks).
+    * S and the tie term Σt(t−1)(2t+5) are exact integers off the
+    * pairwise join; `z_micro` is the one continuity-corrected double
+    * chain ([[mkZSql]]), NULL when the variance term is ≤ 0.
+    *
+    * Scale: the pair join is |rows|² — BOUNDED series only (daily
+    * aggregates, the [[kendallTauBMicro]] adjudication), never facts.
+    * Output: one row `(n, s, ties_term, z_micro)`.
+    */
+  def mannKendallMicro(
+      df: DataFrame,
+      timeCol: String,
+      valueCol: String): DataFrame = {
+    val a = df.select(col(timeCol).as("ta"), col(valueCol).as("xa"))
+    val b = df.select(col(timeCol).as("tb"), col(valueCol).as("xb"))
+    val s = a.join(b, col("ta") < col("tb"))
+      .agg((Aggregates.countIf(col("xb") > col("xa")) -
+        Aggregates.countIf(col("xb") < col("xa"))).as("s"))
+    val ties = df
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("t"))
+      .agg(
+        sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("ties_term"))
+    ties
+      .crossJoin(broadcast(s))
+      .select(col("n"), col("s"), col("ties_term"))
+      .withColumn("z_micro", expr(mkZSql))
+  }
+
+  /** Oracle-SQL twin of [[mannKendallMicro]]'s continuity-corrected
+    * `z_micro`. Expects `n, s, ties_term`.
+    */
+  val mkZSql: String = {
+    val varS =
+      "((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(2 * n + 5 AS DOUBLE)" +
+        " - CAST(ties_term AS DOUBLE)) / 18.0)"
+    s"""CASE WHEN $varS <= 0 THEN NULL
+       | WHEN s = 0 THEN 0
+       | WHEN s > 0 THEN CAST(round(CAST(s - 1 AS DOUBLE) / sqrt($varS) * 1000000) AS BIGINT)
+       | ELSE CAST(round(CAST(s + 1 AS DOUBLE) / sqrt($varS) * 1000000) AS BIGINT) END"""
+      .stripMargin
+  }
+
+  /** Wald–Wolfowitz runs test on the above/below-median sign sequence
+    * of `(orderCol, valueCol)` — "are the highs and lows RANDOMLY
+    * interleaved, or do they clump" (too few runs = regime clumping,
+    * too many = alternation; the q204 DW question asked of signs, not
+    * magnitudes). Values EQUAL to the median drop (the standard
+    * convention). The kept rows are re-ranked by a sharded cumulative
+    * count — never a global window — and adjacency is the rank+1
+    * self-join; runs = 1 + sign changes. `z_micro` is the one double
+    * chain ([[runsZSql]]), NULL when either sign class is empty.
+    * Output: one row `(n_above, n_below, n_runs, z_micro)`.
+    */
+  def runsTestMicro(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      shardExpr: Column): DataFrame = {
+    val med = medianFromCounts(
+      df.groupBy(col(valueCol)).agg(count(lit(1)).as("c")),
+      Nil, valueCol, "c", shardExpr, "med")
+      .select(col("med"))
+    val signed = df
+      .crossJoin(broadcast(med))
+      .filter(col(valueCol) =!= col("med"))
+      .select(
+        col(orderCol),
+        when(col(valueCol) > col("med"), lit(1L)).otherwise(lit(0L)).as("sgn"),
+        lit(1L).as("one"))
+    val ranked = Windows
+      .shardedCumsum(signed, orderCol, Seq("one"), shardExpr = expr(
+        s"$orderCol div 8"))
+      .select(col("cum_one").as("rk"), col("sgn"))
+    val changes = ranked
+      .join(
+        ranked.select((col("rk") - 1).as("rk"), col("sgn").as("sgn_next")),
+        Seq("rk"))
+      .agg(Aggregates.countIf(col("sgn") =!= col("sgn_next")).as("n_changes"))
+    val cnt = signed.agg(
+      Aggregates.countIf(col("sgn") === 1).as("n_above"),
+      Aggregates.countIf(col("sgn") === 0).as("n_below"))
+    cnt
+      .crossJoin(broadcast(changes))
+      .select(
+        col("n_above"), col("n_below"),
+        (col("n_changes") + 1).as("n_runs"))
+      .withColumn("z_micro", expr(runsZSql))
+  }
+
+  /** Oracle-SQL twin of [[runsTestMicro]]'s `z_micro`:
+    * μ = 2n₁n₂/(n₁+n₂) + 1, σ² = 2n₁n₂(2n₁n₂−n₁−n₂)/((n₁+n₂)²(n₁+n₂−1)),
+    * z = (R−μ)/σ. Expects `n_above, n_below, n_runs`.
+    */
+  val runsZSql: String = {
+    val m = "(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE))"
+    val nt = "(CAST(n_above + n_below AS DOUBLE))"
+    s"""CASE WHEN n_above = 0 OR n_below = 0 OR n_above + n_below < 2 THEN NULL
+       | ELSE CAST(round(
+       |   (CAST(n_runs AS DOUBLE) - ($m / $nt + 1.0))
+       |   / sqrt($m * ($m - $nt) / ($nt * $nt * ($nt - 1.0)))
+       |   * 1000000) AS BIGINT) END""".stripMargin
+  }
+
   /** Kendall rank correlation τ-b between paired series `(xCol, yCol)`
     * (one row per observation; `tieCol` must be unique — pairs are
     * enumerated once as tie < tie). Concordant/discordant/tied pair

@@ -2532,4 +2532,604 @@ object EventQueries {
         sum(col("c") * col("c")).as("ss"))
       .withColumn("vmr_micro", expr(graft.ops.Stats.vmrMicroSql))
       .orderBy(col("event_type"))
+
+  /** OLS daily-revenue trend (q200): the parametric line through daily
+    * purchase revenue (cents) vs day index — slope (micro-cents/day),
+    * intercept (micro-cents at the first day) and R² next to q159's
+    * Theil–Sen slope (OLS is the efficient estimator when the series
+    * is clean; Theil–Sen survives the outlier days). Day index is
+    * relative to the observed minimum so the intercept is
+    * interpretable and the integer moments stay small
+    * ([[graft.ops.Stats.olsMicro]]).
+    */
+  def olsDailyRevenue(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+    val minDay = daily.agg(min(col("day")).as("min_day"))
+    graft.ops.Stats.olsMicro(
+      daily.crossJoin(broadcast(minDay))
+        .select((col("day") - col("min_day")).as("x"), col("y")),
+      "x", "y")
+  }
+
+  /** Brown–Forsythe variance homogeneity (q201) across ALL event types
+    * on order value cents — "do the types differ in SPREAD, not just
+    * location" ([[graft.ops.Stats.brownForsytheMicro]]; the variance
+    * sibling of q165 MWU / q183 Welch, which only see shifts).
+    */
+  def leveneValues(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.brownForsytheMicro(
+      Tables.events(s, d).select(
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents")),
+      "cents", "event_type", expr("cents div 5000"))
+
+  /** Friedman rank test (q202) on daily event-type volumes — blocks =
+    * days, treatments = event types: does any type rank consistently
+    * above the others day after day, with the day-level volume effect
+    * removed ([[graft.ops.Stats.friedmanMicro]]; q170's KW would pool
+    * the days and let busy days drown the ordering).
+    */
+  def friedmanDailyTypes(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.friedmanMicro(
+      Tables.events(s, d)
+        .groupBy(
+          expr("unix_timestamp(ts) div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c")),
+      "day", "event_type", "c")
+
+  /** Cochran–Armitage trend (q203): does the purchase rate (among
+    * purchase+view events) trend with the price band — the ORDERED
+    * alternative to a k×2 χ² (q174 discards the band ordering). Bands
+    * are $50 price buckets capped at 9
+    * ([[graft.ops.Stats.cochranArmitageMicro]]).
+    */
+  def trendPriceBands(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.cochranArmitageMicro(
+      Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(
+          least(expr("cast(round(value * 100) as bigint) div 5000"), lit(9L))
+            .as("band"),
+          (col("event_type") === "purchase").cast("long").as("succ"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_i"), sum(col("succ")).as("r_i")),
+      "band", "n_i", "r_i")
+
+  /** Durbin–Watson (q204) per event type on the daily count series —
+    * are day-to-day fluctuations independent (DW ≈ 2) or do they run
+    * in correlated streaks (DW → 0)? The regression-diagnostics form
+    * of q162's lag-1 autocorrelation
+    * ([[graft.ops.Stats.durbinWatsonMicro]]).
+    */
+  def durbinWatsonDaily(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.durbinWatsonMicro(
+      Tables.events(s, d)
+        .groupBy(
+          col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("c")),
+      Seq("event_type"), "day", "c")
+      .orderBy(col("event_type"))
+
+  /** Cronbach's α (q205) over the 5 per-type engagement counts as a
+    * k-item instrument (subjects = users): is "user activity" one
+    * coherent trait across types, the reliability pre-check before
+    * collapsing them into a single engagement score
+    * ([[graft.ops.Stats.cronbachAlphaMicro]]).
+    */
+  def cronbachEngagement(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.cronbachAlphaMicro(
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c")),
+      "user_id", "event_type", "c")
+
+  /** Daily category-concentration HHI (q206): Σ share² of each day's
+    * category mix in ppm — the market-concentration number next to
+    * q189's exposure Gini (HHI weights the HEAD quadratically, Gini
+    * the whole curve). Pure integer: Σc² and T are exact, one floor
+    * division per day.
+    */
+  def dailyCategoryHhi(s: SparkSession, d: String): DataFrame =
+    Pipeline.enrichedEvents(s, d)
+      .groupBy(expr("epoch_s div 86400").as("day"), col("category_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .withColumn("hhi_ppm", expr("sum_sq * 1000000 div (total * total)"))
+      .orderBy(col("day"))
+
+  /** Hill tail-index (q207) of item popularity: how heavy is the head
+    * of the item-frequency distribution, as ONE number next to q81's
+    * Zipf histogram — top-201 order statistics, nano-quantized ln
+    * contributions, integer α ([[graft.ops.Stats.hillTailAlphaMicro]]).
+    */
+  def hillPopularityTail(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.hillTailAlphaMicro(
+      Pipeline.enrichedEvents(s, d)
+        .groupBy(col("item_id"))
+        .agg(count(lit(1)).as("c")),
+      "item_id", "c", m = 200)
+
+  /** Kaplan–Meier return-survival curve (q209) over between-session
+    * gaps, weekly grain: S(w) = Π_{j≤w}(n_j − d_j)/n_j — the
+    * cumulative "still away after w weeks" probability whose per-step
+    * hazard q198 reports at day grain. Gaps longer than the 5-week
+    * horizon stay at risk through every shown week (right-truncated
+    * horizon, not censoring — every gap here is complete). The
+    * 5-bucket product unrolls as chained exact ppm floor divisions
+    * (each step quantizes to ppm — the documented contract), NULL from
+    * the first empty risk set on. Output: one row per week 0–4
+    * `(week, n_at_risk, n_died, surv_ppm)`.
+    */
+  def kaplanMeierReturns(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = Pipeline.sessionizedEvents(s, d)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("epoch_s")).as("start_s"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_s"), col("session_id"))
+    val weeks = starts
+      .withColumn("next_s", lead(col("start_s"), 1).over(w))
+      .filter(col("next_s").isNotNull)
+      .select(expr("(next_s - start_s) div 86400 div 7").as("wk"))
+    val aggs = (0 to 4).map(j => Ag.countIf(col("wk") === j).as(s"d$j"))
+    val base = weeks
+      .agg(count(lit(1)).as("n_total"), aggs: _*)
+      .withColumn("n0", col("n_total"))
+    val withRisk = (1 to 4).foldLeft(base) { (df, j) =>
+      df.withColumn(s"n$j", col(s"n${j - 1}") - col(s"d${j - 1}"))
+    }
+    val withSurv = (0 to 4).foldLeft(withRisk) { (df, j) =>
+      val prev = if (j == 0) "1000000" else s"s${j - 1}"
+      df.withColumn(s"s$j",
+        expr(s"CASE WHEN n$j = 0 THEN NULL ELSE $prev * (n$j - d$j) div n$j END"))
+    }
+    withSurv.selectExpr(
+      "stack(5, " + (0 to 4).map(j =>
+        s"CAST($j AS BIGINT), n$j, d$j, s$j").mkString(", ") +
+        ") AS (week, n_at_risk, n_died, surv_ppm)")
+  }
+
+  /** Isotonic purchase-rate calibration (q210) over the q203 price
+    * bands: the PAVA monotone fit on top of the raw per-band rates —
+    * what q136's calibration report feeds into before scores ship
+    * ([[graft.ops.Stats.isotonicFitPpm]]).
+    */
+  def isotonicPriceCalibration(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.isotonicFitPpm(
+      Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(
+          least(expr("cast(round(value * 100) as bigint) div 5000"), lit(9L))
+            .as("band"),
+          (col("event_type") === "purchase").cast("long").as("succ"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_i"), sum(col("succ")).as("s_i")),
+      "band", "n_i", "s_i")
+      .orderBy(col("band"))
+
+  /** Intra-list diversity (q212) of the top-10 covis recommendation
+    * lists: the fraction of recommended PAIRS that cross categories —
+    * 1 − Σ_c C(m_c,2)/C(n,2), computed line-rate from the per-category
+    * multiplicities (never materializing the k² pairs; at k = 10
+    * that's algebra, at k = 1000 it's the difference between a scan
+    * and a join). The accuracy metrics (q112/q135/q138) say the list
+    * is RIGHT; ILD says it isn't ten shades of the same item. Sources
+    * with < 2 recommendations have no pairs and drop.
+    */
+  def intraListDiversity(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val directed = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
+      .unionByName(pairs
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+    Windows
+      .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
+      .select(col("src"), (col("dst") % 20).as("cat"))
+      .groupBy(col("src"), col("cat"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("src"))
+      .agg(
+        sum(col("m")).as("n_recs"),
+        sum(expr("m * (m - 1) div 2")).as("same_pairs"))
+      .filter(col("n_recs") >= 2)
+      .withColumn(
+        "ild_ppm",
+        expr("""(n_recs * (n_recs - 1) div 2 - same_pairs) * 1000000
+               | div (n_recs * (n_recs - 1) div 2)""".stripMargin))
+      .orderBy(col("src"))
+  }
+
+  /** Two-sample Q–Q decile table (q213): purchase vs view order values
+    * at matching ppm ranks 100k..900k — WHERE the distributions
+    * diverge, decile by decile (q154's KS collapses it to one max
+    * gap). Order-statistic ranks are pure integer ppm math
+    * (`(n·ppm + 999999) div 1e6` on BOTH sides — the suite's
+    * ceil-avoidance rule), values emit in cents. One sharded
+    * cumulative pass + a 9-row broadcast rank attach per side.
+    */
+  def qqDeciles(s: SparkSession, d: String): DataFrame = {
+    val counts = purchaseViewSupport(s, d)
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val cums = graft.core.Caches.cache(
+      valueSupportCums(counts)
+        .select(
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          col("cum_ca"), col("cum_cb")))
+    val ranks = totals
+      .select(
+        explode(array((1 to 9).map(i => lit(i * 100000L)): _*)).as("ppm"),
+        col("na"), col("nb"))
+      .withColumn("rank_a", expr("(na * ppm + 999999) div 1000000"))
+      .withColumn("rank_b", expr("(nb * ppm + 999999) div 1000000"))
+    val qa = cums
+      .join(broadcast(ranks), col("cum_ca") >= col("rank_a"))
+      .groupBy(col("ppm"))
+      .agg(min(col("cents")).as("purchase_cents"))
+    val qb = cums
+      .join(broadcast(ranks), col("cum_cb") >= col("rank_b"))
+      .groupBy(col("ppm"))
+      .agg(min(col("cents")).as("view_cents"))
+    qa.join(qb, Seq("ppm"))
+      .withColumn("gap_cents", col("purchase_cents") - col("view_cents"))
+      .orderBy(col("ppm"))
+  }
+
+  /** Tukey-fence outlier counts (q214) per event type: Q1/Q3 at ppm
+    * ranks 250k/750k off the count-compressed cents support, fences at
+    * ±1.5·IQR kept integer by DOUBLING (lo2 = 2Q1 − 3·IQR), and the
+    * outlier counts by weighted conditional sums — the box-plot
+    * complement to q114's MAD outliers (MAD scores each row; fences
+    * COUNT the tail mass per segment).
+    */
+  def tukeyOutliers(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.events(s, d)
+      .select(
+        col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val cums = Windows.shardedCumsumBy(
+      sup, Seq("event_type"), "cents", Seq("c"), expr("cents div 5000"))
+    val tot = sup.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val joined = graft.core.Caches.cache(cums.join(broadcast(tot), Seq("event_type")))
+    def orderStat(ppm: Long, name: String) = joined
+      .filter(col("cum_c") >= expr(s"(n * $ppm + 999999) div 1000000"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(min(col("cents")).as(name))
+    val fences = orderStat(250000L, "q1_cents")
+      .join(orderStat(750000L, "q3_cents"), Seq("event_type", "n"))
+      .withColumn("lo2", col("q1_cents") * 2 - (col("q3_cents") - col("q1_cents")) * 3)
+      .withColumn("hi2", col("q3_cents") * 2 + (col("q3_cents") - col("q1_cents")) * 3)
+    sup
+      .join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("q1_cents"), col("q3_cents"))
+      .agg(
+        sum(when(col("cents") * 2 < col("lo2"), col("c")).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") * 2 > col("hi2"), col("c")).otherwise(0L)).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Community purity (q215): how well the q157 covis label-prop
+    * communities line up with the item CATEGORY dimension — Σ_comm
+    * max_cat |comm ∩ cat| / N, the external clustering evaluation that
+    * needs no ln at all (max over exact integer cell counts; the NMI
+    * sibling trades this exactness for symmetry). Purity 1 = every
+    * community is category-pure; 1/k = no alignment.
+    */
+  def communityPurity(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val labels = graft.ops.Graph.labelPropagation(pairs, "item_a", "item_b", rounds = 4)
+    labels
+      .select(col("id"), col("label"), (col("id") % 20).as("cat"))
+      .groupBy(col("label"), col("cat"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("label"))
+      .agg(sum(col("m")).as("sz"), max(col("m")).as("top"))
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("sz")).as("n_items"),
+        sum(col("top")).as("top_mass"))
+      .withColumn("purity_ppm", expr("top_mass * 1000000 div n_items"))
+  }
+
+  /** Partial autocorrelation at lag 2 (q216), Durbin–Levinson closed
+    * form φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²) on the daily-count series — is
+    * the lag-2 dependence REAL structure or just lag-1 echoed twice
+    * (q162 reports raw ρ₂, which conflates the two)? Built from the
+    * exact integer centered moments of the q162 contract (num₁, num₂,
+    * den); the ratio chain runs in doubles (den² would overflow int64)
+    * written identically in the oracle, NULL when den = 0 or |ρ₁| = 1.
+    */
+  def pacfLag2(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .transform(graft.core.Caches.cache)
+    val totals = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val den = daily.crossJoin(broadcast(totals))
+      .agg(sum(expr("(n * x - sx) * (n * x - sx)")).as("den"))
+    def num(lag: Int) = daily
+      .crossJoin(broadcast(totals))
+      .join(
+        daily.select(col("day").as("day2"), col("x").as("x2")),
+        col("day2") === col("day") + lag)
+      .agg(sum(expr("(n * x - sx) * (n * x2 - sx)")).as(s"num$lag"))
+    totals
+      .crossJoin(broadcast(num(1)))
+      .crossJoin(broadcast(num(2)))
+      .crossJoin(broadcast(den))
+      .select(col("n"), col("num1"), col("num2"), col("den"))
+      .withColumn("pacf2_micro", expr(
+        """CASE WHEN den = 0
+          |   OR cast(num1 as double) * cast(num1 as double)
+          |      = cast(den as double) * cast(den as double) THEN NULL
+          | ELSE CAST(round(
+          |   (cast(num2 as double) / cast(den as double)
+          |    - (cast(num1 as double) / cast(den as double))
+          |      * (cast(num1 as double) / cast(den as double)))
+          |   / (1.0 - (cast(num1 as double) / cast(den as double))
+          |      * (cast(num1 as double) / cast(den as double)))
+          |   * 1000000) AS BIGINT) END""".stripMargin))
+  }
+
+  /** Recommendation novelty (q217): mean self-information
+    * ln(N/popularity) of each top-10 covis list — q212's ILD says the
+    * list isn't self-similar; novelty says it isn't just the head of
+    * the catalog (popularity bias, the known covis failure mode).
+    * Per-item information is nano-quantized before the exact sum (the
+    * suite's ln rule); the list mean is one integer floor division.
+    */
+  def recNovelty(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val directed = pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
+      .unionByName(pairs
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+    val pop = enriched.groupBy(col("item_id")).agg(count(lit(1)).as("c"))
+    val tot = pop.agg(sum(col("c")).as("n_tot"))
+    val info = pop
+      .crossJoin(broadcast(tot))
+      .select(
+        col("item_id").as("dst"),
+        round(log(col("n_tot").cast("double") / col("c").cast("double")) *
+          lit(1000000000L)).cast("long").as("info_nano"))
+    Windows
+      .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
+      .join(broadcast(info), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_recs"), sum(col("info_nano")).as("info_sum_nano"))
+      .withColumn("novelty_nano", expr("info_sum_nano div n_recs"))
+      .orderBy(col("src"))
+  }
+
+  /** A-ES weighted sample (q218): 100 items drawn without replacement
+    * with probability proportional to popularity —
+    * [[graft.ops.Sampling.weightedSampleTopK]] over the item count
+    * table (q45's hash sample is UNIFORM; training mixtures usually
+    * want popularity- or quality-weighted draws).
+    */
+  def weightedItemSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.weightedSampleTopK(
+      Pipeline.enrichedEvents(s, d)
+        .groupBy(col("item_id"))
+        .agg(count(lit(1)).as("c")),
+      "item_id", "c", k = 100)
+
+  /** Two-proportion z test (q219): weekend vs weekday purchase rate
+    * among purchase+view events — the unpaired A/B workhorse
+    * (q185's McNemar needs PAIRED outcomes; this is the independent-
+    * groups form). Four exact integer cells, one shared chain
+    * ([[graft.ops.Stats.twoPropZSql]]).
+    */
+  def weekendPurchaseZ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        expr("CASE WHEN (unix_timestamp(ts) div 86400 + 3) % 7 >= 5 THEN 1 ELSE 0 END")
+          .as("wknd"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("succ"))
+      .agg(
+        sum(col("wknd")).as("n1"),
+        sum(col("wknd") * col("succ")).as("r1"),
+        sum(lit(1L) - col("wknd")).as("n2"),
+        sum((lit(1L) - col("wknd")) * col("succ")).as("r2"))
+      .withColumn("z_micro", expr(graft.ops.Stats.twoPropZSql))
+
+  /** Mann–Kendall trend test (q220) on daily purchase volume — the
+    * significance half of q159's Theil–Sen slope (same pair
+    * enumeration; MK says whether the drift is real, Theil–Sen how
+    * steep) ([[graft.ops.Stats.mannKendallMicro]]).
+    */
+  def mannKendallDaily(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.mannKendallMicro(
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("x")),
+      "day", "x")
+
+  /** Wald–Wolfowitz runs test (q221) on daily total volume vs its
+    * median — do high and low days clump into regimes or interleave
+    * randomly ([[graft.ops.Stats.runsTestMicro]]; q204's DW asks this
+    * of magnitudes, the runs test of bare signs).
+    */
+  def runsTestDaily(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.runsTestMicro(
+      Tables.events(s, d)
+        .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("x")),
+      "day", "x", expr("x div 64"))
+
+  /** Bradley–Terry item strengths (q222) from session transitions —
+    * each a→b hop read as "b preferred over a", aggregated into one
+    * global strength ranking by 2 exact MM iterations
+    * ([[graft.ops.Graph.bradleyTerryMicro]]): the preference-
+    * aggregation primitive behind Elo and RLHF reward data. Top 20 by
+    * (strength, item).
+    */
+  def bradleyTerryItems(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+      .filter(col("item_a") =!= col("item_b"))
+    graft.ops.Graph
+      .bradleyTerryMicro(
+        trans.select(
+          col("item_b").as("win"), col("item_a").as("lose"),
+          col("transition_count")),
+        "win", "lose", "transition_count", iters = 2)
+      .orderBy(col("s_micro").desc, col("id").asc)
+      .limit(20)
+      .select(col("id").as("item_id"), col("s_micro"))
+  }
+
+  /** One-way ANOVA F (q223) of daily volume across day-of-week groups
+    * — "is there a weekly seasonality in MEANS" as a parametric test
+    * (q202's Friedman ranks within day blocks; this pools across
+    * weeks), sharing the q201 cell templates exactly
+    * ([[graft.ops.Stats.anovaFMicro]]).
+    */
+  def anovaDowVolume(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.anovaFMicro(
+      Tables.events(s, d)
+        .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(expr("(day + 3) % 7").as("dow"), col("x")),
+      "x", "dow")
+
+  /** Chapman capture–recapture estimate (q224) of the active-item
+    * population: items "captured" in the first half of the period,
+    * "recaptured" in the second — N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    * estimates how many items EXIST including the never-observed tail
+    * (the catalog-size question a plain COUNT DISTINCT can't answer).
+    * Pure integer end-to-end.
+    */
+  def captureRecapture(s: SparkSession, d: String): DataFrame = {
+    val enr = Pipeline.enrichedEvents(s, d)
+      .select(col("item_id"), expr("epoch_s div 86400").as("day"))
+    val mid = enr.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    enr
+      .crossJoin(broadcast(mid))
+      .groupBy(col("item_id"))
+      .agg(
+        max(when(col("day") < col("mid"), 1L).otherwise(0L)).as("in1"),
+        max(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("in2"))
+      .agg(
+        sum(col("in1")).as("n1"),
+        sum(col("in2")).as("n2"),
+        sum(col("in1") * col("in2")).as("m"))
+      .withColumn("n_hat", expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1"))
+  }
+
+  /** Jackknife variance (q225) of the mean purchase value, days as
+    * deletion blocks: leave-one-day-out pseudo-estimates θ₍ᵢ₎ =
+    * (S−sᵢ)/(N−nᵢ) micro-quantized per day (the per-cell rule), then
+    * exact integer variance — the honest standard error for a metric
+    * whose rows CLUSTER within days (the iid bootstrap q121 understates
+    * day-level correlation). Output: one row
+    * `(n_days, theta_micro, var_jack_micro2, se_micro)`.
+    */
+  def jackknifeDailyMean(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(
+        count(lit(1)).as("ni"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("si"))
+      .transform(graft.core.Caches.cache)
+    val tot = daily.agg(
+      count(lit(1)).as("n_days"), sum(col("ni")).as("nn"), sum(col("si")).as("ss"))
+    val thetas = daily
+      .crossJoin(broadcast(tot))
+      .filter(col("nn") > col("ni"))
+      .select(
+        col("n_days"), col("nn"), col("ss"),
+        expr("""CAST(round(CAST(ss - si AS DOUBLE) / CAST(nn - ni AS DOUBLE)
+               | * 1000000) AS BIGINT)""".stripMargin).as("theta_i"))
+      .transform(graft.core.Caches.cache)
+    val mean = thetas.agg(expr("sum(theta_i) div count(1)").as("theta_bar"))
+    thetas
+      .crossJoin(broadcast(mean))
+      .groupBy(col("n_days"), col("nn"), col("ss"))
+      .agg(sum((col("theta_i") - col("theta_bar"))
+        * (col("theta_i") - col("theta_bar"))).as("sdev2"))
+      .select(
+        col("n_days"),
+        expr("ss * 1000000 div nn").as("theta_micro"),
+        expr("(n_days - 1) * sdev2 div n_days").as("var_jack_micro2"))
+      .withColumn("se_micro",
+        expr("CAST(round(sqrt(CAST(var_jack_micro2 AS DOUBLE))) AS BIGINT)"))
+  }
+
+  /** Markov entropy rate (q226) of the session transition chain:
+    * Σᵢ πᵢ·Hᵢ / Σᵢ πᵢ with πᵢ the damped stationary mass (the q87
+    * 2-iteration PageRank contract) and Hᵢ the per-state next-hop
+    * entropy — ONE number for "how predictable is the next item
+    * overall" (q145 reports per-state entropies; this weights them by
+    * how often sessions actually sit in each state). Per-edge entropy
+    * cells are micro-quantized before the exact sums.
+    */
+  def entropyRate(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+      .transform(graft.core.Caches.cache)
+    val pr = graft.ops.Graph.pagerankMicro(
+      trans, "item_a", "item_b", "transition_count", iters = 2,
+      broadcastRanks = true)
+    val outw = trans.groupBy(col("item_a")).agg(sum(col("transition_count")).as("out_w"))
+    val h = trans
+      .join(outw, Seq("item_a"))
+      .select(
+        col("item_a").as("id"),
+        expr("""CAST(round(
+               |  CAST(transition_count AS DOUBLE) / CAST(out_w AS DOUBLE)
+               |  * ln(CAST(out_w AS DOUBLE) / CAST(transition_count AS DOUBLE))
+               |  * 1000000) AS BIGINT)""".stripMargin).as("cell_micro"))
+      .groupBy(col("id"))
+      .agg(sum(col("cell_micro")).as("h_micro"))
+    pr
+      .join(h, Seq("id"), "left")
+      .na.fill(0L, Seq("h_micro"))
+      .agg(
+        count(lit(1)).as("n_states"),
+        sum(col("pr_micro")).as("pr_total"),
+        sum(col("pr_micro") * col("h_micro")).as("wh"))
+      .withColumn("rate_micro", expr("wh div pr_total"))
+      .select(col("n_states"), col("pr_total"), col("rate_micro"))
+  }
+
+  /** SALSA hubs/authorities (q211) on the session transition graph —
+    * q173's HITS with sending-side degree normalization, the
+    * TKC-resistant variant: a mega-hub no longer floods its full mass
+    * into every successor ([[graft.ops.Graph.salsaMicro]]). Top 20 by
+    * (authority, hub, item).
+    */
+  def salsaTransitions(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val trans = Windows.transitionCounts(
+      enriched, "session_id",
+      Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    graft.ops.Graph
+      .salsaMicro(trans, "item_a", "item_b", "transition_count", iters = 2)
+      .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("id").asc)
+      .limit(20)
+      .select(col("id").as("item_id"), col("hub_micro"), col("auth_micro"))
+  }
 }

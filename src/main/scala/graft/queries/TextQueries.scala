@@ -1002,4 +1002,39 @@ object TextQueries {
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** TextRank keyword extraction (q208): PageRank over the token
+    * ADJACENCY graph (Mihalcea & Tarau 2004) — unlike q43's TF-IDF
+    * (frequency vs corpus) or q186's RAKE (within-phrase degree),
+    * TextRank scores a word by the words it keeps company with,
+    * corpus-wide. Edges = adjacent token pairs (both orders, weight =
+    * adjacency count) over the ≥5-occurrence vocabulary; 2 exact
+    * integer PageRank iterations ([[graft.ops.Graph.pagerankMicro]],
+    * vocabulary-bounded so ranks broadcast); top 20 by (score, term).
+    */
+  def textrankKeywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocab = toks
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5).select(col("tok"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val und = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .join(broadcast(vocab), Seq("tok"), "left_semi")
+      .join(broadcast(vocab.select(col("tok").as("nxt"))), Seq("nxt"), "left_semi")
+      .select(
+        least(col("tok"), col("nxt")).as("wa"),
+        greatest(col("tok"), col("nxt")).as("wb"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("cw"))
+    val edges = und.union(und.select(col("wb"), col("wa"), col("cw")))
+    graft.ops.Graph
+      .pagerankMicro(edges, "wa", "wb", "cw", iters = 2, broadcastRanks = true)
+      .orderBy(col("pr_micro").desc, col("id").asc)
+      .limit(20)
+      .select(col("id").as("term"), col("pr_micro"))
+  }
 }

@@ -459,4 +459,67 @@ class GraphSpec extends SparkSpec {
     }
     assert(out.isEmpty, "the shared edge must lose its triangles once its neighbors peel")
   }
+
+  test("salsaMicro: hand-computed 2-iteration scores on the A->B, A->C, B->C triangle") {
+    // out_w: A=2, B=1; in_w: B=1, C=2
+    // a1 = (A:0, B:500000, C:1500000); h1 = (A:1250000, B:750000, C:0)
+    // a2 = (A:0, B:625000, C:1375000); h2 = (A:1312500, B:687500, C:0)
+    val e = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L)).toDF("s", "d", "w")
+    val out = graft.core.Caches.withScope {
+      Graph.salsaMicro(e, "s", "d", "w", iters = 2).collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("hub_micro"), r.getAs[Long]("auth_micro")))
+        .toMap
+    }
+    assert(out("A") == (1312500L, 0L))
+    assert(out("B") == (687500L, 625000L))
+    assert(out("C") == (0L, 1375000L))
+  }
+
+  test("bradleyTerryMicro: 3-1 head-to-head converges to the 3:1 strength ratio") {
+    // W_A=3, W_B=1, m_AB=4: MM fixed point s_A = 1.5e6, s_B = 0.5e6
+    val wins = Seq(("A", "B", 3L), ("B", "A", 1L)).toDF("win", "lose", "nw")
+    val out = graft.core.Caches.withScope {
+      Graph.bradleyTerryMicro(wins, "win", "lose", "nw", iters = 2).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("s_micro")).toMap
+    }
+    assert(out("A") == 1500000L && out("B") == 500000L)
+    // a never-winning item pins to exactly 0
+    val shut = Seq(("A", "B", 2L)).toDF("win", "lose", "nw")
+    val s = graft.core.Caches.withScope {
+      Graph.bradleyTerryMicro(shut, "win", "lose", "nw", iters = 2).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("s_micro")).toMap
+    }
+    assert(s("B") == 0L && s("A") > 0L)
+  }
+
+  test("bradleyTerryMicro: transitive 2-0 chain orders A > B > C; partition-invariant") {
+    val wins = Seq(("A", "B", 2L), ("B", "C", 2L), ("A", "C", 1L), ("C", "A", 1L))
+      .toDF("win", "lose", "nw")
+    val run = (df: org.apache.spark.sql.DataFrame) => graft.core.Caches.withScope {
+      Graph.bradleyTerryMicro(df, "win", "lose", "nw", iters = 2).orderBy("id").collect().toSeq
+    }
+    val out = run(wins)
+    val byId = out.map(r => r.getString(0) -> r.getAs[Long]("s_micro")).toMap
+    assert(byId("A") > byId("B") && byId("B") > byId("C"))
+    assert(run(wins.repartition(5)) == out)
+  }
+
+  test("salsaMicro: a mega-hub's mass splits by degree (TKC resistance) and results are partition-invariant") {
+    // hub H points at 10 sinks: each authority gets exactly 1e6/10,
+    // where HITS (un-normalized) would give each the hub's FULL mass
+    val e = (1L to 10L).map(i => ("H", s"s$i", 1L)).toDF("s", "d", "w")
+    val out = graft.core.Caches.withScope {
+      Graph.salsaMicro(e, "s", "d", "w", iters = 1).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("auth_micro")).toMap
+    }
+    (1 to 10).foreach(i => assert(out(s"s$i") == 100000L))
+    val a = graft.core.Caches.withScope {
+      Graph.salsaMicro(edges, "src", "dst", "w", iters = 2).orderBy("id").collect().toSeq
+    }
+    val b = graft.core.Caches.withScope {
+      Graph.salsaMicro(edges.repartition(7), "src", "dst", "w", iters = 2)
+        .orderBy("id").collect().toSeq
+    }
+    assert(a == b)
+  }
 }

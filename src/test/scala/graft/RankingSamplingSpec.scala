@@ -197,4 +197,25 @@ class RankingSamplingSpec extends SparkSpec {
     // nested-sample property: the 5-sample is a subset of the 10-sample
     assert(run(df, 5).subsetOf(k10))
   }
+
+  test("weightedSampleTopK: priorities are -ln(u) div w, heavier rows sample first at equal hash") {
+    val df = (1L to 50L).map(i => (i, 1L + (i % 5))).toDF("id", "w")
+    val out = Sampling.weightedSampleTopK(df, "id", "w", k = 10).collect()
+    assert(out.length == 10)
+    // recompute one row's priority by hand from the same md5 derivation
+    val first = out.head
+    val id = first.getAs[Long]("id")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id}_ws".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(md.take(15), 16)
+    val nano = math.round(-math.log((h.toDouble + 1) / 1152921504606846976.0) * 1e9)
+    assert(first.getAs[Long]("priority") == nano / first.getAs[Long]("weight"))
+    // deterministic under repartitioning, and nested: k=5 is a prefix of k=10
+    val again = Sampling.weightedSampleTopK(df.repartition(7), "id", "w", k = 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(again == out.map(_.getAs[Long]("id")).toSeq)
+    val k5 = Sampling.weightedSampleTopK(df, "id", "w", k = 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(k5 == out.map(_.getAs[Long]("id")).take(5).toSeq)
+  }
 }

@@ -232,4 +232,205 @@ class StatsSpec extends SparkSpec {
       s2.repartition(7), "v", "ca", "cb", expr("v div 2")).collect().toSeq
     assert(one == many)
   }
+
+  test("olsMicro: perfect line y = 2x + 1 -> slope 2, intercept 1, r2 = 1") {
+    val df = Seq((0L, 1L), (1L, 3L), (2L, 5L)).toDF("x", "y")
+    val r = Stats.olsMicro(df, "x", "y").head()
+    assert(r.getAs[Long]("n") == 3 && r.getAs[Long]("sxy") == 13 && r.getAs[Long]("sx2") == 5)
+    assert(r.getAs[Long]("slope_micro") == 2000000L)
+    assert(r.getAs[Long]("intercept_micro") == 1000000L)
+    assert(r.getAs[Long]("r2_micro") == 1000000L)
+  }
+
+  test("olsMicro: constant x -> NULL slope; constant y -> slope 0, NULL r2") {
+    val cx = Stats.olsMicro(Seq((2L, 1L), (2L, 5L)).toDF("x", "y"), "x", "y").head()
+    assert(cx.isNullAt(cx.fieldIndex("slope_micro")))
+    val cy = Stats.olsMicro(Seq((0L, 7L), (1L, 7L)).toDF("x", "y"), "x", "y").head()
+    assert(cy.getAs[Long]("slope_micro") == 0L)
+    assert(cy.getAs[Long]("intercept_micro") == 7000000L)
+    assert(cy.isNullAt(cy.fieldIndex("r2_micro")))
+  }
+
+  test("brownForsytheMicro: hand fixture -- W = 1 exactly (up to cell micro-rounding)") {
+    // a = {1,1,5}: median 1, z = {0,0,4}; b = {2,2,2}: median 2, z = {0,0,0}
+    // between = 3*(4/3-2/3)^2 * 2 = 8/3; within = 16 - 16/3 = 32/3; W = 4*(8/3)/(32/3) = 1
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 5L), ("b", 2L), ("b", 2L), ("b", 2L))
+      .toDF("cls", "v")
+    val r = Stats.brownForsytheMicro(df, "v", "cls", expr("v div 3")).head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n_total") == 6)
+    assert(r.getAs[Long]("num_micro") == 2666666L)
+    assert(r.getAs[Long]("den_micro") == 10666667L)
+    assert(r.getAs[Long]("w_micro") == 1000000L)
+  }
+
+  test("brownForsytheMicro: equal spreads -> W = 0; zero within -> NULL") {
+    val eq = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L)).toDF("cls", "v")
+    val r = Stats.brownForsytheMicro(eq, "v", "cls", expr("v div 7")).head()
+    assert(r.getAs[Long]("w_micro") == 0L)
+    val const = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("cls", "v")
+    val c = Stats.brownForsytheMicro(const, "v", "cls", expr("v div 7")).head()
+    assert(c.isNullAt(c.fieldIndex("w_micro")))
+  }
+
+  test("friedmanMicro: perfectly consistent ordering over 3 blocks hits chi2 = n(k-1) = 6") {
+    val df = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      (2L, "A", 4L), (2L, "B", 5L), (2L, "C", 6L),
+      (3L, "A", 7L), (3L, "B", 8L), (3L, "C", 9L)).toDF("blk", "trt", "v")
+    val r = Stats.friedmanMicro(df, "blk", "trt", "v").head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n_blocks") == 3)
+    assert(r.getAs[Long]("a2") == 168 && r.getAs[Long]("num_sq") == 72)
+    assert(r.getAs[Long]("chi2_micro") == 6000000L)
+  }
+
+  test("friedmanMicro: incomplete blocks drop; all-tied blocks -> NULL") {
+    val df = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      (2L, "A", 4L), (2L, "B", 5L), (2L, "C", 6L),
+      (3L, "A", 7L), (3L, "B", 8L), (3L, "C", 9L),
+      (4L, "A", 1L), (4L, "B", 2L)).toDF("blk", "trt", "v") // block 4 incomplete
+    val r = Stats.friedmanMicro(df, "blk", "trt", "v").head()
+    assert(r.getAs[Long]("n_blocks") == 3 && r.getAs[Long]("chi2_micro") == 6000000L)
+    val tied = Seq(
+      (1L, "A", 5L), (1L, "B", 5L), (2L, "A", 9L), (2L, "B", 9L)).toDF("blk", "trt", "v")
+    val t = Stats.friedmanMicro(tied, "blk", "trt", "v").head()
+    assert(t.isNullAt(t.fieldIndex("chi2_micro")))
+  }
+
+  test("durbinWatsonMicro: trend DW < 2, alternation DW > 2, constant NULL; per group") {
+    val df = Seq(
+      ("trend", 1L, 1L), ("trend", 2L, 2L), ("trend", 3L, 3L), ("trend", 4L, 4L),
+      ("alt", 1L, 1L), ("alt", 2L, 3L), ("alt", 3L, 1L), ("alt", 4L, 3L),
+      ("const", 1L, 5L), ("const", 2L, 5L)).toDF("g", "t", "v")
+    val out = Stats.durbinWatsonMicro(df, Seq("g"), "t", "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("dw_micro"))) -1L else r.getAs[Long]("dw_micro"))).toMap
+    // trend 1,2,3,4: 4*3*1e6/(4*30-100) = 0.6; alt 1,3,1,3: 4*12*1e6/(80-64) = 3.0
+    assert(out("trend") == 600000L)
+    assert(out("alt") == 3000000L)
+    assert(out("const") == -1L)
+  }
+
+  test("cronbachAlphaMicro: perfectly parallel items alpha = 1; absent cells are zeros") {
+    val perfect = Seq(
+      (1L, "A", 1L), (1L, "B", 1L), (2L, "A", 2L), (2L, "B", 2L),
+      (3L, "A", 3L), (3L, "B", 3L)).toDF("subj", "item", "v")
+    val r = Stats.cronbachAlphaMicro(perfect, "subj", "item", "v").head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n_subjects") == 3)
+    assert(r.getAs[Long]("item_var_mass") == 12 && r.getAs[Long]("total_var_mass") == 24)
+    assert(r.getAs[Long]("alpha_micro") == 1000000L)
+    // subject 1 has no B row -> behaves exactly as B = 0 for subject 1
+    val sparse = Seq(
+      (1L, "A", 1L), (2L, "A", 2L), (2L, "B", 2L),
+      (3L, "A", 3L), (3L, "B", 3L)).toDF("subj", "item", "v")
+    val sp = Stats.cronbachAlphaMicro(sparse, "subj", "item", "v").head()
+    assert(sp.getAs[Long]("item_var_mass") == 20 && sp.getAs[Long]("total_var_mass") == 38)
+    assert(sp.getAs[Long]("alpha_micro") == math.round(2.0 * (1.0 - 20.0 / 38.0) * 1e6))
+    val oneItem = Stats.cronbachAlphaMicro(
+      Seq((1L, "A", 1L), (2L, "A", 5L)).toDF("subj", "item", "v"), "subj", "item", "v").head()
+    assert(oneItem.isNullAt(oneItem.fieldIndex("alpha_micro")))
+  }
+
+  test("hillTailAlphaMicro: geometric counts give the hand-summed nano ln mass") {
+    val pop = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L)).toDF("id", "c")
+    val r = Stats.hillTailAlphaMicro(pop, "id", "c", m = 2).head()
+    val sumLn = math.round(math.log(4.0) * 1e9) + math.round(math.log(2.0) * 1e9)
+    assert(r.getAs[Long]("n_tail") == 2 && r.getAs[Long]("x_min") == 2)
+    assert(r.getAs[Long]("sum_ln_nano") == sumLn)
+    assert(r.getAs[Long]("alpha_micro") == 1000000L + 2L * 1000000000000000L / sumLn)
+    // fewer ids than m+1: tail shrinks; all-tied tail -> NULL
+    val small = Stats.hillTailAlphaMicro(
+      Seq((1L, 4L), (2L, 2L)).toDF("id", "c"), "id", "c", m = 200).head()
+    assert(small.getAs[Long]("n_tail") == 1 && small.getAs[Long]("x_min") == 2)
+    val tied = Stats.hillTailAlphaMicro(
+      Seq((1L, 3L), (2L, 3L), (3L, 3L)).toDF("id", "c"), "id", "c", m = 1).head()
+    assert(tied.isNullAt(tied.fieldIndex("alpha_micro")))
+  }
+
+  test("isotonicFitPpm: PAVA pools the violating pair; monotone input is untouched") {
+    // rates 0, 1, 0.5 -> PAVA pools bands 1,2 to 3/4
+    val counts = Seq((0L, 2L, 0L), (1L, 2L, 2L), (2L, 2L, 1L)).toDF("band", "n", "s")
+    val out = Stats.isotonicFitPpm(counts, "band", "n", "s")
+      .collect().map(r => r.getAs[Long]("band") ->
+        (r.getAs[Long]("raw_ppm"), r.getAs[Long]("iso_ppm"))).toMap
+    assert(out(0L) == (0L, 0L))
+    assert(out(1L) == (1000000L, 750000L))
+    assert(out(2L) == (500000L, 750000L))
+    // already monotone -> fit == raw everywhere
+    val mono = Seq((0L, 4L, 1L), (1L, 4L, 2L), (2L, 4L, 3L)).toDF("band", "n", "s")
+    val m = Stats.isotonicFitPpm(mono, "band", "n", "s").collect()
+    assert(m.forall(r => r.getAs[Long]("iso_ppm") == r.getAs[Long]("raw_ppm")))
+  }
+
+  test("isotonicFitPpm: global violation pools everything to the grand rate") {
+    // strictly decreasing rates -> one block at the pooled mean 3/6
+    val counts = Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 2L, 0L)).toDF("band", "n", "s")
+    val out = Stats.isotonicFitPpm(counts, "band", "n", "s")
+      .collect().map(_.getAs[Long]("iso_ppm")).distinct
+    assert(out.toSeq == Seq(500000L))
+  }
+
+  test("mannKendallMicro: strictly rising series S = n(n-1)/2; flat series NULL variance guard off, z = 0 path") {
+    val rising = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("t", "x")
+    val r = Stats.mannKendallMicro(rising, "t", "x").head()
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("s") == 6 && r.getAs[Long]("ties_term") == 0)
+    val varS = 4.0 * 3 * 13 / 18.0
+    assert(r.getAs[Long]("z_micro") == math.round(5.0 / math.sqrt(varS) * 1e6))
+    // all-tied series: ties_term kills the variance -> NULL
+    val flat = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("t", "x")
+    val f = Stats.mannKendallMicro(flat, "t", "x").head()
+    assert(f.getAs[Long]("s") == 0 && f.isNullAt(f.fieldIndex("z_micro")))
+  }
+
+  test("runsTestMicro: alternating signs give R = 4 on 2+2; one-sided sequence NULL") {
+    // values vs median 5: kept days 3..6 signs 0,1,0,1 -> 4 runs
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 1L), (4L, 9L), (5L, 1L), (6L, 9L)).toDF("day", "x")
+    val r = Stats.runsTestMicro(df, "day", "x", expr("x div 4")).head()
+    assert(r.getAs[Long]("n_above") == 2 && r.getAs[Long]("n_below") == 2)
+    assert(r.getAs[Long]("n_runs") == 4)
+    val sigma = math.sqrt(8.0 * (8 - 4) / (16.0 * 3))
+    assert(r.getAs[Long]("z_micro") == math.round((4.0 - 3.0) / sigma * 1e6))
+    val oneSided = Seq((1L, 1L), (2L, 9L), (3L, 9L)).toDF("day", "x") // med 1 -> all above
+    val o = Stats.runsTestMicro(oneSided, "day", "x", expr("x div 4")).head()
+    assert(o.isNullAt(o.fieldIndex("z_micro")))
+  }
+
+  test("twoPropZSql: equal rates z = 0, degenerate pooled rate NULL, sign follows group 1") {
+    import org.apache.spark.sql.Row
+    def z(n1: Long, r1: Long, n2: Long, r2: Long): Option[Long] = {
+      val row = Seq((n1, r1, n2, r2)).toDF("n1", "r1", "n2", "r2")
+        .withColumn("z_micro", expr(Stats.twoPropZSql)).head()
+      if (row.isNullAt(row.fieldIndex("z_micro"))) None else Some(row.getAs[Long]("z_micro"))
+    }
+    assert(z(10, 5, 20, 10).contains(0L))
+    assert(z(10, 10, 10, 10).isEmpty) // pooled rate 1
+    assert(z(10, 0, 10, 0).isEmpty) // pooled rate 0
+    assert(z(100, 60, 100, 40).exists(_ > 0))
+    assert(z(100, 40, 100, 60).exists(_ < 0))
+  }
+
+  test("anovaFMicro: textbook separated groups F = 13.5; equal means F = 0") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L), ("b", 6L)).toDF("cls", "v")
+    val r = Stats.anovaFMicro(df, "v", "cls").head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n_total") == 6)
+    assert(r.getAs[Long]("num_micro") == 13500000L)
+    assert(r.getAs[Long]("den_micro") == 4000000L)
+    assert(r.getAs[Long]("f_micro") == 13500000L)
+    val eq = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L)).toDF("cls", "v")
+    assert(Stats.anovaFMicro(eq, "v", "cls").head().getAs[Long]("f_micro") == 0L)
+  }
+
+  test("cochranArmitageMicro: linear dose-response z = 6/sqrt(5); flat trend z = 0") {
+    val sup = Seq((0L, 10L, 2L), (1L, 10L, 5L), (2L, 10L, 8L)).toDF("w", "n_i", "r_i")
+    val r = Stats.cochranArmitageMicro(sup, "w", "n_i", "r_i").head()
+    assert(r.getAs[Long]("n") == 30 && r.getAs[Long]("r") == 15)
+    assert(r.getAs[Long]("swr") == 21 && r.getAs[Long]("sw2n") == 50)
+    assert(r.getAs[Long]("z_micro") == math.round(6.0 / math.sqrt(5.0) * 1e6))
+    val flat = Seq((0L, 10L, 4L), (1L, 10L, 4L), (2L, 10L, 4L)).toDF("w", "n_i", "r_i")
+    assert(Stats.cochranArmitageMicro(flat, "w", "n_i", "r_i").head().getAs[Long]("z_micro") == 0L)
+    val degenerate = Seq((0L, 10L, 10L), (1L, 10L, 10L)).toDF("w", "n_i", "r_i")
+    val dg = Stats.cochranArmitageMicro(degenerate, "w", "n_i", "r_i").head()
+    assert(dg.isNullAt(dg.fieldIndex("z_micro")))
+  }
 }
