@@ -264,7 +264,16 @@ object SparkEntry {
     "q223_anova_f" -> (EQ.anovaDowVolume _),
     "q224_capture_recapture" -> (EQ.captureRecapture _),
     "q225_jackknife" -> (EQ.jackknifeDailyMean _),
-    "q226_entropy_rate" -> (EQ.entropyRate _))
+    "q226_entropy_rate" -> (EQ.entropyRate _),
+    "q227_community_nmi" -> (EQ.communityNmi _),
+    "q228_ips_ess" -> (EQ.ipsEffectiveSampleSize _),
+    "q229_ses_forecast" -> (EQ.sesForecast _),
+    "q230_srm_check" -> (EQ.srmCheck _),
+    "q231_neyman_allocation" -> (EQ.neymanAllocation _),
+    "q232_ab_power" -> (EQ.abPowerSampleSize _),
+    "q233_fk_orphans" -> (RQ.fkOrphans _),
+    "q234_pareto_revenue" -> (RQ.paretoRevenue _),
+    "q235_rfm_segments" -> (RQ.rfmSegments _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -4993,7 +5002,222 @@ object SparkEntry {
          |  FROM p2 p LEFT JOIN hh h USING (id)
          |)
          |SELECT n_states, pr_total, CAST(wh // pr_total AS BIGINT) AS rate_micro
-         |FROM agg""".stripMargin)
+         |FROM agg""".stripMargin,
+    // NMI of LPA communities vs categories: nano MI / entropy cells
+    // (the q215 purity's shattering-penalized sibling)
+    "q227_community_nmi" ->
+      s"""WITH $sessCte, $covisPairsCte, und AS (
+         |  SELECT item_a AS src, item_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst FROM pairs
+         |), l0 AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM und
+         |), ${lpaRoundsSql(4)},
+         |cells AS (
+         |  SELECT label, id % 20 AS cat, CAST(COUNT(*) AS BIGINT) AS nij
+         |  FROM l4 GROUP BY 1, 2
+         |), nt AS (
+         |  SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells
+         |), rws AS (
+         |  SELECT label, CAST(SUM(nij) AS BIGINT) AS ni FROM cells GROUP BY 1
+         |), cls AS (
+         |  SELECT cat, CAST(SUM(nij) AS BIGINT) AS nj FROM cells GROUP BY 1
+         |), mi AS (
+         |  SELECT CAST(SUM(CAST(round(CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
+         |    * ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+         |         / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+         |    * 1000000000) AS BIGINT)) AS BIGINT) AS mi_nano
+         |  FROM cells JOIN rws USING (label) JOIN cls USING (cat) CROSS JOIN nt
+         |), hc AS (
+         |  SELECT CAST(SUM(CAST(round(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)
+         |    * ln(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE))
+         |    * 1000000000) AS BIGINT)) AS BIGINT) AS h_comm_nano
+         |  FROM rws CROSS JOIN nt
+         |), ht AS (
+         |  SELECT CAST(SUM(CAST(round(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)
+         |    * ln(CAST(n AS DOUBLE) / CAST(nj AS DOUBLE))
+         |    * 1000000000) AS BIGINT)) AS BIGINT) AS h_cat_nano
+         |  FROM cls CROSS JOIN nt
+         |)
+         |SELECT nt.n AS n_items, mi_nano, h_comm_nano, h_cat_nano,
+         |  CASE WHEN h_comm_nano + h_cat_nano = 0 THEN NULL
+         |   ELSE CAST(round(2.0 * CAST(mi_nano AS DOUBLE)
+         |     / CAST(h_comm_nano + h_cat_nano AS DOUBLE) * 1000000) AS BIGINT) END AS nmi_micro
+         |FROM nt CROSS JOIN mi CROSS JOIN hc CROSS JOIN ht""".stripMargin,
+    // ESS of the q166 IPS click weights: (sum w)^2 / sum w^2
+    "q228_ips_ess" ->
+      s"""WITH $sessCte, vc AS (
+         |  SELECT session_id, event_type, epoch_s, event_id FROM enr
+         |  WHERE event_type IN ('view', 'click')
+         |), posd AS (
+         |  SELECT event_type, LEAST(ROW_NUMBER() OVER (PARTITION BY session_id
+         |    ORDER BY epoch_s, event_id), 10) AS pos
+         |  FROM vc
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS sw,
+         |    CAST(SUM(pos * pos) AS BIGINT) AS sw2
+         |  FROM posd WHERE event_type = 'click'
+         |)
+         |SELECT n, sw, sw2, CAST(sw * sw // sw2 AS BIGINT) AS ess,
+         |  CAST(round(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+         |    / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS ess_ratio_micro
+         |FROM m""".stripMargin,
+    // SES one-step forecast: precomputed nano weight literals joined
+    // by lag, normalized by the included weight mass
+    "q229_ses_forecast" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |), tm AS (
+         |  SELECT CAST(MAX(day) AS BIGINT) AS tmax FROM daily
+         |), wt(lag_d, w_nano) AS (
+         |  VALUES ${graft.ops.Stats.sesWeightsNano().map { case (i, w) => s"($i, $w)" }.mkString(", ")}
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(w.w_nano * d.y) AS BIGINT) AS wsum_nano,
+         |    CAST(SUM(w.w_nano) AS BIGINT) AS w_mass_nano
+         |  FROM daily d CROSS JOIN tm JOIN wt w ON tm.tmax - d.day = w.lag_d
+         |)
+         |SELECT n_terms, wsum_nano, w_mass_nano,
+         |  CAST(wsum_nano // w_mass_nano AS BIGINT) AS forecast_cents
+         |FROM m""".stripMargin,
+    // SRM: md5 variant split chi2 vs 50/50, integer end-to-end
+    "q230_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), v AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS variant
+        |  FROM u
+        |), m AS (
+        |  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM v
+        |)
+        |SELECT n0, n1,
+        |  CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT) AS chi2_micro,
+        |  CAST(CASE WHEN (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459
+        |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM m""".stripMargin,
+    // Neyman allocation: stratum mass N_h * sd_cents, one floor
+    // division per stratum
+    "q231_neyman_allocation" ->
+      """WITH per AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    CAST(SUM(cents) AS BIGINT) AS s_h, CAST(SUM(cents * cents) AS BIGINT) AS ss_h
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |  GROUP BY 1
+        |), sd AS (
+        |  SELECT *, CASE WHEN n_h < 2 THEN 0 ELSE CAST(round(sqrt(
+        |    (CAST(ss_h AS DOUBLE) - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE) / CAST(n_h AS DOUBLE))
+        |    / CAST(n_h - 1 AS DOUBLE))) AS BIGINT) END AS sd_cents
+        |  FROM per
+        |), ms AS (
+        |  SELECT *, n_h * sd_cents AS mass FROM sd
+        |), tot AS (
+        |  SELECT CAST(SUM(mass) AS BIGINT) AS mass_total FROM ms
+        |)
+        |SELECT event_type, n_h, sd_cents,
+        |  CAST(CASE WHEN mass_total = 0 THEN 0 ELSE mass * 10000 // mass_total END AS BIGINT) AS alloc_10k
+        |FROM ms CROSS JOIN tot ORDER BY event_type""".stripMargin,
+    // A/B power: z constants as literals, observed pooled rate
+    "q232_ab_power" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |)
+        |SELECT n, r, CAST(r * 1000000 // n AS BIGINT) AS p_ppm,
+        |  CASE WHEN r = 0 OR r = n THEN NULL
+        |   ELSE CAST(round(2.801585 * 2.801585 * 2.0
+        |     * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |     / (0.01 * 0.01)) AS BIGINT) END AS n_per_arm
+        |FROM m""".stripMargin,
+    // FK orphan audit: one anti-join count per relationship
+    "q233_fk_orphans" ->
+      """SELECT 'lineitem_orders' AS relationship,
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+        |  CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        |        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem_part',
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+        |        ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem_supplier',
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+        |        ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders_customer',
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT)
+        |ORDER BY relationship""".stripMargin,
+    // Pareto concentration: descending revenue-support cumulative,
+    // ceil-ppm threshold, exact partial-block pick
+    "q234_pareto_revenue" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), sup AS (
+        |  SELECT cents, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(cents * COUNT(*) AS BIGINT) AS block_rev
+        |  FROM per_cust WHERE cents > 0 GROUP BY cents
+        |), cums AS (
+        |  SELECT *, CAST(SUM(block_rev) OVER (ORDER BY cents DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_block_rev
+        |  FROM sup
+        |), tot AS (
+        |  SELECT CAST(SUM(m) AS BIGINT) AS n_customers,
+        |    CAST(SUM(block_rev) AS BIGINT) AS total_cents
+        |  FROM sup
+        |), t2 AS (
+        |  SELECT *, (total_cents * 800000 + 999999) // 1000000 AS thresh FROM tot
+        |), agg AS (
+        |  SELECT n_customers, total_cents,
+        |    CAST(SUM(CASE WHEN cum_block_rev < thresh THEN m ELSE 0 END) AS BIGINT) AS full_blocks,
+        |    CAST(SUM(CASE WHEN cum_block_rev >= thresh AND cum_block_rev - block_rev < thresh
+        |      THEN (thresh - (cum_block_rev - block_rev) + cents - 1) // cents
+        |      ELSE 0 END) AS BIGINT) AS partial
+        |  FROM cums CROSS JOIN t2 GROUP BY 1, 2
+        |)
+        |SELECT n_customers, total_cents,
+        |  CAST(full_blocks + partial AS BIGINT) AS customers_for_80pct,
+        |  CAST((full_blocks + partial) * 1000000 // n_customers AS BIGINT) AS share_of_customers_ppm
+        |FROM agg""".stripMargin,
+    // RFM: ties-together quintiles per dimension (the q167 decile
+    // rule), 5x5x5 segment census
+    "q235_rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), md AS (
+        |  SELECT CAST(MAX(day) AS BIGINT) AS max_day FROM o
+        |), rfm AS (
+        |  SELECT o_custkey, CAST(MIN(max_day - day) AS BIGINT) AS r_days,
+        |    CAST(COUNT(*) AS BIGINT) AS f_orders, CAST(SUM(cents) AS BIGINT) AS m_cents
+        |  FROM o CROSS JOIN md GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm
+        |), qr AS (
+        |  SELECT r_days, 5 * (CAST(SUM(c) OVER (ORDER BY r_days ROWS UNBOUNDED PRECEDING) AS BIGINT) - c) // n + 1 AS q
+        |  FROM (SELECT r_days, CAST(COUNT(*) AS BIGINT) AS c FROM rfm GROUP BY 1) CROSS JOIN nn
+        |), qf AS (
+        |  SELECT f_orders, 5 * (CAST(SUM(c) OVER (ORDER BY f_orders ROWS UNBOUNDED PRECEDING) AS BIGINT) - c) // n + 1 AS q
+        |  FROM (SELECT f_orders, CAST(COUNT(*) AS BIGINT) AS c FROM rfm GROUP BY 1) CROSS JOIN nn
+        |), qm AS (
+        |  SELECT m_cents, 5 * (CAST(SUM(c) OVER (ORDER BY m_cents ROWS UNBOUNDED PRECEDING) AS BIGINT) - c) // n + 1 AS q
+        |  FROM (SELECT m_cents, CAST(COUNT(*) AS BIGINT) AS c FROM rfm GROUP BY 1) CROSS JOIN nn
+        |)
+        |SELECT qr.q AS r_q, qf.q AS f_q, qm.q AS m_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM rfm JOIN qr USING (r_days) JOIN qf USING (f_orders) JOIN qm USING (m_cents)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

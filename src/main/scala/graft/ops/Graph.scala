@@ -485,7 +485,16 @@ object Graph {
       k: Int,
       rounds: Int): DataFrame = {
     require(k >= 3 && rounds >= 1)
-    var e = Caches.cache(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+    // each round's edge table is EAGERLY localCheckpoint'ed, not merely
+    // cached: a cache leaves the LOGICAL plan intact, and this loop
+    // references the previous round 3+ times per round, so the analyzed
+    // tree grows ~9× per round and Catalyst re-analysis explodes
+    // (measured on the 443-edge sf0.01 covis graph: rounds 1/2/3 =
+    // 2 s / 20 s / 843 s cached-only vs flat after checkpointing).
+    // The checkpoint also truncates executor-side lineage — the same
+    // seam [[pagerankMicro]] documents for tens-of-iteration jobs.
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint(true)
     var result: DataFrame = null
     for (_ <- 1 to rounds) {
       val tri = e.as("ab")
@@ -493,6 +502,7 @@ object Graph {
         .join(e.as("ac"),
           col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
         .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
+        .localCheckpoint(true)
       val edgeRefs = tri.select(col("a"), col("b"))
         .unionByName(tri.select(col("b").as("a"), col("c").as("b")))
         .unionByName(tri.select(col("a"), col("c").as("b")))
@@ -500,7 +510,8 @@ object Graph {
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= k - 2)
-      e = Caches.cache(result.select(col("a"), col("b")))
+        .localCheckpoint(true)
+      e = result.select(col("a"), col("b"))
     }
     result
   }
@@ -578,14 +589,19 @@ object Graph {
       .select(explode(array(col("src"), col("dst"))).as("id"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("degree"))
-    var e = Caches.cache(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    // eager localCheckpoint, not cache: `e` feeds THREE plan branches
+    // per round (degree agg + both semi-joins) and the next round, so a
+    // cache-only loop compounds the ANALYZED plan ~3× per round — the
+    // kTrussEdges Catalyst-reanalysis blowup class (measured there:
+    // 843 s -> 1.5 s at 3 rounds)
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val alive = degrees(e).filter(col("degree") >= k).select(col("id"))
-      e = Caches.cache(
-        e.join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst")))
+      e = e.join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
     }
     degrees(e)
   }

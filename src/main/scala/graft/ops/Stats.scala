@@ -1095,6 +1095,18 @@ object Stats {
        |   * 1000000) AS BIGINT) END""".stripMargin
   }
 
+  /** Simple-exponential-smoothing weights α(1−α)^i at α = 0.3,
+    * nano-quantized literals for lags 0..n−1 — computed ONCE here and
+    * injected as constants into BOTH the engine plan and the oracle
+    * SQL (the Benford/discount-table pattern: no runtime pow() on
+    * either side, so no libm drift). Callers normalize by the INCLUDED
+    * weight mass, which makes missing days and the finite window
+    * self-correcting.
+    */
+  def sesWeightsNano(n: Int = 30): Seq[(Long, Long)] =
+    (0 until n).map(i =>
+      (i.toLong, math.round(0.3 * math.pow(0.7, i) * 1e9)))
+
   /** Kendall rank correlation τ-b between paired series `(xCol, yCol)`
     * (one row per observation; `tieCol` must be unique — pairs are
     * enumerated once as tie < tie). Concordant/discordant/tied pair

@@ -3115,6 +3115,183 @@ object EventQueries {
       .select(col("n_states"), col("pr_total"), col("rate_micro"))
   }
 
+  /** Normalized mutual information (q227) between the q157 covis
+    * communities and the category dimension — q215's purity rewards
+    * shattering (singleton communities are trivially pure); NMI
+    * penalizes it by normalizing shared information against both
+    * marginal entropies. Per-cell MI and entropy contributions are
+    * nano-quantized before the exact sums (the suite's ln rule);
+    * NMI = 2·MI/(H_comm + H_cat) is the one final chain.
+    */
+  def communityNmi(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+    val cells = graft.ops.Graph.labelPropagation(pairs, "item_a", "item_b", rounds = 4)
+      .select(col("id"), col("label"), (col("id") % 20).as("cat"))
+      .groupBy(col("label"), col("cat"))
+      .agg(count(lit(1)).as("nij"))
+      .transform(graft.core.Caches.cache)
+    val nTot = cells.agg(sum(col("nij")).as("n"))
+    val rows = cells.groupBy(col("label")).agg(sum(col("nij")).as("ni"))
+      .transform(graft.core.Caches.cache)
+    val cols = cells.groupBy(col("cat")).agg(sum(col("nij")).as("nj"))
+      .transform(graft.core.Caches.cache)
+    val mi = cells
+      .join(broadcast(rows), Seq("label"))
+      .join(broadcast(cols), Seq("cat"))
+      .crossJoin(broadcast(nTot))
+      .select(expr(
+        """CAST(round(CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
+          | * ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+          |      / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+          | * 1000000000) AS BIGINT)""".stripMargin).as("cell"))
+      .agg(sum(col("cell")).as("mi_nano"))
+    def marginalH(m: DataFrame, c: String, out: String) = m
+      .crossJoin(broadcast(nTot))
+      .select(expr(
+        s"""CAST(round(CAST($c AS DOUBLE) / CAST(n AS DOUBLE)
+           | * ln(CAST(n AS DOUBLE) / CAST($c AS DOUBLE))
+           | * 1000000000) AS BIGINT)""".stripMargin).as("cell"))
+      .agg(sum(col("cell")).as(out))
+    val hc = marginalH(rows, "ni", "h_comm_nano")
+    val ht = marginalH(cols, "nj", "h_cat_nano")
+    nTot.select(col("n").as("n_items"))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(hc))
+      .crossJoin(broadcast(ht))
+      .withColumn("nmi_micro", expr(
+        """CASE WHEN h_comm_nano + h_cat_nano = 0 THEN NULL
+          | ELSE CAST(round(2.0 * CAST(mi_nano AS DOUBLE)
+          |   / CAST(h_comm_nano + h_cat_nano AS DOUBLE) * 1000000) AS BIGINT) END"""
+          .stripMargin))
+  }
+
+  /** Effective sample size (q228) of the q166 IPS position weights on
+    * click events: ESS = (Σw)²/Σw² — how many UNWEIGHTED clicks the
+    * reweighted estimator is really worth (a tiny ESS/n ratio means a
+    * few deep-position clicks dominate and the IPS estimate is noise,
+    * the check that belongs next to every q166 readout).
+    */
+  def ipsEffectiveSampleSize(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("session_id"))
+      .orderBy(col("epoch_s"), col("event_id"))
+    Pipeline.enrichedEvents(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("pos", least(row_number().over(w).cast("long"), lit(10L)))
+      .filter(col("event_type") === "click")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("pos")).as("sw"),
+        sum(col("pos") * col("pos")).as("sw2"))
+      .withColumn("ess", expr("sw * sw div sw2"))
+      .withColumn("ess_ratio_micro", expr(
+        """CAST(round(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+          | / CAST(n AS DOUBLE) * 1000000) AS BIGINT)""".stripMargin))
+  }
+
+  /** One-step SES forecast (q229) of daily purchase revenue at α = 0.3:
+    * tomorrow ≈ Σᵢ w_i·y_{T−i} with the geometric weights precomputed
+    * as nano literals ([[graft.ops.Stats.sesWeightsNano]] — no runtime
+    * pow() on either side) and normalized by the INCLUDED weight mass,
+    * so missing days and the 30-day window self-correct. The smoothing
+    * complement to q163's MASE (which EVALUATES a forecast; this one
+    * makes it).
+    */
+  def sesForecast(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+    val tmax = daily.agg(max(col("day")).as("tmax"))
+    val wt = graft.ops.Stats.sesWeightsNano().toDF("lag_d", "w_nano")
+    daily
+      .crossJoin(broadcast(tmax))
+      .withColumn("lag_d", col("tmax") - col("day"))
+      .join(broadcast(wt), Seq("lag_d"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("w_nano") * col("y")).as("wsum_nano"),
+        sum(col("w_nano")).as("w_mass_nano"))
+      .withColumn("forecast_cents", expr("wsum_nano div w_mass_nano"))
+  }
+
+  /** Sample-ratio-mismatch check (q230): is the md5 variant split
+    * (the q158 assignment) statistically 50/50 — χ²₁ = (n₀−n₁)²/N as
+    * one exact integer, flagged against the 3.84 critical value. The
+    * first thing to check before reading ANY A/B result; a failed SRM
+    * invalidates the experiment regardless of its p-value.
+    */
+  def srmCheck(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+      .agg(
+        Ag.countIf(col("variant") === 0).as("n0"),
+        Ag.countIf(col("variant") === 1).as("n1"))
+      .withColumn("chi2_micro",
+        expr("(n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1)"))
+      .withColumn("srm_flag", (col("chi2_micro") > 3841459L).cast("long"))
+
+  /** Neyman optimal allocation (q231): split a 10 000-row sampling
+    * budget across the event-type strata ∝ N_h·S_h (stratum size ×
+    * spread) — the survey-sampling rule that beats proportional
+    * allocation whenever strata variances differ. Per-stratum SD is
+    * rounded to whole CENTS (the per-cell quantization, and it keeps
+    * N_h·sd·10000 inside int64); the allocation is one floor division
+    * per stratum.
+    */
+  def neymanAllocation(s: SparkSession, d: String): DataFrame = {
+    val perStratum = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_h"),
+        sum(col("cents")).as("s_h"),
+        sum(col("cents") * col("cents")).as("ss_h"))
+      .withColumn("sd_cents", expr(
+        """CASE WHEN n_h < 2 THEN 0
+          | ELSE CAST(round(sqrt(
+          |   (CAST(ss_h AS DOUBLE) - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE) / CAST(n_h AS DOUBLE))
+          |   / CAST(n_h - 1 AS DOUBLE))) AS BIGINT) END""".stripMargin))
+      .withColumn("mass", col("n_h") * col("sd_cents"))
+      .transform(graft.core.Caches.cache)
+    val tot = perStratum.agg(sum(col("mass")).as("mass_total"))
+    perStratum
+      .crossJoin(broadcast(tot))
+      .select(
+        col("event_type"), col("n_h"), col("sd_cents"),
+        expr("""CASE WHEN mass_total = 0 THEN 0
+               | ELSE mass * 10000 div mass_total END""".stripMargin).as("alloc_10k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A/B power calculation (q232): the per-arm sample size needed to
+    * detect a +1pp absolute lift on the observed purchase rate at
+    * α = 0.05 / power 0.8 — n = (z_{.975}+z_{.8})²·2p̄(1−p̄)/δ², with
+    * the z constants as micro literals (no runtime quantile function
+    * on either side). The planning half of the q219 test.
+    */
+  def abPowerSampleSize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .agg(
+        count(lit(1)).as("n"),
+        Ag.countIf(col("event_type") === "purchase").as("r"))
+      .withColumn("p_ppm", expr("r * 1000000 div n"))
+      .withColumn("n_per_arm", expr(
+        """CASE WHEN r = 0 OR r = n THEN NULL
+          | ELSE CAST(round(2.801585 * 2.801585 * 2.0
+          |   * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+          |   * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+          |   / (0.01 * 0.01)) AS BIGINT) END""".stripMargin))
+
   /** SALSA hubs/authorities (q211) on the session transition graph —
     * q173's HITS with sending-side degree normalization, the
     * TKC-resistant variant: a mega-hub no longer floods its full mass

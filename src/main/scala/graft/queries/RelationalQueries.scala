@@ -564,4 +564,124 @@ object RelationalQueries {
           ("l_quantity", "l_extendedprice", "corr_qty_price"),
           ("l_extendedprice", "l_discount", "corr_price_disc")))
       .orderBy(col("l_returnflag"))
+
+  /** Referential-integrity audit (q233): orphan counts for the four
+    * TPC-H foreign keys (lineitem→orders/part/supplier,
+    * orders→customer) — the warehouse data-quality check q94's
+    * per-table rules can't see (it validates rows in isolation; FK
+    * violations live BETWEEN tables). One anti-join per relationship,
+    * child-side pre-projected to its key.
+    */
+  def fkOrphans(s: SparkSession, d: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key))
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(
+          c.join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(rel).as("relationship"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(s, d)
+    audit("lineitem_orders", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .unionByName(audit("lineitem_part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionByName(audit("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(audit("orders_customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .orderBy(col("relationship"))
+  }
+
+  /** Pareto revenue concentration (q234): the exact number of
+    * customers that cover 80% of order revenue — the "how top-heavy
+    * is the book" number behind every account-tier decision. Pure
+    * integer: per-customer revenue collapses to its COUNT-compressed
+    * value support, one sharded cumulative over DESCENDING revenue
+    * (keyed by the negated value, support-sized), the 80% threshold in
+    * ceil-ppm math, and a partial-block division picks the exact
+    * customer count inside the crossing block.
+    */
+  def paretoRevenue(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val support = perCust
+      .filter(col("cents") > 0)
+      .groupBy(col("cents")).agg(count(lit(1)).as("m"))
+      .withColumn("neg", -col("cents"))
+      .withColumn("block_rev", col("cents") * col("m"))
+    val cums = Windows
+      .shardedCumsum(support, "neg", Seq("block_rev", "m"), expr("neg div 500000"))
+    val tot = support.agg(
+      sum(col("m")).as("n_customers"), sum(col("block_rev")).as("total_cents"))
+    cums
+      .crossJoin(broadcast(tot))
+      .withColumn("thresh", expr("(total_cents * 800000 + 999999) div 1000000"))
+      .groupBy(col("n_customers"), col("total_cents"), col("thresh"))
+      .agg(
+        sum(when(col("cum_block_rev") < col("thresh"), col("m")).otherwise(0L))
+          .as("full_blocks"),
+        // the crossing block: first cum >= thresh; take just enough
+        // of its m equal-revenue customers to close the gap
+        sum(when(
+          col("cum_block_rev") >= col("thresh") &&
+            col("cum_block_rev") - col("block_rev") < col("thresh"),
+          expr("""(thresh - (cum_block_rev - block_rev) + cents - 1)
+                 | div cents""".stripMargin)).otherwise(0L)).as("partial"))
+      .select(
+        col("n_customers"), col("total_cents"),
+        (col("full_blocks") + col("partial")).as("customers_for_80pct"))
+      .withColumn(
+        "share_of_customers_ppm",
+        expr("customers_for_80pct * 1000000 div n_customers"))
+  }
+
+  /** RFM segmentation (q235): every customer scored into recency /
+    * frequency / monetary quintiles (ties kept together — bucket =
+    * 5·c_before div n + 1 over each dimension's value support, the
+    * q167 WOE-decile rule, so equal values can never straddle a
+    * boundary), then the 5×5×5 segment census — the classic CRM
+    * operator. Recency quintile 1 = most recent (bucketed on days
+    * since last order ascending).
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select(
+        col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val maxDay = orders.agg(max(col("day")).as("max_day"))
+    val rfm = orders
+      .crossJoin(broadcast(maxDay))
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(col("max_day") - col("day")).as("r_days"),
+        count(lit(1)).as("f_orders"),
+        sum(col("cents")).as("m_cents"))
+      .transform(graft.core.Caches.cache)
+    def quintile(dim: String): DataFrame = {
+      val sup = rfm.groupBy(col(dim)).agg(count(lit(1)).as("c"))
+      val tot = sup.agg(sum(col("c")).as("n"))
+      Windows
+        .shardedCumsum(sup, dim, Seq("c"), expr(s"$dim div 64"))
+        .crossJoin(broadcast(tot))
+        .select(
+          col(dim),
+          (expr("5 * (cum_c - c) div n") + 1).as(s"q_$dim"))
+    }
+    // r/f supports are domain-bounded (days in the period, orders per
+    // customer) -> broadcast; the m_cents support is customer-sized at
+    // scale -> plain hash join, AQE may still broadcast it when small
+    rfm
+      .join(broadcast(quintile("r_days")), Seq("r_days"))
+      .join(broadcast(quintile("f_orders")), Seq("f_orders"))
+      .join(quintile("m_cents"), Seq("m_cents"))
+      .groupBy(
+        col("q_r_days").as("r_q"), col("q_f_orders").as("f_q"),
+        col("q_m_cents").as("m_q"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
 }

@@ -421,6 +421,15 @@ class StatsSpec extends SparkSpec {
     assert(Stats.anovaFMicro(eq, "v", "cls").head().getAs[Long]("f_micro") == 0L)
   }
 
+  test("sesWeightsNano: alpha(1-alpha)^i literals — start at 0.3, geometric decay, mass < 1") {
+    val w = Stats.sesWeightsNano()
+    assert(w.size == 30 && w.head == (0L, 300000000L))
+    assert(w.map(_._2).sliding(2).forall { case Seq(a, b) => b < a })
+    // each weight is the rounded 0.7x of its predecessor's exact value
+    assert(w(1)._2 == math.round(0.3 * 0.7 * 1e9))
+    assert(w.map(_._2).sum < 1000000000L)
+  }
+
   test("cochranArmitageMicro: linear dose-response z = 6/sqrt(5); flat trend z = 0") {
     val sup = Seq((0L, 10L, 2L), (1L, 10L, 5L), (2L, 10L, 8L)).toDF("w", "n_i", "r_i")
     val r = Stats.cochranArmitageMicro(sup, "w", "n_i", "r_i").head()
