@@ -273,7 +273,12 @@ object SparkEntry {
     "q232_ab_power" -> (EQ.abPowerSampleSize _),
     "q233_fk_orphans" -> (RQ.fkOrphans _),
     "q234_pareto_revenue" -> (RQ.paretoRevenue _),
-    "q235_rfm_segments" -> (RQ.rfmSegments _))
+    "q235_rfm_segments" -> (RQ.rfmSegments _),
+    "q236_dup_cluster_stats" -> (TQ.dupClusterStats _),
+    "q237_profile_drift" -> (EQ.profileDrift _),
+    "q238_association_lift" -> (EQ.associationLift _),
+    "q239_cohort_ltv" -> (EQ.cohortLtv _),
+    "q240_stickiness" -> (EQ.dauMauStickiness _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -5217,7 +5222,111 @@ object SparkEntry {
         |SELECT qr.q AS r_q, qf.q AS f_q, qm.q AS m_q,
         |  CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM rfm JOIN qr USING (r_days) JOIN qf USING (f_orders) JOIN qm USING (m_cents)
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // dup-cluster census: size histogram over the q42 components
+    "q236_dup_cluster_stats" ->
+      s"""WITH RECURSIVE $neardupComponentsCte, fullc AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |), csize AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM fullc GROUP BY 1
+         |)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         |FROM csize GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    // profile drift: half-vs-half conditional aggregates, unpivoted
+    "q237_profile_drift" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day, user_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), mid AS (
+        |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_a,
+        |    CAST(COUNT(DISTINCT CASE WHEN day < mid THEN user_id END) AS BIGINT) AS n_users_a,
+        |    CAST(COUNT(DISTINCT CASE WHEN day < mid THEN item_id END) AS BIGINT) AS n_items_a,
+        |    CAST(SUM(CASE WHEN day < mid AND item_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_a,
+        |    CAST(SUM(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT) AS s_cents_a,
+        |    CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_b,
+        |    CAST(COUNT(DISTINCT CASE WHEN day >= mid THEN user_id END) AS BIGINT) AS n_users_b,
+        |    CAST(COUNT(DISTINCT CASE WHEN day >= mid THEN item_id END) AS BIGINT) AS n_items_b,
+        |    CAST(SUM(CASE WHEN day >= mid AND item_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_b,
+        |    CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS s_cents_b
+        |  FROM e CROSS JOIN mid
+        |)
+        |SELECT 'mean_cents' AS metric, CAST(s_cents_a // n_rows_a AS BIGINT) AS first_half,
+        |  CAST(s_cents_b // n_rows_b AS BIGINT) AS second_half FROM m
+        |UNION ALL SELECT 'n_items', n_items_a, n_items_b FROM m
+        |UNION ALL SELECT 'n_rows', n_rows_a, n_rows_b FROM m
+        |UNION ALL SELECT 'n_users', n_users_a, n_users_b FROM m
+        |UNION ALL SELECT 'null_item_ppm', CAST(n_null_a * 1000000 // n_rows_a AS BIGINT),
+        |  CAST(n_null_b * 1000000 // n_rows_b AS BIGINT) FROM m
+        |ORDER BY metric""".stripMargin,
+    // association lift over the q19 basket contract: per-item basket
+    // counts + pair supports, exact ppm lift/confidence
+    "q238_association_lift" ->
+      s"""WITH $sessCte, $covisPairsCte, ca AS (
+         |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS c FROM dik GROUP BY 1
+         |), nb AS (
+         |  SELECT CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_baskets FROM dik
+         |), j AS (
+         |  SELECT p.item_a, p.item_b, CAST(p.pair_count AS BIGINT) AS pair_count,
+         |    a.c AS c_a, b.c AS c_b, nb.n_baskets
+         |  FROM pairs p JOIN ca a ON p.item_a = a.item_id
+         |  JOIN ca b ON p.item_b = b.item_id CROSS JOIN nb
+         |)
+         |SELECT item_a, item_b, pair_count, c_a, c_b,
+         |  CAST(pair_count * n_baskets * 1000000 // (c_a * c_b) AS BIGINT) AS lift_ppm,
+         |  CAST(pair_count * 1000000 // c_a AS BIGINT) AS conf_ab_ppm,
+         |  CAST(pair_count * 1000000 // c_b AS BIGINT) AS conf_ba_ppm
+         |FROM j ORDER BY lift_ppm DESC, item_a ASC, item_b ASC LIMIT 20""".stripMargin,
+    // cohort LTV triangle: first-seen-week cohorts, per-cohort
+    // cumulative purchase cents by week offset
+    "q239_cohort_ltv" ->
+      """WITH uw AS (
+        |  SELECT user_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 604800 AS week,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2
+        |), ch AS (
+        |  SELECT user_id, CAST(MIN(week) AS BIGINT) AS cohort FROM uw GROUP BY 1
+        |), sized AS (
+        |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM ch GROUP BY 1
+        |), rev AS (
+        |  SELECT c.cohort, u.week - c.cohort AS week_offset,
+        |    CAST(SUM(u.cents) AS BIGINT) AS cents
+        |  FROM uw u JOIN ch c USING (user_id) GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cohort, week_offset,
+        |    CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY week_offset
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM rev
+        |)
+        |SELECT c.cohort, c.week_offset, s.cohort_users, c.cum_cents
+        |FROM cum c JOIN sized s USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
+    // DAU/MAU: rolling-30 distinct via window-membership explode (the
+    // q127 shape), one ppm division
+    "q240_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1
+        |), contrib AS (
+        |  SELECT DISTINCT user_id, w_day
+        |  FROM du, unnest(generate_series(day, day + 29)) AS t(w_day)
+        |), mau AS (
+        |  SELECT w_day, CAST(COUNT(*) AS BIGINT) AS mau FROM contrib GROUP BY 1
+        |)
+        |SELECT d.day, d.dau, m.mau,
+        |  CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+        |FROM dau d JOIN mau m ON d.day = m.w_day ORDER BY d.day""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

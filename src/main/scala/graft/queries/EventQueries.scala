@@ -3128,11 +3128,15 @@ object EventQueries {
     val pairs = Joins.covisitationPairs(
       enriched.select(col("session_id"), col("item_id")),
       "session_id", "item_id", minCount = 2L)
+    // EAGER materialization, not a lazy cache: cells fans out into the
+    // mi/hc/ht BROADCAST jobs, which Spark builds concurrently — with a
+    // lazy cache each of them races to compute the LPA subtree
+    // redundantly (measured 21 s vs ~6 s at sf0.1)
     val cells = graft.ops.Graph.labelPropagation(pairs, "item_a", "item_b", rounds = 4)
       .select(col("id"), col("label"), (col("id") % 20).as("cat"))
       .groupBy(col("label"), col("cat"))
       .agg(count(lit(1)).as("nij"))
-      .transform(graft.core.Caches.cache)
+      .localCheckpoint(true)
     val nTot = cells.agg(sum(col("nij")).as("n"))
     val rows = cells.groupBy(col("label")).agg(sum(col("nij")).as("ni"))
       .transform(graft.core.Caches.cache)
@@ -3291,6 +3295,145 @@ object EventQueries {
           |   * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
           |   * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
           |   / (0.01 * 0.01)) AS BIGINT) END""".stripMargin))
+
+  /** Profile drift (q237): first-half vs second-half data-quality
+    * profile of the event stream — row volume, distinct users/items,
+    * null-item rate, mean order cents — the "did the upstream feed
+    * silently change shape" audit that q94's static rules and q118's
+    * single-feature PSI bracket from either side. One fact pass of
+    * conditional aggregates, unpivoted to one row per metric.
+    */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        col("user_id"),
+        expr("try_cast(get_json_object(props, '$.k') as bigint)").as("item_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    def side(pred: org.apache.spark.sql.Column, tag: String) = Seq(
+      Ag.countIf(pred).as(s"n_rows_$tag"),
+      countDistinct(when(pred, col("user_id"))).as(s"n_users_$tag"),
+      countDistinct(when(pred, col("item_id"))).as(s"n_items_$tag"),
+      sum(when(pred && col("item_id").isNull, 1L).otherwise(0L)).as(s"n_null_$tag"),
+      sum(when(pred, col("cents")).otherwise(0L)).as(s"s_cents_$tag"))
+    val h1 = col("day") < col("mid")
+    val aggs = side(h1, "a") ++ side(!h1, "b")
+    ev.crossJoin(broadcast(mid))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("null_ppm_a", expr("n_null_a * 1000000 div n_rows_a"))
+      .withColumn("null_ppm_b", expr("n_null_b * 1000000 div n_rows_b"))
+      .withColumn("mean_cents_a", expr("s_cents_a div n_rows_a"))
+      .withColumn("mean_cents_b", expr("s_cents_b div n_rows_b"))
+      .selectExpr(
+        """stack(5,
+          | 'mean_cents', mean_cents_a, mean_cents_b,
+          | 'n_items', n_items_a, n_items_b,
+          | 'n_rows', n_rows_a, n_rows_b,
+          | 'n_users', n_users_a, n_users_b,
+          | 'null_item_ppm', null_ppm_a, null_ppm_b
+          |) AS (metric, first_half, second_half)""".stripMargin)
+  }
+
+  /** Association-rule lift (q238) over session baskets: for the
+    * supported covis pairs, lift = P(ab)/(P(a)P(b)) plus both
+    * directional confidences — the market-basket numbers (q19 reports
+    * raw co-counts; lift separates "popular with everything" from
+    * genuinely associated). Same hub-capped distinct incidence and
+    * support-2 pair contract as q19. Top 20 by (lift, pair). Exact
+    * integers: c_ab·N·1e6 stays in int64 to ~3M baskets — the
+    * bounded-basket adjudication.
+    */
+  def associationLift(s: SparkSession, d: String): DataFrame = {
+    val di = Pipeline.enrichedEvents(s, d)
+      .select(col("session_id"), col("item_id")).distinct()
+      .localCheckpoint(true)
+    val small = di.groupBy(col("session_id")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= 200).select(col("session_id"))
+    val dik = di.join(small, Seq("session_id"), "left_semi")
+      .localCheckpoint(true)
+    val pairs = Joins.covisitationPairsDistinct(
+      dik, "session_id", "item_id", minCount = 2L,
+      maxGroupSize = None, materialize = false)
+    val ca = dik.groupBy(col("item_id")).agg(count(lit(1)).as("c"))
+    val nb = dik.agg(countDistinct(col("session_id")).as("n_baskets"))
+    pairs
+      .join(broadcast(ca.select(col("item_id").as("item_a"), col("c").as("c_a"))),
+        Seq("item_a"))
+      .join(broadcast(ca.select(col("item_id").as("item_b"), col("c").as("c_b"))),
+        Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .withColumn("lift_ppm",
+        expr("pair_count * n_baskets * 1000000 div (c_a * c_b)"))
+      .withColumn("conf_ab_ppm", expr("pair_count * 1000000 div c_a"))
+      .withColumn("conf_ba_ppm", expr("pair_count * 1000000 div c_b"))
+      .orderBy(col("lift_ppm").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+      .select(
+        col("item_a"), col("item_b"), col("pair_count"), col("c_a"), col("c_b"),
+        col("lift_ppm"), col("conf_ab_ppm"), col("conf_ba_ppm"))
+  }
+
+  /** Cohort LTV curves (q239): cumulative purchase revenue per signup
+    * cohort (first-seen week) by week offset — the lifetime-value
+    * triangle behind every retention-economics decision (q56 counts
+    * WHO comes back; this accumulates what they SPEND). One fact pass
+    * to the (user, week) grain (eagerly materialized — both sides of
+    * the cohort join derive from it), then support-sized aggregations
+    * and a sharded per-cohort cumulative.
+    */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val perUserWeek = Tables.events(s, d)
+      .select(
+        col("user_id"),
+        expr("unix_timestamp(ts) div 604800").as("week"),
+        when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L).as("cents"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(sum(col("cents")).as("cents"))
+      .localCheckpoint(true)
+    val cohorts = perUserWeek
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val sized = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    val rev = perUserWeek
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(sum(col("cents")).as("cents"))
+    Windows
+      .shardedCumsumBy(rev, Seq("cohort"), "week_offset", Seq("cents"),
+        expr("week_offset div 4"))
+      .join(broadcast(sized), Seq("cohort"))
+      .select(
+        col("cohort"), col("week_offset"), col("cohort_users"),
+        col("cum_cents"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  /** DAU/MAU stickiness (q240): daily actives over rolling-30-day
+    * actives in ppm — THE engagement ratio (q127's WAU is the volume
+    * curve; stickiness is the habit metric investors quote). The
+    * rolling distinct uses the q127 window-membership explode (a user
+    * contributes to the 30 w_days after each active day, then one
+    * distinct) — never a 30-day window state; truncated at the
+    * period's start by construction.
+    */
+  def dauMauStickiness(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = du
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 29L)).as("w_day"))
+      .distinct()
+      .groupBy(col("w_day")).agg(count(lit(1)).as("mau"))
+    dau
+      .join(mau, col("day") === col("w_day"))
+      .select(
+        col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
 
   /** SALSA hubs/authorities (q211) on the session transition graph —
     * q173's HITS with sending-side degree normalization, the

@@ -653,6 +653,9 @@ object RelationalQueries {
         expr("unix_timestamp(o_orderdate) div 86400").as("day"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
     val maxDay = orders.agg(max(col("day")).as("max_day"))
+    // eager materialization: the three quintile-map BROADCASTS below
+    // are built concurrently and would each race to recompute a lazily
+    // cached rfm (the q227 pattern)
     val rfm = orders
       .crossJoin(broadcast(maxDay))
       .groupBy(col("o_custkey"))
@@ -660,7 +663,7 @@ object RelationalQueries {
         min(col("max_day") - col("day")).as("r_days"),
         count(lit(1)).as("f_orders"),
         sum(col("cents")).as("m_cents"))
-      .transform(graft.core.Caches.cache)
+      .localCheckpoint(true)
     def quintile(dim: String): DataFrame = {
       val sup = rfm.groupBy(col(dim)).agg(count(lit(1)).as("c"))
       val tot = sup.agg(sum(col("c")).as("n"))

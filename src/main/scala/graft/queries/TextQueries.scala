@@ -1003,6 +1003,25 @@ object TextQueries {
           org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Near-dup cluster census (q236): the size histogram of q42's
+    * connected components — the "how much of the corpus is duplicate"
+    * report a dedup run is judged by (n_docs at cluster_size 1 =
+    * unique mass; Σ(size−1) over the rest = removable mass). Same
+    * candidate-pair machinery and component contract as q42; the
+    * census is two support-sized aggregations on top.
+    */
+  def dupClusterStats(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .nearDupDedup(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 4, numHashes = 16, bands = 4, minJaccardPpm = 500000L)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** TextRank keyword extraction (q208): PageRank over the token
     * ADJACENCY graph (Mihalcea & Tarau 2004) — unlike q43's TF-IDF
     * (frequency vs corpus) or q186's RAKE (within-phrase degree),
