@@ -278,7 +278,10 @@ object SparkEntry {
     "q237_profile_drift" -> (EQ.profileDrift _),
     "q238_association_lift" -> (EQ.associationLift _),
     "q239_cohort_ltv" -> (EQ.cohortLtv _),
-    "q240_stickiness" -> (EQ.dauMauStickiness _))
+    "q240_stickiness" -> (EQ.dauMauStickiness _),
+    "q241_price_elasticity" -> (EQ.priceElasticity _),
+    "q242_new_vs_returning" -> (EQ.newVsReturningRevenue _),
+    "q243_conversion_lag" -> (EQ.conversionLag _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -5326,7 +5329,67 @@ object SparkEntry {
         |)
         |SELECT d.day, d.dau, m.mau,
         |  CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
-        |FROM dau d JOIN mau m ON d.day = m.w_day ORDER BY d.day""".stripMargin)
+        |FROM dau d JOIN mau m ON d.day = m.w_day ORDER BY d.day""".stripMargin,
+    // log-log demand curve over $20 bands, nano logs into the shared
+    // OLS chains (slope = elasticity)
+    "q241_price_elasticity" ->
+      s"""WITH bands AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) // 2000 AS band,
+         |    CAST(COUNT(*) AS BIGINT) AS q
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |), xy AS (
+         |  SELECT
+         |    CAST(round(ln(CAST(band * 2000 + 1000 AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(q AS DOUBLE)) * 1000000) AS BIGINT) AS y
+         |  FROM bands WHERE band >= 0
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sx2, CAST(SUM(y * y) AS BIGINT) AS sy2
+         |  FROM xy
+         |)
+         |SELECT n, sx, sy, sxy, sx2, sy2,
+         |  ${graft.ops.Stats.olsSlopeSql} AS slope_micro,
+         |  ${graft.ops.Stats.olsInterceptSql} AS intercept_micro,
+         |  ${graft.ops.Stats.olsR2Sql} AS r2_micro
+         |FROM m""".stripMargin,
+    // new vs returning revenue: first-seen day per user, conditional
+    // split per day
+    "q242_new_vs_returning" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), fd AS (
+        |  SELECT user_id, CAST(MIN(day) AS BIGINT) AS first_day FROM e GROUP BY 1
+        |), m AS (
+        |  SELECT e.day,
+        |    CAST(SUM(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_events,
+        |    CAST(SUM(CASE WHEN e.day = f.first_day THEN e.cents ELSE 0 END) AS BIGINT) AS new_cents,
+        |    CAST(SUM(CASE WHEN e.day <> f.first_day THEN e.cents ELSE 0 END) AS BIGINT) AS returning_cents
+        |  FROM e JOIN fd f USING (user_id) GROUP BY 1
+        |)
+        |SELECT day, new_events, new_cents, returning_cents,
+        |  CASE WHEN new_cents + returning_cents = 0 THEN NULL
+        |   ELSE CAST(new_cents * 1000000 // (new_cents + returning_cents) AS BIGINT) END AS new_share_ppm
+        |FROM m ORDER BY day""".stripMargin,
+    // first-view -> first-subsequent-purchase lag histogram per
+    // (user, item)
+    "q243_conversion_lag" ->
+      s"""WITH $sessCte, ui AS (
+         |  SELECT user_id, item_id, event_type, CAST(MIN(epoch_s) AS BIGINT) AS first_s
+         |  FROM enr WHERE event_type IN ('view', 'purchase')
+         |  GROUP BY 1, 2, 3
+         |), v AS (
+         |  SELECT user_id, item_id, first_s AS view_s FROM ui WHERE event_type = 'view'
+         |), b AS (
+         |  SELECT user_id, item_id, first_s AS buy_s FROM ui WHERE event_type = 'purchase'
+         |)
+         |SELECT (buy_s - view_s) // 86400 AS lag_days,
+         |  CAST(COUNT(*) AS BIGINT) AS n_conversions
+         |FROM v JOIN b USING (user_id, item_id)
+         |WHERE buy_s >= view_s
+         |GROUP BY 1 ORDER BY lag_days""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

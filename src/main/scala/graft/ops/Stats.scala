@@ -514,9 +514,10 @@ object Stats {
         sum(y * y).as("sy2"))
       .withColumn("__ovf_ok", expr(
         """assert_true(
-          |  coalesce(n, 0) = 0 OR
-          |  greatest(abs(sxy), sx2, sy2, abs(sx) * abs(coalesce(sy, 0)))
-          |    <= 9223372036854775807 div greatest(n, 2),
+          |  coalesce(n, 0) = 0 OR (
+          |    greatest(abs(sxy), sx2, sy2)
+          |      <= 9223372036854775807 div greatest(n, 2)
+          |    AND greatest(abs(sx), abs(coalesce(sy, 0))) <= 3037000499),
           |  'olsMicro: int64 moment overflow -- rescale x/y units')"""
           .stripMargin))
       .withColumn("slope_micro", when(col("__ovf_ok").isNull, expr(olsSlopeSql)))
@@ -534,11 +535,16 @@ object Stats {
       |   / CAST(n * sx2 - sx * sx AS DOUBLE) * 1000000) AS BIGINT) END""".stripMargin
 
   /** Oracle-SQL twin of [[olsMicro]]'s `intercept_micro`:
-    * (Σy·Σx² − Σx·Σxy) / (n·Σx² − Σx²), micro-rounded.
+    * (Σy·Σx² − Σx·Σxy) / (n·Σx² − Σx²), micro-rounded. The numerator
+    * products run in DOUBLE (each factor cast first): they are QUARTIC
+    * in the value scale and overflow int64 already at micro-log
+    * inputs (q241), while correctly-rounded double products on
+    * identically-cast inputs stay bit-identical cross-engine.
     */
   val olsInterceptSql: String =
     """CASE WHEN n < 2 OR n * sx2 - sx * sx = 0 THEN NULL
-      | ELSE CAST(round(CAST(sy * sx2 - sx * sxy AS DOUBLE)
+      | ELSE CAST(round((CAST(sy AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
       |   / CAST(n * sx2 - sx * sx AS DOUBLE) * 1000000) AS BIGINT) END""".stripMargin
 
   /** Oracle-SQL twin of [[olsMicro]]'s `r2_micro`: (n·Σxy − Σx·Σy)²

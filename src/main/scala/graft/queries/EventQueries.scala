@@ -3435,6 +3435,84 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Price elasticity of demand (q241): slope of the log-log demand
+    * curve — ln(purchases) regressed on ln(price) across $20 price
+    * bands, the one-number "how much does demand fall when price
+    * rises" economists ask for. Composes [[graft.ops.Stats.olsMicro]]
+    * over MICRO-quantized logs (nano would push Σxy past int64; micro
+    * keeps every OLS moment exact): slope_micro ≈ elasticity ×1e6
+    * (unit-free, both axes in micro-logs), r2_micro says how
+    * log-linear the curve actually is.
+    */
+  def priceElasticity(s: SparkSession, d: String): DataFrame = {
+    val bands = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(round(value * 100) as bigint) div 2000").as("band"))
+      .agg(count(lit(1)).as("q"))
+      .filter(col("band") >= 0)
+      .select(
+        expr("""cast(round(ln(cast(band * 2000 + 1000 as double))
+               | * 1000000) as bigint)""".stripMargin).as("x"),
+        expr("cast(round(ln(cast(q as double)) * 1000000) as bigint)").as("y"))
+    graft.ops.Stats.olsMicro(bands, "x", "y")
+  }
+
+  /** New vs returning revenue split (q242): per day, order value from
+    * users seen for the FIRST time that day vs from returners, with
+    * the new-user revenue share — the acquisition-vs-retention revenue
+    * mix every growth report opens with. First-seen day per user is
+    * one fact-grain aggregation (eagerly materialized — it feeds both
+    * sides of the day join), the split one conditional aggregation.
+    */
+  def newVsReturningRevenue(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(
+        col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .localCheckpoint(true)
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ev
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(
+        Ag.countIf(col("day") === col("first_day")).as("new_events"),
+        sum(when(col("day") === col("first_day"), col("cents")).otherwise(0L))
+          .as("new_cents"),
+        sum(when(col("day") =!= col("first_day"), col("cents")).otherwise(0L))
+          .as("returning_cents"))
+      .withColumn(
+        "new_share_ppm",
+        expr("""CASE WHEN new_cents + returning_cents = 0 THEN NULL
+               | ELSE new_cents * 1000000 div (new_cents + returning_cents) END"""
+          .stripMargin))
+      .orderBy(col("day"))
+  }
+
+  /** View-to-purchase conversion lag (q243): for every (user, item)
+    * purchased after being viewed, the days between FIRST view and
+    * FIRST subsequent purchase, as a day histogram — the funnel
+    * LATENCY distribution (q60 counts who converts; this says how
+    * long deliberation takes, the input to attribution windows).
+    * One (user, item, type) aggregation, one support-sized join.
+    */
+  def conversionLag(s: SparkSession, d: String): DataFrame = {
+    val ui = Pipeline.enrichedEvents(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), col("item_id"), col("event_type"))
+      .agg(min(col("epoch_s")).as("first_s"))
+    val views = ui.filter(col("event_type") === "view")
+      .select(col("user_id"), col("item_id"), col("first_s").as("view_s"))
+    val buys = ui.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("item_id"), col("first_s").as("buy_s"))
+    views
+      .join(buys, Seq("user_id", "item_id"))
+      .filter(col("buy_s") >= col("view_s"))
+      .groupBy(expr("(buy_s - view_s) div 86400").as("lag_days"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("lag_days"))
+  }
+
   /** SALSA hubs/authorities (q211) on the session transition graph —
     * q173's HITS with sending-side degree normalization, the
     * TKC-resistant variant: a mega-hub no longer floods its full mass
