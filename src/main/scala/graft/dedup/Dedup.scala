@@ -200,14 +200,30 @@ object Dedup {
     * set. At corpus scale, block first (LSH buckets via
     * [[graft.similarity.Similarity.lshBucket]]) and run this inside
     * buckets: [[embeddingNearDupLsh]].
+    *
+    * The bound is ENFORCED, not doc-only: an `assert_true` row-count
+    * guard (the suite's loud-overflow pattern) fails the job the
+    * moment the input exceeds `maxRows`, instead of silently
+    * cartesian-ing an unbounded corpus. Raise it deliberately for a
+    * known-bounded candidate set; never for a raw corpus.
     */
   def embeddingNearDupPairs(
       embs: DataFrame,
       idCol: String,
       embCol: String,
-      minCosine: Double): DataFrame = {
+      minCosine: Double,
+      maxRows: Long = 100000L): DataFrame = {
     import graft.similarity.Similarity._
-    val q = embs.select(col(idCol).as("id"), quantize(col(embCol)).as("emb"))
+    val q0 = embs.select(col(idCol).as("id"), quantize(col(embCol)).as("emb"))
+    val n = q0.agg(count(lit(1)).as("__n"))
+    // assert_true returns NULL on success; gating emb on its null-ness
+    // forces the guard to evaluate without changing the output.
+    val q = q0.crossJoin(broadcast(n))
+      .withColumn("__guard", expr(
+        s"""assert_true(__n <= ${maxRows}L,
+           |  'embeddingNearDupPairs: ' || __n || ' rows exceeds maxRows=$maxRows'
+           |  || ' -- O(n^2) path; block first (embeddingNearDupLsh)')""".stripMargin))
+      .select(col("id"), when(col("__guard").isNull, col("emb")).as("emb"))
     val a = q.select(col("id").as("id_a"), col("emb").as("emb_a"))
     val b = q.select(col("id").as("id_b"), col("emb").as("emb_b"))
     a.crossJoin(b)

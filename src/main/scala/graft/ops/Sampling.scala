@@ -198,10 +198,19 @@ object Sampling {
       substring(md5(concat(col(idCol).cast("string"), lit("_ws"))), 1, 15),
       16, 10).cast("long")
     df.select(col(idCol), col(weightCol).as("weight"), h.as("__h"))
+      // The weights-must-be->=1 contract is ENFORCED, not doc-only: a
+      // 0/null weight would make priority NULL, which Spark sorts
+      // NULLS FIRST ascending (row silently selected first) while
+      // DuckDB sorts NULLS LAST — a silent cross-engine divergence.
+      .withColumn("__wok", expr(
+        """assert_true(weight >= 1,
+          |  'weightedSampleTopK: weights must be >= 1 (got a null/zero/negative weight)')"""
+          .stripMargin))
       .withColumn(
         "priority",
-        expr("""cast(round(-ln((cast(__h as double) + 1) / 1152921504606846976.0)
-               | * 1000000000) as bigint) div weight""".stripMargin))
+        when(col("__wok").isNull, expr(
+          """cast(round(-ln((cast(__h as double) + 1) / 1152921504606846976.0)
+            | * 1000000000) as bigint) div weight""".stripMargin)))
       .orderBy(col("priority").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("weight"), col("priority"))

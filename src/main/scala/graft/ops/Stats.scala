@@ -528,10 +528,18 @@ object Stats {
 
   /** Oracle-SQL twin of [[olsMicro]]'s `slope_micro`: (n·Σxy − Σx·Σy)
     * / (n·Σx² − Σx²), micro-rounded. Expects `n, sx, sy, sxy, sx2`.
+    * The NUMERATOR runs in double on identically-cast factors (the
+    * [[olsInterceptSql]] pattern): the guard bounds n·Σxy and Σx·Σy
+    * each at ~int64max, so their DIFFERENCE can reach ~2·int64max with
+    * opposite signs — int64 would wrap silently in Spark while DuckDB
+    * promotes to HUGEINT. The denominator subtracts two NONNEGATIVE
+    * guarded terms (n·Σx² ≥ 0, Σx² ≥ 0) and cannot wrap, so it stays
+    * exact int64.
     */
   val olsSlopeSql: String =
     """CASE WHEN n < 2 OR n * sx2 - sx * sx = 0 THEN NULL
-      | ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      | ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |   / CAST(n * sx2 - sx * sx AS DOUBLE) * 1000000) AS BIGINT) END""".stripMargin
 
   /** Oracle-SQL twin of [[olsMicro]]'s `intercept_micro`:
@@ -548,11 +556,16 @@ object Stats {
       |   / CAST(n * sx2 - sx * sx AS DOUBLE) * 1000000) AS BIGINT) END""".stripMargin
 
   /** Oracle-SQL twin of [[olsMicro]]'s `r2_micro`: (n·Σxy − Σx·Σy)²
-    * / ((n·Σx² − Σx²)(n·Σy² − Σy²)), micro-rounded.
+    * / ((n·Σx² − Σx²)(n·Σy² − Σy²)), micro-rounded. Numerator in
+    * double for the same wrap reason as [[olsSlopeSql]]; both
+    * denominator factors are nonnegative-minus-nonnegative and exact.
     */
   val olsR2Sql: String =
     """CASE WHEN n < 2 OR n * sx2 - sx * sx = 0 OR n * sy2 - sy * sy = 0 THEN NULL
-      | ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      | ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |   / (CAST(n * sx2 - sx * sx AS DOUBLE) * CAST(n * sy2 - sy * sy AS DOUBLE))
       |   * 1000000) AS BIGINT) END""".stripMargin
 
@@ -1050,6 +1063,11 @@ object Stats {
     * self-join; runs = 1 + sign changes. `z_micro` is the one double
     * chain ([[runsZSql]]), NULL when either sign class is empty.
     * Output: one row `(n_above, n_below, n_runs, z_micro)`.
+    *
+    * `shardExpr` shards the VALUE support for the median's
+    * histogram-collect only; the rank cumsum shards on `orderCol div
+    * 8` internally and therefore requires an INTEGRAL `orderCol`
+    * (non-integer order keys need a pre-projected integer rank).
     */
   def runsTestMicro(
       df: DataFrame,
@@ -1075,7 +1093,13 @@ object Stats {
       .join(
         ranked.select((col("rk") - 1).as("rk"), col("sgn").as("sgn_next")),
         Seq("rk"))
-      .agg(Aggregates.countIf(col("sgn") =!= col("sgn_next")).as("n_changes"))
+      // coalesce mirrors the oracle's COALESCE(SUM(...), 0): with a
+      // single non-median row the adjacency join is EMPTY and the
+      // sum-based countIf would yield NULL n_changes / NULL n_runs
+      // while the oracle emits n_runs = 1.
+      .agg(coalesce(
+        Aggregates.countIf(col("sgn") =!= col("sgn_next")), lit(0L))
+        .as("n_changes"))
     val cnt = signed.agg(
       Aggregates.countIf(col("sgn") === 1).as("n_above"),
       Aggregates.countIf(col("sgn") === 0).as("n_below"))

@@ -52,20 +52,41 @@ object Similarity {
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (idCol, embCol). Self-matches excluded.
     * Output: (query_id, neighbor_id, cosine_sim, rn).
+    *
+    * The exact baseline for a BOUNDED query set — the bound is
+    * ENFORCED: an `assert_true` guard fails the job loud when
+    * |queries|·|corpus| exceeds `maxComparisons` instead of silently
+    * running an unbounded scan-per-query. Scale paths:
+    * [[lshBucketedTopK]] (multi-probe) / [[ivfTopK]].
     */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       embCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxComparisons: Long = 1000000000L): DataFrame = {
     val q = broadcast(
       queries.select(
         col(idCol).as("query_id"),
         quantize(col(embCol)).as("q_emb")))
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    val nc = corpus.agg(count(lit(1)).as("__nc"))
+    // Overflow-safe product bound (nq*nc can wrap int64 before the
+    // comparison); assert_true is NULL on success — gating c_emb on
+    // its null-ness forces evaluation without changing the output.
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       quantize(col(embCol)).as("c_emb"))
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nc))
+      .withColumn("__guard", expr(
+        s"""assert_true(__nq = 0 OR __nc <= ${maxComparisons}L div __nq,
+           |  'bruteForceTopK: ' || __nq || ' x ' || __nc
+           |  || ' comparisons exceeds maxComparisons=$maxComparisons'
+           |  || ' -- use lshBucketedTopK / ivfTopK')""".stripMargin))
+      .select(
+        col("neighbor_id"),
+        when(col("__guard").isNull, col("c_emb")).as("c_emb"))
     val scored = c
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -107,6 +107,21 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall { case (id, comp) => comp == (id / 100) * 100 })
   }
 
+  test("embeddingNearDupPairs: maxRows guard fails loud, passes at the bound") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.9, maxRows = 2L).collect()
+    }
+    assert(ex.getMessage.contains("embeddingNearDupPairs"))
+    val ok = Dedup
+      .embeddingNearDupPairs(embs, "vec_id", "embedding", 0.9, maxRows = 3L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ok == Set((1L, 2L)))
+  }
+
   test("nearDupDedup: end-to-end survivors, singletons self-labeled") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(_._2 == 1L))
   }
 
+  test("bruteForceTopK: maxComparisons guard fails loud, passes at the bound") {
+    // 1 query x 4 corpus rows = 4 comparisons: 3 is under, 4 is at bound.
+    val q = vecs.filter(col("vec_id") === 1)
+    val ex = intercept[Exception] {
+      Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 3, maxComparisons = 3L).collect()
+    }
+    assert(ex.getMessage.contains("bruteForceTopK"))
+    val ok = Similarity
+      .bruteForceTopK(q, vecs, "vec_id", "embedding", 3, maxComparisons = 4L)
+    assert(ok.count() == 3L)
+  }
+
   test("lshBucketedTopK: self-similar bucket finds the near neighbor") {
     val out = Similarity
       .lshBucketedTopK(
