@@ -88,6 +88,19 @@ object Bench {
       f"""{"queries":$qs,"shuffle_mb":$sh,""" +
         f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""failed":$failed,"shuffle_mb_total":$totalSh%.1f,"sf":"$sfDir"}""")
+    // The driver's artifact keeps only a ~4 KB stdout TAIL, so the big
+    // per-query line loses its head at ~200+ queries (BENCH_r08 retained
+    // 76/243). Emit the cost HEAD — the top-25 most expensive queries by
+    // seconds and by shuffle — as their own compact lines so the
+    // expensive cohort always survives truncation.
+    val top25 = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val top25Sh = results.sortBy(-_._3).take(25)
+      .map { case (k, _, mb) => s"\"" + k + "\":" + f"$mb%.1f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"top25_sec","queries":$top25}""")
+    println(s"""{"metric":"top25_shuffle_mb","queries":$top25Sh}""")
     // The full line above can exceed the driver's capture window (r05/r06
     // arrived head-truncated, "parsed": null). The VERY LAST stdout line
     // is therefore a standalone compact summary that always parses whole.
