@@ -81,6 +81,30 @@ object Embeddings {
             org.apache.spark.ml.linalg.SQLDataTypes.VectorType))))
   }
 
+  /** Top-k cosine neighbors of `word` in a trained vectors table —
+    * the reference's `wv.most_similar` demo
+    * (`prepare_training_data_pyspark.py:428-433`) as a Spark-first
+    * relational operator: the query vector broadcasts, the vocabulary
+    * scans once, ranking uses the suite's deterministic quantized
+    * cosine (graft.similarity) with a unique word tie-break — so the
+    * neighbor list is stable across re-runs and partitionings for a
+    * given model. Output: (word, cosine_sim, rn), rn 1..k.
+    *
+    * Scale shape: the vocabulary is catalog-sized (≪ corpus);
+    * |vocab| × 1 comparisons, no shuffle beyond the top-k reduction.
+    */
+  def findSynonyms(vectors: DataFrame, word: String, k: Int): DataFrame = {
+    val arr = vectors.select(
+      col("word"),
+      vector_to_array(col("vector"), "float32").as("emb"))
+    graft.similarity.Similarity
+      .bruteForceTopK(arr.filter(col("word") === word), arr, "word", "emb", k)
+      .select(
+        col("neighbor_id").as("word"),
+        col("cosine_sim"),
+        col("rn"))
+  }
+
   /** Attach embedding dims as flat float columns via broadcast left
     * join + element_at + coalesce(0.0f) — pure Catalyst, no UDF, no
     * serialization wall (the Spark-first form of reference X1).

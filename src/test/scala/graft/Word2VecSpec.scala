@@ -30,6 +30,36 @@ class Word2VecSpec extends SparkSpec {
     assert(dims == Set(16))
   }
 
+  test("findSynonyms: k ranked neighbors, self excluded, deterministic, cosine-consistent") {
+    val model = Embeddings.trainWord2Vec(seqs.coalesce(1), seed = 42L).cache()
+    val vocab = model.select("word").as[String].collect().sorted
+    val q = vocab.head
+    val k = math.min(5, vocab.length - 1)
+    def run() = Embeddings.findSynonyms(model, q, k)
+      .select("word", "cosine_sim", "rn").as[(String, Double, Int)].collect().toSeq
+    val syn = run()
+    assert(syn.length == k)
+    assert(!syn.exists(_._1 == q), "query word excluded")
+    assert(syn.map(_._3) == (1 to k), "rn is 1..k")
+    assert(syn.map(_._2) == syn.map(_._2).sorted.reverse, "descending cosine")
+    assert(run() == syn, "re-run identical (quantized cosine, unique tie-break)")
+    // rank-1 neighbor really is the argmax cosine over the vocabulary
+    // (checked against an independent driver-side computation)
+    val vecs = model
+      .select(col("word"), org.apache.spark.ml.functions.vector_to_array(col("vector")).as("v"))
+      .as[(String, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val qa = a.map(x => math.round(x * 10000).toDouble)
+      val qb = b.map(x => math.round(x * 10000).toDouble)
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(qa.map(x => x * x).sum) / math.sqrt(qb.map(x => x * x).sum)
+    }
+    val best = vocab.filter(_ != q).maxBy(w => (cos(vecs(q), vecs(w)), w))
+    val bestSim = cos(vecs(q), vecs(best))
+    assert(math.abs(syn.head._2 - bestSim) < 1e-9)
+    model.unpersist()
+  }
+
   test("fixed seed + single partition is deterministic") {
     val one = seqs.coalesce(1).cache()
     def train() = Embeddings.trainWord2Vec(one, seed = 42L)
