@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe for the round-8 statistics/graph cohort (q200–q243):
+  * replicates sf0.1's events table R× (fresh user ids per replica, the
+  * item catalog and date range fixed — more users on the same shop,
+  * the realistic densification) and times each events-backed cohort
+  * query against the scaled table. Catches the q193/q227 pathology
+  * class (superlinear plan/iteration blowups) that only shows up past
+  * the bench scale.
+  *
+  * Usage: tools/probe.sh graft.ProbeScaleCohort <R> [srcSf] [outDir]
+  *   e.g. R=100 = 10M events, R=200 = 20M (sf0.1 = 100k events).
+  */
+object ProbeScaleCohort {
+  def main(args: Array[String]): Unit = {
+    val r = args.headOption.map(_.toInt).getOrElse(100)
+    val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.drop(2).headOption.getOrElse(s"/tmp/scale_x$r")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.core.Tables.events(spark, src)
+    val userSpan = base.agg(max(col("user_id"))).head().getLong(0) + 1L
+    val idSpan = base.agg(max(col("event_id"))).head().getLong(0) + 1L
+    base
+      .select(explode(sequence(lit(0L), lit(r - 1L))).as("__r"), col("*"))
+      .select(
+        (col("event_id") + col("__r") * idSpan).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__r") * userSpan).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val n = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"[scale] events x$r = $n rows at $out")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    val cohort = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => k.matches("q2[0-4][0-9].*"))
+    val skip = Set("q208_textrank", "q233_fk_orphans", "q234_pareto_revenue",
+      "q235_rfm_segments", "q236_dup_cluster_stats") // non-events tables
+    graft.core.Caches.withScope {
+      cohort.filterNot(skip).foreach { name =>
+        org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+        val b0 = shuffleBytes.get
+        val t0 = System.nanoTime()
+        val res = try Right(SparkEntry.queries(name)(spark, out).count())
+        catch { case e: Throwable => Left(e.toString.take(120)) }
+        val t = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+        val mb = (shuffleBytes.get - b0) / 1e6
+        res match {
+          case Right(rows) => println(f"[scale] $name%-28s $t%8.1f s ${mb}%8.1f MB $rows%10d rows")
+          case Left(err) => println(f"[scale] $name%-28s $t%8.1f s FAILED: $err")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -281,7 +281,14 @@ object SparkEntry {
     "q240_stickiness" -> (EQ.dauMauStickiness _),
     "q241_price_elasticity" -> (EQ.priceElasticity _),
     "q242_new_vs_returning" -> (EQ.newVsReturningRevenue _),
-    "q243_conversion_lag" -> (EQ.conversionLag _))
+    "q243_conversion_lag" -> (EQ.conversionLag _),
+    "q244_k_anonymity" -> (RQ.kAnonymityAudit _),
+    "q245_l_diversity" -> (RQ.lDiversityAudit _),
+    "q246_holt_forecast" -> (EQ.holtForecast _),
+    "q247_flesch" -> (TQ.fleschReadability _),
+    "q248_oov_rate" -> (TQ.oovRate _),
+    "q249_good_turing" -> (TQ.goodTuringFreqs _),
+    "q250_distinct_n" -> (TQ.distinctNgramDiversity _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -5389,7 +5396,123 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_conversions
          |FROM v JOIN b USING (user_id, item_id)
          |WHERE buy_s >= view_s
-         |GROUP BY 1 ORDER BY lag_days""".stripMargin)
+         |GROUP BY 1 ORDER BY lag_days""".stripMargin,
+    // k-anonymity release gate: class sizes over the QI combination
+    "q244_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 500) AS BIGINT) AS band, COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(MIN(sz) AS BIGINT) AS min_class_size,
+        |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT) AS rows_below_k,
+        |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) * 1000000 // SUM(sz) AS BIGINT)
+        |    AS rows_below_k_ppm
+        |FROM cls""".stripMargin,
+    // l-diversity: distinct sensitive bands within each QI class
+    "q245_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+        |    COUNT(DISTINCT CAST(floor(c_acctbal / 500) AS BIGINT)) AS ldiv
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(MIN(ldiv) AS BIGINT) AS min_l,
+        |  CAST(COALESCE(SUM(CASE WHEN ldiv < 2 THEN 1 END), 0) AS BIGINT) AS classes_below_l,
+        |  CAST(COALESCE(SUM(CASE WHEN ldiv < 2 THEN sz END), 0) * 1000000 // SUM(sz) AS BIGINT)
+        |    AS rows_below_l_ppm
+        |FROM cls""".stripMargin,
+    // Holt level/trend as fixed nano coefficient literals over a
+    // zero-filled 28-day window (the SES constant-injection pattern)
+    "q246_holt_forecast" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |), tm AS (SELECT MAX(day) AS tmax FROM daily),
+         |co(lag_d, cl_nano, ct_nano) AS (VALUES
+         |  ${graft.ops.Stats.holtCoeffsNano()
+               .map { case (l, cl, ct) => s"($l, $cl, $ct)" }.mkString(", ")}),
+         |lagged AS (
+         |  SELECT t.tmax - d.day AS lag_d, d.y FROM daily d CROSS JOIN tm t
+         |), z AS (
+         |  SELECT CAST(SUM(co.cl_nano * COALESCE(l.y, 0)) AS BIGINT) AS level_nano,
+         |    CAST(SUM(co.ct_nano * COALESCE(l.y, 0)) AS BIGINT) AS trend_nano
+         |  FROM co LEFT JOIN lagged l USING (lag_d)
+         |)
+         |SELECT CAST(level_nano // 1000 AS BIGINT) AS level_micro,
+         |  CAST(trend_nano // 1000 AS BIGINT) AS trend_micro,
+         |  CAST((level_nano + 1 * trend_nano) // 1000 AS BIGINT) AS f1_micro,
+         |  CAST((level_nano + 7 * trend_nano) // 1000 AS BIGINT) AS f7_micro
+         |FROM z""".stripMargin,
+    // Flesch reading ease in integer micro units (regexp counts only)
+    "q247_flesch" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      + len(regexp_extract_all(lower(text), '[a-z]+'))
+        |      - len(regexp_extract_all(lower(text), '[a-z]*[aeiouy][a-z]*')) AS BIGINT)
+        |      AS syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CAST(206835000 - (1015000 * words) // sentences
+        |    - (84600000 * syllables) // words AS BIGINT) AS flesch_micro
+        |FROM b WHERE words > 0 ORDER BY doc_id""".stripMargin,
+    // OOV rate vs the deterministic top-1000 corpus vocabulary
+    "q248_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+        |  ORDER BY c DESC, tok ASC LIMIT 1000
+        |)
+        |SELECT t.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS oov_ppm
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Good-Turing frequency-of-frequencies: 10 rarest occupancy classes
+    "q249_good_turing" ->
+      """WITH counts AS (
+        |  SELECT tok, COUNT(*) AS r FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        |  ) GROUP BY tok
+        |), total AS (SELECT CAST(SUM(r) AS BIGINT) AS n_total FROM counts),
+        |ff AS (
+        |  SELECT r, COUNT(*) AS n_terms FROM counts GROUP BY r ORDER BY r ASC LIMIT 10
+        |)
+        |SELECT CAST(f.r AS BIGINT) AS r, CAST(f.n_terms AS BIGINT) AS n_terms,
+        |  CAST(f.r * f.n_terms * 1000000 // t.n_total AS BIGINT) AS mass_ppm
+        |FROM ff f CROSS JOIN total t ORDER BY r""".stripMargin,
+    // corpus distinct-n diversity over word 1/2/3-grams
+    "q250_distinct_n" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), g1 AS (
+        |  SELECT array_to_string(toks[i:i], ' ') AS g
+        |  FROM docs, unnest(generate_series(1, len(toks))) AS t(i)
+        |), g2 AS (
+        |  SELECT array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |), g3 AS (
+        |  SELECT array_to_string(toks[i:i+2], ' ') AS g
+        |  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+        |), m AS (
+        |  SELECT 1 AS n, COUNT(*) AS total_ngrams, COUNT(DISTINCT g) AS distinct_ngrams FROM g1
+        |  UNION ALL SELECT 2, COUNT(*), COUNT(DISTINCT g) FROM g2
+        |  UNION ALL SELECT 3, COUNT(*), COUNT(DISTINCT g) FROM g3
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(total_ngrams AS BIGINT) AS total_ngrams,
+        |  CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+        |  CAST(distinct_ngrams * 1000000 // total_ngrams AS BIGINT) AS distinct_ppm
+        |FROM m ORDER BY n""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

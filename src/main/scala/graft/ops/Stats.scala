@@ -1137,6 +1137,38 @@ object Stats {
     (0 until n).map(i =>
       (i.toLong, math.round(0.3 * math.pow(0.7, i) * 1e9)))
 
+  /** Holt linear-trend smoothing as LITERAL coefficients (the
+    * [[sesWeightsNano]] pattern, one level up): because the level/trend
+    * recursions l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} (init l₁ = y₁, b₁ = y₂−y₁)
+    * are LINEAR in the observations, the final l_n and b_n are fixed
+    * linear combinations of y₁..y_n — unrolled symbolically here once,
+    * nano-quantized, and injected as constants into BOTH engines. No
+    * runtime pow()/recursion; a ZERO-FILLED fixed n-day window makes
+    * the coefficient vector data-independent.
+    * Returns (lag, c_level_nano, c_trend_nano) for lag 0 (newest) …
+    * n−1 (oldest). Forecast h steps out: l_n + h·b_n.
+    */
+  def holtCoeffsNano(
+      n: Int = 28,
+      alpha: Double = 0.5,
+      beta: Double = 0.3): Seq[(Long, Long, Long)] = {
+    require(n >= 2, "holt needs at least 2 observations")
+    var lPrev = Array.tabulate(n)(i => if (i == 0) 1.0 else 0.0)
+    var bPrev = Array.tabulate(n)(i =>
+      if (i == 1) 1.0 else if (i == 0) -1.0 else 0.0)
+    for (t <- 2 to n) {
+      val lNext = Array.tabulate(n)(i =>
+        (if (i == t - 1) alpha else 0.0) + (1 - alpha) * (lPrev(i) + bPrev(i)))
+      val bNext = Array.tabulate(n)(i =>
+        beta * (lNext(i) - lPrev(i)) + (1 - beta) * bPrev(i))
+      lPrev = lNext
+      bPrev = bNext
+    }
+    (0 until n).map(i =>
+      ((n - 1 - i).toLong, math.round(lPrev(i) * 1e9), math.round(bPrev(i) * 1e9)))
+  }
+
   /** Kendall rank correlation τ-b between paired series `(xCol, yCol)`
     * (one row per observation; `tieCol` must be unique — pairs are
     * enumerated once as tie < tie). Concordant/discordant/tied pair

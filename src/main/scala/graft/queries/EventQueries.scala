@@ -3224,6 +3224,38 @@ object EventQueries {
       .withColumn("forecast_cents", expr("wsum_nano div w_mass_nano"))
   }
 
+  /** Holt linear-trend forecast of daily purchase revenue (q246) — the
+    * trend-aware step up from [[sesForecast]]'s flat SES. The level and
+    * trend recursions are unrolled to FIXED nano coefficient literals
+    * over a zero-filled 28-day window anchored at the latest day
+    * ([[graft.ops.Stats.holtCoeffsNano]]): both engines evaluate the
+    * identical linear combination — no runtime recursion, no libm.
+    * Output (one row): level_micro, trend_micro (cents ×1e6), and the
+    * 1/7-step-ahead forecasts l + h·b.
+    */
+  def holtForecast(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+    val tmax = daily.agg(max(col("day")).as("tmax"))
+    val co = graft.ops.Stats.holtCoeffsNano().toDF("lag_d", "cl_nano", "ct_nano")
+    val lagged = daily
+      .crossJoin(broadcast(tmax))
+      .select((col("tmax") - col("day")).as("lag_d"), col("y"))
+    co.join(lagged, Seq("lag_d"), "left")
+      .agg(
+        sum(col("cl_nano") * coalesce(col("y"), lit(0L))).as("level_nano"),
+        sum(col("ct_nano") * coalesce(col("y"), lit(0L))).as("trend_nano"))
+      .select(
+        expr("level_nano div 1000").as("level_micro"),
+        expr("trend_nano div 1000").as("trend_micro"),
+        expr("(level_nano + 1 * trend_nano) div 1000").as("f1_micro"),
+        expr("(level_nano + 7 * trend_nano) div 1000").as("f7_micro"))
+  }
+
   /** Sample-ratio-mismatch check (q230): is the md5 variant split
     * (the q158 assignment) statistically 50/50 — χ²₁ = (n₀−n₁)²/N as
     * one exact integer, flagged against the 3.84 critical value. The

@@ -687,4 +687,29 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
+
+  /** k-anonymity audit (q244) over the customer table's quasi-identifier
+    * combination (nation, market segment, account-balance band) at
+    * k = 5 — [[graft.ops.Privacy.kAnonymity]]. The release-gate
+    * question: how many rows are re-identifiable by that combination.
+    */
+  def kAnonymityAudit(s: SparkSession, d: String): DataFrame =
+    graft.ops.Privacy.kAnonymity(
+      Tables.customer(s, d),
+      Seq(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 500).cast("long").as("band")),
+      k = 5)
+
+  /** Distinct-l-diversity audit (q245): within each (nation, segment)
+    * QI class, the sensitive account-balance band must take ≥ 2
+    * distinct values — [[graft.ops.Privacy.lDiversity]].
+    */
+  def lDiversityAudit(s: SparkSession, d: String): DataFrame =
+    graft.ops.Privacy.lDiversity(
+      Tables.customer(s, d),
+      Seq(col("c_nationkey"), col("c_mktsegment")),
+      floor(col("c_acctbal") / 500).cast("long"),
+      l = 2)
 }

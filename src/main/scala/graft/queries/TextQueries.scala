@@ -1022,6 +1022,117 @@ object TextQueries {
         sum(col("cluster_size")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** Flesch reading-ease (q247) in exact integer micro units — the
+    * classic readability gate a curation pipeline runs next to the
+    * quality score (q33): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Words = alpha tokens; sentences =
+    * [.!?]+ runs (min 1); syllables = vowel groups ([aeiouy]+) plus
+    * one per vowel-less word (the ≥1-per-word convention) — all
+    * regexp counts, scan-side, identical in both engines.
+    */
+  def fleschReadability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_count(lower(col("text")), lit("[a-z]+")).cast("long").as("words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("sentences"),
+        (regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long") +
+          regexp_count(lower(col("text")), lit("[a-z]+")).cast("long") -
+          regexp_count(lower(col("text")), lit("[a-z]*[aeiouy][a-z]*")).cast("long"))
+          .as("syllables"))
+      .filter(col("words") > 0)
+      .select(
+        col("doc_id"), col("words"), col("sentences"), col("syllables"),
+        (lit(206835000L)
+          - expr("1015000 * words div sentences")
+          - expr("84600000 * syllables div words")).as("flesch_micro"))
+      .orderBy(col("doc_id"))
+
+  /** Tokenizer out-of-vocabulary rate (q248): share of each document's
+    * whitespace tokens outside the corpus top-1000 vocabulary (by
+    * count desc, term asc — deterministic cut) — the coverage check
+    * run before committing to a tokenizer/vocab size. The vocabulary
+    * is ranked once and broadcast; per-doc stats are one conditional
+    * aggregation over the token explode.
+    */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+    // top-k cut via TakeOrderedAndProject (distributed partial top-k,
+    // k rows to the driver) — never a global rank window over the
+    // vocabulary support, which is corpus-vocabulary-sized at scale
+    val vocab = toks
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(1000)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        graft.ops.Aggregates.countIf(col("in_vocab").isNull).as("n_oov"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Good–Turing frequency-of-frequencies (q249): the 10 RAREST
+    * occupancy classes — how many terms occur exactly r times and the
+    * token mass they carry, for the 10 smallest r present — the table
+    * behind GT smoothing and the unseen-mass estimate p₀ ≈ N₁/N (the
+    * smallest-r row's mass). "Smallest present" rather than a fixed
+    * r ≤ 10 cut keeps the check non-vacuous on corpora whose rarest
+    * term still occurs often (dense synthetic vocabularies). Two
+    * support-sized aggregations + a top-k reduction; the corpus total
+    * attaches as a 1-row broadcast.
+    */
+  def goodTuringFreqs(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+      .transform(graft.core.Caches.cache)
+    val total = counts.agg(sum(col("r")).as("n_total"))
+    counts
+      .groupBy(col("r")).agg(count(lit(1)).as("n_terms"))
+      .orderBy(col("r").asc)
+      .limit(10)
+      .crossJoin(broadcast(total))
+      .select(
+        col("r"), col("n_terms"),
+        expr("r * n_terms * 1000000 div n_total").as("mass_ppm"))
+      .orderBy(col("r"))
+  }
+
+  /** Distinct-n diversity (q250): corpus-level distinct/total ratio of
+    * word 1/2/3-grams — the standard "is this corpus repetitive"
+    * diversity metric (Li et al.'s distinct-n) quoted for generated
+    * training data. Per n: one scan-side shingle explode (the
+    * codegen'd WordShingles kernel) into a count+distinct aggregate;
+    * the three rows union.
+    */
+  def distinctNgramDiversity(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.core.Caches.cache(
+      Tables.documents(s, d).select(col("text")))
+    (1 to 3)
+      .map { n =>
+        docs
+          .select(explode(TF.wordShingles(col("text"), n)).as("g"))
+          .agg(
+            count(lit(1)).as("total_ngrams"),
+            countDistinct(col("g")).as("distinct_ngrams"))
+          .select(
+            lit(n.toLong).as("n"),
+            col("total_ngrams"), col("distinct_ngrams"),
+            expr("distinct_ngrams * 1000000 div total_ngrams")
+              .as("distinct_ppm"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("n"))
+  }
+
   /** TextRank keyword extraction (q208): PageRank over the token
     * ADJACENCY graph (Mihalcea & Tarau 2004) — unlike q43's TF-IDF
     * (frequency vs corpus) or q186's RAKE (within-phrase degree),

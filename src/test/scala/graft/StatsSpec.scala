@@ -430,6 +430,37 @@ class StatsSpec extends SparkSpec {
     assert(w.map(_._2).sum < 1000000000L)
   }
 
+  test("holtCoeffsNano: constant series -> level=c/trend=0; linear series tracked exactly") {
+    val co = Stats.holtCoeffsNano() // n=28, alpha=0.5, beta=0.3
+    assert(co.size == 28)
+    assert(co.map(_._1).sorted == (0L until 28L))
+    // y_t = c for all t: l_n = c, b_n = 0 => level coeffs sum to 1, trend to 0
+    assert(math.abs(co.map(_._2).sum - 1000000000L) <= 28)
+    assert(math.abs(co.map(_._3).sum) <= 28)
+    // y_t = t (t = n - lag): Holt is exact on a line with l1=y1, b1=y2-y1:
+    // l_n = n, b_n = 1
+    val level = co.map { case (lag, cl, _) => cl * (28L - lag) }.sum
+    val trend = co.map { case (lag, _, ct) => ct * (28L - lag) }.sum
+    assert(math.abs(level - 28L * 1000000000L) <= 28 * 28)
+    assert(math.abs(trend - 1000000000L) <= 28 * 28)
+  }
+
+  test("Privacy.kAnonymity / lDiversity: hand-computed class audit") {
+    // QI classes: (A: 3 rows, sens {1,1,2}), (B: 1 row, sens {9})
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 9L)).toDF("qi", "sens")
+    val k = graft.ops.Privacy.kAnonymity(df, Seq(col("qi")), k = 3).head()
+    assert(k.getAs[Long]("n_classes") == 2L)
+    assert(k.getAs[Long]("min_class_size") == 1L)
+    assert(k.getAs[Long]("rows_below_k") == 1L) // only B's single row
+    assert(k.getAs[Long]("rows_below_k_ppm") == 250000L)
+    val l = graft.ops.Privacy
+      .lDiversity(df, Seq(col("qi")), col("sens"), l = 2).head()
+    assert(l.getAs[Long]("n_classes") == 2L)
+    assert(l.getAs[Long]("min_l") == 1L) // B has one sensitive value
+    assert(l.getAs[Long]("classes_below_l") == 1L)
+    assert(l.getAs[Long]("rows_below_l_ppm") == 250000L)
+  }
+
   test("cochranArmitageMicro: linear dose-response z = 6/sqrt(5); flat trend z = 0") {
     val sup = Seq((0L, 10L, 2L), (1L, 10L, 5L), (2L, 10L, 8L)).toDF("w", "n_i", "r_i")
     val r = Stats.cochranArmitageMicro(sup, "w", "n_i", "r_i").head()
