@@ -51,7 +51,9 @@ object ProbeScaleCohort {
     val cohort = SparkEntry.queries.keys.toSeq.sorted
       .filter(k => k.matches("q2[0-4][0-9].*"))
     val skip = Set("q208_textrank", "q233_fk_orphans", "q234_pareto_revenue",
-      "q235_rfm_segments", "q236_dup_cluster_stats") // non-events tables
+      "q235_rfm_segments", "q236_dup_cluster_stats", "q244_k_anonymity",
+      "q245_l_diversity", "q247_flesch", "q248_oov_rate", "q249_good_turing",
+      "q250_distinct_n", "q251_source_overlap") // non-events tables
     graft.core.Caches.withScope {
       cohort.filterNot(skip).foreach { name =>
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)

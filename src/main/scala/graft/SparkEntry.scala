@@ -288,7 +288,10 @@ object SparkEntry {
     "q247_flesch" -> (TQ.fleschReadability _),
     "q248_oov_rate" -> (TQ.oovRate _),
     "q249_good_turing" -> (TQ.goodTuringFreqs _),
-    "q250_distinct_n" -> (TQ.distinctNgramDiversity _))
+    "q250_distinct_n" -> (TQ.distinctNgramDiversity _),
+    "q251_source_overlap" -> (TQ.sourceOverlap _),
+    "q252_spike_days" -> (EQ.spikeDays _),
+    "q253_seasonality_strength" -> (EQ.seasonalityStrength _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -5512,7 +5515,95 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n, CAST(total_ngrams AS BIGINT) AS total_ngrams,
         |  CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
         |  CAST(distinct_ngrams * 1000000 // total_ngrams AS BIGINT) AS distinct_ppm
-        |FROM m ORDER BY n""".stripMargin)
+        |FROM m ORDER BY n""".stripMargin,
+    // exact pairwise source Jaccard over 4-gram shingle sets
+    "q251_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, array_to_string(toks[i:i+3], ' ') AS shingle
+        |  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents) d,
+        |    unnest(generate_series(1, len(toks) - 3)) AS t(i)
+        |), sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS inter_count
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.src_a, i.src_b, i.inter_count,
+        |  CAST(sa.n + sb.n - i.inter_count AS BIGINT) AS union_count,
+        |  CAST(i.inter_count * 1000000 // (sa.n + sb.n - i.inter_count) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM inter i
+        |JOIN sizes sa ON i.src_a = sa.source
+        |JOIN sizes sb ON i.src_b = sb.source
+        |ORDER BY i.src_a, i.src_b""".stripMargin,
+    // median/MAD spike gate on daily purchase revenue (type-1 medians)
+    "q252_spike_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), counts AS (
+        |  SELECT cents, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+        |cums AS (
+        |  SELECT cents, n, SUM(n) OVER (ORDER BY cents) AS cum_n FROM counts
+        |), med AS (
+        |  SELECT CAST(MIN(c.cents) AS BIGINT) AS median_cents
+        |  FROM cums c CROSS JOIN tot t WHERE c.cum_n >= (t.n_total + 1) // 2
+        |), devt AS (
+        |  SELECT d.day, d.cents, m.median_cents,
+        |    abs(d.cents - m.median_cents) AS dev
+        |  FROM daily d CROSS JOIN med m
+        |), dcounts AS (
+        |  SELECT dev, CAST(COUNT(*) AS BIGINT) AS n FROM devt GROUP BY 1
+        |), dtot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM dcounts),
+        |dcums AS (
+        |  SELECT dev, n, SUM(n) OVER (ORDER BY dev) AS cum_n FROM dcounts
+        |), mad AS (
+        |  SELECT CAST(MIN(c.dev) AS BIGINT) AS mad_cents
+        |  FROM dcums c CROSS JOIN dtot t WHERE c.cum_n >= (t.n_total + 1) // 2
+        |)
+        |SELECT v.day, v.cents, v.median_cents, a.mad_cents, CAST(v.dev AS BIGINT) AS dev,
+        |  CASE WHEN a.mad_cents > 0
+        |    THEN CAST(v.dev * 1000000 // a.mad_cents AS BIGINT) END AS dev_mad_ppm,
+        |  CAST(CASE WHEN v.dev * 10000 > 44478 * a.mad_cents THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_spike
+        |FROM devt v CROSS JOIN mad a ORDER BY v.day""".stripMargin,
+    // Hyndman seasonality strength over the q188 decomposition,
+    // milli-quantized exact moments into the shared double chain
+    "q253_seasonality_strength" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1
+         |), tr AS (
+         |  SELECT a.day, a.n_events, COUNT(*) AS n7, CAST(SUM(b.n_events) AS BIGINT) AS sum7
+         |  FROM daily a JOIN daily b ON b.day BETWEEN a.day - 3 AND a.day + 3
+         |  GROUP BY 1, 2
+         |), t2 AS (
+         |  SELECT day, n_events, sum7 * 1000000 // 7 AS trend_micro,
+         |    n_events * 1000000 - sum7 * 1000000 // 7 AS detr_micro, day % 7 AS dow
+         |  FROM tr WHERE n7 = 7
+         |), seas AS (
+         |  SELECT dow,
+         |    (CAST(SUM(detr_micro) AS BIGINT) + CAST(COUNT(*) AS BIGINT) * 1000000000000)
+         |      // CAST(COUNT(*) AS BIGINT) - 1000000000000 AS seasonal_micro
+         |  FROM t2 GROUP BY 1
+         |), dec AS (
+         |  SELECT t2.detr_micro // 1000 AS dm,
+         |    (t2.detr_micro - seas.seasonal_micro) // 1000 AS rm
+         |  FROM t2 JOIN seas USING (dow)
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dm) AS BIGINT) AS sd, CAST(SUM(dm * dm) AS BIGINT) AS sd2,
+         |    CAST(SUM(rm) AS BIGINT) AS sr, CAST(SUM(rm * rm) AS BIGINT) AS sr2
+         |  FROM dec
+         |)
+         |SELECT n, sd, sd2, sr, sr2,
+         |  ${graft.ops.Stats.seasonalStrengthSql} AS strength_micro
+         |FROM m""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -1169,6 +1169,19 @@ object Stats {
       ((n - 1 - i).toLong, math.round(lPrev(i) * 1e9), math.round(bPrev(i) * 1e9)))
   }
 
+  /** Oracle-SQL twin of the seasonality-strength double chain
+    * (Hyndman's F_s): max(0, 1 − VarR/VarD) on exact integer moments,
+    * micro-rounded. Expects `n, sd, sd2, sr, sr2` (detrended and
+    * residual components, identically quantized on both sides). Both
+    * variance terms subtract NONNEGATIVE guarded products — no int64
+    * wrap (the olsSlopeSql denominator argument).
+    */
+  val seasonalStrengthSql: String =
+    """CASE WHEN n < 2 OR n * sd2 - sd * sd = 0 THEN NULL
+      | ELSE CAST(round(greatest(0.0,
+      |   1.0 - CAST(n * sr2 - sr * sr AS DOUBLE)
+      |     / CAST(n * sd2 - sd * sd AS DOUBLE)) * 1000000) AS BIGINT) END""".stripMargin
+
   /** Kendall rank correlation τ-b between paired series `(xCol, yCol)`
     * (one row per observation; `tieCol` must be unique — pairs are
     * enumerated once as tie < tie). Concordant/discordant/tied pair

@@ -2287,6 +2287,75 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Robust spike-day detection (q252): daily purchase revenue flagged
+    * against the global median ± 3·1.4826·MAD — the outlier rule that
+    * survives the spike it is hunting (a mean/stddev gate moves with
+    * the anomaly; the median/MAD gate does not). Both medians are
+    * exact order statistics on the day-grain support
+    * ([[graft.ops.Stats.medianFromCounts]], ~30 rows); the 3σ-
+    * equivalent cut is pure integer: 10000·|y−med| > 44478·mad.
+    * dev_mad_ppm = deviation in MAD-ppm units (NULL when MAD = 0).
+    */
+  def spikeDays(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .transform(graft.core.Caches.cache)
+    val med = graft.ops.Stats.medianFromCounts(
+      daily.groupBy(col("cents")).agg(count(lit(1)).as("c")),
+      Nil, "cents", "c", expr("cents div 100000000"), "median_cents")
+      .select(col("median_cents"))
+    val dev = daily
+      .crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("cents") - col("median_cents")))
+      .transform(graft.core.Caches.cache)
+    val mad = graft.ops.Stats.medianFromCounts(
+      dev.groupBy(col("dev")).agg(count(lit(1)).as("c")),
+      Nil, "dev", "c", expr("dev div 100000000"), "mad_cents")
+      .select(col("mad_cents"))
+    dev
+      .crossJoin(broadcast(mad))
+      .select(
+        col("day"), col("cents"), col("median_cents"), col("mad_cents"), col("dev"),
+        when(col("mad_cents") > 0,
+          expr("dev * 1000000 div mad_cents")).as("dev_mad_ppm"),
+        when(expr("dev * 10000 > 44478 * mad_cents"), lit(1L)).otherwise(lit(0L))
+          .as("is_spike"))
+      .orderBy(col("day"))
+  }
+
+  /** Seasonality strength (q253) of the daily event-count series —
+    * Hyndman's F_s = max(0, 1 − Var(resid)/Var(seasonal+resid)) on top
+    * of q188's additive decomposition: one number for "how much of the
+    * weekly wiggle is real seasonality vs noise". Components are
+    * milli-quantized (micro squares would pass int64 at decade×1e6-
+    * events scales), moments are exact integers with the olsMicro loud
+    * overflow guard, and the one double chain is the shared
+    * [[graft.ops.Stats.seasonalStrengthSql]] template.
+    */
+  def seasonalityStrength(s: SparkSession, d: String): DataFrame =
+    seasonalDecomposition(s, d)
+      .select(
+        expr("(seasonal_micro + resid_micro) div 1000").as("dm"),
+        expr("resid_micro div 1000").as("rm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dm")).as("sd"),
+        sum(col("dm") * col("dm")).as("sd2"),
+        sum(col("rm")).as("sr"),
+        sum(col("rm") * col("rm")).as("sr2"))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(
+          |  coalesce(n, 0) = 0 OR (
+          |    greatest(sd2, sr2) <= 9223372036854775807 div greatest(n, 2)
+          |    AND greatest(abs(sd), abs(sr)) <= 3037000499),
+          |  'seasonalityStrength: int64 moment overflow -- rescale to centi units')"""
+          .stripMargin))
+      .withColumn("strength_micro",
+        when(col("__ovf_ok").isNull, expr(graft.ops.Stats.seasonalStrengthSql)))
+      .drop("__ovf_ok")
+
   /** Exposure Gini (q189) of the covis top-10 recommender: how
     * unequally the candidate lists distribute exposure over the items
     * they recommend — the catalog-health metric behind "the

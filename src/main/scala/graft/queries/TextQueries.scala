@@ -1133,6 +1133,36 @@ object TextQueries {
       .orderBy(col("n"))
   }
 
+  /** Cross-source shingle overlap matrix (q251): exact pairwise
+    * Jaccard between the sources' 4-gram shingle SETS — the
+    * contamination/provenance diagnostic run before mixing corpora
+    * (high overlap = one source scraped another; q48 asks "does doc X
+    * touch the benchmark", this asks "how much do the corpora overlap
+    * wholesale"). Shape: one distinct to (source, shingle) grain, a
+    * shingle-keyed self-join whose fan-out per shingle is bounded by
+    * the SOURCE count (dozens) — line-rate in corpus shingles, never
+    * doc-pair-quadratic.
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.core.Caches.cache(
+      Tables.documents(s, d)
+        .select(col("source"), explode(TF.wordShingles(col("text"), 4)).as("shingle"))
+        .distinct())
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter_count"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .select(
+        col("src_a"), col("src_b"), col("inter_count"),
+        (col("na") + col("nb") - col("inter_count")).as("union_count"),
+        expr("inter_count * 1000000 div (na + nb - inter_count)").as("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** TextRank keyword extraction (q208): PageRank over the token
     * ADJACENCY graph (Mihalcea & Tarau 2004) — unlike q43's TF-IDF
     * (frequency vs corpus) or q186's RAKE (within-phrase degree),
