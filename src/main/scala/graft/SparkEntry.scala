@@ -291,7 +291,13 @@ object SparkEntry {
     "q250_distinct_n" -> (TQ.distinctNgramDiversity _),
     "q251_source_overlap" -> (TQ.sourceOverlap _),
     "q252_spike_days" -> (EQ.spikeDays _),
-    "q253_seasonality_strength" -> (EQ.seasonalityStrength _))
+    "q253_seasonality_strength" -> (EQ.seasonalityStrength _),
+    "q254_silhouette" -> (TQ.silhouette _),
+    "q255_stratified_kfold" -> ((s, dir) => TQ.stratifiedKfold(s, dir)),
+    "q256_power_iteration" -> (TQ.powerIteration _),
+    "q257_conformal_coverage" -> (TQ.conformalCoverage _),
+    "q258_matryoshka_fidelity" -> (TQ.matryoshkaFidelity _),
+    "q259_attribution_credit" -> (EQ.attributionCredit _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -5603,7 +5609,209 @@ object SparkEntry {
          |)
          |SELECT n, sd, sd2, sr, sr2,
          |  ${graft.ops.Stats.seasonalStrengthSql} AS strength_micro
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+    // centroid-based silhouette: exact int d², one micro-rounded double chain
+    "q254_silhouette" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT vec_id, label, i AS pos, v[i] AS val
+        |  FROM q, unnest(generate_series(1, len(v))) AS t(i)
+        |), cm AS (
+        |  SELECT label AS c_label, pos,
+        |    CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM ex GROUP BY 1, 2
+        |), cn AS (
+        |  SELECT c_label, CAST(SUM(cv * cv) AS BIGINT) AS c_n2 FROM cm GROUP BY 1
+        |), vn AS (
+        |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS v_n2 FROM ex GROUP BY 1
+        |), dots AS (
+        |  SELECT e.vec_id, e.label, c.c_label, CAST(SUM(e.val * c.cv) AS BIGINT) AS dp
+        |  FROM ex e JOIN cm c ON e.pos = c.pos GROUP BY 1, 2, 3
+        |), d2 AS (
+        |  SELECT d.vec_id, d.label, d.c_label,
+        |    vn.v_n2 + cn.c_n2 - 2 * d.dp AS dd
+        |  FROM dots d JOIN vn USING (vec_id) JOIN cn ON d.c_label = cn.c_label
+        |), ab AS (
+        |  SELECT vec_id, label,
+        |    MIN(CASE WHEN label = c_label THEN dd END) AS a2,
+        |    MIN(CASE WHEN label <> c_label THEN dd END) AS b2
+        |  FROM d2 GROUP BY 1, 2
+        |), sil AS (
+        |  SELECT label,
+        |    CASE WHEN greatest(a2, b2) = 0 THEN 0
+        |      ELSE CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+        |        / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1000000) AS BIGINT) END AS s_micro
+        |  FROM ab
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(CAST(SUM(s_micro) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_sil_micro,
+        |  MIN(s_micro) AS min_sil_micro, MAX(s_micro) AS max_sil_micro
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin,
+    // md5-bucket fold split, per-(fold,label) share of label in ppm
+    "q255_stratified_kfold" ->
+      """WITH e AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+        |    CAST(label AS BIGINT) AS label
+        |  FROM embeddings
+        |), t AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label FROM e GROUP BY 1
+        |)
+        |SELECT e.fold, e.label, CAST(COUNT(*) AS BIGINT) AS n, t.n_label,
+        |  CAST(COUNT(*) * 1000000 // t.n_label AS BIGINT) AS share_ppm
+        |FROM e JOIN t USING (label)
+        |GROUP BY e.fold, e.label, t.n_label
+        |ORDER BY e.fold, e.label""".stripMargin,
+    // quantized power iteration, two unrolled steps; HUGEINT widening
+    // mirrors the engine's BigInt normalize steps exactly
+    "q256_power_iteration" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT vec_id, i - 1 AS pos, v[i] AS val
+        |  FROM q, unnest(generate_series(1, len(v))) AS t(i)
+        |), m AS (
+        |  SELECT pos, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+        |  FROM ex GROUP BY 1
+        |), x AS (
+        |  SELECT e.vec_id, e.pos, e.val - m.mv AS xv FROM ex e JOIN m USING (pos)
+        |), s1 AS (
+        |  SELECT vec_id, CAST(SUM(xv) AS BIGINT) // 64 AS s FROM x GROUP BY 1
+        |), y1 AS (
+        |  SELECT pos, CAST(SUM(x.xv * s1.s) AS BIGINT) AS y
+        |  FROM x JOIN s1 USING (vec_id) GROUP BY 1
+        |), n1 AS (
+        |  SELECT greatest(MAX(abs(y)), 1) AS ma FROM y1
+        |), v1 AS (
+        |  SELECT pos, CAST(CAST(y AS HUGEINT) * 1024 // CAST(ma AS HUGEINT) AS BIGINT) AS vv
+        |  FROM y1 CROSS JOIN n1
+        |), s2 AS (
+        |  SELECT x.vec_id, CAST(SUM(x.xv * v1.vv) AS BIGINT) // 64 AS s
+        |  FROM x JOIN v1 USING (pos) GROUP BY 1
+        |), y2 AS (
+        |  SELECT pos, CAST(SUM(x.xv * s2.s) AS BIGINT) AS y
+        |  FROM x JOIN s2 USING (vec_id) GROUP BY 1
+        |), n2 AS (
+        |  SELECT greatest(MAX(abs(y)), 1) AS ma FROM y2
+        |), piv AS (
+        |  SELECT y FROM y2 CROSS JOIN n2 WHERE abs(y) = ma ORDER BY pos LIMIT 1
+        |), sg AS (
+        |  SELECT CASE WHEN y < 0 THEN -1 ELSE 1 END AS sgn FROM piv
+        |)
+        |SELECT CAST(pos AS BIGINT) AS pos,
+        |  CAST(CAST(y AS HUGEINT) * sgn * 1000000 // CAST(ma AS HUGEINT) AS BIGINT) AS loading_ppm
+        |FROM y2 CROSS JOIN n2 CROSS JOIN sg ORDER BY pos""".stripMargin,
+    // split-conformal: md5 mod-3 TRAIN/CALIB/TEST split (centroids fit
+    // on train only — fit+calibrate on one set biases scores small and
+    // breaks the guarantee), ceil-rank in ppm integer math (capped at
+    // n_cal), coverage in ppm
+    "q257_conformal_coverage" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS part
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT vec_id, label, part, i AS pos, v[i] AS val
+        |  FROM q, unnest(generate_series(1, len(v))) AS t(i)
+        |), cm AS (
+        |  SELECT label AS c_label, pos,
+        |    CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM ex WHERE part = 0 GROUP BY 1, 2
+        |), cn AS (
+        |  SELECT c_label, CAST(SUM(cv * cv) AS BIGINT) AS c_n2 FROM cm GROUP BY 1
+        |), vn AS (
+        |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS v_n2
+        |  FROM ex WHERE part <> 0 GROUP BY 1
+        |), dots AS (
+        |  SELECT e.vec_id, CAST(SUM(e.val * c.cv) AS BIGINT) AS dp
+        |  FROM ex e JOIN cm c ON e.pos = c.pos AND e.label = c.c_label
+        |  WHERE e.part <> 0 GROUP BY 1
+        |), scored AS (
+        |  SELECT q.vec_id, (q.part = 1) AS calib,
+        |    vn.v_n2 + cn.c_n2 - 2 * d.dp AS score
+        |  FROM q JOIN vn USING (vec_id) JOIN dots d USING (vec_id)
+        |  JOIN cn ON q.label = cn.c_label
+        |  WHERE q.part <> 0
+        |), ncal AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM scored WHERE calib
+        |), counts AS (
+        |  SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM scored WHERE calib GROUP BY 1
+        |), cums AS (
+        |  SELECT score, SUM(c) OVER (ORDER BY score) AS cum_c FROM counts
+        |), k AS (
+        |  SELECT least(((n_cal + 1) * 900000 + 999999) // 1000000, n_cal) AS kk, n_cal FROM ncal
+        |), qh AS (
+        |  SELECT k.n_cal, CAST(MIN(score) AS BIGINT) AS qhat
+        |  FROM cums CROSS JOIN k WHERE cum_c >= k.kk GROUP BY k.n_cal
+        |)
+        |SELECT qh.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, qh.qhat,
+        |  CAST(SUM(CASE WHEN score <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(CAST(SUM(CASE WHEN score <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // COUNT(*) AS BIGINT) AS coverage_ppm
+        |FROM scored CROSS JOIN qh WHERE NOT calib GROUP BY qh.n_cal, qh.qhat""".stripMargin,
+    // prefix-dim (matryoshka) cosine fidelity on the (id, id+1) chain
+    "q258_matryoshka_fidelity" ->
+      """WITH q AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), pr AS (
+        |  SELECT a.id, a.v AS va, b.v AS vb FROM q a JOIN q b ON b.id = a.id + 1
+        |), ex AS (
+        |  SELECT id, i, va[i] AS xa, vb[i] AS xb
+        |  FROM pr, unnest(generate_series(1, len(va))) AS t(i)
+        |), sums AS (
+        |  SELECT id,
+        |    CAST(SUM(xa * xb) AS BIGINT) AS dot_f,
+        |    CAST(SUM(xa * xa) AS BIGINT) AS n2a,
+        |    CAST(SUM(xb * xb) AS BIGINT) AS n2b,
+        |    CAST(SUM(CASE WHEN i <= 32 THEN xa * xb ELSE 0 END) AS BIGINT) AS dot_p,
+        |    CAST(SUM(CASE WHEN i <= 32 THEN xa * xa ELSE 0 END) AS BIGINT) AS p2a,
+        |    CAST(SUM(CASE WHEN i <= 32 THEN xb * xb ELSE 0 END) AS BIGINT) AS p2b
+        |  FROM ex GROUP BY 1
+        |), cosed AS (
+        |  SELECT
+        |    CAST(round(CAST(dot_f AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE)) / sqrt(CAST(n2b AS DOUBLE)) * 1000000) AS BIGINT) AS cf,
+        |    CAST(round(CAST(dot_p AS DOUBLE) / sqrt(CAST(p2a AS DOUBLE)) / sqrt(CAST(p2b AS DOUBLE)) * 1000000) AS BIGINT) AS cp
+        |  FROM sums WHERE n2a > 0 AND n2b > 0 AND p2a > 0 AND p2b > 0
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(CAST(SUM(abs(cf - cp)) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_abs_diff_micro,
+        |  CAST(CAST(SUM(CASE WHEN sign(cf) = sign(cp) THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // COUNT(*) AS BIGINT) AS sign_agree_ppm,
+        |  CAST(CAST(SUM(cf) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_full_micro,
+        |  CAST(CAST(SUM(cp) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_prefix_micro
+        |FROM cosed""".stripMargin,
+    // multi-touch attribution: 30-min lookback interval join, integer
+    // cents / micro-cents credit, (epoch, event_id) total order
+    "q259_attribution_credit" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s, value
+        |  FROM events
+        |), p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_s AS p_s,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT event_id AS t_id, user_id, event_type AS touch_type, epoch_s AS t_s
+        |  FROM e WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT p.p_id, p.cents, t.touch_type, t.t_s, t.t_id,
+        |    COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch,
+        |    ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY t.t_s DESC, t.t_id DESC) AS rn_last,
+        |    ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY t.t_s ASC, t.t_id ASC) AS rn_first
+        |  FROM t JOIN p ON t.user_id = p.user_id
+        |    AND t.t_s >= p.p_s - 1800 AND t.t_s <= p.p_s - 1
+        |)
+        |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(cents * 1000000 // n_touch) AS BIGINT) AS linear_microcents,
+        |  CAST(SUM(CASE WHEN rn_first = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_touch_cents,
+        |  CAST(SUM(CASE WHEN rn_last = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_touch_cents
+        |FROM j GROUP BY touch_type ORDER BY touch_type""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -2356,6 +2356,57 @@ object EventQueries {
         when(col("__ovf_ok").isNull, expr(graft.ops.Stats.seasonalStrengthSql)))
       .drop("__ovf_ok")
 
+  /** Multi-touch attribution (q259): each purchase's revenue credited
+    * to the view/click touches in the 30 minutes before it, under the
+    * three standard models side by side — LAST touch (all credit to
+    * the most recent), FIRST touch, and LINEAR (equal split) — summed
+    * per touch type. The marketing-analytics staple that q68's
+    * error-session attribution doesn't cover: credit is per-PURCHASE
+    * money, not per-event session membership. Purchases with no
+    * in-window touch drop (inner interval join), documented as
+    * unattributed.
+    *
+    * Determinism: revenue in integer cents, linear credit in integer
+    * micro-cents (`cents·10⁶ div n_touch`), first/last picked by
+    * (epoch, event_id) total order — no float, no ties.
+    * Scale shape: one user-keyed interval join (per-user windows stay
+    * small: 30-min lookback), per-purchase windows partitioned by
+    * purchase id (never unpartitioned), one tiny final agg by type.
+    */
+  def attributionCredit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch_s"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("epoch_s").as("p_s"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("w_start", col("p_s") - 1800L)
+      .withColumn("w_end", col("p_s") - 1L)
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("t_id"), col("user_id"),
+        col("event_type").as("touch_type"), col("epoch_s").as("t_s"))
+    val wp = Window.partitionBy(col("p_id"))
+    val joined = graft.ops.Joins
+      .intervalJoin(touches, purchases, "user_id", "t_s", "w_start", "w_end")
+      .withColumn("n_touch", count(lit(1)).over(wp))
+      .withColumn("rn_last", row_number().over(
+        wp.orderBy(col("t_s").desc, col("t_id").desc)))
+      .withColumn("rn_first", row_number().over(
+        wp.orderBy(col("t_s").asc, col("t_id").asc)))
+    joined
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(expr("cents * 1000000 div n_touch")).as("linear_microcents"),
+        sum(when(col("rn_first") === 1, col("cents")).otherwise(lit(0L)))
+          .as("first_touch_cents"),
+        sum(when(col("rn_last") === 1, col("cents")).otherwise(lit(0L)))
+          .as("last_touch_cents"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Exposure Gini (q189) of the covis top-10 recommender: how
     * unequally the candidate lists distribute exposure over the items
     * they recommend — the catalog-health metric behind "the

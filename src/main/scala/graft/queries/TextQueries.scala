@@ -1163,6 +1163,67 @@ object TextQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Centroid-based silhouette per embedding label (q254,
+    * [[graft.similarity.Similarity.centroidSilhouette]]) — the
+    * cluster-quality audit of the labeled embedding table: does the
+    * label structure actually separate in vector space.
+    */
+  def silhouette(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .centroidSilhouette(Tables.embeddings(s, d), "vec_id", "label", "embedding")
+
+  /** Stratified k-fold assignment audit (q255): the deterministic
+    * md5-bucket fold split a training pipeline uses for cross-
+    * validation, reported per (fold, label) with each fold's share of
+    * its label in ppm — the balance check that catches a skewed split
+    * before a model trains on it. Pure scan-side hashing plus one
+    * support-sized agg and a broadcast label-totals join; the split is
+    * a pure function of the id (replayable on any engine, any
+    * partitioning, any epoch).
+    */
+  def stratifiedKfold(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("fold",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % k)
+      .select(col("fold"), col("label").cast("long").as("label"))
+    val totals = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    e.groupBy(col("fold"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("label"))
+      .withColumn("share_ppm", expr("n * 1000000 div n_label"))
+      .select(col("fold"), col("label"), col("n"), col("n_label"), col("share_ppm"))
+      .orderBy(col("fold"), col("label"))
+  }
+
+  /** PC1 loadings of the embedding table by quantized power iteration
+    * (q256, [[graft.similarity.Similarity.powerIterationPc1]]) — the
+    * corpus-variance direction, exact-integer iteration on both
+    * engines.
+    */
+  def powerIteration(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .powerIterationPc1(Tables.embeddings(s, d), "vec_id", "embedding")
+
+  /** Split-conformal coverage of the nearest-class-mean scorer (q257,
+    * [[graft.similarity.Similarity.conformalCentroidCoverage]]) at
+    * α = 0.1 — calibration-set quantile, leakage-free centroids, test
+    * coverage in ppm.
+    */
+  def conformalCoverage(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .conformalCentroidCoverage(Tables.embeddings(s, d), "vec_id", "label",
+        "embedding")
+
+  /** Matryoshka prefix-dimension fidelity (q258,
+    * [[graft.similarity.Similarity.prefixDimFidelity]]): how much
+    * cosine structure the first 32 of 64 dims preserve, on the
+    * deterministic (id, id+1) pair chain.
+    */
+  def matryoshkaFidelity(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .prefixDimFidelity(Tables.embeddings(s, d), "vec_id", "embedding", 32)
+
   /** TextRank keyword extraction (q208): PageRank over the token
     * ADJACENCY graph (Mihalcea & Tarau 2004) — unlike q43's TF-IDF
     * (frequency vs corpus) or q186's RAKE (within-phrase degree),

@@ -787,6 +787,263 @@ object Similarity {
     * contributes d·outDims multiply-adds; nothing quadratic.
     * Output: (vec_id, proj array<long> of length outDims, norm2).
     */
+  /** Centroid-based (simplified) silhouette per label — cluster
+    * cohesion/separation audit of a labeled embedding table: for each
+    * vector, `a` = squared distance to its OWN label centroid, `b` =
+    * min squared distance to any OTHER centroid, and the silhouette
+    * `s = (√b − √a) / √max(a,b)` summarizes how cleanly the label
+    * structure separates in embedding space (s→1 tight and far from
+    * neighbors, s<0 closer to another class than its own). The
+    * centroid form is the standard large-scale surrogate for the
+    * O(n²) pairwise silhouette.
+    *
+    * Determinism: distances are exact int64 on quantized components
+    * (`d² = |v|² + |c|² − 2⟨v,c⟩`, all partials < 2⁵³); the one double
+    * chain (sqrt/divide on exact ints) is micro-rounded identically
+    * on both engines.
+    *
+    * Scale shape: centroids are |labels|·dim tiny (broadcast); the
+    * fan-out is |labels| rows per vector with a line-rate
+    * (vec, label)-keyed agg — no pairwise term, one shuffle keyed by
+    * vec, one |labels|-sized final agg.
+    * Output: (label, n_vectors, mean_sil_micro, min_sil_micro,
+    * max_sil_micro), one row per label.
+    */
+  def centroidSilhouette(
+      vecs: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    val cents = labelCentroids(vecs, labelCol, embCol)
+      .select(col("label").as("c_label"), col("centroid"),
+        qnorm2(col("centroid")).as("c_n2"))
+    val v = vecs.select(
+      col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"),
+      quantize(col(embCol)).as("q"))
+      .withColumn("v_n2", qnorm2(col("q")))
+    val sil = v
+      .crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("v_n2") + col("c_n2") - lit(2L) * qdot(col("q"), col("centroid")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        min(when(col("label") === col("c_label"), col("d2"))).as("a2"),
+        min(when(col("label") =!= col("c_label"), col("d2"))).as("b2"))
+      .withColumn("s_micro",
+        when(greatest(col("a2"), col("b2")) === 0L, lit(0L)).otherwise(
+          round(
+            (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+              sqrt(greatest(col("a2"), col("b2")).cast("double")) * 1000000)
+            .cast("long")))
+    sil
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("s_micro")).as("__ssum"),
+        min(col("s_micro")).as("min_sil_micro"),
+        max(col("s_micro")).as("max_sil_micro"))
+      // integer trunc-div mean — same toward-zero rule as DuckDB //
+      .withColumn("mean_sil_micro", expr("__ssum div n_vectors"))
+      .select(col("label"), col("n_vectors"), col("mean_sil_micro"),
+        col("min_sil_micro"), col("max_sil_micro"))
+      .orderBy(col("label"))
+  }
+
+  /** Matryoshka/prefix-dimension fidelity audit: how well do the
+    * first `prefixDims` coordinates preserve full-dimension cosine —
+    * the measurement behind "can we store/search at half the dims"
+    * (MRL-style truncation, PQ/IVF memory halving). Pairs are the
+    * line-rate DETERMINISTIC chain (id, id+1) — a fixed, replayable
+    * probe set that costs one self equi-join, never a pair sample that
+    * needs an n² candidate space. Per pair both cosines compute on
+    * exact ints and micro-round identically on both engines; the audit
+    * reports mean |Δcos|, sign agreement, and the two means.
+    * Output: one row (n_pairs, mean_abs_diff_micro, sign_agree_ppm,
+    * mean_full_micro, mean_prefix_micro).
+    */
+  def prefixDimFidelity(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      prefixDims: Int): DataFrame = {
+    val q = vecs.select(col(idCol).cast("long").as("id"),
+      quantize(col(embCol)).as("q"))
+    val pairs = q.as("a")
+      .join(q.select((col("id") - 1).as("id"), col("q").as("qb")), Seq("id"))
+      .select(col("id"), col("q"), col("qb"),
+        slice(col("q"), 1, prefixDims).as("p"),
+        slice(col("qb"), 1, prefixDims).as("pb"))
+      .withColumn("n2a", qnorm2(col("q")))
+      .withColumn("n2b", qnorm2(col("qb")))
+      .withColumn("p2a", qnorm2(col("p")))
+      .withColumn("p2b", qnorm2(col("pb")))
+      .filter(col("n2a") > 0 && col("n2b") > 0 && col("p2a") > 0 && col("p2b") > 0)
+      .select(
+        round(qcosine(qdot(col("q"), col("qb")), col("n2a"), col("n2b")) * 1000000)
+          .cast("long").as("cf"),
+        round(qcosine(qdot(col("p"), col("pb")), col("p2a"), col("p2b")) * 1000000)
+          .cast("long").as("cp"))
+    pairs
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(abs(col("cf") - col("cp"))).as("__sdiff"),
+        graft.ops.Aggregates.countIf(signum(col("cf")) === signum(col("cp")))
+          .as("__agree"),
+        sum(col("cf")).as("__sf"),
+        sum(col("cp")).as("__sp"))
+      .select(col("n_pairs"),
+        expr("__sdiff div n_pairs").as("mean_abs_diff_micro"),
+        expr("__agree * 1000000 div n_pairs").as("sign_agree_ppm"),
+        expr("__sf div n_pairs").as("mean_full_micro"),
+        expr("__sp div n_pairs").as("mean_prefix_micro"))
+  }
+
+  /** Split-conformal coverage audit of a nearest-class-mean scorer —
+    * the distribution-free calibration check a training pipeline runs
+    * before trusting model "confidence". A deterministic md5 mod-3
+    * split carves TRAIN / CALIB / TEST: centroids fit on train only
+    * (fitting and calibrating on the same rows biases calib scores
+    * small in-sample and silently breaks the guarantee — measured
+    * 31.5% coverage at α=0.1 before this three-way split), the
+    * nonconformity score is the exact-int squared distance to the own-
+    * label centroid, q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest calib
+    * score, and with calib/test exchangeable conformal theory promises
+    * test coverage ≥ 1−α. The rank is pure integer ppm math
+    * (`(n+1)·(1−α)ppm` ceil-divided — the cross-engine float-rank
+    * trap), selection runs on the COUNT-compressed score support via a
+    * sharded cumsum (never a global window), and coverage emits in
+    * ppm.
+    *
+    * Scale shape: two broadcast-centroid passes (score calib, score
+    * test), one support-sized cumsum for the order statistic, one
+    * broadcast of the single-row q̂. Nothing pairwise, nothing
+    * driver-side.
+    * Output: one row (n_cal, n_test, qhat, n_covered, coverage_ppm).
+    */
+  def conformalCentroidCoverage(
+      vecs: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String,
+      alphaPpm: Long = 100000L): DataFrame = {
+    val withSplit = vecs.withColumn(
+      "__part",
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 3)
+    val cents = labelCentroids(
+      withSplit.filter(col("__part") === 0), labelCol, embCol)
+      .select(col("label").as("c_label"), col("centroid"),
+        qnorm2(col("centroid")).as("c_n2"))
+    val scored = withSplit
+      .filter(col("__part") =!= 0)
+      .select((col("__part") === 1).as("__calib"),
+        col(labelCol).cast("long").as("label"),
+        quantize(col(embCol)).as("q"))
+      .withColumn("v_n2", qnorm2(col("q")))
+      .join(broadcast(cents), col("label") === col("c_label"))
+      .select(col("__calib"),
+        (col("v_n2") + col("c_n2") - lit(2L) * qdot(col("q"), col("centroid")))
+          .as("score"))
+      .transform(graft.core.Caches.cache)
+    val calCounts = scored.filter(col("__calib"))
+      .groupBy(col("score")).agg(count(lit(1)).as("c"))
+    val nCal = scored.filter(col("__calib")).agg(count(lit(1)).as("n_cal"))
+    val qhat = Windows
+      .shardedCumsum(calCounts, "score", Seq("c"), expr("score div 1000000000"))
+      .crossJoin(broadcast(nCal))
+      // rank k = ceil((n_cal+1)·(1−α)) in exact ppm integer math,
+      // capped at n_cal (k > n_cal means q̂ = max score: cover-all)
+      .filter(col("cum_c") >= expr(
+        s"least(((n_cal + 1) * ${1000000L - alphaPpm} + 999999) div 1000000, n_cal)"))
+      .groupBy(col("n_cal"))
+      .agg(min(col("score")).as("qhat"))
+    scored.filter(!col("__calib"))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("n_cal"), col("qhat"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        graft.ops.Aggregates.countIf(col("score") <= col("qhat")).as("n_covered"))
+      .withColumn("coverage_ppm", expr("n_covered * 1000000 div n_test"))
+      .select(col("n_cal"), col("n_test"), col("qhat"), col("n_covered"),
+        col("coverage_ppm"))
+  }
+
+  /** Leading principal direction of the embedding table by `iters`
+    * steps of QUANTIZED power iteration on the mean-centered data —
+    * the "which way does this corpus mostly vary" diagnostic (PC1
+    * loadings), kept exact-integer so both engines replay the
+    * identical iteration: v₀ = 1; sᵢ = ⟨xᵢ, v⟩ div 64;
+    * y_j = Σᵢ xᵢⱼ·sᵢ; v' = y·1024 div max|y| (trunc division — same
+    * toward-zero rule in Spark `div` and DuckDB `//`). The final
+    * loadings emit as `y_j·sgn·10⁶ div max|y|`, sign-fixed so the
+    * largest-|loading| component (min pos on ties) is positive.
+    *
+    * Scale shape: per iteration ONE scan of the cached centered
+    * corpus — v is a dim-length LITERAL (driver-bounded, the
+    * exactMedianTwoPass two-phase pattern: each round collects `dim`
+    * longs, never corpus rows), sᵢ is a row-local native dot, and y is
+    * a map-side-combinable dim-keyed agg (dim rows cross the wire per
+    * partition, never a vector). The int64 headroom (|x|≤2·10⁴
+    * quantized, |v|≤1024, s div 64) is guarded LOUD at 2·10⁷ rows —
+    * past that, rescale or go to double partials.
+    * Output: (pos, loading_ppm), `dim` rows.
+    */
+  def powerIterationPc1(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      iters: Int = 2,
+      maxRows: Long = 20000000L): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val q = vecs.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("q"))
+    val meanRows = q
+      .select(posexplode(col("q")).as(Seq("pos", "val")))
+      .groupBy(col("pos"))
+      .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("m"),
+        count(lit(1)).as("n"))
+      .orderBy(col("pos"))
+      .collect()
+    require(meanRows.nonEmpty, "powerIterationPc1: empty input")
+    require(meanRows.head.getLong(2) <= maxRows,
+      "powerIterationPc1: row count exceeds int64 iteration headroom — " +
+        "rescale (larger s divisor / smaller v scale) before running")
+    val mean: Array[Long] = meanRows.map(_.getLong(1))
+    val dim = mean.length
+    val x = graft.core.Caches.cache(
+      q.select(col("vec_id"),
+        zip_with(col("q"), typedLit(mean), (a, b) => a - b).as("x")))
+    var v: Array[Long] = Array.fill(dim)(1L)
+    var y: Array[Long] = v
+    for (_ <- 1 to iters) {
+      y = x
+        .withColumn("s_raw", qdot(col("x"), typedLit(v)))
+        .withColumn("s", expr("s_raw div 64"))
+        .select(posexplode(col("x")).as(Seq("pos", "xv")), col("s"))
+        .groupBy(col("pos"))
+        .agg(sum(col("xv") * col("s")).as("y"))
+        .orderBy(col("pos"))
+        .collect()
+        .map(_.getLong(1))
+      val maxabs = math.max(y.map(math.abs).max, 1L)
+      // e·1024 can pass int64 near the headroom bound — widen like the
+      // final ppm step (HUGEINT on the oracle side)
+      v = y.map(e => (BigInt(e) * 1024 / BigInt(maxabs)).toLong)
+    }
+    val maxabs = math.max(y.map(math.abs).max, 1L)
+    val pivot = y.indices.minBy(i => (-math.abs(y(i)), i))
+    val sgn = if (y(pivot) < 0) -1L else 1L
+    y.toSeq.zipWithIndex
+      // y·10⁶ can pass int64 — widen (BigInt here, HUGEINT in the
+      // oracle), truncate-divide, and the result is back under 10⁶
+      .map { case (yj, j) =>
+        (j.toLong, (BigInt(yj) * sgn * 1000000 / BigInt(maxabs)).toLong)
+      }
+      .toDF("pos", "loading_ppm")
+      .orderBy(col("pos"))
+  }
+
   def randomProjection(
       vecs: DataFrame,
       idCol: String,

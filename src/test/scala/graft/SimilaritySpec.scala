@@ -265,4 +265,71 @@ class SimilaritySpec extends SparkSpec {
     assert(p1 != p2 || p1.toSet != p2.toSet)
     assert(out(0).getAs[Long]("norm2") == p1.map(v => v * v).sum)
   }
+
+  test("centroidSilhouette: separated clusters score high, mixed label low") {
+    // label 0 tight around e1, label 1 tight around e2, label 2 ON label 0's
+    // centroid (its own members split across both) -> 0 and 1 near +1, 2 low
+    val labeled = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.01f), 0),
+      (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(0.01f, 0.99f), 1),
+      (5L, Seq(1.0f, 0.02f), 2),
+      (6L, Seq(0.02f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = graft.core.Caches.withScope {
+      Similarity.centroidSilhouette(labeled, "vec_id", "label", "embedding")
+        .collect()
+    }
+    assert(out.length == 3)
+    val byLabel = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byLabel(0L) > 800000L && byLabel(1L) > 800000L)
+    // label 2's members each sit on ANOTHER label's centroid -> negative
+    assert(byLabel(2L) < 0L)
+    assert(out.forall(r => r.getLong(3) >= -1000000L && r.getLong(4) <= 1000000L))
+  }
+
+  test("powerIterationPc1: recovers the dominant variance axis, sign-fixed") {
+    // variance overwhelmingly along e1 (values spread +-1), tiny noise on e2
+    val vs = (0 until 40).map { i =>
+      val a = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq(a, 0.01f * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val out = graft.core.Caches.withScope {
+      Similarity.powerIterationPc1(vs, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    val m = out.toMap
+    // dominant axis positive (sign convention) and at full scale
+    assert(m(0L) == 1000000L)
+    // the near-constant axis carries a tiny loading
+    assert(math.abs(m(1L)) < 100000L)
+  }
+
+  test("conformalCentroidCoverage: test coverage honors the 1-alpha promise") {
+    // 600 ids, one label, component values a deterministic pseudo-noise
+    // function of (id, dim) -> calib/test exchangeable by construction
+    val vs = (0 until 600).map { i =>
+      (i.toLong, (0 until 8).map(j => (((i * 31 + j * 17) % 97) / 97.0f) - 0.5f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val row = graft.core.Caches.withScope {
+      Similarity.conformalCentroidCoverage(vs, "vec_id", "label", "embedding")
+        .collect().head
+    }
+    val coverage = row.getAs[Long]("coverage_ppm")
+    // finite-sample: >= 1 - alpha minus small slack, and not degenerate-1
+    assert(coverage >= 850000L, s"coverage $coverage below promised level")
+    assert(row.getAs[Long]("n_cal") > 150 && row.getAs[Long]("n_test") > 150)
+  }
+
+  test("powerIterationPc1: maxRows guard fails loud") {
+    val vs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.core.Caches.withScope {
+        Similarity.powerIterationPc1(vs, "vec_id", "embedding", maxRows = 1L)
+      }
+    }
+    assert(ex.getMessage.contains("powerIterationPc1"))
+  }
 }
