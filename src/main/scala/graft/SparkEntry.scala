@@ -297,7 +297,10 @@ object SparkEntry {
     "q256_power_iteration" -> (TQ.powerIteration _),
     "q257_conformal_coverage" -> (TQ.conformalCoverage _),
     "q258_matryoshka_fidelity" -> (TQ.matryoshkaFidelity _),
-    "q259_attribution_credit" -> (EQ.attributionCredit _))
+    "q259_attribution_credit" -> (EQ.attributionCredit _),
+    "q260_label_noise" -> (TQ.labelNoise _),
+    "q261_centroid_drift" -> (TQ.embeddingDrift _),
+    "q262_user_segments" -> (EQ.userEmbeddingSegments _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -5811,7 +5814,119 @@ object SparkEntry {
         |  CAST(SUM(cents * 1000000 // n_touch) AS BIGINT) AS linear_microcents,
         |  CAST(SUM(CASE WHEN rn_first = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_touch_cents,
         |  CAST(SUM(CASE WHEN rn_last = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_touch_cents
-        |FROM j GROUP BY touch_type ORDER BY touch_type""".stripMargin)
+        |FROM j GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    // confident-learning-lite: b2 < a2 suspects, (d2, label) lexicographic
+    // nearest, symmetric bounded score, deterministic top-50
+    "q260_label_noise" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT vec_id, label, i AS pos, v[i] AS val
+        |  FROM q, unnest(generate_series(1, len(v))) AS t(i)
+        |), cm AS (
+        |  SELECT label AS c_label, pos,
+        |    CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM ex GROUP BY 1, 2
+        |), cn AS (
+        |  SELECT c_label, CAST(SUM(cv * cv) AS BIGINT) AS c_n2 FROM cm GROUP BY 1
+        |), vn AS (
+        |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS v_n2 FROM ex GROUP BY 1
+        |), dots AS (
+        |  SELECT e.vec_id, e.label, c.c_label, CAST(SUM(e.val * c.cv) AS BIGINT) AS dp
+        |  FROM ex e JOIN cm c ON e.pos = c.pos GROUP BY 1, 2, 3
+        |), d2 AS (
+        |  SELECT d.vec_id, d.label, d.c_label,
+        |    vn.v_n2 + cn.c_n2 - 2 * d.dp AS dd
+        |  FROM dots d JOIN vn USING (vec_id) JOIN cn ON d.c_label = cn.c_label
+        |), own AS (
+        |  SELECT vec_id, label, dd AS a2 FROM d2 WHERE label = c_label
+        |), other AS (
+        |  SELECT vec_id, dd AS b2, c_label AS nearest_label
+        |  FROM d2 WHERE label <> c_label
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, c_label) = 1
+        |)
+        |SELECT o.vec_id, o.label, o.a2, t.b2, t.nearest_label,
+        |  CAST((o.a2 - t.b2) * 1000000 // greatest(o.a2 + t.b2, 1) AS BIGINT) AS noise_ppm
+        |FROM own o JOIN other t USING (vec_id)
+        |WHERE t.b2 < o.a2
+        |ORDER BY noise_ppm DESC, o.vec_id LIMIT 50""".stripMargin,
+    // md5-parity split-half centroid drift per label
+    "q261_centroid_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS half
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT label, half, i AS pos, v[i] AS val
+        |  FROM q, unnest(generate_series(1, len(v))) AS t(i)
+        |), cm AS (
+        |  SELECT label, half, pos,
+        |    CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2, 3
+        |), j AS (
+        |  SELECT a.label, a.pos, a.cv AS ca, b.cv AS cb, a.n AS n_a, b.n AS n_b
+        |  FROM cm a JOIN cm b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.half = 0 AND b.half = 1
+        |), m AS (
+        |  SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |    CAST(SUM(ca * ca) AS BIGINT) AS n2a,
+        |    CAST(SUM(cb * cb) AS BIGINT) AS n2b,
+        |    CAST(SUM(ca * cb) AS BIGINT) AS dp
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT label, n_a, n_b,
+        |  CAST(n2a + n2b - 2 * dp AS BIGINT) AS d2,
+        |  CAST((n2a + n2b - 2 * dp) * 1000000 // greatest(n2a, 1) AS BIGINT) AS shift_ppm,
+        |  CASE WHEN n2a > 0 AND n2b > 0 THEN
+        |    CAST(round(CAST(dp AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE))
+        |      / sqrt(CAST(n2b AS DOUBLE)) * 1000000) AS BIGINT) END AS cos_micro
+        |FROM m ORDER BY label""".stripMargin,
+    // user profile = interaction-weighted floor-mean of item embeddings
+    // (item_id = props.k -> embeddings row k+1), segment = nearest
+    // label centroid by lexicographic (d2, label) min
+    "q262_user_segments" ->
+      """WITH counts AS (
+        |  SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |  GROUP BY 1, 2
+        |), iv AS (
+        |  SELECT vec_id - 1 AS item_id, i - 1 AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS val
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |), prof AS (
+        |  SELECT c.user_id, v.pos,
+        |    CAST(floor(CAST(SUM(c.c * v.val) AS DOUBLE) / SUM(c.c)) AS BIGINT) AS pv
+        |  FROM counts c JOIN iv v USING (item_id)
+        |  GROUP BY 1, 2
+        |), pn AS (
+        |  SELECT user_id, CAST(SUM(pv * pv) AS BIGINT) AS p_n2 FROM prof GROUP BY 1
+        |), cm AS (
+        |  SELECT CAST(label AS BIGINT) AS c_label, i - 1 AS pos,
+        |    CAST(floor(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*)) AS BIGINT) AS cv
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  GROUP BY 1, 2
+        |), cn AS (
+        |  SELECT c_label, CAST(SUM(cv * cv) AS BIGINT) AS c_n2 FROM cm GROUP BY 1
+        |), dots AS (
+        |  SELECT p.user_id, c.c_label, CAST(SUM(p.pv * c.cv) AS BIGINT) AS dp
+        |  FROM prof p JOIN cm c USING (pos) GROUP BY 1, 2
+        |), best AS (
+        |  SELECT d.user_id, d.c_label AS segment_label,
+        |    pn.p_n2 + cn.c_n2 - 2 * d.dp AS dd
+        |  FROM dots d JOIN pn USING (user_id) JOIN cn ON d.c_label = cn.c_label
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.user_id
+        |    ORDER BY pn.p_n2 + cn.c_n2 - 2 * d.dp, d.c_label) = 1
+        |)
+        |SELECT segment_label, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(CAST(SUM(dd) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_d2
+        |FROM best GROUP BY 1 ORDER BY segment_label""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -2407,6 +2407,61 @@ object EventQueries {
       .orderBy(col("touch_type"))
   }
 
+  /** User-embedding segments (q262): each user's profile vector is the
+    * interaction-weighted mean of the item embeddings they touched
+    * (`item_id = props.$.k`, item vector = embeddings row `k+1`), then
+    * the user is segmented by nearest label centroid — the feature-
+    * store pattern behind "represent the user as the mean of what they
+    * consumed, then bucket users by region of embedding space".
+    *
+    * Scale shape: the fact table first collapses to (user, item)
+    * COUNTS (bounded by users × catalog, map-side combinable), THEN
+    * fans out ×dim against the broadcast item-vector table — per-event
+    * vector fan-out never happens. Weighted floor-mean is exact int;
+    * nearest centroid is the lexicographic (d², label) min. Output is
+    * the per-segment summary: (segment_label, n_users, mean_d2).
+    */
+  def userEmbeddingSegments(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.Similarity
+    val counts = Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .filter(col("item_id").isNotNull)
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(count(lit(1)).as("c"))
+    val itemVecs = Tables.embeddings(s, d)
+      .select((col("vec_id") - 1).as("item_id"),
+        Similarity.quantize(col("embedding")).as("v"))
+    val profiles = counts
+      .join(broadcast(itemVecs), Seq("item_id"))
+      .select(col("user_id"), col("c"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("user_id"), col("pos"))
+      .agg(floor(sum(col("c") * col("val")).cast("double") / sum(col("c")))
+        .cast("long").as("pv"))
+      .groupBy(col("user_id"))
+      .agg(Ag.sortedList(Seq(col("pos")), col("pv")).as("profile"))
+    val cents = Similarity
+      .labelCentroids(Tables.embeddings(s, d), "label", "embedding")
+      .select(col("label").as("c_label"), col("centroid"),
+        Similarity.qnorm2(col("centroid")).as("c_n2"))
+    profiles
+      .withColumn("p_n2", Similarity.qnorm2(col("profile")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("p_n2") + col("c_n2")
+          - lit(2L) * Similarity.qdot(col("profile"), col("centroid")))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("user_id"), col("best.c_label").as("segment_label"),
+        col("best.d2").as("d2"))
+      .groupBy(col("segment_label"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("d2")).as("__sd2"))
+      .withColumn("mean_d2", expr("__sd2 div n_users"))
+      .select(col("segment_label"), col("n_users"), col("mean_d2"))
+      .orderBy(col("segment_label"))
+  }
+
   /** Exposure Gini (q189) of the covis top-10 recommender: how
     * unequally the candidate lists distribute exposure over the items
     * they recommend — the catalog-health metric behind "the

@@ -1224,6 +1224,23 @@ object TextQueries {
     graft.similarity.Similarity
       .prefixDimFidelity(Tables.embeddings(s, d), "vec_id", "embedding", 32)
 
+  /** Label-noise suspects (q260,
+    * [[graft.similarity.Similarity.labelNoiseSuspects]]): top-50
+    * probable mislabels — vectors closer to another label's centroid
+    * than their own.
+    */
+  def labelNoise(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .labelNoiseSuspects(Tables.embeddings(s, d), "vec_id", "label", "embedding")
+
+  /** Per-label centroid drift between md5-parity halves (q261,
+    * [[graft.similarity.Similarity.centroidDrift]]) — the embedding
+    * drift monitor between corpus snapshots.
+    */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .centroidDrift(Tables.embeddings(s, d), "vec_id", "label", "embedding")
+
   /** TextRank keyword extraction (q208): PageRank over the token
     * ADJACENCY graph (Mihalcea & Tarau 2004) — unlike q43's TF-IDF
     * (frequency vs corpus) or q186's RAKE (within-phrase degree),

@@ -850,6 +850,85 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Label-noise audit (confident-learning lite): vectors whose
+    * embedding sits closer to ANOTHER label's centroid than their own
+    * are probable mislabels — the curation step that catches annotation
+    * noise before it trains in. Reuses the silhouette geometry (exact
+    * int d² to every centroid, |labels|-bounded fan-out); a vector is
+    * flagged when b² < a² and scored `(a²−b²)·10⁶ div (a²+b²)` (bounded
+    * ±10⁶, symmetric). The nearest other label is the lexicographic
+    * (distance, label) minimum — deterministic under ties. Output: the
+    * `topK` worst suspects (score desc, vec_id tie-break) —
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def labelNoiseSuspects(
+      vecs: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String,
+      topK: Int = 50): DataFrame = {
+    val cents = labelCentroids(vecs, labelCol, embCol)
+      .select(col("label").as("c_label"), col("centroid"),
+        qnorm2(col("centroid")).as("c_n2"))
+    vecs
+      .select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("label"),
+        quantize(col(embCol)).as("q"))
+      .withColumn("v_n2", qnorm2(col("q")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("v_n2") + col("c_n2") - lit(2L) * qdot(col("q"), col("centroid")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        min(when(col("label") === col("c_label"), col("d2"))).as("a2"),
+        min(when(col("label") =!= col("c_label"),
+          struct(col("d2"), col("c_label")))).as("bmin"))
+      .select(col("vec_id"), col("label"),
+        col("a2"), col("bmin.d2").as("b2"), col("bmin.c_label").as("nearest_label"))
+      .filter(col("b2") < col("a2"))
+      .withColumn("noise_ppm",
+        expr("(a2 - b2) * 1000000 div greatest(a2 + b2, 1L)"))
+      .orderBy(col("noise_ppm").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Per-label centroid drift between two deterministic md5-parity
+    * halves of the table — the embedding-drift monitor run between
+    * corpus snapshots ("did this label's region move"): exact-int
+    * squared centroid displacement, displacement relative to the
+    * half-A centroid norm in ppm, and the inter-centroid cosine in
+    * micro. Two broadcast-sized centroid passes, zero pairwise work.
+    * Output: (label, n_a, n_b, d2, shift_ppm, cos_micro).
+    */
+  def centroidDrift(
+      vecs: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    val withHalf = vecs.withColumn(
+      "__half",
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2)
+    def half(h: Int) = labelCentroids(
+      withHalf.filter(col("__half") === h), labelCol, embCol)
+    val a = half(0).select(col("label"), col("centroid").as("ca"),
+      col("n_vectors").as("n_a"))
+    val b = half(1).select(col("label"), col("centroid").as("cb"),
+      col("n_vectors").as("n_b"))
+    a.join(b, Seq("label"))
+      .withColumn("n2a", qnorm2(col("ca")))
+      .withColumn("n2b", qnorm2(col("cb")))
+      .withColumn("dp", qdot(col("ca"), col("cb")))
+      .withColumn("d2", col("n2a") + col("n2b") - lit(2L) * col("dp"))
+      .withColumn("shift_ppm", expr("d2 * 1000000 div greatest(n2a, 1L)"))
+      .withColumn("cos_micro",
+        when(col("n2a") > 0 && col("n2b") > 0,
+          round(qcosine(col("dp"), col("n2a"), col("n2b")) * 1000000)
+            .cast("long")))
+      .select(col("label"), col("n_a"), col("n_b"), col("d2"),
+        col("shift_ppm"), col("cos_micro"))
+      .orderBy(col("label"))
+  }
+
   /** Matryoshka/prefix-dimension fidelity audit: how well do the
     * first `prefixDims` coordinates preserve full-dimension cosine —
     * the measurement behind "can we store/search at half the dims"
