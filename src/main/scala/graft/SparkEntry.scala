@@ -300,7 +300,10 @@ object SparkEntry {
     "q259_attribution_credit" -> (EQ.attributionCredit _),
     "q260_label_noise" -> (TQ.labelNoise _),
     "q261_centroid_drift" -> (TQ.embeddingDrift _),
-    "q262_user_segments" -> (EQ.userEmbeddingSegments _))
+    "q262_user_segments" -> (EQ.userEmbeddingSegments _),
+    "q263_embargo_split" -> (EQ.embargoSplit _),
+    "q264_leave_last_out" -> (EQ.leaveLastOut _),
+    "q265_implicit_matrix" -> (EQ.implicitMatrix _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -5926,7 +5929,62 @@ object SparkEntry {
         |)
         |SELECT segment_label, CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(CAST(SUM(dd) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_d2
-        |FROM best GROUP BY 1 ORDER BY segment_label""".stripMargin)
+        |FROM best GROUP BY 1 ORDER BY segment_label""".stripMargin,
+    // purge/embargo temporal split: integer 80%-of-range cut + 1-day gap
+    "q263_embargo_split" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |), b AS (
+        |  SELECT MIN(epoch_s) AS t0, MAX(epoch_s) AS t1 FROM e
+        |), s AS (
+        |  SELECT e.*, b.t0 + (b.t1 - b.t0) * 8 // 10 AS t_cut FROM e CROSS JOIN b
+        |), lab AS (
+        |  SELECT CASE WHEN epoch_s <= t_cut THEN 'train'
+        |    WHEN epoch_s <= t_cut + 86400 THEN 'embargo' ELSE 'test' END AS split,
+        |    user_id, epoch_s
+        |  FROM s
+        |)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  MIN(epoch_s) AS min_epoch_s, MAX(epoch_s) AS max_epoch_s
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin,
+    // leave-last-out: last item per user by (ts, event_id) total order
+    "q264_leave_last_out" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, item_id, epoch_s,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_s DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_items
+        |  FROM e
+        |)
+        |SELECT user_id, item_id AS test_item, epoch_s AS test_epoch_s,
+        |  CAST(n_items - 1 AS BIGINT) AS n_train
+        |FROM r WHERE rn = 1 AND n_items >= 2 ORDER BY user_id""".stripMargin,
+    // implicit-feedback matrix: type weights halved per week of age,
+    // integer shift decay (never float exp)
+    "q265_implicit_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')
+        |), m AS (
+        |  SELECT MAX(epoch_s) AS t_max FROM e
+        |), w AS (
+        |  SELECT e.user_id, e.item_id,
+        |    (CASE e.event_type WHEN 'purchase' THEN 10 WHEN 'click' THEN 3 ELSE 1 END)
+        |      * 1000000 // (1 << CAST((m.t_max - e.epoch_s) // 604800 AS INTEGER)) AS w_micro
+        |  FROM e CROSS JOIN m
+        |)
+        |SELECT user_id, item_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(w_micro) AS BIGINT) AS score_micro
+        |FROM w GROUP BY 1, 2 ORDER BY user_id, item_id""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

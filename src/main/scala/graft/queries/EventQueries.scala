@@ -2462,6 +2462,93 @@ object EventQueries {
       .orderBy(col("segment_label"))
   }
 
+  /** Time-embargo split audit (q263): the purged time split that
+    * prevents horizon leakage in temporal models (train ≤ T, a 1-day
+    * EMBARGO buffer absorbs events whose features/labels straddle the
+    * boundary, test starts after it — the de Prado purge/embargo rule
+    * for event data). T is the integer 80%-point of the observed epoch
+    * RANGE (pure int arithmetic — not an order statistic, so the split
+    * is a constant-time pure function of (min, max), replayable
+    * anywhere). Output: one row per split with event/user counts and
+    * the epoch extent — the audit that proves the gap exists.
+    */
+  def embargoSplit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+    val bounds = ev.agg(min(col("epoch_s")).as("t0"), max(col("epoch_s")).as("t1"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("t_cut", expr("t0 + (t1 - t0) * 8 div 10"))
+      .withColumn("split",
+        when(col("epoch_s") <= col("t_cut"), lit("train"))
+          .when(col("epoch_s") <= col("t_cut") + 86400L, lit("embargo"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("epoch_s")).as("min_epoch_s"),
+        max(col("epoch_s")).as("max_epoch_s"))
+      .orderBy(col("split"))
+  }
+
+  /** Leave-last-out eval split (q264): the classic next-item recsys
+    * protocol — each user's LAST item interaction (by (ts, event_id)
+    * total order) becomes the test point, everything earlier is
+    * training history. Users with <2 item events drop (nothing to
+    * train on). One user-partitioned window, line-rate.
+    * Output: (user_id, test_item, test_epoch_s, n_train).
+    */
+  def leaveLastOut(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .filter(col("item_id").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+    ev
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("epoch_s").desc, col("event_id").desc)))
+      .withColumn("n_items", count(lit(1)).over(w))
+      .filter(col("rn") === 1 && col("n_items") >= 2)
+      .select(col("user_id"), col("item_id").as("test_item"),
+        col("epoch_s").as("test_epoch_s"),
+        (col("n_items") - 1).as("n_train"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Step-decayed implicit-feedback matrix (q265): the (user, item)
+    * preference scores an implicit-ALS / sequence-model trainer
+    * consumes — event-type base weights (view 1 / click 3 / purchase
+    * 10, in micro) halved for every full week of age at snapshot time.
+    * The halving is an integer SHIFT (`w·10⁶ div (1 << age_weeks)`),
+    * not an exp() — bit-exact on both engines at any scale, unlike
+    * float decay (q108's category-level exp decay is the contrast).
+    * One map-side-combinable (user, item) agg over the fact scan.
+    * Output: (user_id, item_id, n_events, score_micro).
+    */
+  def implicitMatrix(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+      .filter(col("item_id").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+    val mx = ev.agg(max(col("epoch_s")).as("t_max"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("type_w",
+        when(col("event_type") === "purchase", 10L)
+          .when(col("event_type") === "click", 3L).otherwise(1L))
+      .withColumn("age_weeks",
+        expr("(t_max - epoch_s) div 604800"))
+      .withColumn("w_micro",
+        expr("type_w * 1000000 div shiftleft(1L, cast(age_weeks as int))"))
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w_micro")).as("score_micro"))
+      .orderBy(col("user_id"), col("item_id"))
+  }
+
   /** Exposure Gini (q189) of the covis top-10 recommender: how
     * unequally the candidate lists distribute exposure over the items
     * they recommend — the catalog-health metric behind "the

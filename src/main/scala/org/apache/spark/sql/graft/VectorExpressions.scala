@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, TypeCollection}
 
 /** Native Catalyst expression for quantized-vector arithmetic (lives
   * in an `org.apache.spark.sql` subpackage because the Column↔
@@ -102,6 +102,55 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused embedding quantizer: array<float|double> → array<long> of
+  * `round(x·10⁴)` (HALF_UP, bit-identical to the composed
+  * `transform(emb, x -> round(cast(x as double) * 10000) cast long)` —
+  * `java.math.BigDecimal.valueOf(...).setScale(0, HALF_UP)` is exactly
+  * Spark's `Round` double path). Exists because the HOF form is a
+  * CodegenFallback: a `posexplode` whose generator input is a
+  * collapsed interpreted HOF re-evaluates the whole transform per
+  * OUTPUT element — O(dim²) interpreted work per row (the q134
+  * pathology; measured 5.3 s → 134.6 s on 100k → 1M vectors for
+  * label centroids). One codegen'd kernel call per row restores O(dim)
+  * and keeps the scan's codegen span intact.
+  */
+case class FloatVectorQuantize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "float_vector_quantize"
+
+  // resolved lazily: child.dataType is not bound at construction
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Per-row kernel, also called from generated code via reference obj. */
+  def kernel(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * 10000.0
+      out(i) = java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizer", this,
+      classOf[FloatVectorQuantize].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.kernel($x);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FloatVectorQuantize = copy(child = newChild)
+}
+
 object VectorExpressions {
   def longVectorDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -113,4 +162,7 @@ object VectorExpressions {
   def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
     ExpressionUtils.column(
       PqAdcScore(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ksub))
+
+  def floatVectorQuantize(a: Column): Column =
+    ExpressionUtils.column(FloatVectorQuantize(ExpressionUtils.expression(a)))
 }

@@ -322,6 +322,52 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Long]("n_cal") > 150 && row.getAs[Long]("n_test") > 150)
   }
 
+  test("labelNoiseSuspects: flags the planted mislabel, not clean points") {
+    // two tight clusters; vec 5 carries label 0 but sits in cluster 1
+    val labeled = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.98f, 0.02f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.02f, 0.98f), 1),
+      (5L, Seq(0.01f, 0.99f), 0)).toDF("vec_id", "embedding", "label")
+    val out = graft.core.Caches.withScope {
+      Similarity.labelNoiseSuspects(labeled, "vec_id", "label", "embedding")
+        .collect()
+    }
+    assert(out.map(_.getLong(0)).contains(5L))
+    val r5 = out.find(_.getLong(0) == 5L).get
+    assert(r5.getAs[Long]("nearest_label") == 1L)
+    assert(r5.getAs[Long]("noise_ppm") > 0L)
+  }
+
+  test("centroidDrift: identical halves drift zero, cosine one") {
+    // ids i and i+100 land in the same md5 half only by chance, so use
+    // a constant per-label embedding: any split gives identical centroids
+    val labeled = (0 until 40).map { i =>
+      val lab = i % 2
+      (i.toLong, Seq(if (lab == 0) 1.0f else 0.0f, if (lab == 0) 0.0f else 1.0f), lab)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.core.Caches.withScope {
+      Similarity.centroidDrift(labeled, "vec_id", "label", "embedding")
+        .collect()
+    }
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[Long]("d2") == 0L))
+    assert(out.forall(r => r.getAs[Long]("cos_micro") == 1000000L))
+    assert(out.forall(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 20L))
+  }
+
+  test("prefixDimFidelity: identical prefix-heavy vectors agree fully") {
+    // all mass in the first 2 dims -> prefix cosine == full cosine
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.5f, 0.0f, 0.0f)),
+      (2L, Seq(0.5f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.prefixDimFidelity(vs, "vec_id", "embedding", 2)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Long]("mean_abs_diff_micro") == 0L)
+    assert(r.getAs[Long]("sign_agree_ppm") == 1000000L)
+  }
+
   test("powerIterationPc1: maxRows guard fails loud") {
     val vs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")

@@ -58,6 +58,31 @@ class VectorExpressionSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("FloatVectorQuantize: bit-identical to the round() HOF it replaced") {
+    // adversarial grid: exact .5 boundaries, negatives, denormal-ish,
+    // and a dense pseudo-random sweep — HALF_UP parity must be exact
+    val handPicked = Seq(
+      0.00005f, -0.00005f, 0.00015f, -0.00015f, 0.5f, -0.5f,
+      0.12345f, -0.12345f, 1.0f, -1.0f, 0.99995f, -0.99995f, 0f)
+    val sweep = (0 until 20000).map(i => ((i * 2654435761L % 200001) - 100000) / 100000.0f)
+    val df = Seq((1L, handPicked ++ sweep)).toDF("id", "emb")
+    val r = df.select(
+      VectorExpressions.floatVectorQuantize(col("emb")).as("fast"),
+      transform(col("emb"), x => round(x.cast("double") * 10000).cast("long")).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect().head
+    assert(r._1 == r._2)
+  }
+
+  test("FloatVectorQuantize: double arrays and null pass-through") {
+    val df = Seq((Some(Seq(0.12345d, -0.5d)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorExpressions.floatVectorQuantize(col("a")),
+      VectorExpressions.floatVectorQuantize(col("b"))).collect().head
+    assert(r.getAs[scala.collection.Seq[Long]](0) == Seq(1235L, -5000L))
+    assert(r.isNullAt(1))
+  }
+
   test("norm2 + knn stays inside whole-stage codegen") {
     val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val scored = emb.select(
