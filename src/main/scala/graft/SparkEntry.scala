@@ -303,7 +303,14 @@ object SparkEntry {
     "q262_user_segments" -> (EQ.userEmbeddingSegments _),
     "q263_embargo_split" -> (EQ.embargoSplit _),
     "q264_leave_last_out" -> (EQ.leaveLastOut _),
-    "q265_implicit_matrix" -> (EQ.implicitMatrix _))
+    "q265_implicit_matrix" -> (EQ.implicitMatrix _),
+    "q266_int8_quant" -> (TQ.int8Quant _),
+    "q267_token_allocation" -> ((s, dir) => CQ.temperatureMixture(s, dir)),
+    "q268_coverage_select" -> ((s, dir) => CQ.greedyCoverage(s, dir)),
+    "q269_kcenter_coreset" -> (TQ.kcenterCoreset _),
+    "q270_mutual_knn" -> (TQ.mutualKnnPairs _),
+    "q271_hard_negatives_lsh" -> (TQ.hardNegativesLsh _),
+    "q272_rare_token_docs" -> ((s, dir) => CQ.rareTokenDocs(s, dir)))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -5984,7 +5991,94 @@ object SparkEntry {
         |)
         |SELECT user_id, item_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(w_micro) AS BIGINT) AS score_micro
-        |FROM w GROUP BY 1, 2 ORDER BY user_id, item_id""".stripMargin)
+        |FROM w GROUP BY 1, 2 ORDER BY user_id, item_id""".stripMargin,
+    // symmetric int8 quantization: c = round(v*127/m), exact-int error
+    // ppm, IEEE-deterministic cosine chain micro-rounded
+    "q266_int8_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), mm AS (
+        |  SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS m FROM q
+        |), ex AS (
+        |  SELECT vec_id, label, m, v[i] AS val,
+        |    CAST(round(CAST(v[i] AS DOUBLE) * 127 / m) AS BIGINT) AS c
+        |  FROM mm, unnest(generate_series(1, len(v))) AS t(i)
+        |  WHERE m > 0
+        |), per AS (
+        |  SELECT vec_id, label,
+        |    CAST(MAX(abs(val * 127 - c * m) * 1000000 // (m * 127)) AS BIGINT) AS max_err_ppm,
+        |    CAST(SUM(c * val) AS BIGINT) AS dp,
+        |    CAST(SUM(c * c) AS BIGINT) AS n2c,
+        |    CAST(SUM(val * val) AS BIGINT) AS n2v
+        |  FROM ex GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT label, max_err_ppm,
+        |    CAST(round(CAST(dp AS DOUBLE) / sqrt(CAST(n2c AS DOUBLE))
+        |      / sqrt(CAST(n2v AS DOUBLE)) * 1000000) AS BIGINT) AS cos_micro
+        |  FROM per
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(CAST(SUM(max_err_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_err_ppm,
+        |  MAX(max_err_ppm) AS max_err_ppm,
+        |  CAST(CAST(SUM(cos_micro) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_cos_micro,
+        |  MIN(cos_micro) AS min_cos_micro
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+    // temperature-tempered (tau=0.5, w=floor(sqrt(n))) largest-remainder
+    // apportionment of a 1M-token budget; sum(alloc) == budget exactly
+    "q267_token_allocation" ->
+      """WITH src AS (
+        |  SELECT source, CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM src
+        |), t AS (
+        |  SELECT CAST(SUM(weight) AS BIGINT) AS sum_w FROM w
+        |), b AS (
+        |  SELECT w.source, w.n_tokens, w.weight, t.sum_w,
+        |    1000000 * weight // sum_w AS base_alloc,
+        |    1000000 * weight % sum_w AS rem
+        |  FROM w CROSS JOIN t
+        |), lo AS (
+        |  SELECT 1000000 - CAST(SUM(base_alloc) AS BIGINT) AS leftover FROM b
+        |), a AS (
+        |  SELECT b.source, b.n_tokens, b.weight, b.sum_w, b.base_alloc,
+        |    COUNT(c.source) AS n_ahead
+        |  FROM b LEFT JOIN b c
+        |    ON c.rem > b.rem OR (c.rem = b.rem AND c.source < b.source)
+        |  GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT source, n_tokens, weight,
+        |  CAST(weight * 1000000 // sum_w AS BIGINT) AS share_ppm,
+        |  CAST(base_alloc + CASE WHEN n_ahead < lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |FROM a CROSS JOIN lo
+        |ORDER BY source""".stripMargin,
+    "q268_coverage_select" -> coverageSelectSql(5),
+    "q269_kcenter_coreset" -> kcenterSql(4),
+    "q270_mutual_knn" -> mutualKnnSql,
+    "q271_hard_negatives_lsh" -> hardNegativesLshSql,
+    // tail vocabulary (bottom-5 tokens by corpus freq) share per doc
+    "q272_rare_token_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        |), rare AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        |    ORDER BY c, tok LIMIT 5)
+        |), nr AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare
+        |  FROM toks WHERE tok IN (SELECT tok FROM rare) GROUP BY 1
+        |), nt AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT nr.doc_id, nt.n_tokens, nr.n_rare,
+        |  CAST(nr.n_rare * 1000000 // nt.n_tokens AS BIGINT) AS rare_ppm
+        |FROM nr JOIN nt USING (doc_id)
+        |ORDER BY rare_ppm DESC, nr.doc_id LIMIT 20""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL
@@ -6088,4 +6182,122 @@ object SparkEntry {
          |    GROUP BY u.src, p.label) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
+
+  /** q268 greedy max-coverage selection, `rounds` picks unrolled:
+    * round r counts each doc's not-yet-covered 3-gram shingles
+    * (anti-join vs covN), takes the (gain desc, doc_id) top-1, and
+    * folds its shingles into covN.
+    */
+  private def coverageSelectSql(rounds: Int): String = {
+    val steps = (2 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM sh s ANTI JOIN cov${r - 1} c ON s.shingle = c.shingle
+         |  GROUP BY 1 ORDER BY gain DESC, s.doc_id LIMIT 1
+         |), cov$r AS (
+         |  SELECT shingle FROM cov${r - 1}
+         |  UNION
+         |  SELECT shingle FROM sh WHERE doc_id = (SELECT doc_id FROM p$r)
+         |)""".stripMargin
+    }.mkString(", ")
+    val sel = (s"SELECT 1 AS round, doc_id, gain FROM p1" +:
+      (2 to rounds).map(r => s"SELECT $r AS round, doc_id, gain FROM p$r"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCte(3)}, tot AS (
+       |  SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS total FROM sh
+       |), p1 AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM sh
+       |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+       |), cov1 AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id = (SELECT doc_id FROM p1)
+       |), $steps, sel AS (
+       |  $sel
+       |)
+       |SELECT round, doc_id, gain,
+       |  CAST(SUM(gain) OVER (ORDER BY round ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_covered,
+       |  CAST(CAST(SUM(gain) OVER (ORDER BY round ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    * 1000000 // tot.total AS BIGINT) AS coverage_ppm
+       |FROM sel CROSS JOIN tot
+       |ORDER BY round""".stripMargin
+  }
+
+  /** q269 greedy k-center (farthest-point) selection, k picks
+    * unrolled: c1 = max-norm vector; round r picks the unchosen
+    * vector maximizing min exact-int d² to ch(r−1).
+    */
+  private def kcenterSql(k: Int): String = {
+    val steps = (2 to k).map { r =>
+      s"""d${r - 1} AS (
+         |  SELECT q.vec_id, q.v, q.n2,
+         |    CAST(MIN(q.n2 + c.n2 - 2 * ${dotSql("q.v", "c.v", 64)}) AS BIGINT) AS md
+         |  FROM qn q CROSS JOIN ch${r - 1} c
+         |  WHERE q.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+         |  GROUP BY q.vec_id, q.v, q.n2
+         |), c$r AS (
+         |  SELECT vec_id, v, n2, md FROM d${r - 1} ORDER BY md DESC, vec_id LIMIT 1
+         |), ch$r AS (
+         |  SELECT vec_id, v, n2 FROM ch${r - 1} UNION ALL SELECT vec_id, v, n2 FROM c$r
+         |)""".stripMargin
+    }.mkString(", ")
+    val sel = (s"SELECT 1 AS round, vec_id, CAST(0 AS BIGINT) AS radius_d2 FROM c1" +:
+      (2 to k).map(r => s"SELECT $r AS round, vec_id, md AS radius_d2 FROM c$r"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH $quantCte, qn AS (
+       |  SELECT vec_id, v, CAST(${norm2Sql("v")} AS BIGINT) AS n2 FROM qv
+       |), c1 AS (
+       |  SELECT vec_id, v, n2 FROM qn ORDER BY n2 DESC, vec_id LIMIT 1
+       |), ch1 AS (SELECT vec_id, v, n2 FROM c1),
+       |$steps
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
+  /** q270 mutual top-1 neighbors over 6-plane LSH buckets: per-vector
+    * top-1 by (cos_micro desc, id), kept when reciprocal, oriented
+    * id_a < id_b.
+    */
+  private val mutualKnnSql: String =
+    s"""WITH $quantCte, b AS (
+       |  SELECT vec_id, v, ${bucketSql("v", 6, 64)} AS bucket FROM qv
+       |), pairs AS (
+       |  SELECT a.vec_id AS id, x.vec_id AS b_id,
+       |    CAST(round((${cosineSql("a.v", "x.v", 64)}) * 1000000) AS BIGINT) AS cos_micro
+       |  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+       |), top1 AS (
+       |  SELECT id, b_id, cos_micro FROM (
+       |    SELECT id, b_id, cos_micro,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos_micro DESC, b_id) AS rn
+       |    FROM pairs) WHERE rn = 1
+       |)
+       |SELECT x.id AS id_a, x.b_id AS id_b, x.cos_micro
+       |FROM top1 x JOIN top1 y ON x.b_id = y.id AND y.b_id = x.id
+       |WHERE x.id < x.b_id
+       |ORDER BY id_a""".stripMargin
+
+  /** q271 LSH-bucketed hard negatives: anchors = vec_id % 50 == 0,
+    * same 8-plane bucket, label-mismatched, top-3 by (cos_micro desc,
+    * neighbor_id).
+    */
+  private val hardNegativesLshSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, label, v, ${bucketSql("v", 8, 64)} AS bucket FROM q
+       |), scored AS (
+       |  SELECT qs.vec_id AS query_id, qs.label AS query_label,
+       |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |    CAST(round((${cosineSql("qs.v", "c.v", 64)}) * 1000000) AS BIGINT) AS cos_micro
+       |  FROM b qs JOIN b c ON qs.bucket = c.bucket AND qs.label <> c.label
+       |  WHERE qs.vec_id % 50 = 0
+       |)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, cos_micro, rn
+       |FROM (
+       |  SELECT query_id, query_label, neighbor_id, neighbor_label, cos_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_micro DESC, neighbor_id) AS INTEGER) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3
+       |ORDER BY query_id, rn""".stripMargin
 }

@@ -232,4 +232,151 @@ object CurationQueries {
       .select(col("doc_id"), col("n_tokens"), col("dup_count"))
       .orderBy(col("doc_id"))
   }
+
+  /** Temperature-scaled token-budget apportionment across sources
+    * (q267) — the mixture-design step of multi-corpus training: raw
+    * per-source token counts are tempered to `w = ⌊√n⌋` (τ = 0.5, the
+    * standard up-weighting of small sources vs proportional sampling;
+    * UniMax/mT5 lineage) and a fixed token budget is split by
+    * LARGEST-REMAINDER apportionment — `base = ⌊budget·w/W⌋` plus one
+    * extra token to the `budget − Σbase` sources with the largest
+    * remainders (ties → lexicographic source). Σalloc == budget
+    * EXACTLY, by construction — the invariant a downstream sampler
+    * relies on, and floats can't promise.
+    *
+    * Scale shape: one corpus scan to source-grain counts; everything
+    * after lives on the |sources|-row table (the remainder rank is a
+    * support-sized self-join, never a global window).
+    */
+  def temperatureMixture(
+      s: SparkSession,
+      d: String,
+      budget: Long = 1000000L): DataFrame = {
+    val src = Tables.documents(s, d)
+      .select(col("source"), TF.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = src.agg(sum(col("weight")).as("sum_w"))
+    val based = src.crossJoin(broadcast(tot))
+      .withColumn("base_alloc", expr(s"${budget}L * weight div sum_w"))
+      .withColumn("rem", expr(s"${budget}L * weight % sum_w"))
+    val leftover = based.agg((lit(budget) - sum(col("base_alloc"))).as("leftover"))
+    val ahead = based.as("a")
+      .join(based.select(col("source").as("b_src"), col("rem").as("b_rem")).as("b"),
+        col("b_rem") > col("rem") ||
+          (col("b_rem") === col("rem") && col("b_src") < col("source")),
+        "left")
+      .groupBy(col("source"), col("n_tokens"), col("weight"), col("sum_w"),
+        col("base_alloc"))
+      .agg(count(col("b_src")).as("n_ahead"))
+    ahead.crossJoin(broadcast(leftover))
+      .select(
+        col("source"), col("n_tokens"), col("weight"),
+        expr("weight * 1000000 div sum_w").as("share_ppm"),
+        (col("base_alloc") +
+          when(col("n_ahead") < col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Greedy maximum-coverage document selection (q268) — the
+    * submodular coreset pick ("which k documents cover the most
+    * corpus vocabulary"): each round selects the document adding the
+    * most NOT-YET-COVERED 3-gram shingles (the classic 1−1/e greedy
+    * guarantee for monotone submodular objectives). The selection
+    * trace reports each pick's marginal gain and the cumulative
+    * corpus coverage in ppm — the diminishing-returns curve that
+    * tells a curator where coverage sampling stops paying.
+    *
+    * Determinism: ties at every argmax break to the smallest doc_id.
+    *
+    * Scale shape: each round is one anti-join of the (doc, shingle)
+    * table against the covered-shingle set, a doc-grain count, and a
+    * TakeOrderedAndProject(1) — `rounds` line-rate passes, no pair
+    * table. The covered set is re-materialized per round with
+    * `localCheckpoint` (it is referenced twice per round and would
+    * otherwise compound the plan — the q87/q193 iterative rule);
+    * driver traffic is one scalar row per round.
+    */
+  def greedyCoverage(
+      s: SparkSession,
+      d: String,
+      rounds: Int = 5): DataFrame = {
+    val sh = graft.core.Caches.cache(
+      Dedup.shingles(Tables.documents(s, d), "text", "doc_id", 3))
+    val total = sh.select(col("shingle")).distinct().count()
+    var covered = sh.select(col("shingle")).filter(lit(false))
+    var cum = 0L
+    val picks = Vector.newBuilder[(Int, Long, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = sh
+        .join(covered, Seq("shingle"), "left_anti")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id"))
+        .limit(1)
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        val gain = top(0).getLong(1)
+        cum += gain
+        picks += ((r, id, gain, cum, cum * 1000000L / total))
+        covered = covered
+          .union(sh.filter(col("id") === id).select(col("shingle")))
+          .distinct()
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    val spark = s
+    import spark.implicits._
+    picks.result()
+      .toDF("round", "doc_id", "gain", "cum_covered", "coverage_ppm")
+      .orderBy(col("round"))
+  }
+
+  /** Tail-vocabulary document mining (q272) — the long-tail
+    * up-weighting selector: documents ranked by the share of their
+    * token OCCURRENCES drawn from the corpus's `tailVocab`
+    * least-frequent tokens (count asc, token asc — rank-based, so the
+    * definition survives any frequency profile, unlike an absolute
+    * freq-≤-k cutoff). High-tail-share documents carry the corpus's
+    * tail knowledge; a data mixer over-samples them, and a quality
+    * pipeline eyeballs them for OCR noise (the two live reasons to
+    * mine this list). Distinct from q248's OOV rate (which measures
+    * tokenizer coverage against a FIXED top-1000 vocabulary).
+    *
+    * Scale shape: vocabulary counts are one token-grain agg with a
+    * TakeOrderedAndProject cut (broadcastable tail set); the tail set
+    * semi-joins back token-grain (the q28 postings shape); the final
+    * cut is TakeOrderedAndProject — never a global sort.
+    */
+  def rareTokenDocs(
+      s: SparkSession,
+      d: String,
+      tailVocab: Int = 5,
+      topK: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+    val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c"), col("tok"))
+      .limit(tailVocab)
+      .select(col("tok"))
+    toks
+      .join(rare, Seq("tok"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rare"))
+      .join(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .withColumn("rare_ppm", expr("n_rare * 1000000 div n_tokens"))
+      .orderBy(col("rare_ppm").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"), col("rare_ppm"))
+  }
 }

@@ -1241,6 +1241,38 @@ object TextQueries {
     graft.similarity.Similarity
       .centroidDrift(Tables.embeddings(s, d), "vec_id", "label", "embedding")
 
+  /** Symmetric-int8 quantization audit (q266,
+    * [[graft.similarity.Similarity.int8QuantAudit]]): per-label worst
+    * reconstruction error and int8-vs-float cosine.
+    */
+  def int8Quant(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .int8QuantAudit(Tables.embeddings(s, d), "vec_id", "label", "embedding")
+
+  /** Greedy k-center coreset trace (q269,
+    * [[graft.similarity.Similarity.kCenterGreedy]]): farthest-point
+    * selection with the cover-radius certificate sequence.
+    */
+  def kcenterCoreset(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .kCenterGreedy(Tables.embeddings(s, d), "vec_id", "embedding", k = 4)
+
+  /** Mutual top-1 neighbor pairs (q270,
+    * [[graft.similarity.Similarity.mutualKnn]]): reciprocity-filtered
+    * pair mining over the LSH bucket graph.
+    */
+  def mutualKnnPairs(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .mutualKnn(Tables.embeddings(s, d), "vec_id", "embedding")
+
+  /** LSH-bucketed hard negatives (q271,
+    * [[graft.similarity.Similarity.hardNegatives]]): the sublinear
+    * scale sibling of q146's bounded brute-force miner.
+    */
+  def hardNegativesLsh(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .hardNegatives(Tables.embeddings(s, d), "vec_id", "label", "embedding")
+
   /** TextRank keyword extraction (q208): PageRank over the token
     * ADJACENCY graph (Mihalcea & Tarau 2004) — unlike q43's TF-IDF
     * (frequency vs corpus) or q186's RAKE (within-phrase degree),

@@ -1154,4 +1154,220 @@ object Similarity {
         graft.ops.Aggregates.sortedList(Seq(col("j")), col("p")).as("proj"),
         sum(col("p") * col("p")).as("norm2"))
   }
+
+  /** Symmetric-int8 quantization audit (q266) — the serving-layer
+    * question "what does int8 compression cost THIS corpus": each
+    * vector is quantized to `c_i = round(v_i·127 / max|v|)` (the
+    * per-tensor symmetric scheme every int8 ANN/inference stack uses)
+    * and the audit reports, per label, the worst per-element
+    * reconstruction error (ppm of full scale, exact integers:
+    * `|v_i·127 − c_i·m|·10⁶ div (m·127)`) and the cosine between the
+    * int8 vector and the original (micro, the one IEEE-deterministic
+    * double chain). Rule of thumb it verifies: symmetric int8 holds
+    * ~0.5%/element worst-case (½ ULP of 1/127) and cosines stay
+    * ≥0.999 unless the corpus has pathological dynamic range.
+    *
+    * Scale shape: all per-element work happens in ONE posexplode of
+    * the corpus with codegen'd per-row scale lookup
+    * ([[org.apache.spark.sql.graft.LongVectorAbsMax]]); aggregations
+    * are (vec)- then (label)-keyed, both map-side combinable. No
+    * pairwise stage, nothing superlinear.
+    */
+  def int8QuantAudit(
+      vecs: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    val v = vecs
+      .select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("label"),
+        quantize(col(embCol)).as("q"))
+      .withColumn("m",
+        org.apache.spark.sql.graft.VectorExpressions.longVectorAbsMax(col("q")))
+      .filter(col("m") > 0L)
+    val ex = v
+      .select(col("vec_id"), col("label"), col("m"),
+        posexplode(col("q")).as(Seq("pos", "val")))
+      // (val·127)/m evaluated in doubles in this exact order on both
+      // engines — mult and div are IEEE exactly-rounded, so the round()
+      // input is bit-identical and the code deterministic
+      .withColumn("c",
+        round(col("val").cast("double") * lit(127.0) / col("m").cast("double"))
+          .cast("long"))
+    val per = ex
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(expr("abs(val * 127 - c * m) * 1000000 div (m * 127)")).as("max_err_ppm"),
+        sum(col("c") * col("val")).as("dp"),
+        sum(col("c") * col("c")).as("n2c"),
+        sum(col("val") * col("val")).as("n2v"))
+      .withColumn("cos_micro",
+        round(col("dp").cast("double") /
+          sqrt(col("n2c").cast("double")) / sqrt(col("n2v").cast("double")) *
+          1000000).cast("long"))
+    per
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("max_err_ppm")).as("__esum"),
+        max(col("max_err_ppm")).as("max_err_ppm"),
+        sum(col("cos_micro")).as("__csum"),
+        min(col("cos_micro")).as("min_cos_micro"))
+      .withColumn("mean_err_ppm", expr("__esum div n_vectors"))
+      .withColumn("mean_cos_micro", expr("__csum div n_vectors"))
+      .select(col("label"), col("n_vectors"), col("mean_err_ppm"),
+        col("max_err_ppm"), col("mean_cos_micro"), col("min_cos_micro"))
+      .orderBy(col("label"))
+  }
+
+  /** Greedy k-center (farthest-point traversal) coreset selection
+    * (q269) — the diversity-sampling primitive behind coreset
+    * construction and active-learning seed picks (Sener & Savarese
+    * 2018): start from the max-norm vector, then repeatedly take the
+    * point FARTHEST from everything chosen so far. The selection
+    * trace's `radius_d2` sequence is the classic 2-approximation
+    * certificate of the k-center cover radius — monotone
+    * non-increasing, and every unchosen point is within `radius_d2(k)`
+    * of some center after round k.
+    *
+    * Determinism: distances are exact int64 on quantized components;
+    * ties break to the smallest vec_id at every argmax.
+    *
+    * Scale shape: each round is one scan of the corpus against a
+    * ≤k-row broadcast-literal center set (TakeOrderedAndProject cut,
+    * never a global sort) plus a 1-row driver collect — k scans total,
+    * nothing pairwise. The k dim-length arrays on the driver are the
+    * same bounded-collect contract as exactMedian.
+    */
+  def kCenterGreedy(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64]; got $k")
+    val v = graft.core.Caches.cache(
+      vecs.select(col(idCol).cast("long").as("vec_id"), quantize(col(embCol)).as("q"))
+        .withColumn("n2", qnorm2(col("q"))))
+    val first = v.orderBy(col("n2").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("q"), col("n2")).head()
+    // (round, vec_id, radius_d2, center vector, center norm2)
+    var chosen = Vector[(Int, Long, Long, Seq[Long], Long)](
+      (1, first.getLong(0), 0L, first.getSeq[Long](1), first.getLong(2)))
+    var r = 2
+    while (r <= k) {
+      val minD2 = chosen
+        .map { case (_, _, _, cq, cn2) =>
+          col("n2") + lit(cn2) - lit(2L) * qdot(col("q"), typedlit(cq))
+        }
+        .reduce((a, b) => least(a, b))
+      val nxt = v
+        .filter(!col("vec_id").isin(chosen.map(_._2): _*))
+        .withColumn("md", minD2)
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("md"), col("q"), col("n2")).head()
+      chosen = chosen :+ ((r, nxt.getLong(0), nxt.getLong(1),
+        nxt.getSeq[Long](2), nxt.getLong(3)))
+      r += 1
+    }
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    chosen.map { case (rd, id, rad, _, _) => (rd, id, rad) }
+      .toDF("round", "vec_id", "radius_d2")
+      .orderBy(col("round"))
+  }
+
+  /** Mutual nearest-neighbor pair mining (q270) — the bitext/alignment
+    * pattern (margin-based mining, Artetxe & Schwenk 2019, simplified
+    * to reciprocity): a pair qualifies when each vector is the other's
+    * top-1 neighbor. Reciprocity is the cheap high-precision filter —
+    * one-directional top-1 lists are full of hubs (a few central
+    * vectors that are "nearest" to everything); requiring the edge
+    * both ways removes hubs without any density estimate.
+    *
+    * Determinism: top-1 by (cos_micro desc, neighbor_id asc); output
+    * pairs oriented id_a < id_b.
+    *
+    * Scale shape: neighbor lists come from the LSH bucket join (the
+    * q40 both-sides-corpus shape — per-bucket quadratic, occupancy-
+    * bounded), top-1 per vector is a bucket-partitioned window, and
+    * the reciprocity check is a self-join of the |corpus|-row top-1
+    * table on the oriented pair key. Nothing global, nothing
+    * all-pairs.
+    */
+  def mutualKnn(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      planes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), quantize(col(embCol)).as("emb"))
+      .withColumn("bucket", lshBucket(col("emb"), planes, dim))
+    val pairs = base.as("a")
+      .join(base.select(col("id").as("b_id"), col("emb").as("b_emb"),
+        col("bucket")).as("b"), Seq("bucket"))
+      .filter(col("id") =!= col("b_id"))
+      .select(col("id"), col("b_id"),
+        round(qcosine(
+          qdot(col("emb"), col("b_emb")),
+          qnorm2(col("emb")),
+          qnorm2(col("b_emb"))) * 1000000).cast("long").as("cos_micro"))
+    val top1 = graft.core.Caches.cache(
+      Windows.topKPerGroup(pairs, Seq("id"), col("cos_micro"), Seq("b_id"), 1)
+        .select(col("id"), col("b_id"), col("cos_micro")))
+    top1.as("x")
+      .join(top1.select(col("id").as("y_id"), col("b_id").as("y_nb")).as("y"),
+        col("b_id") === col("y_id") && col("y_nb") === col("id"))
+      .filter(col("id") < col("b_id"))
+      .select(col("id").as("id_a"), col("b_id").as("id_b"), col("cos_micro"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Hard-negative mining for contrastive/metric training (q271): for
+    * each anchor vector, the most-similar vectors of a DIFFERENT
+    * label — the "looks identical, labeled differently" pairs a
+    * triplet/InfoNCE trainer needs and random negatives never surface.
+    * Candidates come from the anchor's LSH bucket (the q36 index), so
+    * mining stays sublinear: the label filter applies BEFORE the
+    * top-k, and the exact cosine reranks bucket-mates only.
+    *
+    * Scale shape: identical to [[lshBucketedTopK]] — anchors broadcast
+    * with their buckets, the corpus computes one bucket per table and
+    * never re-fans; candidate volume is bucket-occupancy-bounded.
+    * Output: (query_id, query_label, neighbor_id, neighbor_label,
+    * cos_micro, rn ≤ k), cosine micro-rounded for a deterministic
+    * cross-engine ordering.
+    */
+  def hardNegatives(
+      vecs: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String,
+      k: Int = 3,
+      planes: Int = 8,
+      dim: Int = 64,
+      queryMod: Long = 50L): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("lbl"), quantize(col(embCol)).as("emb"))
+    val q = broadcast(
+      base.filter(pmod(col("id"), lit(queryMod)) === 0L)
+        .select(col("id").as("query_id"), col("lbl").as("query_label"),
+          col("emb").as("q_emb"),
+          lshBucket(col("emb"), planes, dim).as("bucket")))
+    val c = base.select(col("id").as("neighbor_id"),
+      col("lbl").as("neighbor_label"), col("emb").as("c_emb"),
+      lshBucket(col("emb"), planes, dim).as("bucket"))
+    val scored = c
+      .join(q, Seq("bucket"))
+      .filter(col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        round(qcosine(
+          qdot(col("q_emb"), col("c_emb")),
+          qnorm2(col("q_emb")),
+          qnorm2(col("c_emb"))) * 1000000).cast("long").as("cos_micro"))
+    graft.ops.Windows
+      .topKPerGroup(scored, Seq("query_id"), col("cos_micro"), Seq("neighbor_id"), k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cos_micro"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }

@@ -151,6 +151,47 @@ case class FloatVectorQuantize(child: Expression)
       newChild: Expression): FloatVectorQuantize = copy(child = newChild)
 }
 
+/** max(|x_i|) over an array<long> — the per-vector quantization scale
+  * lookup of the int8 audit (q266). One fused codegen loop; the
+  * `array_max(transform(abs))` HOF form is interpreted per element and
+  * would break the scan's codegen span. Empty arrays yield 0.
+  */
+case class LongVectorAbsMax(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_vector_abs_max"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0L
+    var i = 0
+    while (i < n) { val v = math.abs(x.getLong(i)); if (v > m) m = v; i += 1 }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $x.numElements();
+         |long $m = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = Math.abs($x.getLong($i));
+         |  if ($v > $m) $m = $v;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LongVectorAbsMax = copy(child = newChild)
+}
+
 object VectorExpressions {
   def longVectorDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -165,4 +206,7 @@ object VectorExpressions {
 
   def floatVectorQuantize(a: Column): Column =
     ExpressionUtils.column(FloatVectorQuantize(ExpressionUtils.expression(a)))
+
+  def longVectorAbsMax(a: Column): Column =
+    ExpressionUtils.column(LongVectorAbsMax(ExpressionUtils.expression(a)))
 }

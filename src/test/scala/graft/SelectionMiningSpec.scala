@@ -1,0 +1,107 @@
+package graft
+
+import graft.queries.{CurationQueries => CQ, TextQueries => TQ}
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-9 selection/mining block (q266–q272):
+  * int8 quantization audit, temperature budget apportionment, greedy
+  * coverage selection, k-center coreset, mutual-kNN pair mining,
+  * LSH hard negatives, tail-vocabulary docs. Cross-engine value
+  * equality is the Verify/DuckDB gate; these pin the mathematical
+  * invariants each operator promises.
+  */
+class SelectionMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("int8QuantAudit: error bounded by half an int8 step, cosine ≥ 0.999") {
+    val out = TQ.int8Quant(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val maxErr = r.getAs[Long]("max_err_ppm")
+      val minCos = r.getAs[Long]("min_cos_micro")
+      // |v·127/m − round(v·127/m)| ≤ 0.5 ⇒ err ≤ 0.5/127 = 3937 ppm
+      assert(maxErr >= 0L && maxErr <= 3938L, s"err $maxErr out of int8 bound")
+      assert(minCos >= 999000L, s"int8 cosine $minCos below 0.999")
+    }
+  }
+
+  test("temperatureMixture: allocation sums to the budget exactly") {
+    val out = CQ.temperatureMixture(spark, dir, budget = 999983L)
+    val total = out.agg(sum(col("alloc_tokens"))).head().getLong(0)
+    assert(total == 999983L) // largest-remainder: exact by construction
+    // tempered weight really is floor(sqrt(n))
+    out.collect().foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val w = r.getAs[Long]("weight")
+      assert(w * w <= n && (w + 1) * (w + 1) > n)
+    }
+  }
+
+  test("greedyCoverage: gains non-increasing, coverage cumulative and ≤ 1") {
+    val picks = CQ.greedyCoverage(spark, dir, rounds = 4)
+      .orderBy(col("round")).collect()
+    assert(picks.length == 4)
+    val gains = picks.map(_.getAs[Long]("gain"))
+    // marginal gains of greedy on a submodular objective never increase
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b }, gains.toSeq)
+    val cums = picks.map(_.getAs[Long]("cum_covered"))
+    assert(cums.zip(gains).map { case (c, g) => c - g }.toSeq ==
+      (0L +: cums.init.toSeq))
+    assert(picks.map(_.getAs[Long]("coverage_ppm")).forall(p => p > 0 && p <= 1000000L))
+    // picked docs are distinct
+    assert(picks.map(_.getAs[Long]("doc_id")).distinct.length == 4)
+  }
+
+  test("kCenterGreedy: cover radius non-increasing, centers distinct") {
+    val out = TQ.kcenterCoreset(spark, dir).orderBy(col("round")).collect()
+    assert(out.length == 4)
+    val radii = out.drop(1).map(_.getAs[Long]("radius_d2"))
+    // farthest-point traversal: each new pick is nearer the chosen set
+    // than its predecessor was (monotone cover radius)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, radii.toSeq)
+    assert(radii.forall(_ > 0L))
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == 4)
+  }
+
+  test("mutualKnn: oriented unique pairs, genuinely reciprocal") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val pairs = Similarity.mutualKnn(emb, "vec_id", "embedding").collect()
+    assert(pairs.nonEmpty)
+    val keys = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(keys.forall { case (a, b) => a < b })
+    assert(keys.distinct.length == keys.length)
+    // reciprocity on a planted fixture: 1 and 2 are exactly parallel
+    // (cos = 1, each other's top-1); 3 points at 1 but 1 prefers 2 —
+    // the hub-suppression case reciprocity exists to remove
+    val planted = Seq(
+      (1L, Seq.fill(8)(0.9f)), (2L, Seq.fill(8)(0.91f)),
+      (3L, Seq(0.9f) ++ Seq.fill(7)(0.89f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.mutualKnn(planted, "vec_id", "embedding", planes = 2, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p == Set((1L, 2L)), s"expected exactly the mutual pair, got $p")
+  }
+
+  test("hardNegatives: cross-label only, anchors on the sample grid, k bounded") {
+    val out = TQ.hardNegativesLsh(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("query_id") % 50 == 0)
+      assert(r.getAs[Long]("query_label") != r.getAs[Long]("neighbor_label"))
+      assert(r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= 3)
+    }
+  }
+
+  test("rareTokenDocs: shares in [0, 1e6], cut bounded, tail set drives counts") {
+    val out = CQ.rareTokenDocs(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val ppm = r.getAs[Long]("rare_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(r.getAs[Long]("n_rare") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+}
