@@ -310,7 +310,9 @@ object SparkEntry {
     "q269_kcenter_coreset" -> (TQ.kcenterCoreset _),
     "q270_mutual_knn" -> (TQ.mutualKnnPairs _),
     "q271_hard_negatives_lsh" -> (TQ.hardNegativesLsh _),
-    "q272_rare_token_docs" -> ((s, dir) => CQ.rareTokenDocs(s, dir)))
+    "q272_rare_token_docs" -> ((s, dir) => CQ.rareTokenDocs(s, dir)),
+    "q273_t_closeness" -> (RQ.tClosenessAudit _),
+    "q274_embedding_anova" -> (TQ.embeddingAnova _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6078,7 +6080,97 @@ object SparkEntry {
         |SELECT nr.doc_id, nt.n_tokens, nr.n_rare,
         |  CAST(nr.n_rare * 1000000 // nt.n_tokens AS BIGINT) AS rare_ppm
         |FROM nr JOIN nt USING (doc_id)
-        |ORDER BY rare_ppm DESC, nr.doc_id LIMIT 20""".stripMargin)
+        |ORDER BY rare_ppm DESC, nr.doc_id LIMIT 20""".stripMargin,
+    // t-closeness: ppm-quantized cumulative EMD per QI class vs global
+    "q273_t_closeness" ->
+      """WITH cv AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 500) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS pc
+        |  FROM customer GROUP BY 1, 2, 3
+        |), gv AS (
+        |  SELECT sv, CAST(SUM(pc) AS BIGINT) AS qc FROM cv GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(qc) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS m_values FROM gv
+        |), cls AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(pc) AS BIGINT) AS nc FROM cv GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc, gv.sv, gv.qc,
+        |    COALESCE(cv.pc, 0) AS pc
+        |  FROM cls CROSS JOIN gv
+        |  LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+        |    AND cv.c_mktsegment = cls.c_mktsegment AND cv.sv = gv.sv
+        |), cum AS (
+        |  SELECT c_nationkey, c_mktsegment, nc,
+        |    CAST(SUM(pc) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY sv ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pcum,
+        |    CAST(SUM(qc) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY sv ROWS UNBOUNDED PRECEDING) AS BIGINT) AS qcum
+        |  FROM grid
+        |), terms AS (
+        |  SELECT c_nationkey, c_mktsegment, nc,
+        |    abs(pcum * 1000000 // nc - qcum * 1000000 // n_total) AS term
+        |  FROM cum CROSS JOIN tot
+        |), per AS (
+        |  SELECT c_nationkey, c_mktsegment, MAX(nc) AS nc,
+        |    CAST(SUM(term) AS BIGINT)
+        |      // greatest((SELECT m_values FROM tot) - 1, 1) AS emd_ppm
+        |  FROM terms GROUP BY 1, 2
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  (SELECT m_values FROM tot) AS n_values,
+        |  CAST(MAX(emd_ppm) AS BIGINT) AS max_emd_ppm,
+        |  CAST(COALESCE(SUM(CASE WHEN emd_ppm > 200000 THEN 1 END), 0) AS BIGINT) AS classes_above_t,
+        |  CAST(COALESCE(SUM(CASE WHEN emd_ppm > 200000 THEN nc END), 0) * 1000000
+        |    // (SELECT n_total FROM tot) AS BIGINT) AS rows_above_t_ppm
+        |FROM per""".stripMargin,
+    // embedding one-way ANOVA: WSS/BSS/TSS around floor-int centroids
+    "q274_embedding_anova" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT vec_id, label, i AS pos, v[i] AS val
+        |  FROM q, unnest(generate_series(1, len(v))) AS t(i)
+        |), cm AS (
+        |  SELECT label, pos, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM ex GROUP BY 1, 2
+        |), cn AS (
+        |  SELECT label, CAST(SUM(cv * cv) AS BIGINT) AS c_n2 FROM cm GROUP BY 1
+        |), nl AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1
+        |), gm AS (
+        |  SELECT pos, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS gv
+        |  FROM ex GROUP BY 1
+        |), gn AS (
+        |  SELECT CAST(SUM(gv * gv) AS BIGINT) AS g_n2 FROM gm
+        |), vn AS (
+        |  SELECT vec_id, label, CAST(SUM(val * val) AS BIGINT) AS v_n2 FROM ex GROUP BY 1, 2
+        |), dvc AS (
+        |  SELECT e.vec_id, CAST(SUM(e.val * c.cv) AS BIGINT) AS dp
+        |  FROM ex e JOIN cm c ON e.label = c.label AND e.pos = c.pos GROUP BY 1
+        |), dvg AS (
+        |  SELECT e.vec_id, CAST(SUM(e.val * g.gv) AS BIGINT) AS dp
+        |  FROM ex e JOIN gm g ON e.pos = g.pos GROUP BY 1
+        |), wt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |    CAST(SUM(vn.v_n2 + cn.c_n2 - 2 * dvc.dp) AS BIGINT) AS wss,
+        |    CAST(SUM(vn.v_n2 + gn.g_n2 - 2 * dvg.dp) AS BIGINT) AS tss
+        |  FROM vn JOIN cn ON vn.label = cn.label
+        |    JOIN dvc ON vn.vec_id = dvc.vec_id
+        |    JOIN dvg ON vn.vec_id = dvg.vec_id
+        |    CROSS JOIN gn
+        |), dcg AS (
+        |  SELECT c.label, CAST(SUM(c.cv * g.gv) AS BIGINT) AS dp
+        |  FROM cm c JOIN gm g ON c.pos = g.pos GROUP BY 1
+        |), bt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+        |    CAST(SUM(nl.n * (cn.c_n2 + gn.g_n2 - 2 * dcg.dp)) AS BIGINT) AS bss
+        |  FROM nl JOIN cn USING (label) JOIN dcg USING (label) CROSS JOIN gn
+        |)
+        |SELECT wt.n_vectors, bt.n_labels, wt.wss, bt.bss, wt.tss,
+        |  CAST(bt.bss * 1000000 // wt.tss AS BIGINT) AS r2_micro
+        |FROM wt CROSS JOIN bt""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

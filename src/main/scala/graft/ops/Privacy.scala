@@ -58,4 +58,71 @@ object Privacy {
       .select(
         col("n_classes"), col("min_l"), col("classes_below_l"),
         expr("__rows_below * 1000000 div __n_rows").as("rows_below_l_ppm"))
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * leg of the release-gate trio: l-diversity still leaks when a QI
+    * class's sensitive values are diverse but SKEWED relative to the
+    * corpus (the skewness attack); t-closeness bounds, per class, the
+    * Earth-Mover's Distance between the class's sensitive-value
+    * distribution and the global one. For an ordered attribute EMD =
+    * (1/(m−1))·Σᵥ|P̂ᵥ − Q̂ᵥ| over cumulative distributions; both
+    * cumulatives are ppm-quantized (floor) BEFORE differencing, so
+    * every intermediate stays ≤ 10⁶·m in int64 at ANY corpus size —
+    * no N·n_c cross-product term to overflow, no guard needed.
+    * Output (one row): n_classes, n_values, max_emd_ppm,
+    * classes_above_t, rows_above_t_ppm at threshold `tPpm`.
+    *
+    * Scale shape: one agg to the (QI, value) grain, a zero-filled
+    * (classes × values) grid off a broadcast value table, cumulatives
+    * via a window PARTITIONED BY class over the value support — never
+    * an unpartitioned window, never a fact-table window.
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[Column],
+      sensitive: Column,
+      tPpm: Long): DataFrame = {
+    val named = df.select(
+      qiCols.zipWithIndex.map { case (c, i) => c.as(s"__qi$i") } :+
+        sensitive.as("__sv"): _*)
+    val qi = qiCols.indices.map(i => col(s"__qi$i"))
+    val qiNames = qiCols.indices.map(i => s"__qi$i")
+    val cv = named.groupBy(qi :+ col("__sv"): _*).agg(count(lit(1)).as("pc"))
+    val gv = cv.groupBy(col("__sv")).agg(sum(col("pc")).as("qc"))
+    val tot = gv.agg(sum(col("qc")).as("n_total"), count(lit(1)).as("m_values"))
+    val cls = cv.groupBy(qi: _*).agg(sum(col("pc")).as("nc"))
+    val grid = cls
+      .crossJoin(broadcast(gv))
+      .join(cv, (qiNames :+ "__sv").toSeq, "left")
+      .na.fill(0L, Seq("pc"))
+      .crossJoin(broadcast(tot))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qi: _*)
+      .orderBy(col("__sv"))
+    val terms = grid
+      .withColumn("pcum", sum(col("pc")).over(w))
+      .withColumn("qcum", sum(col("qc")).over(w))
+      .withColumn("term",
+        abs(expr("pcum * 1000000 div nc - qcum * 1000000 div n_total")))
+    val perClass = terms
+      .groupBy(qi: _*)
+      .agg(
+        max(col("nc")).as("nc"), // constant per class; max = deterministic pick
+        expr("sum(term) div greatest(max(m_values) - 1, 1L)").as("emd_ppm"))
+    perClass
+      .crossJoin(broadcast(tot))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        max(col("m_values")).as("n_values"),
+        max(col("emd_ppm")).as("max_emd_ppm"),
+        coalesce(sum(when(col("emd_ppm") > tPpm, lit(1L))), lit(0L))
+          .as("classes_above_t"),
+        coalesce(sum(when(col("emd_ppm") > tPpm, col("nc"))), lit(0L))
+          .as("__rows_above"),
+        max(col("n_total")).as("__n"))
+      .select(
+        col("n_classes"), col("n_values"), col("max_emd_ppm"),
+        col("classes_above_t"),
+        expr("__rows_above * 1000000 div __n").as("rows_above_t_ppm"))
+  }
 }

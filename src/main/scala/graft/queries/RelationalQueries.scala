@@ -712,4 +712,16 @@ object RelationalQueries {
       Seq(col("c_nationkey"), col("c_mktsegment")),
       floor(col("c_acctbal") / 500).cast("long"),
       l = 2)
+
+  /** t-closeness audit (q273): per (nation, segment) QI class, the
+    * EMD between the class's account-balance-band distribution and
+    * the global one, at t = 0.2 — [[graft.ops.Privacy.tCloseness]].
+    * Catches the skewness leak l-diversity (q245) misses.
+    */
+  def tClosenessAudit(s: SparkSession, d: String): DataFrame =
+    graft.ops.Privacy.tCloseness(
+      Tables.customer(s, d),
+      Seq(col("c_nationkey"), col("c_mktsegment")),
+      floor(col("c_acctbal") / 500).cast("long"),
+      tPpm = 200000L)
 }

@@ -1241,6 +1241,14 @@ object TextQueries {
     graft.similarity.Similarity
       .centroidDrift(Tables.embeddings(s, d), "vec_id", "label", "embedding")
 
+  /** Embedding-space one-way ANOVA (q274,
+    * [[graft.similarity.Similarity.embeddingAnova]]): how much vector
+    * variance the labels explain (clusterability r² in ppm).
+    */
+  def embeddingAnova(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .embeddingAnova(Tables.embeddings(s, d), "vec_id", "label", "embedding")
+
   /** Symmetric-int8 quantization audit (q266,
     * [[graft.similarity.Similarity.int8QuantAudit]]): per-label worst
     * reconstruction error and int8-vs-float cosine.

@@ -1275,6 +1275,64 @@ object Similarity {
       .orderBy(col("round"))
   }
 
+  /** Embedding variance decomposition (q273) — one-way ANOVA in vector
+    * space: total squared deviation around the global centroid splits
+    * into within-label (WSS) and between-label (BSS) parts, and
+    * `r2 = BSS/TSS` is the share of embedding variance the labels
+    * explain — the clusterability number that says whether a label
+    * scheme carries geometric signal BEFORE anyone trains a probe on
+    * it (complements q254: silhouette scores per-point assignment
+    * quality; this scores the partition as a whole). Centroids are
+    * floor-int means, so WSS+BSS ≈ TSS up to quantization; all three
+    * are reported as computed.
+    *
+    * Determinism: all sums are exact int64 on quantized components
+    * (|v−c|² ≤ 64·(2·10⁴)² ≈ 2.6·10¹⁰ per vector ⇒ headroom to
+    * ~3·10⁸ vectors; beyond that the per-label partial sums shard
+    * first). r2 is ppm by integer division.
+    *
+    * Scale shape: three line-rate aggregations (per-vector terms
+    * against broadcast centroids) — map-side combinable, no pairwise
+    * stage, no fact-table window.
+    */
+  def embeddingAnova(
+      vecs: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    val v = vecs.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"), quantize(col(embCol)).as("q"))
+      .withColumn("v_n2", qnorm2(col("q")))
+    val cents = labelCentroids(vecs, labelCol, embCol)
+      .select(col("label"), col("centroid"),
+        qnorm2(col("centroid")).as("c_n2"), col("n_vectors"))
+    val g = vecs
+      .select(posexplode(quantize(col(embCol))).as(Seq("pos", "val")))
+      .groupBy(col("pos"))
+      .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("gv"))
+      .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("gv")).as("gc"))
+      .withColumn("g_n2", qnorm2(col("gc")))
+    val perVec = v
+      .join(broadcast(cents), Seq("label"))
+      .crossJoin(broadcast(g))
+      .select(
+        (col("v_n2") + col("c_n2") - lit(2L) * qdot(col("q"), col("centroid")))
+          .as("w_d2"),
+        (col("v_n2") + col("g_n2") - lit(2L) * qdot(col("q"), col("gc")))
+          .as("t_d2"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("w_d2")).as("wss"),
+        sum(col("t_d2")).as("tss"))
+    val between = cents
+      .crossJoin(broadcast(g))
+      .select((col("n_vectors") *
+        (col("c_n2") + col("g_n2") - lit(2L) * qdot(col("centroid"), col("gc"))))
+        .as("b_d2"))
+      .agg(count(lit(1)).as("n_labels"), sum(col("b_d2")).as("bss"))
+    perVec.crossJoin(broadcast(between))
+      .select(col("n_vectors"), col("n_labels"), col("wss"), col("bss"),
+        col("tss"), expr("bss * 1000000 div tss").as("r2_micro"))
+  }
+
   /** Mutual nearest-neighbor pair mining (q270) — the bitext/alignment
     * pattern (margin-based mining, Artetxe & Schwenk 2019, simplified
     * to reciprocity): a pair qualifies when each vector is the other's

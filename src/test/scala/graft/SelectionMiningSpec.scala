@@ -95,6 +95,46 @@ class SelectionMiningSpec extends SparkSpec {
     }
   }
 
+  test("tCloseness: uniform sensitive ⇒ EMD 0; disjoint classes ⇒ EMD large") {
+    // two QI classes, sensitive identical in both -> every class matches
+    // the global distribution exactly
+    val even = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
+      .toDF("qi", "sv")
+    val e = graft.ops.Privacy
+      .tCloseness(even, Seq(col("qi")), col("sv"), tPpm = 200000L).head()
+    assert(e.getAs[Long]("max_emd_ppm") == 0L)
+    assert(e.getAs[Long]("classes_above_t") == 0L)
+    // classes own disjoint sensitive values -> maximal skew, both flagged
+    val skew = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L))
+      .toDF("qi", "sv")
+    val s2 = graft.ops.Privacy
+      .tCloseness(skew, Seq(col("qi")), col("sv"), tPpm = 200000L).head()
+    // |1.0 − 0.5| at the first cum point, m−1 = 1 ⇒ 500000 ppm
+    assert(s2.getAs[Long]("max_emd_ppm") == 500000L)
+    assert(s2.getAs[Long]("classes_above_t") == 2L)
+    assert(s2.getAs[Long]("rows_above_t_ppm") == 1000000L)
+  }
+
+  test("embeddingAnova: label-aligned vectors ⇒ r2 ≈ 1; wss+bss ≈ tss") {
+    // two tight clusters far apart, perfectly label-aligned
+    val planted = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.01f)),
+      (3L, 1, Seq(-1.0f, 0.0f)), (4L, 1, Seq(-1.0f, -0.01f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = Similarity.embeddingAnova(planted, "vec_id", "label", "embedding").head()
+    assert(r.getAs[Long]("n_vectors") == 4L && r.getAs[Long]("n_labels") == 2L)
+    assert(r.getAs[Long]("r2_micro") > 990000L, s"r2 ${r.getAs[Long]("r2_micro")}")
+    val (wss, bss, tss) =
+      (r.getAs[Long]("wss"), r.getAs[Long]("bss"), r.getAs[Long]("tss"))
+    // floor-int centroids: decomposition holds up to quantization slack
+    assert(math.abs(wss + bss - tss) <= tss / 100 + 64,
+      s"wss=$wss bss=$bss tss=$tss")
+    // real table: r2 in range and decomposition slack small
+    val full = TQ.embeddingAnova(spark, dir).head()
+    val r2 = full.getAs[Long]("r2_micro")
+    assert(r2 >= 0L && r2 <= 1000000L)
+  }
+
   test("rareTokenDocs: shares in [0, 1e6], cut bounded, tail set drives counts") {
     val out = CQ.rareTokenDocs(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 20)
