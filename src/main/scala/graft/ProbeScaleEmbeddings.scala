@@ -61,24 +61,44 @@ object ProbeScaleEmbeddings {
       "q160_knn_ivfpq", "q199_random_projection",
       "q254_silhouette", "q255_stratified_kfold", "q256_power_iteration",
       "q257_conformal_coverage", "q258_matryoshka_fidelity",
-      "q260_label_noise", "q261_centroid_drift")
-    cohort.filter(_.contains(queryFilter)).foreach { name =>
-      graft.core.Caches.withScope {
-        org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
-        val b0 = shuffleBytes.get
-        val t0 = System.nanoTime()
-        val res = try Right(SparkEntry.queries(name)(spark, out).count())
-        catch { case e: Throwable => Left(e.toString.take(120)) }
-        val t = (System.nanoTime() - t0) / 1e9
-        org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
-        val mb = (shuffleBytes.get - b0) / 1e6
-        res match {
-          case Right(rows) =>
-            println(f"[scale] $name%-28s $t%8.1f s ${mb}%8.1f MB $rows%10d rows")
-          case Left(err) => println(f"[scale] $name%-28s $t%8.1f s FAILED: $err")
+      "q260_label_noise", "q261_centroid_drift",
+      "q266_int8_quant", "q269_kcenter_coreset", "q274_embedding_anova")
+    // Bucket-quadratic LSH ops: the contract pins planes for the oracle
+    // (6/8 at 500–2k vectors); at scale `planes` is the deployment knob
+    // that holds bucket occupancy ~n/2^planes constant. Probe them with
+    // scale-matched planes (occupancy ~30) instead of the toy setting.
+    val scalePlanes =
+      math.max(6, (math.log(n / 30.0) / math.log(2.0)).ceil.toInt)
+    val direct: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      (s"q270_mutual_knn[p=$scalePlanes]", () =>
+        graft.similarity.Similarity.mutualKnn(
+          graft.core.Tables.embeddings(spark, out), "vec_id", "embedding",
+          planes = scalePlanes)),
+      (s"q271_hard_negs[p=$scalePlanes]", () =>
+        graft.similarity.Similarity.hardNegatives(
+          graft.core.Tables.embeddings(spark, out), "vec_id", "label",
+          "embedding", planes = scalePlanes, queryMod = 1000L)))
+    val runnable =
+      cohort.map(q => (q, () => SparkEntry.queries(q)(spark, out))) ++ direct
+    runnable
+      .filter(_._1.contains(queryFilter))
+      .foreach { case (name, mk) =>
+        graft.core.Caches.withScope {
+          org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+          val b0 = shuffleBytes.get
+          val t0 = System.nanoTime()
+          val res = try Right(mk().count())
+          catch { case e: Throwable => Left(e.toString.take(120)) }
+          val t = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+          val mb = (shuffleBytes.get - b0) / 1e6
+          res match {
+            case Right(rows) =>
+              println(f"[scale] $name%-28s $t%8.1f s ${mb}%8.1f MB $rows%10d rows")
+            case Left(err) => println(f"[scale] $name%-28s $t%8.1f s FAILED: $err")
+          }
         }
       }
-    }
     spark.stop()
   }
 }

@@ -312,7 +312,9 @@ object SparkEntry {
     "q271_hard_negatives_lsh" -> (TQ.hardNegativesLsh _),
     "q272_rare_token_docs" -> ((s, dir) => CQ.rareTokenDocs(s, dir)),
     "q273_t_closeness" -> (RQ.tClosenessAudit _),
-    "q274_embedding_anova" -> (TQ.embeddingAnova _))
+    "q274_embedding_anova" -> (TQ.embeddingAnova _),
+    "q275_curriculum" -> ((s, dir) => CQ.curriculumSchedule(s, dir)),
+    "q276_semantic_decontam" -> (TQ.semanticDecontam _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6170,7 +6172,31 @@ object SparkEntry {
         |)
         |SELECT wt.n_vectors, bt.n_labels, wt.wss, bt.bss, wt.tss,
         |  CAST(bt.bss * 1000000 // wt.tss AS BIGINT) AS r2_micro
-        |FROM wt CROSS JOIN bt""".stripMargin)
+        |FROM wt CROSS JOIN bt""".stripMargin,
+    // range-paced curriculum: epoch = ceil(d_ppm·E) in exact ppm ints
+    "q275_curriculum" ->
+      """WITH diff AS (
+        |  SELECT doc_id,
+        |    CAST(floor(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1000
+        |      / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS d_milli
+        |  FROM documents
+        |), r AS (
+        |  SELECT MIN(d_milli) AS d_min, MAX(d_milli) AS d_max FROM diff
+        |), e AS (
+        |  SELECT doc_id, d_milli,
+        |    greatest(1, (((d_milli - d_min) * 1000000 // greatest(d_max - d_min, 1))
+        |      * 5 + 999999) // 1000000) AS epoch
+        |  FROM diff CROSS JOIN r
+        |), per AS (
+        |  SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_new,
+        |    CAST(CAST(SUM(d_milli) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_diff_milli
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT a.epoch, a.n_new, CAST(SUM(b.n_new) AS BIGINT) AS n_cum, a.mean_diff_milli
+        |FROM per a JOIN per b ON b.epoch <= a.epoch
+        |GROUP BY 1, 2, 4
+        |ORDER BY a.epoch""".stripMargin,
+    "q276_semantic_decontam" -> semanticDecontamSql)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL
@@ -6365,6 +6391,30 @@ object SparkEntry {
        |FROM top1 x JOIN top1 y ON x.b_id = y.id AND y.b_id = x.id
        |WHERE x.id < x.b_id
        |ORDER BY id_a""".stripMargin
+
+  /** q276 semantic decontamination report: md5-parity train/held-out
+    * halves, shared 6-plane bucket candidates, top-20 pairs by
+    * (cos desc, train_id, bench_id) with a flagged bit at 0.995.
+    */
+  private val semanticDecontamSql: String =
+    s"""WITH $quantCte, h AS (
+       |  SELECT vec_id, v,
+       |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS half,
+       |    ${bucketSql("v", 6, 64)} AS bucket
+       |  FROM qv
+       |), tr AS (
+       |  SELECT vec_id AS train_id, v, bucket FROM h WHERE half = 0
+       |), be AS (
+       |  SELECT vec_id AS bench_id, v AS bv, bucket FROM h WHERE half = 1
+       |), sc AS (
+       |  SELECT t.train_id, b.bench_id,
+       |    CAST(round((${cosineSql("t.v", "b.bv", 64)}) * 1000000) AS BIGINT) AS cos_micro
+       |  FROM tr t JOIN be b USING (bucket)
+       |)
+       |SELECT train_id, bench_id, cos_micro,
+       |  CAST(CASE WHEN cos_micro >= 995000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM sc
+       |ORDER BY cos_micro DESC, train_id, bench_id LIMIT 20""".stripMargin
 
   /** q271 LSH-bucketed hard negatives: anchors = vec_id % 50 == 0,
     * same 8-plane bucket, label-mismatched, top-3 by (cos_micro desc,

@@ -339,6 +339,45 @@ object CurationQueries {
       .orderBy(col("round"))
   }
 
+  /** Curriculum admission schedule (q275) — range-paced curriculum
+    * learning prep (Bengio et al. 2009 lineage): difficulty = mean
+    * token length (milli), normalized to ppm of the corpus range, and
+    * a linear pacing function admits documents whose difficulty sits
+    * within the first e/E of the range at epoch e — so epoch 1 trains
+    * on the easiest slice and the tail unlocks late. Admission epoch
+    * is the exact integer ceil `(d_ppm·E + 999999) div 10⁶` clamped
+    * to ≥1 (the ppm ceil-rank rule — float ceil flips on exact
+    * multiples). Output per epoch: newly admitted docs, cumulative
+    * docs, and the mean difficulty of the new slice.
+    *
+    * Scale shape: one corpus scan against a broadcast (min, max)
+    * range row, one epoch-grain agg; the cumulative runs on the
+    * E-row table via a support self-join — no fact-table window.
+    */
+  def curriculumSchedule(
+      s: SparkSession,
+      d: String,
+      epochs: Int = 5): DataFrame = {
+    val diff = Tables.documents(s, d)
+      .select(col("doc_id"), TF.meanTokenLenMilli(col("text")).as("d_milli"))
+    val range = diff.agg(min(col("d_milli")).as("d_min"), max(col("d_milli")).as("d_max"))
+    val epoch = diff.crossJoin(broadcast(range))
+      .withColumn("d_ppm",
+        expr("(d_milli - d_min) * 1000000 div greatest(d_max - d_min, 1L)"))
+      .withColumn("epoch",
+        greatest(lit(1L), expr(s"(d_ppm * $epochs + 999999) div 1000000")))
+    val per = epoch.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_new"), sum(col("d_milli")).as("__dsum"))
+      .withColumn("mean_diff_milli", expr("__dsum div n_new"))
+    per.as("a")
+      .join(per.select(col("epoch").as("b_epoch"), col("n_new").as("b_new")).as("b"),
+        col("b_epoch") <= col("epoch"))
+      .groupBy(col("epoch"), col("n_new"), col("mean_diff_milli"))
+      .agg(sum(col("b_new")).as("n_cum"))
+      .select(col("epoch"), col("n_new"), col("n_cum"), col("mean_diff_milli"))
+      .orderBy(col("epoch"))
+  }
+
   /** Tail-vocabulary document mining (q272) — the long-tail
     * up-weighting selector: documents ranked by the share of their
     * token OCCURRENCES drawn from the corpus's `tailVocab`

@@ -1241,6 +1241,15 @@ object TextQueries {
     graft.similarity.Similarity
       .centroidDrift(Tables.embeddings(s, d), "vec_id", "label", "embedding")
 
+  /** Embedding-space semantic decontamination (q276,
+    * [[graft.similarity.Similarity.semanticDecontam]]): train vectors
+    * cosine-near a held-out vector via shared LSH buckets — the
+    * paraphrase-leakage check n-gram decontamination misses.
+    */
+  def semanticDecontam(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .semanticDecontam(Tables.embeddings(s, d), "vec_id", "embedding")
+
   /** Embedding-space one-way ANOVA (q274,
     * [[graft.similarity.Similarity.embeddingAnova]]): how much vector
     * variance the labels explain (clusterability r² in ppm).

@@ -1379,6 +1379,53 @@ object Similarity {
       .orderBy(col("id_a"))
   }
 
+  /** Semantic decontamination report (q276) — the embedding-space leg
+    * of the benchmark-leakage defense: n-gram decontamination
+    * (q48/q76) misses PARAPHRASED benchmark items; this surfaces the
+    * `topK` train/held-out pairs with the highest embedding cosine,
+    * each carrying a `flagged` bit at `thresholdMicro` — the review
+    * list a release gate consumes (top-k rather than
+    * threshold-filtered, so a CLEAN corpus still yields the
+    * closest-call evidence instead of an empty, silently-vacuous
+    * report). Train/held-out halves are the md5-parity split (the
+    * q261 snapshot idiom); candidates come from shared LSH buckets,
+    * so the check is occupancy-bounded, never train×bench.
+    *
+    * Scale shape: identical to [[mutualKnn]]'s bucket join with one
+    * side filtered — at deployment the bench set is tiny and
+    * broadcast, `planes` scales with corpus occupancy, and the top-k
+    * is TakeOrderedAndProject.
+    */
+  def semanticDecontam(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      planes: Int = 6,
+      dim: Int = 64,
+      thresholdMicro: Long = 995000L,
+      topK: Int = 20): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), quantize(col(embCol)).as("emb"))
+      .withColumn("half",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+      .withColumn("bucket", lshBucket(col("emb"), planes, dim))
+    val train = base.filter(col("half") === 0L)
+      .select(col("id").as("train_id"), col("emb").as("t_emb"), col("bucket"))
+    val bench = base.filter(col("half") === 1L)
+      .select(col("id").as("bench_id"), col("emb").as("b_emb"), col("bucket"))
+    train
+      .join(bench, Seq("bucket"))
+      .select(col("train_id"), col("bench_id"),
+        round(qcosine(
+          qdot(col("t_emb"), col("b_emb")),
+          qnorm2(col("t_emb")),
+          qnorm2(col("b_emb"))) * 1000000).cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("train_id"), col("bench_id"))
+      .limit(topK)
+      .withColumn("flagged",
+        (col("cos_micro") >= thresholdMicro).cast("long"))
+  }
+
   /** Hard-negative mining for contrastive/metric training (q271): for
     * each anchor vector, the most-similar vectors of a DIFFERENT
     * label — the "looks identical, labeled differently" pairs a

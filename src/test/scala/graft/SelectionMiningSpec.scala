@@ -135,6 +135,53 @@ class SelectionMiningSpec extends SparkSpec {
     assert(r2 >= 0L && r2 <= 1000000L)
   }
 
+  test("curriculumSchedule: partition of the corpus, difficulty-ordered epochs") {
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    val out = CQ.curriculumSchedule(spark, dir).orderBy(col("epoch")).collect()
+    assert(out.map(_.getAs[Long]("n_new")).sum == nDocs) // every doc admitted once
+    val cums = out.map(_.getAs[Long]("n_cum"))
+    assert(cums.last == nDocs && cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(out.forall { r =>
+      val e = r.getAs[Long]("epoch"); e >= 1L && e <= 5L
+    })
+    // range pacing: later epochs hold strictly harder slices
+    val means = out.map(_.getAs[Long]("mean_diff_milli"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b }, means.toSeq)
+  }
+
+  test("semanticDecontam: planted cross-half near-dup tops the report flagged") {
+    // find one id in each md5-parity half (the operator's split rule)
+    def half(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val ids = (1L to 40L)
+    val trainId = ids.find(half(_) == 0L).get
+    val benchId = ids.find(half(_) == 1L).get
+    val rows = ids.map { id =>
+      val emb =
+        if (id == trainId || id == benchId) Seq.fill(8)(0.5f)
+        else Seq.tabulate(8)(i => if (i == (id % 8).toInt) 1.0f else 0.01f * id)
+      (id, emb)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity
+      .semanticDecontam(df, "vec_id", "embedding", planes = 2, dim = 8)
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val top = out.head
+    assert(top.getAs[Long]("train_id") == trainId &&
+      top.getAs[Long]("bench_id") == benchId)
+    assert(top.getAs[Long]("cos_micro") == 1000000L)
+    assert(top.getAs[Long]("flagged") == 1L)
+    // flag bit everywhere consistent with the threshold
+    out.foreach { r =>
+      assert((r.getAs[Long]("cos_micro") >= 995000L) ==
+        (r.getAs[Long]("flagged") == 1L))
+    }
+  }
+
   test("rareTokenDocs: shares in [0, 1e6], cut bounded, tail set drives counts") {
     val out = CQ.rareTokenDocs(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 20)
