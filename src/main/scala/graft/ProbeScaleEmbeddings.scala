@@ -77,7 +77,11 @@ object ProbeScaleEmbeddings {
       (s"q271_hard_negs[p=$scalePlanes]", () =>
         graft.similarity.Similarity.hardNegatives(
           graft.core.Tables.embeddings(spark, out), "vec_id", "label",
-          "embedding", planes = scalePlanes, queryMod = 1000L)))
+          "embedding", planes = scalePlanes, queryMod = 1000L)),
+      (s"q277_knn_outliers[p=$scalePlanes]", () =>
+        graft.similarity.Similarity.knnOutliers(
+          graft.core.Tables.embeddings(spark, out), "vec_id", "embedding",
+          planes = scalePlanes)))
     val runnable =
       cohort.map(q => (q, () => SparkEntry.queries(q)(spark, out))) ++ direct
     runnable

@@ -314,7 +314,9 @@ object SparkEntry {
     "q273_t_closeness" -> (RQ.tClosenessAudit _),
     "q274_embedding_anova" -> (TQ.embeddingAnova _),
     "q275_curriculum" -> ((s, dir) => CQ.curriculumSchedule(s, dir)),
-    "q276_semantic_decontam" -> (TQ.semanticDecontam _))
+    "q276_semantic_decontam" -> (TQ.semanticDecontam _),
+    "q277_knn_outliers" -> (TQ.knnOutliers _),
+    "q278_dedup_by_source" -> (CQ.dedupBySource _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6196,7 +6198,34 @@ object SparkEntry {
         |FROM per a JOIN per b ON b.epoch <= a.epoch
         |GROUP BY 1, 2, 4
         |ORDER BY a.epoch""".stripMargin,
-    "q276_semantic_decontam" -> semanticDecontamSql)
+    "q276_semantic_decontam" -> semanticDecontamSql,
+    "q277_knn_outliers" -> knnOutliersSql,
+    // per-source exact-dedup token ledger (global min-id survivor rule)
+    "q278_dedup_by_source" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), surv AS (
+        |  SELECT MIN(doc_id) AS survivor_id FROM docs GROUP BY fp
+        |), a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |  FROM docs GROUP BY 1
+        |), k AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS kept_tokens
+        |  FROM docs WHERE doc_id IN (SELECT survivor_id FROM surv)
+        |  GROUP BY 1
+        |)
+        |SELECT a.source, a.n_docs, a.n_tokens,
+        |  COALESCE(k.n_kept_docs, 0) AS n_kept_docs,
+        |  COALESCE(k.kept_tokens, 0) AS kept_tokens,
+        |  CAST((a.n_tokens - COALESCE(k.kept_tokens, 0)) * 1000000 // a.n_tokens AS BIGINT)
+        |    AS removed_ppm
+        |FROM a LEFT JOIN k USING (source)
+        |ORDER BY a.source""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL
@@ -6415,6 +6444,30 @@ object SparkEntry {
        |  CAST(CASE WHEN cos_micro >= 995000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
        |FROM sc
        |ORDER BY cos_micro DESC, train_id, bench_id LIMIT 20""".stripMargin
+
+  /** q277 kNN-isolation outliers: lowest nearest-in-bucket cosine,
+    * lone-bucket vectors first at the −10⁶ sentinel.
+    */
+  private val knnOutliersSql: String =
+    s"""WITH $quantCte, b AS (
+       |  SELECT vec_id, v, ${bucketSql("v", 6, 64)} AS bucket FROM qv
+       |), pairs AS (
+       |  SELECT a.vec_id, x.vec_id AS b_id,
+       |    CAST(round((${cosineSql("a.v", "x.v", 64)}) * 1000000) AS BIGINT) AS cos_micro
+       |  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+       |), top1 AS (
+       |  SELECT vec_id, b_id AS nearest_id, cos_micro AS nearest_cos_micro
+       |  FROM (
+       |    SELECT vec_id, b_id, cos_micro,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY cos_micro DESC, b_id) AS rn
+       |    FROM pairs) WHERE rn = 1
+       |)
+       |SELECT b.vec_id,
+       |  COALESCE(t.nearest_id, -1) AS nearest_id,
+       |  COALESCE(t.nearest_cos_micro, -1000000) AS nearest_cos_micro
+       |FROM b LEFT JOIN top1 t USING (vec_id)
+       |ORDER BY nearest_cos_micro, b.vec_id LIMIT 20""".stripMargin
 
   /** q271 LSH-bucketed hard negatives: anchors = vec_id % 50 == 0,
     * same 8-plane bucket, label-mismatched, top-3 by (cos_micro desc,

@@ -345,6 +345,42 @@ object CurationQueries {
       .orderBy(col("round"))
   }
 
+  /** Per-source dedup impact ledger (q278) — the mixture-design view
+    * of exact dedup: for each source, raw vs surviving docs and
+    * tokens under GLOBAL exact dedup (survivor = min doc_id per
+    * normalized-text fingerprint, the q27 rule). A source whose text
+    * also appears elsewhere under a smaller id LOSES those docs to
+    * the other source — exactly the cross-source cannibalization a
+    * mixture designer needs to see before trusting raw per-source
+    * token counts (q122 reports the pairs; this reports the ledger).
+    *
+    * Scale shape: fingerprint agg (one exchange keyed by fp), a
+    * fp-grain semi-join back, two source-grain aggs — all line-rate,
+    * no pair table.
+    */
+  def dedupBySource(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("nt"),
+        TF.fingerprint(col("text")).as("fp"))
+    val surv = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+      .select(col("survivor_id"))
+    val all = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val kept = docs
+      .join(surv, docs("doc_id") === surv("survivor_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept_docs"), sum(col("nt")).as("kept_tokens"))
+    all.join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept_docs", "kept_tokens"))
+      .withColumn("removed_ppm",
+        expr("(n_tokens - kept_tokens) * 1000000 div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_kept_docs"), col("kept_tokens"), col("removed_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Curriculum admission schedule (q275) — range-paced curriculum
     * learning prep (Bengio et al. 2009 lineage): difficulty = mean
     * token length (milli), normalized to ppm of the corpus range, and

@@ -1241,6 +1241,15 @@ object TextQueries {
     graft.similarity.Similarity
       .centroidDrift(Tables.embeddings(s, d), "vec_id", "label", "embedding")
 
+  /** kNN-isolation OOD audit (q277,
+    * [[graft.similarity.Similarity.knnOutliers]]): the most isolated
+    * vectors by nearest-in-bucket cosine — the embedding-space outlier
+    * queue.
+    */
+  def knnOutliers(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Similarity
+      .knnOutliers(Tables.embeddings(s, d), "vec_id", "embedding")
+
   /** Embedding-space semantic decontamination (q276,
     * [[graft.similarity.Similarity.semanticDecontam]]): train vectors
     * cosine-near a held-out vector via shared LSH buckets — the

@@ -1379,6 +1379,54 @@ object Similarity {
       .orderBy(col("id_a"))
   }
 
+  /** kNN-isolation OOD audit (q277) — the embedding-space
+    * out-of-distribution detector (kNN-OOD, Sun et al. 2022,
+    * simplified to nearest-in-bucket): a vector whose NEAREST
+    * neighbor is far away sits outside the corpus's dense regions —
+    * mislabeled scrape, decode garbage, or genuine novelty; either
+    * way the curation queue wants eyes on it. Reports the `topK` most
+    * isolated vectors by lowest nearest-neighbor cosine; vectors
+    * ALONE in their LSH bucket rank first (nearest_cos −10⁶ sentinel)
+    * — no bucket-mate within the index's collision radius is itself
+    * the strongest isolation signal the index can emit.
+    *
+    * Scale shape: the q270 bucket join (occupancy-bounded), a
+    * bucket-partitioned top-1 window, a left join back to the corpus
+    * grain, TakeOrderedAndProject cut. `planes` scales with corpus
+    * occupancy as for [[mutualKnn]].
+    */
+  def knnOutliers(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      planes: Int = 6,
+      dim: Int = 64,
+      topK: Int = 20): DataFrame = {
+    val base = graft.core.Caches.cache(
+      vecs.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("emb"))
+        .withColumn("bucket", lshBucket(col("emb"), planes, dim)))
+    val pairs = base.as("a")
+      .join(base.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+        col("bucket")).as("b"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("b_id"))
+      .select(col("vec_id"), col("b_id"),
+        round(qcosine(
+          qdot(col("emb"), col("b_emb")),
+          qnorm2(col("emb")),
+          qnorm2(col("b_emb"))) * 1000000).cast("long").as("cos_micro"))
+    val top1 = Windows
+      .topKPerGroup(pairs, Seq("vec_id"), col("cos_micro"), Seq("b_id"), 1)
+      .select(col("vec_id"), col("b_id").as("nearest_id"),
+        col("cos_micro").as("nearest_cos_micro"))
+    base
+      .join(top1, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("nearest_id"), lit(-1L)).as("nearest_id"),
+        coalesce(col("nearest_cos_micro"), lit(-1000000L)).as("nearest_cos_micro"))
+      .orderBy(col("nearest_cos_micro"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** Semantic decontamination report (q276) — the embedding-space leg
     * of the benchmark-leakage defense: n-gram decontamination
     * (q48/q76) misses PARAPHRASED benchmark items; this surfaces the

@@ -182,6 +182,34 @@ class SelectionMiningSpec extends SparkSpec {
     }
   }
 
+  test("knnOutliers: isolation-ordered, sentinel consistent, self excluded") {
+    val out = TQ.knnOutliers(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val cos = out.map(_.getAs[Long]("nearest_cos_micro"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a <= b }) // most isolated first
+    out.foreach { r =>
+      val nid = r.getAs[Long]("nearest_id")
+      assert(nid != r.getAs[Long]("vec_id"))
+      // lone-bucket sentinel: -1 id iff -1e6 cosine
+      assert((nid == -1L) == (r.getAs[Long]("nearest_cos_micro") == -1000000L))
+    }
+  }
+
+  test("dedupBySource: ledger consistent with global exact dedup") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val nFps = docs
+      .select(graft.functions.TextFunctions.fingerprint(col("text"))).distinct().count()
+    val out = CQ.dedupBySource(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_kept_docs")).sum == nFps) // one survivor per fp
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+      val ppm = r.getAs[Long]("removed_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
   test("rareTokenDocs: shares in [0, 1e6], cut bounded, tail set drives counts") {
     val out = CQ.rareTokenDocs(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 20)
