@@ -316,7 +316,8 @@ object SparkEntry {
     "q275_curriculum" -> ((s, dir) => CQ.curriculumSchedule(s, dir)),
     "q276_semantic_decontam" -> (TQ.semanticDecontam _),
     "q277_knn_outliers" -> (TQ.knnOutliers _),
-    "q278_dedup_by_source" -> (CQ.dedupBySource _))
+    "q278_dedup_by_source" -> (CQ.dedupBySource _),
+    "q279_blocking_quality" -> (CQ.blockingQuality _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6225,7 +6226,8 @@ object SparkEntry {
         |  CAST((a.n_tokens - COALESCE(k.kept_tokens, 0)) * 1000000 // a.n_tokens AS BIGINT)
         |    AS removed_ppm
         |FROM a LEFT JOIN k USING (source)
-        |ORDER BY a.source""".stripMargin)
+        |ORDER BY a.source""".stripMargin,
+    "q279_blocking_quality" -> blockingQualitySql)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL
@@ -6444,6 +6446,61 @@ object SparkEntry {
        |  CAST(CASE WHEN cos_micro >= 995000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
        |FROM sc
        |ORDER BY cos_micro DESC, train_id, bench_id LIMIT 20""".stripMargin
+
+  /** q279 blocking-quality audit: true pairs = exact 4-gram Jaccard
+    * ≥ 0.5 (the q28 postings shape); candidates = the q42 MinHash/LSH
+    * chain; recall + reduction in ppm, division-first so nothing
+    * crosses int64.
+    */
+  private val blockingQualitySql: String = {
+    val sigCols =
+      (0 until 16).map(i => s"    min(md5('s$i|' || shingle)) AS h$i").mkString(",\n")
+    val bandSelects = (0 until 4)
+      .map { b =>
+        val key = (0 until 4).map(r => s"h${4 * b + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${shingleCte(4)}, sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), tp0 AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_count
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), tp AS (
+       |  SELECT t.id_a, t.id_b FROM tp0 t
+       |  JOIN sizes za ON za.doc_id = t.id_a
+       |  JOIN sizes zb ON zb.doc_id = t.id_b
+       |  WHERE floor(t.inter_count * 1000000 / (za.n + zb.n - t.inter_count)) >= 500000
+       |), sig AS (
+       |  SELECT doc_id,
+       |$sigCols
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |$bandSelects
+       |), ok AS (
+       |  SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) <= 100
+       |), keptb AS (
+       |  SELECT b.* FROM bands b JOIN ok USING (band_idx, band_key)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keptb a JOIN keptb b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), nd AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs
+       |), tt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp
+       |), tc AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand
+       |), th AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM tp JOIN cand USING (id_a, id_b)
+       |)
+       |SELECT nd.n_docs, tt.n_true, tc.n_candidates, th.n_hits,
+       |  CAST(th.n_hits * 1000000 // greatest(tt.n_true, 1) AS BIGINT) AS pairs_recall_ppm,
+       |  CAST(1000000 - tc.n_candidates * 1000000
+       |    // greatest(nd.n_docs * (nd.n_docs - 1) // 2, 1) AS BIGINT) AS reduction_ppm
+       |FROM nd CROSS JOIN tt CROSS JOIN tc CROSS JOIN th""".stripMargin
+  }
 
   /** q277 kNN-isolation outliers: lowest nearest-in-bucket cosine,
     * lone-bucket vectors first at the −10⁶ sentinel.

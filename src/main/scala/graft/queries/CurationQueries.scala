@@ -345,6 +345,48 @@ object CurationQueries {
       .orderBy(col("round"))
   }
 
+  /** LSH blocking-quality audit (q279) — the record-linkage meta-audit
+    * (pairs completeness + reduction ratio, Christen 2012): how many
+    * of the TRUE near-dup pairs (exact 4-gram Jaccard ≥ 0.5) does the
+    * production MinHash-LSH blocking (16 lanes, 4 bands, bucket cap
+    * 100 — the q42 configuration) actually surface as candidates, and
+    * how much of the n² pair space does it prune. One row:
+    * (n_docs, n_true, n_candidates, n_hits, pairs_recall_ppm,
+    * reduction_ppm). The number that justifies — or retires — a
+    * banding configuration before anyone trusts its dedup output.
+    *
+    * Scale shape: the candidate side is the production blocking
+    * itself (line-rate); the ground-truth side is the exact postings
+    * join (q28's shape) — at corpus scale this audit runs on a
+    * sample, exactly as a linkage evaluation would; reduction is
+    * computed division-first so nothing crosses int64 even at 10⁹
+    * docs.
+    */
+  def blockingQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val truePairs = graft.core.Caches.cache(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 4, minJaccardPpm = 500000L)
+        .select(col("id_a"), col("id_b")))
+    val sh = Dedup.shingles(docs, "text", "doc_id", 4)
+    val cand = graft.core.Caches.cache(
+      Dedup.lshCandidatePairs(
+        Dedup.lshBands(Dedup.minhashSignatures(sh, numHashes = 16),
+          bands = 4, rowsPerBand = 4)))
+    val nDocs = docs.count()
+    val totalPairs = nDocs * (nDocs - 1L) / 2L
+    val tT = truePairs.agg(count(lit(1)).as("n_true"))
+    val tC = cand.agg(count(lit(1)).as("n_candidates"))
+    val tH = truePairs.join(cand, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hits"))
+    tT.crossJoin(broadcast(tC)).crossJoin(broadcast(tH))
+      .select(
+        lit(nDocs).as("n_docs"),
+        col("n_true"), col("n_candidates"), col("n_hits"),
+        expr("n_hits * 1000000 div greatest(n_true, 1L)").as("pairs_recall_ppm"),
+        (lit(1000000L) -
+          expr(s"n_candidates * 1000000 div greatest(${totalPairs}L, 1L)"))
+          .as("reduction_ppm"))
+  }
+
   /** Per-source dedup impact ledger (q278) — the mixture-design view
     * of exact dedup: for each source, raw vs surviving docs and
     * tokens under GLOBAL exact dedup (survivor = min doc_id per

@@ -1247,13 +1247,18 @@ object Similarity {
     val v = graft.core.Caches.cache(
       vecs.select(col(idCol).cast("long").as("vec_id"), quantize(col(embCol)).as("q"))
         .withColumn("n2", qnorm2(col("q"))))
+    val spark0 = vecs.sparkSession
+    import spark0.implicits._
     val first = v.orderBy(col("n2").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("q"), col("n2")).head()
+      .select(col("vec_id"), col("q"), col("n2")).head(1)
+    if (first.isEmpty)
+      return Seq.empty[(Int, Long, Long)].toDF("round", "vec_id", "radius_d2")
     // (round, vec_id, radius_d2, center vector, center norm2)
     var chosen = Vector[(Int, Long, Long, Seq[Long], Long)](
-      (1, first.getLong(0), 0L, first.getSeq[Long](1), first.getLong(2)))
+      (1, first(0).getLong(0), 0L, first(0).getSeq[Long](1), first(0).getLong(2)))
     var r = 2
-    while (r <= k) {
+    var exhausted = false
+    while (r <= k && !exhausted) {
       val minD2 = chosen
         .map { case (_, _, _, cq, cn2) =>
           col("n2") + lit(cn2) - lit(2L) * qdot(col("q"), typedlit(cq))
@@ -1263,13 +1268,16 @@ object Similarity {
         .filter(!col("vec_id").isin(chosen.map(_._2): _*))
         .withColumn("md", minD2)
         .orderBy(col("md").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("md"), col("q"), col("n2")).head()
-      chosen = chosen :+ ((r, nxt.getLong(0), nxt.getLong(1),
-        nxt.getSeq[Long](2), nxt.getLong(3)))
-      r += 1
+        .select(col("vec_id"), col("md"), col("q"), col("n2")).head(1)
+      // corpus smaller than k: the trace simply ends (mirrors q268's
+      // exhaustion rule) instead of throwing on the empty argmax
+      if (nxt.isEmpty) exhausted = true
+      else {
+        chosen = chosen :+ ((r, nxt(0).getLong(0), nxt(0).getLong(1),
+          nxt(0).getSeq[Long](2), nxt(0).getLong(3)))
+        r += 1
+      }
     }
-    val spark = vecs.sparkSession
-    import spark.implicits._
     chosen.map { case (rd, id, rad, _, _) => (rd, id, rad) }
       .toDF("round", "vec_id", "radius_d2")
       .orderBy(col("round"))

@@ -210,6 +210,28 @@ class SelectionMiningSpec extends SparkSpec {
     }
   }
 
+  test("blockingQuality: hits bounded by both sides, ratios in range") {
+    val r = CQ.blockingQuality(spark, dir).head()
+    val (t, c, h) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_hits"))
+    assert(h <= t && h <= c) // hits are an intersection
+    val recall = r.getAs[Long]("pairs_recall_ppm")
+    val red = r.getAs[Long]("reduction_ppm")
+    assert(recall >= 0L && recall <= 1000000L)
+    assert(red >= 0L && red <= 1000000L)
+    // the production banding config should actually block well here
+    assert(red >= 990000L, s"reduction $red — blocking barely prunes")
+  }
+
+  test("kCenterGreedy: corpus smaller than k ends the trace, no throw") {
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(tiny, "vec_id", "embedding", k = 5)
+    assert(out.count() == 2L) // both picked, then exhaustion
+    val empty = tiny.filter(col("vec_id") < 0L)
+    assert(Similarity.kCenterGreedy(empty, "vec_id", "embedding", k = 3).count() == 0L)
+  }
+
   test("rareTokenDocs: shares in [0, 1e6], cut bounded, tail set drives counts") {
     val out = CQ.rareTokenDocs(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 20)
