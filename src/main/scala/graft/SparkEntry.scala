@@ -317,7 +317,8 @@ object SparkEntry {
     "q276_semantic_decontam" -> (TQ.semanticDecontam _),
     "q277_knn_outliers" -> (TQ.knnOutliers _),
     "q278_dedup_by_source" -> (CQ.dedupBySource _),
-    "q279_blocking_quality" -> (CQ.blockingQuality _))
+    "q279_blocking_quality" -> (CQ.blockingQuality _),
+    "q280_ivf_recall" -> (TQ.ivfRecallAudit _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6227,7 +6228,8 @@ object SparkEntry {
         |    AS removed_ppm
         |FROM a LEFT JOIN k USING (source)
         |ORDER BY a.source""".stripMargin,
-    "q279_blocking_quality" -> blockingQualitySql)
+    "q279_blocking_quality" -> blockingQualitySql,
+    "q280_ivf_recall" -> ivfRecallSql)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL
@@ -6501,6 +6503,64 @@ object SparkEntry {
        |    // greatest(nd.n_docs * (nd.n_docs - 1) // 2, 1) AS BIGINT) AS reduction_ppm
        |FROM nd CROSS JOIN tt CROSS JOIN tc CROSS JOIN th""".stripMargin
   }
+
+  /** q280 IVF recall audit: the q41 IVF chain and the q31-style brute
+    * chain over the same 64-query set, intersected; recall in ppm.
+    */
+  private val ivfRecallSql: String =
+    s"""WITH $quantCte, ranked AS (
+       |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+       |  FROM qv
+       |), seeds AS (
+       |  SELECT CAST(srn - 1 AS BIGINT) AS cid, v AS cq FROM ranked WHERE srn <= 16
+       |), a0 AS (
+       |  ${assignSql("qv", "seeds", "vid", 64)} WHERE rn = 1
+       |), centd AS (
+       |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM a0, unnest(generate_series(1, 64)) AS t(i)
+       |  GROUP BY cid, i
+       |), cent AS (
+       |  SELECT cid, list(cv ORDER BY i) AS cq FROM centd GROUP BY cid
+       |), assigned AS (
+       |  ${assignSql("qv", "cent", "vid", 64)} WHERE rn <= 2
+       |), queries AS (
+       |  SELECT vec_id, v FROM qv WHERE vec_id < 64
+       |), probes AS (
+       |  ${assignSql("queries", "cent", "query_id", 64)} WHERE rn <= 6
+       |), scored_ap AS (
+       |  SELECT DISTINCT p.query_id, a.vid AS neighbor_id,
+       |    ${cosineSql("p.v", "a.v", 64)} AS cosine_sim
+       |  FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vid <> p.query_id
+       |), r_ap AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored_ap
+       |), ap AS (
+       |  SELECT query_id, neighbor_id FROM r_ap WHERE rn <= 5
+       |), scored_ex AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosineSql("q.v", "c.v", 64)} AS cosine_sim
+       |  FROM queries q CROSS JOIN qv c WHERE c.vec_id <> q.vec_id
+       |), r_ex AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored_ex
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM r_ex WHERE rn <= 5
+       |), hits AS (
+       |  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM ex e JOIN ap USING (query_id, neighbor_id) GROUP BY 1
+       |), per AS (
+       |  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit
+       |  FROM ex e LEFT JOIN hits h USING (query_id) GROUP BY 1
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+       |  CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+       |  CAST(CAST(SUM(n_hit) AS BIGINT) * 1000000 // CAST(SUM(n_exact) AS BIGINT) AS BIGINT) AS recall_ppm,
+       |  CAST(MIN(n_hit * 1000000 // n_exact) AS BIGINT) AS min_recall_ppm
+       |FROM per""".stripMargin
 
   /** q277 kNN-isolation outliers: lowest nearest-in-bucket cosine,
     * lone-bucket vectors first at the −10⁶ sentinel.

@@ -1241,6 +1241,44 @@ object TextQueries {
     graft.similarity.Similarity
       .centroidDrift(Tables.embeddings(s, d), "vec_id", "label", "embedding")
 
+  /** IVF recall self-audit (q280): recall@5 of the q41 IVF index
+    * (16 cells, 6 probes, 2-cell spill) against bounded brute-force
+    * ground truth on the same 64-query set — the index-quality number
+    * (previously spec-measured: 0.88) elevated to an oracle-checked
+    * query, so any regression in the IVF chain fails the CONTRACT,
+    * not just a test. One row: (n_queries, n_hits, n_exact,
+    * recall_ppm, min_recall_ppm).
+    *
+    * Scale shape: ground truth is the guarded bounded brute force
+    * (64 × |corpus|, the audit-on-a-sample regime); the IVF side is
+    * the production index itself.
+    */
+  def ivfRecallAudit(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 64)
+    val exact = graft.similarity.Similarity
+      .bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.similarity.Similarity
+      .ivfTopKDeterministic(queries, emb, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 6, nAssign = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall_row_ppm", expr("n_hit * 1000000 div n_exact"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("n_hit")).as("n_hits"),
+        sum(col("n_exact")).as("n_exact"),
+        min(col("recall_row_ppm")).as("min_recall_ppm"))
+      .select(col("n_queries"), col("n_hits"), col("n_exact"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"),
+        col("min_recall_ppm"))
+  }
+
   /** kNN-isolation OOD audit (q277,
     * [[graft.similarity.Similarity.knnOutliers]]): the most isolated
     * vectors by nearest-in-bucket cosine — the embedding-space outlier

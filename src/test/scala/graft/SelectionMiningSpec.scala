@@ -223,6 +223,15 @@ class SelectionMiningSpec extends SparkSpec {
     assert(red >= 990000L, s"reduction $red — blocking barely prunes")
   }
 
+  test("ivfRecallAudit: recall above the pinned floor, identities hold") {
+    val r = TQ.ivfRecallAudit(spark, dir).head()
+    assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact"))
+    // the same 0.7 recall floor SimilaritySpec pins for the q41 config
+    assert(r.getAs[Long]("recall_ppm") >= 700000L,
+      s"IVF recall ${r.getAs[Long]("recall_ppm")} ppm below floor")
+    assert(r.getAs[Long]("min_recall_ppm") <= r.getAs[Long]("recall_ppm"))
+  }
+
   test("kCenterGreedy: corpus smaller than k ends the trace, no throw") {
     val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
