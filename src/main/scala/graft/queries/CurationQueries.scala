@@ -299,6 +299,23 @@ object CurationQueries {
     * otherwise compound the plan — the q87/q193 iterative rule);
     * driver traffic is one scalar row per round.
     */
+  /** One greedy-coverage round's gain table: per doc, its
+    * not-yet-covered shingles. `covered` is ≤ rounds·(shingles/doc)
+    * rows by construction, but the per-round localCheckpoint erases
+    * its size stats — without the broadcast hint Spark plans a
+    * sort-merge anti and shuffles the WHOLE (doc, shingle) table
+    * every round (measured 1.0 GB / 61 s at 500k docs;
+    * broadcast-anti: 23.5 MB / 42 s — what remains is the doc-grain
+    * count exchange, the corpus rows never move). PlanSpec pins the
+    * broadcast-anti shape.
+    */
+  private[graft] def coverageGain(
+      sh: DataFrame,
+      covered: DataFrame): DataFrame =
+    sh.join(broadcast(covered), Seq("shingle"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("gain"))
+
   def greedyCoverage(
       s: SparkSession,
       d: String,
@@ -312,16 +329,7 @@ object CurationQueries {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      // covered is ≤ rounds·(shingles/doc) rows by construction, but the
-      // per-round localCheckpoint erases its size stats — without the
-      // hint Spark plans a sort-merge anti and shuffles the WHOLE
-      // (doc, shingle) table every round (measured 1.0 GB / 61 s at
-      // 500k docs; broadcast-anti: 23.5 MB / 42 s — what remains is the
-      // doc-grain count exchange, the corpus rows never move)
-      val top = sh
-        .join(broadcast(covered), Seq("shingle"), "left_anti")
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("gain"))
+      val top = coverageGain(sh, covered)
         .orderBy(col("gain").desc, col("id"))
         .limit(1)
         .head(1)

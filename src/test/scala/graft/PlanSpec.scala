@@ -251,4 +251,34 @@ class PlanSpec extends SparkSpec {
     val p = plan(EventQueries.rrfFusion(spark, dir))
     assert(!p.contains("CartesianProduct"), s"cartesian in RRF plan:\n$p")
   }
+
+  test("greedy coverage round: covered set anti-joined via BROADCAST (corpus never shuffles)") {
+    // the q268 fix: a localCheckpoint'd covered set has no size stats,
+    // and without the hint Spark sort-merges the anti-join — shuffling
+    // the whole (doc, shingle) table every round (1.0 GB at 500k docs)
+    val sh = graft.dedup.Dedup.shingles(
+      graft.core.Tables.documents(spark, dir), "text", "doc_id", 3)
+    val covered = sh.select(col("shingle")).limit(10).localCheckpoint(true)
+    val p = plan(graft.queries.CurationQueries.coverageGain(sh, covered))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"covered-set anti-join must broadcast:\n$p")
+  }
+
+  test("mining bucket joins plan no cartesian (q270/q276/q277)") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    Seq(
+      graft.similarity.Similarity.mutualKnn(emb, "vec_id", "embedding"),
+      graft.similarity.Similarity.semanticDecontam(emb, "vec_id", "embedding"))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"),
+          s"bucket join degenerated to cartesian:\n$p")
+      }
+  }
+
+  test("dedup-by-source: survivor filter is a semi-join, source aggs map-side") {
+    val p = plan(graft.queries.CurationQueries.dedupBySource(spark, dir))
+    assert(p.contains("LeftSemi"), s"survivor filter must be a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
