@@ -318,7 +318,14 @@ object SparkEntry {
     "q277_knn_outliers" -> (TQ.knnOutliers _),
     "q278_dedup_by_source" -> (CQ.dedupBySource _),
     "q279_blocking_quality" -> (CQ.blockingQuality _),
-    "q280_ivf_recall" -> (TQ.ivfRecallAudit _))
+    "q280_ivf_recall" -> (TQ.ivfRecallAudit _),
+    // — round-9 continuation: classifier head, media dedup, crawl keys,
+    //   tokenizer budgeting, record linkage —
+    "q281_naive_bayes" -> (TQ.naiveBayesConfusion _),
+    "q282_frame_neardup" -> (TQ.frameNearDup _),
+    "q283_url_canonical" -> (TQ.urlCanonicalDedup _),
+    "q284_tokenizer_fertility" -> (TQ.tokenizerFertility _),
+    "q285_record_linkage" -> (CQ.recordLinkage _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6229,7 +6236,146 @@ object SparkEntry {
         |FROM a LEFT JOIN k USING (source)
         |ORDER BY a.source""".stripMargin,
     "q279_blocking_quality" -> blockingQualitySql,
-    "q280_ivf_recall" -> ivfRecallSql)
+    "q280_ivf_recall" -> ivfRecallSql,
+    "q281_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, lang, term
+        |), cls AS (
+        |  SELECT lang AS c, CAST(SUM(tf) AS BIGINT) AS tot FROM tf GROUP BY 1
+        |), vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tf
+        |), ct AS (
+        |  SELECT lang AS c, term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1, 2
+        |), w AS (
+        |  SELECT ct.c, ct.term,
+        |    CAST(round(-ln((ct.cnt + 1.0) / (cls.tot + vocab.v)) * 1000000) AS BIGINT) AS nll_micro
+        |  FROM ct JOIN cls ON ct.c = cls.c CROSS JOIN vocab
+        |), w0 AS (
+        |  SELECT cls.c,
+        |    CAST(round(-ln(1.0 / (cls.tot + vocab.v)) * 1000000) AS BIGINT) AS nll0_micro
+        |  FROM cls CROSS JOIN vocab
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.lang, w0.c AS c,
+        |    SUM(tf.tf * COALESCE(w.nll_micro, w0.nll0_micro)) AS nll
+        |  FROM tf CROSS JOIN w0 LEFT JOIN w ON w.c = w0.c AND w.term = tf.term
+        |  GROUP BY 1, 2, 3
+        |), pred AS (
+        |  SELECT doc_id, lang, c,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nll ASC, c ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT lang AS label, c AS pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q282_frame_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents
+        |), mx AS (
+        |  SELECT CAST(MAX(length(t)) // 32 AS BIGINT) AS mf FROM s
+        |), fr AS (
+        |  SELECT DISTINCT doc_id, md5(substring(t, CAST(f * 32 + 1 AS INT), 32)) AS fp
+        |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, (SELECT mf FROM mx) - 1)) AS f)
+        |  WHERE f < length(t) // 32
+        |), dfp AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fr GROUP BY 1) WHERE df BETWEEN 2 AND 20
+        |), rare AS (
+        |  SELECT doc_id, fp FROM fr JOIN dfp USING (fp)
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare FROM rare GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(COUNT(*) AS BIGINT) AS shared_frames
+        |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT * FROM pairs ORDER BY shared_frames DESC, doc_id_a, doc_id_b LIMIT 10
+        |)
+        |SELECT t.doc_id_a, t.doc_id_b, t.shared_frames,
+        |  CAST(t.shared_frames * 1000000 // least(pa.n_rare, pb.n_rare) AS BIGINT) AS overlap_ppm
+        |FROM top t
+        |JOIN perdoc pa ON pa.doc_id = t.doc_id_a
+        |JOIN perdoc pb ON pb.doc_id = t.doc_id_b
+        |ORDER BY t.shared_frames DESC, t.doc_id_a, t.doc_id_b""".stripMargin,
+    "q283_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source,
+        |    CASE CAST((doc_id // 60) % 4 AS INT)
+        |      WHEN 0 THEN 'https://WWW.' || source || '.example.com/p/' ||
+        |        CAST(doc_id % 10 AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |      WHEN 1 THEN 'https://www.' || source || '.example.com/p/' ||
+        |        CAST(doc_id % 10 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x#frag'
+        |      WHEN 2 THEN 'HTTPS://' || source || '.EXAMPLE.com/p/' ||
+        |        CAST(doc_id % 10 AS VARCHAR) || '/?id=' || CAST(doc_id % 3 AS VARCHAR) || '&gclid=abc123'
+        |      ELSE 'https://' || source || '.example.com/p/' ||
+        |        CAST(doc_id % 10 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR)
+        |    END AS url
+        |  FROM documents
+        |), c1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw
+        |), c2 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      lower(regexp_extract(nofrag, '^([^/?#]*//[^/?#]*)', 1)), '://www\.', '://')
+        |    || regexp_extract(nofrag, '^[^/?#]*//[^/?#]*(.*)$', 1) AS u
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(u, '(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?', '', 'g') AS u
+        |  FROM c2
+        |), c4 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(u, '\?&', '?', 'g'), '[?&]+$', '', 'g') AS u
+        |  FROM c3
+        |), canon AS (
+        |  SELECT doc_id, url, regexp_replace(u, '/+(\?|$)', '\1', 'g') AS canonical_url FROM c4
+        |)
+        |SELECT canonical_url,
+        |  CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+        |  MIN(doc_id) AS survivor_id
+        |FROM canon GROUP BY 1
+        |ORDER BY n_variants DESC, canonical_url""".stripMargin,
+    "q284_tokenizer_fertility" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS bpe
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(CAST(SUM(bpe) AS BIGINT) * 1000000 // CAST(SUM(ws) AS BIGINT) AS BIGINT) AS fertility_ppm,
+        |  CAST(CAST(SUM(chars) AS BIGINT) * 1000000 // CAST(SUM(bpe) AS BIGINT) AS BIGINT) AS chars_per_bpe_ppm
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q285_record_linkage" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |), b AS (
+        |  SELECT c_custkey AS b_id, c_nationkey AS nation, c_mktsegment AS b_seg,
+        |    (cents + 1000000) // 10000 * 10000 - 1000000 AS b_cents
+        |  FROM cust WHERE c_custkey % 3 = 0
+        |), scored AS (
+        |  SELECT a.c_custkey AS a_id, b.b_id, b.nation,
+        |    (CASE WHEN a.c_mktsegment = b.b_seg THEN 1558145 ELSE -2772589 END) +
+        |    (CASE WHEN abs(a.cents - b.b_cents) < 10000 THEN 3891820 ELSE -3891820 END) AS score_micro
+        |  FROM cust a JOIN b ON a.c_nationkey = b.nation
+        |), best AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY score_micro DESC, a_id ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT nation, CAST(score_micro AS BIGINT) AS score_micro,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN a_id = b_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM best WHERE rn = 1 GROUP BY 1, 2
+        |ORDER BY nation, score_micro DESC""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

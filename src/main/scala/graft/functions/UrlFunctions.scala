@@ -28,6 +28,35 @@ object UrlFunctions {
   def registrableDomain(host: Column): Column =
     substring_index(host, ".", -2)
 
+  /** Crawl-frontier URL canonicalization — the dedup key every web
+    * pipeline computes before content ever downloads (the same page is
+    * reachable under scheme/host case variants, `www.`, tracking
+    * params, fragments, and trailing slashes; deduping on the RAW url
+    * re-crawls it once per variant). Steps, each a codegen'd regexp on
+    * the scan:
+    *   1. strip the fragment (`#...` never reaches the server);
+    *   2. lowercase scheme+host (case-insensitive per RFC 3986) and
+    *      drop a leading `www.`;
+    *   3. remove tracking parameters (`utm_*`, `fbclid`, `gclid`) and
+    *      heal the separators they leave behind;
+    *   4. drop a trailing path slash.
+    * Param ORDER is preserved (a full canonicalizer would sort the
+    * surviving params; order-stable sources don't need it and SQL
+    * engines can then share the regex pipeline verbatim).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeHost = regexp_replace(
+      lower(regexp_extract(noFrag, "^([^/?#]*//[^/?#]*)", 1)),
+      "://www\\.", "://")
+    val rest = regexp_extract(noFrag, "^[^/?#]*//[^/?#]*(.*)$", 1)
+    val noTrack = regexp_replace(
+      concat(schemeHost, rest),
+      "(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?", "")
+    val healed = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    regexp_replace(healed, "/+(\\?|$)", "$1")
+  }
+
   /** Per-domain contribution cap: keep at most `k` rows per registrable
     * domain of `urlCol`, ranked by `orderCol` DESC with a unique
     * tie-break (determinism rule). One shuffle on the domain key.

@@ -216,4 +216,76 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Frame-fingerprint near-duplicate pairs — the video/image dedup
+    * staple: two media items are near-dups when they SHARE many frame
+    * fingerprints (re-encodes, trims, and reposts keep most frames
+    * byte-identical even when the container differs). Same idea as
+    * content-defined chunking for binaries, applied at frame grain.
+    *
+    * Pipeline: [[sampleFrames]] (stride 1) → md5 per frame → distinct
+    * (id, fingerprint) postings → frequency filter keeping only
+    * DISCRIMINATIVE fingerprints (2 ≤ df ≤ maxDf: singletons pair with
+    * nothing; ubiquitous frames — black frames, silence, boilerplate —
+    * are the stop-shingles of this domain and would otherwise drive a
+    * quadratic hot-key join) → fingerprint-keyed self-join → top-k
+    * pairs by shared-frame count.
+    *
+    * Scale shape: the join fans out at most df² ≤ maxDf² pairs per
+    * fingerprint — the standard blocked-pair bound, tunable
+    * independently of corpus size; everything else is line-rate in the
+    * frame count. The postings table is referenced three times (pair
+    * join both sides + per-doc frame counts) on one sequential action
+    * path → [[graft.core.Caches.cache]].
+    *
+    * Output: (doc_a, doc_b, shared_frames, overlap_ppm) where
+    * overlap_ppm = shared·10⁶ div min(|rare(a)|, |rare(b)|) — exact
+    * integer containment of the rarer side; top-k by (shared DESC,
+    * doc_a, doc_b) — a rank-based cut, non-vacuous on any corpus.
+    */
+  def frameNearDupPairs(
+      media: DataFrame,
+      frameBytes: Int,
+      maxDf: Int,
+      k: Int): DataFrame = {
+    val postings = graft.core.Caches.cache(
+      sampleFrames(media, frameBytes, stride = 1)
+        .select(col("id"), md5(col("frame")).as("fp"))
+        .distinct())
+
+    val discriminative = postings
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    // Eager: `rare` feeds the pair join (both sides) AND two per-doc
+    // count broadcasts — concurrent broadcast builds race past a lazy
+    // cache (q227 rule), so materialize here.
+    val rare = postings.join(discriminative, "fp").localCheckpoint(true)
+
+    val perDoc = rare.groupBy(col("id")).agg(count(lit(1)).as("n_rare"))
+
+    val a = rare.select(col("fp"), col("id").as("doc_a"))
+    val b = rare.select(col("fp"), col("id").as("doc_b"))
+    // Rank-and-cut BEFORE attaching per-doc counts: overlap_ppm isn't
+    // in the rank key, so the cut is identical, and the count join then
+    // runs k-rows-broadcast against a line-rate perDoc scan — perDoc is
+    // corpus-row-sized, never the broadcast side at scale.
+    val top = a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .orderBy(col("shared_frames").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+    broadcast(
+      broadcast(top)
+        .join(perDoc.select(col("id").as("doc_a"), col("n_rare").as("na")), "doc_a"))
+      .join(perDoc.select(col("id").as("doc_b"), col("n_rare").as("nb")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("shared_frames"),
+        expr("shared_frames * 1000000 div least(na, nb)").as("overlap_ppm"))
+      .orderBy(col("shared_frames").desc, col("doc_a"), col("doc_b"))
+  }
 }

@@ -510,4 +510,62 @@ object CurationQueries {
       .limit(topK)
       .select(col("doc_id"), col("n_tokens"), col("n_rare"), col("rare_ppm"))
   }
+
+  /** Blocked Fellegi–Sunter record linkage audit
+    * ([[graft.ops.Linkage]]): link a keyless, degraded second "source"
+    * of the customer file (every 3rd customer, name dropped, balance
+    * floored to the $100 grid — the q77-style deterministic synthesis
+    * of the messy-source scenario) back to the master file.
+    *
+    * Blocking on nationkey bounds candidates to Σ|A_n|·|B_n|; each
+    * pair scores two field comparisons with precomputed micro-nat
+    * log-likelihood weights:
+    *   - mktsegment equality: m=.95, u=.20 (5 uniform segments) →
+    *     agree ln(.95/.20)·1e6 = 1558145, disagree ln(.05/.80)·1e6 =
+    *     −2772589;
+    *   - balance within the $100 grid step (|cents diff| < 10000 —
+    *     the floor guarantees a TRUE match always agrees): m=.98,
+    *     u=.02 → ±ln(49)·1e6 = ±3891820.
+    * Best master record per degraded record (score DESC, custkey ASC),
+    * aggregated into the score → (n_pairs, n_correct) precision
+    * profile — `n_correct` is recoverable because the degraded source
+    * keeps its key for evaluation only.
+    */
+  def recordLinkage(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Linkage
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"),
+      col("c_nationkey"),
+      col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val master = cust.select(
+      col("c_custkey").as("a_id"),
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("a_seg"),
+      col("cents").as("a_cents"))
+    val degraded = cust
+      .filter(col("c_custkey") % 3 === 0)
+      .select(
+        col("c_custkey").as("b_id"),
+        col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("b_seg"),
+        // $100-grid floor, sign-safe: offset keeps the dividend
+        // non-negative so Spark `div` (trunc) == DuckDB `//` exactly.
+        expr("(cents + 1000000) div 10000 * 10000 - 1000000").as("b_cents"))
+    val scored = master
+      .join(degraded, Seq("nation"))
+      .withColumn(
+        "score_micro",
+        Linkage.fsScoreMicro(Seq(
+          Linkage.FieldWeight(col("a_seg") === col("b_seg"), 1558145L, -2772589L),
+          Linkage.FieldWeight(
+            abs(col("a_cents") - col("b_cents")) < 10000, 3891820L, -3891820L))))
+    Linkage
+      .bestMatch(scored, "b_id", "a_id", "score_micro")
+      .groupBy(col("nation"), col("score_micro"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("a_id") === col("b_id"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy(col("nation"), col("score_micro").desc)
+  }
 }

@@ -1371,4 +1371,95 @@ object TextQueries {
       .limit(20)
       .select(col("id").as("term"), col("pr_micro"))
   }
+
+  /** Multinomial Naive Bayes lang-separability audit
+    * ([[graft.functions.TextClassify.nbConfusion]]): train-and-score
+    * on the corpus, label × predicted-label confusion counts.
+    */
+  def naiveBayesConfusion(s: SparkSession, d: String): DataFrame =
+    graft.functions.TextClassify
+      .nbConfusion(Tables.documents(s, d), "text", "doc_id", "lang")
+      .orderBy(col("label"), col("pred_label"))
+
+  /** Frame-fingerprint near-dup pairs over the multimodal media table
+    * ([[Multimodal.frameNearDupPairs]]): payloads are the ASCII-
+    * sanitized document bytes (printable-ASCII projection keeps SQL
+    * char positions == payload byte offsets, so the oracle can slice
+    * the same frames with `substring`), 32-byte frames, fingerprints
+    * kept when shared by 2–20 docs, top-10 pairs by shared count.
+    */
+  def frameNearDup(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameNearDupPairs(
+      Multimodal.asMediaTable(
+        Tables.documents(s, d)
+          .withColumn("ascii_text", regexp_replace(col("text"), "[^ -~]", "")),
+        "doc_id", "ascii_text"),
+      frameBytes = 32, maxDf = 20, k = 10)
+      .withColumnRenamed("doc_a", "doc_id_a")
+      .withColumnRenamed("doc_b", "doc_id_b")
+
+  /** Crawl-URL canonical dedup ([[graft.functions.UrlFunctions
+    * .canonicalizeUrl]]): deterministic messy-variant synthesis (the
+    * q77 convention — scheme/host case, `www.`, utm/gclid params,
+    * fragments, trailing slashes), then group by the canonical form.
+    * One exchange on the canonical key.
+    */
+  def urlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d).select(
+      col("doc_id"),
+      col("source"),
+      // variant selector must be INDEPENDENT of the canonical key
+      // (source, doc_id%10, doc_id%3) — i.e. of doc_id mod 60 — or every
+      // canonical group degenerates to one raw shape and the
+      // canonicalizer is never exercised; div 60 cycles across a group.
+      expr("""CASE CAST((doc_id div 60) % 4 AS INT)
+             | WHEN 0 THEN 'https://WWW.' || source || '.example.com/p/' ||
+             |   CAST(doc_id % 10 AS STRING) || '/?utm_source=feed&id=' || CAST(doc_id % 3 AS STRING)
+             | WHEN 1 THEN 'https://www.' || source || '.example.com/p/' ||
+             |   CAST(doc_id % 10 AS STRING) || '?id=' || CAST(doc_id % 3 AS STRING) || '&utm_campaign=x#frag'
+             | WHEN 2 THEN 'HTTPS://' || source || '.EXAMPLE.com/p/' ||
+             |   CAST(doc_id % 10 AS STRING) || '/?id=' || CAST(doc_id % 3 AS STRING) || '&gclid=abc123'
+             | ELSE 'https://' || source || '.example.com/p/' ||
+             |   CAST(doc_id % 10 AS STRING) || '?id=' || CAST(doc_id % 3 AS STRING)
+             |END""".stripMargin).as("url"))
+    raw
+      .select(
+        graft.functions.UrlFunctions.canonicalizeUrl(col("url")).as("canonical_url"),
+        col("url"),
+        col("doc_id"))
+      .groupBy(col("canonical_url"))
+      .agg(
+        count(lit(1)).as("n_variants"),
+        countDistinct(col("url")).as("n_distinct_raw"),
+        min(col("doc_id")).as("survivor_id"))
+      .orderBy(col("n_variants").desc, col("canonical_url"))
+  }
+
+  /** Tokenizer fertility by language — the multilingual tokenizer
+    * budget audit (how many BPE-ish subword tokens per whitespace word
+    * / per character each language pays). All ratios are exact integer
+    * ppm (`x·10⁶ div y`); one map-side-combined exchange on lang.
+    */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        TF.tokenCount(col("text")).cast("long").as("ws"),
+        TF.bpeishTokenCount(col("text")).as("bpe"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_chars"),
+        col("n_ws_tokens"),
+        col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000000 div n_ws_tokens").as("fertility_ppm"),
+        expr("n_chars * 1000000 div n_bpe_tokens").as("chars_per_bpe_ppm"))
+      .orderBy(col("lang"))
 }

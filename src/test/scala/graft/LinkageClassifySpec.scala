@@ -1,0 +1,155 @@
+package graft
+
+import graft.functions.{TextClassify, UrlFunctions}
+import graft.multimodal.Multimodal
+import graft.ops.Linkage
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-9 continuation block (q281–q285):
+  * multinomial Naive Bayes confusion, frame-fingerprint media near-dup,
+  * crawl-URL canonicalization, tokenizer fertility, Fellegi–Sunter
+  * record linkage. Cross-engine value equality is the Verify/DuckDB
+  * gate; these pin the semantic promises on handcrafted fixtures.
+  */
+class LinkageClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nbConfusion: separable corpora classify onto the diagonal") {
+    // two labels with disjoint vocabularies — NB must recover both
+    val docs = Seq(
+      (1L, "cat cat dog cat", "pets"),
+      (2L, "dog cat dog", "pets"),
+      (3L, "cat dog cat cat", "pets"),
+      (4L, "bolt nut bolt wrench", "tools"),
+      (5L, "wrench bolt nut nut", "tools")
+    ).toDF("doc_id", "text", "label")
+    val conf = TextClassify.nbConfusion(docs, "text", "doc_id", "label")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf == Map(("pets", "pets") -> 3L, ("tools", "tools") -> 2L))
+  }
+
+  test("nbConfusion: tie on identical evidence breaks to class name ASC") {
+    // identical single-doc corpora per label: every doc scores equally
+    // under both classes -> argmin tie -> first class name wins for all
+    val docs = Seq(
+      (1L, "x y", "b"),
+      (2L, "x y", "a")
+    ).toDF("doc_id", "text", "label")
+    val conf = TextClassify.nbConfusion(docs, "text", "doc_id", "label")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf == Map(("a", "a") -> 1L, ("b", "a") -> 1L))
+  }
+
+  test("frameNearDupPairs: planted shared frames rank the true pair first") {
+    // 32-byte frames; docs 1 and 2 share three frames exactly (96
+    // aligned bytes), doc 3 shares nothing. Frame content is
+    // NON-PERIODIC (round-6 fixture rule) so no accidental overlap.
+    val block = (0 until 3).map(i => s"frame-$i-" + ("abcdefghij".take(7 - i) + "zqwkx").padTo(24, ('a' + i).toChar)).map(_.take(32).padTo(32, '.')).mkString
+    assert(block.length == 96)
+    val docs = Seq(
+      (1L, block + "tail-one-unique-content-000000000"),
+      (2L, block + "tail-two-different-suffix-1111111"),
+      (3L, "completely unrelated payload with no shared aligned frames at all 12345")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val out = Multimodal.frameNearDupPairs(media, frameBytes = 32, maxDf = 10, k = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("shared_frames") == 3L)
+    assert(r.getAs[Long]("overlap_ppm") == 1000000L) // all rare frames of each side shared
+  }
+
+  test("frameNearDupPairs: ubiquitous frames are excluded by the df cap") {
+    // one frame shared by ALL four docs (df=4 > maxDf=3) must not pair anyone
+    val common = "W" * 32
+    val docs = Seq(
+      (1L, common + "doc-one-suffix-abcdefghijklmnopq"),
+      (2L, common + "doc-two-suffix-qponmlkjihgfedcba"),
+      (3L, common + "doc-three-suffix-zyxwvutsrqponml"),
+      (4L, common + "doc-four-suffix-mnbvcxzlkjhgfdsa")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val out = Multimodal.frameNearDupPairs(media, frameBytes = 32, maxDf = 3, k = 10).collect()
+    assert(out.isEmpty)
+  }
+
+  test("canonicalizeUrl: variants collapse, distinct pages do not") {
+    val cases = Seq(
+      "https://WWW.Site.com/p/7/?utm_source=feed&id=2",
+      "https://www.site.com/p/7?id=2&utm_campaign=x#frag",
+      "HTTPS://site.COM/p/7/?id=2&gclid=abc",
+      "https://site.com/p/7?id=2"
+    ).toDF("url")
+    val canon = cases.select(UrlFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(canon == Set("https://site.com/p/7?id=2"))
+    // different page / different surviving param stay distinct
+    val distinct = Seq(
+      "https://site.com/p/7?id=2",
+      "https://site.com/p/8?id=2",
+      "https://site.com/p/7?id=3",
+      "https://other.com/p/7?id=2"
+    ).toDF("url")
+    assert(
+      distinct.select(UrlFunctions.canonicalizeUrl(col("url")).as("c"))
+        .distinct().count() == 4L)
+  }
+
+  test("canonicalizeUrl: tracking-only query and bare paths heal cleanly") {
+    val out = Seq(
+      "https://site.com/p/7/?utm_source=a",    // query vanishes entirely
+      "https://site.com/p/7/",                 // trailing slash only
+      "https://site.com/"                      // root path
+    ).toDF("url")
+      .select(UrlFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "https://site.com/p/7")
+    assert(out(1) == "https://site.com/p/7")
+    assert(out(2) == "https://site.com")
+  }
+
+  test("fsScoreMicro + bestMatch: weights sum and ties break on a-key ASC") {
+    val pairs = Seq(
+      // b=10: a=1 double-agree, a=2 one agree -> best is a=1
+      (10L, 1L, true, true),
+      (10L, 2L, true, false),
+      // b=20: a=3 and a=4 both double-agree -> tie -> a=3 (ASC)
+      (20L, 4L, true, true),
+      (20L, 3L, true, true)
+    ).toDF("b_id", "a_id", "agree1", "agree2")
+    val scored = pairs.withColumn(
+      "score_micro",
+      Linkage.fsScoreMicro(Seq(
+        Linkage.FieldWeight(col("agree1"), 100L, -200L),
+        Linkage.FieldWeight(col("agree2"), 1000L, -2000L))))
+    // score arithmetic
+    val s = scored.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("score_micro")).toMap
+    assert(s((10L, 1L)) == 1100L && s((10L, 2L)) == -1900L)
+    val best = Linkage.bestMatch(scored, "b_id", "a_id", "score_micro")
+      .collect().map(r => r.getAs[Long]("b_id") -> r.getAs[Long]("a_id")).toMap
+    assert(best == Map(10L -> 1L, 20L -> 3L))
+  }
+
+  test("recordLinkage contract: precision profile is sane at sf0.001") {
+    val out = graft.queries.CurationQueries.recordLinkage(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    val nPairs = out.map(_.getAs[Long]("n_pairs")).sum
+    val nCorrect = out.map(_.getAs[Long]("n_correct")).sum
+    assert(nCorrect <= nPairs)
+    assert(nCorrect * 2 > nPairs, s"linkage precision below 50%: $nCorrect/$nPairs")
+  }
+
+  test("tokenizerFertility: ppm ratios are exact integer div of the sums") {
+    val out = graft.queries.TextQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bpe = r.getAs[Long]("n_bpe_tokens")
+      val ws = r.getAs[Long]("n_ws_tokens")
+      val chars = r.getAs[Long]("n_chars")
+      assert(r.getAs[Long]("fertility_ppm") == bpe * 1000000L / ws)
+      assert(r.getAs[Long]("chars_per_bpe_ppm") == chars * 1000000L / bpe)
+      assert(bpe >= ws, "BPE-ish tokenization is at least word-granular on this corpus")
+    }
+  }
+}
