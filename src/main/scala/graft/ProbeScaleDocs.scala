@@ -55,7 +55,12 @@ object ProbeScaleDocs {
     val cohort = Seq(
       "q267_token_allocation", "q268_coverage_select", "q272_rare_token_docs",
       "q275_curriculum", "q247_flesch", "q248_oov_rate", "q249_good_turing",
-      "q250_distinct_n", "q251_source_overlap")
+      "q250_distinct_n", "q251_source_overlap",
+      // round-9 continuation block (doc-backed; q282 runs its contract
+      // df cap here — replicas push shared-frame df to ~2R so the join
+      // stage empties; ProbeFrameDedup holds occupancy for that stage)
+      "q281_naive_bayes", "q282_frame_neardup", "q283_url_canonical",
+      "q284_tokenizer_fertility")
     cohort.filter(_.contains(queryFilter)).foreach { name =>
       graft.core.Caches.withScope {
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)

@@ -325,7 +325,10 @@ object SparkEntry {
     "q282_frame_neardup" -> (TQ.frameNearDup _),
     "q283_url_canonical" -> (TQ.urlCanonicalDedup _),
     "q284_tokenizer_fertility" -> (TQ.tokenizerFertility _),
-    "q285_record_linkage" -> (CQ.recordLinkage _))
+    "q285_record_linkage" -> (CQ.recordLinkage _),
+    "q286_fd_violations" -> (RQ.fdViolationsAudit _),
+    "q287_modularity" -> (EQ.covisModularity _),
+    "q288_bpe_compression" -> (TQ.bpeCompression _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -730,6 +733,42 @@ object SparkEntry {
        |                          (SELECT ' ' || a || b || ' ' FROM b$r)) AS seq
        |  FROM s${r - 1}
        |)""".stripMargin
+
+  /** One BPE round like [[bpeRoundCte]] but carrying the WORD key
+    * through every rewrite — the encode path (q288) joins the final
+    * sequences back to the corpus, so `w` must survive all rounds.
+    */
+  private def bpeEncodeRoundCte(r: Int): String =
+    s"""p$r AS (
+       |  SELECT s[i] AS a, s[i + 1] AS b, SUM(wc) AS c
+       |  FROM (SELECT wc, string_split(trim(seq), '  ') AS s FROM s${r - 1}),
+       |       unnest(generate_series(1, len(s) - 1)) AS t(i)
+       |  GROUP BY 1, 2
+       |), b$r AS (
+       |  SELECT a, b FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1
+       |), s$r AS (
+       |  SELECT w, wc, replace(seq, (SELECT ' ' || a || '  ' || b || ' ' FROM b$r),
+       |                             (SELECT ' ' || a || b || ' ' FROM b$r)) AS seq
+       |  FROM s${r - 1}
+       |)""".stripMargin
+
+  /** One FD's g3-style violation stats (q286): per-lhs majority rhs
+    * (ties to smallest rhs) joined to per-lhs totals. Mirrors
+    * graft.ops.Profile.fdViolations.
+    */
+  private def fdAuditSql(tag: String, table: String, lhs: String, rhs: String): String =
+    s"""SELECT '$tag' AS fd,
+       |  CAST(SUM(t.n_l) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       |  CAST(SUM(m.n) AS BIGINT) AS n_majority
+       |FROM (
+       |  SELECT l, n, ROW_NUMBER() OVER (PARTITION BY l ORDER BY n DESC, r ASC) AS rn
+       |  FROM (SELECT $lhs AS l, CAST($rhs AS VARCHAR) AS r, COUNT(*) AS n
+       |        FROM $table WHERE $lhs IS NOT NULL AND $rhs IS NOT NULL GROUP BY 1, 2)
+       |) m JOIN (
+       |  SELECT $lhs AS l, COUNT(*) AS n_l FROM $table
+       |  WHERE $lhs IS NOT NULL AND $rhs IS NOT NULL GROUP BY 1
+       |) t USING (l) WHERE m.rn = 1""".stripMargin
 
   private def langScoreSql(markers: Seq[String]): String =
     markers
@@ -6276,7 +6315,8 @@ object SparkEntry {
         |), mx AS (
         |  SELECT CAST(MAX(length(t)) // 32 AS BIGINT) AS mf FROM s
         |), fr AS (
-        |  SELECT DISTINCT doc_id, md5(substring(t, CAST(f * 32 + 1 AS INT), 32)) AS fp
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substring(md5(substring(t, CAST(f * 32 + 1 AS INT), 32)), 1, 15)) AS BIGINT) AS fp
         |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, (SELECT mf FROM mx) - 1)) AS f)
         |  WHERE f < length(t) // 32
         |), dfp AS (
@@ -6375,7 +6415,68 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(CASE WHEN a_id = b_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM best WHERE rn = 1 GROUP BY 1, 2
-        |ORDER BY nation, score_micro DESC""".stripMargin)
+        |ORDER BY nation, score_micro DESC""".stripMargin,
+    "q286_fd_violations" ->
+      s"""WITH f AS (
+         |  ${fdAuditSql("documents.source->lang", "documents", "source", "lang")}
+         |  UNION ALL
+         |  ${fdAuditSql("documents.lang->source", "documents", "lang", "source")}
+         |  UNION ALL
+         |  ${fdAuditSql("customer.nation->segment", "customer", "c_nationkey", "c_mktsegment")}
+         |)
+         |SELECT fd, n_rows, n_lhs, n_majority,
+         |  CAST((n_rows - n_majority) * 1000000 // n_rows AS BIGINT) AS violation_ppm
+         |FROM f ORDER BY fd""".stripMargin,
+    "q287_modularity" ->
+      s"""WITH $sessCte, $covisPairsCte, und AS (
+         |  SELECT item_a AS src, item_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT item_b AS src, item_a AS dst FROM pairs
+         |), l0 AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM und
+         |), ${lpaRoundsSql(4)},
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |dsum AS (
+         |  SELECT l.label AS community, CAST(SUM(d.deg) AS BIGINT) AS degree_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM l4 l JOIN deg d ON l.id = d.id GROUP BY 1
+         |), intra AS (
+         |  SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+         |  FROM pairs p JOIN l4 la ON p.item_a = la.id JOIN l4 lb ON p.item_b = lb.id
+         |  WHERE la.label = lb.label GROUP BY 1
+         |)
+         |SELECT ds.community, ds.n_nodes,
+         |  COALESCE(i.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         |  ds.degree_sum,
+         |  CAST((4 * mm.m * COALESCE(i.intra_edges, CAST(0 AS BIGINT))
+         |        - ds.degree_sum * ds.degree_sum) * 1000000
+         |    // (4 * mm.m * mm.m) AS BIGINT) AS contrib_ppm
+         |FROM dsum ds LEFT JOIN intra i USING (community) CROSS JOIN mm
+         |ORDER BY ds.community""".stripMargin,
+    "q288_bpe_compression" ->
+      s"""WITH w0 AS (
+         |  SELECT w, COUNT(*) AS wc FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w
+         |), s0 AS (
+         |  SELECT w, wc,
+         |    ' ' || array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), '  ') || ' ' AS seq
+         |  FROM w0
+         |), ${bpeEncodeRoundCte(1)}, ${bpeEncodeRoundCte(2)}, ${bpeEncodeRoundCte(3)}, ${bpeEncodeRoundCte(4)},
+         |enc AS (
+         |  SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_symbols FROM s4
+         |), toks AS (
+         |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+         |)
+         |SELECT t.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(COALESCE(e.n_symbols, 1)) AS BIGINT) AS n_symbols,
+         |  CAST(CAST(SUM(COALESCE(e.n_symbols, 1)) AS BIGINT) * 1000000
+         |    // CAST(SUM(length(t.w)) AS BIGINT) AS BIGINT) AS compression_ppm
+         |FROM toks t LEFT JOIN enc e USING (w)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -82,4 +82,53 @@ object Bpe {
     }
     merges.reduce(_.unionByName(_))
   }
+
+  /** Learn `rounds` merges AND return the ENCODED vocabulary — the
+    * tokenizer-APPLICATION half of BPE that [[learnMerges]] trains:
+    * `(w, wc, n_symbols)` where n_symbols is the word's subword count
+    * after all merges. Same loop, same double-separator rewrite, the
+    * word key carried through so callers can join the encoding back to
+    * the corpus (the classic BPE trick: the corpus only enters through
+    * the word-count aggregation — everything after runs at VOCABULARY
+    * rate, and applying the tokenizer to 100 TB is a token-rate join
+    * against this table).
+    */
+  def encodeVocab(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+    var seqs = Caches.cache(
+      words.select(
+        col("w"),
+        col("wc"),
+        concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" ")).as("seq")))
+    for (_ <- 1 to rounds) {
+      val pairs = seqs
+        .select(col("wc"), split(trim(col("seq")), "  ").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("wc"), col("s"), explode(sequence(lit(1), size(col("s")) - 1)).as("i"))
+        .select(
+          col("wc"),
+          element_at(col("s"), col("i")).as("a"),
+          element_at(col("s"), col("i") + 1).as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("wc")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+        .limit(1)
+      seqs = Caches.cache(
+        seqs.crossJoin(broadcast(best.select(col("a"), col("b"))))
+          .select(
+            col("w"),
+            col("wc"),
+            expr("replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')")
+              .as("seq")))
+    }
+    seqs.select(
+      col("w"),
+      col("wc"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("n_symbols"))
+  }
 }

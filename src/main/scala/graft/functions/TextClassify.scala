@@ -51,6 +51,14 @@ object TextClassify {
     // vocab, w) plus the scoring path — broadcasts build on concurrent
     // threads and race past a lazy cache (the q227 lesson), so
     // localCheckpoint, not Caches.cache.
+    //
+    // Repartition on doc_id BEFORE the checkpoint (the q06 one-exchange
+    // pattern): doc partitioning is a subset of every downstream key —
+    // the ×|classes| scoring aggregate AND the argmin window then run
+    // exchange-free, instead of shuffling the class-fanned row set
+    // (500k-doc probe: 911.8 → ~½ the bytes, see DESIGN.md).
+    // localCheckpoint preserves outputPartitioning, so Catalyst still
+    // sees the doc clustering on the far side.
     val tfC = docs
       .select(
         col(idCol).as("doc_id"),
@@ -58,6 +66,7 @@ object TextClassify {
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("label"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .repartition(col("doc_id"))
       .localCheckpoint(true)
 
     // Model: per-class token totals, vocabulary size, per-class mass.

@@ -248,9 +248,15 @@ object Multimodal {
       frameBytes: Int,
       maxDf: Int,
       k: Int): DataFrame = {
+    // 60-bit integer fingerprints (15 hex chars of the md5 — the q85
+    // convention): the fp is the JOIN/GROUP key of every downstream
+    // exchange, and 8-byte longs vs 32-byte hex strings halve the
+    // probe's shuffle bytes at 500k docs (see DESIGN.md).
     val postings = graft.core.Caches.cache(
       sampleFrames(media, frameBytes, stride = 1)
-        .select(col("id"), md5(col("frame")).as("fp"))
+        .select(
+          col("id"),
+          conv(substring(md5(col("frame")), 1, 15), 16, 10).cast("long").as("fp"))
         .distinct())
 
     val discriminative = postings

@@ -859,4 +859,70 @@ object Graph {
       .withColumn("cc_ppm", expr("2 * tri_count * 1000000 div (degree * (degree - 1))"))
       .select(col("id"), col("degree"), col("tri_count"), col("cc_ppm"))
   }
+
+  /** Newman modularity of a node partition, per community and exact in
+    * ppm — the quality score that tells you whether a community
+    * structure (LPA q157, or any label column) beats random wiring:
+    *   Q = Σ_c [ L_c/m − (D_c/2m)² ]
+    * over UNDIRECTED unweighted edges (m edges, L_c intra-community,
+    * D_c degree mass of c). Per-community contribution is computed on
+    * the common denominator 4m²:
+    *   contrib_ppm = (4·m·L_c − D_c²)·10⁶ div (4·m²)
+    * — pure integer arithmetic (truncating div matches DuckDB `//` on
+    * both signs; a fragmented community's contribution is legitimately
+    * negative). Σ contrib_ppm ≈ Q·10⁶ (within one ulp·|C| of
+    * truncation).
+    *
+    * A loud assert_true guard fails past m = 1.5M edges, where the
+    * numerator·10⁶ (bounded by 4m²·10⁶) would overflow int64 — switch
+    * the two products to decimal(38,0) accumulators beyond that (the
+    * assortativity convention). Community-graph edge lists here are
+    * session-capped covis tables, well under the bound; the guard is
+    * the loud upgrade reminder, not a silent cap.
+    *
+    * Shape: edges join labels twice (node-keyed line-rate shuffles; at
+    * scale the label table co-partitions with the edge endpoints), two
+    * group-rate aggregates, and a 1-row broadcast of m.
+    *
+    * `edges` must be the DISTINCT undirected pair list (a < b),
+    * `labels` a total (id, label) map of the endpoints.
+    */
+  def modularityPpm(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = Caches.cache(edges.select(col(aCol).as("a"), col(bCol).as("b")))
+    val lab = Caches.cache(labels.select(col("id"), col("label")))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+    val dsum = lab
+      .join(deg, Seq("id"))
+      .groupBy(col("label").as("community"))
+      .agg(sum(col("deg")).as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val intra = e
+      .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    dsum
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(m <= 1500000,
+          |  'modularityPpm: 4*m*m*1e6 would overflow int64 -- switch to decimal(38,0) accumulators')"""
+          .stripMargin))
+      .withColumn(
+        "contrib_ppm",
+        when(col("__ovf_ok").isNull,
+          expr("(4 * m * intra_edges - degree_sum * degree_sum) * 1000000 div (4 * m * m)")))
+      .select(
+        col("community"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"), col("contrib_ppm"))
+  }
 }

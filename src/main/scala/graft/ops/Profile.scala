@@ -40,4 +40,42 @@ object Profile {
         Seq(lit(cols.length)) ++ stackArgs: _*
       ).as(Seq("column", "n_nonnull", "n_distinct", "min_value", "max_value")))
   }
+
+  /** Approximate-functional-dependency audit (the TANE/metanome
+    * family's per-candidate check): how badly does `lhs → rhs` hold?
+    * The g3-style error is the minimum fraction of rows to delete for
+    * the FD to hold exactly — i.e. rows outside each lhs group's
+    * MAJORITY rhs value (majority ties break to the smallest rhs —
+    * determinism rule).
+    *
+    * Output (one row): fd name, n_rows, n_lhs groups, n_majority kept
+    * rows, violation_ppm = (n_rows − n_majority)·10⁶ div n_rows.
+    *
+    * Shape: one map-side-combined exchange on (lhs, rhs), a window
+    * over lhs on the collapsed group table (group-rate, not row-rate),
+    * and a one-row reduce. Never touches raw rows after the first agg,
+    * so it scales with the number of DISTINCT (lhs, rhs) combinations.
+    */
+  def fdViolations(df: DataFrame, fdName: String, lhs: String, rhs: String): DataFrame = {
+    val groups = df
+      .filter(col(lhs).isNotNull && col(rhs).isNotNull)
+      .groupBy(col(lhs).as("l"), col(rhs).cast("string").as("r"))
+      .agg(count(lit(1)).as("n"))
+    val majority = graft.ops.Windows
+      .topKPerGroup(groups, Seq("l"), col("n"), Seq("r"), 1)
+    majority
+      .join(
+        groups.groupBy(col("l")).agg(sum(col("n")).as("n_l")),
+        Seq("l"))
+      .agg(
+        sum(col("n_l")).as("n_rows"),
+        count(lit(1)).as("n_lhs"),
+        sum(col("n")).as("n_majority"))
+      .select(
+        lit(fdName).as("fd"),
+        col("n_rows"),
+        col("n_lhs"),
+        col("n_majority"),
+        expr("(n_rows - n_majority) * 1000000 div n_rows").as("violation_ppm"))
+  }
 }

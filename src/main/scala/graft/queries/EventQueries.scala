@@ -3858,4 +3858,40 @@ object EventQueries {
       .limit(20)
       .select(col("id").as("item_id"), col("hub_micro"), col("auth_micro"))
   }
+
+  /** Newman modularity of the q157 LPA partition over the covis graph
+    * ([[graft.ops.Graph.modularityPpm]]) — the quality score for the
+    * community structure q157 emits and q215/q227 compare against
+    * external labels: does the partition beat random wiring on the
+    * graph's own terms? Per-community exact-ppm contributions; their
+    * sum is Q·10⁶.
+    *
+    * Finding this audit exists to surface: at sf0.01 the covis graph
+    * is a sparse forest and SYNCHRONIZED LPA 2-colors each small
+    * component (the classic sync-LPA oscillation artifact — after an
+    * even round count, path endpoints share a label but no edge does),
+    * so Q is NEGATIVE (−0.037): the partition is worse than random
+    * wiring there, while the denser sf0.1 cores it was tuned on
+    * stabilize. A recommender consuming q157 clusters should gate on
+    * this score before trusting them at a new data scale.
+    *
+    * Both the pair list and the LPA labels are eagerly materialized:
+    * pairs feed modularity's edge scan AND the 1-row m broadcast
+    * (concurrent-broadcast rule), labels feed two endpoint joins and
+    * the degree-mass aggregate (q227's exact pattern for the same
+    * LPA subtree).
+    */
+  def covisModularity(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pairs = Joins.covisitationPairs(
+      enriched.select(col("session_id"), col("item_id")),
+      "session_id", "item_id", minCount = 2L)
+      .localCheckpoint(true)
+    val labels = graft.ops.Graph
+      .labelPropagation(pairs, "item_a", "item_b", rounds = 4)
+      .localCheckpoint(true)
+    graft.ops.Graph
+      .modularityPpm(pairs, "item_a", "item_b", labels)
+      .orderBy(col("community"))
+  }
 }

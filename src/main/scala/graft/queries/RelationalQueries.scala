@@ -724,4 +724,25 @@ object RelationalQueries {
       Seq(col("c_nationkey"), col("c_mktsegment")),
       floor(col("c_acctbal") / 500).cast("long"),
       tPpm = 200000L)
+
+  /** Approximate-functional-dependency audit (q286;
+    * [[graft.ops.Profile.fdViolations]]) over three candidate FDs —
+    * the data-profiling check that catches "this column is SUPPOSED to
+    * determine that one" drift before a join or a dedup key silently
+    * relies on it: documents.source→lang and its converse (how
+    * language-pure each crawl source is), and customer nation→segment
+    * (a deliberately false FD — the violation baseline).
+    */
+  def fdViolationsAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ops.Profile
+      .fdViolations(docs, "documents.source->lang", "source", "lang")
+      .unionByName(graft.ops.Profile
+        .fdViolations(docs, "documents.lang->source", "lang", "source"))
+      .unionByName(graft.ops.Profile
+        .fdViolations(
+          Tables.customer(s, d), "customer.nation->segment",
+          "c_nationkey", "c_mktsegment"))
+      .orderBy(col("fd"))
+  }
 }

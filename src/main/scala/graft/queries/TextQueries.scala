@@ -1462,4 +1462,32 @@ object TextQueries {
         expr("n_bpe_tokens * 1000000 div n_ws_tokens").as("fertility_ppm"),
         expr("n_chars * 1000000 div n_bpe_tokens").as("chars_per_bpe_ppm"))
       .orderBy(col("lang"))
+
+  /** Apply the learned BPE tokenizer (q148's merge table, 4 rounds) to
+    * the corpus and report per-language compression — the
+    * tokenizer-application half that closes the q148 → q284 loop:
+    * encode the VOCABULARY once ([[graft.functions.Bpe.encodeVocab]]),
+    * then one token-rate join attaches subword counts to the corpus
+    * (1-char words, excluded from BPE training, encode as 1 symbol).
+    * compression_ppm = subword symbols ·10⁶ div characters.
+    */
+  def bpeCompression(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val enc = graft.functions.Bpe.encodeVocab(docs, "text", rounds = 4)
+    docs
+      .select(col("lang"), explode(TF.tokens(col("text"))).as("w"))
+      .join(enc.select(col("w"), col("n_symbols")), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(coalesce(col("n_symbols"), lit(1L))).as("n_symbols"))
+      .select(
+        col("lang"),
+        col("n_tokens"),
+        col("n_chars"),
+        col("n_symbols"),
+        expr("n_symbols * 1000000 div n_chars").as("compression_ppm"))
+      .orderBy(col("lang"))
+  }
 }

@@ -5,11 +5,12 @@ import graft.multimodal.Multimodal
 import graft.ops.Linkage
 import org.apache.spark.sql.functions._
 
-/** Invariants for the round-9 continuation block (q281–q285):
+/** Invariants for the round-9 continuation block (q281–q288):
   * multinomial Naive Bayes confusion, frame-fingerprint media near-dup,
   * crawl-URL canonicalization, tokenizer fertility, Fellegi–Sunter
-  * record linkage. Cross-engine value equality is the Verify/DuckDB
-  * gate; these pin the semantic promises on handcrafted fixtures.
+  * record linkage, FD-violation audit, modularity, BPE encoding.
+  * Cross-engine value equality is the Verify/DuckDB gate; these pin
+  * the semantic promises on handcrafted fixtures.
   */
 class LinkageClassifySpec extends SparkSpec {
   import spark.implicits._
@@ -138,6 +139,62 @@ class LinkageClassifySpec extends SparkSpec {
     val nCorrect = out.map(_.getAs[Long]("n_correct")).sum
     assert(nCorrect <= nPairs)
     assert(nCorrect * 2 > nPairs, s"linkage precision below 50%: $nCorrect/$nPairs")
+  }
+
+  test("fdViolations: g3 error counts rows outside each group's majority") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("l_col", "r_col")
+    val out = graft.ops.Profile.fdViolations(df, "t.l->r", "l_col", "r_col").head()
+    assert(out.getAs[String]("fd") == "t.l->r")
+    assert(out.getAs[Long]("n_rows") == 4L)
+    assert(out.getAs[Long]("n_lhs") == 2L)
+    assert(out.getAs[Long]("n_majority") == 3L)
+    assert(out.getAs[Long]("violation_ppm") == 250000L)
+  }
+
+  test("fdViolations: majority tie breaks to the smallest rhs") {
+    val df = Seq(("a", "y"), ("a", "x")).toDF("l_col", "r_col")
+    // tie 1-1: majority is 'x' (smallest) — still 1 kept of 2 rows
+    val out = graft.ops.Profile.fdViolations(df, "fd", "l_col", "r_col").head()
+    assert(out.getAs[Long]("n_majority") == 1L)
+    assert(out.getAs[Long]("violation_ppm") == 500000L)
+  }
+
+  test("modularityPpm: hand-computed triangle + pendant") {
+    // edges 1-2, 2-3, 1-3, 3-4; partition {1,2,3} / {4}
+    // m=4, L_1=3 D_1=7, L_2=0 D_2=1
+    // contrib_1 = (48-49)*1e6 div 64 = -15625; contrib_2 = -15625
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L)).toDF("id", "label")
+    val out = graft.ops.Graph.modularityPpm(edges, "a", "b", labels)
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("intra_edges"),
+          r.getAs[Long]("degree_sum"), r.getAs[Long]("contrib_ppm"))).toMap
+    assert(out(10L) == ((3L, 3L, 7L, -15625L)))
+    assert(out(20L) == ((1L, 0L, 1L, -15625L)))
+  }
+
+  test("modularityPpm: a clean two-clique partition scores positive") {
+    // two triangles joined by one bridge: Q > 0 for the natural split
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val labels = (Seq((1L, 1L), (2L, 1L), (3L, 1L)) ++ Seq((4L, 2L), (5L, 2L), (6L, 2L)))
+      .toDF("id", "label")
+    val q = graft.ops.Graph.modularityPpm(edges, "a", "b", labels)
+      .agg(org.apache.spark.sql.functions.sum($"contrib_ppm")).head().getLong(0)
+    assert(q > 300000L, s"two-clique modularity should be strongly positive, got $q")
+  }
+
+  test("encodeVocab: merges apply greedily left-to-right through runs") {
+    // 'abab' needs merge (a,b) TWICE in one word, then (ab,ab) once —
+    // the double-separator rewrite must survive consecutive matches
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val out = graft.functions.Bpe.encodeVocab(docs, "text", rounds = 2)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("wc"), r.getAs[Long]("n_symbols"))).toMap
+    assert(out("abab") == ((2L, 1L)), "two rounds: ab+ab -> abab, one symbol")
+    assert(out("cd") == ((1L, 2L)), "cd never wins a merge: stays 2 chars")
   }
 
   test("tokenizerFertility: ppm ratios are exact integer div of the sums") {
