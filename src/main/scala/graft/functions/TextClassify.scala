@@ -52,13 +52,15 @@ object TextClassify {
     // threads and race past a lazy cache (the q227 lesson), so
     // localCheckpoint, not Caches.cache.
     //
-    // Repartition on doc_id BEFORE the checkpoint (the q06 one-exchange
-    // pattern): doc partitioning is a subset of every downstream key —
-    // the ×|classes| scoring aggregate AND the argmin window then run
-    // exchange-free, instead of shuffling the class-fanned row set
-    // (500k-doc probe: 911.8 → ~½ the bytes, see DESIGN.md).
-    // localCheckpoint preserves outputPartitioning, so Catalyst still
-    // sees the doc clustering on the far side.
+    // Repartition on doc_id BEFORE the checkpoint: the checkpointed RDD
+    // loses its partitioning METADATA (AQE plan -> unknown, the round-4
+    // cache rule), so downstream exchanges still appear — but the rows
+    // are physically doc-co-located, so the scoring aggregate's PARTIAL
+    // pass collapses each doc's ×|classes| fan-out to |classes| rows
+    // and the argmin window's partial WindowGroupLimit cuts to 1 row
+    // per (doc, class) BEFORE either exchange. The exchanges survive;
+    // their payload doesn't (500k-doc probe: 911.8 → 498.8 MB, −32%
+    // wall — see DESIGN.md).
     val tfC = docs
       .select(
         col(idCol).as("doc_id"),

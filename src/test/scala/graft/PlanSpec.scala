@@ -281,4 +281,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"survivor filter must be a semi-join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("naive bayes: model attaches broadcast; argmin rank-limits map-side") {
+    // the doc-key repartition inside the checkpoint pays off through
+    // PARTIAL collapse (co-located docs), not exchange elimination —
+    // the plan properties worth pinning: the class/vocab/weight model
+    // tables must arrive via broadcast (never a sort-merge of the
+    // fan-out), and the argmin must push a partial WindowGroupLimit
+    // below its exchange (1 row per doc×class crosses the wire, not
+    // the scored fan-out).
+    val p = plan(graft.functions.TextClassify.nbConfusion(
+      graft.core.Tables.documents(spark, dir), "text", "doc_id", "lang"))
+    assert(!p.contains("SortMergeJoin"),
+      s"model tables must broadcast onto the fan-out:\n$p")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"argmin must rank-limit map-side before the window exchange:\n$p")
+  }
+
+  test("frame near-dup: fingerprint joins plan no cartesian, count joins broadcast") {
+    val media = graft.multimodal.Multimodal.asMediaTable(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text")
+    val p = plan(graft.multimodal.Multimodal
+      .frameNearDupPairs(media, frameBytes = 32, maxDf = 20, k = 10))
+    assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row top table must broadcast against the per-doc counts:\n$p")
+  }
 }
