@@ -328,7 +328,9 @@ object SparkEntry {
     "q285_record_linkage" -> (CQ.recordLinkage _),
     "q286_fd_violations" -> (RQ.fdViolationsAudit _),
     "q287_modularity" -> (EQ.covisModularity _),
-    "q288_bpe_compression" -> (TQ.bpeCompression _))
+    "q288_bpe_compression" -> (TQ.bpeCompression _),
+    "q289_column_mi" -> (RQ.columnAssociations _),
+    "q290_dataset_card" -> (CQ.datasetCard _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -769,6 +771,42 @@ object SparkEntry {
        |  SELECT $lhs AS l, COUNT(*) AS n_l FROM $table
        |  WHERE $lhs IS NOT NULL AND $rhs IS NOT NULL GROUP BY 1
        |) t USING (l) WHERE m.rn = 1""".stripMargin
+
+  /** One column pair's MI/entropy block (q289), CTE names suffixed by
+    * `i` so two pairs coexist in one WITH. Mirrors
+    * graft.ops.Stats.mutualInfoNano (the q227 rounding conventions).
+    */
+  private def miPairSql(i: Int, tag: String, table: String, x: String, y: String): String =
+    s"""cells$i AS (
+       |  SELECT CAST($x AS VARCHAR) AS x, CAST($y AS VARCHAR) AS y,
+       |    CAST(COUNT(*) AS BIGINT) AS nij
+       |  FROM $table WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY 1, 2
+       |), nt$i AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells$i),
+       |rws$i AS (SELECT x, CAST(SUM(nij) AS BIGINT) AS ni FROM cells$i GROUP BY 1),
+       |cls$i AS (SELECT y, CAST(SUM(nij) AS BIGINT) AS nj FROM cells$i GROUP BY 1),
+       |mi$i AS (
+       |  SELECT CAST(SUM(CAST(round(CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
+       |    * ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+       |         / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+       |    * 1000000000) AS BIGINT)) AS BIGINT) AS mi_nano
+       |  FROM cells$i JOIN rws$i USING (x) JOIN cls$i USING (y) CROSS JOIN nt$i
+       |), hx$i AS (
+       |  SELECT CAST(SUM(CAST(round(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)
+       |    * ln(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE))
+       |    * 1000000000) AS BIGINT)) AS BIGINT) AS h_x_nano
+       |  FROM rws$i CROSS JOIN nt$i
+       |), hy$i AS (
+       |  SELECT CAST(SUM(CAST(round(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)
+       |    * ln(CAST(n AS DOUBLE) / CAST(nj AS DOUBLE))
+       |    * 1000000000) AS BIGINT)) AS BIGINT) AS h_y_nano
+       |  FROM cls$i CROSS JOIN nt$i
+       |), out$i AS (
+       |  SELECT '$tag' AS pair, nt$i.n, mi_nano, h_x_nano, h_y_nano,
+       |    CASE WHEN h_x_nano + h_y_nano = 0 THEN NULL
+       |     ELSE CAST(round(2.0 * CAST(mi_nano AS DOUBLE)
+       |       / CAST(h_x_nano + h_y_nano AS DOUBLE) * 1000000) AS BIGINT) END AS nmi_micro
+       |  FROM nt$i CROSS JOIN mi$i CROSS JOIN hx$i CROSS JOIN hy$i
+       |)""".stripMargin
 
   private def langScoreSql(markers: Seq[String]): String =
     markers
@@ -6476,7 +6514,53 @@ object SparkEntry {
          |  CAST(CAST(SUM(COALESCE(e.n_symbols, 1)) AS BIGINT) * 1000000
          |    // CAST(SUM(length(t.w)) AS BIGINT) AS BIGINT) AS compression_ppm
          |FROM toks t LEFT JOIN enc e USING (w)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q289_column_mi" ->
+      s"""WITH ${miPairSql(1, "customer.nation~segment", "customer", "c_nationkey", "c_mktsegment")},
+         |${miPairSql(2, "documents.source~lang", "documents", "source", "lang")}
+         |SELECT * FROM out1
+         |UNION ALL SELECT * FROM out2
+         |ORDER BY pair""".stripMargin,
+    "q290_dataset_card" ->
+      """WITH base AS (
+        |  SELECT lang, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    md5(text) AS fp
+        |  FROM documents
+        |), core AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+        |    CAST(SUM(CASE WHEN nt < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |  FROM base
+        |), vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |), src AS (
+        |  SELECT CAST(MAX(c) AS BIGINT) AS mx, CAST(SUM(c) AS BIGINT) AS tot
+        |  FROM (SELECT source, COUNT(*) AS c FROM base GROUP BY 1)
+        |), lc AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS ni FROM base GROUP BY 1
+        |), lt AS (SELECT CAST(SUM(ni) AS BIGINT) AS n FROM lc),
+        |ent AS (
+        |  SELECT CAST(SUM(CAST(round(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * ln(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS e
+        |  FROM lc CROSS JOIN lt
+        |)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'exact_dup_ppm' AS metric,
+        |    (n_docs - n_distinct_texts) * 1000000 // n_docs AS value FROM core
+        |  UNION ALL SELECT 'lang_entropy_micro', e FROM ent
+        |  UNION ALL SELECT 'mean_tokens_ppm', n_tokens * 1000000 // n_docs FROM core
+        |  UNION ALL SELECT 'n_chars', n_chars FROM core
+        |  UNION ALL SELECT 'n_distinct_tokens', v FROM vocab
+        |  UNION ALL SELECT 'n_docs', n_docs FROM core
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM core
+        |  UNION ALL SELECT 'short_doc_ppm', n_short * 1000000 // n_docs FROM core
+        |  UNION ALL SELECT 'top_source_share_ppm', mx * 1000000 // tot FROM src
+        |) ORDER BY metric""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

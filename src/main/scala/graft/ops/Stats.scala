@@ -1218,4 +1218,72 @@ object Stats {
                | / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE))
                | * 1000000) AS BIGINT)""".stripMargin))
   }
+
+  /** Mutual information between two categorical columns, in quantized
+    * nano-nats — the information-theoretic sibling of Cramér's V
+    * (q174) and the strength measure behind the FD audit (q286): how
+    * many bits of one column the other actually carries (feature
+    * selection, leakage screening, redundant-metadata detection).
+    *
+    * Determinism: the q227 NMI conventions exactly — per-cell /
+    * per-margin contributions are `round(p·ln(…)·10⁹)` longs summed
+    * exactly; `nmi_micro = round(2·MI/(H_x+H_y)·10⁶)` as the one final
+    * double division.
+    *
+    * Shape: one map-side-combined exchange on the (x, y) cell key —
+    * after it everything is contingency-table-rate. The cell table is
+    * eagerly materialized (it fans out into the margin/total broadcast
+    * jobs — the q227 concurrent-broadcast rule).
+    *
+    * Output (one row): (pair, n, mi_nano, h_x_nano, h_y_nano,
+    * nmi_micro).
+    */
+  def mutualInfoNano(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      pairName: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val nt = cells.agg(sum(col("nij")).as("n"))
+    val rws = graft.core.Caches.cache(
+      cells.groupBy(col("x")).agg(sum(col("nij")).as("ni")))
+    val cls = graft.core.Caches.cache(
+      cells.groupBy(col("y")).agg(sum(col("nij")).as("nj")))
+    val mi = cells
+      .join(broadcast(rws), Seq("x"))
+      .join(broadcast(cls), Seq("y"))
+      .crossJoin(broadcast(nt))
+      .select(expr(
+        """CAST(round(CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
+          | * ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+          |      / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+          | * 1000000000) AS BIGINT)""".stripMargin).as("cell"))
+      .agg(sum(col("cell")).as("mi_nano"))
+    def marginalH(m: DataFrame, c: String, out: String) = m
+      .crossJoin(broadcast(nt))
+      .select(expr(
+        s"""CAST(round(CAST($c AS DOUBLE) / CAST(n AS DOUBLE)
+           | * ln(CAST(n AS DOUBLE) / CAST($c AS DOUBLE))
+           | * 1000000000) AS BIGINT)""".stripMargin).as("cell"))
+      .agg(sum(col("cell")).as(out))
+    nt.select(col("n"))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(marginalH(rws, "ni", "h_x_nano")))
+      .crossJoin(broadcast(marginalH(cls, "nj", "h_y_nano")))
+      .select(
+        lit(pairName).as("pair"),
+        col("n"),
+        col("mi_nano"),
+        col("h_x_nano"),
+        col("h_y_nano"),
+        expr(
+          """CASE WHEN h_x_nano + h_y_nano = 0 THEN NULL
+            | ELSE CAST(round(2.0 * CAST(mi_nano AS DOUBLE)
+            |   / CAST(h_x_nano + h_y_nano AS DOUBLE) * 1000000) AS BIGINT) END"""
+            .stripMargin).as("nmi_micro"))
+  }
 }

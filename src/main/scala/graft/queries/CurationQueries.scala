@@ -568,4 +568,68 @@ object CurationQueries {
         sum(when(col("a_id") === col("b_id"), 1L).otherwise(0L)).as("n_correct"))
       .orderBy(col("nation"), col("score_micro").desc)
   }
+
+  /** Dataset release card (q290) — the one-query "datasheet" stamp a
+    * curation run publishes next to its output: corpus size, token
+    * budget, vocabulary, exact-dup rate, language-mix entropy,
+    * source concentration, short-doc share. Each metric is an exact
+    * integer (ppm / micro-nat conventions), so the card is
+    * hash-reproducible across engines — a release gate, not a report.
+    *
+    * Shape: ONE per-doc projection (token count, char count, text
+    * fingerprint — no raw text) is eagerly materialized and feeds all
+    * single-row aggregates; only the vocabulary count re-touches raw
+    * text (token explode). Nothing after the first pass is
+    * corpus-sized.
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(
+        col("lang"),
+        col("source"),
+        TF.tokenCount(col("text")).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        md5(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val coreRows = base
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        countDistinct(col("fp")).as("n_distinct_texts"),
+        sum(when(col("nt") < 16, 1L).otherwise(0L)).as("n_short"))
+      .select(expr(
+        """stack(6,
+          |  'exact_dup_ppm', (n_docs - n_distinct_texts) * 1000000 div n_docs,
+          |  'mean_tokens_ppm', n_tokens * 1000000 div n_docs,
+          |  'n_chars', n_chars,
+          |  'n_docs', n_docs,
+          |  'n_tokens', n_tokens,
+          |  'short_doc_ppm', n_short * 1000000 div n_docs) AS (metric, value)"""
+          .stripMargin))
+    val vocab = Tables.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+      .select(lit("n_distinct_tokens").as("metric"), col("v").as("value"))
+    val srcShare = base
+      .groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .select(
+        lit("top_source_share_ppm").as("metric"),
+        expr("mx * 1000000 div tot").as("value"))
+    val langCounts = base.groupBy(col("lang")).agg(count(lit(1)).as("ni"))
+    val langEnt = langCounts
+      .crossJoin(broadcast(langCounts.agg(sum(col("ni")).as("n"))))
+      .select(expr(
+        """CAST(round(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)
+          | * ln(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE)) * 1000000) AS BIGINT)"""
+          .stripMargin).as("cell"))
+      .agg(sum(col("cell")).as("e"))
+      .select(lit("lang_entropy_micro").as("metric"), col("e").as("value"))
+    coreRows
+      .unionByName(vocab)
+      .unionByName(srcShare)
+      .unionByName(langEnt)
+      .orderBy(col("metric"))
+  }
 }

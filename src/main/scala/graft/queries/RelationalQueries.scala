@@ -745,4 +745,18 @@ object RelationalQueries {
           "c_nationkey", "c_mktsegment"))
       .orderBy(col("fd"))
   }
+
+  /** Column-association ranking by mutual information (q289;
+    * [[graft.ops.Stats.mutualInfoNano]]) — the information-theoretic
+    * strength behind the q286 FD audit and the feature-selection /
+    * leakage screen: the same column pairs, scored in nano-nats with
+    * entropy-normalized NMI.
+    */
+  def columnAssociations(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats
+      .mutualInfoNano(Tables.documents(s, d), "source", "lang", "documents.source~lang")
+      .unionByName(graft.ops.Stats
+        .mutualInfoNano(
+          Tables.customer(s, d), "c_nationkey", "c_mktsegment", "customer.nation~segment"))
+      .orderBy(col("pair"))
 }

@@ -197,6 +197,35 @@ class LinkageClassifySpec extends SparkSpec {
     assert(out("cd") == ((1L, 2L)), "cd never wins a merge: stays 2 chars")
   }
 
+  test("mutualInfoNano: self-MI equals entropy, NMI of a copy is exactly 1") {
+    val df = Seq("a", "a", "b", "c").toDF("x").withColumn("y", col("x"))
+    val r = graft.ops.Stats.mutualInfoNano(df, "x", "y", "x~x").head()
+    assert(r.getAs[Long]("mi_nano") == r.getAs[Long]("h_x_nano"))
+    assert(r.getAs[Long]("h_x_nano") == r.getAs[Long]("h_y_nano"))
+    assert(r.getAs[Long]("nmi_micro") == 1000000L)
+  }
+
+  test("mutualInfoNano: independent columns score ~0") {
+    // perfectly balanced 2x2 independence: every cell nij*n == ni*nj
+    val df = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
+    val r = graft.ops.Stats.mutualInfoNano(df, "x", "y", "ind").head()
+    assert(r.getAs[Long]("mi_nano") == 0L, "independence must give exactly 0 (ln 1 per cell)")
+    assert(r.getAs[Long]("nmi_micro") == 0L)
+  }
+
+  test("datasetCard: nine metrics, internally consistent at sf0.001") {
+    val card = graft.queries.CurationQueries.datasetCard(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card.size == 9)
+    assert(card("n_docs") > 0 && card("n_tokens") > 0)
+    assert(card("mean_tokens_ppm") == card("n_tokens") * 1000000L / card("n_docs"))
+    assert(card("exact_dup_ppm") >= 0 && card("exact_dup_ppm") <= 1000000L)
+    assert(card("top_source_share_ppm") * 20 >= 1000000L,
+      "20 sources: max share must be >= uniform share")
+    // 5 langs: entropy bounded by ln(5) micro-nats
+    assert(card("lang_entropy_micro") <= 1609438L)
+  }
+
   test("tokenizerFertility: ppm ratios are exact integer div of the sums") {
     val out = graft.queries.TextQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty)
