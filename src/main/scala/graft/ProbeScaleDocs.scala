@@ -60,7 +60,7 @@ object ProbeScaleDocs {
       // df cap here — replicas push shared-frame df to ~2R so the join
       // stage empties; ProbeFrameDedup holds occupancy for that stage)
       "q281_naive_bayes", "q282_frame_neardup", "q283_url_canonical",
-      "q284_tokenizer_fertility")
+      "q284_tokenizer_fertility", "q288_bpe_compression", "q290_dataset_card")
     cohort.filter(_.contains(queryFilter)).foreach { name =>
       graft.core.Caches.withScope {
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
