@@ -6394,13 +6394,15 @@ object SparkEntry {
         |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw
         |), c2 AS (
         |  SELECT doc_id, url,
-        |    regexp_replace(
-        |      lower(regexp_extract(nofrag, '^([^/?#]*//[^/?#]*)', 1)), '://www\.', '://')
-        |    || regexp_extract(nofrag, '^[^/?#]*//[^/?#]*(.*)$', 1) AS u
+        |    CASE WHEN regexp_matches(nofrag, '^[^/?#]*//')
+        |      THEN regexp_replace(
+        |        lower(regexp_extract(nofrag, '^([^/?#]*//[^/?#]*)', 1)), '://www\.', '://')
+        |        || regexp_extract(nofrag, '^[^/?#]*//[^/?#]*(.*)$', 1)
+        |      ELSE nofrag END AS u
         |  FROM c1
         |), c3 AS (
         |  SELECT doc_id, url,
-        |    regexp_replace(u, '(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?', '', 'g') AS u
+        |    regexp_replace(u, '([?&])((utm_[a-zA-Z]+|fbclid|gclid)=[^&]*(&|$))+', '\1', 'g') AS u
         |  FROM c2
         |), c4 AS (
         |  SELECT doc_id, url,

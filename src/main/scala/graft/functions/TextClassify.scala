@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): token counting is one map-side-combined
   * exchange on (doc, term); the model — (class × vocab) weight rows —
   * is aggregated from the same counts and BROADCAST to the scoring
-  * join (a trained classifier is small relative to the corpus; were
-  * the vocabulary ever too large to broadcast, the same join runs as
-  * a shuffle on `term` at line rate). Per-document scores reduce in
+  * join (a trained classifier is small relative to the corpus;
+  * `broadcastModel = false` drops the hint so a vocabulary past the
+  * broadcast ceiling degrades to a shuffle join on the (class, term)
+  * key instead of failing the hint). Per-document scores reduce in
   * one exchange on the doc key; the confusion matrix is a final tiny
   * aggregate. No driver-side loops, no per-row UDFs — every step is
   * codegen'd built-ins.
@@ -45,7 +46,9 @@ object TextClassify {
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    def side(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
     // (doc, label, term) -> tf; one exchange, partials combine map-side.
     // Eagerly materialized: tf feeds THREE broadcast subtrees (cls,
     // vocab, w) plus the scoring path — broadcasts build on concurrent
@@ -101,7 +104,7 @@ object TextClassify {
     // list, attach weights, reduce on the doc key.
     val scored = tfC
       .crossJoin(broadcast(w0))
-      .join(broadcast(w), Seq("c", "term"), "left")
+      .join(side(w), Seq("c", "term"), "left")
       .groupBy(col("doc_id"), col("label"), col("c"))
       .agg(sum(col("tf") * coalesce(col("nll_micro"), col("nll0_micro"))).as("nll"))
 

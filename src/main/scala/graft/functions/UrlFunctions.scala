@@ -50,9 +50,21 @@ object UrlFunctions {
       lower(regexp_extract(noFrag, "^([^/?#]*//[^/?#]*)", 1)),
       "://www\\.", "://")
     val rest = regexp_extract(noFrag, "^[^/?#]*//[^/?#]*(.*)$", 1)
+    // schemeless/relative URLs (no "//"): both extracts would return ""
+    // and every such URL would collapse to one empty canonical group —
+    // leave the string opaque instead and let the later steps apply.
+    val rebuilt = when(noFrag.rlike("^[^/?#]*//"), concat(schemeHost, rest))
+      .otherwise(noFrag)
+    // Tracking params are removed only at a QUERY-PARAM BOUNDARY
+    // ([?&] kept via the capture) — an unanchored pattern corrupts
+    // paths containing "utm_..." text and suffix-matching param names
+    // ("xgclid=2"); the inner + loop consumes ADJACENT tracking params
+    // in one match, which a delimiter-consuming single-param pattern
+    // cannot (the regex scan resumes after the replacement, so the
+    // second of "?utm_a=1&utm_b=2" would otherwise survive).
     val noTrack = regexp_replace(
-      concat(schemeHost, rest),
-      "(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?", "")
+      rebuilt,
+      "([?&])((utm_[a-zA-Z]+|fbclid|gclid)=[^&]*(&|$))+", "$1")
     val healed = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
     regexp_replace(healed, "/+(\\?|$)", "$1")
   }

@@ -35,7 +35,8 @@ object StreamingDrift {
   /** Per-window PSI vs `reference` (histogram counts for bins
     * 0..reference.size-1; bin = clamp(floor(value / binWidth))).
     * Output per closed window: (window_start, window_end, n_events,
-    * psi_micro, alert).
+    * n_invalid, psi_micro, alert) — n_events counts only VALID
+    * (non-null, non-NaN) values; n_invalid counts the rest.
     */
   def psiPerWindow(
       events: DataFrame,
@@ -46,16 +47,26 @@ object StreamingDrift {
       alertMicro: Long): DataFrame = {
     require(reference.nonEmpty, "reference histogram must have at least one bin")
     val nBins = reference.size
-    val bin = least(
-      greatest(floor(col("value") / binWidth), lit(0.0)),
-      lit((nBins - 1).toDouble)).cast("int")
+    // NULL/NaN values would land in NO bin while still counting toward
+    // the window total — the p vector stops summing to 1 and a 90%-
+    // broken feed scores PSI ≈ 0. Bin only VALID values; surface the
+    // invalid count as its own column so a schema break is visible
+    // (and should be alerted on) even though it has no reference bin.
+    val valid = col("value").isNotNull && !isnan(col("value"))
+    val bin = when(
+      valid,
+      least(
+        greatest(floor(col("value") / binWidth), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("int"))
 
     val counts = (0 until nBins).map(b =>
       sum(when(bin === b, 1L).otherwise(0L)).as(s"c$b"))
     val agged = events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("w"))
-      .agg(count(lit(1)).as("n_events"), counts: _*)
+      .agg(
+        sum(when(valid, 1L).otherwise(0L)).as("n_events"),
+        sum(when(valid, 0L).otherwise(1L)).as("n_invalid") +: counts: _*)
 
     val tRef = reference.map(_ + 1L).sum.toDouble
     val tCur = col("n_events").cast("double") + lit(nBins.toDouble) // Laplace mass
@@ -71,6 +82,7 @@ object StreamingDrift {
       col("w.start").as("window_start"),
       col("w.end").as("window_end"),
       col("n_events"),
+      col("n_invalid"),
       round(psi * lit(1000000.0)).cast("long").as("psi_micro"))
       .withColumn("alert", col("psi_micro") > lit(alertMicro))
   }

@@ -97,6 +97,22 @@ class LinkageClassifySpec extends SparkSpec {
         .distinct().count() == 4L)
   }
 
+  test("canonicalizeUrl: boundary anchoring — utm in PATH and suffix param names survive") {
+    val out = Seq(
+      "https://site.com/blog/utm_tips=ranking/page?id=1", // utm_ inside the PATH
+      "https://site.com/p?id=1&xgclid=2",                 // suffix-matching param name
+      "https://site.com/p?utm_a=1&utm_b=2&id=3",          // ADJACENT tracking params
+      "site.com/a"                                        // schemeless: stays opaque
+    ).toDF("url")
+      .select(UrlFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "https://site.com/blog/utm_tips=ranking/page?id=1",
+      s"path corrupted: ${out(0)}")
+    assert(out(1) == "https://site.com/p?id=1&xgclid=2", s"suffix param eaten: ${out(1)}")
+    assert(out(2) == "https://site.com/p?id=3", s"adjacent tracking mishandled: ${out(2)}")
+    assert(out(3) == "site.com/a", s"schemeless URL collapsed: ${out(3)}")
+  }
+
   test("canonicalizeUrl: tracking-only query and bare paths heal cleanly") {
     val out = Seq(
       "https://site.com/p/7/?utm_source=a",    // query vanishes entirely
@@ -185,6 +201,18 @@ class LinkageClassifySpec extends SparkSpec {
     val q = graft.ops.Graph.modularityPpm(edges, "a", "b", labels)
       .agg(org.apache.spark.sql.functions.sum($"contrib_ppm")).head().getLong(0)
     assert(q > 300000L, s"two-clique modularity should be strongly positive, got $q")
+  }
+
+  test("encodeVocab: exhausted rounds keep the vocabulary; learnMerges emits no sentinel") {
+    // 'ab' admits exactly ONE merge; rounds = 4 exhausts after round 1
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val enc = graft.functions.Bpe.encodeVocab(docs, "text", rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_symbols")).toMap
+    assert(enc == Map("ab" -> 1L, "cd" -> 1L),
+      s"exhausted rounds must be identity rewrites, got $enc")
+    val merges = graft.functions.Bpe.learnMerges(docs, "text", rounds = 4).collect()
+    assert(merges.length == 2, // (a,b) then (c,d); rounds 3-4 exhausted -> no rows
+      s"exhausted rounds must emit nothing: ${merges.mkString(",")}")
   }
 
   test("encodeVocab: merges apply greedily left-to-right through runs") {

@@ -49,6 +49,28 @@ class StreamingDriftSpec extends SparkSpec {
       s"concentrated window must alert hard, got $psiB")
   }
 
+  test("null/NaN values are surfaced as n_invalid, not silently diluted into PSI") {
+    val path = "/tmp/graft-test/streaming_drift_nulls"
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(offsetS: Long) = new java.sql.Timestamp(base.getTime + offsetS * 1000)
+    // 10 valid reference-matching values + 90 nulls in one window
+    val valid = for (b <- 0 until 4; i <- 0 until (if (b < 2) 3 else 2))
+      yield (at(b * 60 + i), Some(b * 25.0 + 10.0))
+    val nulls = (0 until 90).map(i => (at(300 + i), None: Option[Double]))
+    val tail = Seq((at(9000), Some(10.0)))
+    (valid ++ nulls ++ tail).toDF("ts", "value").write.mode("overwrite").parquet(path)
+    val out = StreamingDrift
+      .runBounded(spark, path, "stream_drift_nulls", ref,
+        windowDur = "10 minutes", watermark = "10 minutes",
+        binWidth = 25.0, alertMicro = 100000L)
+      .filter(col("window_start") === lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+      .head()
+    assert(out.getAs[Long]("n_events") == 10L, "n_events must count valid values only")
+    assert(out.getAs[Long]("n_invalid") == 90L, "the schema break must be visible")
+    // the 10 valid values are near-uniform across bins: PSI itself stays small
+    assert(math.abs(out.getAs[Long]("psi_micro")) < 100000L)
+  }
+
   test("batch parity on the watermark-closed subset") {
     val path = "/tmp/graft-test/streaming_drift_fixture2"
     fixture(path)
