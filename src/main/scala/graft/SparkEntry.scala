@@ -330,7 +330,9 @@ object SparkEntry {
     "q287_modularity" -> (EQ.covisModularity _),
     "q288_bpe_compression" -> (TQ.bpeCompression _),
     "q289_column_mi" -> (RQ.columnAssociations _),
-    "q290_dataset_card" -> (CQ.datasetCard _))
+    "q290_dataset_card" -> (CQ.datasetCard _),
+    "q291_weighted_negatives" -> (EQ.weightedNegatives _),
+    "q292_f1_threshold" -> (EQ.f1ThresholdSweep _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6562,7 +6564,52 @@ object SparkEntry {
         |  UNION ALL SELECT 'n_tokens', n_tokens FROM core
         |  UNION ALL SELECT 'short_doc_ppm', n_short * 1000000 // n_docs FROM core
         |  UNION ALL SELECT 'top_source_share_ppm', mx * 1000000 // tot FROM src
-        |) ORDER BY metric""".stripMargin)
+        |) ORDER BY metric""".stripMargin,
+    "q291_weighted_negatives" ->
+      s"""WITH $sessCte,
+         |pop AS (
+         |  SELECT item_id, CAST(round(pow(COUNT(*), 0.75) * 1000000) AS BIGINT) AS w
+         |  FROM enr GROUP BY 1
+         |), cum AS (
+         |  SELECT item_id, w,
+         |    CAST(SUM(w) OVER (ORDER BY item_id ROWS UNBOUNDED PRECEDING) - w AS BIGINT) AS lo,
+         |    CAST(SUM(w) OVER (ORDER BY item_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+         |  FROM pop
+         |), tot AS (SELECT CAST(MAX(hi) AS BIGINT) AS tot FROM cum),
+         |draws AS (
+         |  SELECT u.user_id, CAST(g.draw_idx AS BIGINT) AS draw_idx,
+         |    CAST(('0x' || substring(md5(CAST(u.user_id AS VARCHAR) || '|' ||
+         |      CAST(g.draw_idx AS VARCHAR)), 1, 15)) AS BIGINT) % tot.tot AS r
+         |  FROM (SELECT DISTINCT user_id FROM enr WHERE user_id < 32) u
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS draw_idx) g
+         |  CROSS JOIN tot
+         |), seen AS (SELECT DISTINCT user_id, item_id FROM enr),
+         |picked AS (
+         |  SELECT d.user_id, d.draw_idx, c.item_id AS neg_item, c.w
+         |  FROM draws d JOIN cum c ON d.r >= c.lo AND d.r < c.hi
+         |)
+         |SELECT p.user_id, p.draw_idx, p.neg_item, p.w
+         |FROM picked p ANTI JOIN seen s ON p.user_id = s.user_id AND p.neg_item = s.item_id
+         |ORDER BY p.user_id, p.draw_idx""".stripMargin,
+    "q292_f1_threshold" ->
+      """WITH counts AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_c,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg_c
+        |  FROM events GROUP BY 1
+        |), cums AS (
+        |  SELECT cents,
+        |    CAST(SUM(n_pos_c) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(SUM(n_neg_c) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM counts
+        |), tot AS (SELECT CAST(SUM(n_pos_c) AS BIGINT) AS n_pos FROM counts)
+        |SELECT cents AS threshold_cents, tp, fp,
+        |  CAST(n_pos - tp AS BIGINT) AS fn,
+        |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CAST(tp * 1000000 // n_pos AS BIGINT) AS recall_ppm,
+        |  CAST(2 * tp * 1000000 // (2 * tp + fp + (n_pos - tp)) AS BIGINT) AS f1_ppm
+        |FROM cums CROSS JOIN tot
+        |ORDER BY f1_ppm DESC, threshold_cents ASC LIMIT 5""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

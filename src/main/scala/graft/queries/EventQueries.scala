@@ -3859,6 +3859,100 @@ object EventQueries {
       .select(col("id").as("item_id"), col("hub_micro"), col("auth_micro"))
   }
 
+  /** Popularity^0.75-weighted negative sampling (q291) — the word2vec
+    * / contrastive-training standard (Mikolov et al. 2013 unigram^¾
+    * noise distribution): tempering up-weights the tail so negatives
+    * aren't only blockbusters, unlike q97's deterministic
+    * top-popularity pool. Deterministic "randomness": draw r =
+    * md5(user‖draw) mod Σw (the q181 walk convention), mapped through
+    * exact cumulative-weight intervals; weights are micro-quantized
+    * pow(cnt, 0.75) (quantize-before-cumsum, the transcendental rule).
+    * Items the user actually interacted with are anti-joined out
+    * (rejection WITHOUT redraw — a production sampler would redraw;
+    * the contract keeps the first draw so the output is a pure
+    * function of the corpus).
+    *
+    * Scale shape: popularity + cumsum are item-dimension tables
+    * (sharded cumsum, no unpartitioned window); the interval lookup is
+    * a broadcast range join against the item dim — the one table in
+    * this schema that is broadcastable by construction. Draw
+    * generation is row-local explode; the seen-filter is a line-rate
+    * anti-join on (user, item).
+    */
+  def weightedNegatives(s: SparkSession, d: String): DataFrame = {
+    val enriched = Pipeline.enrichedEvents(s, d)
+    val pop = enriched
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("item_id"),
+        expr("cast(round(pow(cnt, 0.75) * 1000000) as bigint)").as("w"))
+    val cum = Windows
+      .shardedCumsum(pop, "item_id", Seq("w"), expr("item_id div 64"))
+      .select(
+        col("item_id"), col("w"),
+        (col("cum_w") - col("w")).as("lo"), col("cum_w").as("hi"))
+    val total = cum.agg(max(col("hi")).as("tot"))
+    val draws = enriched
+      .select(col("user_id")).distinct().filter(col("user_id") < 32)
+      .crossJoin(broadcast(total))
+      .select(
+        col("user_id"),
+        explode(sequence(lit(1L), lit(3L))).as("draw_idx"),
+        col("tot"))
+      .select(
+        col("user_id"), col("draw_idx"),
+        (conv(
+          substring(md5(concat_ws("|", col("user_id"), col("draw_idx"))), 1, 15),
+          16, 10).cast("long") % col("tot")).as("r"))
+    val seen = enriched.select(col("user_id"), col("item_id")).distinct()
+    draws
+      .join(broadcast(cum), col("r") >= col("lo") && col("r") < col("hi"))
+      .join(seen, Seq("user_id", "item_id"), "left_anti")
+      .select(
+        col("user_id"), col("draw_idx"),
+        col("item_id").as("neg_item"), col("w"))
+      .orderBy(col("user_id"), col("draw_idx"))
+  }
+
+  /** Exact-integer F1 threshold sweep (q292) — the operating-point
+    * picker next to q120's AUC (which is threshold-free): over the
+    * same (cents-score, purchase-label) set, every distinct score is a
+    * candidate threshold "predict positive if score ≥ t"; tp/fp come
+    * from a sharded DESC cumsum, and precision/recall/F1 are PURE
+    * INTEGER ppm (F1 = 2·tp / (2·tp + fp + fn) — no float anywhere).
+    * Output: top-5 thresholds by (f1 DESC, threshold ASC).
+    */
+  def f1ThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(
+        round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("cents"))
+      .agg(
+        sum(col("y")).as("n_pos_c"),
+        sum(lit(1L) - col("y")).as("n_neg_c"))
+      // cumsum from the HIGHEST score down: order by the negated score
+      .withColumn("neg_cents", -col("cents"))
+    val cums = Windows.shardedCumsum(
+      counts, "neg_cents", Seq("n_pos_c", "n_neg_c"), expr("neg_cents div 5000"))
+    val totals = cums.agg(sum(col("n_pos_c")).as("n_pos"))
+    cums
+      .crossJoin(broadcast(totals))
+      .select(
+        col("cents").as("threshold_cents"),
+        col("cum_n_pos_c").as("tp"),
+        col("cum_n_neg_c").as("fp"),
+        (col("n_pos") - col("cum_n_pos_c")).as("fn"))
+      .select(
+        col("threshold_cents"), col("tp"), col("fp"), col("fn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+        expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+        expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"))
+      .orderBy(col("f1_ppm").desc, col("threshold_cents").asc)
+      .limit(5)
+  }
+
   /** Newman modularity of the q157 LPA partition over the covis graph
     * ([[graft.ops.Graph.modularityPpm]]) — the quality score for the
     * community structure q157 emits and q215/q227 compare against

@@ -254,6 +254,38 @@ class LinkageClassifySpec extends SparkSpec {
     assert(card("lang_entropy_micro") <= 1609438L)
   }
 
+  test("weightedNegatives: draws are true negatives with bounded indices") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.EventQueries.weightedNegatives(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("draw_idx")
+      assert(d >= 1L && d <= 3L)
+    }
+    // every emitted (user, item) must be absent from the user's history
+    val seen = graft.pipeline.Pipeline.enrichedEvents(spark, dir)
+      .select(col("user_id"), col("item_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("neg_item"))
+      assert(!seen.contains(key), s"sampled a seen item: $key")
+    }
+  }
+
+  test("f1ThresholdSweep: integer F1 consistency and descending rank") {
+    val out = graft.queries.EventQueries.f1ThresholdSweep(spark, sf("sf0.001")).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+      assert(r.getAs[Long]("f1_ppm") == 2 * tp * 1000000L / (2 * tp + fp + fn))
+      assert(r.getAs[Long]("precision_ppm") == tp * 1000000L / (tp + fp))
+      assert(r.getAs[Long]("recall_ppm") == tp * 1000000L / (tp + fn))
+    }
+    val f1s = out.map(_.getAs[Long]("f1_ppm"))
+    assert(f1s.zip(f1s.tail).forall { case (a, b) => a >= b }, "rows must rank by F1 desc")
+  }
+
   test("tokenizerFertility: ppm ratios are exact integer div of the sums") {
     val out = graft.queries.TextQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty)
