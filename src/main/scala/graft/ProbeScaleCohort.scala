@@ -49,7 +49,8 @@ object ProbeScaleCohort {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
     val cohort = SparkEntry.queries.keys.toSeq.sorted
-      .filter(k => k.matches("q2[0-4][0-9].*"))
+      .filter(k => k.matches("q2[0-4][0-9].*")) ++
+      Seq("q291_weighted_negatives", "q292_f1_threshold") // events-backed late block
     val skip = Set("q208_textrank", "q233_fk_orphans", "q234_pareto_revenue",
       "q235_rfm_segments", "q236_dup_cluster_stats", "q244_k_anonymity",
       "q245_l_diversity", "q247_flesch", "q248_oov_rate", "q249_good_turing",

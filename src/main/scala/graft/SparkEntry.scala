@@ -332,7 +332,8 @@ object SparkEntry {
     "q289_column_mi" -> (RQ.columnAssociations _),
     "q290_dataset_card" -> (CQ.datasetCard _),
     "q291_weighted_negatives" -> (EQ.weightedNegatives _),
-    "q292_f1_threshold" -> (EQ.f1ThresholdSweep _))
+    "q292_f1_threshold" -> (EQ.f1ThresholdSweep _),
+    "q293_isotropy" -> (TQ.embeddingIsotropy _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6609,7 +6610,32 @@ object SparkEntry {
         |  CAST(tp * 1000000 // n_pos AS BIGINT) AS recall_ppm,
         |  CAST(2 * tp * 1000000 // (2 * tp + fp + (n_pos - tp)) AS BIGINT) AS f1_ppm
         |FROM cums CROSS JOIN tot
-        |ORDER BY f1_ppm DESC, threshold_cents ASC LIMIT 5""".stripMargin)
+        |ORDER BY f1_ppm DESC, threshold_cents ASC LIMIT 5""".stripMargin,
+    "q293_isotropy" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), un AS (
+        |  SELECT vec_id,
+        |    list_transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0 /
+        |      sqrt(CAST(list_sum(list_transform(q, y -> y * y)) AS DOUBLE))) AS BIGINT)) AS u
+        |  FROM q
+        |  WHERE list_sum(list_transform(q, y -> y * y)) > 0
+        |), norms AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(list_sum(list_transform(u, x -> x * x))) AS BIGINT) AS sum_norm2
+        |  FROM un
+        |), dims AS (
+        |  SELECT i AS dim, CAST(SUM(u[i]) AS BIGINT) AS sd
+        |  FROM un CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY 1
+        |), crs AS (
+        |  SELECT CAST(SUM(sd * sd) AS BIGINT) AS sum_s2 FROM dims
+        |)
+        |SELECT n, sum_norm2, sum_s2,
+        |  CAST((sum_s2 - sum_norm2) // (n * (n - 1) * 100) AS BIGINT) AS avg_pair_cos_micro
+        |FROM norms CROSS JOIN crs""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -286,6 +286,34 @@ class LinkageClassifySpec extends SparkSpec {
     assert(f1s.zip(f1s.tail).forall { case (a, b) => a >= b }, "rows must rank by F1 desc")
   }
 
+  test("embeddingIsotropy math: identical vectors ~1, orthogonal vectors exactly 0") {
+    import graft.similarity.Similarity
+    def run(vecs: Seq[Array[Float]]): Long = {
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val un = df
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .withColumn("qn2", Similarity.qnorm2(col("q")))
+        .filter(col("qn2") > 0)
+        .select(col("vec_id"),
+          expr("transform(q, x -> cast(round(x * 10000.0 / sqrt(qn2)) as bigint))").as("u"))
+        .withColumn("un2", Similarity.qnorm2(col("u")))
+        .localCheckpoint(true)
+      val norms = un.agg(count(lit(1)).as("n"), sum(col("un2")).as("sum_norm2"))
+      val cross = un.select(posexplode(col("u")).as(Seq("dim", "ud")))
+        .groupBy(col("dim")).agg(sum(col("ud")).as("sd"))
+        .agg(sum(expr("sd * sd")).as("sum_s2"))
+      norms.crossJoin(cross)
+        .select(expr("(sum_s2 - sum_norm2) div (n * (n - 1) * 100)"))
+        .head().getLong(0)
+    }
+    val v = Array.tabulate(4)(i => (i + 1).toFloat)
+    assert(run(Seq(v, v, v, v)) > 999000L, "identical vectors: mean pair cosine ~ 1")
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    assert(run(Seq(e1, e2)) == 0L, "orthogonal pair: exactly 0")
+  }
+
   test("tokenizerFertility: ppm ratios are exact integer div of the sums") {
     val out = graft.queries.TextQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty)
