@@ -19,6 +19,7 @@ object ProbeScaleCohort {
     val r = args.headOption.map(_.toInt).getOrElse(100)
     val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(2).headOption.getOrElse(s"/tmp/scale_x$r")
+    val queryFilter = args.drop(3).headOption.getOrElse("")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -56,7 +57,7 @@ object ProbeScaleCohort {
       "q245_l_diversity", "q247_flesch", "q248_oov_rate", "q249_good_turing",
       "q250_distinct_n", "q251_source_overlap") // non-events tables
     graft.core.Caches.withScope {
-      cohort.filterNot(skip).foreach { name =>
+      cohort.filterNot(skip).filter(_.contains(queryFilter)).foreach { name =>
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
         val b0 = shuffleBytes.get
         val t0 = System.nanoTime()

@@ -61,6 +61,16 @@ object Pipeline {
       .distinct()
       .withColumn("category_id", pmod(col("item_id"), lit(NumCategories)).cast("long"))
 
+  /** Item-projected raw events, NO sessionization: for queries that
+    * only need (user, item, type, value) — popularity tables, negative
+    * sampling — the session window's user-key exchange is pure waste
+    * (10M-event probe of q291: 224.9 of its 224.9 MB shuffle was the
+    * sessionize it never used). Null-item rows dropped, matching
+    * [[enrichedEvents]]' inner dimension join.
+    */
+  def itemEvents(spark: SparkSession, dir: String): DataFrame =
+    rawEvents(spark, dir).filter(col("item_id").isNotNull)
+
   /** Category-enriched sessionized events (J1 broadcast join). Cached:
     * every anchor/candidate/feature query fans out over this subtree
     * 2+ times, and Spark's CacheManager dedups identical plans, so one

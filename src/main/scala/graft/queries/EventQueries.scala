@@ -3880,7 +3880,16 @@ object EventQueries {
     * anti-join on (user, item).
     */
   def weightedNegatives(s: SparkSession, d: String): DataFrame = {
-    val enriched = Pipeline.enrichedEvents(s, d)
+    // session-free item view: nothing here needs sessionization, and
+    // enrichedEvents' user-key exchange was 100% of the 10M-event
+    // probe's shuffle (224.9 MB -> ~0 after the swap). Eagerly
+    // materialized 2-col projection: three consumers (popularity,
+    // user list, seen pairs) would otherwise each re-run the JSON
+    // item extraction over the full corpus (3 parses ≈ the whole
+    // 65 s probe wall), and two of them sit under broadcasts.
+    val enriched = Pipeline.itemEvents(s, d)
+      .select(col("user_id"), col("item_id"))
+      .localCheckpoint(true)
     val pop = enriched
       .groupBy(col("item_id"))
       .agg(count(lit(1)).as("cnt"))
@@ -3905,7 +3914,13 @@ object EventQueries {
         (conv(
           substring(md5(concat_ws("|", col("user_id"), col("draw_idx"))), 1, 15),
           16, 10).cast("long") % col("tot")).as("r"))
-    val seen = enriched.select(col("user_id"), col("item_id")).distinct()
+    // the anti-join only ever probes sampled users: filter BEFORE the
+    // distinct or the seen-side shuffles the whole corpus's (user,
+    // item) set (10M-event probe: 224.9 MB, mostly this distinct —
+    // Spark does not infer the filter through a left_anti's right side)
+    val seen = enriched
+      .filter(col("user_id") < 32)
+      .select(col("user_id"), col("item_id")).distinct()
     draws
       .join(broadcast(cum), col("r") >= col("lo") && col("r") < col("hi"))
       .join(seen, Seq("user_id", "item_id"), "left_anti")
