@@ -333,7 +333,8 @@ object SparkEntry {
     "q290_dataset_card" -> (CQ.datasetCard _),
     "q291_weighted_negatives" -> (EQ.weightedNegatives _),
     "q292_f1_threshold" -> (EQ.f1ThresholdSweep _),
-    "q293_isotropy" -> (TQ.embeddingIsotropy _))
+    "q293_isotropy" -> (TQ.embeddingIsotropy _),
+    "q294_pinball" -> (EQ.pinballEval _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6635,7 +6636,33 @@ object SparkEntry {
         |)
         |SELECT n, sum_norm2, sum_s2,
         |  CAST((sum_s2 - sum_norm2) // (n * (n - 1) * 100) AS BIGINT) AS avg_pair_cos_micro
-        |FROM norms CROSS JOIN crs""".stripMargin)
+        |FROM norms CROSS JOIN crs""".stripMargin,
+    "q294_pinball" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), daily AS (
+        |  SELECT day, CAST(SUM(c) AS BIGINT) AS cents, day % 7 AS dow
+        |  FROM ev GROUP BY 1
+        |), ranked AS (
+        |  SELECT a.day, a.cents AS y, b.cents AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY a.day ORDER BY b.cents, b.day) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY a.day) AS BIGINT) AS n
+        |  FROM daily a JOIN daily b ON a.dow = b.dow AND b.day < a.day
+        |), taus AS (
+        |  SELECT CAST(unnest([100000, 500000, 900000]) AS BIGINT) AS tau_ppm
+        |), picked AS (
+        |  SELECT t.tau_ppm, r.y, r.h
+        |  FROM ranked r CROSS JOIN taus t
+        |  WHERE r.rn = t.tau_ppm * (r.n - 1) // 1000000 + 1
+        |)
+        |SELECT tau_ppm, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(greatest(tau_ppm * (y - h), (tau_ppm - 1000000) * (y - h))) AS BIGINT)
+        |    AS sum_loss_ppm_cents,
+        |  CAST(CAST(SUM(greatest(tau_ppm * (y - h), (tau_ppm - 1000000) * (y - h))) AS BIGINT)
+        |    // COUNT(*) // 1000000 AS BIGINT) AS avg_loss_cents
+        |FROM picked GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

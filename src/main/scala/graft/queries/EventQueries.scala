@@ -3968,6 +3968,57 @@ object EventQueries {
       .limit(5)
   }
 
+  /** Pinball (quantile) loss of an expanding same-day-of-week
+    * empirical-quantile forecast (q294) — the QUANTILE-forecast eval
+    * next to q163's point-forecast MASE and q246's Holt: for each day,
+    * forecast_τ = the τ-quantile of all PRIOR same-DOW daily revenues
+    * (exact order statistic, rank = τ·(n−1) div 10⁶ + 1 — the q46
+    * floor-rank pattern that cannot flip cross-engine), scored with
+    * pinball loss in exact integer ppm-cents:
+    * L_τ = max(τ·(y−f), (τ−10⁶)·(y−f)).
+    *
+    * Scale shape: the event scan collapses to DAY grain immediately
+    * (calendar-bounded — this table cannot grow with traffic), so the
+    * per-day history self-join is O(days²/7) on a tiny table; the day
+    * table is checkpointed once for its two self-join sides.
+    */
+  def pinballEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = s
+    import spark.implicits._
+    val daily = Tables.events(s, d)
+      .select(
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .groupBy(col("day"))
+      .agg(sum(col("c")).as("cents"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .localCheckpoint(true)
+    val ranked = daily.as("a")
+      .join(
+        daily.as("b"),
+        col("a.dow") === col("b.dow") && col("b.day") < col("a.day"))
+      .select(
+        col("a.day").as("day"), col("a.cents").as("y"),
+        col("b.cents").as("h"), col("b.day").as("hday"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("day")).orderBy(col("h"), col("hday"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+    val taus = Seq(100000L, 500000L, 900000L).toDF("tau_ppm")
+    ranked
+      .crossJoin(broadcast(taus))
+      .filter(col("rn") === expr("tau_ppm * (n - 1) div 1000000 + 1"))
+      .select(
+        col("tau_ppm"),
+        expr("greatest(tau_ppm * (y - h), (tau_ppm - 1000000) * (y - h))").as("loss"))
+      .groupBy(col("tau_ppm"))
+      .agg(count(lit(1)).as("n_days"), sum(col("loss")).as("sum_loss_ppm_cents"))
+      .withColumn("avg_loss_cents", expr("sum_loss_ppm_cents div n_days div 1000000"))
+      .orderBy(col("tau_ppm"))
+  }
+
   /** Newman modularity of the q157 LPA partition over the covis graph
     * ([[graft.ops.Graph.modularityPpm]]) — the quality score for the
     * community structure q157 emits and q215/q227 compare against

@@ -314,6 +314,18 @@ class LinkageClassifySpec extends SparkSpec {
     assert(run(Seq(e1, e2)) == 0L, "orthogonal pair: exactly 0")
   }
 
+  test("pinballEval: three quantiles over the same scored days, losses non-negative") {
+    val out = graft.queries.EventQueries.pinballEval(spark, sf("sf0.001")).collect()
+    assert(out.map(_.getAs[Long]("tau_ppm")).toSeq == Seq(100000L, 500000L, 900000L))
+    val days = out.map(_.getAs[Long]("n_days")).distinct
+    assert(days.length == 1 && days.head > 0, "every tau scores the same day set")
+    out.foreach { r =>
+      val sum = r.getAs[Long]("sum_loss_ppm_cents")
+      assert(sum >= 0L, "pinball loss is non-negative by construction")
+      assert(r.getAs[Long]("avg_loss_cents") == sum / r.getAs[Long]("n_days") / 1000000L)
+    }
+  }
+
   test("tokenizerFertility: ppm ratios are exact integer div of the sums") {
     val out = graft.queries.TextQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty)
