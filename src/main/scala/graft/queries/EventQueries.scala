@@ -3896,11 +3896,16 @@ object EventQueries {
       .select(
         col("item_id"),
         expr("cast(round(pow(cnt, 0.75) * 1000000) as bigint)").as("w"))
+    // item-dim-sized, eagerly materialized: cum feeds TWO broadcast
+    // exchanges (total + the interval lookup), and shardedCumsum
+    // itself evaluates its input twice — without this the popularity
+    // groupBy re-scans the checkpointed corpus up to 4x.
     val cum = Windows
       .shardedCumsum(pop, "item_id", Seq("w"), expr("item_id div 64"))
       .select(
         col("item_id"), col("w"),
         (col("cum_w") - col("w")).as("lo"), col("cum_w").as("hi"))
+      .localCheckpoint(true)
     val total = cum.agg(max(col("hi")).as("tot"))
     val draws = enriched
       .select(col("user_id")).distinct().filter(col("user_id") < 32)

@@ -1480,38 +1480,8 @@ object TextQueries {
     * audit-on-sample convention) or switch the square accumulator to
     * decimal(38,0).
     */
-  def embeddingIsotropy(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    // materialize BEFORE the posexplode: u is an interpreted HOF and an
-    // explode over a collapsed HOF re-evaluates it per output element
-    // (the q134 pathology); the checkpoint also feeds two aggregates.
-    val un = emb
-      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
-      .withColumn("qn2", Similarity.qnorm2(col("q")))
-      .filter(col("qn2") > 0)
-      .select(
-        col("vec_id"),
-        expr("transform(q, x -> cast(round(x * 10000.0 / sqrt(qn2)) as bigint))").as("u"))
-      .withColumn("un2", Similarity.qnorm2(col("u")))
-      .localCheckpoint(true)
-    val norms = un.agg(count(lit(1)).as("n"), sum(col("un2")).as("sum_norm2"))
-    val cross = un
-      .select(posexplode(col("u")).as(Seq("dim", "ud")))
-      .groupBy(col("dim"))
-      .agg(sum(col("ud")).as("sd"))
-      .agg(sum(expr("sd * sd")).as("sum_s2"))
-    norms
-      .crossJoin(broadcast(cross))
-      .withColumn("__ovf_ok", expr(
-        """assert_true(n <= 70000,
-          |  'embeddingIsotropy: per-dim sum squares overflow int64 past ~70k vectors -- sample or use decimal(38,0)')"""
-          .stripMargin))
-      .withColumn(
-        "avg_pair_cos_micro",
-        when(col("__ovf_ok").isNull,
-          expr("(sum_s2 - sum_norm2) div (n * (n - 1) * 100)")))
-      .select(col("n"), col("sum_norm2"), col("sum_s2"), col("avg_pair_cos_micro"))
-  }
+  def embeddingIsotropy(s: SparkSession, d: String): DataFrame =
+    Similarity.isotropyAudit(Tables.embeddings(s, d), "embedding")
 
   /** Apply the learned BPE tokenizer (q148's merge table, 4 rounds) to
     * the corpus and report per-language compression — the

@@ -1531,4 +1531,48 @@ object Similarity {
         col("neighbor_label"), col("cos_micro"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** Embedding-space isotropy audit (q293) — mean pairwise cosine of
+    * the corpus via the sum-vector identity
+    * `Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u‖²`, collapsing the O(n²) pair
+    * metric to ONE O(n) aggregate (per-dim column sums). Vectors are
+    * unit-normalized in quantized integers (scale 10⁴; sqrt is
+    * IEEE-exact, so the normalization is bit-identical cross-engine);
+    * `avg_pair_cos_micro = (‖Σu‖² − Σ‖u‖²) div (n·(n−1)·100)`.
+    *
+    * A loud assert_true guards n ≤ 70k where a per-dim sum's square
+    * would overflow int64 — past it, audit on a sample (the q279/q280
+    * convention) or switch the square accumulator to decimal(38,0).
+    * Output (one row): (n, sum_norm2, sum_s2, avg_pair_cos_micro).
+    */
+  def isotropyAudit(emb: DataFrame, embCol: String): DataFrame = {
+    // materialize BEFORE the posexplode: u is an interpreted HOF and an
+    // explode over a collapsed HOF re-evaluates it per output element
+    // (the q134 pathology); the checkpoint also feeds two aggregates.
+    val un = emb
+      .select(quantize(col(embCol)).as("q"))
+      .withColumn("qn2", qnorm2(col("q")))
+      .filter(col("qn2") > 0)
+      .select(
+        expr("transform(q, x -> cast(round(x * 10000.0 / sqrt(qn2)) as bigint))").as("u"))
+      .withColumn("un2", qnorm2(col("u")))
+      .localCheckpoint(true)
+    val norms = un.agg(count(lit(1)).as("n"), sum(col("un2")).as("sum_norm2"))
+    val cross = un
+      .select(posexplode(col("u")).as(Seq("dim", "ud")))
+      .groupBy(col("dim"))
+      .agg(sum(col("ud")).as("sd"))
+      .agg(sum(expr("sd * sd")).as("sum_s2"))
+    norms
+      .crossJoin(broadcast(cross))
+      .withColumn("__ovf_ok", expr(
+        """assert_true(n <= 70000,
+          |  'isotropyAudit: per-dim sum squares overflow int64 past ~70k vectors -- sample or use decimal(38,0)')"""
+          .stripMargin))
+      .withColumn(
+        "avg_pair_cos_micro",
+        when(col("__ovf_ok").isNull,
+          expr("(sum_s2 - sum_norm2) div (n * (n - 1) * 100)")))
+      .select(col("n"), col("sum_norm2"), col("sum_s2"), col("avg_pair_cos_micro"))
+  }
 }

@@ -286,26 +286,12 @@ class LinkageClassifySpec extends SparkSpec {
     assert(f1s.zip(f1s.tail).forall { case (a, b) => a >= b }, "rows must rank by F1 desc")
   }
 
-  test("embeddingIsotropy math: identical vectors ~1, orthogonal vectors exactly 0") {
-    import graft.similarity.Similarity
+  test("isotropyAudit: identical vectors ~1, orthogonal vectors exactly 0") {
     def run(vecs: Seq[Array[Float]]): Long = {
       val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
         .toDF("vec_id", "embedding")
-      val un = df
-        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
-        .withColumn("qn2", Similarity.qnorm2(col("q")))
-        .filter(col("qn2") > 0)
-        .select(col("vec_id"),
-          expr("transform(q, x -> cast(round(x * 10000.0 / sqrt(qn2)) as bigint))").as("u"))
-        .withColumn("un2", Similarity.qnorm2(col("u")))
-        .localCheckpoint(true)
-      val norms = un.agg(count(lit(1)).as("n"), sum(col("un2")).as("sum_norm2"))
-      val cross = un.select(posexplode(col("u")).as(Seq("dim", "ud")))
-        .groupBy(col("dim")).agg(sum(col("ud")).as("sd"))
-        .agg(sum(expr("sd * sd")).as("sum_s2"))
-      norms.crossJoin(cross)
-        .select(expr("(sum_s2 - sum_norm2) div (n * (n - 1) * 100)"))
-        .head().getLong(0)
+      graft.similarity.Similarity.isotropyAudit(df, "embedding")
+        .head().getAs[Long]("avg_pair_cos_micro")
     }
     val v = Array.tabulate(4)(i => (i + 1).toFloat)
     assert(run(Seq(v, v, v, v)) > 999000L, "identical vectors: mean pair cosine ~ 1")
