@@ -334,7 +334,8 @@ object SparkEntry {
     "q291_weighted_negatives" -> (EQ.weightedNegatives _),
     "q292_f1_threshold" -> (EQ.f1ThresholdSweep _),
     "q293_isotropy" -> (TQ.embeddingIsotropy _),
-    "q294_pinball" -> (EQ.pinballEval _))
+    "q294_pinball" -> (EQ.pinballEval _),
+    "q295_rbo" -> (EQ.rboRankings _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6662,7 +6663,40 @@ object SparkEntry {
         |    AS sum_loss_ppm_cents,
         |  CAST(CAST(SUM(greatest(tau_ppm * (y - h), (tau_ppm - 1000000) * (y - h))) AS BIGINT)
         |    // COUNT(*) // 1000000 AS BIGINT) AS avg_loss_cents
-        |FROM picked GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM picked GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q295_rbo" -> {
+      val ppowValues = graft.queries.EventQueries.rboPpowMicro
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH $sessCte,
+         |ca AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS m FROM enr GROUP BY 1),
+         |ta AS (SELECT item_id, m FROM ca ORDER BY m DESC, item_id LIMIT 10),
+         |ra AS (
+         |  SELECT a.item_id, CAST(COUNT(b.item_id) + 1 AS BIGINT) AS ra
+         |  FROM ta a LEFT JOIN ta b
+         |    ON b.m > a.m OR (b.m = a.m AND b.item_id < a.item_id)
+         |  GROUP BY 1
+         |), cb AS (
+         |  SELECT item_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+         |  FROM enr GROUP BY 1
+         |), tb AS (SELECT item_id, m FROM cb ORDER BY m DESC, item_id LIMIT 10),
+         |rb AS (
+         |  SELECT a.item_id, CAST(COUNT(b.item_id) + 1 AS BIGINT) AS rb
+         |  FROM tb a LEFT JOIN tb b
+         |    ON b.m > a.m OR (b.m = a.m AND b.item_id < a.item_id)
+         |  GROUP BY 1
+         |), joint AS (
+         |  SELECT r1.item_id, greatest(r1.ra, r2.rb) AS dmin
+         |  FROM ra r1 JOIN rb r2 USING (item_id)
+         |), depths AS (
+         |  SELECT * FROM (VALUES $ppowValues) AS t(d, ppow_micro)
+         |)
+         |SELECT CAST(depths.d AS BIGINT) AS d,
+         |  CAST(COUNT(j.item_id) AS BIGINT) AS overlap,
+         |  CAST(depths.ppow_micro AS BIGINT) AS ppow_micro,
+         |  CAST(COUNT(j.item_id) * depths.ppow_micro // (10 * depths.d) AS BIGINT) AS term_micro
+         |FROM depths LEFT JOIN joint j ON j.dmin <= depths.d
+         |GROUP BY depths.d, depths.ppow_micro ORDER BY d""".stripMargin
+    })
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

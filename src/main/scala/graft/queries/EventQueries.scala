@@ -3973,6 +3973,67 @@ object EventQueries {
       .limit(5)
   }
 
+  /** Exact p^(d−1) weights for truncated RBO@10 at p = 0.9, micro
+    * scale, truncating division: 9^(d−1)·10⁶ div 10^(d−1). Shared
+    * with the q295 oracle (SparkEntry builds its VALUES list from this
+    * Seq, so the two sides cannot drift) — the md5-constants pattern
+    * for transcendental-free cross-engine exactness.
+    */
+  val rboPpowMicro: Seq[(Long, Long)] = Seq(
+    1L -> 1000000L, 2L -> 900000L, 3L -> 810000L, 4L -> 729000L,
+    5L -> 656100L, 6L -> 590490L, 7L -> 531441L, 8L -> 478296L,
+    9L -> 430467L, 10L -> 387420L)
+
+  /** Rank-Biased Overlap (q295; Webber et al. 2010) between two item
+    * rankers — the standard top-weighted similarity of two rankings
+    * (here: items by EVENT COUNT vs items by REVENUE — "do my two
+    * popularity notions agree where it matters?"). Truncated RBO@10,
+    * p = 0.9: per depth d,
+    *   term_micro = overlap(d) · p^(d−1)·10⁶ div (10·d)
+    * with overlap(d) = |top_d(A) ∩ top_d(B)| via each shared item's
+    * max(rank_A, rank_B); Σ term_micro is the truncated RBO in micro.
+    * All integers; the p powers are exact precomputed literals
+    * ([[rboPpowMicro]]).
+    *
+    * Ranks are computed windowless (count-of-better self-join over the
+    * 10-row top lists) so the no-unpartitioned-window pin holds
+    * without an allowlist entry; both ranker aggregates read one
+    * checkpointed item projection (one JSON parse).
+    */
+  def rboRankings(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val ev = Pipeline.itemEvents(s, d)
+      .select(col("item_id"), expr("cast(round(value * 100) as bigint)").as("c"))
+      .localCheckpoint(true)
+    def ranked(metric: DataFrame, out: String): DataFrame = {
+      val top = metric
+        .orderBy(col("m").desc, col("item_id").asc)
+        .limit(10)
+        .localCheckpoint(true) // 10 rows; feeds both sides of the rank join
+      top.as("a")
+        .join(
+          top.as("b"),
+          col("b.m") > col("a.m") ||
+            (col("b.m") === col("a.m") && col("b.item_id") < col("a.item_id")),
+          "left")
+        .groupBy(col("a.item_id").as("item_id"))
+        .agg((count(col("b.item_id")) + 1L).as(out))
+    }
+    val ra = ranked(ev.groupBy(col("item_id")).agg(count(lit(1)).as("m")), "ra")
+    val rb = ranked(ev.groupBy(col("item_id")).agg(sum(col("c")).as("m")), "rb")
+    val joint = ra.join(rb, Seq("item_id"))
+      .select(col("item_id"), greatest(col("ra"), col("rb")).as("dmin"))
+    rboPpowMicro.toDF("d", "ppow_micro")
+      .join(joint, col("dmin") <= col("d"), "left")
+      .groupBy(col("d"), col("ppow_micro"))
+      .agg(count(col("item_id")).as("overlap"))
+      .select(
+        col("d"), col("overlap"), col("ppow_micro"),
+        expr("overlap * ppow_micro div (10 * d)").as("term_micro"))
+      .orderBy(col("d"))
+  }
+
   /** Pinball (quantile) loss of an expanding same-day-of-week
     * empirical-quantile forecast (q294) — the QUANTILE-forecast eval
     * next to q163's point-forecast MASE and q246's Holt: for each day,

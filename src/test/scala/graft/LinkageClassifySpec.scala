@@ -312,6 +312,24 @@ class LinkageClassifySpec extends SparkSpec {
     }
   }
 
+  test("rboRankings: depth terms well-formed, overlap monotone and bounded") {
+    val out = graft.queries.EventQueries.rboRankings(spark, sf("sf0.001"))
+      .collect().sortBy(_.getAs[Long]("d"))
+    assert(out.length == 10)
+    var prev = 0L
+    out.foreach { r =>
+      val (d, ov, pp, t) = (r.getAs[Long]("d"), r.getAs[Long]("overlap"),
+        r.getAs[Long]("ppow_micro"), r.getAs[Long]("term_micro"))
+      assert(ov >= prev && ov <= d, s"overlap not monotone/bounded at d=$d: $ov")
+      assert(t == ov * pp / (10 * d), s"term formula broken at d=$d")
+      prev = ov
+    }
+    // exact p-power table really is 9^(d-1)*1e6 // 10^(d-1)
+    graft.queries.EventQueries.rboPpowMicro.foreach { case (d, p) =>
+      assert(p == BigInt(9).pow(d.toInt - 1) * 1000000 / BigInt(10).pow(d.toInt - 1))
+    }
+  }
+
   test("tokenizerFertility: ppm ratios are exact integer div of the sums") {
     val out = graft.queries.TextQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty)
