@@ -335,7 +335,9 @@ object SparkEntry {
     "q292_f1_threshold" -> (EQ.f1ThresholdSweep _),
     "q293_isotropy" -> (TQ.embeddingIsotropy _),
     "q294_pinball" -> (EQ.pinballEval _),
-    "q295_rbo" -> (EQ.rboRankings _))
+    "q295_rbo" -> (EQ.rboRankings _),
+    "q296_rendezvous" -> (RQ.rendezvousShards _),
+    "q297_sketch_audit" -> (RQ.sketchQuantileAudit _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6696,7 +6698,84 @@ object SparkEntry {
          |  CAST(COUNT(j.item_id) * depths.ppow_micro // (10 * depths.d) AS BIGINT) AS term_micro
          |FROM depths LEFT JOIN joint j ON j.dmin <= depths.d
          |GROUP BY depths.d, depths.ppow_micro ORDER BY d""".stripMargin
-    })
+    },
+    "q296_rendezvous" ->
+      """WITH keys AS (
+        |  SELECT p_partkey AS key FROM part
+        |), shards AS (
+        |  SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS shard
+        |), scored AS (
+        |  SELECT k.key, s.shard,
+        |    CAST(('0x' || substring(md5(CAST(k.key AS VARCHAR) || '#' ||
+        |      CAST(s.shard AS VARCHAR)), 1, 15)) AS BIGINT) AS score
+        |  FROM keys k CROSS JOIN shards s
+        |), a0 AS (
+        |  SELECT key, shard AS shard_before FROM (
+        |    SELECT key, shard,
+        |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY score DESC, shard ASC) AS rn
+        |    FROM scored) WHERE rn = 1
+        |), a1 AS (
+        |  SELECT key, shard AS shard_after FROM (
+        |    SELECT key, shard,
+        |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY score DESC, shard ASC) AS rn
+        |    FROM scored WHERE shard <> 3) WHERE rn = 1
+        |)
+        |SELECT a0.shard_before, a1.shard_after, CAST(COUNT(*) AS BIGINT) AS n_keys
+        |FROM a0 JOIN a1 USING (key)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q297_sketch_audit" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT g,
+        |    CASE WHEN cents < 16 THEN cents
+        |         ELSE CAST(length(bin(cents)) - 1 AS BIGINT) * 16
+        |            + (cents // (CAST(1 AS BIGINT) << (length(bin(cents)) - 5))) - 16
+        |    END AS bucket
+        |  FROM v
+        |), c AS (
+        |  SELECT g, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+        |), w AS (
+        |  SELECT g, bucket,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c
+        |), pickedb AS (
+        |  SELECT g,
+        |    MIN(CASE WHEN cum >= greatest((n * 500000 + 999999) // 1000000, 1) THEN bucket END) AS b50,
+        |    MIN(CASE WHEN cum >= greatest((n * 900000 + 999999) // 1000000, 1) THEN bucket END) AS b90
+        |  FROM w GROUP BY 1
+        |), sk AS (
+        |  SELECT g, 'p50' AS q,
+        |    CASE WHEN b50 < 16 THEN b50 ELSE (b50 % 16 + 16) << (b50 // 16 - 4) END AS sketch_lb_cents
+        |  FROM pickedb
+        |  UNION ALL
+        |  SELECT g, 'p90',
+        |    CASE WHEN b90 < 16 THEN b90 ELSE (b90 % 16 + 16) << (b90 // 16 - 4) END
+        |  FROM pickedb
+        |), sup AS (
+        |  SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT g, cents, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY cents
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM sup
+        |), ex AS (
+        |  SELECT g, 'p50' AS q, MIN(CASE WHEN cum >= (500000 * n + 999999) // 1000000
+        |    AND cum - cnt < (500000 * n + 999999) // 1000000 THEN cents END) AS exact_cents
+        |  FROM cm GROUP BY 1
+        |  UNION ALL
+        |  SELECT g, 'p90', MIN(CASE WHEN cum >= (900000 * n + 999999) // 1000000
+        |    AND cum - cnt < (900000 * n + 999999) // 1000000 THEN cents END)
+        |  FROM cm GROUP BY 1
+        |)
+        |SELECT sk.g, sk.q, sk.sketch_lb_cents, ex.exact_cents,
+        |  CAST(ex.exact_cents * 1000000 // sk.sketch_lb_cents AS BIGINT) AS ratio_ppm
+        |FROM sk JOIN ex ON sk.g = ex.g AND sk.q = ex.q
+        |ORDER BY sk.g, sk.q""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -759,4 +759,72 @@ object RelationalQueries {
         .mutualInfoNano(
           Tables.customer(s, d), "c_nationkey", "c_mktsegment", "customer.nation~segment"))
       .orderBy(col("pair"))
+
+  /** Rendezvous (highest-random-weight) sharding audit (q296; Thaler &
+    * Ravishankar 1998) — the stable key→shard assignment every
+    * distributed cache/state layer needs: shard(key) = argmax over
+    * shards of md5(key‖shard), so removing a shard reassigns ONLY its
+    * own keys (the output transition matrix makes the invariant
+    * visible: off-diagonal rows exist only from the removed shard).
+    * Scoring is scan-side (|shards| md5s per key, codegen'd); both
+    * argmaxes are one window over the key.
+    */
+  def rendezvousShards(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val nShards = 8
+    val removed = 3
+    val scored = graft.core.Caches.cache(
+      Tables.part(s, d).select(col("p_partkey").as("key"))
+        .crossJoin(broadcast((0 until nShards).map(_.toLong).toDF("shard")))
+        .withColumn(
+          "score",
+          conv(substring(md5(concat_ws("#", col("key"), col("shard"))), 1, 15), 16, 10)
+            .cast("long")))
+    def assign(df: DataFrame, out: String): DataFrame =
+      graft.ops.Windows.topKPerGroup(df, Seq("key"), col("score"), Seq("shard"), 1)
+        .select(col("key"), col("shard").as(out))
+    assign(scored, "shard_before")
+      .join(assign(scored.filter(col("shard") =!= removed), "shard_after"), Seq("key"))
+      .groupBy(col("shard_before"), col("shard_after"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("shard_before"), col("shard_after"))
+  }
+
+  /** Sketch-accuracy audit as a CONTRACT row (q297; the q280 "index
+    * quality is a query" pattern applied to the log-histogram quantile
+    * sketch): per l_returnflag, the sketch's p50/p90 lower bound vs
+    * the EXACT order statistic of l_extendedprice cents, with
+    * ratio_ppm = exact·10⁶ div sketch_lb. The 16-sub-bucket floor-log2
+    * histogram guarantees 10⁶ ≤ ratio < 17/16·10⁶ (= 1 062 500); the
+    * audit makes the bound a hash-checked fact instead of a comment.
+    */
+  def sketchQuantileAudit(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("g"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val qs = Seq(500000L -> "p50", 900000L -> "p90")
+    val sketch = graft.ops.Sketches
+      .logHistQuantiles(vals, "g", "cents", qs)
+    // exact order statistics: same ⌈ppm·n/10⁶⌉ rank, sharded cumsum
+    // over the per-value support (no unpartitioned window)
+    val support = vals.groupBy(col("g"), col("cents")).agg(count(lit(1)).as("cnt"))
+    val cums = graft.ops.Windows.shardedCumsumBy(
+      support, Seq("g"), "cents", Seq("cnt"), expr("cents div 100000"))
+    val totals = support.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val exact = qs.map { case (ppm, name) =>
+      cums
+        .join(broadcast(totals), Seq("g"))
+        .withColumn("rank", expr(s"($ppm * n + 999999) div 1000000"))
+        .filter(col("cum_cnt") >= col("rank") &&
+          col("cum_cnt") - col("cnt") < col("rank"))
+        .select(col("g"), lit(name).as("q"), col("cents").as("exact_cents"))
+    }.reduce(_.unionByName(_))
+    sketch
+      .select(col("g"),
+        expr("stack(2, 'p50', p50, 'p90', p90) AS (q, sketch_lb_cents)"))
+      .join(exact, Seq("g", "q"))
+      .withColumn("ratio_ppm", expr("exact_cents * 1000000 div sketch_lb_cents"))
+      .orderBy(col("g"), col("q"))
+  }
 }

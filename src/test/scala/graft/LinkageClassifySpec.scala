@@ -330,6 +330,28 @@ class LinkageClassifySpec extends SparkSpec {
     }
   }
 
+  test("rendezvousShards: minimal disruption — only the removed shard's keys move") {
+    val out = graft.queries.RelationalQueries.rendezvousShards(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getAs[Long]("shard_before"), r.getAs[Long]("shard_after"), r.getAs[Long]("n_keys")))
+    assert(out.nonEmpty)
+    out.foreach { case (b, a, _) =>
+      assert(b == a || b == 3L, s"key moved between surviving shards: $b -> $a")
+      assert(a != 3L, "keys must not land on the removed shard")
+    }
+    assert(out.exists { case (b, _, _) => b == 3L }, "removed shard had keys to move")
+  }
+
+  test("sketchQuantileAudit: exact/sketch ratio within the 16-sub-bucket bound") {
+    val out = graft.queries.RelationalQueries.sketchQuantileAudit(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ratio = r.getAs[Long]("ratio_ppm")
+      assert(ratio >= 1000000L && ratio < 1062500L,
+        s"sketch bound violated for ${r.getAs[String]("g")}/${r.getAs[String]("q")}: $ratio")
+    }
+  }
+
   test("tokenizerFertility: ppm ratios are exact integer div of the sums") {
     val out = graft.queries.TextQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty)
