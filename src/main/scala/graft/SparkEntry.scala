@@ -6863,8 +6863,9 @@ object SparkEntry {
        |  FROM documents)""".stripMargin
   }
 
-  /** `rounds` unrolled synchronized LPA updates l1..l`rounds`, each
-    * adopting the most frequent neighbor label with a min-label
+  /** `rounds` unrolled self-inclusive synchronized LPA updates
+    * l1..l`rounds`, each adopting the most frequent label among
+    * neighbors PLUS one self-vote (the oscillation breaker), min-label
     * tie-break — the SQL mirror of [[graft.ops.Graph
     * .labelPropagation]]'s per-round DataFrame step.
     */
@@ -6873,10 +6874,13 @@ object SparkEntry {
       val prev = if (r == 1) "l0" else s"l${r - 1}"
       s"""l$r AS (
          |  SELECT id, label FROM (
-         |    SELECT u.src AS id, p.label,
-         |      ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY COUNT(*) DESC, p.label ASC) AS rn
-         |    FROM und u JOIN $prev p ON u.dst = p.id
-         |    GROUP BY u.src, p.label) WHERE rn = 1
+         |    SELECT v.id, v.label,
+         |      ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY COUNT(*) DESC, v.label ASC) AS rn
+         |    FROM (
+         |      SELECT u.src AS id, p.label FROM und u JOIN $prev p ON u.dst = p.id
+         |      UNION ALL SELECT id, label FROM $prev
+         |    ) v
+         |    GROUP BY v.id, v.label) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
 

@@ -659,22 +659,42 @@ object Graph {
       .agg(count(lit(1)).as("tri_count"))
   }
 
-  /** Synchronized label propagation (Raghavan et al. 2007), `rounds`
-    * fixed rounds — community detection, the coarser sibling of
-    * connected components (components merge anything reachable; LPA
-    * communities stop at dense cores, so two cliques sharing one
-    * bridge edge keep distinct labels). Every vertex starts labeled
-    * with its own id; each round it adopts the MOST FREQUENT label
-    * among its neighbors, ties → smallest label — fully deterministic,
-    * so a fixed round count is oracle-checkable (the async/random
-    * variants are not).
+  /** Self-inclusive synchronized label propagation (Raghavan et al.
+    * 2007 with the node-inclusive neighborhood), `rounds` fixed
+    * rounds — community detection, the coarser sibling of connected
+    * components (components merge anything reachable; LPA communities
+    * stop at dense cores, so two cliques sharing one bridge edge keep
+    * distinct labels). Every vertex starts labeled with its own id;
+    * each round it adopts the MOST FREQUENT label among its neighbors
+    * PLUS its own current label (one self-vote), ties → smallest
+    * label — fully deterministic, so a fixed round count is
+    * oracle-checkable (the async/random variants are not).
+    *
+    * The self-vote is the oscillation breaker: pure synchronized LPA
+    * 2-colors bipartite-ish sparse structure (both endpoints of an
+    * isolated edge swap labels forever — after an even round count no
+    * edge is intra-community and modularity goes NEGATIVE, the q287
+    * regime the round-9 audit caught at sf0.01). With the self-vote a
+    * degree-1 vertex ties its own label against its neighbor's and the
+    * min wins for BOTH endpoints, so sparse components converge
+    * instead of oscillating — measured on the real covis graphs
+    * (ProbeLpa): Q −0.037 → +0.926 at sf0.01, unchanged at sf0.1
+    * (whose 100-node/1212-edge quasi-clique genuinely is one
+    * community; a semi-async md5-parity schedule was also measured
+    * and wins nothing over the self-vote while costing 2× the steps).
+    * Consumers should still gate on modularity before trusting the
+    * partition at a new data scale — [[labelPropagationGated]] wires
+    * that check into the plan.
     *
     * Scale shape per round: one edge-keyed join (labels onto the
     * static cached undirected edge table) + one (vertex, label) count
-    * agg (map-side combinable) + one top-1 window keyed by vertex —
-    * all line-rate in |E|; lineage stays linear in rounds (each round
-    * references the previous labels once), same discipline as
-    * [[pagerankMicro]].
+    * agg (map-side combinable, the self-votes unioned in at vertex
+    * rate) + one top-1 window keyed by vertex — all line-rate in |E|.
+    * The label frame is referenced twice per round (neighbor join +
+    * self-vote), so each round is eagerly localCheckpoint'd per the
+    * multi-self-reference rule (lineage would otherwise double every
+    * round, the kTruss analyzer blowup); the final frame is therefore
+    * already materialized for fan-out consumers (q215/q227/q287).
     */
   def labelPropagation(
       edges: DataFrame,
@@ -686,16 +706,57 @@ object Graph {
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+        .unionByName(labels.select(col("id"), col("label")))
       labels = Windows.topKPerGroup(
-        und
-          .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-          .groupBy(col("src").as("id"), col("label"))
-          .agg(count(lit(1)).as("cnt")),
+        votes.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt")),
         Seq("id"), col("cnt"), Seq("label"), 1)
         .select(col("id"), col("label"))
+        .localCheckpoint(true)
     }
     labels
+  }
+
+  /** [[labelPropagation]] with the q287 modularity audit wired into
+    * the returned plan as a release gate: the labels only flow if the
+    * partition's modularity Q exceeds `minQPpm` (ppm), else the query
+    * FAILS LOUD via `assert_true` — the suite's overflow-guard
+    * convention applied to partition quality. This encodes the
+    * round-9 finding as a library contract: LPA output is only
+    * meaningful between two failure regimes (sparse oscillation
+    * Q < 0, dense single-label collapse Q = 0), and a cluster
+    * consumer at a NEW data scale must not silently ingest a
+    * degenerate partition (q287 is the cheap standalone reading of
+    * the same score).
+    *
+    * Cost: one extra modularity pass (edge-rate join + 1-row agg)
+    * broadcast onto the vertex-rate label frame — the gate row is a
+    * 1-row aggregate so the crossJoin is safe (never empty).
+    */
+  def labelPropagationGated(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int,
+      minQPpm: Long = 1L): DataFrame = {
+    val labels = labelPropagation(edges, srcCol, dstCol, rounds)
+    val q = modularityPpm(edges, srcCol, dstCol, labels)
+      .agg(coalesce(sum(col("contrib_ppm")), lit(Long.MinValue)).as("q_ppm"))
+    labels
+      .crossJoin(broadcast(q))
+      .withColumn("__gate", expr(
+        s"""assert_true(q_ppm >= $minQPpm,
+           |  concat('labelPropagationGated: partition modularity ', q_ppm,
+           |         ' ppm below the $minQPpm ppm gate -- degenerate regime',
+           |         ' (Q<0 oscillation / Q=0 single-label collapse);',
+           |         ' do not consume these communities at this scale'))"""
+          .stripMargin))
+      .where(col("__gate").isNull)
+      .select(col("id"), col("label"))
   }
 
   /** Common-neighbor link prediction over an undirected canonical

@@ -1538,11 +1538,15 @@ object EventQueries {
   }
 
   /** Label-propagation communities over the covis graph (q157):
-    * 4 synchronized min-tie rounds ([[graft.ops.Graph
+    * 4 self-inclusive synchronized min-tie rounds ([[graft.ops.Graph
     * .labelPropagation]]) — item neighborhoods that co-occur densely
     * converge onto one label (the "theme" clusters a recommender uses
     * for diversification), while bridge edges that would merge
     * everything under connected components do not flip a dense core.
+    * The self-vote keeps sparse components from 2-color oscillating
+    * (the round-9 q287 finding); consumers at a new scale should
+    * pre-gate on q287's modularity ([[graft.ops.Graph
+    * .labelPropagationGated]] wires the gate into the plan).
     */
   def covisCommunities(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
@@ -4092,20 +4096,22 @@ object EventQueries {
     * graph's own terms? Per-community exact-ppm contributions; their
     * sum is Q·10⁶.
     *
-    * Finding this audit exists to surface: at sf0.01 the covis graph
-    * is a sparse forest and SYNCHRONIZED LPA 2-colors each small
-    * component (the classic sync-LPA oscillation artifact — after an
-    * even round count, path endpoints share a label but no edge does),
-    * so Q is NEGATIVE (−0.037): the partition is worse than random
-    * wiring there, while the denser sf0.1 cores it was tuned on
-    * stabilize. A recommender consuming q157 clusters should gate on
-    * this score before trusting them at a new data scale.
+    * In round 9 this audit caught pure synchronized LPA 2-coloring
+    * the sparse sf0.01 covis forest (Q = −0.037, worse than random
+    * wiring); the operator now casts a self-vote per round (see
+    * [[graft.ops.Graph.labelPropagation]]) and the same audit reads
+    * Q ≈ +0.93 there. At sf0.1 the 100-node/1212-edge covis core is
+    * one genuine quasi-clique, so the single-community partition and
+    * Q = 0 are the honest reading — exactly the regime signal a
+    * consumer should gate on before trusting clusters at a new scale
+    * ([[graft.ops.Graph.labelPropagationGated]] wires this gate into
+    * the plan as an assert).
     *
-    * Both the pair list and the LPA labels are eagerly materialized:
-    * pairs feed modularity's edge scan AND the 1-row m broadcast
-    * (concurrent-broadcast rule), labels feed two endpoint joins and
-    * the degree-mass aggregate (q227's exact pattern for the same
-    * LPA subtree).
+    * The pair list is eagerly materialized: pairs feed modularity's
+    * edge scan AND the 1-row m broadcast (concurrent-broadcast rule);
+    * the LPA labels arrive already checkpointed from the operator's
+    * per-round discipline and feed two endpoint joins plus the
+    * degree-mass aggregate.
     */
   def covisModularity(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
@@ -4115,7 +4121,6 @@ object EventQueries {
       .localCheckpoint(true)
     val labels = graft.ops.Graph
       .labelPropagation(pairs, "item_a", "item_b", rounds = 4)
-      .localCheckpoint(true)
     graft.ops.Graph
       .modularityPpm(pairs, "item_a", "item_b", labels)
       .orderBy(col("community"))

@@ -192,6 +192,37 @@ class GraphSpec extends SparkSpec {
     assert(Set(11L, 12L, 13L, 14L).map(labels) == Set(11L))
   }
 
+  test("labelPropagation: self-vote converges an isolated edge (no 2-color oscillation)") {
+    // pure sync LPA swaps the two labels forever (Q < 0 after even
+    // rounds); the self-vote ties own-vs-neighbor and min wins for both
+    val e = Seq((7L, 3L)).toDF("s", "t")
+    val labels = graft.core.Caches.withScope {
+      Graph.labelPropagation(e, "s", "t", rounds = 4).as[(Long, Long)].collect().toMap
+    }
+    assert(labels == Map(7L -> 3L, 3L -> 3L))
+  }
+
+  test("labelPropagationGated: passes a modular graph, fails loud on a degenerate partition") {
+    // two K4s + bridge: Q well above 0 -> gate passes, labels unchanged
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (a, b) => (a + 10L, b + 10L) }
+    val good = (k4a ++ k4b :+ (4L, 11L)).toDF("s", "t")
+    val (gated, plain) = graft.core.Caches.withScope {
+      (Graph.labelPropagationGated(good, "s", "t", rounds = 4).as[(Long, Long)].collect().toMap,
+        Graph.labelPropagation(good, "s", "t", rounds = 4).as[(Long, Long)].collect().toMap)
+    }
+    assert(gated == plain)
+    // one clique: single-label collapse, Q = 0 -> the assert fires
+    val degen = k4a.toDF("s", "t")
+    val ex = intercept[Exception] {
+      graft.core.Caches.withScope {
+        Graph.labelPropagationGated(degen, "s", "t", rounds = 4).collect()
+      }
+    }
+    assert(ex.getMessage.contains("labelPropagationGated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("labelPropagationGated")))
+  }
+
   test("labelPropagation: bit-identical under repartitioning") {
     val rnd = new scala.util.Random(7)
     val edges = (1 to 80).map { _ =>
