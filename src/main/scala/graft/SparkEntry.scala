@@ -6085,7 +6085,7 @@ object SparkEntry {
         |), w AS (
         |  SELECT e.user_id, e.item_id,
         |    (CASE e.event_type WHEN 'purchase' THEN 10 WHEN 'click' THEN 3 ELSE 1 END)
-        |      * 1000000 // (1 << CAST((m.t_max - e.epoch_s) // 604800 AS INTEGER)) AS w_micro
+        |      * 1000000 // (1 << CAST(least((m.t_max - e.epoch_s) // 604800, 30) AS INTEGER)) AS w_micro
         |  FROM e CROSS JOIN m
         |)
         |SELECT user_id, item_id, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -2544,8 +2544,14 @@ object EventQueries {
       .withColumn("type_w",
         when(col("event_type") === "purchase", 10L)
           .when(col("event_type") === "click", 3L).otherwise(1L))
+      // clamp the shift: the weight is already 0 past ~24 weeks
+      // (10e6 < 2^24), but Spark MASKS shift amounts to 6 bits, so an
+      // unclamped age_weeks=63 yields a NEGATIVE divisor and >=64
+      // silently wraps back to FULL weight for the oldest events —
+      // while DuckDB's `1 << n` diverges differently. least(.., 30)
+      // is lossless and keeps both engines exact at any corpus age.
       .withColumn("age_weeks",
-        expr("(t_max - epoch_s) div 604800"))
+        expr("least((t_max - epoch_s) div 604800, 30)"))
       .withColumn("w_micro",
         expr("type_w * 1000000 div shiftleft(1L, cast(age_weeks as int))"))
       .groupBy(col("user_id"), col("item_id"))
