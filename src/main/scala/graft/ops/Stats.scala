@@ -1078,6 +1078,11 @@ object Stats {
       df.groupBy(col(valueCol)).agg(count(lit(1)).as("c")),
       Nil, valueCol, "c", shardExpr, "med")
       .select(col("med"))
+    // signed feeds BOTH the cumsum chain (itself self-joined below) and
+    // the cnt aggregate, and the cnt path runs concurrently with the
+    // broadcast(changes) build — a lazy cache races there (the q227
+    // rule), so both multi-referenced frames are eagerly materialized.
+    // Input is day-grain (calendar-bounded): the checkpoints are tiny.
     val signed = df
       .crossJoin(broadcast(med))
       .filter(col(valueCol) =!= col("med"))
@@ -1085,13 +1090,17 @@ object Stats {
         col(orderCol),
         when(col(valueCol) > col("med"), lit(1L)).otherwise(lit(0L)).as("sgn"),
         lit(1L).as("one"))
+      .localCheckpoint(true)
     val ranked = Windows
       .shardedCumsum(signed, orderCol, Seq("one"), shardExpr = expr(
         s"$orderCol div 8"))
       .select(col("cum_one").as("rk"), col("sgn"))
+      .localCheckpoint(true)
     val changes = ranked
       .join(
-        ranked.select((col("rk") - 1).as("rk"), col("sgn").as("sgn_next")),
+        // checkpointing erased size stats — hint the shifted side or
+        // Spark plans a sort-merge and shuffles both (round-9 rule).
+        broadcast(ranked.select((col("rk") - 1).as("rk"), col("sgn").as("sgn_next"))),
         Seq("rk"))
       // coalesce mirrors the oracle's COALESCE(SUM(...), 0): with a
       // single non-median row the adjacency join is EMPTY and the
@@ -1249,10 +1258,15 @@ object Stats {
       .agg(count(lit(1)).as("nij"))
       .localCheckpoint(true)
     val nt = cells.agg(sum(col("nij")).as("n"))
-    val rws = graft.core.Caches.cache(
-      cells.groupBy(col("x")).agg(sum(col("nij")).as("ni")))
-    val cls = graft.core.Caches.cache(
-      cells.groupBy(col("y")).agg(sum(col("nij")).as("nj")))
+    // margins are margin-grain (bounded by column cardinality) and each
+    // fans out into TWO broadcast builds (the MI join side and the
+    // marginal-entropy aggregate) — broadcasts build on concurrent
+    // threads and race past a lazy cache (the q227 rule), so
+    // materialize eagerly like the cell table.
+    val rws =
+      cells.groupBy(col("x")).agg(sum(col("nij")).as("ni")).localCheckpoint(true)
+    val cls =
+      cells.groupBy(col("y")).agg(sum(col("nij")).as("nj")).localCheckpoint(true)
     val mi = cells
       .join(broadcast(rws), Seq("x"))
       .join(broadcast(cls), Seq("y"))

@@ -125,12 +125,23 @@ case class FloatVectorQuantize(child: Expression)
   private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Per-row kernel, also called from generated code via reference obj. */
+  /** Per-row kernel, also called from generated code via reference obj.
+    * Null ELEMENTS fail loud (suite convention): the output type declares
+    * containsNull=false, and silently quantizing a null slot to 0 — what
+    * getFloat on a null entry would do — would corrupt downstream vector
+    * math invisibly. The HOF form this kernel replaced propagated null
+    * elements; no caller feeds nullable slots, so loud is the safe seam.
+    */
   def kernel(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"float_vector_quantize: null element at index $i of $n — " +
+            "embedding vectors must be dense (containsNull=false output)")
+      }
       val d = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * 10000.0
       out(i) = java.math.BigDecimal.valueOf(d)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
