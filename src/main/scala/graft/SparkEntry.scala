@@ -337,7 +337,8 @@ object SparkEntry {
     "q294_pinball" -> (EQ.pinballEval _),
     "q295_rbo" -> (EQ.rboRankings _),
     "q296_rendezvous" -> (RQ.rendezvousShards _),
-    "q297_sketch_audit" -> (RQ.sketchQuantileAudit _))
+    "q297_sketch_audit" -> (RQ.sketchQuantileAudit _),
+    "q298_feature_signal" -> (CQ.featureSignalScreen _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6775,7 +6776,43 @@ object SparkEntry {
         |SELECT sk.g, sk.q, sk.sketch_lb_cents, ex.exact_cents,
         |  CAST(ex.exact_cents * 1000000 // sk.sketch_lb_cents AS BIGINT) AS ratio_ppm
         |FROM sk JOIN ex ON sk.g = ex.g AND sk.q = ex.q
-        |ORDER BY sk.g, sk.q""".stripMargin)
+        |ORDER BY sk.g, sk.q""".stripMargin,
+    "q298_feature_signal" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(n_chars AS DOUBLE) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS n_spaces,
+        |    CAST(doc_id % 97 AS DOUBLE) AS noise
+        |  FROM documents
+        |), st AS (
+        |  SELECT 'n_chars' AS feature, n_chars AS s, y FROM f
+        |  UNION ALL SELECT 'n_spaces', n_spaces, y FROM f
+        |  UNION ALL SELECT 'noise', noise, y FROM f
+        |), g AS (
+        |  SELECT feature, s, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM st GROUP BY 1, 2
+        |), w AS (
+        |  SELECT feature, cnt, pos,
+        |    CAST(SUM(cnt) OVER (PARTITION BY feature ORDER BY s
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g
+        |), a AS (
+        |  SELECT feature,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+        |    CAST(0 AS BIGINT) AS n_null,
+        |    CAST(SUM(pos * ((cum - cnt) * 2 + cnt + 1)) AS BIGINT) AS possum2
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT feature, n_pos, n_neg, n_null,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST(round(
+        |      (CAST(possum2 AS DOUBLE) / 2.0
+        |        - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |      * 1000000) AS BIGINT) END AS auc_ppm
+        |FROM a ORDER BY feature""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -632,4 +632,27 @@ object CurationQueries {
       .unionByName(langEnt)
       .orderBy(col("metric"))
   }
+
+  /** Per-feature univariate signal screen (q298;
+    * [[graft.ops.Eval.labelSignalAucPpm]]): the tie-corrected rank-AUC
+    * of each candidate feature against a binary curation label — the
+    * fast filter-method feature screen, and (diffed across splits) the
+    * target-leakage detector RankerSpec runs on the reference's own
+    * shipped matrix. Here: does a document's length/space profile
+    * predict lang='en', with doc_id%97 as the planted no-signal
+    * control (auc ≈ 0.5)?
+    *
+    * Scale: one corpus scan → ×3 unpivot → ONE map-side-combined
+    * exchange to (feature, score-support) grain; the cumulative window
+    * is partitioned per feature.
+    */
+  def featureSignalScreen(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d).select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      col("n_chars"),
+      expr("length(text) - length(replace(text, ' ', ''))").as("n_spaces"),
+      (col("doc_id") % 97).as("noise"))
+    graft.ops.Eval
+      .labelSignalAucPpm(f, Seq("n_chars", "n_spaces", "noise"), "y")
+  }
 }

@@ -98,6 +98,30 @@ class GoldenParitySpec extends SparkSpec {
         train.schema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("candidate-pool recall of the shipped artifacts (README.md:217,244)") {
+    // The engine's recall operator (the q116 shape: instance-grain
+    // max(label) → one exchange) run over the REAL artifact. Each
+    // (session_id, atc_ts) prediction instance is a candidate pool of
+    // ~33 categories; pool recall is the share whose true category the
+    // 4-strategy generator retrieved at all. Pinned to the exact
+    // measured ppm — the artifact is fixed, so these are constants:
+    // train 906935 ppm (25,893/28,550), valid 893468 ppm
+    // (14,937/16,718). The README's "95%+ recall" (README.md:244) is
+    // the strategy-combination design point; the shipped pool measures
+    // 90.7%/89.3% — the delta is the reference's, faithfully
+    // reproduced, not ours. Recall@20 under a TRAINED ranking is
+    // RankerSpec's golden test.
+    def pin(df: org.apache.spark.sql.DataFrame, inst: Long, hit: Long, ppm: Long) = {
+      val r = graft.ops.Eval
+        .poolRecallPpm(df, Seq("session_id", "atc_ts"), "y").head()
+      assert(r.getAs[Long]("n_instances") == inst)
+      assert(r.getAs[Long]("n_hit") == hit)
+      assert(r.getAs[Long]("recall_ppm") == ppm)
+    }
+    pin(train, 28550L, 25893L, 906935L)
+    pin(valid, 16718L, 14937L, 893468L)
+  }
+
   test("point-in-time discipline holds in the shipped artifacts") {
     // Train window ends where valid begins (half-open): max(train.atc_ts)
     // < min(valid.atc_ts) proves the shipped split is leak-free and our
