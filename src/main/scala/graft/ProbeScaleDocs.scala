@@ -61,12 +61,24 @@ object ProbeScaleDocs {
       // stage empties; ProbeFrameDedup holds occupancy for that stage)
       "q281_naive_bayes", "q282_frame_neardup", "q283_url_canonical",
       "q284_tokenizer_fertility", "q288_bpe_compression", "q290_dataset_card")
-    cohort.filter(_.contains(queryFilter)).foreach { name =>
+    // q279's exact ground-truth side is support-sized BY DESIGN and
+    // cannot run unsampled at corpus scale: the audit mode estimates
+    // pairs completeness on a deterministic md5 doc sample. mod is
+    // sized to hold the sampled-side doc count ~5k (the contract
+    // scale) as the corpus grows.
+    val sampleMod = math.max(1L, n / 5000L)
+    val direct: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      (s"q279_blocking[mod=$sampleMod]", () =>
+        graft.queries.CurationQueries.blockingQualityAudit(
+          graft.core.Tables.documents(spark, out), sampleMod)))
+    val runnable =
+      cohort.map(q => (q, () => SparkEntry.queries(q)(spark, out))) ++ direct
+    runnable.filter(_._1.contains(queryFilter)).foreach { case (name, mk) =>
       graft.core.Caches.withScope {
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
         val b0 = shuffleBytes.get
         val t0 = System.nanoTime()
-        val res = try Right(SparkEntry.queries(name)(spark, out).count())
+        val res = try Right(mk().count())
         catch { case e: Throwable => Left(e.toString.take(120)) }
         val t = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)

@@ -370,10 +370,29 @@ object CurationQueries {
     * computed division-first so nothing crosses int64 even at 10⁹
     * docs.
     */
-  def blockingQuality(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def blockingQuality(s: SparkSession, d: String): DataFrame =
+    blockingQualityAudit(Tables.documents(s, d), sampleMod = 1L)
+
+  /** [[blockingQuality]]'s engine with the 100 TB knob: `sampleMod` > 1
+    * restricts the EXACT ground-truth side (and the hit intersection)
+    * to the deterministic md5 doc sample `md5(doc_id) % sampleMod = 0`
+    * — pairs completeness is then ESTIMATED on the sampled pair
+    * space, exactly how a linkage evaluation samples at corpus scale
+    * (Christen 2012 §7.2: completeness is a pair-space proportion, so
+    * a doc sample yields an unbiased estimate on its induced pairs).
+    * The candidate/reduction side stays the FULL production blocking —
+    * it's line-rate and is the thing being audited. The contract query
+    * keeps sampleMod=1 (exact, oracle-hashed); SampledAuditSpec pins
+    * the estimator against the exact answer at test scale, and
+    * ProbeScaleDocs carries the bounded-shuffle evidence at 500k docs.
+    */
+  def blockingQualityAudit(docs: DataFrame, sampleMod: Long): DataFrame = {
+    val gtDocs =
+      if (sampleMod <= 1L) docs
+      else docs.filter(
+        expr(s"conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) % $sampleMod = 0"))
     val truePairs = graft.core.Caches.cache(
-      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 4, minJaccardPpm = 500000L)
+      Dedup.ngramJaccardPairs(gtDocs, "text", "doc_id", n = 4, minJaccardPpm = 500000L)
         .select(col("id_a"), col("id_b")))
     val sh = Dedup.shingles(docs, "text", "doc_id", 4)
     val cand = graft.core.Caches.cache(

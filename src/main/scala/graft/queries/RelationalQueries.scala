@@ -802,13 +802,35 @@ object RelationalQueries {
   def sketchQuantileAudit(s: SparkSession, d: String): DataFrame = {
     val vals = Tables.lineitem(s, d).select(
       col("l_returnflag").as("g"),
-      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+      expr("concat(cast(l_orderkey as string), '_', cast(l_linenumber as string))")
+        .as("rk"))
+    sketchQuantileAuditOn(vals, sampleMod = 1L)
+  }
+
+  /** [[sketchQuantileAudit]]'s engine with the 100 TB knob: `vals0` is
+    * (g, cents, rk) where `rk` is a unique row key; `sampleMod` > 1
+    * computes the EXACT reference side on the deterministic md5 row
+    * sample `md5(rk) % sampleMod = 0` instead of the full value
+    * support — sample order statistics estimate the population
+    * quantile (an audit's reference may be approximate as long as its
+    * error is quantified; SampledAuditSpec pins the estimator against
+    * the exact answer at test scale). The SKETCH side is untouched —
+    * bounded state is its whole point. The contract query keeps
+    * sampleMod=1 (exact, oracle-hashed).
+    */
+  def sketchQuantileAuditOn(vals0: DataFrame, sampleMod: Long): DataFrame = {
+    val vals = vals0.select(col("g"), col("cents"), col("rk"))
     val qs = Seq(500000L -> "p50", 900000L -> "p90")
     val sketch = graft.ops.Sketches
       .logHistQuantiles(vals, "g", "cents", qs)
     // exact order statistics: same ⌈ppm·n/10⁶⌉ rank, sharded cumsum
     // over the per-value support (no unpartitioned window)
-    val support = vals.groupBy(col("g"), col("cents")).agg(count(lit(1)).as("cnt"))
+    val exactSide =
+      if (sampleMod <= 1L) vals
+      else vals.filter(
+        expr(s"conv(substring(md5(rk), 1, 8), 16, 10) % $sampleMod = 0"))
+    val support = exactSide.groupBy(col("g"), col("cents")).agg(count(lit(1)).as("cnt"))
     val cums = graft.ops.Windows.shardedCumsumBy(
       support, Seq("g"), "cents", Seq("cnt"), expr("cents div 100000"))
     val totals = support.groupBy(col("g")).agg(sum(col("cnt")).as("n"))

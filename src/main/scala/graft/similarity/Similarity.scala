@@ -177,16 +177,57 @@ object Similarity {
     * table is broadcast; the "scan" is a catalog×k codegen'd dot
     * product, no exchange beyond the top-k window's.
     */
+  /** Top-`top` nearest centroids per vector (argmax exact-integer
+    * `2·v·cq − ||cq||²`, tie → min cid). The centroid table is
+    * ≤ nCentroids rows by construction, so it's collected and the
+    * assignment runs ROW-LOCALLY through the codegen'd centroid_top_k
+    * kernel — zero exchanges (the former crossJoin+window shuffled
+    * every vector with its winning centroids: ~1.7 GB at 1M×64d for
+    * the IVFPQ index+probe assignments).
+    */
   private[graft] def assignTo(
       vecs: DataFrame,
       idC: String,
       embC: String,
       cents: DataFrame,
       top: Int): DataFrame =
-    Windows.topKPerGroup(
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("negdist", qdot(col(embC), col("cq")) * 2 - qnorm2(col("cq"))),
-      Seq(idC), col("negdist"), Seq("cid"), top)
+    assignCells(vecs, embC, cents, top).drop("cells")
+
+  /** vecs + one row per assigned cell: `(cells, cid)` where `cells` is
+    * the full best-first top-`top` array riding along each row — IVF
+    * scans use it to collapse spill-list pair duplicates ROW-LOCALLY
+    * (keep only the minimum-shared-cell instance) instead of paying a
+    * pair-grain dropDuplicates exchange. The centroid table is
+    * collected (≤ nCentroids rows by construction) and the assignment
+    * runs through the centroid_cells_explode GENERATOR — one kernel
+    * evaluation per row, zero exchanges (the former crossJoin+window
+    * shuffled ~1.7 GB at 1M×64d, and an explode-of-expression form
+    * triple-evaluates the kernel via InferFiltersFromGenerate's
+    * size/isnotnull guards).
+    */
+  private[graft] def assignCells(
+      vecs: DataFrame,
+      embC: String,
+      cents: DataFrame,
+      top: Int): DataFrame = {
+    val rows = cents.collect()
+    val dim = if (rows.isEmpty) 0 else rows.head.getSeq[Long](1).length
+    val flat = new Array[Long](rows.length * dim)
+    val cids = new Array[Long](rows.length)
+    rows.sortBy(_.getLong(0)).zipWithIndex.foreach { case (r, i) =>
+      cids(i) = r.getLong(0)
+      val cq = r.getSeq[Long](1)
+      var p = 0
+      while (p < dim) { flat(i * dim + p) = cq(p); p += 1 }
+    }
+    vecs.select(
+      col("*"),
+      org.apache.spark.sql.graft.VectorExpressions.centroidCellsExplode(
+        col(embC),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(flat),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(cids),
+        dim, top).as(Seq("cells", "cid")))
+  }
 
   /** The fully deterministic coarse quantizer shared by
     * [[ivfTopKDeterministic]] and [[semanticDedup]]: `nCentroids` seed
@@ -325,26 +366,35 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb"))
-    val cent = deterministicCentroids(c, "neighbor_id", "c_emb", nCentroids)
+    // cent is collected by BOTH assignTo calls (index + probes) — cache
+    // so the seed+Lloyd subtree runs once
+    val cent = graft.core.Caches.cache(
+      deterministicCentroids(c, "neighbor_id", "c_emb", nCentroids))
 
     // spill lists: index each corpus vector in its nAssign nearest
     // cells — the standard recall lever that keeps the PROBE side
     // selective (a boundary vector is reachable from both adjacent
     // cells at the cost of an nAssign× bigger index, not a wider scan)
-    val assigned = assignTo(c, "neighbor_id", "c_emb", cent, nAssign)
-      .select("neighbor_id", "c_emb", "cid")
+    val assigned = assignCells(c, "c_emb", cent, nAssign)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb"))
-    val probes = assignTo(q, "query_id", "q_emb", cent, nProbe)
-      .select("query_id", "q_emb", "cid")
+    val probes = assignCells(q, "q_emb", cent, nProbe)
+      .withColumnRenamed("cells", "probe_cells")
 
-    // score BEFORE deduping the multi-cell pair hits: the cosine is a
-    // pure function of the pair, so the dedup exchange then carries
-    // 24-byte scalar rows instead of two attached embedding vectors
-    // (~40× fewer bytes at dim 64) at the cost of re-running a
-    // codegen'd dot product on the few multi-hit pairs
-    val scored = probes
+    // spill lists surface one pair once per SHARED cell: keep only the
+    // instance at the minimum shared cell — a row-local filter on the
+    // two tiny cell arrays riding the row, replacing the former
+    // pair-grain dropDuplicates EXCHANGE (~1.7 GB of 24-byte scalar
+    // rows at 1M corpus × 64 queries). Bit-identical survivors: the
+    // cosine is a pure function of the pair, so which instance lives
+    // never shows in the output. The probe side is |Q|·nProbe rows —
+    // broadcast it EXPLICITLY: the filtered-parquet size estimate
+    // makes Spark plan a sort-merge join that shuffles the whole
+    // corpus onto nCentroids keys (514 MB + 16-key skew measured).
+    val scored = broadcast(probes)
       .join(assigned, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(col("cid") === org.apache.spark.sql.graft.VectorExpressions
+        .minSharedCell(col("cells"), col("probe_cells")))
       .select(
         col("query_id"),
         col("neighbor_id"),
@@ -352,7 +402,6 @@ object Similarity {
           qdot(col("q_emb"), col("c_emb")),
           qnorm2(col("q_emb")),
           qnorm2(col("c_emb"))).as("cosine_sim"))
-      .dropDuplicates("query_id", "neighbor_id") // same pair via several cells
     Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
   }
 
@@ -367,15 +416,27 @@ object Similarity {
       posexplode(array((0 until m).map(j =>
         slice(col(embC), j * dsub + 1, dsub)): _*)).as(Seq("j", "sv")))
 
-  /** Per-subspace nearest-sub-centroid assignment: top-1 by exact
-    * integer `2·sv·cq − ||cq||²` (≡ argmin L2), tie → min cid. `cb`
-    * is the (j, cid, cq) codebook, broadcast.
+  /** Collect a (j, cid, cq) codebook into the pq_encode kernel's flat
+    * arrays — ≤ m·ksub rows by operator construction, the bounded-
+    * collect pattern (like the md5-rank seed pool). The kernel's
+    * assignment rule (argmax exact-integer `2·sv·cq − ||cq||²`, tie →
+    * min cid, absent cells skipped) is bit-identical to the
+    * join+window form it replaced.
     */
-  private def pqAssign(sub: DataFrame, idC: String, cb: DataFrame): DataFrame =
-    Windows.topKPerGroup(
-      sub.join(broadcast(cb), Seq("j"))
-        .withColumn("negdist", qdot(col("sv"), col("cq")) * 2 - qnorm2(col("cq"))),
-      Seq(idC, "j"), col("negdist"), Seq("cid"), 1)
+  private def cbArrays(cb: DataFrame, m: Int, dsub: Int, ksub: Int)
+      : (IndexedSeq[Long], IndexedSeq[Boolean]) = {
+    val flat = new Array[Long](m * ksub * dsub)
+    val pres = new Array[Boolean](m * ksub)
+    cb.collect().foreach { r =>
+      val slot = r.getInt(0) * ksub + r.getLong(1).toInt
+      pres(slot) = true
+      val cq = r.getSeq[Long](2)
+      var p = 0
+      while (p < dsub) { flat(slot * dsub + p) = cq(p); p += 1 }
+    }
+    (scala.collection.immutable.ArraySeq.unsafeWrapArray(flat),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(pres))
+  }
 
   /** OPQ-style deterministic pre-permutation (the cheap cousin of the
     * learned OPQ rotation, Ge et al. 2013): per-dimension variance is
@@ -457,18 +518,42 @@ object Similarity {
       .limit(ksub)
       .select(col("h"), col(idC).cast("string").as("nid"), col(embC))
       .collect()
-    val seeds = seedPool
+    // seed codebook as a driver literal (≤ m·ksub·dsub longs by
+    // construction): the Lloyd assignment is then the row-local
+    // pq_encode kernel — the former join+window assignment shuffled
+    // every (vector, subspace) row with its sv and winning centroid
+    // (~1.5 GB at 1M×64d). The update means still aggregate, but the
+    // (j, cid, pos) key space is ≤ m·ksub·dsub, so map-side partial
+    // combine collapses the exploded rows before the wire.
+    val seedFlat = new Array[Long](m * ksub * dsub)
+    val seedPres = new Array[Boolean](m * ksub)
+    seedPool
       .sortBy(r => (r.getString(0), r.getString(1)))
       .zipWithIndex
-      .flatMap { case (r, i) =>
+      .foreach { case (r, i) =>
         val v = r.getSeq[Long](2)
-        (0 until m).map(j => (j, i.toLong, v.slice(j * dsub, (j + 1) * dsub)))
+        var j = 0
+        while (j < m) {
+          seedPres(j * ksub + i) = true
+          var p = 0
+          while (p < dsub) {
+            seedFlat((j * ksub + i) * dsub + p) = v(j * dsub + p)
+            p += 1
+          }
+          j += 1
+        }
       }
-      .toSeq
-      .toDF("j", "cid", "cq")
-    val sub = subRows(c, embC, m, dsub).select(col(idC), col("j"), col("sv"))
-    pqAssign(sub, idC, seeds)
-      .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "val")))
+    c.select(
+        col(embC).as("__emb"),
+        org.apache.spark.sql.graft.VectorExpressions.pqEncode(
+          col(embC),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(seedFlat),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(seedPres),
+          m, dsub, ksub).as("codes"))
+      .select(col("__emb"), posexplode(col("codes")).as(Seq("j", "cid")))
+      .select(col("j"), col("cid"),
+        posexplode(slice(col("__emb"), col("j") * dsub + 1, lit(dsub)))
+          .as(Seq("pos", "val")))
       .groupBy(col("j"), col("cid"), col("pos"))
       .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("cv"))
       .groupBy(col("j"), col("cid"))
@@ -518,16 +603,18 @@ object Similarity {
     val cb = graft.core.Caches.cache(pqCodebook(c, "neighbor_id", "c_emb", m, dsub, ksub))
 
     // corpus → m codes per vector (ordered by subspace) + the EXACT
-    // squared norm (Σ_j ||sv_j||² = ||v||², integer): the ADC ranking
-    // targets COSINE, so only the dot is approximated — the norm is
-    // part of the 8-byte-per-vector index, standard cosine-PQ layout
-    val enc = pqAssign(
-      subRows(c, "c_emb", m, dsub).select(col("neighbor_id"), col("j"), col("sv")),
-      "neighbor_id", cb)
-      .groupBy(col("neighbor_id"))
-      .agg(
-        graft.ops.Aggregates.sortedList(Seq(col("j")), col("cid")).as("codes"),
-        sum(qnorm2(col("sv"))).as("cnorm2"))
+    // squared norm (integer): the ADC ranking targets COSINE, so only
+    // the dot is approximated — the norm is part of the
+    // 8-byte-per-vector index, standard cosine-PQ layout. Encoding is
+    // the row-local pq_encode kernel against the driver-literal
+    // codebook: ZERO exchanges (the former per-subspace join+window
+    // shuffled ~1.5 GB at 1M×64d).
+    val (cbFlat, cbPres) = cbArrays(cb, m, dsub, ksub)
+    val enc = c.select(
+      col("neighbor_id"),
+      org.apache.spark.sql.graft.VectorExpressions
+        .pqEncode(col("c_emb"), cbFlat, cbPres, m, dsub, ksub).as("codes"),
+      qnorm2(col("c_emb")).as("cnorm2"))
 
     // per-query DENSE m×ksub ADC table, flat-indexed j·ksub + cid:
     // parts exist only for surviving codebook cells; the full grid
@@ -549,12 +636,18 @@ object Similarity {
 
     // ADC scan over (codes, cnorm2) only: approx cosine = gathered
     // approximate dot / exact corpus norm (query norm is constant per
-    // query — rank-irrelevant); top-`rerank` candidates per query
-    val qTab = broadcast(q.join(lut, Seq("query_id")))
+    // query — rank-irrelevant); top-`rerank` candidates per query.
+    // The scan rows carry ONLY (query_id, neighbor_id, adc): q_emb (a
+    // dim-long array, ~20× the scalar row weight) previously rode
+    // through every |Q|·corpus scan row and the partial top-k for a
+    // column the scan never reads — at 1M vectors that was most of the
+    // operator's wall. It's re-joined at rerank from the |Q|-row query
+    // table instead.
+    val qTab = broadcast(lut)
     val cand = Windows.topKPerGroup(
       enc.crossJoin(qTab)
         .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("q_emb"), col("neighbor_id"),
+        .select(col("query_id"), col("neighbor_id"),
           (org.apache.spark.sql.graft.VectorExpressions
             .pqAdcScore(col("codes"), col("lut"), ksub).cast("double") /
             sqrt(col("cnorm2").cast("double"))).as("adc")),
@@ -562,7 +655,8 @@ object Similarity {
 
     // exact-cosine rerank of the candidate set on full vectors
     val rescored = c
-      .join(broadcast(cand.select(col("query_id"), col("q_emb"), col("neighbor_id"))),
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))
+          .join(broadcast(q), Seq("query_id"))),
         Seq("neighbor_id"))
       .select(
         col("query_id"),
@@ -608,23 +702,34 @@ object Similarity {
     val prep = permPrep(corpus, embCol, dim, m, opqPermute)
     val c = graft.core.Caches.cache(
       corpus.select(col(idCol).as("neighbor_id"), prep(col(embCol)).as("c_emb")))
-    val cent = deterministicCentroids(c, "neighbor_id", "c_emb", nCentroids)
-    val assigned = assignTo(c, "neighbor_id", "c_emb", cent, nAssign)
-      .select(col("neighbor_id"), col("cid"))
+    // cent is collected by BOTH assignTo calls (index + probes) — cache
+    // so the seed+Lloyd subtree runs once
+    val cent = graft.core.Caches.cache(
+      deterministicCentroids(c, "neighbor_id", "c_emb", nCentroids))
     val cb = graft.core.Caches.cache(pqCodebook(c, "neighbor_id", "c_emb", m, dsub, ksub))
-    val enc = pqAssign(
-      subRows(c, "c_emb", m, dsub).select(col("neighbor_id"), col("j"), col("sv")),
-      "neighbor_id", cb)
-      .groupBy(col("neighbor_id"))
-      .agg(
-        graft.ops.Aggregates.sortedList(Seq(col("j")), col("cid")).as("codes"),
-        sum(qnorm2(col("sv"))).as("cnorm2"))
-    // the scan-side index: cell id + codes + exact norm, no vectors
-    val index = graft.core.Caches.cache(assigned.join(enc, Seq("neighbor_id")))
+    // the scan-side index: spill-cell ids + codes + exact norm, no
+    // vectors. Cells (centroid_top_k), codes (pq_encode) and the norm
+    // are all ROW-LOCAL kernels over the same corpus scan — the index
+    // build has ZERO exchanges (formerly: a per-subspace assignment
+    // window plus an index-side corpus join).
+    val (cbFlat, cbPres) = cbArrays(cb, m, dsub, ksub)
+    // codes + norm are computed BEFORE the cells generator so the
+    // pq_encode kernel runs once per vector, not once per spill cell
+    val index = graft.core.Caches.cache(
+      assignCells(
+        c.select(
+          col("neighbor_id"),
+          col("c_emb"),
+          org.apache.spark.sql.graft.VectorExpressions
+            .pqEncode(col("c_emb"), cbFlat, cbPres, m, dsub, ksub).as("codes"),
+          qnorm2(col("c_emb")).as("cnorm2")),
+        "c_emb", cent, nAssign)
+        .drop("c_emb"))
 
     val q = queries.select(col(idCol).as("query_id"), prep(col(embCol)).as("q_emb"))
-    val probes = assignTo(q, "query_id", "q_emb", cent, nProbe)
-      .select(col("query_id"), col("cid"))
+    val probes = assignCells(q, "q_emb", cent, nProbe)
+      .withColumnRenamed("cells", "probe_cells")
+      .select(col("query_id"), col("probe_cells"), col("cid"))
     val parts = subRows(q, "q_emb", m, dsub)
       .join(broadcast(cb), Seq("j"))
       .select(col("query_id"), col("j"), col("cid"),
@@ -638,22 +743,29 @@ object Similarity {
       .agg(graft.ops.Aggregates
         .sortedList(Seq(col("j"), col("cid")), coalesce(col("part"), lit(0L))).as("lut"))
 
-    // probe cells → ADC over that cell's codes only; spill lists can
-    // surface one pair via several cells → dedup the scalar rows
-    val qTab = broadcast(q.join(lut, Seq("query_id")))
+    // probe cells → ADC over that cell's codes only. Scan rows carry
+    // ONLY (query_id, neighbor_id, adc) — q_emb is re-joined at rerank
+    // (see pqTopK). Spill lists surface one pair once per SHARED cell:
+    // keep only the minimum-shared-cell instance — a row-local filter
+    // on the two tiny cell arrays riding the row, replacing the former
+    // pair-grain dropDuplicates EXCHANGE (~1.2 GB at 1M corpus).
+    // Bit-identical survivors: adc is a pure function of the pair.
+    val qTab = broadcast(lut)
     val cand = Windows.topKPerGroup(
-      probes.join(qTab, Seq("query_id"))
+      broadcast(probes.join(qTab, Seq("query_id")))
         .join(index, Seq("cid"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("q_emb"), col("neighbor_id"),
+        .filter(col("cid") === org.apache.spark.sql.graft.VectorExpressions
+          .minSharedCell(col("cells"), col("probe_cells")))
+        .select(col("query_id"), col("neighbor_id"),
           (org.apache.spark.sql.graft.VectorExpressions
             .pqAdcScore(col("codes"), col("lut"), ksub).cast("double") /
-            sqrt(col("cnorm2").cast("double"))).as("adc"))
-        .dropDuplicates("query_id", "neighbor_id"),
+            sqrt(col("cnorm2").cast("double"))).as("adc")),
       Seq("query_id"), col("adc"), Seq("neighbor_id"), rerank)
 
     val rescored = c
-      .join(broadcast(cand.select(col("query_id"), col("q_emb"), col("neighbor_id"))),
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))
+          .join(broadcast(q), Seq("query_id"))),
         Seq("neighbor_id"))
       .select(
         col("query_id"),

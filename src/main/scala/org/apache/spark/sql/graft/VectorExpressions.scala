@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, TypeCollection}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StructType, TypeCollection}
 
 /** Native Catalyst expression for quantized-vector arithmetic (lives
   * in an `org.apache.spark.sql` subpackage because the Column↔
@@ -203,6 +204,302 @@ case class LongVectorAbsMax(child: Expression)
       newChild: Expression): LongVectorAbsMax = copy(child = newChild)
 }
 
+/** Row-local PQ encoder: quantized vector → its m sub-quantizer cell
+  * ids against a DRIVER-LITERAL codebook (≤ m·ksub cells by operator
+  * construction — bounded collect, the seeds-collect pattern). Per
+  * subspace j: argmax over present cells of `2·(sv_j·cq) − ||cq||²`
+  * (≡ argmin L2, exact integer), tie → min cid — bit-identical to the
+  * join+window assignment it replaces (and to the oracle's unrolled
+  * CTE), but with ZERO exchanges: the former plan shuffled every
+  * (vector, subspace) row with its sv and winning centroid through a
+  * window exchange — ~1.5 GB at 1M×64d, most of the PQ index build.
+  * Cell norms are precomputed once per executor (lazy).
+  */
+case class PqEncode(
+    child: Expression,
+    cb: IndexedSeq[Long],
+    present: IndexedSeq[Boolean],
+    m: Int,
+    dsub: Int,
+    ksub: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cbArr: Array[Long] = cb.toArray
+  @transient private lazy val presentArr: Array[Boolean] = present.toArray
+  // ||cq||² per flat cell id j·ksub + cid
+  @transient private lazy val norms: Array[Long] = {
+    val out = new Array[Long](m * ksub)
+    var c = 0
+    while (c < m * ksub) {
+      var s = 0L
+      var p = 0
+      while (p < dsub) { val v = cbArr(c * dsub + p); s += v * v; p += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  /** Per-row kernel, also called from generated code via reference obj. */
+  def kernel(a: ArrayData): ArrayData = {
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var bestCid = -1L
+      var bestNd = Long.MinValue
+      var cid = 0
+      while (cid < ksub) {
+        val flat = j * ksub + cid
+        if (presentArr(flat)) {
+          var dot = 0L
+          var p = 0
+          val base = flat * dsub
+          while (p < dsub) {
+            dot += a.getLong(j * dsub + p) * cbArr(base + p)
+            p += 1
+          }
+          val nd = 2L * dot - norms(flat)
+          if (nd > bestNd) { bestNd = nd; bestCid = cid.toLong }
+        }
+        cid += 1
+      }
+      out(j) = bestCid
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncoder", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.kernel($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Row-local coarse-quantizer assignment: quantized vector → its `top`
+  * nearest centroid ids from a DRIVER-LITERAL centroid table
+  * (≤ nCentroids rows by operator construction). Ranking is exact
+  * integer `2·(v·cq) − ||cq||²` descending (≡ L2 ascending), tie →
+  * min cid — bit-identical to the crossJoin+window assignment it
+  * replaces, which shuffled every vector together with its winning
+  * centroids through the window exchange (~1.7 GB at 1M×64d for the
+  * IVFPQ index+probe assignments). Returns the ids best-first.
+  */
+case class CentroidTopK(
+    child: Expression,
+    cents: IndexedSeq[Long],
+    cids: IndexedSeq[Long],
+    dim: Int,
+    top: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "centroid_top_k"
+
+  @transient private lazy val centArr: Array[Long] = cents.toArray
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val norms: Array[Long] = {
+    val n = cidArr.length
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var s = 0L
+      var p = 0
+      while (p < dim) { val v = centArr(i * dim + p); s += v * v; p += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** Per-row kernel, also called from generated code via reference obj. */
+  def kernel(a: ArrayData): ArrayData = {
+    val n = cidArr.length
+    val k = math.min(top, n)
+    val bestNd = new Array[Long](k)
+    val bestCid = new Array[Long](k)
+    var size = 0
+    var i = 0
+    while (i < n) {
+      var dot = 0L
+      var p = 0
+      val base = i * dim
+      while (p < dim) { dot += a.getLong(p) * centArr(base + p); p += 1 }
+      val nd = 2L * dot - norms(i)
+      val cid = cidArr(i)
+      // insertion position under (nd DESC, cid ASC)
+      var pos = size
+      while (pos > 0 &&
+        (bestNd(pos - 1) < nd || (bestNd(pos - 1) == nd && bestCid(pos - 1) > cid))) {
+        pos -= 1
+      }
+      if (pos < k) {
+        val last = math.min(size, k - 1)
+        var q = last
+        while (q > pos) { bestNd(q) = bestNd(q - 1); bestCid(q) = bestCid(q - 1); q -= 1 }
+        bestNd(pos) = nd
+        bestCid(pos) = cid
+        if (size < k) size += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestCid, size))
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centAssign", this, classOf[CentroidTopK].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.kernel($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidTopK =
+    copy(child = newChild)
+}
+
+/** Generator form of [[CentroidTopK]]: one output row per assigned
+  * cell, `(cells, cid)` — the full best-first cell array rides along
+  * each row so IVF scans can apply the row-local min-shared-cell
+  * spill dedup without a second projection. Exists as a GENERATOR
+  * (not explode-of-expression) for a load-bearing reason:
+  * `InferFiltersFromGenerate` rewrites `explode(f(x))` into
+  * `Filter(size(f(x)) > 0 AND isnotnull(f(x)))` + generate after
+  * project collapse — three full kernel evaluations per corpus row
+  * (measured 3× the scan wall at 1M vectors). The rule matches only
+  * `ExplodeBase`/`Inline`, so a custom generator evaluates the kernel
+  * exactly ONCE per row. Interpreted generate (CodegenFallback-style)
+  * is fine here: the kernel call dominates the virtual dispatch.
+  */
+case class CentroidCellsExplode(
+    child: Expression,
+    cents: IndexedSeq[Long],
+    cids: IndexedSeq[Long],
+    dim: Int,
+    top: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  override def elementSchema: StructType = new StructType()
+    .add("cells", ArrayType(LongType, containsNull = false), nullable = false)
+    .add("cid", LongType, nullable = false)
+
+  @transient private lazy val solver = CentroidTopK(child, cents, cids, dim, top)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val a = child.eval(input)
+    if (a == null) Nil
+    else {
+      val cells = solver.kernel(a.asInstanceOf[ArrayData])
+      val n = cells.numElements()
+      val out = new Array[InternalRow](n)
+      var i = 0
+      while (i < n) { out(i) = InternalRow(cells, cells.getLong(i)); i += 1 }
+      out
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CentroidCellsExplode = copy(child = newChild)
+}
+
+/** posexplode for array<long> as a CUSTOM generator — exists for the
+  * same load-bearing reason as [[CentroidCellsExplode]]:
+  * `InferFiltersFromGenerate` turns `posexplode(f(x))` into
+  * size/isnotnull guards that re-evaluate `f` twice more per row when
+  * `f` is an expensive kernel (pq_encode, float_vector_quantize). The
+  * rule matches only ExplodeBase/Inline, so this generator evaluates
+  * its child exactly once per row. Output: (pos int, val long).
+  */
+case class LongArrayPosExplode(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+  override def elementSchema: StructType = new StructType()
+    .add("pos", org.apache.spark.sql.types.IntegerType, nullable = false)
+    .add("val", LongType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val a = child.eval(input)
+    if (a == null) Nil
+    else {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[InternalRow](n)
+      var i = 0
+      while (i < n) { out(i) = InternalRow(i, arr.getLong(i)); i += 1 }
+      out
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LongArrayPosExplode = copy(child = newChild)
+}
+
+/** Minimum element present in BOTH tiny long arrays (spill-cell lists,
+  * ≤ nAssign × nProbe elements) — the row-local spill-list dedup
+  * predicate of the IVF scans. A primitive nested loop: the
+  * `array_min(array_intersect(...))` composition allocates an
+  * intersection set per row, which at scan rate (~72M rows at 1M
+  * corpus) dominates the operator. Returns Long.MaxValue when
+  * disjoint (never on scan rows — they share the joined cell by
+  * construction, so the filter semantics are unchanged).
+  */
+case class MinSharedCell(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "min_shared_cell"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var best = Long.MaxValue
+    var i = 0
+    while (i < nx) {
+      val v = x.getLong(i)
+      if (v < best) {
+        var j = 0
+        while (j < ny) {
+          if (y.getLong(j) == v) { best = v; j = ny }
+          else j += 1
+        }
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val best = ctx.freshName("best")
+      s"""
+         |long $best = Long.MAX_VALUE;
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
+         |  long $v = $x.getLong($i);
+         |  if ($v < $best) {
+         |    for (int $j = 0; $j < $y.numElements(); $j++) {
+         |      if ($y.getLong($j) == $v) { $best = $v; break; }
+         |    }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinSharedCell =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def longVectorDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -220,4 +517,39 @@ object VectorExpressions {
 
   def longVectorAbsMax(a: Column): Column =
     ExpressionUtils.column(LongVectorAbsMax(ExpressionUtils.expression(a)))
+
+  def pqEncode(
+      emb: Column,
+      cb: IndexedSeq[Long],
+      present: IndexedSeq[Boolean],
+      m: Int,
+      dsub: Int,
+      ksub: Int): Column =
+    ExpressionUtils.column(
+      PqEncode(ExpressionUtils.expression(emb), cb, present, m, dsub, ksub))
+
+  def centroidTopK(
+      emb: Column,
+      cents: IndexedSeq[Long],
+      cids: IndexedSeq[Long],
+      dim: Int,
+      top: Int): Column =
+    ExpressionUtils.column(
+      CentroidTopK(ExpressionUtils.expression(emb), cents, cids, dim, top))
+
+  def minSharedCell(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      MinSharedCell(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def centroidCellsExplode(
+      emb: Column,
+      cents: IndexedSeq[Long],
+      cids: IndexedSeq[Long],
+      dim: Int,
+      top: Int): Column =
+    ExpressionUtils.column(
+      CentroidCellsExplode(ExpressionUtils.expression(emb), cents, cids, dim, top))
+
+  def longArrayPosExplode(a: Column): Column =
+    ExpressionUtils.column(LongArrayPosExplode(ExpressionUtils.expression(a)))
 }
