@@ -550,7 +550,8 @@ object Similarity {
           scala.collection.immutable.ArraySeq.unsafeWrapArray(seedFlat),
           scala.collection.immutable.ArraySeq.unsafeWrapArray(seedPres),
           m, dsub, ksub).as("codes"))
-      .select(col("__emb"), posexplode(col("codes")).as(Seq("j", "cid")))
+      .select(col("__emb"), org.apache.spark.sql.graft.VectorExpressions
+        .longArrayPosExplode(col("codes")).as(Seq("j", "cid")))
       .select(col("j"), col("cid"),
         posexplode(slice(col("__emb"), col("j") * dsub + 1, lit(dsub)))
           .as(Seq("pos", "val")))
@@ -1257,7 +1258,9 @@ object Similarity {
           (conv(substring(md5(concat_ws("_", col("j"), col("i"))), 1, 1), 16, 10)
             .cast("long") % 2))
     vecs
-      .select(col(idCol).as("vec_id"), posexplode(quantize(col(embCol))).as(Seq("i", "qv")))
+      .select(col(idCol).as("vec_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .longArrayPosExplode(quantize(col(embCol))).as(Seq("i", "qv")))
       .join(broadcast(signs), Seq("i"))
       .groupBy(col("vec_id"), col("j"))
       .agg(sum(col("sgn") * col("qv")).as("p"))
@@ -1427,7 +1430,8 @@ object Similarity {
       .select(col("label"), col("centroid"),
         qnorm2(col("centroid")).as("c_n2"), col("n_vectors"))
     val g = vecs
-      .select(posexplode(quantize(col(embCol))).as(Seq("pos", "val")))
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .longArrayPosExplode(quantize(col(embCol))).as(Seq("pos", "val")))
       .groupBy(col("pos"))
       .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("gv"))
       .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("gv")).as("gc"))
