@@ -821,41 +821,57 @@ object Similarity {
       probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= planes,
       s"probeBits must be in [0, planes]; got $probeBits with planes=$planes")
-    def withBuckets(df: DataFrame, emb: String) = df.select(
-      col("*"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col(emb), planes, dim, planeOffset = t * planes)): _*))
-        .as(Seq("tbl", "bucket")))
+    // Corpus side: the per-table bucket ARRAY is computed once (the
+    // LongArrayPosExplode generator — an ExplodeBase here would pay
+    // InferFiltersFromGenerate's guards, re-running all tables×planes
+    // dot products twice more per corpus row) and rides along each
+    // exploded (tbl, bucket) row for the row-local cross-table dedup.
+    def withBuckets(df: DataFrame, emb: String) = df
+      .select(
+        col("*"),
+        array((0 until tables).map(t =>
+          lshBucket(col(emb), planes, dim, planeOffset = t * planes)): _*)
+          .as("c_buckets"))
+      .select(col("*"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .longArrayPosExplode(col("c_buckets")).as(Seq("tbl", "bucket")))
     // Multi-probe (opt-in, QUERY side only): besides its own bucket,
     // each query probes the `probeBits` buckets at Hamming distance 1
     // (one sign bit flipped) per table — the classic recall lever that
     // costs query-side fanout ×(1+probeBits) but leaves the corpus at
     // one row per table (the side that matters: queries are broadcast,
-    // the corpus is the big side and never re-fans or shuffles).
+    // the corpus is the big side and never re-fans or shuffles). The
+    // flat table-major variants array rides along for the dedup.
+    val perTable = 1 + probeBits
     def withProbedBuckets(df: DataFrame, emb: String) = df
       .select(
         col("*"),
-        explode(flatten(array((0 until tables).map { t =>
+        flatten(array((0 until tables).map { t =>
           val b = lshBucket(col(emb), planes, dim, planeOffset = t * planes)
-          val variants = b +: (0 until probeBits).map(p =>
-            b.bitwiseXOR(shiftleft(lit(1L), p)))
-          array(variants.map(v =>
-            struct(lit(t).as("tbl"), v.as("bucket"))): _*)
-        }: _*))).as("__tb"))
-      .select(col("*"), col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
-      .drop("__tb")
+          array(b +: (0 until probeBits).map(p =>
+            b.bitwiseXOR(shiftleft(lit(1L), p))): _*)
+        }: _*)).as("q_variants"))
+      .select(col("*"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .longArrayPosExplode(col("q_variants")).as(Seq("__vp", "bucket")))
+      .select(col("*"), expr(s"cast(__vp div $perTable as int)").as("tbl"))
+      .drop("__vp")
     val q = broadcast(withProbedBuckets(
       queries.select(col(idCol).as("query_id"), quantize(col(embCol)).as("q_emb")), "q_emb"))
     val c = withBuckets(
       corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol)).as("c_emb")), "c_emb")
-    // score BEFORE deduping cross-table hits: cosine is a pure function
-    // of the pair, so the dedup exchange carries 24-byte scalar rows
-    // instead of two 64-long vectors per row (measured 23.9 → ~4 MB on
-    // q36 at sf0.1); the corpus side itself never shuffles — the query
-    // side is broadcast
+    // A pair collides at most once per table (one corpus bucket, and a
+    // query's per-table probe variants are distinct XORs), so keeping
+    // only the MINIMUM colliding table keeps exactly one instance —
+    // a row-local filter on the two bucket arrays riding the row,
+    // replacing the former pair-grain dropDuplicates EXCHANGE (the
+    // dominant shuffle at 1M corpus: ~1 GB of scored collisions).
+    // Bit-identical survivors: cosine is a pure function of the pair.
     val scored = c
       .join(q, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(col("tbl") === org.apache.spark.sql.graft.VectorExpressions
+        .lshMinSharedTable(col("c_buckets"), col("q_variants"), perTable))
       .select(
         col("query_id"),
         col("neighbor_id"),
@@ -863,7 +879,6 @@ object Similarity {
           qdot(col("q_emb"), col("c_emb")),
           qnorm2(col("q_emb")),
           qnorm2(col("c_emb"))).as("cosine_sim"))
-      .dropDuplicates("query_id", "neighbor_id") // same pair via several tables
     Windows.topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k)
   }
 

@@ -438,6 +438,51 @@ case class LongArrayPosExplode(child: Expression)
       newChild: Expression): LongArrayPosExplode = copy(child = newChild)
 }
 
+/** First table index where an LSH corpus bucket collides with one of
+  * the query's probed buckets: `min { t : cBuckets[t] ∈
+  * qVariants[t·perTable .. (t+1)·perTable) }`, −1 when none — the
+  * row-local cross-table dedup predicate of the banded/multi-probe
+  * LSH scan (a pair collides at most once per table, so keeping only
+  * the minimum colliding table keeps exactly one instance). Primitive
+  * nested loop over ≤ tables·perTable elements; replaces a pair-grain
+  * dropDuplicates exchange that carried every scored collision.
+  */
+case class LshMinSharedTable(left: Expression, right: Expression, perTable: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "lsh_min_shared_table"
+
+  /** Per-row kernel, also called from generated code via reference obj. */
+  def kernel(cB: ArrayData, qV: ArrayData): Int = {
+    val tMax = math.min(cB.numElements(), qV.numElements() / perTable)
+    var t = 0
+    while (t < tMax) {
+      val bkt = cB.getLong(t)
+      var p = 0
+      while (p < perTable) {
+        if (qV.getLong(t * perTable + p) == bkt) return t
+        p += 1
+      }
+      t += 1
+    }
+    -1
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshDedup", this, classOf[LshMinSharedTable].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $ref.kernel($x, $y);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshMinSharedTable =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Minimum element present in BOTH tiny long arrays (spill-cell lists,
   * ≤ nAssign × nProbe elements) — the row-local spill-list dedup
   * predicate of the IVF scans. A primitive nested loop: the
@@ -552,4 +597,9 @@ object VectorExpressions {
 
   def longArrayPosExplode(a: Column): Column =
     ExpressionUtils.column(LongArrayPosExplode(ExpressionUtils.expression(a)))
+
+  def lshMinSharedTable(cBuckets: Column, qVariants: Column, perTable: Int): Column =
+    ExpressionUtils.column(LshMinSharedTable(
+      ExpressionUtils.expression(cBuckets),
+      ExpressionUtils.expression(qVariants), perTable))
 }
