@@ -338,7 +338,9 @@ object SparkEntry {
     "q295_rbo" -> (EQ.rboRankings _),
     "q296_rendezvous" -> (RQ.rendezvousShards _),
     "q297_sketch_audit" -> (RQ.sketchQuantileAudit _),
-    "q298_feature_signal" -> (CQ.featureSignalScreen _))
+    "q298_feature_signal" -> (CQ.featureSignalScreen _),
+    "q299_ranking_eval" -> (EQ.rankingEval _),
+    "q300_calibration" -> (CQ.calibrationAudit _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6812,7 +6814,55 @@ object SparkEntry {
         |        - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
         |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
         |      * 1000000) AS BIGINT) END AS auc_ppm
-        |FROM a ORDER BY feature""".stripMargin)
+        |FROM a ORDER BY feature""".stripMargin,
+    "q299_ranking_eval" ->
+      """WITH ui AS (
+        |  SELECT user_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+        |    event_type
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |), s AS (
+        |  SELECT user_id, item_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM ui GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, y,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY n_clicks DESC, item_id ASC) AS rn
+        |  FROM s WHERE n_clicks > 0
+        |), g AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN rn <= 5 THEN y ELSE 0 END) AS hit5,
+        |    MIN(CASE WHEN rn <= 10 AND y = 1 THEN rn END) AS fp10
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_instances,
+        |  CAST(SUM(hit5) AS BIGINT) AS n_hit_at5,
+        |  CAST(SUM(hit5) * 1000000 // COUNT(*) AS BIGINT) AS recall5_ppm,
+        |  CAST(SUM(COALESCE(1000000 // fp10, 0)) // COUNT(*) AS BIGINT) AS mrr10_ppm
+        |FROM g""".stripMargin,
+    "q300_calibration" ->
+      """WITH mx AS (
+        |  SELECT MAX(n_chars) AS mx FROM documents
+        |), c AS (
+        |  SELECT CAST(n_chars * 1000000 // mx AS BIGINT) AS conf_ppm,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents CROSS JOIN mx
+        |), b AS (
+        |  SELECT least(conf_ppm * 10 // 1000000, 9) AS bin, conf_ppm, y FROM c
+        |), g AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conf_ppm) AS BIGINT) AS conf_sum,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, n,
+        |  CAST(conf_sum // n AS BIGINT) AS conf_avg_ppm,
+        |  CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+        |  CAST(abs(conf_sum // n - n_pos * 1000000 // n) AS BIGINT) AS gap_ppm
+        |FROM g ORDER BY bin""".stripMargin)
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -135,6 +135,78 @@ object Eval {
       .orderBy(col("feature"))
   }
 
+  /** Fused ranking-eval: recall@`recallK` and MRR@`mrrK` of a scored,
+    * labeled candidate pool in ONE window pass — the per-instance rank
+    * is computed once and both metrics aggregate from it (running
+    * [[recallAtKPpm]] and a separate MRR would re-run the upstream
+    * scoring subtree per metric). MRR is exact-integer: per instance
+    * `rr_ppm = 1000000 div rank-of-first-positive` (0 when none in the
+    * top mrrK), averaged by integer division.
+    * Output: one row (n_instances, n_hit_at<recallK>,
+    * recall<recallK>_ppm, mrr<mrrK>_ppm).
+    */
+  def rankingEvalPpm(
+      df: DataFrame,
+      instanceCols: Seq[String],
+      labelCol: String,
+      scoreCol: Column,
+      tieCols: Seq[String],
+      recallK: Int,
+      mrrK: Int): DataFrame = {
+    val w = Window
+      .partitionBy(instanceCols.map(col): _*)
+      .orderBy(scoreCol.desc +: tieCols.map(c => col(c).asc): _*)
+    df.withColumn("rn", row_number().over(w))
+      .groupBy(instanceCols.map(col): _*)
+      .agg(
+        max(when(col("rn") <= recallK, col(labelCol).cast("long")).otherwise(0L))
+          .as("hit"),
+        min(when(col("rn") <= mrrK && col(labelCol).cast("long") === 1L, col("rn")))
+          .as("first_pos"))
+      .agg(
+        count(lit(1)).as("n_instances"),
+        sum(col("hit")).as("n_hit"),
+        sum(coalesce(expr("1000000 div first_pos"), lit(0L))).as("rr_sum"))
+      .select(
+        col("n_instances"),
+        col("n_hit").as(s"n_hit_at$recallK"),
+        expr("n_hit * 1000000 div n_instances").as(s"recall${recallK}_ppm"),
+        expr("rr_sum div n_instances").as(s"mrr${mrrK}_ppm"))
+  }
+
+  /** Calibration / reliability bins: bucket a ppm-scaled confidence
+    * into `bins` equal-width bins and compare each bin's mean
+    * confidence against its empirical positive rate — the reliability
+    * diagram behind ECE (expected calibration error =
+    * Σ_b n_b/N · |acc_b − conf_b|, derivable from the output). All
+    * integer: bin = min(conf·bins div 10⁶, bins−1), means by integer
+    * division. One map-side-combined exchange at bin grain.
+    * Output: one row per non-empty bin
+    * (bin, n, conf_avg_ppm, acc_ppm, gap_ppm), ordered by bin.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      confPpmCol: Column,
+      labelCol: String,
+      bins: Int): DataFrame =
+    df.select(confPpmCol.as("conf_ppm"), col(labelCol).cast("long").as("y"))
+      .select(
+        expr(s"least(conf_ppm * $bins div 1000000, ${bins - 1})").as("bin"),
+        col("conf_ppm"),
+        col("y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("conf_ppm")).as("conf_sum"),
+        sum(col("y")).as("n_pos"))
+      .select(
+        col("bin"),
+        col("n"),
+        expr("conf_sum div n").as("conf_avg_ppm"),
+        expr("n_pos * 1000000 div n").as("acc_ppm"),
+        expr("abs(conf_sum div n - n_pos * 1000000 div n)").as("gap_ppm"))
+      .orderBy(col("bin"))
+
   /** Exact ROC-AUC of a score against a 0/1 label, tie-corrected
     * (Mann–Whitney with average ranks), in integer ppm. Aggregates to
     * score-distinct grain FIRST, so the global rank window runs over

@@ -674,4 +674,22 @@ object CurationQueries {
     graft.ops.Eval
       .labelSignalAucPpm(f, Seq("n_chars", "n_spaces", "noise"), "y")
   }
+
+  /** Calibration audit (q300; [[graft.ops.Eval.calibrationBins]]): the
+    * reliability diagram of a min-max-scaled document-length
+    * "confidence" against the lang='en' label — the standard check
+    * before any model score gates a data-selection decision (a score
+    * can rank well and still be badly calibrated; the per-bin
+    * |conf − acc| gaps are what a selection threshold actually feels).
+    * One broadcast of the 1-row max, one bin-grain exchange.
+    */
+  def calibrationAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max(col("n_chars")).as("mx"))
+    graft.ops.Eval.calibrationBins(
+      docs.crossJoin(broadcast(mx)).select(
+        expr("n_chars * 1000000 div mx").as("conf_ppm"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+      col("conf_ppm"), "y", bins = 10)
+  }
 }

@@ -4131,4 +4131,30 @@ object EventQueries {
       .modularityPpm(pairs, "item_a", "item_b", labels)
       .orderBy(col("community"))
   }
+
+  /** Offline ranking evaluation (q299; [[graft.ops.Eval.rankingEvalPpm]]):
+    * score each user's clicked items by click count and measure whether
+    * the purchased ones rank high — recall@5 and MRR@10 in one fused
+    * window pass, exact integer ppm. The metric side of the
+    * candidates→features→model loop (q116/q117 measure the generator;
+    * this measures a RANKING against the same implicit labels).
+    *
+    * Shape: one repartition on user_id serves the (user, item)
+    * aggregation (subset partitioning), the rank window, AND the
+    * per-user metric aggregation — one exchange total (the q06
+    * pattern).
+    */
+  def rankingEval(s: SparkSession, d: String): DataFrame = {
+    val scored = Pipeline.itemEvents(s, d)
+      .select(col("user_id"), col("item_id"), col("event_type"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(
+        graft.ops.Aggregates.countIf(col("event_type") === "click").as("n_clicks"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .filter(col("n_clicks") > 0)
+    graft.ops.Eval.rankingEvalPpm(
+      scored, Seq("user_id"), "y", col("n_clicks"), Seq("item_id"),
+      recallK = 5, mrrK = 10)
+  }
 }
