@@ -119,11 +119,15 @@ object Eval {
       .join(
         byScore.filter(col("s").isNull)
           .groupBy(col("feature")).agg(sum(col("cnt")).as("n_null")),
-        Seq("feature"), "left")
+        // FULL outer, not left: a feature whose scores are ALL null has no
+        // rows in the AUC branch at all — a left join would silently drop
+        // the most broken feature from the screen. It must surface as
+        // (n_pos=0, n_neg=0, auc_ppm=NULL, n_null=count).
+        Seq("feature"), "full_outer")
       .select(
         col("feature"),
-        col("n_pos"),
-        col("n_neg"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
         coalesce(col("n_null"), lit(0L)).as("n_null"),
         expr(
           """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
@@ -190,8 +194,18 @@ object Eval {
       labelCol: String,
       bins: Int): DataFrame =
     df.select(confPpmCol.as("conf_ppm"), col(labelCol).cast("long").as("y"))
+      // A confidence outside [0, 1e6] ppm is caller error, not data: a
+      // negative conf would otherwise mint NEGATIVE bin ids as silent
+      // extra output rows. Loud assert_true (NULL on success) gated into
+      // the bin column per the suite's overflow-guard convention.
+      .withColumn("__guard", expr(
+        """assert_true(conf_ppm >= 0 AND conf_ppm <= 1000000,
+          |  'calibrationBins: conf_ppm ' || conf_ppm
+          |  || ' outside [0, 1000000] -- scores must be ppm-scaled')"""
+          .stripMargin))
       .select(
-        expr(s"least(conf_ppm * $bins div 1000000, ${bins - 1})").as("bin"),
+        when(col("__guard").isNull,
+          expr(s"least(conf_ppm * $bins div 1000000, ${bins - 1})")).as("bin"),
         col("conf_ppm"),
         col("y"))
       .groupBy(col("bin"))

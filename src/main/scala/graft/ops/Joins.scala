@@ -460,17 +460,27 @@ object Joins {
         col(s"a.$groupCol").as(groupCol),
         col(s"a.$itemCol").as("item_a"),
         col(s"b.$itemCol").as("item_b"))
-    val freqPairs = graft.core.Caches.cache(
+    // Eager localCheckpoint, not lazy cache: freqPairs feeds 2+ exchanges
+    // in the final action (the semi-join probe AND the frequentItems
+    // union), and concurrent broadcast builds race past a lazy cache and
+    // re-run its subtree per consumer. Checkpointing also erases size
+    // stats, so both small sides below get explicit broadcast() hints —
+    // without them Spark sort-merge-joins and shuffles the FULL pair
+    // enumeration (the O(sum n_s^2) term) instead of pruning it map-side.
+    val freqPairs =
       pairs.groupBy(col("item_a"), col("item_b"))
         .agg(count(lit(1)).as("pair_count"))
-        .filter(col("pair_count") >= minCount))
+        .filter(col("pair_count") >= minCount)
+        .localCheckpoint(true)
     // apriori prune: third items must participate in SOME frequent pair
     val frequentItems = freqPairs.select(col("item_a").as(itemCol))
       .unionByName(freqPairs.select(col("item_b").as(itemCol)))
       .distinct()
-    val third = di.join(frequentItems, Seq(itemCol), "left_semi")
+    val third = di.join(broadcast(frequentItems), Seq(itemCol), "left_semi")
     pairs
-      .join(freqPairs.select("item_a", "item_b"), Seq("item_a", "item_b"), "left_semi")
+      .join(
+        broadcast(freqPairs.select("item_a", "item_b")),
+        Seq("item_a", "item_b"), "left_semi")
       .as("p")
       .join(third.as("c"),
         col(s"p.$groupCol") === col(s"c.$groupCol") &&

@@ -611,6 +611,11 @@ object Similarity {
     // codebook: ZERO exchanges (the former per-subspace join+window
     // shuffled ~1.5 GB at 1M×64d).
     val (cbFlat, cbPres) = cbArrays(cb, m, dsub, ksub)
+    // cnorm2 = qnorm2 over the FULL vector is sound only because the
+    // codes cover every component: dsub = dim/m with dim % m == 0 pins
+    // dim == m*dsub, and pq_encode's kernel throws on any row whose
+    // actual length differs — so the ADC denominator never includes
+    // components the codes don't cover.
     val enc = c.select(
       col("neighbor_id"),
       org.apache.spark.sql.graft.VectorExpressions

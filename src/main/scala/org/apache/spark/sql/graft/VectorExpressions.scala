@@ -243,8 +243,19 @@ case class PqEncode(
     out
   }
 
-  /** Per-row kernel, also called from generated code via reference obj. */
+  /** Per-row kernel, also called from generated code via reference obj.
+    * Loud on malformed input (suite convention, same seam as
+    * FloatVectorQuantize's null-slot guard): a vector shorter than
+    * m·dsub would otherwise read unchecked garbage via getLong, and a
+    * subspace with no present codebook cells would emit cid −1 as a
+    * silent poison code.
+    */
   def kernel(a: ArrayData): ArrayData = {
+    if (a.numElements() != m * dsub) {
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${a.numElements()} != m*dsub = ${m * dsub} — " +
+          "codes would index past the codebook layout")
+    }
     val out = new Array[Long](m)
     var j = 0
     while (j < m) {
@@ -265,6 +276,11 @@ case class PqEncode(
           if (nd > bestNd) { bestNd = nd; bestCid = cid.toLong }
         }
         cid += 1
+      }
+      if (bestCid == -1L) {
+        throw new IllegalStateException(
+          s"pq_encode: subspace $j has no present codebook cells — " +
+            "the codebook build must cover every subspace")
       }
       out(j) = bestCid
       j += 1
@@ -319,8 +335,15 @@ case class CentroidTopK(
     out
   }
 
-  /** Per-row kernel, also called from generated code via reference obj. */
+  /** Per-row kernel, also called from generated code via reference obj.
+    * Loud on length mismatch (same seam as [[PqEncode.kernel]]): a
+    * short vector would read unchecked garbage via getLong.
+    */
   def kernel(a: ArrayData): ArrayData = {
+    if (a.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"centroid_top_k: vector length ${a.numElements()} != dim = $dim")
+    }
     val n = cidArr.length
     val k = math.min(top, n)
     val bestNd = new Array[Long](k)

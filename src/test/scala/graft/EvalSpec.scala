@@ -67,4 +67,30 @@ class EvalSpec extends SparkSpec {
     // all-tied score: average ranks make AUC exactly 1/2; one null excluded
     assert(m("constant") == ((500000L, 1L)))
   }
+
+  test("labelSignalAucPpm: an ALL-null feature still appears in the screen") {
+    // a fully-broken (all-null) feature is exactly the one the screen
+    // must surface — it has no rows in the AUC branch, so a left join
+    // from that branch would silently drop it (full-outer regression pin)
+    val df = Seq(
+      (1L, Some(10L), None: Option[Long]),
+      (0L, Some(2L), None: Option[Long]),
+      (0L, Some(1L), None: Option[Long])
+    ).toDF("y", "ok", "broken")
+    val rows = Eval.labelSignalAucPpm(df, Seq("ok", "broken"), "y")
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(rows.keySet == Set("ok", "broken"))
+    val b = rows("broken")
+    assert(b.getAs[Long]("n_pos") == 0L && b.getAs[Long]("n_neg") == 0L)
+    assert(b.isNullAt(b.fieldIndex("auc_ppm")))
+    assert(b.getAs[Long]("n_null") == 3L)
+  }
+
+  test("calibrationBins: negative / out-of-range conf_ppm fails LOUD") {
+    val df = Seq((-5L, 0L), (500000L, 1L)).toDF("conf_ppm", "y")
+    val ex = intercept[Exception] {
+      Eval.calibrationBins(df, col("conf_ppm"), "y", 10).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

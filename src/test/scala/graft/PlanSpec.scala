@@ -298,6 +298,19 @@ class PlanSpec extends SparkSpec {
       s"argmin must rank-limit map-side before the window exchange:\n$p")
   }
 
+  test("frequent triples: thresholded freqPairs semi-join is BROADCAST (pairs never shuffle)") {
+    // The pair enumeration is the O(sum n_s^2) term; sort-merge-joining it
+    // against the small thresholded freqPairs side would shuffle the FULL
+    // enumeration. The checkpointed small sides carry no size stats, so the
+    // explicit broadcast() hints are load-bearing — pin the shape.
+    val p = plan(EventQueries.frequentTriples(spark, dir))
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"freqPairs semi-join must be a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair enumeration must never sort-merge against the small sides:\n$p")
+    assert(!p.contains("CartesianProduct"), s"triple join degenerated:\n$p")
+  }
+
   test("frame near-dup: fingerprint joins plan no cartesian, count joins broadcast") {
     val media = graft.multimodal.Multimodal.asMediaTable(
       graft.core.Tables.documents(spark, dir), "doc_id", "text")

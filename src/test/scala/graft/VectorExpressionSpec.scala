@@ -83,6 +83,31 @@ class VectorExpressionSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("pq_encode / centroid_top_k fail LOUD on vector-length mismatch") {
+    // a short vector would otherwise read unchecked garbage via
+    // UnsafeArrayData.getLong — same loud-guard seam as the
+    // FloatVectorQuantize null-slot check
+    val cb = IndexedSeq(1L, 2L, 3L, 4L) // m=2, dsub=1, ksub=2
+    val pres = IndexedSeq(true, true, true, true)
+    val bad = Seq(Tuple1(Seq(7L, 8L, 9L))).toDF("v") // length 3, m*dsub = 2
+    val e1 = intercept[Exception] {
+      bad.select(VectorExpressions.pqEncode(col("v"), cb, pres, 2, 1, 2)).collect()
+    }
+    assert(e1.getMessage.contains("pq_encode") ||
+      (e1.getCause != null && e1.getCause.getMessage.contains("pq_encode")))
+    val e2 = intercept[Exception] {
+      bad.select(VectorExpressions.centroidTopK(
+        col("v"), IndexedSeq(1L, 2L), IndexedSeq(0L), dim = 2, top = 1)).collect()
+    }
+    assert(e2.getMessage.contains("centroid_top_k") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("centroid_top_k")))
+    // well-formed input still encodes (guards are length checks, not new semantics)
+    val ok = Seq(Tuple1(Seq(7L, 8L))).toDF("v")
+      .select(VectorExpressions.pqEncode(col("v"), cb, pres, 2, 1, 2).as("c"))
+      .as[Seq[Long]].head()
+    assert(ok.length == 2)
+  }
+
   test("norm2 + knn stays inside whole-stage codegen") {
     val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val scored = emb.select(
