@@ -340,7 +340,9 @@ object SparkEntry {
     "q297_sketch_audit" -> (RQ.sketchQuantileAudit _),
     "q298_feature_signal" -> (CQ.featureSignalScreen _),
     "q299_ranking_eval" -> (EQ.rankingEval _),
-    "q300_calibration" -> (CQ.calibrationAudit _))
+    "q300_calibration" -> (CQ.calibrationAudit _),
+    "q301_mad_sketch" -> (EQ.madCentsSketch _),
+    "q302_tukey_sketch" -> (EQ.tukeyOutliersSketch _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6862,7 +6864,108 @@ object SparkEntry {
         |  CAST(conf_sum // n AS BIGINT) AS conf_avg_ppm,
         |  CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
         |  CAST(abs(conf_sum // n - n_pos * 1000000 // n) AS BIGINT) AS gap_ppm
-        |FROM g ORDER BY bin""".stripMargin)
+        |FROM g ORDER BY bin""".stripMargin,
+    // log-histogram MAD sketch (q171's bounded-state sibling): q106's
+    // bucket math, two passes — median_lb, then |cents - median_lb|
+    // re-bucketed for mad_lb
+    "q301_mad_sketch" ->
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+         |), sup AS (
+         |  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1, 2
+         |), b1 AS (
+         |  SELECT event_type, ${logBucketSql("cents")} AS bucket, n FROM sup
+         |), c1 AS (
+         |  SELECT event_type, bucket, CAST(SUM(n) AS BIGINT) AS cnt FROM b1 GROUP BY 1, 2
+         |), w1 AS (
+         |  SELECT event_type, bucket,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+         |  FROM c1
+         |), p1 AS (
+         |  SELECT event_type, MAX(nn) AS n_rows,
+         |    MIN(CASE WHEN cum >= greatest((nn * 500000 + 999999) // 1000000, 1)
+         |             THEN bucket END) AS b50
+         |  FROM w1 GROUP BY 1
+         |), med AS (
+         |  SELECT event_type, n_rows, CAST(${bucketLowerSql("b50")} AS BIGINT) AS median_lb
+         |  FROM p1
+         |), b2 AS (
+         |  SELECT s.event_type,
+         |    ${logBucketSql("abs(s.cents - m.median_lb)")} AS bucket, s.n
+         |  FROM sup s JOIN med m USING (event_type)
+         |), c2 AS (
+         |  SELECT event_type, bucket, CAST(SUM(n) AS BIGINT) AS cnt FROM b2 GROUP BY 1, 2
+         |), w2 AS (
+         |  SELECT event_type, bucket,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+         |  FROM c2
+         |), p2 AS (
+         |  SELECT event_type,
+         |    MIN(CASE WHEN cum >= greatest((nn * 500000 + 999999) // 1000000, 1)
+         |             THEN bucket END) AS b50d
+         |  FROM w2 GROUP BY 1
+         |)
+         |SELECT m.event_type, m.n_rows, m.median_lb,
+         |  CAST(${bucketLowerSql("p.b50d")} AS BIGINT) AS mad_lb
+         |FROM p2 p JOIN med m USING (event_type) ORDER BY m.event_type""".stripMargin,
+    // log-histogram Tukey fences (q214's bounded-state sibling):
+    // Q1/Q3 bucket lower bounds, doubled-integer fences, tail mass
+    // from the compressed support
+    "q302_tukey_sketch" ->
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+         |), sup AS (
+         |  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1, 2
+         |), b1 AS (
+         |  SELECT event_type, ${logBucketSql("cents")} AS bucket, n FROM sup
+         |), c1 AS (
+         |  SELECT event_type, bucket, CAST(SUM(n) AS BIGINT) AS cnt FROM b1 GROUP BY 1, 2
+         |), w1 AS (
+         |  SELECT event_type, bucket,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+         |  FROM c1
+         |), p1 AS (
+         |  SELECT event_type, MAX(nn) AS n_rows,
+         |    MIN(CASE WHEN cum >= greatest((nn * 250000 + 999999) // 1000000, 1)
+         |             THEN bucket END) AS bq1,
+         |    MIN(CASE WHEN cum >= greatest((nn * 750000 + 999999) // 1000000, 1)
+         |             THEN bucket END) AS bq3
+         |  FROM w1 GROUP BY 1
+         |), f AS (
+         |  SELECT event_type, n_rows,
+         |    CAST(${bucketLowerSql("bq1")} AS BIGINT) AS q1_lb,
+         |    CAST(${bucketLowerSql("bq3")} AS BIGINT) AS q3_lb
+         |  FROM p1
+         |), f2 AS (
+         |  SELECT *, q1_lb * 2 - (q3_lb - q1_lb) * 3 AS lo2,
+         |    q3_lb * 2 + (q3_lb - q1_lb) * 3 AS hi2
+         |  FROM f
+         |)
+         |SELECT f2.event_type, f2.n_rows, f2.q1_lb, f2.q3_lb,
+         |  CAST(SUM(CASE WHEN s.cents * 2 < f2.lo2 THEN s.n ELSE 0 END) AS BIGINT) AS n_low,
+         |  CAST(SUM(CASE WHEN s.cents * 2 > f2.hi2 THEN s.n ELSE 0 END) AS BIGINT) AS n_high
+         |FROM sup s JOIN f2 USING (event_type)
+         |GROUP BY 1, 2, 3, 4 ORDER BY f2.event_type""".stripMargin)
+
+  /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
+    * expression (q106's bucket math, shared so the sketch rows cannot
+    * drift from it).
+    */
+  private def logBucketSql(v: String): String =
+    s"""CASE WHEN $v < 16 THEN $v
+       |         ELSE CAST(length(bin($v)) - 1 AS BIGINT) * 16
+       |            + ($v // (CAST(1 AS BIGINT) << (length(bin($v)) - 5))) - 16
+       |    END""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.Sketches.bucketLower]]. */
+  private def bucketLowerSql(b: String): String =
+    s"CASE WHEN $b < 16 THEN $b ELSE ($b % 16 + 16) << ($b // 16 - 4) END"
 
   /** `steps` unrolled deterministic walk hops `s1..s$steps` off the
     * cumulative-weighted edge CTE `ew` and frontier `s0` — the SQL

@@ -948,6 +948,34 @@ object Dedup {
     mergeDupPositions(pos, minLen)
   }
 
+  /** [[maximalRepeatRanges]] with the 100 TB knob (the q279/q297
+    * sampled-audit treatment): `sampleMod` > 1 restricts the corpus to
+    * the deterministic md5 doc sample `md5(doc_id) % sampleMod = 0`
+    * BEFORE the stride-1 position scan, and computes the EXACT repeat
+    * ranges of that induced sub-corpus — positions (and both hash
+    * exchanges, the suite's top shuffle at mod=1) scale by 1/mod.
+    * Ranges are exact FOR THE SAMPLE: a cross-doc repeat surfaces iff
+    * a witness occurrence is co-sampled, so per-doc repeat-burden
+    * aggregates over the sample are slight UNDERestimates of the
+    * full-corpus burden (sampling can only lose witnesses, never
+    * invent ranges) — the conservative direction for a duplication
+    * audit. SampledAuditSpec pins the estimator band at test scale;
+    * the contract rows (q128/q179) keep sampleMod = 1 (exact,
+    * oracle-hashed).
+    */
+  def maximalRepeatRangesAudit(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int,
+      sampleMod: Long): DataFrame = {
+    val sampled =
+      if (sampleMod <= 1L) docs
+      else docs.filter(expr(
+        s"conv(substring(md5(cast(`$idCol` as string)), 1, 8), 16, 10) % $sampleMod = 0"))
+    maximalRepeatRanges(sampled, textCol, idCol, minLen)
+  }
+
   /** [[maximalRepeatRanges]] with the O(1)-per-position rolling-hash
     * scan (`rolling_window_fps`, one fused pass per doc) instead of the
     * O(minLen) md5-per-window scan — the petabyte path, same plan shape

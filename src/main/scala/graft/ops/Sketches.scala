@@ -217,4 +217,78 @@ object Sketches {
       valueCol: String,
       qs: Seq[(Long, String)]): DataFrame =
     logHistQuantilesFromCounts(logHistCounts(df, groupCol, valueCol), groupCol, qs)
+
+  /** Sketch sibling of the exact MAD (q171's
+    * [[graft.ops.Stats.medianFromCounts]] two-pass): median and MAD
+    * LOWER BOUNDS from the log-histogram, over a COUNT-compressed
+    * support `(group, value, n)`. The exact path's state is the full
+    * value support per group — fine at cent grain, a shuffle cliff for
+    * high-cardinality value domains at 100 TB; this path's per-group
+    * state is ≤ 1024 additive bucket counters per pass (persistable,
+    * re-mergeable partials). Two passes, same shape as the exact op:
+    * median_lb from pass 1, then |v − median_lb| re-bucketed for pass
+    * 2. Error: each quantile answer is the holding bucket's lower
+    * bound — within 1/16 relative of the true order statistic (exact
+    * below 16); the MAD additionally inherits the median_lb shift, so
+    * its error is bounded by ~2/16 relative (SkewAndSketchSpec pins
+    * the band on real data). All integer, DuckDB-reproducible ⇒
+    * oracle-checkable (q301).
+    * Output: (group, n_rows, median_lb, mad_lb).
+    */
+  def madLogHistFromCounts(
+      counts: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      cntCol: String): DataFrame = {
+    val hist = counts
+      .select(col(groupCol), logBucket(valueCol).as("bucket"), col(cntCol).as("c"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+    val med = logHistQuantilesFromCounts(hist, groupCol, Seq((500000L, "median_lb")))
+    val devHist = counts
+      .join(broadcast(med.select(col(groupCol), col("median_lb"))), Seq(groupCol))
+      .select(
+        col(groupCol),
+        logBucket(s"abs(`$valueCol` - median_lb)").as("bucket"),
+        col(cntCol).as("c"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+    logHistQuantilesFromCounts(devHist, groupCol, Seq((500000L, "mad_lb")))
+      .drop("n_rows")
+      .join(med, Seq(groupCol))
+      .select(col(groupCol), col("n_rows"), col("median_lb"), col("mad_lb"))
+  }
+
+  /** Sketch sibling of the exact Tukey fences (q214's order-statistic
+    * narrowing): Q1/Q3 lower bounds from the log-histogram, fences in
+    * the doubled-integer form (lo2 = 2·q1 − 3·(q3−q1), hi2 = 2·q3 +
+    * 3·(q3−q1) — no halving, no floats), and outlier mass counted
+    * map-side against the broadcast fences. Per-group sketch state is
+    * ≤ 1024 counters; the tail count pass is one broadcast join over
+    * the same compressed support. Fence error inherits the ≤ 1/16
+    * bucket bound on each hinge (SkewAndSketchSpec pins the band).
+    * Output: (group, n_rows, q1_lb, q3_lb, n_low, n_high).
+    */
+  def tukeyFencesLogHistFromCounts(
+      counts: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      cntCol: String): DataFrame = {
+    val hist = counts
+      .select(col(groupCol), logBucket(valueCol).as("bucket"), col(cntCol).as("c"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+    val fences = logHistQuantilesFromCounts(
+      hist, groupCol, Seq((250000L, "q1_lb"), (750000L, "q3_lb")))
+      .withColumn("lo2", col("q1_lb") * 2 - (col("q3_lb") - col("q1_lb")) * 3)
+      .withColumn("hi2", col("q3_lb") * 2 + (col("q3_lb") - col("q1_lb")) * 3)
+    counts
+      .join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol), col("n_rows"), col("q1_lb"), col("q3_lb"))
+      .agg(
+        sum(when(col(valueCol) * 2 < col("lo2"), col(cntCol)).otherwise(0L))
+          .as("n_low"),
+        sum(when(col(valueCol) * 2 > col("hi2"), col(cntCol)).otherwise(0L))
+          .as("n_high"))
+  }
 }

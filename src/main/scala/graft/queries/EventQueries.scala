@@ -1969,6 +1969,44 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch sibling of [[madCents]] (q301): median and MAD lower
+    * bounds from the ≤1024-bucket log-histogram
+    * ([[graft.ops.Sketches.madLogHistFromCounts]]) — the opt-in path
+    * past q171's full-value-support state at 100 TB, same two-pass
+    * shape, all integer and oracle-checked. SkewAndSketchSpec pins the
+    * error band against the exact q171 answer.
+    */
+  def madCentsSketch(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sketches
+      .madLogHistFromCounts(
+        Tables.events(s, d)
+          .select(
+            col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "cents", "n")
+      .orderBy(col("event_type"))
+
+  /** Sketch sibling of [[tukeyOutliers]] (q302): Q1/Q3 lower bounds
+    * from the log-histogram, doubled-integer fences, tail mass counted
+    * against the broadcast fences
+    * ([[graft.ops.Sketches.tukeyFencesLogHistFromCounts]]). The
+    * bounded-state fence path for value domains whose support doesn't
+    * fit q214's exact narrowing at 100 TB.
+    */
+  def tukeyOutliersSketch(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sketches
+      .tukeyFencesLogHistFromCounts(
+        Tables.events(s, d)
+          .select(
+            col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "cents", "n")
+      .orderBy(col("event_type"))
+
   /** 5–95% trimmed mean (q172) of value cents per event type — the
     * robust mean that DROPS the tails where q99's winsorize CLAMPS
     * them. [[graft.ops.Stats.trimmedMeanMicroFromCounts]]: kept mass of

@@ -36,6 +36,38 @@ class SampledAuditSpec extends SparkSpec {
       s"sampled recall $rSm ppm vs exact $rEx ppm")
   }
 
+  test("q179 sampled repeat ranges: exact on the induced sub-corpus, conservative burden") {
+    import graft.dedup.Dedup
+    val docs = graft.core.Tables.documents(spark, sf("sf0.01"))
+    def burdens(mod: Long): Map[String, Long] =
+      Dedup.maximalRepeatRangesAudit(docs, "text", "doc_id", minLen = 16, sampleMod = mod)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("end_pos") - col("start_pos")).as("burden"))
+        .collect()
+        .map(r => r.get(0).toString -> r.getAs[Long]("burden"))
+        .toMap
+    val exact = burdens(1L)
+    val sampled = burdens(2L)
+    assert(sampled.nonEmpty, "sampled audit found no repeats — vacuous fixture")
+    // sampled docs are a strict subset of the corpus
+    assert(sampled.keySet.subsetOf(exact.keySet) || sampled.keySet.nonEmpty)
+    // sampling can only LOSE witnesses, never invent ranges: every
+    // sampled doc's burden is <= its exact burden (conservative audit)
+    sampled.foreach { case (d, b) =>
+      assert(exact.contains(d) && b <= exact(d),
+        s"doc $d sampled burden $b exceeds exact ${exact.get(d)}")
+    }
+    // and the estimator is non-degenerate: the sample retains a real
+    // share of its docs' exact burden
+    // keysIterator, NOT .keys.map: Map#keys is a Set, and mapping a
+    // Set through the burden lookup dedupes equal burden values
+    val exactOnSample = sampled.keysIterator.map(exact).sum
+    val ratio = sampled.values.sum.toDouble / exactOnSample
+    info(s"sampled/exact burden on sampled docs = $ratio " +
+      s"(${sampled.values.sum} / $exactOnSample over ${sampled.size} docs)")
+    assert(ratio > 0.3 && ratio <= 1.0, s"burden ratio $ratio out of band")
+  }
+
   test("q297 sampled exact-side quantiles track the full order statistics") {
     val vals = graft.core.Tables.lineitem(spark, sf("sf0.01")).select(
       col("l_returnflag").as("g"),

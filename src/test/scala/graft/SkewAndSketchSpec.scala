@@ -206,4 +206,42 @@ class SkewAndSketchSpec extends SparkSpec {
       .collect().head
     assert(repart == out)
   }
+
+  test("MAD / Tukey-fence sketch siblings track the exact q171/q214 answers") {
+    import graft.queries.EventQueries
+    val d = sf("sf0.01")
+    // MAD: median_lb within the 1/16 bucket bound of the exact median;
+    // mad_lb within ~2/16 (bucket bound + the median_lb shift it inherits)
+    val exactMad = EventQueries.madCents(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("median_cents"), r.getAs[Long]("mad_cents"))).toMap
+    val sketchMad = EventQueries.madCentsSketch(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("median_lb"), r.getAs[Long]("mad_lb"))).toMap
+    assert(sketchMad.keySet == exactMad.keySet)
+    exactMad.foreach { case (g, (exMed, exMad)) =>
+      val (lbMed, lbMad) = sketchMad(g)
+      assert(lbMed <= exMed && (exMed - lbMed).toDouble / exMed < 1.0 / 16,
+        s"$g median: sketch $lbMed vs exact $exMed")
+      assert(math.abs(exMad - lbMad).toDouble / exMad < 2.0 / 16,
+        s"$g mad: sketch $lbMad vs exact $exMad")
+    }
+    // Fences: each hinge within the 1/16 bound of the exact quartile
+    val exactF = EventQueries.tukeyOutliers(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("q1_cents"), r.getAs[Long]("q3_cents"))).toMap
+    val sketchF = EventQueries.tukeyOutliersSketch(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("q1_lb"), r.getAs[Long]("q3_lb"),
+          r.getAs[Long]("n_low"), r.getAs[Long]("n_high"))).toMap
+    assert(sketchF.keySet == exactF.keySet)
+    exactF.foreach { case (g, (exQ1, exQ3)) =>
+      val (lbQ1, lbQ3, nLow, nHigh) = sketchF(g)
+      assert(lbQ1 <= exQ1 && (exQ1 - lbQ1).toDouble / exQ1 < 1.0 / 16,
+        s"$g q1: sketch $lbQ1 vs exact $exQ1")
+      assert(lbQ3 <= exQ3 && (exQ3 - lbQ3).toDouble / exQ3 < 1.0 / 16,
+        s"$g q3: sketch $lbQ3 vs exact $exQ3")
+      assert(nLow >= 0L && nHigh >= 0L)
+    }
+  }
 }
