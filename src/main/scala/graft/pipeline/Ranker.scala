@@ -88,4 +88,64 @@ object Ranker {
       .transform(assembled)
       .withColumn("p1", vector_to_array(col("probability")).getItem(1))
       .drop("rawPrediction", "probability", "prediction")
+
+  /** One sweep measurement: config → its holdout AUC in ppm. */
+  final case class SweepPoint(maxDepth: Int, maxIter: Int, validAucPpm: Long)
+
+  /** Deterministic TIME-respecting hyperparameter sweep over GBT
+    * (maxDepth, maxIter) — the reference README's open item
+    * (`/root/reference/README.md:276` "Hyperparameter tuning for
+    * LightGBM, XGBoost, and CatBoost"), done the only way that's sound
+    * for prefix-feature ranking data: MLlib's `TrainValidationSplit`
+    * splits ROWS at random, which puts a session's later instances in
+    * the tuning holdout while earlier ones train — the exact leakage
+    * shape the q263 embargo split exists to prevent. So the split here
+    * is by instance TIMESTAMP: the earliest `trainPpm` of instances
+    * (exact integer ppm order statistic over the day-sharded cumsum —
+    * no float rank, no unpartitioned window) train, instances after
+    * the cutoff score, and an `embargoSec` gap between them absorbs
+    * boundary sessions.
+    *
+    * Fully deterministic: fixed seed per fit, exact-integer AUC
+    * ([[graft.ops.Eval.aucPpm]]), and the winner breaks ties by
+    * (auc DESC, maxDepth ASC, maxIter ASC). The grid loop is a
+    * driver-side loop over a param-bounded literal — each iteration is
+    * a distributed fit, the loop itself is O(|grid|).
+    *
+    * Returns every measured point plus the winner.
+    */
+  def timeAwareSweep(
+      raw: DataFrame,
+      features: Seq[String],
+      tsCol: String,
+      grid: Seq[(Int, Int)],
+      embargoSec: Long = 0L,
+      trainPpm: Long = 800000L,
+      seed: Long = 42L): (Seq[SweepPoint], SweepPoint) = {
+    require(grid.nonEmpty, "sweep grid must be non-empty")
+    val ts = raw.select(col(tsCol).cast("long").as("ts_s"), lit(0L).as("g"))
+    val sup = ts.groupBy(col("g"), col("ts_s")).agg(count(lit(1)).as("c"))
+    val cums = graft.ops.Windows.shardedCumsumBy(
+      sup, Seq("g"), "ts_s", Seq("c"), expr("ts_s div 86400"))
+    val nTotal = raw.count()
+    val rank = (nTotal * trainPpm + 999999L) / 1000000L
+    val cutoff = cums
+      .filter(col("cum_c") >= rank)
+      .agg(min(col("ts_s")))
+      .head().getLong(0)
+    val subTrain = assemble(
+      raw.filter(col(tsCol).cast("long") <= cutoff - embargoSec), features)
+      .localCheckpoint(true)
+    val subValid = assemble(raw.filter(col(tsCol).cast("long") > cutoff), features)
+      .localCheckpoint(true)
+    val points = grid.map { case (depth, iter) =>
+      val m = train(subTrain, maxIter = iter, maxDepth = depth, seed = seed)
+      val auc = graft.ops.Eval
+        .aucPpm(score(m, subValid), col("p1"), "y")
+        .head().getAs[Long]("auc_ppm")
+      SweepPoint(depth, iter, auc)
+    }
+    val best = points.sortBy(p => (-p.validAucPpm, p.maxDepth, p.maxIter)).head
+    (points, best)
+  }
 }

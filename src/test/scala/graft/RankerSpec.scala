@@ -122,6 +122,34 @@ class RankerSpec extends SparkSpec {
       s"GBT recall@20 $at20 must dominate popularity baseline $popularity20")
   }
 
+  test("time-aware hyperparameter sweep (README.md:276): deterministic winner, no AUC regression") {
+    val grid = Seq((3, 4), (5, 4), (5, 8))
+    val (points, best) = Ranker.timeAwareSweep(
+      trainSampleRaw, Ranker.screenedFeatures, "atc_ts",
+      grid, embargoSec = 1800L)
+    assert(points.map(p => (p.maxDepth, p.maxIter)) == grid, "one point per config")
+    points.foreach(p => assert(p.validAucPpm > 500000L,
+      s"config $p below no-skill on the time holdout"))
+    info(s"sweep: $points -> winner $best")
+    // fixed-seed reproducibility of the CHOSEN config: re-measuring
+    // just the winner reproduces its holdout AUC bit-exactly
+    val (again, _) = Ranker.timeAwareSweep(
+      trainSampleRaw, Ranker.screenedFeatures, "atc_ts",
+      Seq((best.maxDepth, best.maxIter)), embargoSec = 1800L)
+    assert(again.head.validAucPpm == best.validAucPpm,
+      s"winner AUC not reproducible: ${again.head} vs $best")
+    // the chosen config, retrained on the full (sampled) train window,
+    // holds the screened model's valid-AUC floor — tuning must never
+    // regress the fixed-param head
+    val tuned = Ranker.train(trainAsm, maxIter = best.maxIter, maxDepth = best.maxDepth)
+    val tunedAuc = Eval.aucPpm(
+      Ranker.score(tuned,
+        Ranker.assemble(spark.read.parquet(validPath), Ranker.screenedFeatures)),
+      col("p1"), "y").head().getAs[Long]("auc_ppm")
+    info(s"tuned valid AUC = $tunedAuc ppm")
+    assert(tunedAuc > 900000L, s"tuned valid AUC $tunedAuc ppm below floor")
+  }
+
   test("model contrast: feeding the leak inverts generalization") {
     val allFeatures = Ranker.baseFeatures ++ Ranker.embFeatures
     val leakyModel = Ranker.train(
