@@ -342,7 +342,10 @@ object SparkEntry {
     "q299_ranking_eval" -> (EQ.rankingEval _),
     "q300_calibration" -> (CQ.calibrationAudit _),
     "q301_mad_sketch" -> (EQ.madCentsSketch _),
-    "q302_tukey_sketch" -> (EQ.tukeyOutliersSketch _))
+    "q302_tukey_sketch" -> (EQ.tukeyOutliersSketch _),
+    "q303_stream_wcounts" -> (EQ.streamWindowCounts _),
+    "q304_stream_attrib" -> (EQ.streamClickAttribution _),
+    "q305_stream_enrich" -> (EQ.streamEnrichedCounts _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -6951,7 +6954,59 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN s.cents * 2 < f2.lo2 THEN s.n ELSE 0 END) AS BIGINT) AS n_low,
          |  CAST(SUM(CASE WHEN s.cents * 2 > f2.hi2 THEN s.n ELSE 0 END) AS BIGINT) AS n_high
          |FROM sup s JOIN f2 USING (event_type)
-         |GROUP BY 1, 2, 3, 4 ORDER BY f2.event_type""".stripMargin)
+         |GROUP BY 1, 2, 3, 4 ORDER BY f2.event_type""".stripMargin,
+    // batch twin of the streaming tumbling window counts: epoch-aligned
+    // 1h buckets, closed-window subset (window_end <= max_ts - 1h, in
+    // exact micros)
+    "q303_stream_wcounts" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us FROM events
+        |), mx AS (
+        |  SELECT MAX(us) AS mx FROM e
+        |), g AS (
+        |  SELECT event_type, us // 3600000000 * 3600 AS w_start_s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(w_start_s AS BIGINT) AS w_start_s, n_events
+        |FROM g CROSS JOIN mx
+        |WHERE (w_start_s + 3600) * 1000000 <= mx - 3600000000
+        |ORDER BY event_type, w_start_s""".stripMargin,
+    // batch twin of the stream-stream interval join: inner joins emit
+    // on arrival, so no window cutoff — full-precision timestamp bounds
+    "q304_stream_attrib" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  CAST(epoch_us(p.ts) AS BIGINT) AS p_us, CAST(epoch_us(c.ts) AS BIGINT) AS c_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
+    // batch twin of the stream-static dimension enrich + windowed
+    // per-category counts (dim = item_id % 20, the pipeline's category
+    // rule); closed-window subset as q303
+    "q305_stream_enrich" ->
+      """WITH raw AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events
+        |), mx AS (
+        |  SELECT MAX(us) AS mx FROM raw
+        |), f AS (
+        |  SELECT us, item_id % 20 AS category_id FROM raw WHERE item_id IS NOT NULL
+        |), g AS (
+        |  SELECT us // 3600000000 * 3600 AS w_start_s, category_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM f GROUP BY 1, 2
+        |)
+        |SELECT CAST(w_start_s AS BIGINT) AS w_start_s,
+        |  CAST(category_id AS BIGINT) AS category_id, n_events
+        |FROM g CROSS JOIN mx
+        |WHERE (w_start_s + 3600) * 1000000 <= mx - 3600000000
+        |ORDER BY w_start_s, category_id""".stripMargin)
 
   /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
     * expression (q106's bucket math, shared so the sketch rows cannot

@@ -4195,4 +4195,75 @@ object EventQueries {
       scored, Seq("user_id"), "y", col("n_clicks"), Seq("item_id"),
       recallK = 5, mrrK = 10)
   }
+
+  // ——— streaming batch twins (q303–q305): the SAME streaming
+  // functions run on batch frames (withWatermark is a no-op in batch),
+  // restricted where aggregation is involved to the closed-window
+  // subset append mode would have emitted (window_end ≤ max_ts −
+  // watermark, in exact micros). This puts the streaming operators'
+  // arithmetic — window bucketing, interval-join bounds, stream-static
+  // enrich — under the DuckDB oracle, complementing the parity specs
+  // that pin stream-vs-batch agreement.
+
+  /** Batch twin of [[graft.streaming.StreamingDedup.windowedCounts]]
+    * (q303): tumbling 1-hour event counts per event type, closed
+    * windows only.
+    */
+  def streamWindowCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val counts = graft.streaming.StreamingDedup.windowedCounts(
+      ev.select(col("event_type"), col("ts")),
+      "event_type", "ts", "1 hour", "1 hour")
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+    counts
+      .crossJoin(broadcast(mx))
+      .filter(
+        (unix_micros(col("window_start")) + 3600000000L) <= col("mx") - 3600000000L)
+      .select(
+        col("event_type"),
+        expr("unix_micros(window_start) div 1000000").as("w_start_s"),
+        col("n_events"))
+      .orderBy(col("event_type"), col("w_start_s"))
+  }
+
+  /** Batch twin of
+    * [[graft.streaming.StreamingIntervalJoin.clickPurchasePairs]]
+    * (q304): (purchase, preceding click ≤ 30 min) attribution pairs.
+    * Inner stream-stream joins emit on arrival, so the twin needs no
+    * window cutoff — bounded-input parity is exact by construction.
+    */
+  def streamClickAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.streaming.StreamingIntervalJoin
+      .clickPurchasePairs(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .select(
+        col("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("c_ts")).as("c_us"))
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
+  /** Batch twin of
+    * [[graft.streaming.StreamingEnrich.enrichedWindowCounts]] (q305):
+    * stream-static dimension enrich + tumbling per-category counts,
+    * closed windows only.
+    */
+  def streamEnrichedCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dim = Pipeline.itemCategory(
+      ev.select(get_json_object(col("props"), "$.k").cast("long").as("item_id")))
+    val counts = graft.streaming.StreamingEnrich
+      .enrichedWindowCounts(ev, dim, "1 hour", "1 hour")
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+    counts
+      .crossJoin(broadcast(mx))
+      .filter(unix_micros(col("w.end")) <= col("mx") - 3600000000L)
+      .select(
+        expr("unix_micros(w.start) div 1000000").as("w_start_s"),
+        col("category_id"),
+        col("n_events"))
+      .orderBy(col("w_start_s"), col("category_id"))
+  }
 }
