@@ -70,7 +70,15 @@ object ProbeScaleDocs {
     val direct: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       (s"q279_blocking[mod=$sampleMod]", () =>
         graft.queries.CurationQueries.blockingQualityAudit(
-          graft.core.Tables.documents(spark, out), sampleMod)))
+          graft.core.Tables.documents(spark, out), sampleMod)),
+      // q179's stride-1 position scan is corpus-char-rate by design;
+      // the audit mode holds the sampled sub-corpus at the contract
+      // volume as the corpus grows — expected: shuffle at (R, mod=R)
+      // ~= the sf0.1 contract row's 33 MB, corpus-size-independent.
+      (s"q179_repeats[mod=$sampleMod]", () =>
+        graft.dedup.Dedup.maximalRepeatRangesAudit(
+          graft.core.Tables.documents(spark, out), "text", "doc_id",
+          minLen = 16, sampleMod = sampleMod)))
     val runnable =
       cohort.map(q => (q, () => SparkEntry.queries(q)(spark, out))) ++ direct
     runnable.filter(_._1.contains(queryFilter)).foreach { case (name, mk) =>

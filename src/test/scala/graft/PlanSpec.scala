@@ -311,6 +311,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"triple join degenerated:\n$p")
   }
 
+  test("streaming batch twins: dim enrich broadcasts, no sort-merge anywhere") {
+    val p3 = plan(EventQueries.streamWindowCounts(spark, dir))
+    assert(!p3.contains("SortMergeJoin") && !p3.contains("CartesianProduct"))
+    val p5 = plan(EventQueries.streamEnrichedCounts(spark, dir))
+    assert(p5.contains("BroadcastHashJoin"),
+      s"the item-category dim must broadcast onto the stream scan:\n$p5")
+    assert(!p5.contains("SortMergeJoin"), s"dim join degenerated to SMJ:\n$p5")
+  }
+
   test("frame near-dup: fingerprint joins plan no cartesian, count joins broadcast") {
     val media = graft.multimodal.Multimodal.asMediaTable(
       graft.core.Tables.documents(spark, dir), "doc_id", "text")
