@@ -244,7 +244,11 @@ object Sketches {
       .select(col(groupCol), logBucket(valueCol).as("bucket"), col(cntCol).as("c"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(sum(col("c")).as("cnt"))
+    // med feeds TWO consumers in one action (the dev-pass broadcast and
+    // the final join) — eagerly materialized per the concurrent-broadcast
+    // rule, or pass 1 re-runs once per consumer. Group-grain, tiny.
     val med = logHistQuantilesFromCounts(hist, groupCol, Seq((500000L, "median_lb")))
+      .localCheckpoint(true)
     val devHist = counts
       .join(broadcast(med.select(col(groupCol), col("median_lb"))), Seq(groupCol))
       .select(

@@ -1984,7 +1984,9 @@ object EventQueries {
             col("event_type"),
             expr("cast(round(value * 100) as bigint)").as("cents"))
           .groupBy(col("event_type"), col("cents"))
-          .agg(count(lit(1)).as("n")),
+          .agg(count(lit(1)).as("n"))
+          // referenced twice (bucket pass + dev pass) — q171's rule
+          .transform(graft.core.Caches.cache),
         "event_type", "cents", "n")
       .orderBy(col("event_type"))
 
@@ -2003,7 +2005,9 @@ object EventQueries {
             col("event_type"),
             expr("cast(round(value * 100) as bigint)").as("cents"))
           .groupBy(col("event_type"), col("cents"))
-          .agg(count(lit(1)).as("n")),
+          .agg(count(lit(1)).as("n"))
+          // referenced twice (bucket pass + tail-count join) — q214's rule
+          .transform(graft.core.Caches.cache),
         "event_type", "cents", "n")
       .orderBy(col("event_type"))
 
