@@ -91,8 +91,12 @@ object Stats {
       cntCol: String,
       shardExpr: Column,
       outName: String): DataFrame = {
-    val cums = Windows.shardedCumsumBy(counts, partCols, keyCol, Seq(cntCol), shardExpr)
-    val tot = counts
+    // the support feeds both the cumsum and the totals BROADCAST in one
+    // action — cached (no-op if the caller already owns a cache entry)
+    // or the support subtree replays per consumer
+    val c = graft.core.Caches.cache(counts)
+    val cums = Windows.shardedCumsumBy(c, partCols, keyCol, Seq(cntCol), shardExpr)
+    val tot = c
       .groupBy(partCols.map(col): _*)
       .agg(sum(col(cntCol)).as("n_total"))
     val joined =
@@ -121,8 +125,10 @@ object Stats {
       cntCol: String,
       shardExpr: Column,
       trimPpm: Long): DataFrame = {
-    val cums = Windows.shardedCumsumBy(counts, partCols, keyCol, Seq(cntCol), shardExpr)
-    val tot = counts
+    // same two-consumer shape as medianFromCounts — cache the support
+    val c = graft.core.Caches.cache(counts)
+    val cums = Windows.shardedCumsumBy(c, partCols, keyCol, Seq(cntCol), shardExpr)
+    val tot = c
       .groupBy(partCols.map(col): _*)
       .agg(sum(col(cntCol)).as("n_total"))
     val joined =
@@ -591,9 +597,12 @@ object Stats {
       valueCol: String,
       classCol: String,
       shardExpr: Column): DataFrame = {
-    val support = df
+    // support feeds the median pass AND the z join; perClass feeds the
+    // totals BROADCAST and the main projection — cache the support,
+    // eagerly materialize the class-grain perClass (the q126/q301 rule)
+    val support = graft.core.Caches.cache(df
       .groupBy(col(classCol), col(valueCol))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val med = medianFromCounts(
       support, Seq(classCol), valueCol, "c", shardExpr, "med")
       .select(col(classCol), col("med"))
@@ -607,6 +616,7 @@ object Stats {
         sum(col("z") * col("c")).as("si"),
         sum(col("z") * col("z") * col("c")).as("ssi"),
         max(col("z")).as("__max_z"))
+      .localCheckpoint(true)
     val tot = perClass.agg(
       count(lit(1)).as("k"),
       sum(col("ni")).as("n_total"),

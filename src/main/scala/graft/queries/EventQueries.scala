@@ -958,10 +958,13 @@ object EventQueries {
     * broadcasts back onto the pairs.
     */
   def itemCosine(s: SparkSession, d: String): DataFrame = {
-    val di = Pipeline.sessionizedEvents(s, d)
+    // di is referenced twice inside dik's subtree (the fact side and
+    // the size-filter semi-join): cached so its sessionize+distinct
+    // runs once — both references resolve to the SAME InMemoryRelation
+    val di = graft.core.Caches.cache(Pipeline.sessionizedEvents(s, d)
       .select(col("session_id"), col("item_id"))
       .filter(col("item_id").isNotNull)
-      .distinct()
+      .distinct())
     val dik = graft.core.Caches.cache(
       di.join(
         di.groupBy(col("session_id")).agg(count(lit(1)).as("sz"))
@@ -970,7 +973,9 @@ object EventQueries {
     val pairs = Joins.covisitationPairsDistinct(
       dik, "session_id", "item_id",
       minCount = 2L, maxGroupSize = None, materialize = false)
-    val base = dik.groupBy(col("item_id")).agg(count(lit(1)).as("c"))
+    // item-grain, consumed by BOTH norm-attach joins
+    val base = graft.core.Caches.cache(
+      dik.groupBy(col("item_id")).agg(count(lit(1)).as("c")))
     pairs
       .join(base.select(col("item_id").as("item_a"), col("c").as("c_a")), Seq("item_a"))
       .join(base.select(col("item_id").as("item_b"), col("c").as("c_b")), Seq("item_b"))
@@ -1951,14 +1956,21 @@ object EventQueries {
       .groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("n"))
       .transform(graft.core.Caches.cache)
+    // med feeds TWO consumers (the dev-pass broadcast and the final
+    // join), and medianFromCounts itself broadcasts a subtree over the
+    // lazily cached counts — eagerly checkpoint the 5-row median table
+    // so pass 1 runs ONCE and the counts cache is materialized before
+    // any broadcast races it (the q126/q301 rule; this was the bench
+    // head's repeated-scan plan).
     val med = graft.ops.Stats.medianFromCounts(
       counts, Seq("event_type"), "cents", "n",
       expr("cents div 5000"), "median_cents")
-    val devCounts = counts
+      .localCheckpoint(true)
+    val devCounts = graft.core.Caches.cache(counts
       .join(broadcast(med.select(col("event_type"), col("median_cents"))),
         Seq("event_type"))
       .groupBy(col("event_type"), abs(col("cents") - col("median_cents")).as("dev"))
-      .agg(sum(col("n")).as("n"))
+      .agg(sum(col("n")).as("n")))
     graft.ops.Stats
       .medianFromCounts(
         devCounts, Seq("event_type"), "dev", "n",
@@ -3105,11 +3117,13 @@ object EventQueries {
     * COUNT the tail mass per segment).
     */
   def tukeyOutliers(s: SparkSession, d: String): DataFrame = {
-    val sup = Tables.events(s, d)
+    // referenced THREE times (cumsum, totals broadcast, final tail
+    // count) — cached or the events scan+agg replays per consumer
+    val sup = graft.core.Caches.cache(Tables.events(s, d)
       .select(
         col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
       .groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val cums = Windows.shardedCumsumBy(
       sup, Seq("event_type"), "cents", Seq("c"), expr("cents div 5000"))
     val tot = sup.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
