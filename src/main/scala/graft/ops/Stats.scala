@@ -414,9 +414,11 @@ object Stats {
       aCntCol: String,
       bCntCol: String,
       shardExpr: Column): DataFrame = {
-    val base = counts
+    // feeds the totals BROADCAST and the cumsum — cached or the
+    // caller's support subtree replays per consumer
+    val base = graft.core.Caches.cache(counts
       .select(col(keyCol), col(aCntCol).as("ca"), col(bCntCol).as("cb"))
-      .withColumn("tb", col("ca") + col("cb"))
+      .withColumn("tb", col("ca") + col("cb")))
     val tot = base.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     Windows
       .shardedCumsum(base, keyCol, Seq("ca", "cb", "tb"), shardExpr)
@@ -653,6 +655,8 @@ object Stats {
       df: DataFrame,
       valueCol: String,
       classCol: String): DataFrame = {
+    // class-grain, feeds the totals BROADCAST and the main projection —
+    // eagerly materialized or the fact aggregation replays per consumer
     val perClass = df
       .groupBy(col(classCol))
       .agg(
@@ -660,6 +664,7 @@ object Stats {
         sum(col(valueCol)).as("si"),
         sum(col(valueCol) * col(valueCol)).as("ssi"),
         max(abs(col(valueCol))).as("__max_z"))
+      .localCheckpoint(true)
     val tot = perClass.agg(
       count(lit(1)).as("k"),
       sum(col("ni")).as("n_total"),
@@ -921,10 +926,14 @@ object Stats {
       idCol: String,
       cntCol: String,
       m: Int): DataFrame = {
+    // (m+1)-row head, feeds the x_min BROADCAST and the main projection
+    // — eagerly materialized or the counts TakeOrdered replays per
+    // consumer
     val top = counts
       .select(col(idCol).as("__id"), col(cntCol).as("__c"))
       .orderBy(col("__c").desc, col("__id").asc)
       .limit(m + 1)
+      .localCheckpoint(true)
     val xmin = top.agg(min(col("__c")).as("x_min"))
     top
       .crossJoin(broadcast(xmin))
@@ -968,12 +977,16 @@ object Stats {
       bandCol: String,
       nCol: String,
       sCol: String): DataFrame = {
+    // band-grain (contract-bounded), feeds FOUR consumers (j, k, the
+    // fit probe, the final attach) — eagerly materialized or the
+    // upstream fact aggregation replays per consumer
     val cums = Windows
       .shardedCumsum(
         counts.select(
           col(bandCol).as("band"), col(nCol).as("n"), col(sCol).as("s")),
         "band", Seq("n", "s"), expr("band div 4"))
       .select(col("band"), col("n"), col("s"), col("cum_n"), col("cum_s"))
+      .localCheckpoint(true)
     val j = cums.select(
       col("band").as("jb"),
       (col("cum_n") - col("n")).as("n_before"),
@@ -1033,12 +1046,15 @@ object Stats {
       df: DataFrame,
       timeCol: String,
       valueCol: String): DataFrame = {
-    val a = df.select(col(timeCol).as("ta"), col(valueCol).as("xa"))
-    val b = df.select(col(timeCol).as("tb"), col(valueCol).as("xb"))
+    // the input feeds both pair-join sides AND the tie aggregate —
+    // cached so the caller's subtree runs once across the three pulls
+    val base = graft.core.Caches.cache(df)
+    val a = base.select(col(timeCol).as("ta"), col(valueCol).as("xa"))
+    val b = base.select(col(timeCol).as("tb"), col(valueCol).as("xb"))
     val s = a.join(b, col("ta") < col("tb"))
       .agg((Aggregates.countIf(col("xb") > col("xa")) -
         Aggregates.countIf(col("xb") < col("xa"))).as("s"))
-    val ties = df
+    val ties = base
       .groupBy(col(valueCol)).agg(count(lit(1)).as("t"))
       .agg(
         sum(col("t")).as("n"),

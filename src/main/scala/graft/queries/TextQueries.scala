@@ -962,7 +962,10 @@ object TextQueries {
       col("doc_id"),
       explode(array(
         raterMarkers.map(m => TF.langId(col("text"), m, "und")): _*)).as("cat"))
-    val nij = preds.groupBy(col("doc_id"), col("cat")).agg(count(lit(1)).as("nij"))
+    // feeds BOTH marginal aggregates (per-doc and the per-cat
+    // broadcast) — cached or the langId triple-scan replays per side
+    val nij = graft.core.Caches.cache(
+      preds.groupBy(col("doc_id"), col("cat")).agg(count(lit(1)).as("nij")))
     val perDoc = nij.agg(
       countDistinct(col("doc_id")).as("n_docs"),
       sum(col("nij") * col("nij")).as("s2"))
