@@ -893,9 +893,11 @@ object EventQueries {
     val trans = Windows.transitionCounts(
       enriched, "session_id",
       Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
-    val pairs = Joins.covisitationPairs(
+    // the symmetric closure below references pairs TWICE — cached or
+    // the quadratic covis enumeration runs once per union side
+    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L)
+      "session_id", "item_id", minCount = 2L))
     val directed = pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
       .unionByName(pairs
@@ -1118,9 +1120,11 @@ object EventQueries {
     */
   private def covisTop10(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
-    val pairs = Joins.covisitationPairs(
+    // the symmetric closure below references pairs TWICE — cached or
+    // the quadratic covis enumeration runs once per union side
+    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L)
+      "session_id", "item_id", minCount = 2L))
     val directed = pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
       .unionByName(pairs
@@ -1250,9 +1254,11 @@ object EventQueries {
   def recCoverage(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
     val catalog = enriched.select(col("item_id")).distinct()
-    val pairs = Joins.covisitationPairs(
+    // the symmetric closure below references pairs TWICE — cached or
+    // the quadratic covis enumeration runs once per union side
+    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L)
+      "session_id", "item_id", minCount = 2L))
     val directed = pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
       .unionByName(pairs
@@ -1521,9 +1527,11 @@ object EventQueries {
     val transTop = Windows
       .topKPerGroup(trans, Seq("item_a"), col("transition_count"), Seq("item_b"), 10)
       .select(col("item_a"), col("item_b"), col("rn").cast("long").as("rank_t"))
-    val pairs = Joins.covisitationPairs(
+    // the symmetric closure below references pairs TWICE — cached or
+    // the quadratic covis enumeration runs once per union side
+    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L)
+      "session_id", "item_id", minCount = 2L))
     val directed = pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
       .unionByName(pairs
@@ -3050,9 +3058,11 @@ object EventQueries {
     */
   def intraListDiversity(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
-    val pairs = Joins.covisitationPairs(
+    // the symmetric closure below references pairs TWICE — cached or
+    // the quadratic covis enumeration runs once per union side
+    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L)
+      "session_id", "item_id", minCount = 2L))
     val directed = pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
       .unionByName(pairs
@@ -3220,9 +3230,11 @@ object EventQueries {
     */
   def recNovelty(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
-    val pairs = Joins.covisitationPairs(
+    // the symmetric closure below references pairs TWICE — cached or
+    // the quadratic covis enumeration runs once per union side
+    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L)
+      "session_id", "item_id", minCount = 2L))
     val directed = pairs
       .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
       .unionByName(pairs
