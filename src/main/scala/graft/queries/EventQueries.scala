@@ -657,9 +657,11 @@ object EventQueries {
     * aggregate with a deterministic earliest-timestamp tie-break.
     */
   def peakConcurrency(s: SparkSession, d: String): DataFrame = {
-    val sessions = Pipeline.sessionizedEvents(s, d)
+    // both delta sides pull sessions — cached or the sessionize window
+    // replays per union side
+    val sessions = graft.core.Caches.cache(Pipeline.sessionizedEvents(s, d)
       .groupBy(col("session_id"))
-      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s"))
+      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s")))
     val deltas = sessions
       .select(col("start_s").as("t"), lit(1L).as("d"))
       .unionByName(sessions.select((col("end_s") + 1L).as("t"), lit(-1L).as("d")))

@@ -335,8 +335,12 @@ object RelationalQueries {
     */
   def setOps(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
-    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    // each key set feeds THREE set ops (intersect + both excepts) —
+    // cached so the orders scan runs once per side, not per op
+    val f = graft.core.Caches.cache(
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+    val open = graft.core.Caches.cache(
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
     f.intersect(open).select(lit("both").as("tag"), col("custkey"))
       .unionByName(f.except(open).select(lit("f_only").as("tag"), col("custkey")))
       .unionByName(open.except(f).select(lit("o_only").as("tag"), col("custkey")))

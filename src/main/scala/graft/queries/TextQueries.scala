@@ -1351,13 +1351,16 @@ object TextQueries {
     */
   def textrankKeywords(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+    // toks feeds the vocab agg AND the bigram window; und feeds both
+    // union sides — cached or the tokenize explode / bigram pipeline
+    // replays per consumer
+    val toks = graft.core.Caches.cache(Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok"))))
     val vocab = toks
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 5).select(col("tok"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val und = toks
+    val und = graft.core.Caches.cache(toks
       .withColumn("nxt", lead(col("tok"), 1).over(w))
       .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
       .join(broadcast(vocab), Seq("tok"), "left_semi")
@@ -1366,7 +1369,7 @@ object TextQueries {
         least(col("tok"), col("nxt")).as("wa"),
         greatest(col("tok"), col("nxt")).as("wb"))
       .groupBy(col("wa"), col("wb"))
-      .agg(count(lit(1)).as("cw"))
+      .agg(count(lit(1)).as("cw")))
     val edges = und.union(und.select(col("wb"), col("wa"), col("cw")))
     graft.ops.Graph
       .pagerankMicro(edges, "wa", "wb", "cw", iters = 2, broadcastRanks = true)
