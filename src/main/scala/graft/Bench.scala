@@ -6,6 +6,30 @@ import org.apache.spark.sql.SparkSession
   * partitions + AQE, per the 100 TB design defaults scaled to one node.
   */
 object Bench {
+
+  /** Per-query plan fingerprint `e<exchanges>s<scans>h<md5/8>` over the
+    * INITIAL physical plan (pre-AQE — runtime re-plans vary with
+    * contention, the initial plan only with code/data). Expression ids
+    * and plan ids are normalized out, so the fingerprint is byte-stable
+    * across re-runs of the same build on the same data: a wall-clock
+    * regression at an UNCHANGED fingerprint is host contention, a
+    * changed fingerprint is a plan change — attributable from the
+    * artifact alone, no quiet-box reproduction needed.
+    */
+  def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val p = df.queryExecution.sparkPlan
+    val nodes = p.collect { case n => n.nodeName }
+    val exchanges = nodes.count(_.contains("Exchange"))
+    val scans = nodes.count(_.startsWith("Scan"))
+    val norm = p.toString
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[id=\\d+\\]", "")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"e${exchanges}s${scans}h$h"
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,25 +82,31 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val b0 = { org.apache.spark.graft.ListenerSync.drain(spark.sparkContext); shuffleBytes.get }
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dfOpt =
+          try { val df = fn(spark, sfDir); df.count(); Some(df) }
+          catch { case _: Throwable => None }
         // a throwing query must NOT report a normal-looking (fast!)
         // time — surface it as -1 so regressions can't hide
-        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val t = if (dfOpt.isDefined) (System.nanoTime() - t0) / 1e9 else -1.0
         val mb = {
           org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
           (shuffleBytes.get - b0) / 1e6
         }
-        (name, t, mb)
+        // fingerprint OUTSIDE the timer: plan traversal, no execution
+        val fp = dfOpt
+          .flatMap(df => try Some(planFingerprint(df)) catch { case _: Throwable => None })
+          .getOrElse("-")
+        (name, t, mb, fp)
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, mb) => s"\"" + k + "\":" + f"$mb%.1f" }
+    val sh = results.map { case (k, _, mb, _) => s"\"" + k + "\":" + f"$mb%.1f" }
       .mkString("{", ",", "}")
     // failures carry -1 in `queries` and are EXCLUDED from the total —
     // and named in `failed` so a throwing query can never pass as a
     // fast one in the headline number
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalSh = results.map(_._3).sum
@@ -93,14 +123,26 @@ object Bench {
     // 76/243). Emit the cost HEAD — the top-25 most expensive queries by
     // seconds and by shuffle — as their own compact lines so the
     // expensive cohort always survives truncation.
+    // Plan fingerprints: the full per-query dict first (may truncate in
+    // the driver's stdout-tail capture), then the top-25-by-seconds
+    // subset on its own compact line so the expensive cohort's
+    // fingerprints always survive — they are what separates contention
+    // from regression when the head moves.
+    val fps = results.map { case (k, _, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"plan_fingerprints","queries":$fps}""")
     val top25 = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
-      .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val top25Sh = results.sortBy(-_._3).take(25)
-      .map { case (k, _, mb) => s"\"" + k + "\":" + f"$mb%.1f" }
+      .map { case (k, _, mb, _) => s"\"" + k + "\":" + f"$mb%.1f" }
+      .mkString("{", ",", "}")
+    val top25Fp = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, _, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"top25_sec","queries":$top25}""")
     println(s"""{"metric":"top25_shuffle_mb","queries":$top25Sh}""")
+    println(s"""{"metric":"top25_fingerprints","queries":$top25Fp}""")
     // The full line above can exceed the driver's capture window (r05/r06
     // arrived head-truncated, "parsed": null). The VERY LAST stdout line
     // is therefore a standalone compact summary that always parses whole.

@@ -345,7 +345,8 @@ object SparkEntry {
     "q302_tukey_sketch" -> (EQ.tukeyOutliersSketch _),
     "q303_stream_wcounts" -> (EQ.streamWindowCounts _),
     "q304_stream_attrib" -> (EQ.streamClickAttribution _),
-    "q305_stream_enrich" -> (EQ.streamEnrichedCounts _))
+    "q305_stream_enrich" -> (EQ.streamEnrichedCounts _),
+    "q306_accuracy_at1" -> (EQ.nextCategoryAccuracy _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -7006,7 +7007,40 @@ object SparkEntry {
         |  CAST(category_id AS BIGINT) AS category_id, n_events
         |FROM g CROSS JOIN mx
         |WHERE (w_start_s + 3600) * 1000000 <= mx - 3600000000
-        |ORDER BY w_start_s, category_id""".stripMargin)
+        |ORDER BY w_start_s, category_id""".stripMargin,
+    // Accuracy@1 of next-category prediction (README.md:215): modal
+    // prior-click category per purchase anchor, history strictly
+    // before the anchor; history-less anchors count as misses
+    "q306_accuracy_at1" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS cat
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')
+        |), a AS (
+        |  SELECT event_id AS anchor_id, user_id, ts AS a_ts, cat AS a_cat
+        |  FROM ev WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts AS c_ts, cat AS c_cat
+        |  FROM ev WHERE event_type = 'click'
+        |), v AS (
+        |  SELECT a.anchor_id, c.c_cat, COUNT(*) AS n_votes
+        |  FROM a JOIN c ON a.user_id = c.user_id AND c.c_ts < a.a_ts
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT anchor_id, c_cat,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |      ORDER BY n_votes DESC, c_cat ASC) AS rn
+        |  FROM v
+        |), p AS (
+        |  SELECT anchor_id, c_cat AS pred_cat FROM r WHERE rn = 1
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
+        |  CAST(SUM(CASE WHEN p.pred_cat = a.a_cat THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN p.pred_cat = a.a_cat THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS acc1_ppm
+        |FROM a LEFT JOIN p USING (anchor_id)""".stripMargin)
 
   /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
     * expression (q106's bucket math, shared so the sketch rows cannot

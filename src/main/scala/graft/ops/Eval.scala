@@ -198,10 +198,14 @@ object Eval {
       // negative conf would otherwise mint NEGATIVE bin ids as silent
       // extra output rows. Loud assert_true (NULL on success) gated into
       // the bin column per the suite's overflow-guard convention.
+      // NULL confidences are caller error too (the guard condition is
+      // NULL ⇒ assert trips); coalesce the interpolation so the error
+      // message names the offending value instead of going blank
       .withColumn("__guard", expr(
         """assert_true(conf_ppm >= 0 AND conf_ppm <= 1000000,
-          |  'calibrationBins: conf_ppm ' || conf_ppm
-          |  || ' outside [0, 1000000] -- scores must be ppm-scaled')"""
+          |  'calibrationBins: conf_ppm '
+          |  || coalesce(cast(conf_ppm AS string), 'NULL')
+          |  || ' outside [0, 1000000] -- scores must be non-null ppm-scaled')"""
           .stripMargin))
       .select(
         when(col("__guard").isNull,

@@ -152,6 +152,36 @@ object Joins {
       .filter(col("pair_count") >= minCount)
   }
 
+  /** Symmetric directed closure of the co-visitation pair table:
+    * compute the unordered pairs ONCE, cache them (the closure below
+    * references the pair table twice — uncached, the quadratic covis
+    * enumeration would run once per union side), and emit both
+    * directions as `(src, dst, pair_count)`. One definition for what
+    * was previously a seven-site hand-copied stanza across the eval /
+    * diversity / fusion queries (the drift that let the r10 cache
+    * defect survive to round 11).
+    *
+    * `alreadyDistinct` routes to [[covisitationPairsDistinct]] for
+    * callers that maintain the distinct (group, item) projection
+    * themselves (the pipeline's category candidates).
+    */
+  def covisSymmetricDirected(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      minCount: Long = 1L,
+      maxGroupSize: Option[Int] = Some(200),
+      alreadyDistinct: Boolean = false): DataFrame = {
+    val pairs = graft.core.Caches.cache(
+      if (alreadyDistinct)
+        covisitationPairsDistinct(df, groupCol, itemCol, minCount, maxGroupSize)
+      else covisitationPairs(df, groupCol, itemCol, minCount, maxGroupSize))
+    pairs
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
+      .unionByName(pairs
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+  }
+
   /** Co-visitation with RAW multiplicity semantics: `pair_count` =
     * Σ over groups of cnt_g(a)·cnt_g(b) — what enumerating all raw
     * event pairs counts (the reference's item co-visitation,
@@ -438,6 +468,18 @@ object Joins {
     * down before the enumeration join, which keeps the fan-out at
     * (frequent pairs × their sessions' pruned items), not sessions'
     * item³. Input must be a DISTINCT (group, item) table.
+    *
+    * Broadcast regime: the forced `broadcast()` hints below assume
+    * `minCount` thresholds freqPairs to dimension scale (≲ a few
+    * million rows — the intended support-mining regime, where the
+    * threshold IS the point of apriori). On dense data with a
+    * permissive threshold (the round-4 20M-candidate regime) freqPairs
+    * can exceed broadcastable size; callers in that regime should raise
+    * `minCount` (a triple cannot be frequent if its pairs barely are)
+    * or gate on a cheap `freqPairs.count()` before calling, as the
+    * other opt-in scale paths do. The hints stay because the
+    * checkpoint erases the size stats Spark would need to make the
+    * same call itself.
     */
   def frequentTriples(
       distinctItems: DataFrame,

@@ -993,8 +993,12 @@ object Stats {
       (col("cum_s") - col("s")).as("s_before"))
     val k = cums.select(
       col("band").as("kb"), col("cum_n").as("n_to"), col("cum_s").as("s_to"))
+    // k is band-grain (contract-bounded) but comes off the checkpointed
+    // cums, which erased its size stats — hint the broadcast explicitly
+    // or the non-equi join can plan as an unpinned BNLJ-over-unknown
+    // (the round-9 post-checkpoint rule, matching the joins below)
     val intervals = j
-      .join(k, col("jb") <= col("kb"))
+      .join(broadcast(k), col("jb") <= col("kb"))
       .select(
         col("jb"), col("kb"),
         expr("(s_to - s_before) * 1000000 div (n_to - n_before)").as("rate_ppm"))

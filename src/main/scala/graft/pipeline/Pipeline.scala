@@ -159,18 +159,9 @@ object Pipeline {
     // no size cap here: the item dimension is CATEGORIES (bounded ≤
     // NumCategories per session), so the cap's sizes+semi-join pass
     // would be two pure-overhead shuffles
-    // the symmetric closure references pairs TWICE — cached or the
-    // category covis enumeration runs once per union side
-    val pairs = graft.core.Caches.cache(Joins.covisitationPairsDistinct(
-      di,
-      "session_id",
-      "category_id",
-      minPairCount,
-      maxGroupSize = None))
-    // symmetric closure: a→b and b→a
-    val directed = pairs
-      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
-      .union(pairs.select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+    val directed = Joins.covisSymmetricDirected(
+      di, "session_id", "category_id", minPairCount,
+      maxGroupSize = None, alreadyDistinct = true)
     val top = Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), topK)
       .drop("rn")

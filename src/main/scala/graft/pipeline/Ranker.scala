@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier, LogisticRegression}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
@@ -123,6 +123,34 @@ object Ranker {
       trainPpm: Long = 800000L,
       seed: Long = 42L): (Seq[SweepPoint], SweepPoint) = {
     require(grid.nonEmpty, "sweep grid must be non-empty")
+    val (subTrain, subValid) =
+      timeSplitAssembled(raw, features, tsCol, embargoSec, trainPpm)
+    val points = grid.map { case (depth, iter) =>
+      val m = train(subTrain, maxIter = iter, maxDepth = depth, seed = seed)
+      val auc = graft.ops.Eval
+        .aucPpm(score(m, subValid), col("p1"), "y")
+        .head().getAs[Long]("auc_ppm")
+      SweepPoint(depth, iter, auc)
+    }
+    val best = points.sortBy(p => (-p.validAucPpm, p.maxDepth, p.maxIter)).head
+    (points, best)
+  }
+
+  /** The sweep's timestamp-order-statistic split, shared by every
+    * model-selection entry point so no family can be measured on a
+    * different holdout: earliest `trainPpm` of instances train (exact
+    * integer ppm rank over the day-sharded cumsum — no float rank, no
+    * unpartitioned window), instances after the cutoff validate, and
+    * `embargoSec` absorbs boundary sessions. Both halves are assembled
+    * and eagerly checkpointed: each is consumed by 1+ fits AND the
+    * scoring pass.
+    */
+  private def timeSplitAssembled(
+      raw: DataFrame,
+      features: Seq[String],
+      tsCol: String,
+      embargoSec: Long,
+      trainPpm: Long): (DataFrame, DataFrame) = {
     val ts = raw.select(col(tsCol).cast("long").as("ts_s"), lit(0L).as("g"))
     val sup = ts.groupBy(col("g"), col("ts_s")).agg(count(lit(1)).as("c"))
     val cums = graft.ops.Windows.shardedCumsumBy(
@@ -138,14 +166,80 @@ object Ranker {
       .localCheckpoint(true)
     val subValid = assemble(raw.filter(col(tsCol).cast("long") > cutoff), features)
       .localCheckpoint(true)
-    val points = grid.map { case (depth, iter) =>
-      val m = train(subTrain, maxIter = iter, maxDepth = depth, seed = seed)
+    (subTrain, subValid)
+  }
+
+  /** One family's championship measurement: family + params → its
+    * holdout AUC and Recall@`recallK`, both exact integer ppm.
+    */
+  final case class FamilyPoint(
+      family: String,
+      params: String,
+      validAucPpm: Long,
+      recallPpm: Long)
+
+  /** Multi-family champion selection — the reference README's last
+    * unshipped capability (`/root/reference/README.md:272-275` "Model
+    * performance comparison and selection"; its Step-2 trainer
+    * `train_classifier_adapted.py` is referenced at `README.md:197`
+    * but never ships). Trains a GBT grid and a logistic-regression
+    * baseline grid under the SAME [[timeSplitAssembled]] time-respecting
+    * split (MLlib's random row splits leak prefix features — the q263
+    * rule), scores the SAME holdout, and reports every
+    * (family, params) point with exact-integer AUC and Recall@k.
+    * Champion = max AUC, ties broken by (family ASC, params ASC) —
+    * fully deterministic given fixed seeds.
+    *
+    * Distributed end-to-end: each fit is an MLlib distributed
+    * optimizer over the checkpointed split; the selection loop is a
+    * driver loop over the param-bounded grid literal, O(|grid|).
+    */
+  def championSelect(
+      raw: DataFrame,
+      features: Seq[String],
+      tsCol: String,
+      instanceCols: Seq[String],
+      candidateCol: String,
+      gbtGrid: Seq[(Int, Int)],
+      lrRegParams: Seq[Double],
+      recallK: Int = 20,
+      embargoSec: Long = 0L,
+      trainPpm: Long = 800000L,
+      seed: Long = 42L): (Seq[FamilyPoint], FamilyPoint) = {
+    require(gbtGrid.nonEmpty || lrRegParams.nonEmpty,
+      "championSelect needs at least one family point")
+    val (subTrain, subValid) =
+      timeSplitAssembled(raw, features, tsCol, embargoSec, trainPpm)
+    def measure(scored: DataFrame, family: String, params: String): FamilyPoint = {
       val auc = graft.ops.Eval
-        .aucPpm(score(m, subValid), col("p1"), "y")
+        .aucPpm(scored, col("p1"), "y")
         .head().getAs[Long]("auc_ppm")
-      SweepPoint(depth, iter, auc)
+      val rec = graft.ops.Eval
+        .recallAtKPpm(scored, instanceCols, "y", col("p1"),
+          Seq(candidateCol), recallK)
+        .head().getAs[Long]("recall_ppm")
+      FamilyPoint(family, params, auc, rec)
     }
-    val best = points.sortBy(p => (-p.validAucPpm, p.maxDepth, p.maxIter)).head
-    (points, best)
+    val gbtPoints = gbtGrid.map { case (depth, iter) =>
+      val m = train(subTrain, maxIter = iter, maxDepth = depth, seed = seed)
+      measure(score(m, subValid), "gbt", f"depth=$depth%02d,iter=$iter%03d")
+    }
+    val lrPoints = lrRegParams.map { reg =>
+      val m = new LogisticRegression()
+        .setLabelCol("y")
+        .setFeaturesCol("features")
+        .setRegParam(reg)
+        .setElasticNetParam(0.0)
+        .setMaxIter(50)
+        .fit(subTrain.withColumn("y", col("y").cast("double")))
+      val scored = m.transform(subValid)
+        .withColumn("p1", vector_to_array(col("probability")).getItem(1))
+        .drop("rawPrediction", "probability", "prediction")
+      measure(scored, "lr", f"reg=$reg%.4f")
+    }
+    val points = gbtPoints ++ lrPoints
+    val champion =
+      points.sortBy(p => (-p.validAucPpm, p.family, p.params)).head
+    (points, champion)
   }
 }

@@ -895,15 +895,9 @@ object EventQueries {
     val trans = Windows.transitionCounts(
       enriched, "session_id",
       Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
-    // the symmetric closure below references pairs TWICE — cached or
-    // the quadratic covis enumeration runs once per union side
-    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
+    val directed = Joins.covisSymmetricDirected(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L))
-    val directed = pairs
-      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
-      .unionByName(pairs
-        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+      "session_id", "item_id", minCount = 2L)
     val top3 = Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 3)
       .select(col("src").as("item_a"), col("dst").as("item_b"), lit(1).as("hit"))
@@ -1122,15 +1116,9 @@ object EventQueries {
     */
   private def covisTop10(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
-    // the symmetric closure below references pairs TWICE — cached or
-    // the quadratic covis enumeration runs once per union side
-    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
+    val directed = Joins.covisSymmetricDirected(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L))
-    val directed = pairs
-      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
-      .unionByName(pairs
-        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+      "session_id", "item_id", minCount = 2L)
     Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
       .select(col("src"), col("dst"), col("rn"))
@@ -1256,15 +1244,9 @@ object EventQueries {
   def recCoverage(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
     val catalog = enriched.select(col("item_id")).distinct()
-    // the symmetric closure below references pairs TWICE — cached or
-    // the quadratic covis enumeration runs once per union side
-    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
+    val directed = Joins.covisSymmetricDirected(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L))
-    val directed = pairs
-      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
-      .unionByName(pairs
-        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+      "session_id", "item_id", minCount = 2L)
     val top10 = Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
     // freq feeds both the coverage aggregate and the Gini ranking —
@@ -1529,15 +1511,9 @@ object EventQueries {
     val transTop = Windows
       .topKPerGroup(trans, Seq("item_a"), col("transition_count"), Seq("item_b"), 10)
       .select(col("item_a"), col("item_b"), col("rn").cast("long").as("rank_t"))
-    // the symmetric closure below references pairs TWICE — cached or
-    // the quadratic covis enumeration runs once per union side
-    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
+    val directed = Joins.covisSymmetricDirected(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L))
-    val directed = pairs
-      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
-      .unionByName(pairs
-        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+      "session_id", "item_id", minCount = 2L)
     val covisTop = Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), 10)
       .select(col("src").as("item_a"), col("dst").as("item_b"), col("rn").cast("long").as("rank_c"))
@@ -3060,15 +3036,9 @@ object EventQueries {
     */
   def intraListDiversity(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
-    // the symmetric closure below references pairs TWICE — cached or
-    // the quadratic covis enumeration runs once per union side
-    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
+    val directed = Joins.covisSymmetricDirected(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L))
-    val directed = pairs
-      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
-      .unionByName(pairs
-        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+      "session_id", "item_id", minCount = 2L)
     Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 10)
       .select(col("src"), (col("dst") % 20).as("cat"))
@@ -3232,15 +3202,9 @@ object EventQueries {
     */
   def recNovelty(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
-    // the symmetric closure below references pairs TWICE — cached or
-    // the quadratic covis enumeration runs once per union side
-    val pairs = graft.core.Caches.cache(Joins.covisitationPairs(
+    val directed = Joins.covisSymmetricDirected(
       enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L))
-    val directed = pairs
-      .select(col("item_a").as("src"), col("item_b").as("dst"), col("pair_count"))
-      .unionByName(pairs
-        .select(col("item_b").as("src"), col("item_a").as("dst"), col("pair_count")))
+      "session_id", "item_id", minCount = 2L)
     val pop = enriched.groupBy(col("item_id")).agg(count(lit(1)).as("c"))
     val tot = pop.agg(sum(col("c")).as("n_tot"))
     val info = pop
@@ -4228,6 +4192,56 @@ object EventQueries {
       recallK = 5, mrrK = 10)
   }
 
+  /** Accuracy@1 of next-category prediction (q306) — the reference
+    * README's remaining headline metric
+    * (`/root/reference/README.md:215-216` "Accuracy@1: Predicting the
+    * exact category for add-to-cart"): each purchase anchor's category
+    * is predicted as the modal category of the user's STRICTLY-PRIOR
+    * clicks (point-in-time correct, the J6 history-join discipline),
+    * ties broken by category id; accuracy@1 = hits / anchors in exact
+    * ppm. Anchors with no prior click history stay in the DENOMINATOR
+    * as misses — the metric covers the deployment population, not the
+    * scoreable subset.
+    *
+    * Scale: one checkpointed scan of the (click ∪ purchase) projection
+    * feeds both join sides (the single-parse rule — the item JSON
+    * decodes once); the history join is user-keyed with the smaller
+    * purchase side broadcast (the checkpoint erased its size stats —
+    * round-9 rule); votes collapse to (anchor, category) grain before
+    * the rank window; at feed scale the lookback would be bounded
+    * exactly as the streaming interval join bounds its state.
+    */
+  def nextCategoryAccuracy(s: SparkSession, d: String): DataFrame = {
+    val ev = Pipeline.itemEvents(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        pmod(col("item_id"), lit(Pipeline.NumCategories)).cast("long").as("cat"))
+      .localCheckpoint(true)
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("anchor_id"), col("user_id"),
+        col("ts").as("a_ts"), col("cat").as("a_cat"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("cat").as("c_cat"))
+    val votes = broadcast(anchors)
+      .join(clicks, Seq("user_id"))
+      .filter(col("c_ts") < col("a_ts"))
+      .groupBy(col("anchor_id"), col("c_cat"))
+      .agg(count(lit(1)).as("n_votes"))
+    val top1 = Windows
+      .topKPerGroup(votes, Seq("anchor_id"), col("n_votes"), Seq("c_cat"), k = 1)
+      .select(col("anchor_id"), col("c_cat").as("pred_cat"))
+    anchors
+      .join(top1, Seq("anchor_id"), "left")
+      .agg(
+        count(lit(1)).as("n_anchors"),
+        sum(when(col("pred_cat") === col("a_cat"), 1L).otherwise(0L)).as("n_hit"))
+      .select(
+        col("n_anchors"), col("n_hit"),
+        expr("n_hit * 1000000 div n_anchors").as("acc1_ppm"))
+  }
+
   // ——— streaming batch twins (q303–q305): the SAME streaming
   // functions run on batch frames (withWatermark is a no-op in batch),
   // restricted where aggregation is involved to the closed-window
@@ -4242,10 +4256,13 @@ object EventQueries {
     * windows only.
     */
   def streamWindowCounts(s: SparkSession, d: String): DataFrame = {
+    // one scan feeds both the windowed counts and the watermark max
+    // (the single-parse/single-scan rule for multi-consumer twins)
     val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"))
+      .localCheckpoint(true)
     val counts = graft.streaming.StreamingDedup.windowedCounts(
-      ev.select(col("event_type"), col("ts")),
-      "event_type", "ts", "1 hour", "1 hour")
+      ev, "event_type", "ts", "1 hour", "1 hour")
     val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
     counts
       .crossJoin(broadcast(mx))
@@ -4265,11 +4282,18 @@ object EventQueries {
     * window cutoff — bounded-input parity is exact by construction.
     */
   def streamClickAttribution(s: SparkSession, d: String): DataFrame = {
+    // one scan (event_type IN (click, purchase) pushed) feeds both join
+    // sides; the purchase side is the small one and the checkpoint
+    // erases its size stats, so it carries the explicit broadcast hint
+    // (round-9 rule)
     val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .localCheckpoint(true)
     graft.streaming.StreamingIntervalJoin
       .clickPurchasePairs(
         ev.filter(col("event_type") === "click"),
-        ev.filter(col("event_type") === "purchase"))
+        broadcast(ev.filter(col("event_type") === "purchase")))
       .select(
         col("user_id"), col("purchase_id"), col("click_id"),
         unix_micros(col("p_ts")).as("p_us"),
@@ -4283,12 +4307,17 @@ object EventQueries {
     * closed windows only.
     */
   def streamEnrichedCounts(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val dim = Pipeline.itemCategory(
-      ev.select(get_json_object(col("props"), "$.k").cast("long").as("item_id")))
+    // parse the (ts, item_id) JSON projection ONCE (eager checkpoint)
+    // and derive dim, counts, and the watermark max from it — the
+    // un-checkpointed form scanned + re-parsed the corpus three times
+    // and was the #1 wall line in BENCH_r11 (29.4 s vs <2.7 s quiet)
+    val parsed = graft.streaming.StreamingEnrich
+      .parsedItems(Tables.events(s, d))
+      .localCheckpoint(true)
+    val dim = Pipeline.itemCategory(parsed)
     val counts = graft.streaming.StreamingEnrich
-      .enrichedWindowCounts(ev, dim, "1 hour", "1 hour")
-    val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+      .enrichedWindowCountsParsed(parsed, dim, "1 hour", "1 hour")
+    val mx = parsed.agg(max(unix_micros(col("ts"))).as("mx"))
     counts
       .crossJoin(broadcast(mx))
       .filter(unix_micros(col("w.end")) <= col("mx") - 3600000000L)

@@ -19,21 +19,42 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object StreamingEnrich {
 
+  /** The `(ts, item_id)` projection parsed out of the raw props JSON —
+    * the single point where the corpus JSON is decoded. Null-item rows
+    * are RETAINED so callers can derive whole-stream statistics (the
+    * watermark max) from the same frame; the inner dimension join in
+    * [[enrichedWindowCountsParsed]] drops them.
+    */
+  def parsedItems(stream: DataFrame): DataFrame =
+    stream.select(
+      col("ts"),
+      get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+
+  /** Windowed per-category counts over an ALREADY-PARSED
+    * `(ts, item_id)` frame. Batch twins checkpoint [[parsedItems]]
+    * once and feed dim + counts + watermark max from it (the
+    * single-parse rule: each uncached consumer of a raw-JSON
+    * projection re-parses the corpus).
+    */
+  def enrichedWindowCountsParsed(
+      parsed: DataFrame,
+      dim: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    parsed
+      .filter(col("item_id").isNotNull)
+      .join(broadcast(dim), Seq("item_id"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("category_id"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Windowed per-category counts over the enriched stream. */
   def enrichedWindowCounts(
       stream: DataFrame,
       dim: DataFrame,
       windowDur: String = "1 hour",
       watermark: String = "1 hour"): DataFrame =
-    stream
-      .select(
-        col("ts"),
-        get_json_object(col("props"), "$.k").cast("long").as("item_id"))
-      .filter(col("item_id").isNotNull)
-      .join(broadcast(dim), Seq("item_id"))
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowDur).as("w"), col("category_id"))
-      .agg(count(lit(1)).as("n_events"))
+    enrichedWindowCountsParsed(parsedItems(stream), dim, windowDur, watermark)
 
   /** Bounded-run harness (same pattern as [[StreamingSessions
     * .runBounded]]): drive a parquet directory through the streaming

@@ -320,6 +320,24 @@ class PlanSpec extends SparkSpec {
     assert(!p5.contains("SortMergeJoin"), s"dim join degenerated to SMJ:\n$p5")
   }
 
+  test("streaming batch twins: single scan — checkpointed projection feeds all consumers") {
+    // each twin scans + parses events exactly ONCE (eager checkpoint);
+    // dim / counts / watermark-max consumers read the RDD, never the
+    // parquet (q305 un-checkpointed re-parsed the corpus JSON 3×, the
+    // #1 wall line in BENCH_r11)
+    for ((name, df) <- Seq(
+        "q303" -> EventQueries.streamWindowCounts(spark, dir),
+        "q304" -> EventQueries.streamClickAttribution(spark, dir),
+        "q305" -> EventQueries.streamEnrichedCounts(spark, dir))) {
+      val p = plan(df)
+      val scans = "FileScan|Scan parquet".r.findAllIn(p).length
+      assert(scans == 0,
+        s"$name: expected 0 parquet scans (checkpointed projection), got $scans:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name must read the checkpointed projection:\n$p")
+    }
+  }
+
   test("frame near-dup: fingerprint joins plan no cartesian, count joins broadcast") {
     val media = graft.multimodal.Multimodal.asMediaTable(
       graft.core.Tables.documents(spark, dir), "doc_id", "text")

@@ -150,6 +150,33 @@ class RankerSpec extends SparkSpec {
     assert(tunedAuc > 900000L, s"tuned valid AUC $tunedAuc ppm below floor")
   }
 
+  test("champion selection (README.md:272-275): two families, same split, deterministic winner") {
+    val gbtGrid = Seq((5, 8))
+    val lrGrid = Seq(0.01)
+    val (points, champion) = Ranker.championSelect(
+      trainSampleRaw, Ranker.screenedFeatures, "atc_ts",
+      instanceCols, "category_id",
+      gbtGrid, lrGrid, recallK = 20, embargoSec = 1800L)
+    assert(points.map(_.family) == Seq("gbt", "lr"), "one point per family point")
+    points.foreach { p =>
+      assert(p.validAucPpm > 500000L && p.validAucPpm <= 1000000L,
+        s"family $p below no-skill on the shared time holdout")
+      assert(p.recallPpm >= 0L && p.recallPpm <= 1000000L, s"recall out of range: $p")
+    }
+    // champion = exact argmax with the documented tie-break
+    val expected = points.sortBy(p => (-p.validAucPpm, p.family, p.params)).head
+    assert(champion == expected, s"champion $champion != argmax $expected")
+    info(s"championship: $points -> $champion")
+    // deterministic: the full report reproduces bit-exactly (fixed
+    // seed, shared checkpointed split, exact-integer metrics)
+    val (again, championAgain) = Ranker.championSelect(
+      trainSampleRaw, Ranker.screenedFeatures, "atc_ts",
+      instanceCols, "category_id",
+      gbtGrid, lrGrid, recallK = 20, embargoSec = 1800L)
+    assert(again == points && championAgain == champion,
+      s"championship not reproducible: $again vs $points")
+  }
+
   test("model contrast: feeding the leak inverts generalization") {
     val allFeatures = Ranker.baseFeatures ++ Ranker.embFeatures
     val leakyModel = Ranker.train(

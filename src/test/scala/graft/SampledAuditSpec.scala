@@ -50,7 +50,8 @@ class SampledAuditSpec extends SparkSpec {
     val sampled = burdens(2L)
     assert(sampled.nonEmpty, "sampled audit found no repeats — vacuous fixture")
     // sampled docs are a strict subset of the corpus
-    assert(sampled.keySet.subsetOf(exact.keySet) || sampled.keySet.nonEmpty)
+    assert(sampled.keySet.subsetOf(exact.keySet),
+      s"sampled docs outside the exact audit: ${sampled.keySet -- exact.keySet}")
     // sampling can only LOSE witnesses, never invent ranges: every
     // sampled doc's burden is <= its exact burden (conservative audit)
     sampled.foreach { case (d, b) =>

@@ -219,11 +219,17 @@ class SkewAndSketchSpec extends SparkSpec {
       .map(r => r.getAs[String]("event_type") ->
         (r.getAs[Long]("median_lb"), r.getAs[Long]("mad_lb"))).toMap
     assert(sketchMad.keySet == exactMad.keySet)
+    // guard the relative-error denominators: below the sketch's
+    // exact-below-16 threshold the bucket IS the value, so demand
+    // equality instead of dividing by a (possibly zero) exact stat
+    def withinBucketBound(lb: Long, ex: Long, relBound: Double): Boolean =
+      if (ex < 16L) lb == ex
+      else math.abs(ex - lb).toDouble / ex < relBound
     exactMad.foreach { case (g, (exMed, exMad)) =>
       val (lbMed, lbMad) = sketchMad(g)
-      assert(lbMed <= exMed && (exMed - lbMed).toDouble / exMed < 1.0 / 16,
+      assert(lbMed <= exMed && withinBucketBound(lbMed, exMed, 1.0 / 16),
         s"$g median: sketch $lbMed vs exact $exMed")
-      assert(math.abs(exMad - lbMad).toDouble / exMad < 2.0 / 16,
+      assert(withinBucketBound(lbMad, exMad, 2.0 / 16),
         s"$g mad: sketch $lbMad vs exact $exMad")
     }
     // Fences: each hinge within the 1/16 bound of the exact quartile
@@ -237,9 +243,9 @@ class SkewAndSketchSpec extends SparkSpec {
     assert(sketchF.keySet == exactF.keySet)
     exactF.foreach { case (g, (exQ1, exQ3)) =>
       val (lbQ1, lbQ3, nLow, nHigh) = sketchF(g)
-      assert(lbQ1 <= exQ1 && (exQ1 - lbQ1).toDouble / exQ1 < 1.0 / 16,
+      assert(lbQ1 <= exQ1 && withinBucketBound(lbQ1, exQ1, 1.0 / 16),
         s"$g q1: sketch $lbQ1 vs exact $exQ1")
-      assert(lbQ3 <= exQ3 && (exQ3 - lbQ3).toDouble / exQ3 < 1.0 / 16,
+      assert(lbQ3 <= exQ3 && withinBucketBound(lbQ3, exQ3, 1.0 / 16),
         s"$g q3: sketch $lbQ3 vs exact $exQ3")
       assert(nLow >= 0L && nHigh >= 0L)
     }
