@@ -16,17 +16,51 @@ object Bench {
     * changed fingerprint is a plan change — attributable from the
     * artifact alone, no quiet-box reproduction needed.
     */
-  def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
-    val p = df.queryExecution.sparkPlan
-    val nodes = p.collect { case n => n.nodeName }
-    val exchanges = nodes.count(_.contains("Exchange"))
-    val scans = nodes.count(_.startsWith("Scan"))
-    val norm = p.toString
+  /** Pre-AQE physical plan WITH exchanges: `sparkPlan` is pre-
+    * EnsureRequirements (no Exchange nodes at all), and `executedPlan`
+    * under AQE is a single AdaptiveSparkPlanExec LEAF whose toString
+    * embeds the runtime final plan (contention-dependent — coalesce
+    * counts, stage markers). The deterministic middle ground is the
+    * adaptive node's immutable case-class field `inputPlan`: the
+    * initial exchange-placed plan, before any runtime re-plan.
+    */
+  private def initialPlan(
+      p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        initialPlan(a.initialPlan)
+      case other => other
+    }
+
+  /** The plan text the fingerprint hashes: per-node simpleStrings (NOT
+    * treeString — that embeds innerChildren, i.e. cached subtrees'
+    * adaptive final plans, which vary run-to-run), with per-run
+    * identifiers (expression ids, plan ids, JVM identity hashes)
+    * normalized out.
+    */
+  def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
+    initialPlan(df.queryExecution.executedPlan)
+      .collect { case n => n.simpleString(250) }
+      .mkString("\n")
       .replaceAll("#\\d+", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("\\[id=\\d+\\]", "")
+      .replaceAll("@[0-9a-f]{6,}", "@x")
+      // JVM lambda identities (closure nodes like MapPartitions print
+      // `Class$$Lambda$1234/0x00007f...` — the index is class-load-order
+      // dependent, the hidden-class address is random per JVM)
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
+      .replaceAll("/0x[0-9a-f]{8,}", "/0x")
+
+  def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val nodes = initialPlan(df.queryExecution.executedPlan)
+      .collect { case n => n.nodeName }
+    val exchanges = nodes.count(_.contains("Exchange"))
+    // "Scan parquet"/"Scan ExistingRDD" (checkpoints) + InMemoryTableScan
+    // (cache reads) — leaf data sources of any kind
+    val scans = nodes.count(_.contains("Scan"))
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(norm.getBytes("UTF-8"))
+      .digest(normalizedPlan(df).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
     s"e${exchanges}s${scans}h$h"
   }
@@ -96,6 +130,18 @@ object Bench {
         val fp = dfOpt
           .flatMap(df => try Some(planFingerprint(df)) catch { case _: Throwable => None })
           .getOrElse("-")
+        // debugging aid: dump each normalized plan text when asked, so
+        // a cross-run fingerprint drift can be diffed to its substring
+        sys.env.get("SPARK_GRAFT_FP_DIR").foreach { dir =>
+          dfOpt.foreach { df =>
+            try {
+              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"$name.txt"),
+                normalizedPlan(df).getBytes("UTF-8"))
+            } catch { case _: Throwable => () }
+          }
+        }
         (name, t, mb, fp)
       }
     }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Single-pass table profiler (the `ANALYZE`/`describe()` family,
+/** Table profiler (the `ANALYZE`/`describe()` family,
   * schema-dynamic).
   *
   * For each requested column: non-null count, exact distinct count,
@@ -11,14 +11,23 @@ import org.apache.spark.sql.functions._
   * one output schema — the cast happens AFTER the typed min/max, so
   * numeric columns keep numeric ordering).
   *
-  * Shape: ONE aggregation over one scan — all columns' stats are
-  * expressions of the same `agg`, and the wide single row is unpivoted
-  * to per-column rows driver-side-free with `stack`. The multiple
-  * exact `count(DISTINCT)`s expand the input once per profiled column
-  * (Catalyst's Expand for multi-distinct); that is the cost of EXACT
-  * profiling — at 100 TB swap `count_distinct` for
-  * `approx_count_distinct` (HLL, one pass, no Expand) and keep the
-  * identical output contract.
+  * Shape: two deterministic passes.
+  *  - count/min/max: ONE aggregation over one scan, the wide single
+  *    row unpivoted per-column with `stack` — no shuffle beyond the
+  *    one-row reduce.
+  *  - distinct counts: the columns are unpivoted to (column, value)
+  *    rows FIRST, then ONE single-distinct aggregation keyed by
+  *    column. Deliberately NOT `n × count_distinct` in one agg:
+  *    Catalyst's multi-distinct rewrite (RewriteDistinctAggregates)
+  *    assigns its Expand projections and `gid`s by hash-order of
+  *    expression sets, so the SAME query text plans with permuted
+  *    gids run-to-run — semantically equal but plan-text unstable,
+  *    which broke the bench fingerprint (the only 2/306 unstable
+  *    rows traced here). The unpivoted single-distinct form is
+  *    plan-deterministic, carries the same row fan-out the rewrite's
+  *    Expand would, and is the shape that swaps to
+  *    `approx_count_distinct` (HLL, no fan-out) at 100 TB with an
+  *    identical output contract.
   */
 object Profile {
 
@@ -27,18 +36,36 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.flatMap { c =>
-      Seq(lit(c), col(s"${c}__nn"), col(s"${c}__nd"), col(s"${c}__min"), col(s"${c}__max"))
+      Seq(lit(c), col(s"${c}__nn"), col(s"${c}__min"), col(s"${c}__max"))
     }
-    wide.select(
+    val base = wide.select(
       stack(
         Seq(lit(cols.length)) ++ stackArgs: _*
-      ).as(Seq("column", "n_nonnull", "n_distinct", "min_value", "max_value")))
+      ).as(Seq("column", "n_nonnull", "min_value", "max_value")))
+    // distinct counts: unpivot, then one single-distinct agg. The
+    // string cast is injective per column type (typed values render
+    // distinctly), so counts match the typed count_distinct.
+    val unpivotArgs = cols
+      .map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val nd = df
+      .select(expr(s"stack(${cols.length}, $unpivotArgs) as (column, v)"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("column"))
+      .agg(count_distinct(col("v")).as("n_distinct"))
+    base
+      .join(broadcast(nd), Seq("column"), "left")
+      .select(
+        col("column"),
+        col("n_nonnull"),
+        // an all-null column has no unpivoted rows: distinct count 0
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"),
+        col("max_value"))
   }
 
   /** Approximate-functional-dependency audit (the TANE/metanome

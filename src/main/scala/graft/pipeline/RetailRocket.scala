@@ -451,24 +451,52 @@ object RetailRocket {
         prefixEvents(atc, events, maxPrefixEvents)
           .join(broadcast(itemCat), Seq("item_id"), "left")
     }
-    val prefixStats = base
-      .select("session_id", "atc_ts", "cand_category_id")
-      .distinct()
-      .join(pe.withColumnRenamed("category_id", "pcat"), Seq("session_id", "atc_ts"), "left")
-      .groupBy(col("session_id"), col("atc_ts"), col("cand_category_id"))
+    // Prefix stats split by their TRUE grain instead of one
+    // candidate-grain multi-distinct agg. The reference (`:466-496`)
+    // aggregates the candidate-multiplied prefix join with two
+    // countDistincts, which (a) pushes Σ(n_cands × n_prefix) rows
+    // through a ×3 Expand — the multiplied corpus is the most
+    // expensive frame in the stage — and (b) Catalyst's
+    // multi-distinct rewrite lays that Expand out in expression-set
+    // hash order, which is plan-text NONDETERMINISTIC (it broke the
+    // bench fingerprint). Every stat except the two candidate-
+    // conditioned ones is a function of the anchor alone:
+    //  - (cat_count_in_prefix, recency_sec) live at (anchor, pcat)
+    //    grain — aggregate pe there ONCE, then equi-join candidates
+    //    (no candidate multiplication at all);
+    //  - (n_prefix_events, session_start) are plain anchor aggs;
+    //  - the two distinct counts become distinct-projection + count
+    //    (each a deterministic single-distinct shape).
+    // pe feeds four branches — cache so the prefix join runs once.
+    val pec = graft.core.Caches.cache(
+      pe.withColumnRenamed("category_id", "pcat"))
+    val pcatStats = pec
+      .groupBy(col("session_id"), col("atc_ts"), col("pcat").as("cand_category_id"))
       .agg(
-        countDistinct(col("item_id")).as("n_prefix_items"),
+        count(lit(1)).as("cat_count_in_prefix"),
+        max(unix_timestamp(col("atc_ts")) - unix_timestamp(col("ts")))
+          .as("recency_sec"))
+    val anchorBase = pec
+      .groupBy(col("session_id"), col("atc_ts"))
+      .agg(
         count(col("item_id")).as("n_prefix_events"),
-        sum(when(col("pcat") === col("cand_category_id"), 1L).otherwise(0L))
-          .as("cat_count_in_prefix"),
-        max(when(col("pcat") === col("cand_category_id"),
-          unix_timestamp(col("atc_ts")) - unix_timestamp(col("ts"))))
-          .as("recency_sec"),
-        min(col("ts")).as("session_start"),
-        countDistinct(col("pcat")).as("session_cat_diversity"))
+        min(col("ts")).as("session_start"))
+    val anchorItems = pec
+      .filter(col("item_id").isNotNull)
+      .select("session_id", "atc_ts", "item_id").distinct()
+      .groupBy(col("session_id"), col("atc_ts"))
+      .agg(count(lit(1)).as("n_prefix_items"))
+    val anchorDiv = pec
+      .filter(col("pcat").isNotNull)
+      .select("session_id", "atc_ts", "pcat").distinct()
+      .groupBy(col("session_id"), col("atc_ts"))
+      .agg(count(lit(1)).as("session_cat_diversity"))
 
     base
-      .join(prefixStats, Seq("session_id", "atc_ts", "cand_category_id"), "left")
+      .join(pcatStats, Seq("session_id", "atc_ts", "cand_category_id"), "left")
+      .join(anchorBase, Seq("session_id", "atc_ts"), "left")
+      .join(anchorItems, Seq("session_id", "atc_ts"), "left")
+      .join(anchorDiv, Seq("session_id", "atc_ts"), "left")
       .join(broadcast(tm.catPop.withColumnRenamed("category_id", "cand_category_id")),
         Seq("cand_category_id"), "left")
       .join(tm.userCatAff.withColumnRenamed("category_id", "cand_category_id"),

@@ -2068,10 +2068,13 @@ object EventQueries {
       .transform(graft.core.Caches.cache)
     val rows = obs.groupBy(col("hr")).agg(sum(col("obs")).as("rt"))
     val cols_ = obs.groupBy(col("event_type")).agg(sum(col("obs")).as("ct"))
-    val tot = obs.agg(
-      sum(col("obs")).as("n_events"),
-      countDistinct(col("hr")).as("n_rows"),
-      countDistinct(col("event_type")).as("n_cols"))
+    // n_rows/n_cols = counts OF the marginal tables, not two
+    // countDistincts in one agg: Catalyst's multi-distinct rewrite
+    // lays out its Expand by expression-set hash order, which is
+    // plan-text nondeterministic (breaks the bench fingerprint)
+    val tot = obs.agg(sum(col("obs")).as("n_events"))
+      .crossJoin(rows.agg(count(lit(1)).as("n_rows")))
+      .crossJoin(cols_.agg(count(lit(1)).as("n_cols")))
     obs
       .join(broadcast(rows), Seq("hr"))
       .join(broadcast(cols_), Seq("event_type"))
@@ -3648,17 +3651,38 @@ object EventQueries {
         col("user_id"),
         expr("try_cast(get_json_object(props, '$.k') as bigint)").as("item_id"),
         expr("cast(round(value * 100) as bigint)").as("cents"))
+      // three consumers below (mid, the distinct unpivot, the counts
+      // agg) — checkpoint the parsed projection once (single-parse rule)
+      .localCheckpoint(true)
     val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
     def side(pred: org.apache.spark.sql.Column, tag: String) = Seq(
       Ag.countIf(pred).as(s"n_rows_$tag"),
-      countDistinct(when(pred, col("user_id"))).as(s"n_users_$tag"),
-      countDistinct(when(pred, col("item_id"))).as(s"n_items_$tag"),
       sum(when(pred && col("item_id").isNull, 1L).otherwise(0L)).as(s"n_null_$tag"),
       sum(when(pred, col("cents")).otherwise(0L)).as(s"s_cents_$tag"))
     val h1 = col("day") < col("mid")
     val aggs = side(h1, "a") ++ side(!h1, "b")
+    // distinct users/items per half via unpivot + ONE single-distinct
+    // aggregation, NOT four countDistincts in one agg — the
+    // multi-distinct rewrite's Expand layout is hash-ordered and
+    // plan-text nondeterministic (breaks the bench fingerprint). The
+    // (kind, half)-keyed distinct is the same fan-out the Expand
+    // would have paid, with a deterministic plan.
+    val dist = ev.crossJoin(broadcast(mid))
+      .withColumn("is_a", h1)
+      .select(
+        expr("stack(2, 'u', cast(user_id as string), 'i', cast(item_id as string)) as (kind, v)"),
+        col("is_a"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("kind"), col("is_a"))
+      .agg(count_distinct(col("v")).as("nd"))
+      .agg(
+        sum(when(col("kind") === "u" && col("is_a"), col("nd")).otherwise(0L)).as("n_users_a"),
+        sum(when(col("kind") === "u" && !col("is_a"), col("nd")).otherwise(0L)).as("n_users_b"),
+        sum(when(col("kind") === "i" && col("is_a"), col("nd")).otherwise(0L)).as("n_items_a"),
+        sum(when(col("kind") === "i" && !col("is_a"), col("nd")).otherwise(0L)).as("n_items_b"))
     ev.crossJoin(broadcast(mid))
       .agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(dist))
       .withColumn("null_ppm_a", expr("n_null_a * 1000000 div n_rows_a"))
       .withColumn("null_ppm_b", expr("n_null_b * 1000000 div n_rows_b"))
       .withColumn("mean_cents_a", expr("s_cents_a div n_rows_a"))
@@ -4205,11 +4229,12 @@ object EventQueries {
     *
     * Scale: one checkpointed scan of the (click ∪ purchase) projection
     * feeds both join sides (the single-parse rule — the item JSON
-    * decodes once); the history join is user-keyed with the smaller
-    * purchase side broadcast (the checkpoint erased its size stats —
-    * round-9 rule); votes collapse to (anchor, category) grain before
-    * the rank window; at feed scale the lookback would be bounded
-    * exactly as the streaming interval join bounds its state.
+    * decodes once); the history join is user-keyed and UN-hinted —
+    * both sides are corpus-rate (purchases are not a bounded
+    * dimension), so the shuffle join is the correct 100 TB shape;
+    * votes collapse to (anchor, category) grain before the rank
+    * window; at feed scale the lookback would be bounded exactly as
+    * the streaming interval join bounds its state.
     */
   def nextCategoryAccuracy(s: SparkSession, d: String): DataFrame = {
     val ev = Pipeline.itemEvents(s, d)
@@ -4224,7 +4249,7 @@ object EventQueries {
         col("ts").as("a_ts"), col("cat").as("a_cat"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("cat").as("c_cat"))
-    val votes = broadcast(anchors)
+    val votes = anchors
       .join(clicks, Seq("user_id"))
       .filter(col("c_ts") < col("a_ts"))
       .groupBy(col("anchor_id"), col("c_cat"))
@@ -4283,9 +4308,10 @@ object EventQueries {
     */
   def streamClickAttribution(s: SparkSession, d: String): DataFrame = {
     // one scan (event_type IN (click, purchase) pushed) feeds both join
-    // sides; the purchase side is the small one and the checkpoint
-    // erases its size stats, so it carries the explicit broadcast hint
-    // (round-9 rule)
+    // sides. NO broadcast hint: both sides are corpus-rate (clicks and
+    // purchases are each ~20% of events here and unbounded at feed
+    // scale), so the user-keyed shuffle join is the correct 100 TB
+    // shape — a hint would force a corpus-sized broadcast
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .filter(col("event_type").isin("click", "purchase"))
@@ -4293,7 +4319,7 @@ object EventQueries {
     graft.streaming.StreamingIntervalJoin
       .clickPurchasePairs(
         ev.filter(col("event_type") === "click"),
-        broadcast(ev.filter(col("event_type") === "purchase")))
+        ev.filter(col("event_type") === "purchase"))
       .select(
         col("user_id"), col("purchase_id"), col("click_id"),
         unix_micros(col("p_ts")).as("p_us"),

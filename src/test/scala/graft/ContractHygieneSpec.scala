@@ -68,6 +68,36 @@ class ContractHygieneSpec extends SparkSpec {
       s"DECIMAL-typed contract columns (use integer cents/micros): $offenders")
   }
 
+  test("no contract query plans a MULTI-distinct aggregate (plan-text nondeterminism)") {
+    // Catalyst's RewriteDistinctAggregates (2+ distinct-argument groups
+    // in one Aggregate) lays out its Expand projections and gids in
+    // expression-set HASH order — the same query text plans with
+    // permuted gids run-to-run, which is semantically harmless but
+    // breaks the bench's byte-stable plan fingerprint (q92/q174/q237
+    // were the round-12 offenders). The deterministic shapes: unpivot +
+    // one single-distinct agg, distinct-projection + count, or counts
+    // of marginal tables — see Profile.profile.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val dir = sf("sf0.001")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      f(spark, dir).queryExecution.analyzed.collect {
+        case a: Aggregate =>
+          val distinctGroups = a.aggregateExpressions
+            .flatMap(_.collect {
+              case ae: AggregateExpression if ae.isDistinct =>
+                ae.aggregateFunction.children.map(_.canonicalized).toSet
+            })
+            .distinct
+          if (distinctGroups.size > 1)
+            Some(s"$name: ${distinctGroups.size} distinct-arg groups in one agg")
+          else None
+      }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"multi-distinct aggregates (hash-ordered Expand, unstable plan text): $offenders")
+  }
+
   test("raw floating-point output columns are allowlisted per query") {
     val dir = sf("sf0.001")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

@@ -297,13 +297,22 @@ class CurationSpec extends SparkSpec {
       "min/max must use NUMERIC ordering before the string render")
   }
 
-  test("profile runs as a single aggregation pass (one scan of the input)") {
+  test("profile plans two deterministic passes: no multi-distinct Expand, nd side broadcast") {
     val p = graft.ops.Profile
       .profile(graft.core.Tables.customer(spark, dir), Seq("c_custkey", "c_name"))
       .queryExecution.executedPlan.toString
-    // one scan: stack() unpivots the single wide row, so the parquet
-    // relation appears exactly once in the physical plan
+    // exactly two scans: the count/min/max one-row agg and the
+    // unpivoted single-distinct pass — NOT one scan per column
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 1, s"profiler must not re-scan per column:\n$p")
+    assert(scans == 2, s"profiler must scan once per pass, not per column:\n$p")
+    // the deterministic-plan property: Catalyst's multi-distinct
+    // rewrite (hash-ordered Expand + gids, plan-text unstable
+    // run-to-run) must never appear — distinct counts come from the
+    // unpivoted single-distinct aggregation instead
+    assert(!p.contains("Expand"),
+      s"multi-distinct Expand crept back into the profiler:\n$p")
+    // the per-column stats table is column-count-sized: broadcast join
+    assert(p.contains("BroadcastHashJoin"),
+      s"nd attach must broadcast, not shuffle:\n$p")
   }
 }
