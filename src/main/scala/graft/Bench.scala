@@ -116,8 +116,15 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val b0 = { org.apache.spark.graft.ListenerSync.drain(spark.sparkContext); shuffleBytes.get }
+        // Force FULL-plan evaluation: `df.count()` wraps the query in a
+        // count aggregate and lets the optimizer PRUNE the parts the
+        // count doesn't need — a left-outer join's right side and every
+        // global-aggregate's value expressions vanish (measured: q306's
+        // history join never ran under count; 0.9 s vs 7.5 s real at
+        // 10M events). `toRdd.count()` executes the query's OWN plan,
+        // every operator, no wrapper to prune through.
         val dfOpt =
-          try { val df = fn(spark, sfDir); df.count(); Some(df) }
+          try { val df = fn(spark, sfDir); df.queryExecution.toRdd.count(); Some(df) }
           catch { case _: Throwable => None }
         // a throwing query must NOT report a normal-looking (fast!)
         // time — surface it as -1 so regressions can't hide

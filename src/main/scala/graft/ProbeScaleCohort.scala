@@ -63,7 +63,8 @@ object ProbeScaleCohort {
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
         val b0 = shuffleBytes.get
         val t0 = System.nanoTime()
-        val res = try Right(SparkEntry.queries(name)(spark, out).count())
+        // toRdd.count: full-plan evaluation (df.count() prunes — see Bench)
+        val res = try Right(SparkEntry.queries(name)(spark, out).queryExecution.toRdd.count())
         catch { case e: Throwable => Left(e.toString.take(120)) }
         val t = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)

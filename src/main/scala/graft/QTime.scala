@@ -15,7 +15,9 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    // toRdd.count: full-plan evaluation — df.count() lets the optimizer
+    // prune outer-join sides / agg values the count doesn't need
+    val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     println(f"[qtime] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     spark.stop()
   }

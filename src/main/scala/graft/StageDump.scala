@@ -29,7 +29,8 @@ object StageDump {
     })
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
-    val n = df.count()
+    // toRdd.count: full-plan evaluation (df.count() prunes — see Bench)
+    val n = df.queryExecution.toRdd.count()
     Thread.sleep(2000)
     println(f"[stagedump] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     println(df.queryExecution.executedPlan.toString.linesIterator
