@@ -69,18 +69,34 @@ object Aggregates {
       valueCol: Column,
       tieCols: Seq[Column],
       quantiles: Seq[(String, Double)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(valueCol.asc +: tieCols.map(_.asc): _*)
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
-    val ranked = df
-      .withColumn("__rn", row_number().over(wOrd))
-      .withColumn("__n", count(lit(1)).over(wAll))
-    val aggs = count(lit(1)).as("n_rows") +: quantiles.map { case (name, q) =>
-      max(when(col("__rn") === floor(lit(q) * (col("__n") - 1)) + 1, valueCol)).as(name)
+    // Support-grain, not a rank window over rows: the corpus collapses
+    // map-side to (group, value, count) before any exchange, the rank
+    // is read off the sharded cumulative sum (value at rank r = min
+    // value with cum ≥ r — tie-break-independent, so `tieCols` is
+    // retained only for API stability), and every exchange is bounded
+    // by the VALUE DOMAIN, not the corpus. The previous rank-window
+    // form shuffled full rows onto a |groups|-key partitioning — a
+    // skewed corpus-rate exchange at scale (q114's 17.5 MB / 3 active
+    // partitions at sf0.1).
+    val _ = tieCols
+    val counts = df
+      .groupBy((groupCols.map(col) :+ valueCol.as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .transform(graft.core.Caches.cache)
+    val cums = graft.ops.Windows.shardedCumsumBy(
+      counts, groupCols, "__v", Seq("__c"),
+      expr("cast(floor(__v / 64) as long)"))
+    val tot = counts
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    val joined =
+      if (groupCols.isEmpty) cums.crossJoin(broadcast(tot))
+      else cums.join(broadcast(tot), groupCols)
+    val aggs = max(col("__n")).as("n_rows") +: quantiles.map { case (name, q) =>
+      min(when(col("cum___c") >= floor(lit(q) * (col("__n") - 1)) + 1, col("__v")))
+        .as(name)
     }
-    ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    joined.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Cohort retention matrix: bucket each user by their FIRST-seen
