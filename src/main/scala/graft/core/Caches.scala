@@ -47,9 +47,29 @@ object Caches {
     * call is what created the cache entry.
     */
   def cache(df: DataFrame): DataFrame = {
-    val alreadyCached = df.storageLevel != StorageLevel.NONE
-    val out = df.cache()
-    if (!alreadyCached) active.get.headOption.foreach(_.owned += out)
+    // an ALREADY-cached plan is returned as-is (whoever cached it owns
+    // it — the adoption rule) without re-asking the CacheManager, which
+    // would log a spurious "already cached" warning per call
+    if (df.storageLevel != StorageLevel.NONE) df
+    else {
+      val out = df.cache()
+      active.get.headOption.foreach(_.owned += out)
+      out
+    }
+  }
+
+  /** [[cache]] + eager materialization (a count over the cached frame
+    * fills every partition before returning). Required whenever the
+    * cached frame fans out into 2+ BROADCAST exchanges: broadcast
+    * builds run on concurrent threads and race past a LAZY cache
+    * entry, recomputing the subtree once per broadcast (the q227
+    * rule). A support table consumed by a cumsum, a totals broadcast,
+    * and a threshold broadcast is exactly that shape — materialize it
+    * once, then every consumer reads the InMemoryRelation.
+    */
+  def materialized(df: DataFrame): DataFrame = {
+    val out = cache(df)
+    out.count()
     out
   }
 

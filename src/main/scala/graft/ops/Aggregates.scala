@@ -59,9 +59,12 @@ object Aggregates {
     * point and is deterministic even among duplicates — any engine that
     * sorts the same way returns the identical row.
     *
-    * Cost: one exchange on the group keys + sort (both window passes
-    * share it) + one hash agg. For 100 TB sketch-grade quantiles use
-    * percentile_approx; this is the exact, auditable variant.
+    * Cost: one map-side-combined exchange to the (group, value, count)
+    * support, sharded cumsum windows on the support, and broadcast
+    * joins bounded by the value domain — never a corpus-rate rank
+    * window. `valueCol` must be numeric (shard bucketing divides it).
+    * For 100 TB sketch-grade quantiles use percentile_approx; this is
+    * the exact, auditable variant.
     */
   def positionalQuantiles(
       df: DataFrame,
@@ -77,12 +80,18 @@ object Aggregates {
     // by the VALUE DOMAIN, not the corpus. The previous rank-window
     // form shuffled full rows onto a |groups|-key partitioning — a
     // skewed corpus-rate exchange at scale (q114's 17.5 MB / 3 active
-    // partitions at sf0.1).
+    // partitions at sf0.1). `valueCol` must be NUMERIC: the shard
+    // bucket below is `floor(__v / 64)` (a string coerces to one NULL
+    // shard — correct but unsharded; date/timestamp fails analysis).
+    // The support feeds THREE consumers, two of them broadcasts
+    // (cumsum offsets, totals) — materialized eagerly, or concurrent
+    // broadcast builds race past a lazy cache and replay the corpus
+    // groupBy per consumer (the q227 rule).
     val _ = tieCols
     val counts = df
       .groupBy((groupCols.map(col) :+ valueCol.as("__v")): _*)
       .agg(count(lit(1)).as("__c"))
-      .transform(graft.core.Caches.cache)
+      .transform(graft.core.Caches.materialized)
     val cums = graft.ops.Windows.shardedCumsumBy(
       counts, groupCols, "__v", Seq("__c"),
       expr("cast(floor(__v / 64) as long)"))

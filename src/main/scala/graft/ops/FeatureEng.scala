@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature-engineering operators for training-data preparation: target
@@ -62,12 +61,22 @@ object FeatureEng {
     * ceil(p·n) is a cross-engine hazard: 0.05·n is decimal-exact in
     * one engine and an epsilon above the integer in IEEE double,
     * flipping the ceil exactly when n is a multiple of 20), then
-    * return count / thresholds / clipped mean. Plan: one exchange on
-    * the group key for the rank window, a broadcast of the tiny
-    * per-group threshold table back onto the fact, and one final hash
-    * aggregation. The k-th order statistic is tie-break-independent
-    * (equal values give the same k-th value for any permutation), so
-    * the unique tieCols only make the row_number itself deterministic.
+    * return count / thresholds / clipped mean.
+    *
+    * Plan — support-grain, never a corpus-rate rank window: the fact
+    * collapses map-side to a (group, value, count) support, BOTH ppm
+    * ranks are read off one [[Windows.shardedCumsumBy]] cumulative
+    * pass over that support (value at rank k = min value with
+    * cum ≥ k — tie-break-independent, identical to the k-th row of any
+    * total order; `tieCols` is retained only for API stability), and
+    * the clipped mean is `Σ clip(v)·cnt / n` on the support itself —
+    * so every exchange is bounded by the VALUE DOMAIN, not the corpus.
+    * The previous form shuffled raw rows onto a |groups|-key
+    * row_number partitioning: parallelism bounded by group count, one
+    * hot task per group at scale (q99 was 16.4 MB / ~4 active
+    * partitions at sf0.1). `valueCol` must be NUMERIC (the shard
+    * bucket divides it; a string would coerce to one NULL shard and a
+    * timestamp fails analysis).
     */
   def winsorizedStats(
       df: DataFrame,
@@ -76,32 +85,42 @@ object FeatureEng {
       tieCols: Seq[String],
       loPpm: Long = 50000L,
       hiPpm: Long = 950000L): DataFrame = {
-    val w = Window
-      .partitionBy(col(groupCol))
-      .orderBy(col(valueCol).asc +: tieCols.map(c => col(c).asc): _*)
-    val ranked = df
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val _ = tieCols
+    // support feeds three consumers, two of them broadcasts (cumsum
+    // offsets, totals) — materialize eagerly (the q227 rule) or the
+    // corpus groupBy replays once per broadcast build
+    val sup = graft.core.Caches.materialized(
+      df.groupBy(col(groupCol), col(valueCol).as("__v"))
+        .agg(count(lit(1)).as("__c")))
+    val cums = Windows.shardedCumsumBy(
+      sup, Seq(groupCol), "__v", Seq("__c"),
+      expr("cast(floor(__v / 64) as long)"))
+    val tot = sup.groupBy(col(groupCol)).agg(sum(col("__c")).as("n"))
     // exact ⌈ppm·n/10⁶⌉; n must stay below ~9.7e12 per group (long
-    // overflow bound of n·ppm) — far past any per-group row count that
-    // an exact rank window could handle anyway
+    // overflow bound of n·ppm) — a float ceil(p·n) flips exactly when
+    // p·n is a whole number, hence the pure-integer form
     def kOf(ppm: Long): Column =
       greatest(expr(s"(n * $ppm + 999999) div 1000000"), lit(1L))
-    val thresholds = ranked
+    val thresholds = cums
+      .join(broadcast(tot), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(
-        max(when(col("rn") === kOf(loPpm), col(valueCol))).as("p_lo"),
-        max(when(col("rn") === kOf(hiPpm), col(valueCol))).as("p_hi"))
-    df.join(broadcast(thresholds), Seq(groupCol))
-      .withColumn("v_clip", least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+        min(when(col("cum___c") >= kOf(loPpm), col("__v"))).as("p_lo"),
+        min(when(col("cum___c") >= kOf(hiPpm), col("__v"))).as("p_hi"))
+    sup
+      .join(broadcast(thresholds), Seq(groupCol))
+      .withColumn("v_clip", least(greatest(col("__v"), col("p_lo")), col("p_hi")))
       .groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("n_rows"),
+        sum(col("__c")).as("n_rows"),
         max(col("p_lo")).as("p_lo"),
         max(col("p_hi")).as("p_hi"),
+        // Σ clip(v)·cnt over the support == Σ clip(v) over raw rows —
+        // the decimal products/sums are exact, so the final double
+        // division chain is bit-identical to the per-row form
         floor(lit(1000000.0) *
-          sum(col("v_clip").cast("decimal(28,4)")).cast("double") /
-          count(lit(1)).cast("double")).cast("long").as("avg_clip_micro"))
+          sum(col("v_clip").cast("decimal(28,4)") * col("__c")).cast("double") /
+          sum(col("__c")).cast("double")).cast("long").as("avg_clip_micro"))
   }
 
   /** Hashing trick over whitespace tokens: md5-derived bucket in

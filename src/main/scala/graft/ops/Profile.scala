@@ -49,9 +49,21 @@ object Profile {
       ).as(Seq("column", "n_nonnull", "min_value", "max_value")))
     // distinct counts: unpivot, then one single-distinct agg. The
     // string cast is injective per column type (typed values render
-    // distinctly), so counts match the typed count_distinct.
+    // distinctly), so counts match the typed count_distinct — EXCEPT
+    // floating point: typed grouping normalizes -0.0 == 0.0 (and
+    // collapses NaN payloads) while their string renders ('-0.0' vs
+    // '0.0') stay distinct, so float/double columns add +0.0 first
+    // (-0.0 + 0.0 = +0.0 in IEEE; NaN renders as one 'NaN' string
+    // regardless of payload; float→double promotion is injective).
+    val floatish: Set[String] = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.FloatType ||
+        f.dataType == org.apache.spark.sql.types.DoubleType => f.name
+    }.toSet
     val unpivotArgs = cols
-      .map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+      .map { c =>
+        if (floatish(c)) s"'$c', cast((`$c` + 0.0d) as string)"
+        else s"'$c', cast(`$c` as string)"
+      }.mkString(", ")
     val nd = df
       .select(expr(s"stack(${cols.length}, $unpivotArgs) as (column, v)"))
       .filter(col("v").isNotNull)

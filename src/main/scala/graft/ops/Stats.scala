@@ -91,10 +91,11 @@ object Stats {
       cntCol: String,
       shardExpr: Column,
       outName: String): DataFrame = {
-    // the support feeds both the cumsum and the totals BROADCAST in one
-    // action — cached (no-op if the caller already owns a cache entry)
-    // or the support subtree replays per consumer
-    val c = graft.core.Caches.cache(counts)
+    // the support feeds the cumsum (whose shard offsets are themselves
+    // a broadcast) AND the totals broadcast in one action — broadcast
+    // builds race on concurrent threads past a LAZY cache entry (the
+    // q227 rule), so the support is materialized EAGERLY before fan-out
+    val c = graft.core.Caches.materialized(counts)
     val cums = Windows.shardedCumsumBy(c, partCols, keyCol, Seq(cntCol), shardExpr)
     val tot = c
       .groupBy(partCols.map(col): _*)
@@ -125,8 +126,8 @@ object Stats {
       cntCol: String,
       shardExpr: Column,
       trimPpm: Long): DataFrame = {
-    // same two-consumer shape as medianFromCounts — cache the support
-    val c = graft.core.Caches.cache(counts)
+    // same multi-broadcast fan-out as medianFromCounts — eager support
+    val c = graft.core.Caches.materialized(counts)
     val cums = Windows.shardedCumsumBy(c, partCols, keyCol, Seq(cntCol), shardExpr)
     val tot = c
       .groupBy(partCols.map(col): _*)

@@ -127,10 +127,13 @@ object Ranker {
       timeSplitAssembled(raw, features, tsCol, embargoSec, trainPpm)
     val points = grid.map { case (depth, iter) =>
       val m = train(subTrain, maxIter = iter, maxDepth = depth, seed = seed)
-      val auc = graft.ops.Eval
-        .aucPpm(score(m, subValid), col("p1"), "y")
-        .head().getAs[Long]("auc_ppm")
-      SweepPoint(depth, iter, auc)
+      // NULL auc = single-class holdout; fail loudly, never rank a 0
+      val aucRow = graft.ops.Eval
+        .aucPpm(score(m, subValid), col("p1"), "y").head()
+      require(!aucRow.isNullAt(aucRow.fieldIndex("auc_ppm")),
+        s"timeAwareSweep: degenerate holdout at depth=$depth iter=$iter — " +
+          "single-class validation labels make AUC undefined")
+      SweepPoint(depth, iter, aucRow.getAs[Long]("auc_ppm"))
     }
     val best = points.sortBy(p => (-p.validAucPpm, p.maxDepth, p.maxIter)).head
     (points, best)
@@ -211,9 +214,16 @@ object Ranker {
     val (subTrain, subValid) =
       timeSplitAssembled(raw, features, tsCol, embargoSec, trainPpm)
     def measure(scored: DataFrame, family: String, params: String): FamilyPoint = {
-      val auc = graft.ops.Eval
-        .aucPpm(scored, col("p1"), "y")
-        .head().getAs[Long]("auc_ppm")
+      // aucPpm returns NULL on a single-class holdout (n_pos = 0 or
+      // n_neg = 0); getAs[Long] would silently unbox that to 0 and a
+      // degenerate split would rank as a plausible 0-ppm point — fail
+      // loudly instead, the split itself is wrong
+      val aucRow = graft.ops.Eval.aucPpm(scored, col("p1"), "y").head()
+      require(!aucRow.isNullAt(aucRow.fieldIndex("auc_ppm")),
+        s"championSelect: degenerate holdout for $family/$params — " +
+          "single-class validation labels make AUC undefined; widen the " +
+          "split or check the label column")
+      val auc = aucRow.getAs[Long]("auc_ppm")
       val rec = graft.ops.Eval
         .recallAtKPpm(scored, instanceCols, "y", col("p1"),
           Seq(candidateCol), recallK)

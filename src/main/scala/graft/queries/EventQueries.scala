@@ -3676,10 +3676,12 @@ object EventQueries {
       .groupBy(col("kind"), col("is_a"))
       .agg(count_distinct(col("v")).as("nd"))
       .agg(
-        sum(when(col("kind") === "u" && col("is_a"), col("nd")).otherwise(0L)).as("n_users_a"),
-        sum(when(col("kind") === "u" && !col("is_a"), col("nd")).otherwise(0L)).as("n_users_b"),
-        sum(when(col("kind") === "i" && col("is_a"), col("nd")).otherwise(0L)).as("n_items_a"),
-        sum(when(col("kind") === "i" && !col("is_a"), col("nd")).otherwise(0L)).as("n_items_b"))
+        // a global agg over ZERO groups sums to NULL — coalesce keeps
+        // the empty-corpus contract at 0 like countDistinct would
+        coalesce(sum(when(col("kind") === "u" && col("is_a"), col("nd")).otherwise(0L)), lit(0L)).as("n_users_a"),
+        coalesce(sum(when(col("kind") === "u" && !col("is_a"), col("nd")).otherwise(0L)), lit(0L)).as("n_users_b"),
+        coalesce(sum(when(col("kind") === "i" && col("is_a"), col("nd")).otherwise(0L)), lit(0L)).as("n_items_a"),
+        coalesce(sum(when(col("kind") === "i" && !col("is_a"), col("nd")).otherwise(0L)), lit(0L)).as("n_items_b"))
     ev.crossJoin(broadcast(mid))
       .agg(aggs.head, aggs.tail: _*)
       .crossJoin(broadcast(dist))

@@ -264,6 +264,12 @@ object RelationalQueries {
 
   /** Reshaping: melt three lineitem measures into (metric, value_cents)
     * rows (Dataset.unpivot — executor-side row expansion, no shuffle).
+    * Deliberately NO global orderBy: the melted output is corpus-rate,
+    * and a global sort of it is a pure range-shuffle of every row
+    * (22.1 MB at sf0.1 — the single largest avoidable exchange in the
+    * r12 bench) that no consumer of an unpivot needs. Row order is not
+    * part of the contract — the oracle compare canonicalizes rows
+    * before hashing, and the VALUES are position-independent.
     */
   def unpivotMeasures(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -278,7 +284,6 @@ object RelationalQueries {
         Array(col("quantity_c"), col("discount_bp"), col("tax_bp")),
         "metric",
         "value")
-      .orderBy(col("orderkey"), col("linenumber"), col("metric"))
 
   /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) with
     * explicit grouping flags — subtotals and the grand total in one
@@ -492,43 +497,60 @@ object RelationalQueries {
   /** Robust outlier detection per group: median / MAD (median absolute
     * deviation) / |x − med| > 3·MAD counts — entirely in integer cents
     * with integer median ranks ((n+1) div 2, the lower median), so the
-    * whole statistic is exact and engine-independent. Plan: one
-    * exchange on the group key serves BOTH rank windows (the broadcast
-    * threshold join preserves partitioning), then one final hash agg.
+    * whole statistic is exact and engine-independent.
+    *
+    * Plan — support-grain (the q171/q214 shape): the fact collapses
+    * map-side to a (returnflag, cents, count) support; both medians are
+    * [[graft.ops.Stats.medianFromCounts]] sharded-cumsum passes over
+    * count-compressed supports, and the outlier count is a sum of
+    * support counts. The previous form ran row_number windows over RAW
+    * rows partitioned by the ~4-value returnflag — the whole fact
+    * shuffled onto |groups| partitions, each sorted by one task
+    * (parallelism bounded by group count; the r12 #1 wall line at
+    * 9.9 s / 17.5 MB). Order statistics are tie-independent, so the
+    * support form returns bit-identical integers.
     */
   def madOutliers(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = Tables.lineitem(s, d).select(
-      col("l_returnflag"),
-      round(col("l_extendedprice") * 100).cast("long").as("cents"),
-      col("l_orderkey"), col("l_linenumber"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    val w1 = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    val medTbl = v
-      .withColumn("rn", row_number().over(w1))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .groupBy(col("l_returnflag"))
-      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("med"))
-    val dev = v
-      .join(broadcast(medTbl), Seq("l_returnflag"))
-      .withColumn("dev", abs(col("cents") - col("med")))
-    val w2 = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("dev").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    val madTbl = dev
-      .withColumn("rn", row_number().over(w2))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .groupBy(col("l_returnflag"))
-      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
-    dev
-      .join(broadcast(madTbl), Seq("l_returnflag"))
+    val sup = graft.core.Caches.materialized(
+      Tables.lineitem(s, d)
+        .select(
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("c")))
+    // med feeds TWO broadcasts (devSup's join and the final join) —
+    // materialized (group-count-sized) so the cumsum pass runs once
+    val med = graft.core.Caches.materialized(
+      graft.ops.Stats.medianFromCounts(
+        sup, Seq("l_returnflag"), "cents", "c",
+        expr("cents div 65536"), "median_cents"))
+    // deviation support: |cents − med| keyed per group, counts summed
+    // across cents values that collapse to the same deviation — still
+    // value-domain sized, never raw rows
+    val devSup = graft.core.Caches.materialized(
+      sup
+        .join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(
+          col("l_returnflag"),
+          abs(col("cents") - col("median_cents")).as("dev"))
+        .agg(sum(col("c")).as("dc")))
+    val mad = graft.ops.Stats.medianFromCounts(
+      devSup, Seq("l_returnflag"), "dev", "dc",
+      expr("dev div 65536"), "mad_cents")
+      .select(col("l_returnflag"), col("mad_cents"))
+    devSup
+      .join(broadcast(mad), Seq("l_returnflag"))
+      .join(
+        broadcast(med.select(
+          col("l_returnflag"), col("n_total"), col("median_cents"))),
+        Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        max(col("med")).as("median_cents"),
-        max(col("mad")).as("mad_cents"),
-        graft.ops.Aggregates.countIf(col("dev") > lit(3L) * col("mad"))
-          .as("n_outliers"))
+        max(col("n_total")).as("n_rows"),
+        max(col("median_cents")).as("median_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3L) * col("mad_cents"), col("dc"))
+          .otherwise(lit(0L))).as("n_outliers"))
       .orderBy(col("l_returnflag"))
   }
 

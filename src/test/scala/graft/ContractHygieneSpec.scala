@@ -98,6 +98,105 @@ class ContractHygieneSpec extends SparkSpec {
       s"multi-distinct aggregates (hash-ordered Expand, unstable plan text): $offenders")
   }
 
+  /** The q114/q99 scale-killer class (VERDICT r12): a rank-family
+    * window partitioned by a BOUNDED dimension column (≤ a handful of
+    * distinct values) whose input is corpus-rate — the whole fact
+    * shuffles onto |dimension| partitions and each is sorted by ONE
+    * task, so parallelism is bounded by group count no matter the
+    * cluster. Detector: a row_number/rank/dense_rank/ntile Window
+    * whose partition keys are all in the named low-cardinality column
+    * set AND whose child has some leaf not behind an Aggregate (an
+    * aggregated input is group-rate — q159's day-bounded slope window
+    * is the documented allowed shape and passes via its Aggregate).
+    */
+  private val lowCardCols: Set[String] = Set(
+    "l_returnflag", "l_linestatus", "event_type", "source", "lang")
+
+  private def lowCardRankWindows(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.{DenseRank, NTile, Rank, RowNumber}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Window, WindowGroupLimit}
+    // a leaf that is not count-compressed by some Aggregate (or
+    // k-bounded by a WindowGroupLimit rank pushdown — partial mode
+    // keeps ≤k rows per group per map task, so the exchange is
+    // k·partitions-bounded, not corpus-rate) between it and the window
+    // input. Cached aggregates hide behind InMemoryRelation leaves —
+    // recurse into the cached PHYSICAL plan so a time-bounded daily
+    // aggregate (q159's shape) is not misread as raw rows.
+    def physRaw(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => false
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        physRaw(a.initialPlan)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        physRaw(s.relation.cachedPlan)
+      case l if l.children.isEmpty => true
+      case other => other.children.exists(physRaw)
+    }
+    def hasRawLeaf(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: WindowGroupLimit => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => false
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        physRaw(imr.cachedPlan)
+      case _: LeafNode => true // scans, checkpoints: corpus-rate until proven otherwise
+      case other => other.children.exists(hasRawLeaf)
+    }
+    plan.collect {
+      case w: Window
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall {
+              case a: AttributeReference => lowCardCols.contains(a.name)
+              case _ => false
+            } &&
+            w.windowExpressions.exists(_.exists {
+              case we: WindowExpression => we.windowFunction match {
+                case _: RowNumber | _: Rank | _: DenseRank | _: NTile => true
+                case _ => false
+              }
+              case _ => false
+            }) &&
+            hasRawLeaf(w.child) =>
+        s"rank window partitioned by ${w.partitionSpec.map(_.sql).mkString(",")} over raw rows"
+    }
+  }
+
+  test("no contract query rank-windows raw rows on a bounded dimension key") {
+    val dir = sf("sf0.001")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      lowCardRankWindows(f(spark, dir).queryExecution.optimizedPlan)
+        .map(msg => s"$name: $msg")
+    }
+    assert(offenders.isEmpty,
+      s"corpus-rate rank windows on low-cardinality keys (parallelism bounded " +
+        s"by group count — use count-compressed supports, the q171/q214 shape): " +
+        s"${offenders.mkString("; ")}")
+  }
+
+  test("the low-card rank-window detector fires on the old q114 shape (self-test)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val df = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+    val offender = df.withColumn(
+      "rn",
+      row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
+    assert(lowCardRankWindows(offender.queryExecution.optimizedPlan).nonEmpty,
+      "detector must flag a row_number over raw rows partitioned by l_returnflag")
+    // and the group-rate counter-shape (window over an aggregate) passes
+    val fine = df
+      .groupBy(col("l_returnflag"), col("l_extendedprice")).count()
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
+    assert(lowCardRankWindows(fine.queryExecution.optimizedPlan).isEmpty,
+      "detector must NOT flag a window whose input is count-compressed")
+  }
+
   test("raw floating-point output columns are allowlisted per query") {
     val dir = sf("sf0.001")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

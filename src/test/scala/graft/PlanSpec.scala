@@ -106,6 +106,20 @@ class PlanSpec extends SparkSpec {
     val p = plan(RelationalQueries.winsorize(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
       s"3-row threshold table must broadcast, not shuffle the fact:\n$p")
+    // support-grain since r13: both ppm ranks come off a sharded cumsum
+    // over the (group, value, count) support — never a row_number over
+    // raw rows partitioned by the ~4-value group key (one hot task per
+    // group; the r12 #3 wall line)
+    assert(!p.contains("row_number"),
+      s"winsorize must read ranks off the support cumsum, not a row-rate rank window:\n$p")
+  }
+
+  test("madOutliers: support-grain medians, no row-rate rank window") {
+    val p = plan(RelationalQueries.madOutliers(spark, dir))
+    assert(!p.contains("row_number"),
+      s"madOutliers must take medians from count-compressed supports (q171 shape):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"median/MAD tables must re-attach via broadcast:\n$p")
   }
 
   test("target encoding: global prior arrives via broadcast, one fact pass") {
