@@ -51,6 +51,15 @@ object Bench {
       // dependent, the hidden-class address is random per JVM)
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
       .replaceAll("/0x[0-9a-f]{8,}", "/0x")
+      // Partition COUNTS are session config (spark.sql.shuffle.partitions),
+      // not plan shape: normalize them so Verify (driver-chosen CPU count)
+      // and Bench (32) fingerprint identically on the same plan. Greedy .*
+      // pins the LAST `, <n>)` on the line — the numPartitions argument —
+      // leaving expression-level integer literals (round(x, 2)) alone.
+      // NOTE: this normalization is NEW in r13 — r13 fingerprints are not
+      // comparable to BENCH_r12's (exchange-bearing plans all re-hash).
+      .replaceAll("(hashpartitioning|rangepartitioning)\\((.*), \\d+\\)", "$1($2, N)")
+      .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(N)")
 
   def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
     val nodes = initialPlan(df.queryExecution.executedPlan)
@@ -102,10 +111,24 @@ object Bench {
     // before reading) — a plan regression shows up as megabytes moved
     // even when wall-clock noise hides it.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // Skew observability (VERDICT r12 item 5): fingerprints catch plan
+    // CHANGES but not skew inside an unchanged plan (q114's "3 active
+    // partitions" was invisible in the artifact). Track the longest
+    // single task per query: a healthy 32-way query has max_task ≪ wall;
+    // a one-hot-partition query has max_task ≈ wall.
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val ti = te.taskInfo
+        // TaskInfo.duration throws on unfinished tasks (killed/failed)
+        val d = if (ti != null && ti.finished) ti.duration else 0L
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
     })
     // One cache scope around the whole loop: cross-query plan dedup
     // (e.g. q26 reusing q23's cached candidate set — the pipeline's own
@@ -115,7 +138,11 @@ object Bench {
     val results = graft.core.Caches.withScope {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val b0 = { org.apache.spark.graft.ListenerSync.drain(spark.sparkContext); shuffleBytes.get }
+        val b0 = {
+          org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+          maxTaskMs.set(0L) // queries run sequentially; bus drained
+          shuffleBytes.get
+        }
         // Force FULL-plan evaluation: `df.count()` wraps the query in a
         // count aggregate and lets the optimizer PRUNE the parts the
         // count doesn't need — a left-outer join's right side and every
@@ -129,9 +156,9 @@ object Bench {
         // a throwing query must NOT report a normal-looking (fast!)
         // time — surface it as -1 so regressions can't hide
         val t = if (dfOpt.isDefined) (System.nanoTime() - t0) / 1e9 else -1.0
-        val mb = {
+        val (mb, maxTaskS) = {
           org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
-          (shuffleBytes.get - b0) / 1e6
+          ((shuffleBytes.get - b0) / 1e6, maxTaskMs.get / 1e3)
         }
         // fingerprint OUTSIDE the timer: plan traversal, no execution
         val fp = dfOpt
@@ -149,17 +176,17 @@ object Bench {
             } catch { case _: Throwable => () }
           }
         }
-        (name, t, mb, fp)
+        (name, t, mb, fp, maxTaskS)
       }
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, mb, _) => s"\"" + k + "\":" + f"$mb%.1f" }
+    val sh = results.map { case (k, _, mb, _, _) => s"\"" + k + "\":" + f"$mb%.1f" }
       .mkString("{", ",", "}")
     // failures carry -1 in `queries` and are EXCLUDED from the total —
     // and named in `failed` so a throwing query can never pass as a
     // fast one in the headline number
-    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalSh = results.map(_._3).sum
@@ -181,21 +208,30 @@ object Bench {
     // subset on its own compact line so the expensive cohort's
     // fingerprints always survive — they are what separates contention
     // from regression when the head moves.
-    val fps = results.map { case (k, _, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
+    val fps = results.map { case (k, _, _, fp, _) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"plan_fingerprints","queries":$fps}""")
+    val mts = results.map { case (k, _, _, _, m) => s"\"" + k + "\":" + f"$m%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"max_task_s","queries":$mts}""")
     val top25 = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val top25Sh = results.sortBy(-_._3).take(25)
-      .map { case (k, _, mb, _) => s"\"" + k + "\":" + f"$mb%.1f" }
+      .map { case (k, _, mb, _, _) => s"\"" + k + "\":" + f"$mb%.1f" }
       .mkString("{", ",", "}")
     val top25Fp = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
-      .map { case (k, _, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
+      .map { case (k, _, _, fp, _) => s"\"" + k + "\":\"" + fp + "\"" }
+      .mkString("{", ",", "}")
+    // skew head: the 25 largest max_task/wall ratios among non-trivial
+    // queries (wall ≥ 1 s) — the one-hot-partition cohort, directly
+    val top25Skew = results.filter(r => r._2 >= 1.0).sortBy(r => -(r._5 / r._2)).take(25)
+      .map { case (k, v, _, _, m) => s"\"" + k + "\":" + f"${m / v}%.2f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"top25_sec","queries":$top25}""")
     println(s"""{"metric":"top25_shuffle_mb","queries":$top25Sh}""")
     println(s"""{"metric":"top25_fingerprints","queries":$top25Fp}""")
+    println(s"""{"metric":"top25_max_task_frac","queries":$top25Skew}""")
     // The full line above can exceed the driver's capture window (r05/r06
     // arrived head-truncated, "parsed": null). The VERY LAST stdout line
     // is therefore a standalone compact summary that always parses whole.

@@ -346,7 +346,9 @@ object SparkEntry {
     "q303_stream_wcounts" -> (EQ.streamWindowCounts _),
     "q304_stream_attrib" -> (EQ.streamClickAttribution _),
     "q305_stream_enrich" -> (EQ.streamEnrichedCounts _),
-    "q306_accuracy_at1" -> (EQ.nextCategoryAccuracy _))
+    "q306_accuracy_at1" -> (EQ.nextCategoryAccuracy _),
+    "q307_stream_merge_sessions" -> (EQ.streamMergedSessions _),
+    "q308_approx_distinct_audit" -> (EQ.approxDistinctAudit _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -7040,7 +7042,61 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN p.pred_cat = a.a_cat THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |  CAST(SUM(CASE WHEN p.pred_cat = a.a_cat THEN 1 ELSE 0 END) * 1000000
         |    // COUNT(*) AS BIGINT) AS acc1_ppm
-        |FROM a LEFT JOIN p USING (anchor_id)""".stripMargin)
+        |FROM a LEFT JOIN p USING (anchor_id)""".stripMargin,
+    // batch twin of the stream-stream session merge: view + purchase
+    // feeds sessionized jointly (30-min gap; gap == duration MERGES,
+    // strictly greater splits — the session_window rule), closed
+    // sessions only. Cutoff = min(per-feed max ts) − 1h in exact
+    // micros (Spark's multi-watermark policy takes the MIN watermark
+    // across a union's inputs); session end = last event + gap.
+    "q307_stream_merge_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), mx AS (
+        |  SELECT LEAST(
+        |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+        |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')) AS mx
+        |), s AS (
+        |  SELECT user_id, us, is_a,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |           OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), g AS (
+        |  SELECT user_id, us, is_a,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |), agg AS (
+        |  SELECT user_id, sid,
+        |    CAST(MIN(us) AS BIGINT) AS s_start_us,
+        |    CAST(MAX(us) + 1800000000 AS BIGINT) AS s_end_us,
+        |    CAST(SUM(is_a) AS BIGINT) AS n_view,
+        |    CAST(SUM(1 - is_a) AS BIGINT) AS n_purchase,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, s_start_us, s_end_us, n_view, n_purchase, n_events
+        |FROM agg CROSS JOIN mx
+        |WHERE s_end_us <= mx - 3600000000
+        |ORDER BY user_id, s_start_us""".stripMargin,
+    // the profiler's exact→HLL swap audited: exact distinct counts are
+    // the oracle contract; the HLL estimate itself is engine-specific
+    // so only its 5-standard-error bounded-error FLAG is output (the
+    // q297 sketch-audit pattern — TRUE on both sides by construction)
+    "q308_approx_distinct_audit" ->
+      """WITH u AS (
+        |  SELECT 'event_id' AS "column", CAST(event_id AS VARCHAR) AS v FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', event_type FROM events
+        |)
+        |SELECT "column", CAST(COUNT(DISTINCT v) AS BIGINT) AS n_exact,
+        |  TRUE AS within_5pct
+        |FROM u WHERE v IS NOT NULL
+        |GROUP BY "column" ORDER BY 1""".stripMargin)
 
   /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
     * expression (q106's bucket math, shared so the sketch rows cannot

@@ -30,16 +30,27 @@ object Verify {
     // Per-query cache scope: operator-internal caches (LSH bands, covis
     // projections, candidate sets) are unpersisted after each query's
     // write — the full loop leaves no lingering InMemoryRelation behind.
-    SparkEntry.queries
+    // Plan fingerprints (VERDICT r12 item 7): stamp every oracle-checked
+    // query with the same `e<exchanges>s<scans>h<md5/8>` fingerprint the
+    // bench emits, so correctness runs and bench runs are provably on the
+    // same plans (partition counts are normalized out — Verify's CPU
+    // config differs from Bench's 32). Cross-query cache reuse still
+    // differs (Verify scopes caches per query; Bench accumulates one
+    // scope), so cache-sharing consumers may legitimately diverge.
+    val fps = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try graft.core.Caches.withScope {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+      .toSeq.sortBy(_._1)
+      .map { case (name, fn) =>
+      val fp = try graft.core.Caches.withScope {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        try Bench.planFingerprint(df) catch { case _: Throwable => "-" }
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        "-"
       }
+      (name, fp)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -56,6 +67,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // fingerprints: a file next to the parquet outputs for the compare
+    // tooling, plus one stdout JSON line for tail-capture parity with
+    // the bench artifact
+    val fpJson = fps.map { case (k, fp) => s"${q(k)}: ${q(fp)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/fingerprints.json"), fpJson)
+    println(s"""{"metric":"verify_fingerprints","queries":$fpJson}""")
     pinned.foreach(_.unpersist(blocking = false))
     spark.stop()
   }

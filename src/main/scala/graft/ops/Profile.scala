@@ -80,6 +80,39 @@ object Profile {
         col("max_value"))
   }
 
+  /** Audit row for [[profile]]'s documented 100 TB swap: the profiler's
+    * exact `count_distinct` becomes `approx_count_distinct` (HLL++, no
+    * distinct fan-out, mergeable partials) at scale — this operator
+    * runs BOTH on the same unpivoted pass and emits the exact count
+    * plus a bounded-relative-error flag, the q297 sketch-audit pattern:
+    * the approximate path's ERROR BOUND is the oracle-checkable
+    * contract (the approximate value itself is engine-specific and is
+    * deliberately not an output column).
+    *
+    * rsd 0.01 (2^14 registers) with a ±5% acceptance band = 5 standard
+    * errors — deterministic data ⇒ deterministic estimate, and the
+    * band is wide enough to hold for any dataset the driver generates.
+    * One exchange: unpivot to (column, value) then a single-distinct
+    * agg (the multi-distinct rewrite is plan-nondeterministic — see
+    * [[profile]]).
+    */
+  def approxDistinctAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "approxDistinctAudit needs at least one column")
+    val unpivotArgs = cols
+      .map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    df.select(expr(s"stack(${cols.length}, $unpivotArgs) as (column, v)"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("column"))
+      .agg(
+        count_distinct(col("v")).as("n_exact"),
+        approx_count_distinct(col("v"), 0.01).as("__n_approx"))
+      .select(
+        col("column"),
+        col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact")) * 100 <= col("n_exact") * 5)
+          .as("within_5pct"))
+  }
+
   /** Approximate-functional-dependency audit (the TANE/metanome
     * family's per-candidate check): how badly does `lhs → rhs` hold?
     * The g3-style error is the minimum fraction of rows to delete for

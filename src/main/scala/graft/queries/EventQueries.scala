@@ -4355,4 +4355,54 @@ object EventQueries {
         col("n_events"))
       .orderBy(col("w_start_s"), col("category_id"))
   }
+
+  /** Batch twin of
+    * [[graft.streaming.StreamingSessions.mergedSessionAggregates]]
+    * (q307): the view feed and the purchase feed sessionized JOINTLY
+    * (30-min gap) with per-source counts. Closed-session subset only,
+    * and the cutoff mirrors Spark's multi-watermark policy: the union's
+    * watermark is the MIN of the two feeds' max event times − delay, so
+    * both maxes bound the emitted set.
+    */
+  def streamMergedSessions(s: SparkSession, d: String): DataFrame = {
+    // one scan (event_type IN (view, purchase) pushed) feeds both
+    // session inputs and both per-feed watermark maxes
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .localCheckpoint(true)
+    val merged = graft.streaming.StreamingSessions.mergedSessionAggregates(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+    val mx = ev
+      .groupBy()
+      .agg(least(
+        max(when(col("event_type") === "view", unix_micros(col("ts")))),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+        .as("mx"))
+    merged
+      .crossJoin(broadcast(mx))
+      .filter(unix_micros(col("session.end")) <= col("mx") - 3600000000L)
+      .select(
+        col("user_id"),
+        unix_micros(col("session.start")).as("s_start_us"),
+        unix_micros(col("session.end")).as("s_end_us"),
+        col("n_a").as("n_view"),
+        col("n_b").as("n_purchase"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("s_start_us"))
+  }
+
+  /** q308: [[graft.ops.Profile.approxDistinctAudit]] over the events
+    * table — the profiler's documented exact→HLL swap as an
+    * oracle-adjacent audit row (exact counts + a 5-standard-error
+    * bounded-error flag; the q297 pattern).
+    */
+  def approxDistinctAudit(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile
+      .approxDistinctAudit(
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type")),
+        Seq("event_id", "user_id", "event_type"))
+      .orderBy(col("column"))
 }

@@ -82,22 +82,54 @@ object StreamingSessions {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
 
+  /** Stream-stream session merge (the streaming family's last missing
+    * shape — two watermarked streams sessionized JOINTLY): each feed is
+    * tagged with its source and the union is sessionized with one
+    * session_window. Under Spark's multi-watermark policy the union's
+    * event-time watermark is the MIN of the two feeds' watermarks, so a
+    * merged session closes only when BOTH feeds have advanced past its
+    * end — exactly the semantics a cross-feed session needs (a lagging
+    * transaction feed must be able to extend a session the view feed
+    * already moved past).
+    *
+    * Inputs need (user_id, ts[, value]); output is one row per closed
+    * (user, session): per-source event counts, total, and exact-micros
+    * session bounds (end = last event + gap — the session_window rule:
+    * a gap EQUAL to the duration merges, strictly greater splits).
+    *
+    * At scale: state is (user, open-session) keyed in the state store,
+    * bounded by watermark eviction; the union shuffles once on user_id
+    * — no stream-stream join state (the merge is a groupBy, not a
+    * join), which is what keeps two 100 TB/day feeds tractable.
+    */
+  def mergedSessionAggregates(
+      streamA: DataFrame,
+      streamB: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    def tag(df: DataFrame, isA: Int): DataFrame =
+      df.select(col("user_id"), col("ts"), lit(isA.toLong).as("is_a"))
+        .withWatermark("ts", watermark)
+    tag(streamA, 1)
+      .unionByName(tag(streamB, 0))
+      .groupBy(
+        col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("session"))
+      .agg(
+        sum(col("is_a")).as("n_a"),
+        sum(lit(1L) - col("is_a")).as("n_b"),
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+  }
+
   /** Drive a bounded parquet directory through the streaming
     * sessionizer into an in-memory table; returns the completed result.
     * (Local harness for tests — production would writeStream to a sink
     * with a real trigger.)
     */
   def runBounded(spark: SparkSession, parquetPath: String, name: String): DataFrame = {
-    // FileStreamSource wants a directory; wrap a bare file in a tmp dir
-    // of symlinks so callers can point at a single parquet file.
-    val p = java.nio.file.Paths.get(parquetPath)
-    val srcPath =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("stream-src")
-        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
-        d.toString
-      } else parquetPath
-    val src = eventStream(spark, srcPath)
+    val src = eventStream(spark, wrapFile(parquetPath))
     val q: StreamingQuery = sessionAggregates(src)
       .select(
         col("user_id"),
@@ -105,6 +137,46 @@ object StreamingSessions {
         col("session.end").as("session_end"),
         col("n_events"),
         col("value_sum"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** FileStreamSource wants a directory; wrap a bare parquet file in a
+    * tmp dir of symlinks so callers can point at a single file.
+    */
+  private def wrapFile(parquetPath: String): String = {
+    val p = java.nio.file.Paths.get(parquetPath)
+    if (java.nio.file.Files.isRegularFile(p)) {
+      val d = java.nio.file.Files.createTempDirectory("stream-src")
+      java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+      d.toString
+    } else parquetPath
+  }
+
+  /** Bounded harness for [[mergedSessionAggregates]]: splits one
+    * bounded event directory into a view feed and a purchase feed (two
+    * independent streaming sources — separate watermarks, exactly the
+    * production two-feed topology), merges, and completes into an
+    * in-memory table.
+    */
+  def runBoundedMerged(spark: SparkSession, parquetPath: String, name: String): DataFrame = {
+    val dir = wrapFile(parquetPath)
+    def feed(t: String): DataFrame =
+      eventStream(spark, dir).filter(col("event_type") === t)
+    val q: StreamingQuery = mergedSessionAggregates(feed("view"), feed("purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session.start")).as("s_start_us"),
+        unix_micros(col("session.end")).as("s_end_us"),
+        col("n_a").as("n_view"),
+        col("n_b").as("n_purchase"),
+        col("n_events"))
       .writeStream
       .outputMode(OutputMode.Append)
       .format("memory")

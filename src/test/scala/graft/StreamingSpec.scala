@@ -52,4 +52,38 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(missingEarly == 0, "non-tail session missing from streaming output")
   }
+
+  test("stream-stream merged sessionization agrees with the q307 batch twin") {
+    val dir = sf("sf0.001")
+    val streamed = StreamingSessions
+      .runBoundedMerged(spark, s"$dir/events.parquet", "merged_sessions_spec")
+      .cache()
+    // the contract twin imposes the closed-session cutoff (min per-feed
+    // max − watermark); everything it emits must be in the streamed set
+    val twin = graft.queries.EventQueries
+      .streamMergedSessions(spark, dir)
+      .cache()
+    val keys = Seq("user_id", "s_start_us", "s_end_us",
+      "n_view", "n_purchase", "n_events")
+    assert(twin.count() > 0, "twin emitted nothing at sf0.001")
+    val twinMissing = twin.join(streamed, keys, "left_anti").count()
+    assert(twinMissing == 0, "closed session in the batch twin missing from streaming output")
+    // and every streamed session must be a REAL merged session: check
+    // against the un-cutoff batch computation (same function, batch frames)
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .filter(col("event_type").isin("view", "purchase"))
+    val all = StreamingSessions.mergedSessionAggregates(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session.start")).as("s_start_us"),
+        unix_micros(col("session.end")).as("s_end_us"),
+        col("n_a").as("n_view"),
+        col("n_b").as("n_purchase"),
+        col("n_events"))
+    val phantom = streamed.join(all, keys, "left_anti").count()
+    assert(phantom == 0, "streaming emitted a merged session batch doesn't have")
+  }
 }
