@@ -100,12 +100,26 @@ object Profile {
     require(cols.nonEmpty, "approxDistinctAudit needs at least one column")
     val unpivotArgs = cols
       .map(c => s"'$c', cast(`$c` as string)").mkString(", ")
-    df.select(expr(s"stack(${cols.length}, $unpivotArgs) as (column, v)"))
+    val unpivoted = df
+      .select(expr(s"stack(${cols.length}, $unpivotArgs) as (column, v)"))
       .filter(col("v").isNotNull)
+    // exact and approx run as SEPARATE aggregations joined on the
+    // cols-sized output — NOT one mixed agg: the distinct rewrite's
+    // first phase groups by (column, v), and a regular agg riding along
+    // allocates its partial buffer PER GROUP, i.e. one 2^14-register
+    // HLL sketch per distinct value (~12 KB × |values|; measured 5+ s
+    // and a bench head line at a 300k-value unpivot). Split, the HLL
+    // buffers exist only per (column × partition) and each side is a
+    // plain one-exchange agg over the re-derived scan-rate unpivot
+    // (cheaper than caching it).
+    val exact = unpivoted
       .groupBy(col("column"))
-      .agg(
-        count_distinct(col("v")).as("n_exact"),
-        approx_count_distinct(col("v"), 0.01).as("__n_approx"))
+      .agg(count_distinct(col("v")).as("n_exact"))
+    val approx = unpivoted
+      .groupBy(col("column"))
+      .agg(approx_count_distinct(col("v"), 0.01).as("__n_approx"))
+    exact
+      .join(broadcast(approx), Seq("column"))
       .select(
         col("column"),
         col("n_exact"),

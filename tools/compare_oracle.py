@@ -40,6 +40,13 @@ def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
+    # plan fingerprints stamped by graft.Verify (r13+): carried onto each
+    # result line so a correctness run is linkable to the bench run that
+    # shares its plans (same normalization, partition counts factored out)
+    try:
+        fps = json.load(open(f"{out_dir}/fingerprints.json"))
+    except Exception:
+        fps = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -74,7 +81,8 @@ def main(sf_dir, out_dir, only=None):
                   f"spark={diffs[0][0]} duck={diffs[0][1]}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({spark_tbl.num_rows} rows)")
+        fp = f" fp={fps[name]}" if name in fps else ""
+        print(f"PASS {name} ({spark_tbl.num_rows} rows){fp}")
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
