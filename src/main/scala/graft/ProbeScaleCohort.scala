@@ -59,6 +59,23 @@ object ProbeScaleCohort {
       "q235_rfm_segments", "q236_dup_cluster_stats", "q244_k_anonymity",
       "q245_l_diversity", "q247_flesch", "q248_oov_rate", "q249_good_turing",
       "q250_distinct_n", "q251_source_overlap") // non-events tables
+    // the q308 audit's bounded swap: same audit over a deterministic
+    // 1/16 md5 value subset — the exact side's distinct exchange
+    // shrinks by the mod while the error contract is unchanged
+    def sampledAudit(): Unit = {
+      org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+      val b0 = shuffleBytes.get
+      val t0 = System.nanoTime()
+      val n = graft.ops.Profile.approxDistinctAudit(
+          graft.core.Tables.events(spark, out)
+            .select(col("event_id"), col("user_id"), col("event_type")),
+          Seq("event_id", "user_id", "event_type"), sampleMod = 16)
+        .queryExecution.toRdd.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+      val mb = (shuffleBytes.get - b0) / 1e6
+      println(f"[scale] q308_sampled_mod16           $t%8.1f s ${mb}%8.1f MB $n%10d rows")
+    }
     graft.core.Caches.withScope {
       cohort.filterNot(skip).filter(_.contains(queryFilter)).foreach { name =>
         org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
@@ -74,6 +91,7 @@ object ProbeScaleCohort {
           case Right(rows) => println(f"[scale] $name%-28s $t%8.1f s ${mb}%8.1f MB $rows%10d rows")
           case Left(err) => println(f"[scale] $name%-28s $t%8.1f s FAILED: $err")
         }
+        if (name == "q308_approx_distinct_audit") sampledAudit()
       }
     }
     spark.stop()

@@ -96,13 +96,28 @@ object Profile {
     * agg (the multi-distinct rewrite is plan-nondeterministic — see
     * [[profile]]).
     */
-  def approxDistinctAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def approxDistinctAudit(
+      df: DataFrame, cols: Seq[String], sampleMod: Int = 1): DataFrame = {
     require(cols.nonEmpty, "approxDistinctAudit needs at least one column")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
     val unpivotArgs = cols
       .map(c => s"'$c', cast(`$c` as string)").mkString(", ")
-    val unpivoted = df
+    val all = df
       .select(expr(s"stack(${cols.length}, $unpivotArgs) as (column, v)"))
       .filter(col("v").isNotNull)
+    // scale mode (the q279/q297 sampled-audit convention): audit a
+    // deterministic 1/sampleMod VALUE subset — both agg sides see the
+    // same hash-selected values, so the relative-error contract is
+    // unchanged while the exact side's distinct exchange shrinks by
+    // the mod. xxhash64, not md5: the selector runs per unpivoted row
+    // at scan rate (measured 30M md5s ≈ the whole probe wall at 10M
+    // events) and needs no cross-engine twin — the oracle contract
+    // pins sampleMod=1 (full audit). Only meaningful for
+    // high-cardinality columns: a low-cardinality column's few values
+    // may all miss the subset (its group then vanishes from the audit).
+    val unpivoted =
+      if (sampleMod == 1) all
+      else all.filter(pmod(xxhash64(col("v")), lit(sampleMod)) === 0)
     // exact and approx run as SEPARATE aggregations joined on the
     // cols-sized output — NOT one mixed agg: the distinct rewrite's
     // first phase groups by (column, v), and a regular agg riding along

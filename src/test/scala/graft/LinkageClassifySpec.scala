@@ -168,6 +168,26 @@ class LinkageClassifySpec extends SparkSpec {
     assert(out.getAs[Long]("violation_ppm") == 250000L)
   }
 
+  test("approxDistinctAudit: exact counts per column, flag true, sampleMod subsets") {
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("a", "b")
+    val full = graft.ops.Profile.approxDistinctAudit(df, Seq("a", "b"))
+      .orderBy("column").collect()
+    assert(full.map(r => (r.getAs[String]("column"), r.getAs[Long]("n_exact"))).toSeq ==
+      Seq(("a", 500L), ("b", 7L)))
+    assert(full.forall(_.getAs[Boolean]("within_5pct")))
+    // sampled mode audits a deterministic value subset: exact side must
+    // equal a hand-filtered recount of the SAME md5-selected values
+    val sampled = graft.ops.Profile.approxDistinctAudit(df, Seq("a"), sampleMod = 4)
+      .head()
+    val expected = df
+      .selectExpr("cast(a as string) as v").distinct()
+      .filter(expr("pmod(xxhash64(v), 4) = 0"))
+      .count()
+    assert(sampled.getAs[Long]("n_exact") == expected)
+    assert(expected > 0L && expected < 500L)
+    assert(sampled.getAs[Boolean]("within_5pct"))
+  }
+
   test("fdViolations: majority tie breaks to the smallest rhs") {
     val df = Seq(("a", "y"), ("a", "x")).toDF("l_col", "r_col")
     // tie 1-1: majority is 'x' (smallest) — still 1 kept of 2 rows
