@@ -15,16 +15,32 @@ object StageDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // per-stage max task duration: the skew axis (a stage whose
+    // max_task ≈ stage wall has one hot task — post-exchange skew if
+    // the stage reads a shuffle, input-layout concentration if it
+    // reads the source)
+    val maxTask = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val nTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val ti = te.taskInfo
+        if (ti != null && ti.finished) {
+          maxTask.merge(te.stageId, ti.duration, (a, b) => math.max(a, b))
+          nTasks.merge(te.stageId, 1, (a, b) => a + b)
+        }
+      }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val w = si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6
         val r = si.taskMetrics.shuffleReadMetrics.remoteBytesRead / 1e6 +
           si.taskMetrics.shuffleReadMetrics.localBytesRead / 1e6
-        if (w > 1 || r > 1)
-          println(f"[stage] ${si.stageId}%4d w=${w}%9.1f MB r=${r}%9.1f MB  " +
-            si.name.take(90))
+        val mt = maxTask.getOrDefault(si.stageId, 0L) / 1e3
+        val nt = nTasks.getOrDefault(si.stageId, 0)
+        if (w > 1 || r > 1 || mt > 0.5)
+          println(f"[stage] ${si.stageId}%4d w=${w}%9.1f MB r=${r}%9.1f MB " +
+            f"tasks=$nt%4d maxTask=${mt}%6.2f s  " + si.name.take(80))
       }
     })
     val t0 = System.nanoTime()

@@ -209,14 +209,45 @@ object Windows {
       .groupBy((partCols :+ "__shard").map(col): _*)
       .agg(valueCols.map(c => sum(col(c)).as(s"__t_$c")).head,
         valueCols.map(c => sum(col(c)).as(s"__t_$c")).tail: _*)
-    val sameKey = partCols
-      .map(c => col(s"b.$c") === col(s"a.$c"))
-      .foldLeft(col("b.__shard") < col("a.__shard"))(_ && _)
-    val offsets = totals.as("a")
-      .join(totals.as("b"), sameKey, "left")
-      .groupBy((partCols :+ "__shard").map(c => col(s"a.$c").as(c)): _*)
-      .agg(valueCols.map(c => sum(col(s"b.__t_$c")).as(s"__o_$c")).head,
-        valueCols.map(c => sum(col(s"b.__t_$c")).as(s"__o_$c")).tail: _*)
+    // Each shard's offset = sum of strictly-earlier shard totals in its
+    // partition, as a TWO-LEVEL prefix sum over the shard-grain totals
+    // table. Deliberately NOT a `b.__shard < a.__shard` triangle
+    // self-join: with no equi-keys (partCols empty) that plans a
+    // broadcast nested-loop QUADRATIC in shard count — measured 3.7 s
+    // hot task at just 15k shards (q235's near-unique m_cents support),
+    // and shard count tracks the value domain, so sparse domains blow
+    // it up at scale. Level 1 runs per super-shard (partitioned window,
+    // ≤ 65536 shard rows each); level 2's running sum over SUPER-shard
+    // totals is the only empty-partition-spec window in the engine and
+    // is ≤ shards/65536 rows by construction — PlanSpec's
+    // unpartitioned-window lint recognizes it by the `__cumsup` order
+    // column and this operator-level bound.
+    val tot2 = totals.withColumn("__cumsup", expr("__shard div 65536"))
+    val w1 = Window
+      .partitionBy((partCols :+ "__cumsup").map(col): _*)
+      .orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withinOff = valueCols.foldLeft(tot2) { (d, c) =>
+      d.withColumn(s"__wo_$c", sum(col(s"__t_$c")).over(w1))
+    }
+    val superTot = tot2
+      .groupBy((partCols :+ "__cumsup").map(col): _*)
+      .agg(valueCols.map(c => sum(col(s"__t_$c")).as(s"__s_$c")).head,
+        valueCols.map(c => sum(col(s"__t_$c")).as(s"__s_$c")).tail: _*)
+    val w2 = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(col("__cumsup"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superOff = valueCols.foldLeft(superTot) { (d, c) =>
+      d.withColumn(s"__so_$c", sum(col(s"__s_$c")).over(w2))
+    }
+    val offsets = withinOff
+      .join(broadcast(superOff.drop(valueCols.map(c => s"__s_$c"): _*)),
+        partCols :+ "__cumsup", "left")
+      .select((partCols :+ "__shard").map(col) ++
+        valueCols.map(c =>
+          (coalesce(col(s"__wo_$c"), lit(0L)) +
+            coalesce(col(s"__so_$c"), lit(0L))).as(s"__o_$c")): _*)
     val out = within.join(broadcast(offsets), partCols :+ "__shard", "left")
     valueCols
       .foldLeft(out) { (d, c) =>
