@@ -60,6 +60,15 @@ object Bench {
       // comparable to BENCH_r12's (exchange-bearing plans all re-hash).
       .replaceAll("(hashpartitioning|rangepartitioning)\\((.*), \\d+\\)", "$1($2, N)")
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(N)")
+      // Data DIRECTORY is environment, not plan shape: scan nodes embed
+      // the input path (sf0.01 vs sf0.1 differed in 183/308 otherwise
+      // structurally-identical plans), which broke the Verify(gate SF)
+      // ↔ Bench(bench SF) linkage the fingerprint exists for. Genuine
+      // cross-SF plan differences (size-based join strategy shifts)
+      // stay visible in the e/s counts and the remaining hash.
+      .replaceAll("file:/[^\\s,\\)\\]]*", "file:/x")
+      .replaceAll("/root/testdata/[^\\s,\\)\\]]*", "/x")
+      .replaceAll("/tmp/[^\\s,\\)\\]]*", "/x")
 
   def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
     val nodes = initialPlan(df.queryExecution.executedPlan)
