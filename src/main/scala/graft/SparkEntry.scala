@@ -348,7 +348,8 @@ object SparkEntry {
     "q305_stream_enrich" -> (EQ.streamEnrichedCounts _),
     "q306_accuracy_at1" -> (EQ.nextCategoryAccuracy _),
     "q307_stream_merge_sessions" -> (EQ.streamMergedSessions _),
-    "q308_approx_distinct_audit" -> (EQ.approxDistinctAudit _))
+    "q308_approx_distinct_audit" -> (EQ.approxDistinctAudit _),
+    "q309_unattributed_purchases" -> (EQ.streamUnattributedPurchases _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -7096,7 +7097,31 @@ object SparkEntry {
         |SELECT "column", CAST(COUNT(DISTINCT v) AS BIGINT) AS n_exact,
         |  TRUE AS within_5pct
         |FROM u WHERE v IS NOT NULL
-        |GROUP BY "column" ORDER BY 1""".stripMargin)
+        |GROUP BY "column" ORDER BY 1""".stripMargin,
+    // batch twin of the LEFT-OUTER stream-stream interval join, null
+    // rows only: purchases with no click in the preceding 30 min.
+    // Outer emission is watermark-gated, so only purchases strictly
+    // older than the joint watermark (min of click max − 1h, purchase
+    // max − 30min — the operator's per-side delays under the MIN
+    // multi-watermark policy) are reported.
+    "q309_unattributed_purchases" ->
+      """WITH c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        |), wm AS (
+        |  SELECT LEAST(
+        |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click') - 3600000000,
+        |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase') - 1800000000) AS wm
+        |)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  CAST(epoch_us(p.ts) AS BIGINT) AS p_us
+        |FROM p CROSS JOIN wm
+        |WHERE epoch_us(p.ts) < wm AND NOT EXISTS (
+        |  SELECT 1 FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |    AND c.ts >= p.ts - INTERVAL 30 MINUTE)
+        |ORDER BY user_id, purchase_id""".stripMargin)
 
   /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
     * expression (q106's bucket math, shared so the sketch rows cannot

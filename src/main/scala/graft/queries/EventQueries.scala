@@ -4393,6 +4393,42 @@ object EventQueries {
       .orderBy(col("user_id"), col("s_start_us"))
   }
 
+  /** Batch twin of
+    * [[graft.streaming.StreamingIntervalJoin.clickPurchasePairsLeftOuter]]
+    * (q309): purchases with NO click in the preceding 30 minutes — the
+    * organic-conversions table the outer interval join exists for.
+    * Outer null-row emission is watermark-gated (a purchase is
+    * reported unattributed only when no qualifying click can still
+    * arrive), so the twin keeps only purchases strictly older than the
+    * joint watermark: min(click max − 1h, purchase max − 30min) — the
+    * per-side delays of the streaming operator under the MIN
+    * multi-watermark policy.
+    */
+  def streamUnattributedPurchases(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .localCheckpoint(true)
+    val joined = graft.streaming.StreamingIntervalJoin
+      .clickPurchasePairsLeftOuter(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+    val wm = ev
+      .groupBy()
+      .agg(least(
+        max(when(col("event_type") === "click", unix_micros(col("ts")))) - 3600000000L,
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))) - 1800000000L)
+        .as("wm"))
+    joined
+      .filter(col("click_id").isNull)
+      .crossJoin(broadcast(wm))
+      .filter(unix_micros(col("p_ts")) < col("wm"))
+      .select(
+        col("user_id"), col("purchase_id"),
+        unix_micros(col("p_ts")).as("p_us"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   /** q308: [[graft.ops.Profile.approxDistinctAudit]] over the events
     * table — the profiler's documented exact→HLL swap as an
     * oracle-adjacent audit row (exact counts + a 5-standard-error

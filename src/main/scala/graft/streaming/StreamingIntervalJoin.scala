@@ -54,6 +54,47 @@ object StreamingIntervalJoin {
         col("p_ts"), col("c_ts"))
   }
 
+  /** LEFT-OUTER form of [[clickPurchasePairs]]: every purchase emits —
+    * matched pairs promptly (inner-join semantics), UNMATCHED purchases
+    * with null click columns only once the state watermark proves no
+    * qualifying click can still arrive (outer emission, unlike inner,
+    * IS watermark-gated: the null row is produced at state eviction).
+    * The continuous "organic conversions" feed: purchases with no paid
+    * click in the preceding lookback window. Same bounded-state
+    * property as the inner join — both sides evict by the derived
+    * state watermark, so state is rate × (watermark + lookback)
+    * regardless of stream age.
+    */
+  def clickPurchasePairsLeftOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      lookback: String = "30 minutes",
+      clickWatermark: String = "1 hour",
+      purchaseWatermark: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .select(
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", clickWatermark)
+    val p = purchases
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", purchaseWatermark)
+    p.join(
+        c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"interval $lookback"),
+        "leftOuter")
+      .select(
+        col("p_user").as("user_id"),
+        col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Bounded-run harness (the [[StreamingEnrich.runBounded]] pattern):
     * one events parquet drives BOTH stream sides (filtered by event
     * type) into an in-memory sink; returns the completed rows.
@@ -62,7 +103,8 @@ object StreamingIntervalJoin {
       spark: SparkSession,
       parquetPath: String,
       name: String,
-      lookback: String = "30 minutes"): DataFrame = {
+      lookback: String = "30 minutes",
+      leftOuter: Boolean = false): DataFrame = {
     val p = java.nio.file.Paths.get(parquetPath)
     val srcPath =
       if (java.nio.file.Files.isRegularFile(p)) {
@@ -73,8 +115,11 @@ object StreamingIntervalJoin {
     def side(eventType: String): DataFrame =
       StreamingSessions.eventStream(spark, srcPath)
         .filter(col("event_type") === eventType)
+    val joined =
+      if (leftOuter) clickPurchasePairsLeftOuter(side("click"), side("purchase"), lookback)
+      else clickPurchasePairs(side("click"), side("purchase"), lookback)
     val q: StreamingQuery =
-      clickPurchasePairs(side("click"), side("purchase"), lookback).writeStream
+      joined.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(OutputMode.Append())

@@ -33,4 +33,41 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must produce at least one pair")
     assert(streamed == batch)
   }
+
+  test("left-outer interval join: null rows are watermark-gated and agree with the q309 twin") {
+    val dir = sf("sf0.001")
+    val events = graft.core.Tables.events(spark, dir)
+
+    val streamed = StreamingIntervalJoin
+      .runBounded(spark, s"$dir/events.parquet", "stream_outer_spec", leftOuter = true)
+      .cache()
+    // matched rows: exactly the inner pair set (outer adds, never drops)
+    val inner = streamed.filter(col("click_id").isNotNull)
+      .select(col("purchase_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val batchPairs = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    assert(inner == batchPairs)
+
+    // every q309 twin row (closed unattributed purchase) must have been
+    // emitted as a null row by the real stream
+    val twin = graft.queries.EventQueries
+      .streamUnattributedPurchases(spark, dir).cache()
+    assert(twin.count() > 0, "twin emitted nothing at sf0.001")
+    val streamedNulls = streamed.filter(col("click_id").isNull)
+      .select(col("purchase_id"))
+    val missing = twin.select(col("purchase_id"))
+      .join(streamedNulls, Seq("purchase_id"), "left_anti").count()
+    assert(missing == 0, "closed unattributed purchase missing from the stream's null rows")
+    // and every streamed null row is genuinely unattributed in batch
+    val phantom = streamedNulls
+      .join(batchPairs.map(_._1).toSeq.toDF("purchase_id"), Seq("purchase_id"), "left_semi")
+      .count()
+    assert(phantom == 0, "stream emitted a null row for a purchase that HAS a click match")
+  }
 }
