@@ -38,8 +38,8 @@ object Bench {
     * identifiers (expression ids, plan ids, JVM identity hashes)
     * normalized out.
     */
-  def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
-    initialPlan(df.queryExecution.executedPlan)
+  def normalizedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val base = initialPlan(df.queryExecution.executedPlan)
       .collect { case n => n.simpleString(250) }
       .mkString("\n")
       .replaceAll("#\\d+", "#x")
@@ -51,14 +51,6 @@ object Bench {
       // dependent, the hidden-class address is random per JVM)
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
       .replaceAll("/0x[0-9a-f]{8,}", "/0x")
-      // Partition COUNTS are session config (spark.sql.shuffle.partitions),
-      // not plan shape: normalize them so Verify (driver-chosen CPU count)
-      // and Bench (32) fingerprint identically on the same plan. Greedy .*
-      // pins the LAST `, <n>)` on the line — the numPartitions argument —
-      // leaving expression-level integer literals (round(x, 2)) alone.
-      // NOTE: this normalization is NEW in r13 — r13 fingerprints are not
-      // comparable to BENCH_r12's (exchange-bearing plans all re-hash).
-      .replaceAll("(hashpartitioning|rangepartitioning)\\((.*), \\d+\\)", "$1($2, N)")
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(N)")
       // Data DIRECTORY is environment, not plan shape: scan nodes embed
       // the input path (sf0.01 vs sf0.1 differed in 183/308 otherwise
@@ -69,6 +61,26 @@ object Bench {
       .replaceAll("file:/[^\\s,\\)\\]]*", "file:/x")
       .replaceAll("/root/testdata/[^\\s,\\)\\]]*", "/x")
       .replaceAll("/tmp/[^\\s,\\)\\]]*", "/x")
+    // Partition COUNTS are session config (spark.sql.shuffle.partitions),
+    // not plan shape: normalize them so Verify (driver-chosen CPU count)
+    // and Bench (32) fingerprint identically on the same plan. Greedy .*
+    // pins the LAST `, <n>)` on the line — the numPartitions argument,
+    // because plan_id/[id=] digits are normalized out FIRST above —
+    // leaving expression-level integer literals (round(x, 2)) alone.
+    // Applied to FIXPOINT (ADVICE r13): one pass per numeric count, so a
+    // line carrying two partitioning specs normalizes both; the (?m)
+    // `$`-anchored variant catches a spec whose closing paren was cut by
+    // simpleString(250) truncation.
+    var s = base
+    var prev = ""
+    while (prev != s) {
+      prev = s
+      s = s
+        .replaceAll("(hashpartitioning|rangepartitioning)\\((.*), \\d+\\)", "$1($2, N)")
+        .replaceAll("(?m)(hashpartitioning|rangepartitioning)\\((.*), \\d+$", "$1($2, N")
+    }
+    s
+  }
 
   def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
     val nodes = initialPlan(df.queryExecution.executedPlan)

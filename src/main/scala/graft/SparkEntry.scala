@@ -7052,7 +7052,7 @@ object SparkEntry {
     // across a union's inputs); session end = last event + gap.
     "q307_stream_merge_sessions" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us,
+        |  SELECT user_id, event_id AS eid, epoch_us(ts) AS us,
         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
         |  FROM events WHERE event_type IN ('view', 'purchase')
         |), mx AS (
@@ -7060,13 +7060,17 @@ object SparkEntry {
         |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'view'),
         |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')) AS mx
         |), s AS (
-        |  SELECT user_id, us, is_a,
+        |  -- eid tie-break: two events for one user at the SAME microsecond
+        |  -- must see the same order in the brk window and the sid
+        |  -- cumulative-sum window, or a boundary tie can split one session
+        |  -- (session_window on the engine side is order-free and merges)
+        |  SELECT user_id, eid, us, is_a,
         |    CASE WHEN LAG(us) OVER w IS NULL
         |           OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, eid)
         |), g AS (
         |  SELECT user_id, us, is_a,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, eid
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM s
         |), agg AS (

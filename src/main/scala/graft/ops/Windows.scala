@@ -222,7 +222,13 @@ object Windows {
     // is ≤ shards/65536 rows by construction — PlanSpec's
     // unpartitioned-window lint recognizes it by the `__cumsup` order
     // column and this operator-level bound.
-    val tot2 = totals.withColumn("__cumsup", expr("__shard div 65536"))
+    // FLOOR division, not `div` (trunc-toward-zero): with a signed
+    // shardExpr trunc-div's super-shard 0 would span −65535..65535 —
+    // double the documented ≤65536 level-1 bound (ADVICE r13). pmod is
+    // non-negative, so the subtraction lands on an exact multiple and
+    // the quotient is the true floor; identical to `div` for shard ≥ 0.
+    val tot2 = totals.withColumn("__cumsup",
+      expr("(__shard - pmod(__shard, 65536L)) div 65536"))
     val w1 = Window
       .partitionBy((partCols :+ "__cumsup").map(col): _*)
       .orderBy(col("__shard"))

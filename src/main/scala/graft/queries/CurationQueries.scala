@@ -73,7 +73,6 @@ object CurationQueries {
         col("source"),
         col("rate_permille"),
         Sampling.hashBucketPermille(col("doc_id")).as("bucket"))
-      .orderBy(col("doc_id"))
   }
 
   /** PII scrubbing report. The synthetic corpus carries no PII, so the
@@ -100,7 +99,6 @@ object CurationQueries {
         Pii.countEmails(col("synth")).cast("long").as("n_emails"),
         Pii.countIps(col("synth")).cast("long").as("n_ips"),
         Pii.countPhones(col("synth")).cast("long").as("n_phones"))
-      .orderBy(col("doc_id"))
   }
 
   /** Prefix-filtered exact Jaccard pairs at τ = 0.5 over 4-gram
@@ -132,7 +130,6 @@ object CurationQueries {
       .stripBoilerplate(
         Tables.documents(s, d).select(col("doc_id"), lined.as("text")),
         "text", "doc_id", minDocs = 20L)
-      .orderBy(col("doc_id"))
   }
 
   /** Paragraph-level exact dedup, first occurrence wins
@@ -151,7 +148,6 @@ object CurationQueries {
       .paragraphDedup(
         Tables.documents(s, d).select(col("doc_id"), paraed.as("text")),
         "text", "doc_id")
-      .orderBy(col("doc_id"))
   }
 
   /** Typo-variant fuzzy dedup over the part-name vocabulary
@@ -197,7 +193,6 @@ object CurationQueries {
         (length(col("synth")) - length(TF.normalizeNfc(col("synth")))).cast("long")
           .as("n_composed"),
         TF.cleanText(col("synth")).as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** End-to-end curation: language filter → length filter → exact-dup
@@ -230,7 +225,6 @@ object CurationQueries {
       .join(survivors, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("dup_count"))
-      .orderBy(col("doc_id"))
   }
 
   /** Temperature-scaled token-budget apportionment across sources

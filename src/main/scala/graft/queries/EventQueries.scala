@@ -47,7 +47,6 @@ object EventQueries {
         col("user_id"),
         col("gap_s"),
         col("is_new_session"))
-      .orderBy(col("event_id"))
 
   /** W2: running sums per user (exact integer cents). */
   def runningSums(s: SparkSession, d: String): DataFrame = {
@@ -68,7 +67,6 @@ object EventQueries {
         col("user_id"),
         sum(col("value_cents")).over(w).as("cum_value_cents"),
         count(lit(1)).over(w).as("cum_events"))
-      .orderBy(col("event_id"))
   }
 
   /** J4+A1+P5: item co-visitation pairs within sessions. */
@@ -170,7 +168,6 @@ object EventQueries {
         get_json_object(col("props"), "$.k").cast("long").as("item_id"),
         coalesce(get_json_object(col("props"), "$.missing").cast("long"), lit(-1L))
           .as("missing_default"))
-      .orderBy(col("event_id"))
 
   /** The wide feature-assembly query (reference stage 6). */
   def features(s: SparkSession, d: String): DataFrame =
@@ -194,7 +191,6 @@ object EventQueries {
         col("user_id"),
         col("event_type"),
         graft.ops.Sampling.hashBucketPermille(col("event_id")).as("bucket"))
-      .orderBy(col("event_id"))
 
   /** W1-family Markov transitions: per-session next-item counts
     * (ordered by (epoch_s, event_id) — unique tie-break), the
@@ -264,7 +260,6 @@ object EventQueries {
           (count(lit(1)), "win7d_events")))
       .select(col("event_id"), col("user_id"), col("epoch_s"),
         col("win7d_cents"), col("win7d_events"))
-      .orderBy(col("event_id"))
 
   /** Skew diagnostic over the event log's user key. */
   def skewKeys(s: SparkSession, d: String): DataFrame =
@@ -334,7 +329,6 @@ object EventQueries {
         col("event_id"),
         col("p.k").as("item_id"),
         size(col("ks")).cast("long").as("n_keys"))
-      .orderBy(col("event_id"))
 
   /** Ranking-function battery (W-family beyond row_number/lag/lead):
     * rank with ties, dense_rank, ntile buckets over a deterministic
@@ -370,7 +364,6 @@ object EventQueries {
         col("quartile"),
         when(col("__n") > 1, expr("__pr_num div (__n - 1)")).otherwise(0L)
           .as("pct_rank_micro"))
-      .orderBy(col("event_id"))
   }
 
   /** Gap-filled daily activity: per user, one row per calendar day

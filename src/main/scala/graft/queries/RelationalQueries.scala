@@ -385,7 +385,6 @@ object RelationalQueries {
       .select(
         col("o_orderkey"),
         org.apache.spark.sql.graft.ZOrder2(col("o_custkey"), col("day_num"), 16).as("z"))
-      .orderBy(col("o_orderkey"))
 
   /** Data-quality gate ([[graft.ops.Validate]]): not-null, key
     * uniqueness, referential integrity, accepted values and numeric

@@ -56,7 +56,6 @@ object TextQueries {
     Dedup
       .simhash32(Tables.documents(s, d), "text", "doc_id")
       .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id<8. */
   def knnCosine(s: SparkSession, d: String): DataFrame = {
@@ -173,7 +172,6 @@ object TextQueries {
     Dedup
       .nearDupDedup(Tables.documents(s, d), "text", "doc_id",
         shingleN = 4, numHashes = 16, bands = 4, minJaccardPpm = 500000L)
-      .orderBy(col("doc_id"))
 
   def langId(s: SparkSession, d: String): DataFrame =
     Tables
@@ -182,7 +180,6 @@ object TextQueries {
         col("doc_id"),
         TF.langId(col("text"), langMarkers, "und").as("pred_lang"),
         TF.langScore(col("text"), langMarkers.head._2).as("en_score"))
-      .orderBy(col("doc_id"))
 
   def qualityScore(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of")
@@ -197,7 +194,6 @@ object TextQueries {
         TF.langScore(col("text"), stop).as("n_stopwords"),
         floor(TF.langScore(col("text"), stop) * 1000000L / TF.tokenCount(col("text")))
           .cast("long").as("stopword_ppm"))
-      .orderBy(col("doc_id"))
   }
 
   def tokenStats(s: SparkSession, d: String): DataFrame =
@@ -210,7 +206,6 @@ object TextQueries {
           .as("n_alpha_tokens"),
         TF.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
         size(array_distinct(TF.tokens(col("text")))).cast("long").as("n_distinct_tokens"))
-      .orderBy(col("doc_id"))
 
   def fingerprints(s: SparkSession, d: String): DataFrame =
     Tables
@@ -219,7 +214,6 @@ object TextQueries {
         col("doc_id"),
         TF.fingerprint(col("text")).as("fp"),
         TF.fingerprint32(col("text")).as("fp32"))
-      .orderBy(col("doc_id"))
 
   /** Word2Vec vocabulary on per-session category sequences. The
     * VECTORS are seeded but thread-nondeterministic (SURVEY.md §7,
@@ -247,7 +241,6 @@ object TextQueries {
         docs.filter(pmod(col("doc_id"), lit(7L)) === 3L),
         "text", "doc_id", n = 8)
       .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
   }
 
   /** Bloom-prefiltered decontamination — the retained (clean) training
@@ -264,7 +257,6 @@ object TextQueries {
         docs.filter(pmod(col("doc_id"), lit(7L)) === 3L),
         "text", "doc_id", n = 8)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs (Hamming ≤ 3 via 4-band blocking — exact
@@ -291,7 +283,6 @@ object TextQueries {
     TextRanking
       .bm25Scores(Tables.documents(s, d), "text", "doc_id",
         queryTerms = Seq("table", "scan", "fast", "key"))
-      .orderBy(col("doc_id"))
 
   /** Mergeable MinHash sketch (typed Aggregator UDAF): per doc-id
     * stratum, the element-wise-min merge of per-doc signatures — equal
@@ -315,7 +306,6 @@ object TextQueries {
   def surprisal(s: SparkSession, d: String): DataFrame =
     TextRanking
       .unigramSurprisal(Tables.documents(s, d), "text", "doc_id")
-      .orderBy(col("doc_id"))
 
   /** Multimodal frame sampling: every 2nd 32-byte frame of each
     * payload, fingerprinted — oracles the mapPartitions slicing
@@ -352,7 +342,6 @@ object TextQueries {
             TF.tokenCount(col("text")).cast("long").as("n_tokens")),
         "shard", "doc_id", col("n_tokens"), capacity = 256L)
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("bin_idx"))
-      .orderBy(col("doc_id"))
 
   /** Multimodal plumbing: binary payload → stub feature extraction.
     * The decode is a documented deterministic fake (byte-histogram
@@ -371,7 +360,6 @@ object TextQueries {
         size(col("features")).cast("long").as("n_dims"),
         round(element_at(col("features"), 1).cast("double") * col("meta.n_bytes"))
           .cast("long").as("f0_count"))
-      .orderBy(col("doc_id"))
 
   /** Tokenizer-prep vocabulary: global word-bigram counts, top 200 by
     * (count DESC, bigram ASC — deterministic cut). Word-count shape:
@@ -426,7 +414,6 @@ object TextQueries {
         expr("(n_tokens - n_distinct_tokens) * 1000000 div n_tokens")
           .as("dup_token_micro"),
         expr("top_ngram_count * 1000000 div (n_tokens - 1)").as("top_bigram_micro"))
-      .orderBy(col("doc_id"))
 
   /** PMI collocations over the document corpus (ln micro-quantized;
     * the oracle replicates the integer pipeline bit-for-bit).
@@ -657,7 +644,6 @@ object TextQueries {
   def noveltyScore(s: SparkSession, d: String): DataFrame =
     Dedup
       .noveltyScores(Tables.documents(s, d), "text", "doc_id", n = 4)
-      .orderBy(col("doc_id"))
 
   /** Higher-order array-function battery over the tokenized docs:
     * filter (long tokens), aggregate (total token length), transform +
@@ -673,7 +659,6 @@ object TextQueries {
           .as("sum_token_len"),
         concat_ws("|", transform(slice(array_sort(col("toks")), 1, 3), t => upper(t)))
           .as("first3_sorted_upper"))
-      .orderBy(col("doc_id"))
 
   /** Per-domain contribution cap over parse_url-extracted hosts (the
     * crawl-curation staple): synthesize each document's canonical URL
@@ -697,7 +682,6 @@ object TextQueries {
         graft.functions.UrlFunctions.urlPath(col("url")).as("path"),
         graft.functions.UrlFunctions.urlQueryParam(col("url"), "ref").as("ref"),
         col("n_chars"), col("rn").cast("long").as("rn"))
-      .orderBy(col("doc_id"))
   }
 
   /** Hashing-trick representation of the corpus vocabulary: 64
@@ -717,7 +701,6 @@ object TextQueries {
     Dedup
       .duplicatedSpans(Tables.documents(s, d), "text", "doc_id",
         spanLen = 64, stride = 32)
-      .orderBy(col("doc_id"))
 
   /** Survivorship-policy near-dup dedup ([[Dedup.bestOfCluster]]):
     * q42's clusters, but the survivor is the highest-stopword-ppm copy
@@ -734,7 +717,6 @@ object TextQueries {
     Dedup
       .bestOfCluster(docs, "text", "doc_id", "quality_ppm",
         shingleN = 4, numHashes = 16, bands = 4, minJaccardPpm = 500000L)
-      .orderBy(col("doc_id"))
   }
 
   /** Per-source token-budget cap ([[graft.ops.Sampling
@@ -752,7 +734,6 @@ object TextQueries {
         "source", col("n_tokens"), "doc_id", col("n_tokens"),
         budgetTokens = 3000L)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"), col("kept"))
-      .orderBy(col("doc_id"))
 
   /** Token-weighted temperature-flattened source mixture
     * ([[graft.ops.Sampling.temperatureMixSqrt]], α = 0.5): big sources
@@ -766,7 +747,6 @@ object TextQueries {
           TF.tokenCount(col("text")).cast("long").as("n_tokens")),
         "source", col("n_tokens"), "doc_id")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_permille"))
-      .orderBy(col("doc_id"))
 
   /** Leakage-free split ([[Dedup.leakageFreeSplit]]): q42's near-dup
     * components hashed to train/valid (20% valid) as WHOLE clusters —
@@ -777,7 +757,6 @@ object TextQueries {
       .leakageFreeSplit(Tables.documents(s, d), "text", "doc_id",
         validPermille = 200, shingleN = 4, numHashes = 16, bands = 4,
         minJaccardPpm = 500000L)
-      .orderBy(col("doc_id"))
 
   /** Maximal duplicated character ranges, exact at any length ≥ 48 and
     * any alignment ([[Dedup.maximalRepeatRanges]]) — the
@@ -805,7 +784,6 @@ object TextQueries {
   def bigramSurprisalScores(s: SparkSession, d: String): DataFrame =
     TextRanking
       .bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
-      .orderBy(col("doc_id"))
 
   /** Vocabulary-growth curve (the Heaps'-law corpus diagnostic): for
     * each document in id order, the cumulative distinct-term count and
@@ -840,7 +818,6 @@ object TextQueries {
         col("doc_id"),
         col("cum_n_tokens").as("cum_tokens"),
         col("cum_n_new_terms").as("cum_vocab"))
-      .orderBy(col("doc_id"))
   }
 
   /** Cross-source duplication matrix: exact near-dup pairs (the q85
@@ -887,7 +864,6 @@ object TextQueries {
           Window.partitionBy(col("component"))
             .orderBy(col("n_chars").desc, col("doc_id").asc)) === 1)
       .select(col("doc_id"), col("component"), col("n_chars"), col("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Asymmetric containment dedup (quote-inclusion detection): ordered
@@ -1050,7 +1026,6 @@ object TextQueries {
         (lit(206835000L)
           - expr("1015000 * words div sentences")
           - expr("84600000 * syllables div words")).as("flesch_micro"))
-      .orderBy(col("doc_id"))
 
   /** Tokenizer out-of-vocabulary rate (q248): share of each document's
     * whitespace tokens outside the corpus top-1000 vocabulary (by
@@ -1079,7 +1054,6 @@ object TextQueries {
       .select(
         col("doc_id"), col("n_tokens"), col("n_oov"),
         expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
-      .orderBy(col("doc_id"))
   }
 
   /** Good–Turing frequency-of-frequencies (q249): the 10 RAREST

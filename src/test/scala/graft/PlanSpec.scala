@@ -257,11 +257,14 @@ class PlanSpec extends SparkSpec {
           // (Windows.scala), not a per-query judgment call
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty &&
-                !w.orderSpec.forall(_.child match {
+                // nonEmpty: an unpartitioned UNORDERED window is still a
+                // single-task global window — forall alone is vacuously
+                // true on an empty orderSpec (ADVICE r13)
+                !(w.orderSpec.nonEmpty && w.orderSpec.forall(_.child match {
                   case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
                     a.name == "__cumsup"
                   case _ => false
-                }) =>
+                })) =>
             s"$name: Window(order=${w.orderSpec.map(_.sql).mkString(",")})"
         }
       }

@@ -10,9 +10,16 @@ import json
 import sys
 
 
+# bench/FpAll/Verify logs carry several {"metric":...,"queries":...} lines
+# (top25_max_task_frac prints LAST in a bench log); only these metrics are
+# fingerprint maps — selecting "last line with queries" silently diffed
+# skew fractions (ADVICE r13).
+FP_METRICS = ("fp_all", "plan_fingerprints", "verify_fingerprints")
+
+
 def load(path):
     txt = open(path).read()
-    # try whole-file JSON first, then last JSON line containing "queries"
+    # try whole-file JSON first, then JSON lines with a fingerprint metric
     try:
         obj = json.loads(txt)
     except Exception:
@@ -21,11 +28,17 @@ def load(path):
             line = line.strip()
             if line.startswith("{") and '"queries"' in line:
                 try:
-                    obj = json.loads(line)
+                    cand = json.loads(line)
                 except Exception:
-                    pass
+                    continue
+                if cand.get("metric") in FP_METRICS:
+                    obj = cand  # last fingerprint line wins (resumed logs)
         if obj is None:
-            raise SystemExit(f"no JSON object found in {path}")
+            raise SystemExit(
+                f"no fingerprint JSON line (metric in {FP_METRICS}) in {path}")
+    if obj.get("metric") not in (None,) + FP_METRICS:
+        raise SystemExit(
+            f"{path}: metric {obj.get('metric')!r} is not a fingerprint map")
     return obj.get("queries", obj)
 
 
