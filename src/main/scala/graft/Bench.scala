@@ -61,6 +61,11 @@ object Bench {
       .replaceAll("file:/[^\\s,\\)\\]]*", "file:/x")
       .replaceAll("/root/testdata/[^\\s,\\)\\]]*", "/x")
       .replaceAll("/tmp/[^\\s,\\)\\]]*", "/x")
+      // Driver-built binary payloads (the q76 decontam bloom bitmap
+      // prints as a giant hex literal in might_contain) are data, not
+      // plan shape — same class as codebook values. No legitimate plan
+      // token is a 64+-digit hex literal.
+      .replaceAll("0x[0-9a-fA-F]{64,}", "0xBLOB")
     // Partition COUNTS are session config (spark.sql.shuffle.partitions),
     // not plan shape: normalize them so Verify (driver-chosen CPU count)
     // and Bench (32) fingerprint identically on the same plan. Greedy .*

@@ -398,13 +398,18 @@ object CurationQueries {
     val tT = truePairs.agg(count(lit(1)).as("n_true"))
     val tC = cand.agg(count(lit(1)).as("n_candidates"))
     val tH = truePairs.join(cand, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hits"))
+    // driverLit, not lit: nDocs/totalPairs are corpus counts computed on
+    // the driver — data, not plan shape — and a raw Literal prints its
+    // value into the plan text, breaking cross-SF fingerprint linkage
     tT.crossJoin(broadcast(tC)).crossJoin(broadcast(tH))
+      .withColumn("__total_pairs",
+        org.apache.spark.sql.graft.VectorExpressions.driverLit(totalPairs))
       .select(
-        lit(nDocs).as("n_docs"),
+        org.apache.spark.sql.graft.VectorExpressions.driverLit(nDocs).as("n_docs"),
         col("n_true"), col("n_candidates"), col("n_hits"),
         expr("n_hits * 1000000 div greatest(n_true, 1L)").as("pairs_recall_ppm"),
         (lit(1000000L) -
-          expr(s"n_candidates * 1000000 div greatest(${totalPairs}L, 1L)"))
+          expr("n_candidates * 1000000 div greatest(__total_pairs, 1L)"))
           .as("reduction_ppm"))
   }
 

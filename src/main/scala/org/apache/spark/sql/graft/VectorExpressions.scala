@@ -226,6 +226,12 @@ case class PqEncode(
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pq_encode"
+  // Plan text prints the codebook SHAPE, not its values: the payload is
+  // data-derived (trained on the corpus), so printing it broke the
+  // cross-SF Verify↔Bench fingerprint linkage for every PQ consumer —
+  // the values are environment, the m×ksub×dsub layout is the plan.
+  override def toString: String =
+    s"$prettyName($child, cb[m=$m,ksub=$ksub,dsub=$dsub])"
 
   @transient private lazy val cbArr: Array[Long] = cb.toArray
   @transient private lazy val presentArr: Array[Boolean] = present.toArray
@@ -318,6 +324,10 @@ case class CentroidTopK(
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "centroid_top_k"
+  // shape-only plan text (see PqEncode.toString): centroid VALUES are
+  // data-derived environment; count/dim/top are the plan
+  override def toString: String =
+    s"$prettyName($child, cents[n=${cids.length},dim=$dim], top=$top)"
 
   @transient private lazy val centArr: Array[Long] = cents.toArray
   @transient private lazy val cidArr: Array[Long] = cids.toArray
@@ -410,6 +420,9 @@ case class CentroidCellsExplode(
   override def elementSchema: StructType = new StructType()
     .add("cells", ArrayType(LongType, containsNull = false), nullable = false)
     .add("cid", LongType, nullable = false)
+  // shape-only plan text (see PqEncode.toString)
+  override def toString: String =
+    s"centroid_cells_explode($child, cents[n=${cids.length},dim=$dim], top=$top)"
 
   @transient private lazy val solver = CentroidTopK(child, cents, cids, dim, top)
 
@@ -568,7 +581,39 @@ case class MinSharedCell(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** A driver-computed constant whose VALUE is data (a corpus count, a
+  * pair-space size), not plan shape: prints shape-only (`driver_lit`)
+  * so cross-SF/cross-config plan fingerprints stay stable — the same
+  * environment-out rule as path/partition-count normalization and the
+  * codebook shape-printing above, applied at the expression seam
+  * because a raw `Literal` prints its value. Runtime is the wrapped
+  * literal verbatim (codegen delegates, so the constant still inlines
+  * into the generated code); `foldable=false` only keeps
+  * ConstantFolding from splicing the raw value back into surrounding
+  * expression TEXT — the per-row cost is the literal's.
+  */
+case class DriverLit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def foldable: Boolean = false
+  override def prettyName: String = "driver_lit"
+  override def toString: String = s"driver_lit(${child.dataType.simpleString})"
+  override def sql: String = toString
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): DriverLit =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  /** [[DriverLit]] over a long constant computed on the driver. */
+  def driverLit(v: Long): Column =
+    ExpressionUtils.column(
+      DriverLit(org.apache.spark.sql.catalyst.expressions.Literal(v)))
+
   def longVectorDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       LongVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
