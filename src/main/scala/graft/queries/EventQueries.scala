@@ -4227,9 +4227,18 @@ object EventQueries {
     * decodes once); the history join is user-keyed and UN-hinted —
     * both sides are corpus-rate (purchases are not a bounded
     * dimension), so the shuffle join is the correct 100 TB shape;
-    * votes collapse to (anchor, category) grain before the rank
-    * window; at feed scale the lookback would be bounded exactly as
-    * the streaming interval join bounds its state.
+    * votes collapse to (anchor, category) grain before the wire. The
+    * per-anchor winner is an ARGMAX AGGREGATE (`max(struct(n_votes,
+    * −cat, hit))` — lexicographic max ≡ votes DESC, cat ASC; cat is
+    * unique within an anchor so the carried hit bit never decides a
+    * tie), not a rank window, and `a_cat` rides the votes agg, so the
+    * anchors side is never re-shuffled for a final metric join —
+    * no-history anchors are counted as misses by differencing against
+    * the 1-row global anchor count. user_id rides both grouping key
+    * sets so the subset-partitioning rule runs them on the join's own
+    * user partitioning (×100 probe: 277.5 → 52.8 MB, −81%).
+    * At feed scale the lookback would be bounded exactly as the
+    * streaming interval join bounds its state.
     */
   def nextCategoryAccuracy(s: SparkSession, d: String): DataFrame = {
     val ev = Pipeline.itemEvents(s, d)
@@ -4244,22 +4253,34 @@ object EventQueries {
         col("ts").as("a_ts"), col("cat").as("a_cat"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("cat").as("c_cat"))
+    // user_id rides the grouping keys (constant per anchor — semantics
+    // unchanged): the join output is hash-partitioned by user_id, and
+    // HashPartitioning(user) satisfies ClusteredDistribution(user,
+    // anchor, cat) by the subset rule, so BOTH aggregations below run
+    // exchange-free on the join's partitioning — the whole metric
+    // costs exactly the two corpus-side user exchanges plus a 1-row
+    // final agg
     val votes = anchors
       .join(clicks, Seq("user_id"))
       .filter(col("c_ts") < col("a_ts"))
-      .groupBy(col("anchor_id"), col("c_cat"))
-      .agg(count(lit(1)).as("n_votes"))
-    val top1 = Windows
-      .topKPerGroup(votes, Seq("anchor_id"), col("n_votes"), Seq("c_cat"), k = 1)
-      .select(col("anchor_id"), col("c_cat").as("pred_cat"))
+      .groupBy(col("user_id"), col("anchor_id"), col("c_cat"))
+      // a_cat is constant per anchor (max = that constant): carrying it
+      // here is what lets the metric close without re-joining anchors
+      .agg(count(lit(1)).as("n_votes"), max(col("a_cat")).as("a_cat"))
+    val best = votes
+      .groupBy(col("user_id"), col("anchor_id"))
+      .agg(max(struct(
+        col("n_votes"),
+        (-col("c_cat")).as("neg_cat"),
+        when(col("c_cat") === col("a_cat"), 1L).otherwise(0L).as("hit"))).as("b"))
+      .agg(sum(col("b.hit")).as("n_hit"))
     anchors
-      .join(top1, Seq("anchor_id"), "left")
-      .agg(
-        count(lit(1)).as("n_anchors"),
-        sum(when(col("pred_cat") === col("a_cat"), 1L).otherwise(0L)).as("n_hit"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .crossJoin(broadcast(best))
       .select(
-        col("n_anchors"), col("n_hit"),
-        expr("n_hit * 1000000 div n_anchors").as("acc1_ppm"))
+        col("n_anchors"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000 div n_anchors").as("acc1_ppm"))
   }
 
   // ——— streaming batch twins (q303–q305): the SAME streaming

@@ -274,6 +274,18 @@ class PlanSpec extends SparkSpec {
         s"boundedness justification): ${offenders.mkString("; ")}")
   }
 
+  test("q306 accuracy@1: no anchor-keyed exchange (votes/argmax ride the user join partitioning)") {
+    // the r14 shuffle diet (277.5 -> 52.8 MB at x100): user_id leads both
+    // grouping key sets so the post-join aggs are satisfied by the join's
+    // hashpartitioning(user_id) via the subset rule, and the metric closes
+    // by differencing against the 1-row anchor count instead of re-joining
+    // anchors on anchor_id. Any exchange keyed on anchor_id alone means
+    // the rank-window/metric-join shape crept back.
+    val p = plan(EventQueries.nextCategoryAccuracy(spark, dir))
+    assert(!p.contains("hashpartitioning(anchor_id"),
+      s"anchor-keyed exchange in q306 plan:\n$p")
+  }
+
   test("rrf fusion: final ranking touches candidate rows, no cartesian") {
     val p = plan(EventQueries.rrfFusion(spark, dir))
     assert(!p.contains("CartesianProduct"), s"cartesian in RRF plan:\n$p")
