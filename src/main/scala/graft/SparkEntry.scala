@@ -349,7 +349,8 @@ object SparkEntry {
     "q306_accuracy_at1" -> (EQ.nextCategoryAccuracy _),
     "q307_stream_merge_sessions" -> (EQ.streamMergedSessions _),
     "q308_approx_distinct_audit" -> (EQ.approxDistinctAudit _),
-    "q309_unattributed_purchases" -> (EQ.streamUnattributedPurchases _))
+    "q309_unattributed_purchases" -> (EQ.streamUnattributedPurchases _),
+    "q310_attribution_ledger" -> (EQ.streamAttributionLedger _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -7125,7 +7126,35 @@ object SparkEntry {
         |  SELECT 1 FROM c
         |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
         |    AND c.ts >= p.ts - INTERVAL 30 MINUTE)
-        |ORDER BY user_id, purchase_id""".stripMargin)
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    // batch twin of the FULL-OUTER stream-stream interval join: matched
+    // pairs ungated (prompt inner emission) + both watermark-closed
+    // null sides — unmatched purchases at p_us < W (the q309 gate),
+    // unmatched clicks (browse-no-buy) once the whole candidate
+    // purchase window [c_us, c_us + 30min] is below W.
+    "q310_attribution_ledger" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        |), wm AS (
+        |  SELECT LEAST(
+        |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click') - 3600000000,
+        |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase') - 1800000000) AS wm
+        |), j AS (
+        |  SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+        |    p.event_id AS purchase_id, c.event_id AS click_id,
+        |    CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        |    CAST(epoch_us(c.ts) AS BIGINT) AS c_us
+        |  FROM p FULL OUTER JOIN c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |    AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |)
+        |SELECT user_id, purchase_id, click_id, p_us, c_us
+        |FROM j CROSS JOIN wm
+        |WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+        |   OR (click_id IS NULL AND p_us < wm)
+        |   OR (purchase_id IS NULL AND c_us + 1800000000 < wm)""".stripMargin)
 
   /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
     * expression (q106's bucket math, shared so the sketch rows cannot

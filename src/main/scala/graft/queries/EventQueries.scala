@@ -4443,6 +4443,45 @@ object EventQueries {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** Batch twin of
+    * [[graft.streaming.StreamingIntervalJoin.clickPurchasePairsFullOuter]]
+    * (q310): the complete attribution ledger — matched (purchase,
+    * click) pairs plus BOTH watermark-closed null sides. Matched rows
+    * carry no cutoff (inner emission is prompt, q304 semantics); an
+    * unmatched purchase is reported once `p_us < W` (q309's gate); an
+    * unmatched click — the browse-no-buy signal this form exists for —
+    * once its whole candidate purchase window is below the watermark,
+    * `c_us < W − lookback`. W = min(click max − 1h, purchase max −
+    * 30min), the per-side delays under the MIN multi-watermark policy.
+    */
+  def streamAttributionLedger(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .localCheckpoint(true)
+    val joined = graft.streaming.StreamingIntervalJoin
+      .clickPurchasePairsFullOuter(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+    val wm = ev
+      .groupBy()
+      .agg(least(
+        max(when(col("event_type") === "click", unix_micros(col("ts")))) - 3600000000L,
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))) - 1800000000L)
+        .as("wm"))
+    joined
+      .crossJoin(broadcast(wm))
+      .filter(
+        (col("purchase_id").isNotNull && col("click_id").isNotNull) ||
+          (col("click_id").isNull && unix_micros(col("p_ts")) < col("wm")) ||
+          (col("purchase_id").isNull &&
+            unix_micros(col("c_ts")) + 1800000000L < col("wm")))
+      .select(
+        col("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** q308: [[graft.ops.Profile.approxDistinctAudit]] over the events
     * table — the profiler's documented exact→HLL swap as an
     * oracle-adjacent audit row (exact counts + a 5-standard-error

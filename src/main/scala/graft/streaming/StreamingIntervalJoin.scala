@@ -95,6 +95,51 @@ object StreamingIntervalJoin {
         col("p_ts"), col("c_ts"))
   }
 
+  /** FULL-OUTER form of [[clickPurchasePairs]] — completes the interval
+    * join family (inner q304, left-outer q309): matched pairs emit
+    * promptly, UNMATCHED rows on EITHER side emit with nulls once the
+    * state watermark proves no counterpart can still arrive. The new
+    * signal vs left-outer is the unmatched-CLICK row — a click with no
+    * purchase in the FOLLOWING lookback window ("browse, no buy"), the
+    * curation feed for abandoned-intent sessions. Per-side eviction
+    * bounds under the MIN multi-watermark policy: an unmatched
+    * purchase closes at `p_ts < W` (any later click is ≥ W > p_ts, and
+    * the condition needs c_ts ≤ p_ts); an unmatched click closes at
+    * `c_ts + lookback < W` (its whole candidate purchase window is
+    * below the watermark). Same rate × (watermark + lookback) state
+    * bound as the other forms.
+    */
+  def clickPurchasePairsFullOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      lookback: String = "30 minutes",
+      clickWatermark: String = "1 hour",
+      purchaseWatermark: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .select(
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", clickWatermark)
+    val p = purchases
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", purchaseWatermark)
+    p.join(
+        c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"interval $lookback"),
+        "fullOuter")
+      .select(
+        // exactly one side is non-null on outer rows
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Bounded-run harness (the [[StreamingEnrich.runBounded]] pattern):
     * one events parquet drives BOTH stream sides (filtered by event
     * type) into an in-memory sink; returns the completed rows.
@@ -104,7 +149,8 @@ object StreamingIntervalJoin {
       parquetPath: String,
       name: String,
       lookback: String = "30 minutes",
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false,
+      fullOuter: Boolean = false): DataFrame = {
     val p = java.nio.file.Paths.get(parquetPath)
     val srcPath =
       if (java.nio.file.Files.isRegularFile(p)) {
@@ -116,7 +162,8 @@ object StreamingIntervalJoin {
       StreamingSessions.eventStream(spark, srcPath)
         .filter(col("event_type") === eventType)
     val joined =
-      if (leftOuter) clickPurchasePairsLeftOuter(side("click"), side("purchase"), lookback)
+      if (fullOuter) clickPurchasePairsFullOuter(side("click"), side("purchase"), lookback)
+      else if (leftOuter) clickPurchasePairsLeftOuter(side("click"), side("purchase"), lookback)
       else clickPurchasePairs(side("click"), side("purchase"), lookback)
     val q: StreamingQuery =
       joined.writeStream

@@ -70,4 +70,53 @@ class StreamingIntervalJoinSpec extends SparkSpec {
       .count()
     assert(phantom == 0, "stream emitted a null row for a purchase that HAS a click match")
   }
+
+  test("full-outer interval join: both null sides watermark-gated, agree with the q310 twin") {
+    val dir = sf("sf0.001")
+    val events = graft.core.Tables.events(spark, dir)
+
+    val streamed = StreamingIntervalJoin
+      .runBounded(spark, s"$dir/events.parquet", "stream_full_spec", fullOuter = true)
+      .cache()
+    // matched rows: exactly the inner pair set (outer adds, never drops)
+    val inner = streamed
+      .filter(col("click_id").isNotNull && col("purchase_id").isNotNull)
+      .select(col("purchase_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val batchPairs = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    assert(inner == batchPairs)
+
+    // every q310 twin row must have been emitted by the real stream —
+    // on both null sides (the twin's gates are the operator's per-side
+    // state-watermark closes, so twin ⊆ stream must hold exactly)
+    val twin = graft.queries.EventQueries
+      .streamAttributionLedger(spark, dir).cache()
+    val twinNullClicks = twin.filter(col("click_id").isNull).select(col("purchase_id"))
+    val twinNullPurchases = twin.filter(col("purchase_id").isNull).select(col("click_id"))
+    assert(twinNullClicks.count() > 0, "twin emitted no unattributed purchases at sf0.001")
+    assert(twinNullPurchases.count() > 0, "twin emitted no browse-no-buy clicks at sf0.001")
+    val missingP = twinNullClicks
+      .join(streamed.filter(col("click_id").isNull).select(col("purchase_id")),
+        Seq("purchase_id"), "left_anti").count()
+    assert(missingP == 0, "closed unattributed purchase missing from stream null rows")
+    val missingC = twinNullPurchases
+      .join(streamed.filter(col("purchase_id").isNull).select(col("click_id")),
+        Seq("click_id"), "left_anti").count()
+    assert(missingC == 0, "closed browse-no-buy click missing from stream null rows")
+    // no phantom: a streamed null row must be genuinely unmatched in batch
+    val phantomP = streamed.filter(col("click_id").isNull).select(col("purchase_id"))
+      .join(batchPairs.map(_._1).toSeq.toDF("purchase_id"), Seq("purchase_id"), "left_semi")
+      .count()
+    val phantomC = streamed.filter(col("purchase_id").isNull).select(col("click_id"))
+      .join(batchPairs.map(_._2).toSeq.toDF("click_id"), Seq("click_id"), "left_semi")
+      .count()
+    assert(phantomP == 0, "stream emitted a purchase null row that HAS a match")
+    assert(phantomC == 0, "stream emitted a click null row that HAS a match")
+  }
 }
