@@ -38,6 +38,30 @@ object Sinks {
     w.parquet(path)
   }
 
+  /** Scan-parallel write: bounds parquet ROW GROUPS
+    * (`parquet.block.size`), not just files. Row groups are the atomic
+    * split unit of a parquet file — a table written as ONE file with
+    * ONE row group is single-task for every scan no matter how small
+    * `spark.sql.files.maxPartitionBytes` is (the r13 finding on the
+    * sf* fixtures: every scan-rate kernel pipeline ran one-task
+    * locally by input layout). Bounding the group size makes file
+    * splits real, so CPU-heavy per-row kernels (CDC chunking,
+    * substring fingerprints) parallelize across cores even on a
+    * single-file table. At 100 TB the default 128 MB group (HDFS block
+    * alignment) is right for multi-file tables; this knob is for
+    * engine-DERIVED tables and fixtures where group-granular
+    * parallelism beats marginal compression.
+    */
+  def writeScanParallelParquet(
+      df: DataFrame,
+      path: String,
+      rowGroupBytes: Long = 8L * 1024 * 1024,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("compression", "snappy")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+
   /** Range-clustered sorted write: `repartitionByRange` on the cluster
     * key(s) + `sortWithinPartitions` before writing. Output files then
     * hold non-overlapping, internally-sorted key ranges, so parquet

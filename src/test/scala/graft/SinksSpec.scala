@@ -28,6 +28,36 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == 500L)
   }
 
+  test("writeScanParallelParquet: bounded row groups make a single file splittable") {
+    val dir = Files.createTempDirectory("sinks").toString + "/rg"
+    // ~100k rows x ~100B of incompressible-ish text ≈ several MB
+    val df = spark.range(100000L)
+      .select(col("id"), md5(concat_ws("_", col("id"), lit("pad"))).as("t"))
+      .coalesce(1)
+    Sinks.writeScanParallelParquet(df, dir, rowGroupBytes = 256L * 1024)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100000L)
+
+    // the written file must carry MULTIPLE row groups (the splittable
+    // unit): read the footer directly
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val nGroups = try reader.getRowGroups.size finally reader.close()
+    assert(nGroups > 1, s"expected multiple row groups in one file, got $nGroups")
+
+    // and the scan actually SPLITS: with a small partition-bytes cap the
+    // single file yields more than one input partition
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (256L * 1024).toString)
+      assert(spark.read.parquet(dir).rdd.getNumPartitions > 1,
+        "multi-row-group file still scanned as one partition")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("dynamic partition overwrite replaces only the touched partitions") {
     // the incremental-reload contract at 100 TB: rewriting one day/split
     // must not wipe sibling partitions (static overwrite mode does)
