@@ -350,7 +350,8 @@ object SparkEntry {
     "q307_stream_merge_sessions" -> (EQ.streamMergedSessions _),
     "q308_approx_distinct_audit" -> (EQ.approxDistinctAudit _),
     "q309_unattributed_purchases" -> (EQ.streamUnattributedPurchases _),
-    "q310_attribution_ledger" -> (EQ.streamAttributionLedger _))
+    "q310_attribution_ledger" -> (EQ.streamAttributionLedger _),
+    "q311_rank_sketch" -> (EQ.rankSketchQuantiles _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -7154,7 +7155,40 @@ object SparkEntry {
         |FROM j CROSS JOIN wm
         |WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
         |   OR (click_id IS NULL AND p_us < wm)
-        |   OR (purchase_id IS NULL AND c_us + 1800000000 < wm)""".stripMargin)
+        |   OR (purchase_id IS NULL AND c_us + 1800000000 < wm)""".stripMargin,
+    // level-sample rank sketch replayed exactly: per-row md5 level
+    // (60 − bitlength of the 60-bit hash prefix — length(bin(v)) is
+    // engine-portable floor-log2, the r5 rule), minimal threshold L
+    // with ≤ 1024 survivors, sample order statistics at pure-integer
+    // ppm ranks. The engine's Aggregator lands on the same (L, kept)
+    // because membership is a per-row predicate, not arrival-order.
+    "q311_rank_sketch" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), lv AS (
+        |  SELECT cents,
+        |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+        |  FROM e
+        |), l2 AS (
+        |  SELECT cents,
+        |    CASE WHEN h60 = 0 THEN 60 ELSE 60 - length(bin(h60)) END AS lvl
+        |  FROM lv
+        |), lev AS (
+        |  SELECT MIN(L) AS level FROM range(0, 62) t(L)
+        |  WHERE (SELECT COUNT(*) FROM l2 WHERE lvl >= L) <= 1024
+        |), kept AS (
+        |  SELECT cents FROM l2 CROSS JOIN lev WHERE lvl >= level
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept
+        |), srt AS (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM kept
+        |)
+        |SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm, lev.level, m.n_kept,
+        |  (SELECT cents FROM srt
+        |   WHERE rn = GREATEST(CAST(1 AS BIGINT),
+        |     (m.n_kept * p.p_ppm + 999999) // 1000000)) AS est_cents
+        |FROM (VALUES (500000), (900000), (990000)) p(p_ppm)
+        |CROSS JOIN lev CROSS JOIN m""".stripMargin)
 
   /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
     * expression (q106's bucket math, shared so the sketch rows cannot

@@ -4482,6 +4482,31 @@ object EventQueries {
         unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** q311: the [[graft.ops.LevelSample]] mergeable rank sketch over
+    * event value cents — p50/p90/p99 estimates from the deterministic
+    * level sample (k=1024), plus the canonical sketch shape (threshold
+    * level, kept count). The kept set is a pure function of the row
+    * set (md5-level membership against the minimal ≤k threshold), so
+    * the DuckDB oracle replays the identical sample and order
+    * statistics — an APPROXIMATE quantile operator under an EXACT
+    * hash check (the q29/q181 make-the-randomness-deterministic rule).
+    */
+  def rankSketchQuantiles(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    val sk = graft.ops.LevelSample.sketchPerGroup(
+      ev, Nil, "event_id", "cents", k = 1024)
+    sk.select(
+        explode(array(lit(500000L), lit(900000L), lit(990000L))).as("p_ppm"),
+        col("level"), col("n_kept"), col("values"))
+      .select(
+        col("p_ppm"), col("level"), col("n_kept"),
+        element_at(
+          col("values"),
+          greatest(lit(1L), expr("(n_kept * p_ppm + 999999) div 1000000"))
+            .cast("int")).as("est_cents"))
+  }
+
   /** q308: [[graft.ops.Profile.approxDistinctAudit]] over the events
     * table — the profiler's documented exact→HLL swap as an
     * oracle-adjacent audit row (exact counts + a 5-standard-error

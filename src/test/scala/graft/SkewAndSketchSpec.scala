@@ -89,6 +89,59 @@ class SkewAndSketchSpec extends SparkSpec {
     assert(merged == approx, "union of partial sketches must equal the whole-data sketch")
   }
 
+  test("level-sample rank sketch: partitioning-invariant, union==merge, bounded rank error") {
+    import graft.ops.LevelSample
+    val ev = graft.core.Tables.events(spark, sf("sf0.01"))
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    val k = 256
+    def state(df: org.apache.spark.sql.DataFrame) =
+      LevelSample.sketchPerGroup(df, Nil, "event_id", "cents", k)
+        .select(col("level"), col("n_kept"), col("values"))
+        .as[(Long, Long, Seq[Long])].head()
+
+    val whole = state(ev)
+    assert(whole._1 > 0, "fixture should force at least one compaction at k=256")
+    assert(whole._2 <= k)
+
+    // bit-identical under any partitioning: the kept set is a pure
+    // function of the row set (per-row level vs global threshold)
+    assert(state(ev.repartition(17)) == whole)
+    assert(state(ev.repartition(3)) == whole)
+
+    // union of partial sketches == whole-data sketch: aggregate per
+    // md5-half, then merge the two finished states by re-running the
+    // aggregator over BOTH halves' kept rows... the Aggregator's merge
+    // path itself is exercised by the map-side partials above; here we
+    // pin the SET-FUNCTION property end-to-end: disjoint splits, any
+    // grouping, same final state
+    val withHalf = ev.withColumn("half", pmod(col("event_id"), lit(2)))
+    val halves = LevelSample.sketchPerGroup(
+      withHalf, Seq("half"), "event_id", "cents", k)
+    assert(halves.count() == 2)
+    // rebuild from the union of surviving halves' kept rows is NOT the
+    // contract (levels below a half's threshold are gone); instead pin
+    // that each half's state matches the direct sketch of that half
+    val half0 = state(withHalf.filter(col("half") === 0)
+      .select(col("event_id"), col("cents")))
+    val fromGrouped = halves.filter(col("half") === 0)
+      .select(col("level"), col("n_kept"), col("values"))
+      .as[(Long, Long, Seq[Long])].head()
+    assert(fromGrouped == half0)
+
+    // rank error: the estimated quantile's TRUE rank is within ~4/sqrt(k)
+    // of the target (uniform-sample order statistic; deterministic here
+    // because md5 is fixed on a fixed fixture)
+    val n = ev.count()
+    val sorted = ev.select(col("cents")).as[Long].collect().sorted
+    Seq(500000L, 900000L).foreach { ppm =>
+      val idx = ((whole._2 * ppm + 999999L) / 1000000L).max(1L).toInt
+      val est = whole._3(idx - 1)
+      val trueRank = sorted.count(_ <= est).toDouble / n
+      assert(math.abs(trueRank - ppm / 1e6) < 4.0 / math.sqrt(k),
+        s"p=$ppm est=$est landed at true rank $trueRank")
+    }
+  }
+
   test("HLL rolling window: daily partials re-merged per 3-day window == direct estimate") {
     // the incremental-analytics pattern: persist ONE sketch per day,
     // answer any later window by merging partials — never rescan raw
