@@ -351,7 +351,8 @@ object SparkEntry {
     "q308_approx_distinct_audit" -> (EQ.approxDistinctAudit _),
     "q309_unattributed_purchases" -> (EQ.streamUnattributedPurchases _),
     "q310_attribution_ledger" -> (EQ.streamAttributionLedger _),
-    "q311_rank_sketch" -> (EQ.rankSketchQuantiles _))
+    "q311_rank_sketch" -> (EQ.rankSketchQuantiles _),
+    "q312_phash_neardup" -> (TQ.phashNearDup _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -7188,7 +7189,46 @@ object SparkEntry {
         |   WHERE rn = GREATEST(CAST(1 AS BIGINT),
         |     (m.n_kept * p.p_ppm + 999999) // 1000000)) AS est_cents
         |FROM (VALUES (500000), (900000), (990000)) p(p_ppm)
-        |CROSS JOIN lev CROSS JOIN m""".stripMargin)
+        |CROSS JOIN lev CROSS JOIN m""".stripMargin,
+    // perceptual hash replayed exactly: 64-bin hashed-4-gram histogram
+    // (stride-1 substring windows — the maximal-repeats twin pattern),
+    // two integer matrix multiplies against the quantized DCT basis
+    // (operator constants, embedded as VALUES like the LSH planes),
+    // sign bits packed into a BIGINT, then BRUTE-FORCE Hamming ≤ 3 —
+    // which the engine's lossless banding must equal pair-for-pair.
+    "q312_phash_neardup" ->
+      s"""WITH cb(u, i, c) AS (
+         |  VALUES ${graft.multimodal.Multimodal.dctBasis
+               .map { case (u, i, c) => s"($u, $i, $c)" }.mkString(", ")}
+         |), cells AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5(substring(text, CAST(p AS INT), 4)), 1, 15))
+         |      AS BIGINT) % 64 AS cell
+         |  FROM documents, unnest(generate_series(1, length(text) - 3)) AS t(p)
+         |), g AS (
+         |  SELECT doc_id, cell // 8 AS i, cell % 8 AS j,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY 1, 2, 3
+         |), t1 AS (
+         |  SELECT g.doc_id, cb.u, g.j, CAST(SUM(cb.c * g.cnt) AS BIGINT) AS t
+         |  FROM g JOIN cb ON cb.i = g.i GROUP BY 1, 2, 3
+         |), d AS (
+         |  SELECT t1.doc_id, t1.u, cb.u AS v, CAST(SUM(t1.t * cb.c) AS BIGINT) AS dct
+         |  FROM t1 JOIN cb ON cb.i = t1.j GROUP BY 1, 2, 3
+         |), ph AS (
+         |  -- bit 63 special-cased: DuckDB overflow-checks 1 << 63, but
+         |  -- the i64 MIN bit pattern is exactly what Spark's shiftleft
+         |  -- wraps to, and the HUGEINT sum + final cast preserves it
+         |  SELECT doc_id, CAST(SUM(
+         |    CASE WHEN dct <= 0 THEN 0
+         |         WHEN u * 8 + v = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+         |         ELSE (CAST(1 AS BIGINT) << (u * 8 + v)) END) AS BIGINT) AS phash
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin)
 
   /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
     * expression (q106's bucket math, shared so the sketch rows cannot

@@ -294,4 +294,115 @@ object Multimodal {
         expr("shared_frames * 1000000 div least(na, nb)").as("overlap_ppm"))
       .orderBy(col("shared_frames").desc, col("doc_a"), col("doc_b"))
   }
+
+  /** Integer-quantized DCT-II basis, `C[u][i] = round(2^14·cos((2i+1)uπ/16))`
+    * — operator constants (not data-derived), shared verbatim with the
+    * DuckDB twin as a VALUES literal (the LSH planes-as-literals rule).
+    */
+  val dctBasis: Seq[(Int, Int, Long)] =
+    for { u <- 0 until 8; i <- 0 until 8 }
+      yield (u, i, Math.round(16384.0 * math.cos((2 * i + 1) * u * math.Pi / 16)))
+
+  /** Perceptual hash (pHash-style, integer-exact): 64-bit signature
+    * per media item = the SIGN BITS of an 8×8 integer DCT over a
+    * 64-bin hashed-4-gram histogram of the payload.
+    *
+    * Why hashed 4-grams and not the raw byte histogram: letter
+    * frequencies are language constants, so a byte-frequency grid
+    * makes every English payload collide into a near-clique; md5
+    * spreads content n-grams uniformly over the 64 cells, so
+    * UNRELATED payloads get independent DCT signs (Hamming ≈ 32)
+    * while near-dups (mostly-shared content → mostly-equal
+    * histograms) stay within a few bits. All arithmetic is exact
+    * int64 — histogram counts × the quantized [[dctBasis]] — so the
+    * DuckDB twin lands on the identical 64 bits.
+    *
+    * Scale shape: gram fanout is payload-length rows (the shingle
+    * cost every content fingerprint here pays), collapsed to ≤ 64
+    * cells per id by a count agg before the two 8×-fanout broadcast
+    * basis joins; everything after the histogram is line-rate in
+    * (id × 64). Payloads shorter than 4 bytes have no grams and are
+    * absent from the output (same condition in the twin).
+    */
+  def perceptualHash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val cos = spark.createDataFrame(dctBasis).toDF("u", "i", "c")
+    val cells = media
+      .select(col("id"), col("payload").cast("string").as("t"))
+      // explicit short-payload filter: Spark's sequence(1, 0) yields a
+      // DESCENDING [1, 0] (not empty like generate_series), which would
+      // hash phantom grams for payloads shorter than one gram
+      .filter(length(col("t")) >= 4)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 3)).as("p"))
+      // grams cut AFTER the generator (the explode feeds plain
+      // `sequence`, cheap to re-evaluate under InferFiltersFromGenerate;
+      // the md5 work runs once per output row)
+      .select(col("id"),
+        pmod(
+          conv(substring(md5(expr("substring(t, p, 4)")), 1, 15), 16, 10)
+            .cast("long"),
+          lit(64L)).as("cell"))
+      .groupBy(col("id"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("id"),
+        expr("cell div 8").as("i"),
+        pmod(col("cell"), lit(8L)).as("j"),
+        col("cnt"))
+    val t1 = cells
+      .join(broadcast(cos), Seq("i"))
+      .groupBy(col("id"), col("u"), col("j"))
+      .agg(sum(col("c") * col("cnt")).as("t"))
+    val cos2 = cos.select(col("u").as("v"), col("i").as("j"), col("c").as("c2"))
+    t1.join(broadcast(cos2), Seq("j"))
+      .groupBy(col("id"), col("u"), col("v"))
+      .agg(sum(col("t") * col("c2")).as("d"))
+      .groupBy(col("id"))
+      .agg(sum(
+        expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(u * 8 + v AS INT)) ELSE CAST(0 AS BIGINT) END")).as("phash"))
+  }
+
+  /** pHash near-dup pairs with LOSSLESS Hamming banding (the q49
+    * SimHash rule lifted to 64 bits): split the hash into `bands`
+    * exact-match bands; a pair within Hamming ≤ bands−1 must collide
+    * on ≥ 1 band (pigeonhole), so the banded result EQUALS brute
+    * force — which is exactly what the oracle computes. One integer
+    * bit_count(xor) verifies each candidate.
+    */
+  def phashNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "full recall needs maxHamming <= bands - 1")
+    require(64 % bands == 0, "bands must divide 64")
+    val bitsPerBand = 64 / bands
+    val hashes = graft.core.Caches.cache(perceptualHash64(media))
+    val banded = hashes.select(
+      col("id"),
+      col("phash"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band_idx"),
+          shiftright(col("phash"), b * bitsPerBand)
+            .bitwiseAND(lit(if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1))
+            .as("band_val"))
+      }: _*)).as("band"))
+      .select(col("id"), col("phash"), col("band.band_idx"), col("band.band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("id").as("id_a"), col("phash").as("ph_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("id").as("id_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      .distinct()
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

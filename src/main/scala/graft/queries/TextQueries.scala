@@ -1378,6 +1378,20 @@ object TextQueries {
       .withColumnRenamed("doc_a", "doc_id_a")
       .withColumnRenamed("doc_b", "doc_id_b")
 
+  /** q312: perceptual near-dup pairs over the documents-as-media
+    * fixture ([[Multimodal.perceptualHash64]] — sign bits of an
+    * integer 8×8 DCT over the hashed-4-gram histogram, the image
+    * pHash recipe on the deterministic payload stand-in), banded
+    * LOSSLESSLY at Hamming ≤ 3 (q49's pigeonhole rule on 64 bits) so
+    * the banded engine result equals the brute force the oracle
+    * computes.
+    */
+  def phashNearDup(s: SparkSession, d: String): DataFrame =
+    Multimodal.phashNearDupPairs(
+      Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"),
+      maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
   /** Crawl-URL canonical dedup ([[graft.functions.UrlFunctions
     * .canonicalizeUrl]]): deterministic messy-variant synthesis (the
     * q77 convention — scheme/host case, `www.`, utm/gclid params,

@@ -49,6 +49,45 @@ class MultimodalSpec extends SparkSpec {
     assert(idxs == Seq(0, 2))
   }
 
+  test("perceptualHash64: deterministic, content-sensitive, short payloads dropped") {
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps on running far"),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps on running fast"),
+      (3L, "completely different content about distributed columnar query engines"),
+      (4L, "abc")).toDF("doc_id", "text")
+    val m = Multimodal.asMediaTable(fixture, "doc_id", "text")
+    val ph = Multimodal.perceptualHash64(m)
+      .as[(Long, Long)].collect().toMap
+    assert(!ph.contains(4L), "payload shorter than one gram must be absent")
+    assert(ph(1L) != ph(3L), "unrelated payloads must not collide")
+    val near = java.lang.Long.bitCount(ph(1L) ^ ph(2L))
+    val far = java.lang.Long.bitCount(ph(1L) ^ ph(3L))
+    assert(near < far, s"one-word edit ($near bits) must sit closer than unrelated ($far)")
+    // deterministic across partitionings
+    val ph2 = Multimodal.perceptualHash64(
+      Multimodal.asMediaTable(fixture.repartition(3), "doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    assert(ph2 == ph)
+  }
+
+  test("phashNearDupPairs: banded pair set equals brute force (lossless pigeonhole)") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val m = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val banded = Multimodal.phashNearDupPairs(m, maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    val ph = Multimodal.perceptualHash64(m)
+    val a = ph.select(col("id").as("id_a"), col("phash").as("pa"))
+    val b = ph.select(col("id").as("id_b"), col("phash").as("pb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute, "banding must be a pure cost optimization, not an approximation")
+    assert(brute.nonEmpty, "fixture should contain at least one perceptual near-dup pair")
+  }
+
   test("decodeStub: deterministic for same bytes") {
     val a = Multimodal.decodeStub("same input".getBytes("UTF-8"), 8)
     val b = Multimodal.decodeStub("same input".getBytes("UTF-8"), 8)
