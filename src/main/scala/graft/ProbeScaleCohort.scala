@@ -56,7 +56,8 @@ object ProbeScaleCohort {
         "q306_accuracy_at1", "q307_stream_merge_sessions",
         "q308_approx_distinct_audit",
         "q309_unattributed_purchases",
-        "q310_attribution_ledger") // events-backed late block + r12-r14 additions
+        "q310_attribution_ledger",
+        "q311_rank_sketch") // events-backed late block + r12-r14 additions
     val skip = Set("q208_textrank", "q233_fk_orphans", "q234_pareto_revenue",
       "q235_rfm_segments", "q236_dup_cluster_stats", "q244_k_anonymity",
       "q245_l_diversity", "q247_flesch", "q248_oov_rate", "q249_good_turing",

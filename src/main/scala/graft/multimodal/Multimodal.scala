@@ -331,25 +331,26 @@ object Multimodal {
     val cells = media
       .select(col("id"), col("payload").cast("string").as("t"))
       // explicit short-payload filter: Spark's sequence(1, 0) yields a
-      // DESCENDING [1, 0] (not empty like generate_series), which would
-      // hash phantom grams for payloads shorter than one gram
+      // DESCENDING [1, 0] (not empty like generate_series), so without
+      // the guard payloads shorter than one gram would hash phantom
+      // grams (the kernel is also total, but the twin drops them)
       .filter(length(col("t")) >= 4)
-      .select(col("id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - 3)).as("p"))
-      // grams cut AFTER the generator (the explode feeds plain
-      // `sequence`, cheap to re-evaluate under InferFiltersFromGenerate;
-      // the md5 work runs once per output row)
+      // one-pass native kernel (Md5GramHistogram): bit-identical to the
+      // composed explode→md5(substring)→conv→pmod→count form the DuckDB
+      // twin runs, but per DOC, not per gram — the composed form
+      // shuffled a gram-grain frame (1.5M rows / 5k docs, ~14 s); the
+      // kernel emits the 64 histogram bins straight into the custom
+      // generator (LongArrayPosExplode: evaluates its child ONCE under
+      // InferFiltersFromGenerate — the r10 rule)
       .select(col("id"),
-        pmod(
-          conv(substring(md5(expr("substring(t, p, 4)")), 1, 15), 16, 10)
-            .cast("long"),
-          lit(64L)).as("cell"))
-      .groupBy(col("id"), col("cell"))
-      .agg(count(lit(1)).as("cnt"))
+        org.apache.spark.sql.graft.VectorExpressions.longArrayPosExplode(
+          org.apache.spark.sql.graft.VectorExpressions.md5GramHistogram(
+            col("t"), gram = 4, bins = 64)).as(Seq("cell", "cnt")))
+      .filter(col("cnt") > 0)
       .select(
         col("id"),
         expr("cell div 8").as("i"),
-        pmod(col("cell"), lit(8L)).as("j"),
+        pmod(col("cell"), lit(8)).as("j"),
         col("cnt"))
     val t1 = cells
       .join(broadcast(cos), Seq("i"))
@@ -379,7 +380,13 @@ object Multimodal {
     require(maxHamming < bands, "full recall needs maxHamming <= bands - 1")
     require(64 % bands == 0, "bands must divide 64")
     val bitsPerBand = 64 / bands
-    val hashes = graft.core.Caches.cache(perceptualHash64(media))
+    // EAGER materialization, not a lazy cache: the banded self-join's
+    // two shuffle-map stages are independent and scheduled concurrently,
+    // so both race past an unmaterialized cache and re-run the whole
+    // hash pipeline (the q227 fan-out rule — measured 43.5 s doubled vs
+    // single-run at sf0.1). The frame is doc-grain (id, phash) — 16
+    // bytes per doc.
+    val hashes = perceptualHash64(media).localCheckpoint(true)
     val banded = hashes.select(
       col("id"),
       col("phash"),
