@@ -53,7 +53,6 @@ object CurationQueries {
       .withColumn("shard", conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
-      .orderBy(col("shard"), col("pos"))
   }
 
   /** Domain-mixture sampling: per-source keep-rates (permille) derived
@@ -110,7 +109,6 @@ object CurationQueries {
     Dedup
       .jaccardPrefixFilterPairs(
         Tables.documents(s, d), "text", "doc_id", n = 4, minJaccardPpm = 500000L)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** Line-level boilerplate removal ([[graft.ops.Lines.stripBoilerplate]]).
     * The synthetic corpus is single-line, so the query builds the
@@ -168,7 +166,6 @@ object CurationQueries {
         "name",
         element_at(split(col("name"), " "), 2),
         maxDist = 2)
-      .orderBy(col("name_a"), col("name_b"))
   }
 
   /** Unicode text cleanup: NFC composition (native

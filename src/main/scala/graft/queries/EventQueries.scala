@@ -25,7 +25,6 @@ object EventQueries {
         min(col("epoch_s")).as("session_start_s"),
         max(col("epoch_s")).as("session_end_s"),
         (max(col("epoch_s")) - min(col("epoch_s"))).as("session_dur_s"))
-      .orderBy(col("user_id"), col("session_start_s"), col("session_id"))
 
   /** A6 over sessions: per-user session stats (re-aggregation). */
   def userSessionStats(s: SparkSession, d: String): DataFrame =
@@ -36,7 +35,6 @@ object EventQueries {
         sum(col("n_events")).as("n_events"),
         avg(col("session_dur_s")).as("avg_session_dur_s"),
         max(col("session_dur_s")).as("max_session_dur_s"))
-      .orderBy(col("user_id"))
 
   /** W1: per-user previous-event gap. */
   def lagGaps(s: SparkSession, d: String): DataFrame =
@@ -77,7 +75,6 @@ object EventQueries {
         "session_id",
         "item_id",
         minCount = 2L)
-      .orderBy(col("item_a"), col("item_b"))
 
   /** J4 raw-multiplicity co-visitation (user-level, where repeat
     * visits are common): pair weight = Σ_users cnt(a)·cnt(b), computed
@@ -98,7 +95,6 @@ object EventQueries {
         "user_id",
         "item_id",
         minCount = 3L)
-      .orderBy(col("item_a"), col("item_b"))
 
   /** J3+A2/A1/A3: per-anchor prefix stats via point-in-time join. */
   def prefixStats(s: SparkSession, d: String): DataFrame = {
@@ -114,7 +110,6 @@ object EventQueries {
         count(lit(1)).as("n_prefix_events"),
         countDistinct(col("item_id")).as("n_prefix_items"),
         max(col("epoch_s")).as("last_prefix_epoch_s"))
-      .orderBy(col("anchor_id"))
   }
 
   /** J5/O1: every purchase anchor × global top-5 categories. */
@@ -122,7 +117,6 @@ object EventQueries {
     val enriched = Pipeline.enrichedEvents(s, d)
     Pipeline
       .popularityCandidates(Pipeline.anchors(enriched), enriched, topN = 5)
-      .orderBy(col("anchor_id"), col("category_id"))
   }
 
   /** J6+W3: user-history candidates by recency. */
@@ -130,14 +124,12 @@ object EventQueries {
     val enriched = Pipeline.enrichedEvents(s, d)
     Pipeline
       .userHistoryCandidates(Pipeline.anchors(enriched), enriched, topK = 10)
-      .orderBy(col("anchor_id"), col("category_id"))
   }
 
   /** U1: 4-strategy candidate union + distinct. */
   def candidates(s: SparkSession, d: String): DataFrame =
     Pipeline
       .candidates(s, d)
-      .orderBy(col("anchor_id"), col("category_id"))
 
   /** A7 order-safe: per-session item sequence as a string. */
   def sessionItemSeq(s: SparkSession, d: String): DataFrame =
@@ -173,7 +165,6 @@ object EventQueries {
   def features(s: SparkSession, d: String): DataFrame =
     Pipeline
       .features(s, d)
-      .orderBy(col("anchor_id"), col("category_id"))
 
   /** Deterministic stratified hash sampling by event type — the
     * class-rebalancing primitive (keep all rare purchases, 10% of
@@ -204,7 +195,6 @@ object EventQueries {
         "session_id",
         Seq(col("epoch_s").asc, col("event_id").asc),
         "item_id")
-      .orderBy(col("item_a"), col("item_b"))
 
   /** Cohort retention over epoch-weeks: users bucketed by first-seen
     * week, distinct-active counts per (cohort, week offset).
@@ -293,7 +283,6 @@ object EventQueries {
         sessions, "user_id", "epoch_s", "session_start_s", "session_open_until_s")
       .select(col("event_id"), col("user_id"), col("session_id"),
         (col("epoch_s") - col("session_start_s")).as("offset_s"))
-      .orderBy(col("event_id"), col("session_id"))
   }
 
   /** Reshaping: event counts per user pivoted into one column per
@@ -312,7 +301,6 @@ object EventQueries {
         coalesce(col("purchase"), lit(0L)).as("n_purchase"),
         coalesce(col("signup"), lit(0L)).as("n_signup"),
         coalesce(col("error"), lit(0L)).as("n_error"))
-      .orderBy(col("user_id"))
 
   /** Typed JSON extraction: ONE from_json parse into a struct instead
     * of a get_json_object call per field — at N fields the repeated
@@ -398,7 +386,6 @@ object EventQueries {
         col("user_id"),
         col("day_num"),
         coalesce(element_at(col("m"), col("day_num")), lit(0L)).as("n_events"))
-      .orderBy(col("user_id"), col("day_num"))
 
   /** Integer-deterministic PageRank (3 iterations, micro-scaled) over
     * the session item-transition graph — the iterative-computation
@@ -419,7 +406,6 @@ object EventQueries {
           col("event_type"),
           unix_timestamp(col("ts")).as("epoch_s")),
         "user_id", "epoch_s", "event_id", "event_type")
-      .orderBy(col("user_id"), col("run_seq"))
 
   def pagerank(s: SparkSession, d: String): DataFrame =
     graft.ops.Graph
@@ -436,7 +422,6 @@ object EventQueries {
         // item-transition graph: |V| = catalog size, broadcastable
         broadcastRanks = true)
       .select(col("id").as("item_id"), col("pr_micro"))
-      .orderBy(col("item_id"))
 
   /** Personalized PageRank (3 iterations, micro-scaled) over the same
     * session item-transition graph as q87, restart mass on the
@@ -466,7 +451,6 @@ object EventQueries {
         iters = 3,
         broadcastRanks = true)
       .select(col("id").as("item_id"), col("ppr_micro"))
-      .orderBy(col("item_id"))
   }
 
   /** Deterministic weighted random walks (4 hops) over the transition
@@ -493,7 +477,6 @@ object EventQueries {
         steps = 4,
         broadcastEdges = true)
       .select(col("walk_id"), col("step"), col("node"))
-      .orderBy(col("walk_id"), col("step"))
   }
 
   /** Spark-native batch `session_window` aggregation — the built-in
@@ -514,7 +497,6 @@ object EventQueries {
         unix_micros(col("w.start")).as("w_start_us"),
         unix_micros(col("w.end")).as("w_end_us"),
         col("n_events"))
-      .orderBy(col("user_id"), col("w_start_us"))
 
   /** Negative sampling for training pairs: for each purchase anchor,
     * the top-5 globally-popular categories the user had NOT interacted
@@ -546,7 +528,6 @@ object EventQueries {
       .topKPerGroup(cand, Seq("anchor_id"), col("cat_events"),
         Seq("category_id"), k = 5)
       .select(col("anchor_id"), col("category_id"), col("rn").as("neg_rank"))
-      .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
   /** Recall of the 4-strategy candidate union against each anchor's
@@ -607,7 +588,6 @@ object EventQueries {
           .filter(col("item_id").isNotNull)
           .distinct(),
         "basket", "item_id", minCount = 2L)
-      .orderBy(col("item_a"), col("item_b"), col("item_c"))
 
   /** Two-level sessionization: 30-minute sessions grouped into
     * 7-day-gap VISITS (sessions-of-sessions) — the hierarchical form of
@@ -639,7 +619,6 @@ object EventQueries {
         sum(col("n_events")).as("n_events"),
         min(col("start_s")).as("visit_start_s"),
         max(col("end_s")).as("visit_end_s"))
-      .orderBy(col("user_id"), col("visit_num"))
   }
 
   /** Peak session concurrency: the maximum number of simultaneously
@@ -975,7 +954,6 @@ object EventQueries {
         floor(lit(1000000.0) * col("pair_count").cast("double") /
           sqrt(col("c_a").cast("double") * col("c_b").cast("double")))
           .cast("long").as("cosine_micro"))
-      .orderBy(col("item_a"), col("item_b"))
   }
 
   /** LOCF imputation over a dense per-user daily grid: sparse daily
@@ -1012,7 +990,6 @@ object EventQueries {
     Windows
       .locfFill(grid, "user_id", "day_num", "day_cents", "filled_cents")
       .withColumn("is_imputed", when(col("day_cents").isNull, 1).otherwise(0))
-      .orderBy(col("user_id"), col("day_num"))
   }
 
   /** Exponentially time-decayed category popularity (1-week time
@@ -1479,7 +1456,6 @@ object EventQueries {
     graft.ops.Graph
       .kCorePeel(pairs, "item_a", "item_b", k = 3, rounds = 3)
       .select(col("id").as("item_id"), col("degree"))
-      .orderBy(col("degree").desc, col("item_id").asc)
   }
 
   /** Reciprocal-rank fusion (q156) of the two item retrievers the
@@ -1518,7 +1494,6 @@ object EventQueries {
           coalesce(expr("1000000 div (60 + rank_t)"), lit(0L))).as("rrf_micro"))
     Windows.topKPerGroup(fused, Seq("item_a"), col("rrf_micro"), Seq("item_b"), 5)
       .select(col("item_a"), col("item_b"), col("rrf_micro"), col("rn").cast("long").as("rn"))
-      .orderBy(col("item_a"), col("rn"))
   }
 
   /** Label-propagation communities over the covis graph (q157):
@@ -1543,7 +1518,6 @@ object EventQueries {
     labels
       .join(broadcast(sizes), Seq("label"))
       .select(col("id").as("item_id"), col("label").as("community"), col("community_size"))
-      .orderBy(col("item_id"))
   }
 
   /** CUPED variance-reduced A/B uplift (q158; Deng et al. 2013,
@@ -1761,7 +1735,6 @@ object EventQueries {
         expr("n_clicks * 1000000 div n_impressions").as("raw_ctr_ppm"),
         col("ips_num"),
         expr("ips_num * 1000000 div n_impressions").as("ips_ctr_ppm"))
-      .orderBy(col("item_id"))
   }
 
   /** Weight-of-evidence decile binning (q167): `value` cents binned
@@ -2254,7 +2227,6 @@ object EventQueries {
         "id",
         hops = 3)
       .select(col("seed").as("item_id"), col("n_reached"), col("harmonic_micro"))
-      .orderBy(col("item_id"))
   }
 
   /** McNemar paired test (q185): covis vs user-history candidate
@@ -2555,7 +2527,6 @@ object EventQueries {
       .select(col("user_id"), col("item_id").as("test_item"),
         col("epoch_s").as("test_epoch_s"),
         (col("n_items") - 1).as("n_train"))
-      .orderBy(col("user_id"))
   }
 
   /** Step-decayed implicit-feedback matrix (q265): the (user, item)
@@ -2592,7 +2563,6 @@ object EventQueries {
         expr("type_w * 1000000 div shiftleft(1L, cast(age_weeks as int))"))
       .groupBy(col("user_id"), col("item_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("w_micro")).as("score_micro"))
-      .orderBy(col("user_id"), col("item_id"))
   }
 
   /** Exposure Gini (q189) of the covis top-10 recommender: how
@@ -2706,7 +2676,6 @@ object EventQueries {
     graft.ops.Graph
       .kTrussEdges(pairs, "item_a", "item_b", k = 4, rounds = 3)
       .select(col("a").as("item_a"), col("b").as("item_b"), col("support"))
-      .orderBy(col("item_a"), col("item_b"))
   }
 
   /** Difference-in-differences (q195): the causal-inference workhorse
@@ -3995,7 +3964,6 @@ object EventQueries {
       .select(
         col("user_id"), col("draw_idx"),
         col("item_id").as("neg_item"), col("w"))
-      .orderBy(col("user_id"), col("draw_idx"))
   }
 
   /** Exact-integer F1 threshold sweep (q292) — the operating-point
@@ -4340,7 +4308,6 @@ object EventQueries {
         col("user_id"), col("purchase_id"), col("click_id"),
         unix_micros(col("p_ts")).as("p_us"),
         unix_micros(col("c_ts")).as("c_us"))
-      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
   /** Batch twin of
@@ -4404,7 +4371,6 @@ object EventQueries {
         col("n_a").as("n_view"),
         col("n_b").as("n_purchase"),
         col("n_events"))
-      .orderBy(col("user_id"), col("s_start_us"))
   }
 
   /** Batch twin of
@@ -4440,7 +4406,6 @@ object EventQueries {
       .select(
         col("user_id"), col("purchase_id"),
         unix_micros(col("p_ts")).as("p_us"))
-      .orderBy(col("user_id"), col("purchase_id"))
   }
 
   /** Batch twin of

@@ -47,7 +47,6 @@ object RelationalQueries {
         col("l_partkey").as("partkey"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
         col("l_shipdate").cast("date").as("shipdate"))
-      .orderBy(col("orderkey"), col("linenumber"))
 
   /** J1 + A1: inner equi-join then aggregate (broadcast dim side). */
   def joinAgg(s: SparkSession, d: String): DataFrame =
@@ -75,7 +74,6 @@ object RelationalQueries {
         col("c_custkey"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
-      .orderBy(col("c_custkey"))
   }
 
   /** O1: global top-k (TakeOrderedAndProject — no full sort at scale). */
@@ -108,7 +106,6 @@ object RelationalQueries {
     Windows
       .topKPerGroup(rev, Seq("l_suppkey"), col("revenue"), Seq("l_partkey"), 3)
       .select(col("l_suppkey"), col("l_partkey"), col("revenue"), col("rn").cast("long").as("rn"))
-      .orderBy(col("l_suppkey"), col("rn"))
   }
 
   /** W3 k=1: latest order per customer (deterministic tie-break). */
@@ -123,7 +120,6 @@ object RelationalQueries {
         col("o_custkey"),
         col("o_orderkey"),
         col("o_orderdate").cast("date").as("orderdate"))
-      .orderBy(col("o_custkey"))
 
   /** U1: positional union of two strategies + distinct. */
   def unionDistinct(s: SparkSession, d: String): DataFrame = {
@@ -193,7 +189,6 @@ object RelationalQueries {
         col("l_linenumber").cast("long").as("linenumber"))
       .join(agg, Seq("orderkey", "partkey"))
       .filter(col("n_lines") >= 2)
-      .orderBy(col("orderkey"), col("partkey"), col("linenumber"))
   }
 
   /** A10: global column statistics (describe-style, exact). */
@@ -250,7 +245,6 @@ object RelationalQueries {
         when(col("l_orderkey").isNull, "no_lineitems")
           .when(col("o_orderkey").isNull, "no_order")
           .otherwise("both").as("status"))
-      .orderBy(col("order_key"))
   }
 
   /** Exact global median of lineitem price cents — two aggregation
@@ -349,7 +343,6 @@ object RelationalQueries {
     f.intersect(open).select(lit("both").as("tag"), col("custkey"))
       .unionByName(f.except(open).select(lit("f_only").as("tag"), col("custkey")))
       .unionByName(open.except(f).select(lit("o_only").as("tag"), col("custkey")))
-      .orderBy(col("tag"), col("custkey"))
   }
 
   /** Arbitrary GROUPING SETS — the level-mix (`(flag)`, `(status)`,
@@ -474,7 +467,6 @@ object RelationalQueries {
         lit("NEW").as("c_mktsegment"))
     Joins
       .upsert(base, upd.unionByName(ins), Seq("c_custkey"))
-      .orderBy(col("c_custkey"))
   }
 
   /** Deterministic log-histogram quantile sketch (DDSketch family,

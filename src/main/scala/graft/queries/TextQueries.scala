@@ -29,7 +29,6 @@ object TextQueries {
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup
       .exact(Tables.documents(s, d), "text", "doc_id")
-      .orderBy(col("fp"))
 
   /** Top-50 most similar doc pairs by exact 4-gram Jaccard. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
@@ -49,7 +48,6 @@ object TextQueries {
         bands = 4, rowsPerBand = 2)
       .withColumnRenamed("id", "doc_id")
       .withColumn("band_idx", col("band_idx").cast("long"))
-      .orderBy(col("doc_id"), col("band_idx"))
 
   /** SimHash32 fingerprints per doc. */
   def simhash(s: SparkSession, d: String): DataFrame =
@@ -67,7 +65,6 @@ object TextQueries {
         col("neighbor_id"),
         col("cosine_sim"),
         col("rn").cast("long").as("rn"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
   /** LSH-bucketed ANN (scale path) — deterministic md5-derived
@@ -85,7 +82,6 @@ object TextQueries {
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
         k = 5, planes = 3, dim = 64, tables = 8, probeBits = 2)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
-      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
   /** Embedding-cosine near-dup pairs (vec_id < 300). Threshold 0.4 is
@@ -97,7 +93,6 @@ object TextQueries {
       .embeddingNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 300),
         "vec_id", "embedding", minCosine = 0.4)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** IVF coarse-quantized ANN — the deterministic quantizer variant
     * (md5-rank seeds + one exact-integer Lloyd step), bit-identical
@@ -114,7 +109,6 @@ object TextQueries {
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
         k = 5, nCentroids = 16, nProbe = 6, nAssign = 2)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
-      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
   /** Product-quantization ANN (q155): 16 subspaces × 32 cells compress
@@ -132,7 +126,6 @@ object TextQueries {
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
         k = 5, m = 16, ksub = 32, rerank = 32)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
-      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
   /** IVFPQ ANN (q160): IVF cell pruning (16 cells, 6 probes, 3-cell
@@ -150,7 +143,6 @@ object TextQueries {
         k = 5, nCentroids = 16, nProbe = 6, m = 16, ksub = 32,
         rerank = 32, nAssign = 3)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
-      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
   /** LSH-blocked embedding near-dup (scale path; deterministic
@@ -161,7 +153,6 @@ object TextQueries {
       .embeddingNearDupLsh(
         Tables.embeddings(s, d), "vec_id", "embedding",
         minCosine = 0.4, planes = 6, dim = 64)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** End-to-end near-dup dedup: LSH blocking → Jaccard verify →
     * transitive components → survivors. Every stage is md5/integer
@@ -266,7 +257,6 @@ object TextQueries {
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup
       .simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** TF-IDF top-5 terms per document (micro-quantized scores; see
     * TextRanking determinism note).
@@ -274,7 +264,6 @@ object TextQueries {
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
     TextRanking
       .tfidfTopTerms(Tables.documents(s, d), "text", "doc_id", k = 5)
-      .orderBy(col("doc_id"), col("rn"))
 
   /** BM25 relevance of every document against a fixed query term set
     * drawn from the corpus vocabulary.
@@ -321,13 +310,11 @@ object TextQueries {
         col("frame_idx").cast("long").as("frame_idx"),
         length(col("frame")).cast("long").as("n_bytes"),
         md5(col("frame")).as("frame_md5"))
-      .orderBy(col("doc_id"), col("frame_idx"))
 
   /** Context-window chunking: every doc split into 16-token chunks. */
   def chunkDocs(s: SparkSession, d: String): DataFrame =
     graft.functions.Chunking
       .chunkDocs(Tables.documents(s, d), "text", "doc_id", chunkTokens = 16)
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Greedy sequence packing: docs sharded by doc_id % 8, packed into
     * 256-token bins by running-sum assignment.
@@ -421,7 +408,6 @@ object TextQueries {
   def pmiPairs(s: SparkSession, d: String): DataFrame =
     TextRanking
       .pmiPairs(Tables.documents(s, d), "text", "doc_id", minCoDocs = 5L)
-      .orderBy(col("term_a"), col("term_b"))
 
   /** Hard-negative mining for contrastive/metric training: per query
     * vector (vec_id < 32), the top-5 most-cosine-similar corpus vectors
@@ -453,7 +439,6 @@ object TextQueries {
     graft.ops.Windows
       .topKPerGroup(scored, Seq("query_id"), col("cosine_sim"), Seq("neighbor_id"), k = 5)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
-      .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
   }
 
   /** Cohen's kappa of the heuristic language-ID against the gold
@@ -616,7 +601,6 @@ object TextQueries {
       .semanticDedup(
         Tables.embeddings(s, d), "vec_id", "embedding",
         nCentroids = 16, threshold = 0.4)
-      .orderBy(col("vec_id"))
 
   /** DSIR data selection: top-50 documents by importance log-weight
     * toward the English-language target distribution — which crawl
@@ -637,7 +621,6 @@ object TextQueries {
     val isBatch = col("source").isin("src0", "src1", "src2")
     Dedup
       .incrementalNew(docs.filter(isBatch), docs.filter(!isBatch), "text", "doc_id")
-      .orderBy(col("fp"))
   }
 
   /** Corpus-level 4-gram novelty / boilerplate share per document. */
@@ -909,7 +892,6 @@ object TextQueries {
         col("vec_id"),
         array_join(col("proj"), ",").as("proj"),
         col("norm2"))
-      .orderBy(col("vec_id"))
 
   /** The three heuristic lang-id "raters" of the Fleiss κ query
     * (q194): rater 1 is the q32 marker map; raters 2 and 3 each see
@@ -980,7 +962,6 @@ object TextQueries {
       .withColumn("occ",
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Near-dup cluster census (q236): the size histogram of q42's
     * connected components — the "how much of the corpus is duplicate"
@@ -1426,7 +1407,6 @@ object TextQueries {
         count(lit(1)).as("n_variants"),
         countDistinct(col("url")).as("n_distinct_raw"),
         min(col("doc_id")).as("survivor_id"))
-      .orderBy(col("n_variants").desc, col("canonical_url"))
   }
 
   /** Tokenizer fertility by language — the multilingual tokenizer
