@@ -60,7 +60,8 @@ object ProbeScaleDocs {
       // df cap here — replicas push shared-frame df to ~2R so the join
       // stage empties; ProbeFrameDedup holds occupancy for that stage)
       "q281_naive_bayes", "q282_frame_neardup", "q283_url_canonical",
-      "q284_tokenizer_fertility", "q288_bpe_compression", "q290_dataset_card")
+      "q284_tokenizer_fertility", "q288_bpe_compression", "q290_dataset_card",
+      "q312_phash_neardup") // r14: perceptual near-dup
     // q279's exact ground-truth side is support-sized BY DESIGN and
     // cannot run unsampled at corpus scale: the audit mode estimates
     // pairs completeness on a deterministic md5 doc sample. mod is

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -402,10 +402,24 @@ object Multimodal {
       col("id").as("id_a"), col("phash").as("ph_a"))
     val b = banded.select(col("band_idx"), col("band_val"),
       col("id").as("id_b"), col("phash").as("ph_b"))
+    // row-local pair dedup (the r10 min-shared-cell rule): a pair
+    // colliding on k bands appears k times; keep the copy whose
+    // band_idx is the FIRST band where the two hashes agree — a pure
+    // function of (ph_a, ph_b), so no pair-grain distinct() exchange
+    val firstSharedBand = (0 until bands)
+      .map { bi =>
+        val bv = (ph: Column) =>
+          shiftright(ph, bi * bitsPerBand)
+            .bitwiseAND(lit(if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1))
+        (bv(col("ph_a")) === bv(col("ph_b")), lit(bi))
+      }
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(-1))) {
+        case (acc, (cond, idx)) => acc.when(cond, idx)
+      }
+      .otherwise(lit(-1))
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
-      .distinct()
+      .filter(col("band_idx") === firstSharedBand)
       .select(
         col("id_a"),
         col("id_b"),
