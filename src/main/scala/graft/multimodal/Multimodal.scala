@@ -325,45 +325,24 @@ object Multimodal {
     * absent from the output (same condition in the twin).
     */
   def perceptualHash64(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import org.apache.spark.sql.functions.broadcast
-    val cos = spark.createDataFrame(dctBasis).toDF("u", "i", "c")
-    val cells = media
+    // flat basis C[u*8+i] for the kernel (same literals the oracle
+    // embeds as VALUES)
+    val basis = dctBasis.sortBy { case (u, i, _) => (u, i) }.map(_._3).toIndexedSeq
+    media
       .select(col("id"), col("payload").cast("string").as("t"))
-      // explicit short-payload filter: Spark's sequence(1, 0) yields a
-      // DESCENDING [1, 0] (not empty like generate_series), so without
-      // the guard payloads shorter than one gram would hash phantom
-      // grams (the kernel is also total, but the twin drops them)
+      // explicit short-payload filter: the DuckDB twin's
+      // generate_series(1, 0) is empty, so payloads shorter than one
+      // gram are absent from its output (the kernel is total and would
+      // emit the all-zero-histogram hash)
       .filter(length(col("t")) >= 4)
-      // one-pass native kernel (Md5GramHistogram): bit-identical to the
-      // composed explode→md5(substring)→conv→pmod→count form the DuckDB
-      // twin runs, but per DOC, not per gram — the composed form
-      // shuffled a gram-grain frame (1.5M rows / 5k docs, ~14 s); the
-      // kernel emits the 64 histogram bins straight into the custom
-      // generator (LongArrayPosExplode: evaluates its child ONCE under
-      // InferFiltersFromGenerate — the r10 rule)
+      // whole hash in ONE scan-rate kernel (PHash64: md5-gram
+      // histogram + exact-integer DCT + sign packing) -- the earlier
+      // DataFrame matrix-multiply form shuffled doc-x-64-grain frames
+      // through two agg exchanges (~4 GB at 500k docs); this is
+      // zero-exchange and bit-identical to the twin's composed SQL
       .select(col("id"),
-        org.apache.spark.sql.graft.VectorExpressions.longArrayPosExplode(
-          org.apache.spark.sql.graft.VectorExpressions.md5GramHistogram(
-            col("t"), gram = 4, bins = 64)).as(Seq("cell", "cnt")))
-      .filter(col("cnt") > 0)
-      .select(
-        col("id"),
-        expr("cell div 8").as("i"),
-        pmod(col("cell"), lit(8)).as("j"),
-        col("cnt"))
-    val t1 = cells
-      .join(broadcast(cos), Seq("i"))
-      .groupBy(col("id"), col("u"), col("j"))
-      .agg(sum(col("c") * col("cnt")).as("t"))
-    val cos2 = cos.select(col("u").as("v"), col("i").as("j"), col("c").as("c2"))
-    t1.join(broadcast(cos2), Seq("j"))
-      .groupBy(col("id"), col("u"), col("v"))
-      .agg(sum(col("t") * col("c2")).as("d"))
-      .groupBy(col("id"))
-      .agg(sum(
-        expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS BIGINT), " +
-          "CAST(u * 8 + v AS INT)) ELSE CAST(0 AS BIGINT) END")).as("phash"))
+        org.apache.spark.sql.graft.VectorExpressions.phash64(
+          col("t"), gram = 4, basis).as("phash"))
   }
 
   /** pHash near-dup pairs with LOSSLESS Hamming banding (the q49
@@ -380,15 +359,22 @@ object Multimodal {
     require(maxHamming < bands, "full recall needs maxHamming <= bands - 1")
     require(64 % bands == 0, "bands must divide 64")
     val bitsPerBand = 64 / bands
-    // EAGER materialization, not a lazy cache: the banded self-join's
-    // two shuffle-map stages are independent and scheduled concurrently,
-    // so both race past an unmaterialized cache and re-run the whole
-    // hash pipeline (the q227 fan-out rule — measured 43.5 s doubled vs
+    // EAGER materialization, not a lazy cache: the downstream self-joins'
+    // shuffle-map stages are independent and scheduled concurrently, so
+    // they race past an unmaterialized cache and re-run the whole hash
+    // pipeline (the q227 fan-out rule — measured 43.5 s doubled vs
     // single-run at sf0.1). The frame is doc-grain (id, phash) — 16
     // bytes per doc.
     val hashes = perceptualHash64(media).localCheckpoint(true)
-    val banded = hashes.select(
-      col("id"),
+    // Band over DISTINCT hash VALUES, not documents: duplicate-heavy
+    // corpora put whole exact-dup cliques into every band bucket and
+    // the doc-grain self-join inflates quadratically per bucket
+    // (measured 4.3 GB shuffle / 179 s at 500k docs with 100-member
+    // cliques). Distinct-hash banding bounds the candidate grain by
+    // the hash-value count; member expansion afterwards is
+    // output-proportional by construction.
+    val distinctHashes = hashes.select(col("phash")).distinct().localCheckpoint(true)
+    val banded = distinctHashes.select(
       col("phash"),
       explode(array((0 until bands).map { b =>
         struct(
@@ -397,12 +383,10 @@ object Multimodal {
             .bitwiseAND(lit(if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1))
             .as("band_val"))
       }: _*)).as("band"))
-      .select(col("id"), col("phash"), col("band.band_idx"), col("band.band_val"))
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("id").as("id_a"), col("phash").as("ph_a"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col("id").as("id_b"), col("phash").as("ph_b"))
-    // row-local pair dedup (the r10 min-shared-cell rule): a pair
+      .select(col("phash"), col("band.band_idx"), col("band.band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"), col("phash").as("ph_a"))
+    val b = banded.select(col("band_idx"), col("band_val"), col("phash").as("ph_b"))
+    // row-local pair dedup (the r10 min-shared-cell rule): a hash pair
     // colliding on k bands appears k times; keep the copy whose
     // band_idx is the FIRST band where the two hashes agree — a pure
     // function of (ph_a, ph_b), so no pair-grain distinct() exchange
@@ -417,13 +401,27 @@ object Multimodal {
         case (acc, (cond, idx)) => acc.when(cond, idx)
       }
       .otherwise(lit(-1))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
+    val hashPairs = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("ph_a") < col("ph_b"))
       .filter(col("band_idx") === firstSharedBand)
-      .select(
-        col("id_a"),
-        col("id_b"),
+      .select(col("ph_a"), col("ph_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // member expansion: distinct-hash pairs × their members (pair
+    // normalized to id_a < id_b), plus the Hamming-0 cliques (all id
+    // pairs sharing one hash). Both joins are keyed on phash —
+    // doc-grain exchanges; the output grain is the result itself.
+    val crossPairs = hashPairs
+      .join(hashes.select(col("phash").as("ph_a"), col("id").as("m_a")), Seq("ph_a"))
+      .join(hashes.select(col("phash").as("ph_b"), col("id").as("m_b")), Seq("ph_b"))
+      .select(
+        least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"),
+        col("hamming"))
+    val cliquePairs = hashes.select(col("phash"), col("id").as("id_a"))
+      .join(hashes.select(col("phash"), col("id").as("id_b")), Seq("phash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    crossPairs.unionByName(cliquePairs)
   }
 }

@@ -581,25 +581,34 @@ case class MinSharedCell(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** One-pass md5-gram histogram: for every stride-1 `gram`-char window
-  * of the input string, bucket the top 60 bits of its md5 (== the
-  * first 15 hex chars, the engine-wide convention) modulo `bins`, and
-  * return the `bins`-length count array. Bit-identical to the
-  * composed form `explode(positions) → md5(substring) → conv → pmod →
-  * groupBy count` that the DuckDB twin runs — but as ONE expression
-  * per DOCUMENT: no length×-row explode, no histogram exchange (the
-  * composed form shuffled 1.5M gram rows for 5k docs and took ~14 s;
-  * the kernel is one pass at scan rate). Windows are CHARACTER-wise
-  * (String.substring), matching SQL substring semantics byte-for-byte
-  * on any text, and each window hashes its UTF-8 bytes exactly as
-  * both engines' md5(substring(...)) does.
+/** One-pass perceptual hash: stride-1 `gram`-char md5 windows bucketed
+  * into a 64-bin histogram (top 60 md5 bits — the first-15-hex-chars
+  * convention — mod 64), an exact-integer 8×8 DCT against the caller's
+  * 2^14-quantized basis, and the 64 coefficient SIGN BITS packed into
+  * one long. Bit-identical to the composed form the DuckDB twin runs
+  * (`explode(positions) → md5(substring) → conv → pmod → count`, two
+  * basis matrix-multiply joins, CASE sign packing) — but as ONE
+  * expression per DOCUMENT at scan rate. The composed DataFrame form
+  * shuffled doc×64-grain frames through two agg exchanges (≈4 GB at
+  * 500k docs); the kernel's hashing is zero-exchange. Windows are
+  * CHARACTER-wise (String.substring), matching SQL substring
+  * semantics, and each window hashes its UTF-8 bytes exactly as both
+  * engines' md5(substring(...)) does.
+  *
+  * `basis` is the flat 8×8 DCT matrix `C[u*8+i]` — an OPERATOR
+  * constant (same literals the oracle embeds as VALUES), so plan text
+  * may print it without breaking cross-SF fingerprint linkage; the
+  * shape-only toString keeps plan lines short regardless.
   */
-case class Md5GramHistogram(child: Expression, gram: Int, bins: Int)
+case class PHash64(child: Expression, gram: Int, basis: IndexedSeq[Long])
     extends UnaryExpression with ExpectsInputTypes {
-  require(gram >= 1 && bins >= 1)
+  require(gram >= 1 && basis.length == 64)
   override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "md5_gram_histogram"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash64"
+  override def toString: String = s"phash64($child, gram=$gram, dct[8x8])"
+
+  @transient private lazy val basisArr: Array[Long] = basis.toArray
 
   @transient private lazy val localMd =
     new ThreadLocal[java.security.MessageDigest] {
@@ -608,8 +617,8 @@ case class Md5GramHistogram(child: Expression, gram: Int, bins: Int)
     }
 
   /** Per-row kernel, shared by interpreted eval and codegen. */
-  def kernel(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val out = new Array[Long](bins)
+  def kernel(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val hist = new Array[Long](64)
     val str = s.toString
     val n = str.length - gram + 1
     val md = localMd.get()
@@ -623,10 +632,38 @@ case class Md5GramHistogram(child: Expression, gram: Int, bins: Int)
       var b = 0
       while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
       // top 60 bits == first 15 hex chars base-16 (the conv() twin)
-      out(((v >>> 4) % bins).toInt) += 1L
+      hist(((v >>> 4) % 64).toInt) += 1L
       p += 1
     }
-    new GenericArrayData(out)
+    // t1[u][j] = Σ_i C[u][i] · hist[i*8 + j]  (exact int64, as the twin)
+    val t1 = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var j = 0
+      while (j < 8) {
+        var acc = 0L
+        var i = 0
+        while (i < 8) { acc += basisArr(u * 8 + i) * hist(i * 8 + j); i += 1 }
+        t1(u * 8 + j) = acc
+        j += 1
+      }
+      u += 1
+    }
+    // d[u][v] = Σ_j t1[u][j] · C[v][j]; bit u*8+v = (d > 0)
+    var out = 0L
+    u = 0
+    while (u < 8) {
+      var v2 = 0
+      while (v2 < 8) {
+        var acc = 0L
+        var j = 0
+        while (j < 8) { acc += t1(u * 8 + j) * basisArr(v2 * 8 + j); j += 1 }
+        if (acc > 0L) out |= (1L << (u * 8 + v2))
+        v2 += 1
+      }
+      u += 1
+    }
+    out
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -635,11 +672,11 @@ case class Md5GramHistogram(child: Expression, gram: Int, bins: Int)
   override protected def doGenCode(
       ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("md5GramHist", this, this.getClass.getName)
+    val ref = ctx.addReferenceObj("phash64", this, this.getClass.getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Md5GramHistogram =
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
     copy(child = newChild)
 }
 
@@ -728,9 +765,9 @@ object VectorExpressions {
   def longArrayPosExplode(a: Column): Column =
     ExpressionUtils.column(LongArrayPosExplode(ExpressionUtils.expression(a)))
 
-  def md5GramHistogram(text: Column, gram: Int, bins: Int): Column =
+  def phash64(text: Column, gram: Int, basis: IndexedSeq[Long]): Column =
     ExpressionUtils.column(
-      Md5GramHistogram(ExpressionUtils.expression(text), gram, bins))
+      PHash64(ExpressionUtils.expression(text), gram, basis))
 
   def lshMinSharedTable(cBuckets: Column, qVariants: Column, perTable: Int): Column =
     ExpressionUtils.column(LshMinSharedTable(
