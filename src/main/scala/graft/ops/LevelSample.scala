@@ -124,9 +124,12 @@ object LevelSample {
 
   /** The first 60 bits of md5(uid) as a BIGINT — shared with the
     * DuckDB twin (`('0x' || substring(md5(uid), 1, 15))::BIGINT`).
+    * Native kernel, not the composed conv(substring(md5(...))) chain:
+    * the hex-string round trip was ~90% of the sketch's scan cost at
+    * 10M rows (bit-identical — [[org.apache.spark.sql.graft.Md5Prefix60]]).
     */
   def h60(uid: Column): Column =
-    conv(substring(md5(uid.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(uid.cast("string"))
 
   /** Column form: `df.groupBy(g).agg(LevelSample.sketch(k)(array(h, v)))`.
     */

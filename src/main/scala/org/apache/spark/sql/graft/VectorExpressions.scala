@@ -680,6 +680,53 @@ case class PHash64(child: Expression, gram: Int, basis: IndexedSeq[Long])
     copy(child = newChild)
 }
 
+/** Top 60 bits of md5(input) as a BIGINT — bit-identical to the
+  * engine-wide SQL convention `conv(substring(md5(x), 1, 15), 16, 10)`
+  * (DuckDB: `('0x' || substring(md5(x), 1, 15))::BIGINT`), but without
+  * the hex-STRING round trip: the composed chain materializes a
+  * 32-char hex string, slices it, and parses it back per row — ~90% of
+  * the level-sample sketch's scan cost at 10M rows (7.7 of 8.2 s
+  * measured). The kernel reads the first 8 digest bytes and shifts.
+  * Use where the 60-bit prefix is consumed at scan rate; the SQL
+  * twin stays the conv() form.
+  */
+case class Md5Prefix60(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  @transient private lazy val localMd =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Per-row kernel, shared by interpreted eval and codegen. */
+  def kernel(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = localMd.get()
+    md.reset()
+    md.update(s.getBytes)
+    val d = md.digest()
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4 // top 60 bits == first 15 hex chars base-16
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5p60", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
 /** A driver-computed constant whose VALUE is data (a corpus count, a
   * pair-space size), not plan shape: prints shape-only (`driver_lit`)
   * so cross-SF/cross-config plan fingerprints stay stable — the same
@@ -768,6 +815,9 @@ object VectorExpressions {
   def phash64(text: Column, gram: Int, basis: IndexedSeq[Long]): Column =
     ExpressionUtils.column(
       PHash64(ExpressionUtils.expression(text), gram, basis))
+
+  def md5Prefix60(s: Column): Column =
+    ExpressionUtils.column(Md5Prefix60(ExpressionUtils.expression(s)))
 
   def lshMinSharedTable(cBuckets: Column, qVariants: Column, perTable: Int): Column =
     ExpressionUtils.column(LshMinSharedTable(
