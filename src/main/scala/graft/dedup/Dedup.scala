@@ -798,7 +798,7 @@ object Dedup {
       .select(
         col(idCol).as("id"),
         array_distinct(transform(wordShingles(col(textCol), n), s =>
-          conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+          org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(s)))
           .as("sh"))
     val cached = graft.core.Caches.cache(shArr) // used 2×: postings, verify
     // dfreq comes FROM the postings table (size of each posting list)
@@ -943,8 +943,8 @@ object Dedup {
         // shuffle; collisions (≈ m²/2^61 corpus-wide) can only ADD a
         // spurious duplicate range, same accepted class as the 16-hex
         // keys elsewhere
-        conv(substring(md5(col("text").substr((col("i") + 1).cast("int"), lit(minLen))), 1, 15),
-          16, 10).cast("long").as("fp"))
+        org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(
+          col("text").substr((col("i") + 1).cast("int"), lit(minLen))).as("fp"))
     mergeDupPositions(pos, minLen)
   }
 
@@ -1043,8 +1043,8 @@ object Dedup {
         col("doc_id"), col("text"),
         explode(sequence(lit(0L), col("len") - window - 1)).as("i"))
       .filter(
-        conv(substring(md5(col("text").substr((col("i") + 1).cast("int"), lit(window))), 1, 15),
-          16, 10).cast("long") % divisor === 0)
+        org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(
+          col("text").substr((col("i") + 1).cast("int"), lit(window))) % divisor === 0)
       .select(col("doc_id"), col("text"), (col("i") + window).as("b"))
     val bounds = cuts.unionByName(
       base.select(col("doc_id"), col("text"), col("len").as("b")))
@@ -1058,10 +1058,10 @@ object Dedup {
         col("start_pos"),
         col("b").as("end_pos"),
         (col("b") - col("start_pos")).as("chunk_len"),
-        conv(substring(md5(col("text").substr(
-          (col("start_pos") + 1).cast("int"),
-          (col("b") - col("start_pos")).cast("int"))), 1, 15), 16, 10)
-          .cast("long").as("chunk_fp"))
+        org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(
+          col("text").substr(
+            (col("start_pos") + 1).cast("int"),
+            (col("b") - col("start_pos")).cast("int"))).as("chunk_fp"))
   }
 
   /** Shared tail of the substring-dedup paths: corpus-wide occurrence
@@ -1184,7 +1184,7 @@ object Dedup {
     val hashed = docs.select(
       col(idCol).as("id"),
       transform(wordShingles(col(textCol), n), s =>
-        conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
+        org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(s)).as("hs"))
     // window starting at i (0-based): slice hs[i+1 .. i+w]; min hash;
     // rightmost argmin = w − first-position-in-reversed-window + i
     val sel = transform(

@@ -256,7 +256,11 @@ object Multimodal {
       sampleFrames(media, frameBytes, stride = 1)
         .select(
           col("id"),
-          conv(substring(md5(col("frame")), 1, 15), 16, 10).cast("long").as("fp"))
+          // native Md5Prefix60 (binary form): same first-15-hex-chars
+          // value as the conv(substring(md5(...))) chain the oracle
+          // runs, without the per-frame hex-string round trip
+          org.apache.spark.sql.graft.VectorExpressions
+            .md5Prefix60(col("frame")).as("fp"))
         .distinct())
 
     val discriminative = postings

@@ -691,7 +691,9 @@ case class PHash64(child: Expression, gram: Int, basis: IndexedSeq[Long])
   * twin stays the conv() form.
   */
 case class Md5Prefix60(child: Expression) extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.BinaryType))
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix60"
 
@@ -701,11 +703,17 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression with ExpectsIn
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  /** Per-row kernel, shared by interpreted eval and codegen. */
-  def kernel(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+  /** Per-row kernel (string input), shared by eval and codegen. */
+  def kernel(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    kernelBytes(s.getBytes)
+
+  /** Per-row kernel (binary input) — md5 of the raw payload bytes,
+    * exactly what both engines' md5(binary) hashes.
+    */
+  def kernelBytes(bytes: Array[Byte]): Long = {
     val md = localMd.get()
     md.reset()
-    md.update(s.getBytes)
+    md.update(bytes)
     val d = md.digest()
     var v = 0L
     var b = 0
@@ -713,14 +721,19 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression with ExpectsIn
     v >>> 4 // top 60 bits == first 15 hex chars base-16
   }
 
+  @transient private lazy val isBinary =
+    child.dataType == org.apache.spark.sql.types.BinaryType
+
   override protected def nullSafeEval(input: Any): Any =
-    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (isBinary) kernelBytes(input.asInstanceOf[Array[Byte]])
+    else kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def doGenCode(
       ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("md5p60", this, this.getClass.getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    val m = if (isBinary) "kernelBytes" else "kernel"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$m($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
