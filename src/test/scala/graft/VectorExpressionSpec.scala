@@ -52,6 +52,39 @@ class VectorExpressionSpec extends SparkSpec {
     out.foreach { case (fast, hof) => assert(fast == hof) }
   }
 
+  test("Md5Prefix60: bit-identical to the conv(substring(md5)) convention, string and binary") {
+    val df = Seq("", "a", "hello world", "42", "The quick brown fox")
+      .toDF("s")
+      .withColumn("b", col("s").cast("binary"))
+    val rows = df.select(
+      VectorExpressions.md5Prefix60(col("s")).as("k_s"),
+      VectorExpressions.md5Prefix60(col("b")).as("k_b"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("chain_s"),
+      conv(substring(md5(col("b")), 1, 15), 16, 10).cast("long").as("chain_b"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (ks, kb, cs, cb) =>
+      assert(ks == cs, "string kernel drifted from the conv chain")
+      assert(kb == cb, "binary kernel drifted from the conv chain")
+      assert(ks == kb, "utf-8 string and its bytes must hash identically")
+    }
+    // null pass-through
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(VectorExpressions.md5Prefix60(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("DriverLit: behaves as the wrapped literal, prints shape-only") {
+    val dl = VectorExpressions.driverLit(12345L)
+    val out = spark.range(3).select((col("id") + dl).as("v")).as[Long].collect()
+    assert(out.toSeq == Seq(12345L, 12346L, 12347L))
+    // plan text carries driver_lit, never the VALUE (the cross-SF
+    // fingerprint contract this expression exists for)
+    val plan = spark.range(1).select(dl.as("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("driver_lit"), plan)
+    assert(!plan.contains("12345"), s"driver value leaked into plan text:\n$plan")
+  }
+
   test("longVectorDot: null inputs yield null") {
     val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
     val r = df.select(VectorExpressions.longVectorDot(col("a"), col("b"))).collect().head
