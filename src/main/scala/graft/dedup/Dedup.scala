@@ -683,7 +683,7 @@ object Dedup {
     val weighted = toks
       .groupBy(col("id"), col("tok"))
       .agg(count(lit(1)).as("w"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h", shiftright(org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(col("tok")), 28))
     val bitVotes = (0 until 32).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w")))
         .as(s"v$b")
@@ -971,8 +971,8 @@ object Dedup {
       sampleMod: Long): DataFrame = {
     val sampled =
       if (sampleMod <= 1L) docs
-      else docs.filter(expr(
-        s"conv(substring(md5(cast(`$idCol` as string)), 1, 8), 16, 10) % $sampleMod = 0"))
+      else docs.filter(
+        shiftright(org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(col(idCol).cast("string")), 28) % sampleMod === 0)
     maximalRepeatRanges(sampled, textCol, idCol, minLen)
   }
 

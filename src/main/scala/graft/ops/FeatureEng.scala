@@ -134,10 +134,14 @@ object FeatureEng {
     val toks = df
       .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
-      .cast("long") % nBuckets
+    // ONE kernel md5 per token: bucket = top 32 bits (first 8 hex),
+    // sign = hex char 9's low bit = bit 24 of the 60-bit prefix —
+    // bit-identical to the two conv(substring(md5)) reads the SQL twin
+    // keeps, at half the hashing
+    val h60 = org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(col("tok"))
+    val bucket = shiftright(h60, 28) % nBuckets
     val sign = when(
-      conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 === 0,
+      shiftright(h60, 24) % 2 === 0,
       lit(1L)).otherwise(lit(-1L))
     toks
       .select(bucket.as("bucket"), sign.as("sign"), col("tok"))

@@ -44,9 +44,10 @@ object Sketches {
     * aggregation; per-day sketch tables ADD cell-wise.
     */
   def cmsBucket(item: Column, r: Column, width: Int): Column =
-    conv(substring(md5(
-      concat(lit("r"), r.cast("string"), lit("|"), item.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % width
+    // first-8-hex == top 32 bits of the md5 prefix: the native kernel
+    // skips the hex round trip at (row x depth) rate; SQL twin keeps conv
+    shiftright(org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(
+      concat(lit("r"), r.cast("string"), lit("|"), item.cast("string"))), 28) % width
 
   /** The (r, bucket, cnt) sketch table over `itemCol`. */
   def cmsTable(df: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame =

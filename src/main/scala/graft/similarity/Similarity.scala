@@ -1046,8 +1046,7 @@ object Similarity {
       embCol: String): DataFrame = {
     val withHalf = vecs.withColumn(
       "__half",
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 2)
+      shiftright(org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(col(idCol).cast("string")), 28) % 2)
     def half(h: Int) = labelCentroids(
       withHalf.filter(col("__half") === h), labelCol, embCol)
     val a = half(0).select(col("label"), col("centroid").as("ca"),
@@ -1148,8 +1147,7 @@ object Similarity {
       alphaPpm: Long = 100000L): DataFrame = {
     val withSplit = vecs.withColumn(
       "__part",
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 3)
+      shiftright(org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(col(idCol).cast("string")), 28) % 3)
     val cents = labelCentroids(
       withSplit.filter(col("__part") === 0), labelCol, embCol)
       .select(col("label").as("c_label"), col("centroid"),
@@ -1598,8 +1596,7 @@ object Similarity {
       topK: Int = 20): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), quantize(col(embCol)).as("emb"))
       .withColumn("half",
-        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 2)
+        shiftright(org.apache.spark.sql.graft.VectorExpressions.md5Prefix60(col("id").cast("string")), 28) % 2)
       .withColumn("bucket", lshBucket(col("emb"), planes, dim))
     val train = base.filter(col("half") === 0L)
       .select(col("id").as("train_id"), col("emb").as("t_emb"), col("bucket"))
