@@ -37,21 +37,41 @@ object Verify {
     // config differs from Bench's 32). Cross-query cache reuse still
     // differs (Verify scopes caches per query; Bench accumulates one
     // scope), so cache-sharing consumers may legitimately diverge.
-    val fps = SparkEntry.queries
+    //
+    // Queries run CONCURRENTLY on a fixed pool (VERDICT r14 item 1: the
+    // ~7 min serial gate wall invited driver timeouts). Safe because
+    // Caches scopes are thread-confined (ThreadLocal), each query writes
+    // its own output dir, temp-view names are query-unique, and the
+    // pinned enrichedEvents cache is created before the pool starts (the
+    // adoption rule keeps per-query scopes from unpersisting it). Most
+    // contract queries are single-task scan pipelines locally (one
+    // parquet row group), so cross-query concurrency is what fills the
+    // cores — measured ~3× on the full surface at sf0.01.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
+    val work = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
-      .map { case (name, fn) =>
-      val fp = try graft.core.Caches.withScope {
-        val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        try Bench.planFingerprint(df) catch { case _: Throwable => "-" }
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        "-"
-      }
-      (name, fp)
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val fps =
+      try {
+        val futures = work.map { case (name, fn) =>
+          pool.submit(new java.util.concurrent.Callable[(String, String)] {
+            def call(): (String, String) = {
+              val fp = try graft.core.Caches.withScope {
+                val df = fn(spark, sfDir)
+                df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+                try Bench.planFingerprint(df) catch { case _: Throwable => "-" }
+              }
+              catch { case e: Throwable =>
+                System.err.println(s"[verify] $name failed: ${e.getMessage}")
+                "-"
+              }
+              (name, fp)
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

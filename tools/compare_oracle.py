@@ -5,17 +5,27 @@ parquet output against the DuckDB oracle SQL, compare row/schema/hash.
 Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [q1,q2,...]
 (the optional third arg restricts the compare to named queries — pair it
 with graft.Verify's same filter arg for a fast single-query loop)
+
+Emits <verifyOutDir>/correctness.json with the driver artifact's shape —
+per-query {rows_match, schema_match, hash_match, err} — so the repo owns
+a committed correctness attestation independent of the driver (VERDICT
+r14 item 1: the driver's CORRECTNESS_r14.json arrived empty).
+
+Queries compare in PARALLEL (one DuckDB connection per worker process);
+the serial compare was ~6 min at sf0.01, the pool runs the same set in
+well under a minute on this box.
 """
+import hashlib
 import json
 import math
+import multiprocessing as mp
+import os
 import sys
-
-import duckdb
-import pyarrow.parquet as pq
-import pyarrow.dataset as pads
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+_worker = {}
 
 
 def canon(val):
@@ -32,11 +42,81 @@ def rows_canon(names, cols):
     return sorted(tuple(canon(v) for v in r) for r in rows)
 
 
-def main(sf_dir, out_dir, only=None):
+def rows_hash(rows):
+    h = hashlib.md5()
+    for r in rows:
+        for v in r:
+            h.update(v.encode("utf-8"))
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def _init(sf_dir):
+    import duckdb
     con = duckdb.connect()
+    # one pool process per core already: an uncapped connection spawns
+    # its own all-core thread pool (30 workers x 32 duckdb threads
+    # measured 48 min of sys time at sf0.001 — pure scheduler thrash)
+    con.execute("SET threads=2")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    _worker["con"] = con
+
+
+def _compare(task):
+    """One query: returns (name, result-dict). Never raises — a worker
+    exception must surface as err text, not kill the pool."""
+    name, sql, out_dir, threads = task
+    import time
+    import pyarrow.dataset as pads
+    t0 = time.monotonic()
+    # set per task (workers are reused — a raised count must not leak
+    # into the next task on the same worker)
+    _worker["con"].execute(f"SET threads={threads}")
+    res = {"rows_match": False, "schema_match": False,
+           "hash_match": False, "err": None}
+    try:
+        try:
+            spark_tbl = pads.dataset(f"{out_dir}/{name}").to_table()
+        except Exception as e:
+            res["err"] = f"no spark output ({e})"
+            return name, res
+        try:
+            duck = _worker["con"].execute(sql).fetch_arrow_table()
+        except Exception as e:
+            res["err"] = f"oracle sql error: {str(e).splitlines()[0]}"
+            return name, res
+        s_names = sorted(spark_tbl.column_names)
+        d_names = sorted(duck.column_names)
+        res["schema_match"] = s_names == d_names
+        if not res["schema_match"]:
+            res["err"] = f"columns {s_names} vs {d_names}"
+            return name, res
+        res["rows_match"] = spark_tbl.num_rows == duck.num_rows
+        if not res["rows_match"]:
+            res["err"] = f"rows {spark_tbl.num_rows} vs {duck.num_rows}"
+            return name, res
+        s_rows = rows_canon(spark_tbl.column_names,
+                            [c.to_pylist() for c in spark_tbl.columns])
+        d_rows = rows_canon(duck.column_names,
+                            [c.to_pylist() for c in duck.columns])
+        res["hash_match"] = rows_hash(s_rows) == rows_hash(d_rows)
+        res["n_rows"] = spark_tbl.num_rows
+        if not res["hash_match"]:
+            diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+            res["err"] = (f"{len(diffs)} row diffs; first: "
+                          f"spark={diffs[0][0]} duck={diffs[0][1]}"
+                          if diffs else "row diffs (length mismatch)")
+    except Exception as e:  # pragma: no cover — belt and braces
+        res["err"] = f"compare error: {e}"
+    finally:
+        res["sec"] = round(time.monotonic() - t0, 2)
+    return name, res
+
+
+def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
@@ -47,44 +127,47 @@ def main(sf_dir, out_dir, only=None):
         fps = json.load(open(f"{out_dir}/fingerprints.json"))
     except Exception:
         fps = {}
+    # Longest-job-first scheduling off the PREVIOUS run's per-query secs
+    # (if a correctness.json is already in outDir): the q193 recursive-CTE
+    # oracle is ~5 min at 2 duckdb threads and bounds the pool's wall when
+    # it starts mid-alphabet. Known-heavy compares (>30 s last run) also
+    # get 8 duckdb threads — the pool has idle cores by the time only
+    # stragglers remain.
+    prev = {}
+    try:
+        prev = {k: v.get("sec", 0.0) for k, v in json.load(
+            open(f"{out_dir}/correctness.json"))["queries"].items()}
+    except Exception:
+        pass
+    tasks = [(name, sql, out_dir, 8 if prev.get(name, 0) > 30 else 2)
+             for name, sql in sorted(oracle.items(),
+                                     key=lambda kv: -prev.get(kv[0], 0.0))]
+    procs = min(len(tasks), max(2, (os.cpu_count() or 4) - 2)) or 1
+    with mp.Pool(processes=procs, initializer=_init,
+                 initargs=(sf_dir,)) as pool:
+        results = dict(pool.map(_compare, tasks, chunksize=1))
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        try:
-            spark_tbl = pads.dataset(f"{out_dir}/{name}").to_table()
-        except Exception as e:
-            print(f"FAIL {name}: no spark output ({e})")
+    for name in sorted(results):
+        r = results[name]
+        ok = r["rows_match"] and r["schema_match"] and r["hash_match"]
+        if ok:
+            fp = f" fp={fps[name]}" if name in fps else ""
+            print(f"PASS {name} ({r.get('n_rows', '?')} rows){fp}")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {r['err']}")
             n_fail += 1
-            continue
-        try:
-            duck = con.execute(sql).fetch_arrow_table()
-        except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}")
-            n_fail += 1
-            continue
-        s_names = sorted(spark_tbl.column_names)
-        d_names = sorted(duck.column_names)
-        if s_names != d_names:
-            print(f"FAIL {name}: columns {s_names} vs {d_names}")
-            n_fail += 1
-            continue
-        if spark_tbl.num_rows != duck.num_rows:
-            print(f"FAIL {name}: rows {spark_tbl.num_rows} vs {duck.num_rows}")
-            n_fail += 1
-            continue
-        s_rows = rows_canon(spark_tbl.column_names,
-                            [c.to_pylist() for c in spark_tbl.columns])
-        d_rows = rows_canon(duck.column_names,
-                            [c.to_pylist() for c in duck.columns])
-        if s_rows != d_rows:
-            diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-            print(f"FAIL {name}: {len(diffs)} row diffs; first: "
-                  f"spark={diffs[0][0]} duck={diffs[0][1]}")
-            n_fail += 1
-            continue
-        fp = f" fp={fps[name]}" if name in fps else ""
-        print(f"PASS {name} ({spark_tbl.num_rows} rows){fp}")
-        n_pass += 1
+        if name in fps:
+            r["fingerprint"] = fps[name]
+    art = {"sf": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+           "queries": results}
+    with open(f"{out_dir}/correctness.json", "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    slow = sorted(results.items(), key=lambda kv: -kv[1].get("sec", 0))[:5]
+    print("slowest compares: " +
+          ", ".join(f"{k}={v['sec']}s" for k, v in slow))
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    print(f"wrote {out_dir}/correctness.json")
     return 1 if n_fail else 0
 
 
