@@ -52,6 +52,11 @@ object Bench {
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
       .replaceAll("/0x[0-9a-f]{8,}", "/0x")
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(N)")
+      // Range leaves print their split count = default parallelism —
+      // session config, same class as shuffle partition counts (was
+      // masked by always stamping at matching CPU configs; exposed by
+      // the r15 anchored-count regex validation at CPUS=16 vs 32)
+      .replaceAll("splits=\\d+", "splits=N")
       // Data DIRECTORY is environment, not plan shape: scan nodes embed
       // the input path (sf0.01 vs sf0.1 differed in 183/308 otherwise
       // structurally-identical plans), which broke the Verify(gate SF)
@@ -68,23 +73,35 @@ object Bench {
       .replaceAll("0x[0-9a-fA-F]{64,}", "0xBLOB")
     // Partition COUNTS are session config (spark.sql.shuffle.partitions),
     // not plan shape: normalize them so Verify (driver-chosen CPU count)
-    // and Bench (32) fingerprint identically on the same plan. Greedy .*
-    // pins the LAST `, <n>)` on the line — the numPartitions argument,
-    // because plan_id/[id=] digits are normalized out FIRST above —
-    // leaving expression-level integer literals (round(x, 2)) alone.
-    // Applied to FIXPOINT (ADVICE r13): one pass per numeric count, so a
-    // line carrying two partitioning specs normalizes both; the (?m)
-    // `$`-anchored variant catches a spec whose closing paren was cut by
-    // simpleString(250) truncation.
+    // and Bench (32) fingerprint identically on the same plan. The count
+    // match is ANCHORED to the partitioning spec's own closing paren via
+    // a balanced-paren content pattern (ADVICE r14: the previous greedy
+    // `(.*), \d+\)` pinned the LAST `, <n>)` on the line, and fixpoint
+    // passes then walked backwards normalizing unrelated trailing integer
+    // literals — round(x, 2) after a spec could mask a real expression
+    // change). Depth-5 nesting covers every spec in the contract (deepest
+    // observed: 3); `[^()]*` atoms are paren-free so the pattern cannot
+    // backtrack catastrophically. The (?m) `$`-anchored variant catches a
+    // spec whose closing paren was cut by simpleString(250) truncation.
     var s = base
     var prev = ""
     while (prev != s) {
       prev = s
       s = s
-        .replaceAll("(hashpartitioning|rangepartitioning)\\((.*), \\d+\\)", "$1($2, N)")
-        .replaceAll("(?m)(hashpartitioning|rangepartitioning)\\((.*), \\d+$", "$1($2, N")
+        .replaceAll(s"(hashpartitioning|rangepartitioning)\\(($balanced5), \\d+\\)", "$1($2, N)")
+        .replaceAll(s"(?m)(hashpartitioning|rangepartitioning)\\(($balanced5), \\d+$$", "$1($2, N")
     }
     s
+  }
+
+  /** Regex fragment matching paren-balanced content up to 5 nesting
+    * levels (each level: paren-free runs interleaved with one-deeper
+    * parenthesized groups).
+    */
+  private val balanced5: String = {
+    val atom = "[^()]*"
+    def lvl(inner: String) = s"$atom(?:\\($inner\\)$atom)*"
+    lvl(lvl(lvl(lvl(lvl(atom)))))
   }
 
   def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
@@ -258,6 +275,23 @@ object Bench {
     println(s"""{"metric":"top25_shuffle_mb","queries":$top25Sh}""")
     println(s"""{"metric":"top25_fingerprints","queries":$top25Fp}""")
     println(s"""{"metric":"top25_max_task_frac","queries":$top25Skew}""")
+    // The driver's artifact keeps only the LAST ~2.4 KB of stdout: four
+    // ~900 B top-25 lines overflow it and the SECONDS head — the one
+    // list that ranks regressions — was the casualty in BENCH_r14
+    // (everything costlier than q24 lost). Compact top-10 re-emits of
+    // the three decision-critical metrics go LAST (least→most important)
+    // so a 2.4 KB tail always retains the full cost head + total.
+    def topN(n: Int, rs: Seq[(String, Double, Double, String, Double)],
+        by: ((String, Double, Double, String, Double)) => Double,
+        render: ((String, Double, Double, String, Double)) => String): String =
+      rs.sortBy(r => -by(r)).take(n).map(render).mkString("{", ",", "}")
+    val ok = results.filter(_._2 >= 0)
+    println(s"""{"metric":"top10_shuffle_mb","queries":${
+      topN(10, results, _._3, r => s""""${r._1}":${f"${r._3}%.1f"}""")}}""")
+    println(s"""{"metric":"top10_fingerprints","queries":${
+      topN(10, ok, _._2, r => s""""${r._1}":"${r._4}"""")}}""")
+    println(s"""{"metric":"top10_sec","queries":${
+      topN(10, ok, _._2, r => s""""${r._1}":${f"${r._2}%.3f"}""")}}""")
     // The full line above can exceed the driver's capture window (r05/r06
     // arrived head-truncated, "parsed": null). The VERY LAST stdout line
     // is therefore a standalone compact summary that always parses whole.
