@@ -140,14 +140,21 @@ object LevelSample {
     c => fn(c)
   }
 
-  /** Per-group sketch: (groupCols*, level, n_kept, values sorted asc). */
+  /** Per-group sketch: (groupCols*, level, n_kept, values sorted asc).
+    *
+    * Null uid/value rows are SKIPPED up front (SQL aggregates skip null
+    * inputs; the DuckDB twin's md5/cast chain drops them the same way) —
+    * without the filter a null reaching the Seq[Long] buffer encoder is
+    * an executor NPE far from its cause (ADVICE r14).
+    */
   def sketchPerGroup(
       df: DataFrame,
       groupCols: Seq[String],
       uidCol: String,
       valueCol: String,
       k: Int): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
+    df.filter(col(uidCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(sketch(k)(array(h60(col(uidCol)), col(valueCol).cast("long"))).as("ls"))
       .select(
         groupCols.map(col) ++ Seq(

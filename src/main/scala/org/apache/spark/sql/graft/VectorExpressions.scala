@@ -591,9 +591,11 @@ case class MinSharedCell(left: Expression, right: Expression)
   * expression per DOCUMENT at scan rate. The composed DataFrame form
   * shuffled doc×64-grain frames through two agg exchanges (≈4 GB at
   * 500k docs); the kernel's hashing is zero-exchange. Windows are
-  * CHARACTER-wise (String.substring), matching SQL substring
-  * semantics, and each window hashes its UTF-8 bytes exactly as both
-  * engines' md5(substring(...)) does.
+  * CODE-POINT-wise over the row's UTF-8 bytes, matching SQL
+  * substring/length semantics (Spark and DuckDB both count code
+  * points) on BMP and supplementary-plane input alike; each window
+  * hashes its UTF-8 bytes exactly as both engines'
+  * md5(substring(...)) does.
   *
   * `basis` is the flat 8×8 DCT matrix `C[u*8+i]` — an OPERATOR
   * constant (same literals the oracle embeds as VALUES), so plan text
@@ -616,17 +618,36 @@ case class PHash64(child: Expression, gram: Int, basis: IndexedSeq[Long])
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  /** Per-row kernel, shared by interpreted eval and codegen. */
+  /** Per-row kernel, shared by interpreted eval and codegen.
+    *
+    * Windows are CODE-POINT-wise (ADVICE r14): SQL `substring`/`length`
+    * — both Spark's (UTF8String.numChars) and DuckDB's — count Unicode
+    * code points, while java String.substring counts UTF-16 units, so a
+    * char-wise loop diverges from the oracle on any supplementary-plane
+    * input. Code-point boundaries in UTF-8 are the non-continuation
+    * bytes (& 0xC0 != 0x80), so the kernel slides directly over the
+    * row's UTF-8 bytes — each window's md5 input is exactly the bytes
+    * both engines' md5(substring(...)) hashes, with no per-window
+    * String allocation.
+    */
   def kernel(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val hist = new Array[Long](64)
-    val str = s.toString
-    val n = str.length - gram + 1
+    val bytes = s.getBytes
+    // starts(j) = byte offset of the j-th code point; starts(m) = end
+    val starts = new Array[Int](bytes.length + 1)
+    var i = 0
+    var m = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(m) = i; m += 1 }
+      i += 1
+    }
+    starts(m) = bytes.length
+    val n = m - gram + 1
     val md = localMd.get()
     var p = 0
     while (p < n) {
       md.reset()
-      md.update(str.substring(p, p + gram)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(bytes, starts(p), starts(p + gram) - starts(p))
       val d = md.digest()
       var v = 0L
       var b = 0

@@ -70,6 +70,46 @@ class MultimodalSpec extends SparkSpec {
     assert(ph2 == ph)
   }
 
+  test("perceptualHash64: code-point windows on supplementary-plane input (ADVICE r14)") {
+    // Independent expected-value twin: windows by CODE POINT (what SQL
+    // substring/length count in both engines), built from codePoints —
+    // a different boundary mechanism than the kernel's UTF-8 walk.
+    def expected(text: String, gram: Int): Long = {
+      val basis = Multimodal.dctBasis.sortBy { case (u, i, _) => (u, i) }.map(_._3).toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val cps = text.codePoints().toArray
+      val hist = new Array[Long](64)
+      for (p <- 0 to cps.length - gram) {
+        val d = md.digest(new String(cps, p, gram).getBytes("UTF-8"))
+        var v = 0L
+        for (b <- 0 until 8) v = (v << 8) | (d(b) & 0xffL)
+        hist(((v >>> 4) % 64).toInt) += 1
+      }
+      var out = 0L
+      for (u <- 0 until 8; v2 <- 0 until 8) {
+        var acc = 0L
+        for (j <- 0 until 8; i <- 0 until 8)
+          acc += basis(u * 8 + i) * hist(i * 8 + j) * basis(v2 * 8 + j)
+        if (acc > 0L) out |= (1L << (u * 8 + v2))
+      }
+      out
+    }
+    val fixture = Seq(
+      // emoji are supplementary-plane: 2 UTF-16 units but ONE code point
+      // each — a UTF-16-unit loop would both miscount the windows and
+      // split surrogate pairs into invalid gram bytes
+      (1L, "café 😀😁 déjà 😂 vu résumé"),
+      (2L, "😀😁😂😃"), // exactly 4 code points -> 1 window
+      (3L, "😀😁😂")) // 3 code points < gram -> dropped
+      .toDF("doc_id", "text")
+    val m = Multimodal.asMediaTable(fixture, "doc_id", "text")
+    val ph = Multimodal.perceptualHash64(m).as[(Long, Long)].collect().toMap
+    assert(!ph.contains(3L),
+      "3 code points is shorter than one gram — the length() filter counts code points")
+    assert(ph(1L) == expected(fixture.as[(Long, String)].collect().find(_._1 == 1L).get._2, 4))
+    assert(ph(2L) == expected("😀😁😂😃", 4))
+  }
+
   test("phashNearDupPairs: banded pair set equals brute force (lossless pigeonhole)") {
     val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
     val m = Multimodal.asMediaTable(docs, "doc_id", "text")

@@ -142,6 +142,20 @@ class SkewAndSketchSpec extends SparkSpec {
     }
   }
 
+  test("level-sample rank sketch: null uid/value rows are skipped, not an executor NPE") {
+    import graft.ops.LevelSample
+    val df = Seq(
+      (Some("a"), Some(10L)), (Some("b"), Some(20L)), (Some("c"), Some(30L)),
+      (None, Some(99L)), (Some("d"), None), (None: Option[String], None: Option[Long]))
+      .toDF("uid", "v")
+    val st = LevelSample.sketchPerGroup(df, Nil, "uid", "v", k = 16)
+      .select(col("n_kept"), col("values")).as[(Long, Seq[Long])].head()
+    // SQL-aggregate semantics: the 3 fully-non-null rows participate,
+    // null uid or value rows are dropped (ADVICE r14 — previously a
+    // null hit the Seq[Long] buffer encoder and threw far from cause)
+    assert(st._1 == 3L && st._2.sorted == Seq(10L, 20L, 30L))
+  }
+
   test("HLL rolling window: daily partials re-merged per 3-day window == direct estimate") {
     // the incremental-analytics pattern: persist ONE sketch per day,
     // answer any later window by merging partials — never rescan raw
