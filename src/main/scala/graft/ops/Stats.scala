@@ -84,6 +84,85 @@ object Stats {
     * Output: partCols + `(n_total, median)` where median is named
     * `<outName>`.
     */
+  /** Per-group exact lower median for BOUNDED-SPAN value domains via a
+    * static two-level hot-bucket plan — the q69 histogram recursion
+    * UNROLLED into one lazy DataFrame (no driver loop, so plan
+    * construction stays pure and the whole query is one DAG):
+    *
+    *  1. level-1 histogram on `v div 2^shift` — per-group bucket count
+    *     is span/2^shift, map-side combined, so the agg exchange
+    *     carries bucket-grain partials however many raw rows;
+    *  2. one per-group window over the histogram finds the bucket
+    *     containing rank `(n+1) div 2` (and the cumulative count below
+    *     it) — group×bucket-grain work;
+    *  3. level-2 re-scans the fact FILTERED to each group's hot bucket
+    *     (≈ rows/2^shift survive), builds the per-value support of just
+    *     that slice, and reads the median off its cumsum.
+    *
+    * This is the right median when values are NEAR-UNIQUE:
+    * [[medianFromCounts]]' full support degenerates to a row-grain
+    * exchange there (support ≈ rows — the q114 r14 bench-head line),
+    * while this never shuffles more than `groups × (span/2^shift +
+    * 2^shift)` count rows. Precondition (asserted nowhere — document at
+    * call sites): per-group value span ≤ ~2^(shift+20) so the level-1
+    * histogram stays ≤ ~1M buckets; use
+    * [[graft.ops.Aggregates.exactMedianPerGroupTwoPass]] for unbounded
+    * domains. Trunc-division bucket ids are monotone in v, so bucket
+    * order is value order (bucket 0 spans both signs — harmless here:
+    * level 2 filters by bucket MEMBERSHIP, and its width only bounds
+    * the slice size). Output: partCols* + (`n_total`, `<outName>`).
+    */
+  def medianHotBucket(
+      df: DataFrame,
+      partCols: Seq[String],
+      valueCol: String,
+      outName: String,
+      shift: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = partCols.map(col)
+    val v = col(valueCol)
+    // project to group+value up front: the level-2 self-join re-attaches
+    // `n_total`, which must not collide with caller columns
+    val dfp = df.select(g :+ v: _*)
+    val bucketExpr = expr(s"cast($valueCol as bigint) div ${1L << shift}L")
+    val h1 = dfp
+      .filter(v.isNotNull)
+      .groupBy(g :+ bucketExpr.as("__b1"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // running + total counts in ONE window pass (same partitioning and
+    // ordering → a single Window node, one bucket-grain exchange)
+    val w = Window.partitionBy(g: _*).orderBy(col("__b1"))
+    val cum = h1.select(
+      (g :+ col("__b1") :+ col("__c")) ++ Seq(
+        sum(col("__c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("__cum"),
+        sum(col("__c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("n_total")): _*)
+    // hot bucket = MIN qualifying bucket; __b1 is unique per group, so
+    // the struct min carries its below-count along
+    val hot = cum
+      .filter(col("__cum") >= expr("(n_total + 1) div 2"))
+      .groupBy(g :+ col("n_total"): _*)
+      .agg(min(struct(col("__b1"), (col("__cum") - col("__c")).as("__below"))).as("__hb"))
+      .select(g ++ Seq(col("n_total"), col("__hb.__b1").as("__hot"),
+        col("__hb.__below").as("__below")): _*)
+    // level 2: per-value support of the hot-bucket slice only
+    val sup = dfp
+      .join(broadcast(hot), partCols)
+      .filter(bucketExpr === col("__hot"))
+      .groupBy(g ++ Seq(col("n_total"), col("__below"), v.cast("long").as("__v")): _*)
+      .agg(count(lit(1)).as("__c2"))
+    val w2 = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sup
+      .withColumn("__cum2", sum(col("__c2")).over(w2))
+      .filter(col("__below") + col("__cum2") >= expr("(n_total + 1) div 2"))
+      .groupBy(g :+ col("n_total"): _*)
+      .agg(min(col("__v")).as(outName))
+  }
+
   def medianFromCounts(
       counts: DataFrame,
       partCols: Seq[String],

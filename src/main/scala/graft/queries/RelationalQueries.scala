@@ -490,57 +490,46 @@ object RelationalQueries {
     * with integer median ranks ((n+1) div 2, the lower median), so the
     * whole statistic is exact and engine-independent.
     *
-    * Plan — support-grain (the q171/q214 shape): the fact collapses
-    * map-side to a (returnflag, cents, count) support; both medians are
-    * [[graft.ops.Stats.medianFromCounts]] sharded-cumsum passes over
-    * count-compressed supports, and the outlier count is a sum of
-    * support counts. The previous form ran row_number windows over RAW
-    * rows partitioned by the ~4-value returnflag — the whole fact
-    * shuffled onto |groups| partitions, each sorted by one task
-    * (parallelism bounded by group count; the r12 #1 wall line at
-    * 9.9 s / 17.5 MB). Order statistics are tie-independent, so the
-    * support form returns bit-identical integers.
+    * Plan — two-level hot-bucket medians
+    * ([[graft.ops.Stats.medianHotBucket]]): cent values are
+    * NEAR-UNIQUE, so the r13 support-cumsum form's
+    * (returnflag, cents, count) support was ≈ the fact itself — a full
+    * row-grain exchange per median pass plus three materialized support
+    * caches (the r14 bench-head line at 9.0 s). The hot-bucket form's
+    * exchanges are bucket-grain (span/2^16 level-1 partials, then the
+    * per-value support of ONLY the rank-containing bucket ≈ rows/2^16)
+    * — cent span is ~10^7, well inside the operator's documented
+    * ≤2^36 precondition, and the medians re-attach as ≤3-row broadcast
+    * — bit-identical integers (order statistics are tie-independent),
+    * oracle unchanged.
     */
   def madOutliers(s: SparkSession, d: String): DataFrame = {
-    val sup = graft.core.Caches.materialized(
+    val base = graft.core.Caches.materialized(
       Tables.lineitem(s, d)
         .select(
           col("l_returnflag"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .groupBy(col("l_returnflag"), col("cents"))
-        .agg(count(lit(1)).as("c")))
-    // med feeds TWO broadcasts (devSup's join and the final join) —
-    // materialized (group-count-sized) so the cumsum pass runs once
+          round(col("l_extendedprice") * 100).cast("long").as("cents")))
+    // med feeds every downstream pass (3+ references, 2 behind
+    // broadcasts) — eager 3-row materialization, the q227 rule
     val med = graft.core.Caches.materialized(
-      graft.ops.Stats.medianFromCounts(
-        sup, Seq("l_returnflag"), "cents", "c",
-        expr("cents div 65536"), "median_cents"))
-    // deviation support: |cents − med| keyed per group, counts summed
-    // across cents values that collapse to the same deviation — still
-    // value-domain sized, never raw rows
-    val devSup = graft.core.Caches.materialized(
-      sup
-        .join(broadcast(med), Seq("l_returnflag"))
-        .groupBy(
-          col("l_returnflag"),
-          abs(col("cents") - col("median_cents")).as("dev"))
-        .agg(sum(col("c")).as("dc")))
-    val mad = graft.ops.Stats.medianFromCounts(
-      devSup, Seq("l_returnflag"), "dev", "dc",
-      expr("dev div 65536"), "mad_cents")
+      graft.ops.Stats.medianHotBucket(
+        base, Seq("l_returnflag"), "cents", "median_cents"))
+    val dev = base
+      .join(broadcast(med), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("n_total"), col("median_cents"),
+        abs(col("cents") - col("median_cents")).as("dev"))
+    val mad = graft.ops.Stats.medianHotBucket(
+      dev, Seq("l_returnflag"), "dev", "mad_cents")
       .select(col("l_returnflag"), col("mad_cents"))
-    devSup
+    dev
       .join(broadcast(mad), Seq("l_returnflag"))
-      .join(
-        broadcast(med.select(
-          col("l_returnflag"), col("n_total"), col("median_cents"))),
-        Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
       .agg(
         max(col("n_total")).as("n_rows"),
         max(col("median_cents")).as("median_cents"),
         max(col("mad_cents")).as("mad_cents"),
-        sum(when(col("dev") > lit(3L) * col("mad_cents"), col("dc"))
+        sum(when(col("dev") > lit(3L) * col("mad_cents"), lit(1L))
           .otherwise(lit(0L))).as("n_outliers"))
       .orderBy(col("l_returnflag"))
   }

@@ -137,6 +137,43 @@ class AggregatesSpec extends SparkSpec {
     assert(med(data, buckets = 8) == ((501L, expected)))
   }
 
+  test("exactMedianPerGroupTwoPass: per-group type-1 medians match the sort definition") {
+    def medians(rows: Seq[(String, Long)], buckets: Int = 4, bound: Long = 16L) =
+      Aggregates.exactMedianPerGroupTwoPass(
+        rows.toDF("g", "x"), Seq("g"), "x", "med",
+        buckets = buckets, collectBound = bound)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    def expect(vals: Seq[Long]) = ((vals.length.toLong, vals.sorted.apply((vals.length - 1) / 2)))
+    val rnd = new scala.util.Random(19)
+    // groups with different shapes advancing together: near-unique wide
+    // domain, duplicate-heavy, negative-straddling, single-value
+    // (degenerate — finishes before any histogram round), and size-1
+    val a = Seq.fill(501)(rnd.nextInt(2000000000).toLong + 1000000000L)
+    val b = Seq.fill(100)(7L) ++ Seq(1L, 2L, 1000000L)
+    val c = Seq.fill(50)(-987654321098L) ++ Seq(-5L, 0L, 3L, 7L) ++ Seq.fill(49)(987654321098L)
+    val d = Seq.fill(9)(42L)
+    val e = Seq(-17L)
+    val rows = rnd.shuffle(
+      a.map(("a", _)) ++ b.map(("b", _)) ++ c.map(("c", _)) ++
+        d.map(("d", _)) ++ e.map(("e", _)))
+    val got = medians(rows)
+    assert(got == Map(
+      "a" -> expect(a), "b" -> expect(b), "c" -> expect(c),
+      "d" -> expect(d), "e" -> expect(e)))
+    // result is partitioning-invariant (pure function of the row set)
+    val repart = Aggregates.exactMedianPerGroupTwoPass(
+      rows.toDF("g", "x").repartition(7), Seq("g"), "x", "med",
+      buckets = 4, collectBound = 16L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(repart == got)
+    // group-count driver bound is asserted
+    intercept[IllegalArgumentException] {
+      Aggregates.exactMedianPerGroupTwoPass(
+        rows.toDF("g", "x"), Seq("g"), "x", "med", maxGroups = 2)
+    }
+  }
+
   test("exactMedianTwoPass: hot-bucket recursion keeps the driver collect bounded") {
     // 90%-one-value concentration over a huge value range: with
     // buckets=4 the first histogram puts ~all mass in one very wide

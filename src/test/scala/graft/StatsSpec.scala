@@ -49,6 +49,38 @@ class StatsSpec extends SparkSpec {
     assert(out == Set(("g", 4L, 1L), ("h", 3L, 20L)))
   }
 
+  test("medianHotBucket: per-group type-1 medians match the sort definition (raw rows)") {
+    def expect(vals: Seq[Long]) = ((vals.length.toLong, vals.sorted.apply((vals.length - 1) / 2)))
+    val rnd = new scala.util.Random(23)
+    // shapes crossing level-1 bucket boundaries at shift=4 (width 16):
+    // near-unique wide, duplicate run straddling a boundary, negatives
+    // straddling bucket 0, single value, singleton group
+    val a = Seq.fill(301)(rnd.nextInt(100000).toLong)
+    val b = Seq.fill(40)(15L) ++ Seq.fill(40)(16L) ++ Seq(1L, 2L, 99L)
+    val c = Seq.fill(21)(-30L) ++ Seq(-2L, 0L, 3L) ++ Seq.fill(20)(40L)
+    val d = Seq.fill(7)(5L)
+    val e = Seq(-9L)
+    val rows = rnd.shuffle(
+      a.map(("a", _)) ++ b.map(("b", _)) ++ c.map(("c", _)) ++
+        d.map(("d", _)) ++ e.map(("e", _))).toDF("g", "x")
+    def run(df: org.apache.spark.sql.DataFrame) = Stats
+      .medianHotBucket(df, Seq("g"), "x", "med", shift = 4)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = run(rows)
+    assert(got == Map(
+      "a" -> expect(a), "b" -> expect(b), "c" -> expect(c),
+      "d" -> expect(d), "e" -> expect(e)))
+    // pure function of the row set: partitioning-invariant
+    assert(run(rows.repartition(7)) == got)
+    // agrees with the support-cumsum sibling on its own fixture
+    val sib = Stats.medianHotBucket(
+      Seq(("g", 1L), ("g", 1L), ("g", 5L), ("g", 9L),
+        ("h", 10L), ("h", 20L), ("h", 30L)).toDF("grp", "k"),
+      Seq("grp"), "k", "med", shift = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(sib == Set(("g", 4L, 1L), ("h", 3L, 20L)))
+  }
+
   test("trimmedMeanMicroFromCounts: 10% trim of 1..10 keeps ranks 2-9, mean 5.5") {
     val counts = (1L to 10L).map(v => ("g", v, 1L)).toDF("grp", "k", "n")
     val r = Stats
