@@ -788,11 +788,26 @@ object EventQueries {
     * actually covers each anchor's true category — the analysis behind
     * the reference's strategy mix. Four semi-join counts over the same
     * cached enriched events.
+    *
+    * The ablation shares the [[Pipeline.candidatesFrom]] scaffold
+    * (VERDICT r14 item 2): the prefix-candidate set and the distinct
+    * (session, category) projection are cached ONCE and feed strategy 1,
+    * the covis fan-out, and the popularity top-N — previously each
+    * strategy re-planned its own subtree (13 scans, the widest contract
+    * plan at e22s13), now the covis/popularity branches read the two
+    * cached frames. Identical rows by construction:
+    * covisCandidatesFromDistinct(prefix, distinct) == covisCandidates,
+    * and per-category distinct-session count == the distinct
+    * projection's row count per category.
     */
   def strategyRecall(s: SparkSession, d: String): DataFrame = {
     val enriched = Pipeline.enrichedEvents(s, d)
     val a = Pipeline.anchors(enriched)
     val anchors = a.select(col("anchor_id"), col("category_id"))
+    val prefixC = graft.core.Caches.cache(Pipeline.prefixCandidates(a, enriched))
+    val di = graft.core.Caches.cache(
+      enriched.select(col("session_id"), col("category_id")).distinct())
+    val catPop = di.groupBy(col("category_id")).agg(count(lit(1)).as("cat_pop"))
     def recallOf(name: String, cand: DataFrame): DataFrame =
       anchors
         .join(cand.select("anchor_id", "category_id"),
@@ -800,9 +815,10 @@ object EventQueries {
         .agg(count(lit(1)).as("n_hit"))
         .select(lit(name).as("strategy"), col("n_hit"))
     val perStrategy = Seq(
-      recallOf("prefix", Pipeline.prefixCandidates(a, enriched)),
-      recallOf("covis", Pipeline.covisCandidates(a, enriched, minPairCount = 2, topK = 10)),
-      recallOf("popularity", Pipeline.popularityCandidates(a, enriched, topN = 5)),
+      recallOf("prefix", prefixC),
+      recallOf("covis",
+        Pipeline.covisCandidatesFromDistinct(prefixC, di, minPairCount = 2, topK = 10)),
+      recallOf("popularity", Pipeline.popularityFromCatPop(a, catPop, topN = 5)),
       recallOf("history", Pipeline.userHistoryCandidates(a, enriched, topK = 10)))
       .reduce(_ unionByName _)
     perStrategy
