@@ -151,11 +151,19 @@ object BaselineBench {
       val va = assemble(splits._2, cands._2, prefixes._2).cache()
       tr.count(); va.count(); (tr, va)
     }
+    // Row-group-bounded save (VERDICT r14 item 8): the feature matrix
+    // is an engine-DERIVED table read back by training jobs — 8 MB row
+    // groups make file splits real for downstream scan-rate consumers
+    // (ProbeRowGroups: kernel-stage walls halve on group-granular
+    // fixtures), where the reference's single default-block output
+    // reads back single-task per file.
     val (_, saveS) = t("parquet save") {
-      graft.core.Sinks.writeParquet(
-        mats._1, s"$outDir/processed/X_train_spark.parquet", Some(50000L))
-      graft.core.Sinks.writeParquet(
-        mats._2, s"$outDir/processed/X_valid_spark.parquet", Some(50000L))
+      graft.core.Sinks.writeScanParallelParquet(
+        mats._1, s"$outDir/processed/X_train_spark.parquet",
+        maxRecordsPerFile = Some(50000L))
+      graft.core.Sinks.writeScanParallelParquet(
+        mats._2, s"$outDir/processed/X_valid_spark.parquet",
+        maxRecordsPerFile = Some(50000L))
     }
     val totalS = (System.nanoTime() - t0) / 1e9
     val counts = Map(

@@ -56,11 +56,14 @@ object Sinks {
       df: DataFrame,
       path: String,
       rowGroupBytes: Long = 8L * 1024 * 1024,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+      mode: SaveMode = SaveMode.Overwrite,
+      maxRecordsPerFile: Option[Long] = None): Unit = {
+    var w = df.write.mode(mode)
       .option("compression", "snappy")
       .option("parquet.block.size", rowGroupBytes.toString)
-      .parquet(path)
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    w.parquet(path)
+  }
 
   /** Range-clustered sorted write: `repartitionByRange` on the cluster
     * key(s) + `sortWithinPartitions` before writing. Output files then

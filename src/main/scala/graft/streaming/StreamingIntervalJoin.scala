@@ -140,6 +140,44 @@ object StreamingIntervalJoin {
         col("p_ts"), col("c_ts"))
   }
 
+  /** CHAINED stateful topology — the q310 full-outer interval join
+    * feeding a per-user tumbling-window attribution count in ONE
+    * streaming query (two stateful operators). Purchase-grain input to
+    * the window agg: matched pairs + watermark-closed organic
+    * purchases; click-only ledger rows carry no purchase time and stay
+    * the join's own output (q310). Per window: `n_attributed` matched
+    * (purchase, click) pairs and `n_organic` purchases that closed with
+    * no qualifying click.
+    *
+    * Watermark interplay (why this composes correctly): Spark's
+    * multi-stateful watermark propagation (SPARK-42376) delays the
+    * DOWNSTREAM aggregation's emission watermark by the join's own
+    * eviction delay, so an organic purchase whose null row the join
+    * emits `lookback` late still lands in an OPEN window — no
+    * silently-dropped rows. Tumbling, not session, window: session
+    * windows are unsupported downstream of another stateful operator.
+    * State = join state (rate × (watermark + lookback)) + one window
+    * agg row per open (user, window) — both watermark-evicted.
+    * ProbeStreamSoak pins the ×100 state sizes and the zero-phantom /
+    * zero-drop parity vs the batch twin (same function, batch frames).
+    */
+  def attributionWindowCounts(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30,
+      lookback: String = "30 minutes",
+      clickWatermark: String = "1 hour",
+      purchaseWatermark: String = "30 minutes"): DataFrame =
+    clickPurchasePairsFullOuter(
+      clicks, purchases, lookback, clickWatermark, purchaseWatermark)
+      .filter(col("p_ts").isNotNull)
+      .groupBy(
+        col("user_id"),
+        window(col("p_ts"), s"$windowMinutes minutes").as("w"))
+      .agg(
+        count(col("click_id")).as("n_attributed"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_organic"))
+
   /** Bounded-run harness (the [[StreamingEnrich.runBounded]] pattern):
     * one events parquet drives BOTH stream sides (filtered by event
     * type) into an in-memory sink; returns the completed rows.
