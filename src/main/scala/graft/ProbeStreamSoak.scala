@@ -29,6 +29,7 @@ object ProbeStreamSoak {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val filesPerTrigger = args.drop(2).headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -59,13 +60,28 @@ object ProbeStreamSoak {
     graft.core.Sinks.writeClusteredParquet(
       ev.filter(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id"), purchDir, Seq("ts"), numFiles = 40)
+    // FileStreamSource batches files in MODIFICATION-TIME order, and a
+    // parallel write stamps near-identical mtimes — batches then pull
+    // arbitrary ts ranges, the watermark jumps ahead, and whole earlier
+    // files become late data (first soak run: 3900 false organics,
+    // 561k dropped windows at x100). Stamp mtimes in path order ==
+    // range-cluster order == event-time order, so the replay is a
+    // time-ordered feed (what a production log shipper delivers).
+    def orderMtimes(dir: String): Unit = {
+      val fs = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      var t = System.currentTimeMillis() - fs.length * 2000L
+      fs.foreach { f => f.setLastModified(t); t += 2000L }
+    }
+    orderMtimes(clickDir)
+    orderMtimes(purchDir)
     val nClicks = ev.filter(col("event_type") === "click").count()
     val nPurch = ev.filter(col("event_type") === "purchase").count()
     println(s"[soak] feeds: $nClicks clicks, $nPurch purchases (rep=$rep)")
 
     def feed(dir: String) = spark.readStream
       .schema("user_id long, ts timestamp, event_id long")
-      .option("maxFilesPerTrigger", "8")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(dir)
 
     val t0 = System.nanoTime()
@@ -126,8 +142,16 @@ object ProbeStreamSoak {
     val dropped = mustEmit -- streamed
     println(s"[soak] streamed=${streamed.size} batch=${batch.size} " +
       s"closed=${mustEmit.size} phantoms=${phantoms.size} dropped=${dropped.size}")
-    phantoms.take(3).foreach(r => println(s"[soak] PHANTOM $r"))
-    dropped.take(3).foreach(r => println(s"[soak] DROPPED $r"))
+    val batchByKey = batch.groupBy(r => (r._1, r._2, r._3))
+    phantoms.take(3).foreach { r =>
+      println(s"[soak] PHANTOM $r batch-side=" +
+        batchByKey.getOrElse((r._1, r._2, r._3), Set.empty))
+    }
+    val streamByKey = streamed.groupBy(r => (r._1, r._2, r._3))
+    dropped.take(3).foreach { r =>
+      println(s"[soak] DROPPED $r stream-side=" +
+        streamByKey.getOrElse((r._1, r._2, r._3), Set.empty))
+    }
     assert(phantoms.isEmpty && dropped.isEmpty,
       "soak parity violated — see PHANTOM/DROPPED lines")
     println("[soak] zero-phantom / zero-drop parity PASS")

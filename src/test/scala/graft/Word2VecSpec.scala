@@ -60,6 +60,20 @@ class Word2VecSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("vocabulary is partition-layout-invariant (vector VALUES are not — documented non-goal)") {
+    // DESIGN.md round 15: MLlib Word2Vec's SGD consumes sentences in
+    // RDD order, so vector values vary with input layout (measured
+    // |delta| <= ~0.08/dim at sf0.01). What IS layout-invariant — and
+    // pinned here — is the vocabulary (minCount filter over exact
+    // token counts) and the vector dimensionality.
+    def vocab(df: org.apache.spark.sql.DataFrame): Set[String] =
+      Embeddings.trainWord2Vec(df).select("word").as[String].collect().toSet
+    val v1 = vocab(seqs.coalesce(1))
+    assert(v1.nonEmpty)
+    assert(vocab(seqs.repartition(5)) == v1)
+    assert(vocab(seqs.repartition(13)) == v1)
+  }
+
   test("fixed seed + single partition is deterministic") {
     val one = seqs.coalesce(1).cache()
     def train() = Embeddings.trainWord2Vec(one, seed = 42L)
