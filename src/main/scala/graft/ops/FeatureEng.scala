@@ -86,41 +86,39 @@ object FeatureEng {
       loPpm: Long = 50000L,
       hiPpm: Long = 950000L): DataFrame = {
     val _ = tieCols
-    // support feeds three consumers, two of them broadcasts (cumsum
-    // offsets, totals) — materialize eagerly (the q227 rule) or the
-    // corpus groupBy replays once per broadcast build
-    val sup = graft.core.Caches.materialized(
-      df.groupBy(col(groupCol), col(valueCol).as("__v"))
-        .agg(count(lit(1)).as("__c")))
-    val cums = Windows.shardedCumsumBy(
-      sup, Seq(groupCol), "__v", Seq("__c"),
+    // r15: both ppm thresholds come off ONE hot-bucket rank pass
+    // ([[graft.ops.Stats.ranksHotBucket]], width-64 buckets) and the
+    // clipped mean is a RAW-ROW aggregate under the broadcast
+    // thresholds — the r13 support-cumsum form built a full
+    // (group, value, count) support, which on near-unique price values
+    // is ≈ the fact itself (a row-grain exchange; the q114 regression
+    // class). Exchanges now: bucket-grain histogram partials + the
+    // rank buckets' slice (≈ rows·64/span) + a |groups|-row agg.
+    // exact ⌈ppm·n/10⁶⌉ ranks; n must stay below ~9.7e12 per group
+    // (long overflow bound of n·ppm) — a float ceil(p·n) flips exactly
+    // when p·n is a whole number, hence the pure-integer form
+    def kOf(ppm: Long): String =
+      s"greatest((n_total * $ppm + 999999) div 1000000, 1L)"
+    val base = graft.core.Caches.materialized(
+      df.select(col(groupCol), col(valueCol).as("__v")))
+    val thresholds = graft.ops.Stats.ranksHotBucket(
+      base, Seq(groupCol), "__v",
+      Seq(("p_lo", kOf(loPpm)), ("p_hi", kOf(hiPpm))),
       expr("cast(floor(__v / 64) as long)"))
-    val tot = sup.groupBy(col(groupCol)).agg(sum(col("__c")).as("n"))
-    // exact ⌈ppm·n/10⁶⌉; n must stay below ~9.7e12 per group (long
-    // overflow bound of n·ppm) — a float ceil(p·n) flips exactly when
-    // p·n is a whole number, hence the pure-integer form
-    def kOf(ppm: Long): Column =
-      greatest(expr(s"(n * $ppm + 999999) div 1000000"), lit(1L))
-    val thresholds = cums
-      .join(broadcast(tot), Seq(groupCol))
-      .groupBy(col(groupCol))
-      .agg(
-        min(when(col("cum___c") >= kOf(loPpm), col("__v"))).as("p_lo"),
-        min(when(col("cum___c") >= kOf(hiPpm), col("__v"))).as("p_hi"))
-    sup
+      .select(col(groupCol), col("p_lo"), col("p_hi"))
+    base
       .join(broadcast(thresholds), Seq(groupCol))
       .withColumn("v_clip", least(greatest(col("__v"), col("p_lo")), col("p_hi")))
       .groupBy(col(groupCol))
       .agg(
-        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_rows"),
         max(col("p_lo")).as("p_lo"),
         max(col("p_hi")).as("p_hi"),
-        // Σ clip(v)·cnt over the support == Σ clip(v) over raw rows —
-        // the decimal products/sums are exact, so the final double
-        // division chain is bit-identical to the per-row form
+        // Σ clip(v) as exact decimal — order-independent, so the final
+        // double division chain is bit-identical to the support form
         floor(lit(1000000.0) *
-          sum(col("v_clip").cast("decimal(28,4)") * col("__c")).cast("double") /
-          sum(col("__c")).cast("double")).cast("long").as("avg_clip_micro"))
+          sum(col("v_clip").cast("decimal(28,4)")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("avg_clip_micro"))
   }
 
   /** Hashing trick over whitespace tokens: md5-derived bucket in

@@ -117,14 +117,41 @@ object Stats {
       partCols: Seq[String],
       valueCol: String,
       outName: String,
-      shift: Int = 16): DataFrame = {
+      shift: Int = 16): DataFrame =
+    ranksHotBucket(
+      df, partCols, valueCol,
+      Seq((outName, "(n_total + 1) div 2")),
+      expr(s"cast($valueCol as bigint) div ${1L << shift}L"))
+
+  /** [[medianHotBucket]] generalized to ANY set of integer order
+    * statistics: `ranks` gives (outName, 1-based rank as an integer SQL
+    * expression over `n_total`) pairs — e.g. the lower median is
+    * `"(n_total + 1) div 2"`, a ppm threshold is
+    * `"greatest((n_total * 50000 + 999999) div 1000000, 1L)"` (the r5
+    * pure-integer rank rule). One level-1 histogram serves every rank
+    * (each picks its own hot bucket off the same cumulative pass), and
+    * level 2 re-scans the fact filtered to the UNION of hot buckets —
+    * per-bucket cumsums plus the level-1 below-counts reconstruct each
+    * rank's global position. `bucketExpr` must be a MONOTONE
+    * non-decreasing integer bucket of `valueCol` (the shardedCumsum
+    * contract), sized so per-group bucket count and per-bucket row
+    * count both stay bounded (span/width and width·density).
+    * Output: partCols* + n_total + one column per rank, typed as
+    * `valueCol` (works on double domains too — q99's price thresholds).
+    */
+  def ranksHotBucket(
+      df: DataFrame,
+      partCols: Seq[String],
+      valueCol: String,
+      ranks: Seq[(String, String)],
+      bucketExpr: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(ranks.nonEmpty)
     val g = partCols.map(col)
     val v = col(valueCol)
     // project to group+value up front: the level-2 self-join re-attaches
     // `n_total`, which must not collide with caller columns
     val dfp = df.select(g :+ v: _*)
-    val bucketExpr = expr(s"cast($valueCol as bigint) div ${1L << shift}L")
     val h1 = dfp
       .filter(v.isNotNull)
       .groupBy(g :+ bucketExpr.as("__b1"): _*)
@@ -140,27 +167,51 @@ object Stats {
         sum(col("__c"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
           .as("n_total")): _*)
-    // hot bucket = MIN qualifying bucket; __b1 is unique per group, so
-    // the struct min carries its below-count along
+    // hot bucket per rank = MIN qualifying bucket; __b1 is unique per
+    // group, so the struct min carries its below-count along
     val hot = cum
-      .filter(col("__cum") >= expr("(n_total + 1) div 2"))
       .groupBy(g :+ col("n_total"): _*)
-      .agg(min(struct(col("__b1"), (col("__cum") - col("__c")).as("__below"))).as("__hb"))
-      .select(g ++ Seq(col("n_total"), col("__hb.__b1").as("__hot"),
-        col("__hb.__below").as("__below")): _*)
-    // level 2: per-value support of the hot-bucket slice only
+      .agg(
+        ranks.map { case (nm, k) =>
+          min(when(col("__cum") >= expr(k),
+            struct(col("__b1"), (col("__cum") - col("__c")).as("__below"))))
+            .as(s"__hb_$nm")
+        }.head,
+        ranks.map { case (nm, k) =>
+          min(when(col("__cum") >= expr(k),
+            struct(col("__b1"), (col("__cum") - col("__c")).as("__below"))))
+            .as(s"__hb_$nm")
+        }.tail: _*)
+    // level 2: per-value support of the UNION of hot-bucket slices
+    val hbCols = ranks.map { case (nm, _) => col(s"__hb_$nm") }
     val sup = dfp
       .join(broadcast(hot), partCols)
-      .filter(bucketExpr === col("__hot"))
-      .groupBy(g ++ Seq(col("n_total"), col("__below"), v.cast("long").as("__v")): _*)
+      .filter(ranks.map { case (nm, _) =>
+        bucketExpr === col(s"__hb_$nm.__b1")
+      }.reduce(_ || _))
+      .groupBy((g :+ col("n_total")) ++ hbCols ++
+        Seq(bucketExpr.as("__b1"), v.as("__v")): _*)
       .agg(count(lit(1)).as("__c2"))
-    val w2 = Window.partitionBy(g: _*).orderBy(col("__v"))
+    // per-BUCKET cumsum (the slice union is not contiguous across
+    // buckets; global cum at v = that bucket's below + within-bucket cum)
+    val w2 = Window.partitionBy(g :+ col("__b1"): _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sup
       .withColumn("__cum2", sum(col("__c2")).over(w2))
-      .filter(col("__below") + col("__cum2") >= expr("(n_total + 1) div 2"))
       .groupBy(g :+ col("n_total"): _*)
-      .agg(min(col("__v")).as(outName))
+      .agg(
+        ranks.map { case (nm, k) =>
+          min(when(
+            col(s"__hb_$nm.__b1") === col("__b1") &&
+              col(s"__hb_$nm.__below") + col("__cum2") >= expr(k),
+            col("__v"))).as(nm)
+        }.head,
+        ranks.map { case (nm, k) =>
+          min(when(
+            col(s"__hb_$nm.__b1") === col("__b1") &&
+              col(s"__hb_$nm.__below") + col("__cum2") >= expr(k),
+            col("__v"))).as(nm)
+        }.tail: _*)
   }
 
   def medianFromCounts(

@@ -1912,38 +1912,33 @@ object EventQueries {
   /** Median absolute deviation (q171) of value cents per event type —
     * the robust dispersion companion to q159's Theil–Sen location
     * trend (σ blows up on one fat-fingered order; MAD tolerates 50%
-    * contamination). Two [[graft.ops.Stats.medianFromCounts]] passes
-    * (median, then median of |x − median|) over COUNT-compressed cent
-    * supports — all integer, type-1 medians, never a per-row window.
+    * contamination). Two [[graft.ops.Stats.medianHotBucket]] passes
+    * (median, then median of |x − median|) — cent values are
+    * near-unique, so the r13 count-compressed support was ≈ the fact
+    * (the q114 regression class); the hot-bucket form's exchanges are
+    * bucket-grain (shift 8 → span/256 level-1 buckets on the ~50k-cent
+    * domain, then the rank bucket's ≈ rows·256/span slice). All
+    * integer, type-1 medians, bit-identical output, never a per-row
+    * window.
     */
   def madCents(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.events(s, d)
+    val base = graft.core.Caches.materialized(
+      Tables.events(s, d)
+        .select(
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents")))
+    val med = graft.core.Caches.materialized(
+      graft.ops.Stats.medianHotBucket(
+        base, Seq("event_type"), "cents", "median_cents", shift = 8))
+    val dev = base
+      .join(broadcast(med), Seq("event_type"))
       .select(
-        col("event_type"),
-        expr("cast(round(value * 100) as bigint)").as("cents"))
-      .groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("n"))
-      .transform(graft.core.Caches.cache)
-    // med feeds TWO consumers (the dev-pass broadcast and the final
-    // join), and medianFromCounts itself broadcasts a subtree over the
-    // lazily cached counts — eagerly checkpoint the 5-row median table
-    // so pass 1 runs ONCE and the counts cache is materialized before
-    // any broadcast races it (the q126/q301 rule; this was the bench
-    // head's repeated-scan plan).
-    val med = graft.ops.Stats.medianFromCounts(
-      counts, Seq("event_type"), "cents", "n",
-      expr("cents div 5000"), "median_cents")
-      .localCheckpoint(true)
-    val devCounts = graft.core.Caches.cache(counts
-      .join(broadcast(med.select(col("event_type"), col("median_cents"))),
-        Seq("event_type"))
-      .groupBy(col("event_type"), abs(col("cents") - col("median_cents")).as("dev"))
-      .agg(sum(col("n")).as("n")))
+        col("event_type"), col("n_total"), col("median_cents"),
+        abs(col("cents") - col("median_cents")).as("dev"))
     graft.ops.Stats
-      .medianFromCounts(
-        devCounts, Seq("event_type"), "dev", "n",
-        expr("dev div 5000"), "mad_cents")
-      .join(med.select(col("event_type"), col("median_cents")), Seq("event_type"))
+      .medianHotBucket(dev, Seq("event_type"), "dev", "mad_cents", shift = 8)
+      .select(col("event_type"), col("mad_cents"))
+      .join(broadcast(med), Seq("event_type"))
       .select(
         col("event_type"), col("n_total"), col("median_cents"), col("mad_cents"))
       .orderBy(col("event_type"))

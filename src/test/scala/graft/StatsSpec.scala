@@ -81,6 +81,38 @@ class StatsSpec extends SparkSpec {
     assert(sib == Set(("g", 4L, 1L), ("h", 3L, 20L)))
   }
 
+  test("ranksHotBucket: ppm thresholds on a DOUBLE domain match the sort definition") {
+    // the q99 shape: p05/p95 ranks (pure-integer ppm ranks) over
+    // near-unique doubles, buckets of width 64
+    val rnd = new scala.util.Random(31)
+    val a = Seq.fill(400)(rnd.nextDouble() * 100000.0)
+    val b = Seq.fill(37)(rnd.nextDouble() * 500.0) ++ Seq(250.0, 250.0, 250.0)
+    val rows = rnd.shuffle(a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    def kOf(ppm: Long) = s"greatest((n_total * $ppm + 999999) div 1000000, 1L)"
+    val got = Stats.ranksHotBucket(
+      rows, Seq("g"), "v",
+      Seq(("p_lo", kOf(50000L)), ("p_hi", kOf(950000L))),
+      expr("cast(floor(v / 64) as long)"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def expect(vals: Seq[Double]) = {
+      val s = vals.sorted
+      def at(ppm: Long) =
+        s(((vals.length.toLong * ppm + 999999L) / 1000000L).max(1L).toInt - 1)
+      ((vals.length.toLong, at(50000L), at(950000L)))
+    }
+    assert(got == Map("a" -> expect(a), "b" -> expect(b)))
+    // both ranks landing in the SAME hot bucket must still resolve
+    val tiny = Seq.fill(10)(("t", 5.0)) ++ Seq(("t", 6.0), ("t", 7.0))
+    val gt = Stats.ranksHotBucket(
+      tiny.toDF("g", "v"), Seq("g"), "v",
+      Seq(("p_lo", kOf(50000L)), ("p_hi", kOf(950000L))),
+      expr("cast(floor(v / 64) as long)"))
+      .as[(String, Long, Double, Double)].head()
+    val tv = tiny.map(_._2)
+    assert((gt._2, gt._3, gt._4) == expect(tv))
+  }
+
   test("trimmedMeanMicroFromCounts: 10% trim of 1..10 keeps ranks 2-9, mean 5.5") {
     val counts = (1L to 10L).map(v => ("g", v, 1L)).toDF("grp", "k", "n")
     val r = Stats
