@@ -35,7 +35,14 @@ object ProbeScaleLineitem {
       .select(
         (col("l_orderkey") + col("__r") * keySpan).as("l_orderkey") +:
           base.columns.filterNot(_ == "l_orderkey").map(col): _*)
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // bounded row groups (r14 rule): the single-partition explode
+      // would otherwise land as one file with default 128 MB groups —
+      // single-task for every scan, understating the cohort's map-side
+      // parallelism at exactly the scale the probe exists to show
+      .transform(df => {
+        graft.core.Sinks.writeScanParallelParquet(df, s"$out/lineitem.parquet")
+        df
+      })
     val n = spark.read.parquet(s"$out/lineitem.parquet").count()
     println(s"[scale] lineitem x$r = $n rows at $out")
 
