@@ -119,4 +119,59 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     assert(phantomP == 0, "stream emitted a purchase null row that HAS a match")
     assert(phantomC == 0, "stream emitted a click null row that HAS a match")
   }
+
+  test("chained topology: full-outer join -> window agg, zero phantom / zero dropped vs batch twin") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = sf("sf0.001")
+    // single-file feed => one data batch + watermark-finalize batches;
+    // multi-batch replay dynamics are ProbeStreamSoak's job (x100)
+    val srcDir = {
+      val p = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val d = java.nio.file.Files.createTempDirectory("chain-src")
+      java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+      d.toString
+    }
+    def feed(t: String) =
+      graft.streaming.StreamingSessions.eventStream(spark, srcDir)
+        .filter(col("event_type") === t)
+    val q = StreamingIntervalJoin
+      .attributionWindowCounts(feed("click"), feed("purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("ws_us"),
+        unix_micros(col("w.end")).as("we_us"),
+        col("n_attributed"), col("n_organic"))
+      .writeStream
+      .format("memory").queryName("chain_spec")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("chain_spec")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    val ev = graft.core.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    def batchFeed(t: String) = ev.filter(col("event_type") === t)
+    val batch = StreamingIntervalJoin
+      .attributionWindowCounts(batchFeed("click"), batchFeed("purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("ws_us"),
+        unix_micros(col("w.end")).as("we_us"),
+        col("n_attributed"), col("n_organic"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    // W = min(click max − 1 h, purchase max − 30 min); downstream agg
+    // watermark is delayed by the join's organic emission lag (lookback)
+    val w = ev
+      .agg(least(
+        max(when(col("event_type") === "click", unix_micros(col("ts")))) - 3600000000L,
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))) - 1800000000L))
+      .as[Long].head()
+    val mustEmit = batch.filter(_._3 <= w - 1800000000L)
+    assert(mustEmit.nonEmpty, "fixture must close at least one window")
+    assert((streamed -- batch).isEmpty, "phantom rows vs the batch twin")
+    assert((mustEmit -- streamed).isEmpty, "watermark-closed window not emitted")
+  }
 }
