@@ -88,6 +88,22 @@ object Pipeline {
       se.join(broadcast(itemCategory(rawEvents(spark, dir))), Seq("item_id"), "inner"))
   }
 
+  /** Distinct (session_id, item_id) projection, cached — the
+    * item-grain covis scaffold. Consumers that each built their own
+    * copy (q111's capped cosine input, q112's covis neighbor table)
+    * planned DIFFERENT subtrees for the same content, so the
+    * sessionize+distinct exchange ran once per query; routing every
+    * item-covis consumer through this ONE constructor makes the plans
+    * identical and Spark's CacheManager serves them all from a single
+    * InMemoryRelation within a scope.
+    */
+  def distinctSessionItems(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Caches.cache(
+      sessionizedEvents(spark, dir)
+        .select(col("session_id"), col("item_id"))
+        .filter(col("item_id").isNotNull)
+        .distinct())
+
   /** Anchors = purchase events with session + category context
     * (reference ATC extraction `:183-194`).
     */

@@ -883,9 +883,14 @@ object EventQueries {
     val trans = Windows.transitionCounts(
       enriched, "session_id",
       Seq(col("epoch_s").asc, col("event_id").asc), "item_id")
+    // neighbor table off the SHARED distinct (session, item) scaffold
+    // (identical content to the enriched projection — the item-category
+    // join is inner on a dimension derived from events, so no non-null
+    // item row is dropped; identical PLAN to q111's input, so the
+    // cached relation is reused within a scope)
     val directed = Joins.covisSymmetricDirected(
-      enriched.select(col("session_id"), col("item_id")),
-      "session_id", "item_id", minCount = 2L)
+      Pipeline.distinctSessionItems(s, d),
+      "session_id", "item_id", minCount = 2L, alreadyDistinct = true)
     val top3 = Windows
       .topKPerGroup(directed, Seq("src"), col("pair_count"), Seq("dst"), k = 3)
       .select(col("src").as("item_a"), col("dst").as("item_b"), lit(1).as("hit"))
@@ -944,13 +949,10 @@ object EventQueries {
     * broadcasts back onto the pairs.
     */
   def itemCosine(s: SparkSession, d: String): DataFrame = {
-    // di is referenced twice inside dik's subtree (the fact side and
-    // the size-filter semi-join): cached so its sessionize+distinct
-    // runs once — both references resolve to the SAME InMemoryRelation
-    val di = graft.core.Caches.cache(Pipeline.sessionizedEvents(s, d)
-      .select(col("session_id"), col("item_id"))
-      .filter(col("item_id").isNotNull)
-      .distinct())
+    // the shared item-covis scaffold (one sessionize+distinct serves
+    // q111 AND q112's neighbor build within a scope); di is referenced
+    // twice inside dik's subtree — both resolve to the cached relation
+    val di = Pipeline.distinctSessionItems(s, d)
     val dik = graft.core.Caches.cache(
       di.join(
         di.groupBy(col("session_id")).agg(count(lit(1)).as("sz"))
