@@ -835,7 +835,30 @@ object SparkEntry {
       .map(m => substrCountSql("(' ' || text || ' ')", s" $m "))
       .mkString("(", " + ", ")")
 
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB INLINES chained CTEs by default: in an iterative oracle
+    * (k-truss peel rounds, label-propagation rounds) every round's CTE
+    * re-expands its whole upstream chain per reference, so the events
+    * scan + sessionize re-run ~refs^rounds times — q193 measured
+    * 101 s inlined vs 0.1 s materialized at sf0.01, bit-identical
+    * rows (and the oriented-rewrite attempt hit EMFILE from ~33^3
+    * expanded scans before this was diagnosed). `AS MATERIALIZED`
+    * pins each CTE to one evaluation. Applied ONLY to the verified
+    * iterative cohort: recursive CTEs can't take the keyword, and the
+    * flat single-pass oracles gain nothing.
+    */
+  private val materializedCteOracles: Set[String] = Set(
+    "q140_kcore", "q157_communities", "q173_hits", "q193_ktruss",
+    "q215_community_purity", "q227_community_nmi", "q270_mutual_knn",
+    "q277_knn_outliers", "q287_modularity")
+
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+
+  def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
+    (k, if (materializedCteOracles(k)) materializeCtes(v) else v)
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  COUNT(*) AS n_rows,
