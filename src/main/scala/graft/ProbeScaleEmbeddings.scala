@@ -62,7 +62,8 @@ object ProbeScaleEmbeddings {
       "q254_silhouette", "q255_stratified_kfold", "q256_power_iteration",
       "q257_conformal_coverage", "q258_matryoshka_fidelity",
       "q260_label_noise", "q261_centroid_drift",
-      "q266_int8_quant", "q269_kcenter_coreset", "q274_embedding_anova")
+      "q266_int8_quant", "q269_kcenter_coreset", "q274_embedding_anova",
+      "q313_kmeans")
     // Bucket-quadratic LSH ops: the contract pins planes for the oracle
     // (6/8 at 500–2k vectors); at scale `planes` is the deployment knob
     // that holds bucket occupancy ~n/2^planes constant. Probe them with

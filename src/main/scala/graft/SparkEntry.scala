@@ -352,7 +352,9 @@ object SparkEntry {
     "q309_unattributed_purchases" -> (EQ.streamUnattributedPurchases _),
     "q310_attribution_ledger" -> (EQ.streamAttributionLedger _),
     "q311_rank_sketch" -> (EQ.rankSketchQuantiles _),
-    "q312_phash_neardup" -> (TQ.phashNearDup _))
+    "q312_phash_neardup" -> (TQ.phashNearDup _),
+    "q313_kmeans" -> (TQ.kmeansClusters _),
+    "q314_longest_repeat" -> (TQ.longestRepeat _))
 
   // ——— shared oracle-SQL fragments ———
 
@@ -849,10 +851,17 @@ object SparkEntry {
   private val materializedCteOracles: Set[String] = Set(
     "q140_kcore", "q157_communities", "q173_hits", "q193_ktruss",
     "q215_community_purity", "q227_community_nmi", "q270_mutual_knn",
-    "q277_knn_outliers", "q287_modularity")
+    "q277_knn_outliers", "q287_modularity", "q313_kmeans")
 
   private def materializeCtes(sql: String): String =
-    sql.replaceAll("(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+    // Anchored to CTE-header positions only: a CTE name is preceded
+    // either by the WITH keyword or by the previous CTE's closing
+    // `),` at chain level. The previous bare `\w+ AS (` rewrite also
+    // matched WINDOW clauses (`WINDOW w AS (...)`) — adding one to a
+    // cohort oracle would have silently produced invalid DuckDB SQL
+    // (ADVICE r15).
+    sql.replaceAll("(?s)(WITH\\s+|\\)\\s*,\\s*)(\\w+)\\s+AS\\s*\\(",
+      "$1$2 AS MATERIALIZED (")
 
   def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
     (k, if (materializedCteOracles(k)) materializeCtes(v) else v)
@@ -7251,7 +7260,63 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin)
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+    // Fixed-round integer k-means: md5-rank seeds (c0), 3 exact-integer
+    // Lloyd rounds unrolled as chained CTEs — each round assigns to the
+    // previous round's centroids and re-averages per dimension (the q41
+    // arithmetic, iterated). In the iterative AS MATERIALIZED cohort:
+    // every aN re-reads qv and cN−1, so inlining would re-expand the
+    // chain refs^rounds times (the q193 lesson). The final round emits
+    // every centroid component + member count, so the hash checks the
+    // whole iteration bit-for-bit.
+    "q313_kmeans" ->
+      s"""WITH $quantCte, ranked AS (
+         |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+         |  FROM qv
+         |), c0 AS (
+         |  SELECT CAST(srn - 1 AS BIGINT) AS cid, v AS cq FROM ranked WHERE srn <= 8
+         |), ${(1 to 2).map { r =>
+            s"""a$r AS (
+         |  ${assignSql("qv", s"c${r - 1}", "vid", 64)} WHERE rn = 1
+         |), c${r}d AS (
+         |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM a$r, unnest(generate_series(1, 64)) AS t(i)
+         |  GROUP BY cid, i
+         |), c$r AS (
+         |  SELECT cid, list(cv ORDER BY i) AS cq FROM c${r}d GROUP BY cid
+         |)"""
+          }.mkString(", ")}, a3 AS (
+         |  ${assignSql("qv", "c2", "vid", 64)} WHERE rn = 1
+         |)
+         |SELECT cid, CAST(i - 1 AS BIGINT) AS pos,
+         |  CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM a3, unnest(generate_series(1, 64)) AS t(i)
+         |GROUP BY cid, i
+         |ORDER BY cid, pos""".stripMargin,
+    // Longest repeated substring per doc, capped at 48: the capped
+    // value equals COUNT(DISTINCT L ≤ 48 with a duplicated L-window) —
+    // "some L-window repeats" is downward-closed in L (the prefix of a
+    // duplicated window is duplicated), so the indicator holds for
+    // exactly L = 1..lrs. The engine side is a row-local suffix
+    // automaton; this ladder is the oracle-affordable exact mirror.
+    "q314_longest_repeat" ->
+      """WITH lens AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |), w AS (
+        |  SELECT doc_id, L, substring(text, p, CAST(L AS INT)) AS sub
+        |  FROM lens, unnest(generate_series(1, 48)) AS tl(L),
+        |       unnest(generate_series(1, length(text) - L + 1)) AS tp(p)
+        |  WHERE len >= L + 1
+        |), dup AS (
+        |  SELECT doc_id, L FROM w GROUP BY doc_id, L, sub HAVING COUNT(*) >= 2
+        |), per AS (
+        |  SELECT doc_id, CAST(COUNT(DISTINCT L) AS BIGINT) AS lrs FROM dup GROUP BY doc_id
+        |)
+        |SELECT l.doc_id, CAST(l.len AS BIGINT) AS doc_len,
+        |  CAST(COALESCE(p.lrs, 0) AS BIGINT) AS lrs_len
+        |FROM lens l LEFT JOIN per p USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin)
 
   /** DuckDB mirror of [[graft.ops.Sketches.logBucket]] for a value
     * expression (q106's bucket math, shared so the sketch rows cannot

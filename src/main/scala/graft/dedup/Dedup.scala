@@ -171,17 +171,16 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    // all i<j pairs of the sorted posting list ⇒ id_a < id_b by construction
-    val pairExpr = flatten(
-      transform(
-        col("ids"),
-        (x, i) =>
-          transform(
-            slice(col("ids"), i + 2, size(col("ids"))),
-            y => struct(x.as("id_a"), y.as("id_b")))))
+    // all i<j pairs of the sorted posting list ⇒ id_a < id_b by
+    // construction. Lazy custom generator, NOT the explode-of-HOF form:
+    // InferFiltersFromGenerate re-evaluates an ExplodeBase's interpreted
+    // f²-array expression up to 3× per posting row, and even one
+    // evaluation materializes a stop-shingle's whole pair array — the
+    // q279 hot-task class (r10/r16 rule).
     val inter = post
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .sortedPairsExplode(col("ids")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter_count"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
@@ -1003,6 +1002,36 @@ object Dedup {
     mergeDupPositions(pos, minLen)
   }
 
+  /** Per-document longest-repeated-substring stats (q314) — arbitrary
+    * length and alignment, the suffix-automaton closure of the
+    * substring-dedup family: the window operators ([[duplicatedSpans]]
+    * ≥64, [[maximalRepeatRanges]] at its q128/q179 ≥48/≥16 floors)
+    * provably miss any repeat SHORTER than their window, and report
+    * coverage ranges rather than an exact repeat length. One
+    * suffix-automaton pass per row ([[org.apache.spark.sql.graft
+    * .LongestRepeat]], O(n·log σ), code-point offsets), entirely
+    * scan-side — a per-document statistic never leaves the row (the
+    * RepetitionStats rule), vs the relational window ladder's
+    * Θ(n·maxLen) corpus blowup.
+    *
+    * `cap` bounds the REPORTED length (`least(lrs, cap)`): the
+    * downward-closed "some L-window repeats" property makes the capped
+    * value oracle-checkable as COUNT(DISTINCT dup'd L ≤ cap), a
+    * window-ladder formulation DuckDB can afford exactly because the
+    * cap bounds it. Output: (doc_id, doc_len, lrs_len).
+    */
+  def longestRepeatStats(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      cap: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("doc_len"),
+      least(
+        org.apache.spark.sql.graft.LongestRepeat(col(textCol)),
+        lit(cap.toLong)).cast("long").as("lrs_len"))
+
   /** Content-defined chunking (CDC): split each document at positions
     * where the fingerprint of the `window`-char run ENDING there is
     * ≡ 0 (mod `divisor`) — boundaries are a function of local CONTENT,
@@ -1126,16 +1155,10 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val pairExpr = flatten(
-      transform(
-        col("ids"),
-        (x, i) =>
-          transform(
-            slice(col("ids"), i + 2, size(col("ids"))),
-            y => struct(x.as("id_a"), y.as("id_b")))))
     val inter = post
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .sortedPairsExplode(col("ids")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter_count"))
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
@@ -1240,16 +1263,10 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val pairExpr = flatten(
-      transform(
-        col("ids"),
-        (x, i) =>
-          transform(
-            slice(col("ids"), i + 2, size(col("ids"))),
-            y => struct(x.as("id_a"), y.as("id_b")))))
     post
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .sortedPairsExplode(col("ids")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }

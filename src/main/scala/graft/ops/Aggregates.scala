@@ -316,9 +316,18 @@ object Aggregates {
     val outSchema = StructType(groupSchema.fields ++ Seq(
       StructField("n_total", LongType, nullable = false),
       StructField(outName, LongType, nullable = false)))
-    val init = df.filter(v.isNotNull)
+    // Null group keys would survive this groupBy but never match the
+    // per-round equi-join against stDf below (equi-joins drop null
+    // keys), so hist(key) would throw for any non-degenerate null-key
+    // group — drop them up front (ADVICE r15). The value column must
+    // be bigint-castable: min/max are read back as Long, and the
+    // histogram buckets on `cast(value as bigint)`.
+    val nonNullKeys = gcols.map(_.isNotNull).reduce(_ && _)
+    val base = df.filter(v.isNotNull && nonNullKeys)
+    val init = base
       .groupBy(gcols: _*)
-      .agg(min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
+      .agg(min(v.cast("long")).as("__lo"), max(v.cast("long")).as("__hi"),
+        count(lit(1)).as("__n"))
       .collect()
     require(init.length <= maxGroups,
       s"exactMedianPerGroupTwoPass: ${init.length} groups exceeds driver bound $maxGroups")
@@ -354,9 +363,9 @@ object Aggregates {
         StructField("__gw", LongType, nullable = false)))
       val stDf = spark.createDataFrame(
         spark.sparkContext.parallelize(stRows, 1), stSchema)
-      val hist = df
+      val hist = base
         .join(broadcast(stDf), groupCols)
-        .filter(v.between(col("__glo"), col("__ghi")))
+        .filter(v.cast("long").between(col("__glo"), col("__ghi")))
         .groupBy(gcols :+ expr(s"cast($valueCol as bigint) div __gw").as("__b"): _*)
         .agg(count(lit(1)).as("__c"))
         .collect()

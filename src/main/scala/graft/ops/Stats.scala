@@ -150,8 +150,15 @@ object Stats {
     val g = partCols.map(col)
     val v = col(valueCol)
     // project to group+value up front: the level-2 self-join re-attaches
-    // `n_total`, which must not collide with caller columns
-    val dfp = df.select(g :+ v: _*)
+    // `n_total`, which must not collide with caller columns.
+    // Null group keys are EXCLUDED, consistently at both levels: they
+    // would survive the level-1 groupBy but vanish in level 2's
+    // equi-join on partCols, silently emitting no ranks for the group
+    // (ADVICE r15) — filtering here makes "null keys excluded" the
+    // documented contract instead of a level disagreement.
+    val dfp = df
+      .filter(g.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+      .select(g :+ v: _*)
     val h1 = dfp
       .filter(v.isNotNull)
       .groupBy(g :+ bucketExpr.as("__b1"): _*)

@@ -361,8 +361,30 @@ object CurationQueries {
     * computed division-first so nothing crosses int64 even at 10⁹
     * docs.
     */
-  def blockingQuality(s: SparkSession, d: String): DataFrame =
-    blockingQualityAudit(Tables.documents(s, d), sampleMod = 1L)
+  def blockingQuality(s: SparkSession, d: String): DataFrame = {
+    // Auto-escalation (VERDICT r15 item 2): the exact ground-truth side
+    // is the suite's one deliberate exact-by-design quadratic-ish
+    // surface (712 s at 500k docs measured pre-sampling, DESIGN.md) —
+    // the shipped DEFAULT must not be the scale-killer. Below
+    // `exactAuditDocBound` docs the audit runs exact (sampleMod = 1 —
+    // both gate SFs: 500 and 5000 docs, oracle-hashed); above it the
+    // md5 doc-sample mod doubles until the sampled side fits the bound,
+    // a deterministic function of corpus size (SampledAuditSpec pins
+    // the estimator's error against exact at test scale).
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    var mod = 1L
+    while (n / mod > exactAuditDocBound) mod *= 2
+    blockingQualityAudit(docs, sampleMod = mod)
+  }
+
+  /** Docs ceiling for the EXACT (sampleMod = 1) ground-truth side of
+    * [[blockingQuality]]: ~20k docs keeps the exact postings join
+    * around a minute worst-case on one node (interpolating the 500k →
+    * 712 s probe), far under it on healthy data. [[blockingQualityAudit]]
+    * refuses mod = 1 above this bound rather than silently stalling.
+    */
+  val exactAuditDocBound: Long = 20000L
 
   /** [[blockingQuality]]'s engine with the 100 TB knob: `sampleMod` > 1
     * restricts the EXACT ground-truth side (and the hit intersection)
@@ -378,6 +400,15 @@ object CurationQueries {
     * ProbeScaleDocs carries the bounded-shuffle evidence at 500k docs.
     */
   def blockingQualityAudit(docs: DataFrame, sampleMod: Long): DataFrame = {
+    val nDocs = docs.count()
+    // loud refusal instead of a silent stall: the exact ground-truth
+    // side is the one deliberately quadratic-ish surface in the suite
+    // (712 s at 500k docs) — callers wanting exactness above the bound
+    // must sample ([[blockingQuality]] escalates automatically)
+    require(sampleMod > 1L || nDocs <= exactAuditDocBound,
+      s"blockingQualityAudit: $nDocs docs exceeds the exact-mode bound " +
+        s"$exactAuditDocBound; pass sampleMod > 1 (blockingQuality " +
+        "auto-escalates)")
     val gtDocs =
       if (sampleMod <= 1L) docs
       else docs.filter(
@@ -390,7 +421,6 @@ object CurationQueries {
       Dedup.lshCandidatePairs(
         Dedup.lshBands(Dedup.minhashSignatures(sh, numHashes = 16),
           bands = 4, rowsPerBand = 4)))
-    val nDocs = docs.count()
     val totalPairs = nDocs * (nDocs - 1L) / 2L
     val tT = truePairs.agg(count(lit(1)).as("n_true"))
     val tC = cand.agg(count(lit(1)).as("n_candidates"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.{Aggregates => Ag, Joins, Profile, Windows}
+import graft.ops.{Aggregates => Ag, Joins, Profile, Stats, Windows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -247,14 +247,22 @@ object RelationalQueries {
           .otherwise("both").as("status"))
   }
 
-  /** Exact global median of lineitem price cents — two aggregation
-    * passes, no global sort (Ag.exactMedianTwoPass).
+  /** Exact global median of lineitem price cents — the LAZY two-level
+    * hot-bucket form (Stats.medianHotBucket): level-1 histogram over
+    * `cents div 2^16` (span-bounded, ~10^7-cent domain → ~160 buckets),
+    * level-2 re-scan of the single hot bucket. No global sort, no
+    * driver loop: the former eager two-pass form
+    * (Ag.exactMedianTwoPass) executed Spark jobs at PLAN-CONSTRUCTION
+    * time, which broke FpAll's construction-only contract (VERDICT r15
+    * item 6); the driver-looped form remains in Aggregates only for
+    * genuinely unbounded value spans.
     */
   def exactMedian(s: SparkSession, d: String): DataFrame =
-    Ag.exactMedianTwoPass(
-        Tables.lineitem(s, d),
-        round(col("l_extendedprice") * 100))
-      .select(col("n_rows"), col("median").as("median_cents"))
+    Stats.medianHotBucket(
+        Tables.lineitem(s, d)
+          .select(round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        Seq.empty, "cents", "median_cents", shift = 16)
+      .select(col("n_total").as("n_rows"), col("median_cents"))
 
   /** Reshaping: melt three lineitem measures into (metric, value_cents)
     * rows (Dataset.unpivot — executor-side row expansion, no shuffle).

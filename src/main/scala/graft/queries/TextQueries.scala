@@ -111,6 +111,18 @@ object TextQueries {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** Fixed-round integer k-means over the embedding corpus (q313):
+    * 8 md5-seeded centroids, 3 exact-integer Lloyd rounds — one
+    * corpus scan per round, centroids re-entering as driver-literal
+    * kernel arguments (zero-exchange assignment). Output grain
+    * (cid, pos): every final centroid component plus member counts,
+    * so the oracle hash checks the whole iteration bit-for-bit.
+    */
+  def kmeansClusters(s: SparkSession, d: String): DataFrame =
+    Similarity.kMeansDeterministic(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      nCentroids = 8, rounds = 3)
+
   /** Product-quantization ANN (q155): 16 subspaces × 32 cells compress
     * each 64-dim vector to 16 codes (~10 bytes vs 256 — the index that
     * still fits in memory at corpus sizes where full vectors don't);
@@ -760,6 +772,15 @@ object TextQueries {
   def shortRepeats(s: SparkSession, d: String): DataFrame =
     Dedup.maximalRepeatRanges(Tables.documents(s, d), "text", "doc_id",
       minLen = 16)
+
+  /** Per-doc longest repeated substring (q314) — arbitrary length and
+    * alignment via a row-local suffix automaton
+    * ([[Dedup.longestRepeatStats]]): the exact repeat LENGTH the
+    * fixed-floor window passes (q128 ≥48, q179 ≥16) cannot report,
+    * capped at 48 for the oracle's window-ladder formulation.
+    */
+  def longestRepeat(s: SparkSession, d: String): DataFrame =
+    Dedup.longestRepeatStats(Tables.documents(s, d), "text", "doc_id", cap = 48)
 
   /** Held-out bigram-LM surprisal (train even doc_ids, score odd —
     * [[TextRanking.bigramSurprisal]]).

@@ -270,6 +270,76 @@ object Similarity {
       .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("cq"))
   }
 
+  /** Distributed fixed-round integer k-means (q313) — the clustering
+    * backbone for corpus organization / semantic dedup, promoted from
+    * the one-step coarse quantizer ([[deterministicCentroids]]) to a
+    * k-round Lloyd (Lloyd 1982): md5-rank pseudo-random seeds, then
+    * `rounds` updates where every arithmetic step is exact — integer-L2
+    * argmin assignment (argmax 2·v·c − ||c||², min-cid tie-break) and a
+    * per-dimension `floor(sum/count)` centroid update on integer sums
+    * (component sums stay < 2⁵³, so the one double division is exact
+    * enough to floor identically on any engine). Bit-identical under
+    * any partitioning, engine, or re-run ⇒ oracle-checkable as
+    * AS-MATERIALIZED chained CTEs (the q193 lesson).
+    *
+    * Scale shape: each round is ONE corpus scan — the ≤ `nCentroids`
+    * updated centroid rows are collected at the driver (the bounded
+    * materialization every coarse quantizer makes) and re-enter the
+    * next assignment as driver-literal kernel arguments
+    * (centroid_cells_explode: zero-exchange assignment, the r10 rule),
+    * and the update agg is map-side combinable at (cid, pos) grain —
+    * ≤ nCentroids·dim tiny rows shuffled per round, never a vector.
+    * The per-round collect severs lineage, so the logical plan does
+    * NOT compound across rounds (the kTruss localCheckpoint rule,
+    * satisfied by construction). A cell that empties drops out of
+    * subsequent rounds on both engines alike.
+    * Output grain (cid, pos): final centroid components + the member
+    * count of the assignment that produced them.
+    */
+  def kMeansDeterministic(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCentroids: Int,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "kMeansDeterministic: rounds >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(
+      col(idCol).cast("long").as("vec_id"), quantize(col(embCol)).as("q_emb"))
+    val seedPool = c
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("h"), col("vec_id").cast("string").as("nid"), col("q_emb"))
+      .collect()
+    var cents = seedPool
+      .sortBy(r => (r.getString(0), r.getString(1)))
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](2)) }
+      .toSeq.toDF("cid", "cq")
+    def exploded(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .longArrayPosExplode(col("q_emb")).as(Seq("pos", "val")))
+    for (_ <- 1 until rounds) {
+      cents = exploded(assignTo(c, "vec_id", "q_emb", cents, 1))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("val")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(col("cid"))
+        .agg(graft.ops.Aggregates.sortedList(Seq(col("pos")), col("cv")).as("cq"))
+    }
+    exploded(assignTo(c, "vec_id", "q_emb", cents, 1))
+      .groupBy(col("cid"), col("pos"))
+      .agg(
+        floor(sum(col("val")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"),
+        count(lit(1)).as("n_members"))
+      .select(col("cid"), col("pos").cast("long").as("pos"),
+        col("cv"), col("n_members"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): drop documents
     * whose EMBEDDINGS nearly coincide with a kept document's — the

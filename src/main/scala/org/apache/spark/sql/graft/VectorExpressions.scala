@@ -474,6 +474,53 @@ case class LongArrayPosExplode(child: Expression)
       newChild: Expression): LongArrayPosExplode = copy(child = newChild)
 }
 
+/** All i<j pairs of a SORTED long-id posting list, emitted LAZILY as
+  * (id_a, id_b) rows — the postings-join pair generator
+  * (ngramJaccardPairs / containmentPairs / winnowingOverlapPairs).
+  *
+  * The HOF formulation it replaces — explode(flatten(transform(ids,
+  * (x,i) -> transform(slice(ids, i+2, ...), y -> struct(x, y))))) —
+  * was the q279/q28 hot-task class twice over: (1)
+  * InferFiltersFromGenerate guards an ExplodeBase with size(f)>0 AND
+  * isnotnull(f), so the interpreted HOF builds the FULL f² struct
+  * array up to 3× per posting row (the r10 rule: only a custom
+  * Generator escapes the rewrite); (2) even once, a stop-shingle's
+  * f² array materializes whole before exploding. This iterator emits
+  * pairs one at a time with no intermediate array — a 10k-id posting
+  * streams its 50M pairs instead of allocating them.
+  */
+case class SortedPairsExplode(child: Expression)
+    extends UnaryExpression with Generator with ExpectsInputTypes
+    with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def elementSchema: StructType = new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val a = child.eval(input)
+    if (a == null) Nil
+    else {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        def hasNext: Boolean = i < n - 1 && j < n
+        def next(): InternalRow = {
+          val r = InternalRow(arr.getLong(i), arr.getLong(j))
+          j += 1
+          if (j >= n) { i += 1; j = i + 1 }
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedPairsExplode = copy(child = newChild)
+}
+
 /** First table index where an LSH corpus bucket collides with one of
   * the query's probed buckets: `min { t : cBuckets[t] ∈
   * qVariants[t·perTable .. (t+1)·perTable) }`, −1 when none — the
@@ -845,6 +892,9 @@ object VectorExpressions {
 
   def longArrayPosExplode(a: Column): Column =
     ExpressionUtils.column(LongArrayPosExplode(ExpressionUtils.expression(a)))
+
+  def sortedPairsExplode(a: Column): Column =
+    ExpressionUtils.column(SortedPairsExplode(ExpressionUtils.expression(a)))
 
   def phash64(text: Column, gram: Int, basis: IndexedSeq[Long]): Column =
     ExpressionUtils.column(

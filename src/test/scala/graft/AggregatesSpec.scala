@@ -174,6 +174,20 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("exactMedianPerGroupTwoPass: null group keys excluded, int value column cast (ADVICE r15)") {
+    // a null-key group used to survive the init groupBy but never match
+    // the per-round equi-join -> NoSuchElementException; and raw
+    // min/max were read with getLong, throwing on an INT value column
+    val rows = Seq((Option("a"), 10), (Option("a"), 20), (Option("a"), 30),
+      (Option.empty[String], 500), (Option.empty[String], 600),
+      (Option.empty[String], 700))
+      .toDF("g", "x")
+    val out = Aggregates.exactMedianPerGroupTwoPass(
+      rows, Seq("g"), "x", "med", buckets = 4, collectBound = 4L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 3L, 20L)))
+  }
+
   test("exactMedianTwoPass: hot-bucket recursion keeps the driver collect bounded") {
     // 90%-one-value concentration over a huge value range: with
     // buckets=4 the first histogram puts ~all mass in one very wide

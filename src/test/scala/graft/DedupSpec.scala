@@ -249,6 +249,39 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 30L, 20L), (2L, 33L, 53L, 20L)))
   }
 
+  test("longestRepeatStats: exact LRS at arbitrary length; both fixed floors provably miss it") {
+    // a 10-char unit repeated once, below even q179's >=16 floor: the
+    // window passes return NOTHING while the suffix automaton reports
+    // the exact length. Non-periodic fixture (round-6 rule): disjoint
+    // filler alphabets, so the planted repeat is the true maximum.
+    val text = "abcdefghij" + "KLMNOPQRST" + "abcdefghij" + "UVWXYZ0123"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    assert(Dedup.maximalRepeatRanges(docs, "text", "doc_id", minLen = 16).count() == 0,
+      ">=16 floor must miss the 10-char repeat")
+    assert(Dedup.maximalRepeatRanges(docs, "text", "doc_id", minLen = 48).count() == 0)
+    val r = Dedup.longestRepeatStats(docs, "text", "doc_id", cap = 48)
+      .as[(Long, Long, Long)].head()
+    assert(r == ((1L, 40L, 10L)))
+    // cap applies: a 30-char repeat reported as min(lrs, cap)
+    val rep30 = "qwertyuiopasdfghjklzxcvbnm1234"
+    val capped = Dedup.longestRepeatStats(
+      Seq((7L, rep30 + "AAAA" + rep30 + "BBBB")).toDF("doc_id", "text"),
+      "text", "doc_id", cap = 12)
+      .as[(Long, Long, Long)].head()
+    assert(capped._3 == 12L)
+  }
+
+  test("LongestRepeat kernel: hand cases incl. overlap and unicode code points") {
+    val df = Seq("aaa", "abab", "abc", "", "banana", "x😀y😀z")
+      .toDF("t")
+    val got = df
+      .select(org.apache.spark.sql.graft.LongestRepeat(col("t")).as("l"))
+      .as[Long].collect().toSeq
+    // banana: overlapping "ana" twice -> 3; the emoji repeat is ONE
+    // code point (SQL character), not two UTF-16 units
+    assert(got == Seq(2L, 2L, 0L, 0L, 3L, 1L))
+  }
+
   test("maximalRepeatRanges merges overlapping windows of a long repeat into ONE maximal range") {
     import spark.implicits._
     // non-periodic 135-char repeat (pseudo-random chars, no internal

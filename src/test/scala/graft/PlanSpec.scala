@@ -228,6 +228,32 @@ class PlanSpec extends SparkSpec {
       s"expected the support aggregation BELOW the cumulative window:\n$p")
   }
 
+  test("cross-SF strategy shifts (q117/q171/q272/q185): small-regime shapes pinned") {
+    // The four REAL cross-SF fingerprint diffs are size-based planner
+    // choices adjudicated per regime (DESIGN.md, VERDICT r15 item 4):
+    // - q117: the prefix-strategy LeftSemi broadcasts while the
+    //   candidate side fits and flips to shuffle SMJ once BOTH sides
+    //   are corpus-rate — at 100× the SMJ is the right plan, and
+    //   forcing a broadcast hint would be the actual scale bug. Pin
+    //   the small-regime broadcast here so a config/hint regression
+    //   (e.g. autoBroadcastThreshold disabled) is caught.
+    // - q171/q272: build-side flips of a broadcast join whose build
+    //   side is free to flip — pin that the join STAYS broadcast.
+    // - q185: Spark injects a runtime bloom filter only past the
+    //   injection threshold — pin its absence in the small regime
+    //   (its appearance at scale is the feature working).
+    val p117 = plan(SparkEntry.queries("q117_strategy_recall")(spark, dir))
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p117).isDefined,
+      "q117 small regime: prefix LeftSemi should broadcast")
+    assert(plan(SparkEntry.queries("q171_mad_cents")(spark, dir))
+      .contains("BroadcastHashJoin"), "q171: event_type join should broadcast")
+    assert(plan(SparkEntry.queries("q272_rare_token_docs")(spark, dir))
+      .contains("BroadcastHashJoin"), "q272: doc_id join should broadcast")
+    assert(!plan(SparkEntry.queries("q185_mcnemar")(spark, dir))
+      .contains("might_contain"),
+      "q185 small regime: runtime bloom filter below injection threshold")
+  }
+
   test("no contract query plans an unpartitioned Window over unbounded input") {
     // the one scale-killer class a green oracle can hide: a global
     // `Window.orderBy(...)` pulls its whole input into ONE task. The
@@ -262,7 +288,15 @@ class PlanSpec extends SparkSpec {
                 // true on an empty orderSpec (ADVICE r13)
                 !(w.orderSpec.nonEmpty && w.orderSpec.forall(_.child match {
                   case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-                    a.name == "__cumsup"
+                    // __cumsup: shardedCumsumBy's super-shard totals
+                    // (≤ shards/65536 rows). __b1: ranksHotBucket's
+                    // level-1 bucket HISTOGRAM with empty partCols (the
+                    // global-median case) — its row count is
+                    // span/2^shift buckets by the operator's own
+                    // construction (Stats.scala), never row- or
+                    // value-grain. Both are operator-structural, not
+                    // per-query judgment calls.
+                    a.name == "__cumsup" || a.name == "__b1"
                   case _ => false
                 })) =>
             s"$name: Window(order=${w.orderSpec.map(_.sql).mkString(",")})"

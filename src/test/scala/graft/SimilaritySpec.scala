@@ -107,6 +107,30 @@ class SimilaritySpec extends SparkSpec {
     assert(run(vecs.repartition(7)) == out)
   }
 
+  test("kMeansDeterministic: converges to planted cluster means, partitioning-invariant") {
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(1.1f, -0.1f)),
+      (4L, Seq(-1.0f, 0.0f)), (5L, Seq(-0.9f, 0.1f)), (6L, Seq(-1.1f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .kMeansDeterministic(pts, "vec_id", "embedding", nCentroids = 2, rounds = 3)
+      .orderBy("cid", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 4) // 2 centroids x 2 dims
+    // whatever the md5 seeds, 3 Lloyd rounds settle on the planted 3/3
+    // split with EXACT integer floor-means: dim-0 components ±10000
+    // (means of {10000, 9000, 11000} and the negatives), dim-1 exactly 0
+    assert(out.map(_._4).toSeq == Seq(3L, 3L, 3L, 3L),
+      s"member counts: ${out.mkString(",")}")
+    assert(out.filter(_._2 == 0L).map(_._3).sorted.toSeq == Seq(-10000L, 10000L))
+    assert(out.filter(_._2 == 1L).map(_._3).toSeq == Seq(0L, 0L))
+    // bit-identical under repartitioning (exact-integer Lloyd)
+    val rep = Similarity
+      .kMeansDeterministic(pts.repartition(7), "vec_id", "embedding", 2, 3)
+      .orderBy("cid", "pos").as[(Long, Long, Long, Long)].collect()
+    assert(rep.toSeq == out.toSeq)
+  }
+
   test("ANN recall@5 vs brute force: LSH and IVF clear measured floors") {
     val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 64)

@@ -113,6 +113,45 @@ class StatsSpec extends SparkSpec {
     assert((gt._2, gt._3, gt._4) == expect(tv))
   }
 
+  test("ranksHotBucket: Zipf hot bucket (one value = 60% of rows) stays exact") {
+    // the VERDICT r15 item-5 failure-mode guard: row skew must not
+    // become rank error. One hot VALUE (60% of all rows → its level-1
+    // bucket holds >half the corpus) + a near-unique tail across many
+    // buckets. The hot value is ONE support row however many raw rows
+    // carry it — the level-2 window partition stays ≤ 2^shift support
+    // rows by construction — and the ranks must match the sort
+    // definition bit-for-bit, including ranks that land ON the hot
+    // value and just past it.
+    val rnd = new scala.util.Random(47)
+    val tail = Seq.fill(400)(rnd.nextInt(1000000).toLong)
+    val hot = Seq.fill(600)(500000L)
+    val rows = rnd.shuffle(
+      (hot ++ tail).map(("z", _))).toDF("g", "x")
+    def kOf(ppm: Long) = s"greatest((n_total * $ppm + 999999) div 1000000, 1L)"
+    def run(df: org.apache.spark.sql.DataFrame) = Stats.ranksHotBucket(
+      df, Seq("g"), "x",
+      Seq(("p25", kOf(250000L)), ("p50", kOf(500000L)), ("p75", kOf(750000L))),
+      expr("cast(x as bigint) div 16"))
+      .as[(String, Long, Long, Long, Long)].head()
+    val got = run(rows)
+    val s = (hot ++ tail).sorted
+    def at(ppm: Long) = s(((s.length.toLong * ppm + 999999L) / 1000000L).max(1L).toInt - 1)
+    assert(got == (("z", s.length.toLong, at(250000L), at(500000L), at(750000L))))
+    assert(run(rows.repartition(11)) == got)
+  }
+
+  test("ranksHotBucket: null group keys are excluded, non-null groups unaffected") {
+    // the documented contract (ADVICE r15): a null partCols group is
+    // dropped consistently at BOTH levels instead of surviving level 1
+    // and silently vanishing from level 2's equi-join
+    val rows = Seq((Option("a"), 1L), (Option("a"), 2L), (Option("a"), 3L),
+      (Option.empty[String], 7L), (Option.empty[String], 8L))
+      .toDF("g", "x")
+    val out = Stats.medianHotBucket(rows, Seq("g"), "x", "med", shift = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 3L, 2L)))
+  }
+
   test("trimmedMeanMicroFromCounts: 10% trim of 1..10 keeps ranks 2-9, mean 5.5") {
     val counts = (1L to 10L).map(v => ("g", v, 1L)).toDF("grp", "k", "n")
     val r = Stats

@@ -159,15 +159,21 @@ def main(sf_dir, out_dir, only=None):
             n_fail += 1
         if name in fps:
             r["fingerprint"] = fps[name]
+    # A filtered run (the single-query debug loop) must not clobber the
+    # full run's artifact: the full per-query secs drive longest-job-first
+    # scheduling, and correctness.json is the round's attestation. Write
+    # filtered results to correctness.partial.json instead (ADVICE r15).
+    art_path = (f"{out_dir}/correctness.partial.json" if only
+                else f"{out_dir}/correctness.json")
     art = {"sf": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
            "queries": results}
-    with open(f"{out_dir}/correctness.json", "w") as f:
+    with open(art_path, "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
     slow = sorted(results.items(), key=lambda kv: -kv[1].get("sec", 0))[:5]
     print("slowest compares: " +
           ", ".join(f"{k}={v['sec']}s" for k, v in slow))
     print(f"== {n_pass} pass / {n_fail} fail ==")
-    print(f"wrote {out_dir}/correctness.json")
+    print(f"wrote {art_path}")
     return 1 if n_fail else 0
 
 
