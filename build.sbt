@@ -11,12 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Machine-readable test attestation: ScalaTest writes one JUnit XML per
-// suite into target/test-reports; tools/tests_json.py aggregates them
-// into tests.json (suite, count, wall) — committed at repo root each
-// round so the judge can verify the test-run claim without re-running
-// the full suite wall (VERDICT r15 item 9).
-Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-u", "target/test-reports")
+// Machine-readable test attestation: sbt's built-in JUnitXmlReportPlugin
+// writes one JUnit XML per suite into target/test-reports;
+// tools/tests_json.py aggregates them into tests.json (suite, count,
+// wall) — committed at repo root each round so the judge can verify the
+// test-run claim without re-running the full suite wall (VERDICT r15
+// item 9). Do NOT also add ScalaTest's `-u` reporter here: both write
+// the same filenames and the interleaved output is corrupt XML.
 // The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
 // JSON. sbt's default LoggedOutput prefixes forked-process output with
 // "[info] " and appends a "[success] Total time ..." trailer — both broke

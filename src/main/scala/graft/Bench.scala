@@ -51,6 +51,13 @@ object Bench {
       // dependent, the hidden-class address is random per JVM)
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
       .replaceAll("/0x[0-9a-f]{8,}", "/0x")
+      // HOF lambda-variable names (`lambda x_21#123`): the x_N counter
+      // is a session-global atomic incremented per lambda CONSTRUCTION,
+      // so a query's fingerprint shifted whenever any earlier-run query
+      // gained or lost a HOF (r16: de-HOFing q28's pair expansion moved
+      // q50/q75's hashes). Construction-order is environment, not plan
+      // shape.
+      .replaceAll("lambda x_\\d+", "lambda x_N")
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(N)")
       // Range leaves print their split count = default parallelism —
       // session config, same class as shuffle partition counts (was
