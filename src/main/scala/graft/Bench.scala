@@ -56,8 +56,9 @@ object Bench {
       // so a query's fingerprint shifted whenever any earlier-run query
       // gained or lost a HOF (r16: de-HOFing q28's pair expansion moved
       // q50/q75's hashes). Construction-order is environment, not plan
-      // shape.
-      .replaceAll("lambda x_\\d+", "lambda x_N")
+      // shape — but DISTINCT variables in one plan must stay distinct
+      // (a flat `x_N` collapse made `(a, b) -> a` hash like
+      // `(a, b) -> b`), so renumber by first occurrence instead.
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(N)")
       // Range leaves print their split count = default parallelism —
       // session config, same class as shuffle partition counts (was
@@ -90,7 +91,7 @@ object Bench {
     // observed: 3); `[^()]*` atoms are paren-free so the pattern cannot
     // backtrack catastrophically. The (?m) `$`-anchored variant catches a
     // spec whose closing paren was cut by simpleString(250) truncation.
-    var s = base
+    var s = renumberLambdas(base)
     var prev = ""
     while (prev != s) {
       prev = s
@@ -99,6 +100,24 @@ object Bench {
         .replaceAll(s"(?m)(hashpartitioning|rangepartitioning)\\(($balanced5), \\d+$$", "$1($2, N")
     }
     s
+  }
+
+  /** Canonicalize HOF lambda-variable numbers per plan: each distinct
+    * `lambda x_<k>` is renumbered to its first-occurrence index in the
+    * plan text. Removes the session-global construction-counter noise
+    * while keeping distinct variables distinguishable (normalization
+    * v6).
+    */
+  private def renumberLambdas(t: String): String = {
+    val m = java.util.regex.Pattern.compile("lambda x_(\\d+)").matcher(t)
+    val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val sb = new StringBuffer
+    while (m.find()) {
+      val idx = ids.getOrElseUpdate(m.group(1), ids.size)
+      m.appendReplacement(sb, s"lambda x_$idx")
+    }
+    m.appendTail(sb)
+    sb.toString
   }
 
   /** Regex fragment matching paren-balanced content up to 5 nesting

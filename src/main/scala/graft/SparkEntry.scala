@@ -853,15 +853,59 @@ object SparkEntry {
     "q215_community_purity", "q227_community_nmi", "q270_mutual_knn",
     "q277_knn_outliers", "q287_modularity", "q313_kmeans")
 
-  private def materializeCtes(sql: String): String =
-    // Anchored to CTE-header positions only: a CTE name is preceded
-    // either by the WITH keyword or by the previous CTE's closing
-    // `),` at chain level. The previous bare `\w+ AS (` rewrite also
-    // matched WINDOW clauses (`WINDOW w AS (...)`) — adding one to a
-    // cohort oracle would have silently produced invalid DuckDB SQL
-    // (ADVICE r15).
-    sql.replaceAll("(?s)(WITH\\s+|\\)\\s*,\\s*)(\\w+)\\s+AS\\s*\\(",
-      "$1$2 AS MATERIALIZED (")
+  private[graft] def materializeCtes(sql: String): String = {
+    // A real WITH-chain walk, not a regex: the previous `),\s*\w+ AS (`
+    // anchor still matched the 2nd+ definitions of a multi-definition
+    // WINDOW clause (`WINDOW a AS (...), b AS (...)` — q74's oracle has
+    // the shape), which would silently produce invalid DuckDB SQL if
+    // such an oracle joined the cohort (ADVICE r15, completed r16).
+    // Walk: after WITH, rewrite `name AS (`, skip the balanced-paren
+    // body, continue while the next token is `,`. WINDOW clauses live
+    // inside CTE bodies or after the chain's final SELECT — never at a
+    // chain position — so the walk cannot touch them. Parse failure
+    // throws: a silently-unrewritten cohort oracle re-inlines its CTE
+    // chain refs^rounds times (the q193 101 s pathology).
+    val s = sql
+    def skipWs(i0: Int): Int = {
+      var i = i0; while (i < s.length && s(i).isWhitespace) i += 1; i
+    }
+    require(s.startsWith("WITH"),
+      s"materializeCtes: cohort oracle must start with WITH: ${s.take(40)}")
+    val out = new StringBuilder
+    var prev = 0            // copied-through watermark
+    var i = skipWs(4)       // after "WITH"
+    var more = true
+    while (more) {
+      val nameStart = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+      require(i > nameStart, s"materializeCtes: expected CTE name at $nameStart")
+      i = skipWs(i)
+      require(s.regionMatches(true, i, "AS", 0, 2),
+        s"materializeCtes: expected AS after CTE name at $i")
+      i = skipWs(i + 2)
+      require(i < s.length && s(i) == '(',
+        s"materializeCtes: expected ( after AS at $i")
+      out.append(s.substring(prev, i)).append("MATERIALIZED ")
+      prev = i
+      var depth = 0
+      do {                  // skip the balanced-paren CTE body
+        s(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '\'' =>      // string literal: parens inside don't count
+            i += 1
+            while (i < s.length && s(i) != '\'') i += 1
+            require(i < s.length, "materializeCtes: unterminated literal")
+          case _ =>
+        }
+        i += 1
+        require(i <= s.length, "materializeCtes: unbalanced parens")
+      } while (depth > 0)
+      i = skipWs(i)
+      if (i < s.length && s(i) == ',') { i = skipWs(i + 1) } else more = false
+    }
+    out.append(s.substring(prev)).toString
+  }
 
   def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
     (k, if (materializedCteOracles(k)) materializeCtes(v) else v)

@@ -35,7 +35,10 @@ object Verify {
       work0.map { case (name, fn) =>
         (name,
           try Bench.planFingerprint(fn(spark, sfDir))
-          catch { case _: Throwable => "-" })
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name fingerprint failed: ${e.getMessage}")
+            "-"
+          })
       }.toMap
     }
     // Harness-owned pin: the sessionize+enrich subtree feeds ~15
@@ -58,22 +61,43 @@ object Verify {
     // parquet row group), so cross-query concurrency is what fills the
     // cores — measured ~3× on the full surface at sf0.01.
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
-    val work = work0
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     val fps =
       try {
-        val futures = work.map { case (name, fn) =>
+        val futures = work0.map { case (name, fn) =>
           pool.submit(new java.util.concurrent.Callable[(String, String)] {
+            // On failure: DELETE the query's output dir (a stale parquet
+            // from a previous run in the same outDir would otherwise
+            // silently PASS the compare — observed masking a q160
+            // cache-race failure, r16) and retry once (transient races
+            // heal; real failures reproduce and fail loudly with no
+            // output left behind).
+            def attempt(): Unit = graft.core.Caches.withScope {
+              val df = fn(spark, sfDir)
+              df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+            }
+            def deleteOut(): Unit = {
+              val dir = Paths.get(s"$outDir/$name")
+              if (Files.exists(dir)) {
+                import scala.jdk.CollectionConverters._
+                Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+                  .iterator().asScala.foreach(Files.deleteIfExists(_))
+              }
+            }
             def call(): (String, String) = {
-              val ok = try graft.core.Caches.withScope {
-                val df = fn(spark, sfDir)
-                df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-                true
-              }
-              catch { case e: Throwable =>
-                System.err.println(s"[verify] $name failed: ${e.getMessage}")
-                false
-              }
+              val ok =
+                try { attempt(); true }
+                catch { case e1: Throwable =>
+                  System.err.println(
+                    s"[verify] $name failed (retrying): ${e1.getMessage}")
+                  deleteOut()
+                  try { attempt(); true }
+                  catch { case e2: Throwable =>
+                    System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+                    deleteOut()
+                    false
+                  }
+                }
               (name, if (ok) fpPre.getOrElse(name, "-") else "-")
             }
           })

@@ -22,40 +22,76 @@ import org.apache.spark.storage.StorageLevel
   * after the consuming action, so harness loops (`Verify`, `Bench`)
   * leave no lingering `InMemoryRelation` per query.
   *
-  * A plan that is ALREADY cached when `cache(df)` is called is NOT
-  * adopted by the scope — whoever created that entry owns it. This
-  * lets a harness pin genuinely shared tables (e.g. the sessionized
-  * events every query reads) outside the per-query scopes and keep
-  * cross-query reuse, while operator-local intermediates come and go
-  * with their query.
+  * A plan that is ALREADY cached when `cache(df)` is called — by a
+  * harness pin or a plain `.cache()` outside any scope — is NOT
+  * adopted: whoever created that entry owns it. This lets a harness
+  * pin genuinely shared tables (e.g. the sessionized events every
+  * query reads) outside the per-query scopes and keep cross-query
+  * reuse, while operator-local intermediates come and go with their
+  * query.
+  *
+  * Scope-CREATED entries are REFERENCE-COUNTED across scopes:
+  * Spark's CacheManager dedupes by semantic plan equality, so two
+  * concurrent harness threads whose operators cache the same subtree
+  * (q41/q155/q160 share IVF/PQ intermediates) share ONE
+  * InMemoryRelation — before r16, the first scope to finish
+  * unpersisted it and the sibling's running job died with
+  * "Block rdd_N does not exist" (observed on q160 in a Verify pool
+  * run). Now each scope that touches the entry holds a reference and
+  * only the LAST release unpersists. The registry lookup is by
+  * `canonicalized` plan equality — the same equivalence CacheManager
+  * uses — under one lock, so release-to-zero and a sibling's re-grab
+  * cannot interleave.
   *
   * Scopes nest (innermost wins) and are thread-confined: plan
   * construction happens on the calling thread, so a ThreadLocal stack
-  * is sufficient and concurrent harness threads never share scopes.
+  * is sufficient for the scope stack itself.
   */
 object Caches {
 
+  private final class Entry(
+      val df: DataFrame,
+      val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) {
+    var refs: Int = 0
+  }
+
+  /** Scope-created live cache entries; guarded by `Caches.synchronized`. */
+  private val registry = ArrayBuffer.empty[Entry]
+
   final class Scope private[Caches] () {
-    private[Caches] val owned = ArrayBuffer.empty[DataFrame]
+    private[Caches] val owned = ArrayBuffer.empty[Entry]
   }
 
   private val active = new ThreadLocal[List[Scope]] {
     override def initialValue: List[Scope] = Nil
   }
 
-  /** `df.cache()`, registered with the innermost active scope iff this
-    * call is what created the cache entry.
+  /** `df.cache()`, reference-counted with the innermost active scope.
+    * Outside any scope: plain `df.cache()` semantics (caller owns it).
     */
-  def cache(df: DataFrame): DataFrame = {
-    // an ALREADY-cached plan is returned as-is (whoever cached it owns
-    // it — the adoption rule) without re-asking the CacheManager, which
-    // would log a spurious "already cached" warning per call
-    if (df.storageLevel != StorageLevel.NONE) df
-    else {
-      val out = df.cache()
-      active.get.headOption.foreach(_.owned += out)
-      out
-    }
+  def cache(df: DataFrame): DataFrame = active.get.headOption match {
+    case None =>
+      if (df.storageLevel != StorageLevel.NONE) df else df.cache()
+    case Some(scope) =>
+      Caches.synchronized {
+        val canon = df.queryExecution.analyzed.canonicalized
+        registry.find(_.plan == canon) match {
+          case Some(e) =>
+            // a sibling (or this) scope already caches this subtree —
+            // hold a reference; Spark's planner resolves the caller's
+            // own frame against the shared InMemoryRelation, so return
+            // `df` (the entry's frame has different exprIds)
+            e.refs += 1; scope.owned += e; df
+          case None =>
+            if (df.storageLevel != StorageLevel.NONE) df // foreign pin
+            else {
+              val out = df.cache()
+              val e = new Entry(out, canon)
+              e.refs = 1; registry += e; scope.owned += e
+              out
+            }
+        }
+      }
   }
 
   /** [[cache]] + eager materialization (a count over the cached frame
@@ -82,7 +118,15 @@ object Caches {
     try f
     finally {
       active.set(active.get.tail)
-      s.owned.foreach(_.unpersist(blocking = false))
+      Caches.synchronized {
+        s.owned.foreach { e =>
+          e.refs -= 1
+          if (e.refs == 0) {
+            registry -= e
+            e.df.unpersist(blocking = false)
+          }
+        }
+      }
       s.owned.clear()
     }
   }

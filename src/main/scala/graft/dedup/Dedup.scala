@@ -1028,9 +1028,13 @@ object Dedup {
     docs.select(
       col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("doc_len"),
-      least(
-        org.apache.spark.sql.graft.LongestRepeat(col(textCol)),
-        lit(cap.toLong)).cast("long").as("lrs_len"))
+      // least() SKIPS nulls, so least(kernel(null), cap) would report
+      // cap for a NULL text while the oracle's window ladder finds no
+      // duplicated window and reports 0 — guard the null case explicitly
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(least(
+          org.apache.spark.sql.graft.LongestRepeat(col(textCol)),
+          lit(cap.toLong)).cast("long")).as("lrs_len"))
 
   /** Content-defined chunking (CDC): split each document at positions
     * where the fingerprint of the `window`-char run ENDING there is

@@ -322,7 +322,8 @@ object Aggregates {
     // group — drop them up front (ADVICE r15). The value column must
     // be bigint-castable: min/max are read back as Long, and the
     // histogram buckets on `cast(value as bigint)`.
-    val nonNullKeys = gcols.map(_.isNotNull).reduce(_ && _)
+    val nonNullKeys =
+      gcols.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true))
     val base = df.filter(v.isNotNull && nonNullKeys)
     val init = base
       .groupBy(gcols: _*)

@@ -375,7 +375,7 @@ object CurationQueries {
     val n = docs.count()
     var mod = 1L
     while (n / mod > exactAuditDocBound) mod *= 2
-    blockingQualityAudit(docs, sampleMod = mod)
+    blockingQualityAudit(docs, sampleMod = mod, knownCount = n)
   }
 
   /** Docs ceiling for the EXACT (sampleMod = 1) ground-truth side of
@@ -399,8 +399,12 @@ object CurationQueries {
     * the estimator against the exact answer at test scale, and
     * ProbeScaleDocs carries the bounded-shuffle evidence at 500k docs.
     */
-  def blockingQualityAudit(docs: DataFrame, sampleMod: Long): DataFrame = {
-    val nDocs = docs.count()
+  def blockingQualityAudit(
+      docs: DataFrame, sampleMod: Long, knownCount: Long = -1L): DataFrame = {
+    // knownCount: caller-supplied corpus count (blockingQuality already
+    // counted for the escalation loop — don't run the job twice per
+    // plan construction); < 0 means count here
+    val nDocs = if (knownCount >= 0L) knownCount else docs.count()
     // loud refusal instead of a silent stall: the exact ground-truth
     // side is the one deliberately quadratic-ish surface in the suite
     // (712 s at 500k docs) — callers wanting exactness above the bound

@@ -188,6 +188,16 @@ class AggregatesSpec extends SparkSpec {
     assert(out == Set(("a", 3L, 20L)))
   }
 
+  test("exactMedianPerGroupTwoPass: empty groupCols = global median (no-filter regression)") {
+    // the r16 null-key filter used reduce on the key list — empty
+    // groupCols (the documented global-median form) threw on empty.reduce
+    val rows = Seq(5L, 1L, 9L, 3L, 7L).toDF("x")
+    val out = Aggregates.exactMedianPerGroupTwoPass(
+      rows, Seq.empty, "x", "med", buckets = 4, collectBound = 8L)
+      .as[(Long, Long)].head()
+    assert(out == ((5L, 5L)))
+  }
+
   test("exactMedianTwoPass: hot-bucket recursion keeps the driver collect bounded") {
     // 90%-one-value concentration over a huge value range: with
     // buckets=4 the first histogram puts ~all mass in one very wide

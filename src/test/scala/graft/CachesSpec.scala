@@ -62,6 +62,40 @@ class CachesSpec extends SparkSpec {
     shared.unpersist(blocking = true)
   }
 
+  test("semantically-equal caches are refcounted across concurrent scopes (q160 race)") {
+    // Spark's CacheManager dedupes by plan equality, so two harness
+    // threads caching the same subtree share ONE InMemoryRelation —
+    // the first scope to exit used to unpersist it under the second
+    // scope's running job ("Block rdd_N does not exist", q160 in a
+    // Verify pool run). Now the last reference unpersists.
+    cacheManager.clearCache()
+    import spark.implicits._
+    def mk = Seq((1, 2L), (3, 4L)).toDF("a", "b")
+      .groupBy("a").agg(sum("b").as("s"))
+    val aCached = new java.util.concurrent.CountDownLatch(1)
+    val bGrabbed = new java.util.concurrent.CountDownLatch(1)
+    val aExited = new java.util.concurrent.CountDownLatch(1)
+    @volatile var stillCachedAfterA = false
+    val tA = new Thread(() => Caches.withScope {
+      Caches.cache(mk).count()
+      aCached.countDown()
+      bGrabbed.await()
+    })
+    val tB = new Thread(() => Caches.withScope {
+      aCached.await()
+      val f = Caches.cache(mk)
+      bGrabbed.countDown()
+      aExited.await()
+      stillCachedAfterA = f.storageLevel != StorageLevel.NONE
+      f.count()
+    })
+    tA.start(); tB.start()
+    tA.join(30000); aExited.countDown(); tB.join(30000)
+    assert(stillCachedAfterA,
+      "A's scope exit must not unpersist the entry B still references")
+    assert(cacheManager.isEmpty, "after BOTH scopes exit the entry is gone")
+  }
+
   test("scopes nest: inner caches drop at inner exit, outer survive") {
     cacheManager.clearCache()
     import spark.implicits._

@@ -55,6 +55,40 @@ class ContractHygieneSpec extends SparkSpec {
     assert((o -- q).isEmpty, s"oracle SQL without queries: ${(o -- q).toSeq.sorted}")
   }
 
+  test("materializeCtes rewrites the WITH chain only (WINDOW clauses untouched)") {
+    // The pre-r16 `),\s*\w+ AS (` regex also matched the 2nd+
+    // definitions of a multi-definition WINDOW clause — invalid DuckDB
+    // SQL if such an oracle ever joined the cohort (ADVICE r15). The
+    // walker skips balanced-paren CTE bodies (string literals with
+    // parens included) and stops at the chain's final SELECT.
+    val sql =
+      """WITH a AS (SELECT '(' AS lit, 1 AS x), b AS (
+        |  SELECT x, count(*) OVER tv AS c FROM a
+        |  WINDOW tv AS (PARTITION BY x), bv AS (ORDER BY x)
+        |)
+        |SELECT x, sum(x) OVER tv, sum(x) OVER bv FROM b
+        |WINDOW tv AS (PARTITION BY x), bv AS (ORDER BY x)""".stripMargin
+    val out = SparkEntry.materializeCtes(sql)
+    assert(out.contains("WITH a AS MATERIALIZED (SELECT '(' AS lit, 1 AS x), " +
+      "b AS MATERIALIZED ("))
+    assert(out.count(_ == 'M') - sql.count(_ == 'M') ==
+      2 * "MATERIALIZED".count(_ == 'M'), "exactly the two chain CTEs rewritten")
+    assert(out.contains("WINDOW tv AS (PARTITION BY x), bv AS (ORDER BY x)"),
+      "WINDOW definitions must stay untouched")
+    // parse failure is LOUD: a silently-unrewritten cohort oracle
+    // re-inlines its CTE chain refs^rounds times (q193's 101 s vs 0.1 s)
+    intercept[IllegalArgumentException] { SparkEntry.materializeCtes("SELECT 1") }
+    // the shipped cohort all came through the walker
+    val cohort = Seq("q140_kcore", "q157_communities", "q173_hits",
+      "q193_ktruss", "q215_community_purity", "q227_community_nmi",
+      "q270_mutual_knn", "q277_knn_outliers", "q287_modularity",
+      "q313_kmeans")
+    for (n <- cohort)
+      assert(SparkEntry.oracleSql(n).contains("AS MATERIALIZED ("), n)
+    // q74 has the multi-definition WINDOW shape and is NOT in the cohort
+    assert(!SparkEntry.oracleSql("q74_rank_functions").contains("MATERIALIZED"))
+  }
+
   test("no Verify output column is DECIMAL-typed (cross-engine hash trap)") {
     val dir = sf("sf0.001")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

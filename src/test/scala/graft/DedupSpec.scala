@@ -271,6 +271,17 @@ class DedupSpec extends SparkSpec {
     assert(capped._3 == 12L)
   }
 
+  test("longestRepeatStats: NULL text reports 0, not the cap (least() skips nulls)") {
+    // least(kernel(null), cap) = cap because Spark's least() SKIPS null
+    // arguments — the oracle's window ladder reports 0 for a null text.
+    val docs = Seq((1L, Option("abab")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.longestRepeatStats(docs, "text", "doc_id", cap = 48)
+      .select(col("doc_id"), col("lrs_len"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 0L)))
+  }
+
   test("LongestRepeat kernel: hand cases incl. overlap and unicode code points") {
     val df = Seq("aaa", "abab", "abc", "", "banana", "x😀y😀z")
       .toDF("t")

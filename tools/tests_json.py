@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Aggregate ScalaTest JUnit XML reports (target/test-reports/TEST-*.xml,
-written by the -u reporter configured in build.sbt) into a tests.json
+written by sbt's built-in JUnitXmlReportPlugin — do NOT add ScalaTest's
+-u reporter on top, build.sbt explains why) into a tests.json
 attestation: per-suite test counts + wall seconds, suite/test totals.
 
 Usage: tools/tests_json.py [reportsDir] [outFile]
