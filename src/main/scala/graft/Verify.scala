@@ -31,6 +31,9 @@ object Verify {
     // FpAll's basis, so the attestation fingerprints are deterministic
     // AND directly comparable to FpAll output. Costs one extra plan
     // construction (plus the few eager operators' bounded driver jobs).
+    val t0 = System.nanoTime()
+    def phase(name: String): Unit =
+      System.err.println(f"[verify] phase $name at ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val fpPre: Map[String, String] = graft.core.Caches.withScope {
       work0.map { case (name, fn) =>
         (name,
@@ -41,6 +44,7 @@ object Verify {
           })
       }.toMap
     }
+    phase("fingerprint pre-pass done")
     // Harness-owned pin: the sessionize+enrich subtree feeds ~15
     // queries; cached OUTSIDE the scopes so per-query unpersists leave
     // it alone (Caches' adoption rule) instead of rebuilding the
@@ -48,6 +52,7 @@ object Verify {
     val pinned =
       try { val p = graft.pipeline.Pipeline.enrichedEvents(spark, sfDir); p.count(); Some(p) }
       catch { case _: Throwable => None }
+    phase("pin done")
     // Per-query cache scope: operator-internal caches (LSH bands, covis
     // projections, candidate sets) are unpersisted after each query's
     // write — the full loop leaves no lingering InMemoryRelation behind.
@@ -104,6 +109,7 @@ object Verify {
         }
         futures.map(_.get())
       } finally pool.shutdown()
+    phase("pool done")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

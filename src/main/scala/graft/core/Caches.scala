@@ -51,12 +51,22 @@ object Caches {
 
   private final class Entry(
       val df: DataFrame,
-      val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) {
+      val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      val hash: Int) {
     var refs: Int = 0
   }
 
-  /** Scope-created live cache entries; guarded by `Caches.synchronized`. */
-  private val registry = ArrayBuffer.empty[Entry]
+  /** Scope-created live cache entries, bucketed by the canonicalized
+    * plan's structural hash; guarded by `Caches.synchronized`. The
+    * bucketing matters: a flat list's linear scan compares each
+    * incoming plan against every live entry with FULL-TREE equality,
+    * and the pre-pass scope holding all 314 constructions' entries at
+    * once made that quadratic-ish in similar scaffold trees (+127 s on
+    * the Verify pre-pass before bucketing). Tree hash and
+    * canonicalization are computed ONCE per call, outside the lock.
+    */
+  private val registry =
+    scala.collection.mutable.HashMap.empty[Int, ArrayBuffer[Entry]]
 
   final class Scope private[Caches] () {
     private[Caches] val owned = ArrayBuffer.empty[Entry]
@@ -73,9 +83,12 @@ object Caches {
     case None =>
       if (df.storageLevel != StorageLevel.NONE) df else df.cache()
     case Some(scope) =>
+      // canonicalization + structural hash are O(plan size): do them
+      // once, OUTSIDE the lock
+      val canon = df.queryExecution.analyzed.canonicalized
+      val h = canon.hashCode()
       Caches.synchronized {
-        val canon = df.queryExecution.analyzed.canonicalized
-        registry.find(_.plan == canon) match {
+        registry.get(h).flatMap(_.find(_.plan == canon)) match {
           case Some(e) =>
             // a sibling (or this) scope already caches this subtree —
             // hold a reference; Spark's planner resolves the caller's
@@ -86,8 +99,10 @@ object Caches {
             if (df.storageLevel != StorageLevel.NONE) df // foreign pin
             else {
               val out = df.cache()
-              val e = new Entry(out, canon)
-              e.refs = 1; registry += e; scope.owned += e
+              val e = new Entry(out, canon, h)
+              e.refs = 1
+              registry.getOrElseUpdate(h, ArrayBuffer.empty) += e
+              scope.owned += e
               out
             }
         }
@@ -122,7 +137,10 @@ object Caches {
         s.owned.foreach { e =>
           e.refs -= 1
           if (e.refs == 0) {
-            registry -= e
+            registry.get(e.hash).foreach { b =>
+              b -= e
+              if (b.isEmpty) registry.remove(e.hash)
+            }
             e.df.unpersist(blocking = false)
           }
         }
