@@ -114,10 +114,12 @@ object FeatureEng {
         count(lit(1)).as("n_rows"),
         max(col("p_lo")).as("p_lo"),
         max(col("p_hi")).as("p_hi"),
-        // Σ clip(v) as exact decimal — order-independent, so the final
-        // double division chain is bit-identical to the support form
+        // Σ clip(v) as exact hi/lo bigint split (value-identical to the
+        // decimal(28,4) sum — Aggregates.exactSum) — order-independent,
+        // so the final double division chain is bit-identical to the
+        // support form
         floor(lit(1000000.0) *
-          sum(col("v_clip").cast("decimal(28,4)")).cast("double") /
+          graft.ops.Aggregates.exactSum(col("v_clip"), 4) /
           count(lit(1)).cast("double")).cast("long").as("avg_clip_micro"))
   }
 
@@ -164,7 +166,10 @@ object FeatureEng {
       df: DataFrame,
       groupCol: String,
       pairs: Seq[(String, String, String)]): DataFrame = {
-    def s(c: Column): Column = sum(c.cast("decimal(28,4)")).cast("double")
+    // exact decimal-equivalent sums via the hi/lo bigint split (see
+    // Aggregates.exactSum — the per-row Decimal buffer round-trip was
+    // ~750 ns/row; ten of these made q101 aggregate-bound)
+    def s(c: Column): Column = graft.ops.Aggregates.exactSum(c, 4)
     val aggs = pairs.flatMap { case (x, y, nm) =>
       Seq(
         s(col(x)).as(s"sx_$nm"),

@@ -25,10 +25,15 @@ object RelationalQueries {
         // reduce to scale 4 BEFORE the double cast: a scale-8 decimal
         // at 1e9 magnitude rounds differently across engines' casts
         // (1-ULP drift seen at sf0.1); scale-4 converts exactly.
-        sum(
-          col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("decimal(30,4)").cast("double").as("sum_disc_price"),
+        // price·(1−disc) on 2dp inputs is an exact integer in 10^-4
+        // units — cents × hundredths — so the sum runs on the hi/lo
+        // bigint split (Aggregates.exactSumOfScaled), value-identical
+        // to the old decimal(18,4)×decimal(18,4) sum at a fraction of
+        // the per-row cost.
+        Ag.exactSumOfScaled(
+          expr("cast(round(l_extendedprice * 100) as bigint) * " +
+            "(100 - cast(round(l_discount * 100) as bigint))"), 4)
+          .as("sum_disc_price"),
         Ag.exactAvg(col("l_quantity")).as("avg_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 

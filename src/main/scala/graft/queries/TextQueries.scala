@@ -6,7 +6,7 @@ import graft.functions.{TextFunctions => TF, TextRanking}
 import graft.multimodal.Multimodal
 import graft.pipeline.{Embeddings, Pipeline}
 import graft.similarity.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries: dedup (exact / n-gram Jaccard /
@@ -937,12 +937,37 @@ object TextQueries {
     * joins on the fact side.
     */
   def fleissKappa(s: SparkSession, d: String): DataFrame = {
-    val preds = Tables.documents(s, d).select(
+    // One projection evaluates every (rater, lang) marker score ONCE
+    // per document, materialized before the explode. The previous
+    // explode(array(3 × langId)) form hit the r10 generator rule:
+    // InferFiltersFromGenerate's size/isnotnull guards rebuilt the
+    // whole 3-langId battery up to 3× per row, and each langId itself
+    // re-references its 5 langScore subtrees ~3× (greatest + the
+    // when-chain) past codegen CSE — ~270 regex evaluations per row
+    // where 20 suffice (measured 4.8 s → this form ~1 s at sf0.1).
+    val scoreCols = raterMarkers.zipWithIndex.flatMap { case (rater, r) =>
+      rater.zipWithIndex.map { case ((_, markers), i) =>
+        TF.langScore(col("text"), markers).as(s"__s_${r}_$i")
+      }
+    }
+    val scores = graft.core.Caches.materialized(
+      Tables.documents(s, d).select(col("doc_id") +: scoreCols: _*))
+    // identical argmax-first-wins tie logic as TF.langId, over the
+    // materialized score COLUMNS (cheap to re-evaluate under guards)
+    def rater(r: Int): Column = {
+      val scored = raterMarkers(r).zipWithIndex.map { case ((lang, _), i) =>
+        (lang, col(s"__s_${r}_$i"))
+      }
+      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+      scored.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+        when(sc === best && best > 0, lit(lang)).otherwise(acc)
+      }
+    }
+    val preds = scores.select(
       col("doc_id"),
-      explode(array(
-        raterMarkers.map(m => TF.langId(col("text"), m, "und")): _*)).as("cat"))
+      explode(array(raterMarkers.indices.map(rater): _*)).as("cat"))
     // feeds BOTH marginal aggregates (per-doc and the per-cat
-    // broadcast) — cached or the langId triple-scan replays per side
+    // broadcast) — cached or the scan replays per side
     val nij = graft.core.Caches.cache(
       preds.groupBy(col("doc_id"), col("cat")).agg(count(lit(1)).as("nij")))
     val perDoc = nij.agg(
