@@ -701,7 +701,12 @@ object Graph {
       srcCol: String,
       dstCol: String,
       rounds: Int): DataFrame = {
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // e0 eager: the undirected union references it twice inside the
+    // init-labels checkpoint job, re-running the caller's edge subtree
+    // (covis self-join for q157) once per side under a lazy entry; und
+    // itself stays lazy — the init job populates it sequentially
+    val e0 = Caches.materialized(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val und = Caches.cache(
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = und.select(col("src").as("id")).distinct()

@@ -241,10 +241,17 @@ object Pipeline {
     * Spark's CacheManager dedups the subtree across those consumers.
     */
   def candidatesFrom(a: DataFrame, enriched: DataFrame): DataFrame = {
-    val prefixC = graft.core.Caches.cache(prefixCandidates(a, enriched))
+    // eager, not lazy: the four strategy branches (and the covis
+    // self-join's two references) all launch concurrently under the
+    // final union's action and race past unmaterialized entries,
+    // re-running the enriched/prefix subtrees per consumer (measured
+    // on q116: 94 s task time / ~28 events-scans for a 6 s wall; one
+    // scan each warm). Materializing prefixC populates the shared
+    // enrichedEvents cache en route, so di's build reads it warm.
+    val prefixC = graft.core.Caches.materialized(prefixCandidates(a, enriched))
     // one distinct (session, category) projection serves covis pairs
     // AND the popularity top-N (distinct-session count per category)
-    val di = graft.core.Caches.cache(
+    val di = graft.core.Caches.materialized(
       enriched.select(col("session_id"), col("category_id")).distinct())
     val catPop = di.groupBy(col("category_id")).agg(count(lit(1)).as("cat_pop"))
     Seq(
@@ -281,7 +288,10 @@ object Pipeline {
         col("item_id"),
         col("category_id").as("pcat")), Seq("session_id"))
       .filter(col("epoch_s") < col("anchor_epoch_s"))
-      .transform(graft.core.Caches.cache)
+      // eager: prefixStats and prefixCatStats are sibling join branches
+      // racing a lazy entry (round-8 rule; q26 measured 137 s task time
+      // for an 8.5 s wall under lazy scaffolds)
+      .transform(graft.core.Caches.materialized)
 
     // candidates through the SAME plan as the candidate query —
     // identical lineage from the shared cached `enriched`, so the
@@ -299,7 +309,8 @@ object Pipeline {
     val du = enriched
       .select(col("user_id"), col("session_id"), col("category_id"))
       .distinct()
-      .transform(graft.core.Caches.cache)
+      // eager: userCatAff and the catPop broadcast race a lazy entry
+      .transform(graft.core.Caches.materialized)
     val di = du.select(col("session_id"), col("category_id")).distinct()
     val catPop = di.groupBy(col("category_id")).agg(count(lit(1)).as("cat_pop"))
     val base = cand

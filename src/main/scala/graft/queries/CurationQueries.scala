@@ -417,11 +417,17 @@ object CurationQueries {
       if (sampleMod <= 1L) docs
       else docs.filter(
         expr(s"conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) % $sampleMod = 0"))
-    val truePairs = graft.core.Caches.cache(
+    // eager, not lazy: the final row is tT × broadcast(tC) × broadcast
+    // (tH) — the two broadcast builds and the main aggregate all start
+    // concurrently and race past lazy entries, re-running the exact
+    // postings join (truePairs: tT + tH) and the LSH pipeline (cand:
+    // tC + tH) once per consumer — the suite's recurring q279 stall
+    // class ran its most expensive subtrees twice
+    val truePairs = graft.core.Caches.materialized(
       Dedup.ngramJaccardPairs(gtDocs, "text", "doc_id", n = 4, minJaccardPpm = 500000L)
         .select(col("id_a"), col("id_b")))
     val sh = Dedup.shingles(docs, "text", "doc_id", 4)
-    val cand = graft.core.Caches.cache(
+    val cand = graft.core.Caches.materialized(
       Dedup.lshCandidatePairs(
         Dedup.lshBands(Dedup.minhashSignatures(sh, numHashes = 16),
           bands = 4, rowsPerBand = 4)))

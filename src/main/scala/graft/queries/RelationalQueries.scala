@@ -853,14 +853,21 @@ object RelationalQueries {
     val cums = graft.ops.Windows.shardedCumsumBy(
       support, Seq("g"), "cents", Seq("cnt"), expr("cents div 100000"))
     val totals = support.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
-    val exact = qs.map { case (ppm, name) =>
-      cums
-        .join(broadcast(totals), Seq("g"))
-        .withColumn("rank", expr(s"($ppm * n + 999999) div 1000000"))
-        .filter(col("cum_cnt") >= col("rank") &&
-          col("cum_cnt") - col("cnt") < col("rank"))
-        .select(col("g"), lit(name).as("q"), col("cents").as("exact_cents"))
-    }.reduce(_.unionByName(_))
+    // ONE pass over the cumsum for BOTH quantiles: the per-ppm union
+    // re-ran the support agg + sharded cumsum once per quantile (the
+    // branches are uncached sibling subtrees). Broadcasting the 2-row
+    // (ppm, q) literal frame onto the cumsum and filtering the rank hit
+    // yields identical rows at half the cumsum work. The literal frame
+    // is non-empty by construction (round-9 crossJoin sentinel rule).
+    val spark = vals0.sparkSession
+    import spark.implicits._
+    val exact = cums
+      .join(broadcast(totals), Seq("g"))
+      .crossJoin(broadcast(qs.toDF("ppm", "q")))
+      .withColumn("rank", expr("(ppm * n + 999999) div 1000000"))
+      .filter(col("cum_cnt") >= col("rank") &&
+        col("cum_cnt") - col("cnt") < col("rank"))
+      .select(col("g"), col("q"), col("cents").as("exact_cents"))
     sketch
       .select(col("g"),
         expr("stack(2, 'p50', p50, 'p90', p90) AS (q, sketch_lb_cents)"))

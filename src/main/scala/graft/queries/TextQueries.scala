@@ -1148,7 +1148,10 @@ object TextQueries {
     * doc-pair-quadratic.
     */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val sh = graft.core.Caches.cache(
+    // eager: consumed by TWO broadcast `sizes` builds plus both self-
+    // join sides, all starting concurrently — a lazy cache lets every
+    // consumer re-run the shingle explode+distinct (round-8 rule)
+    val sh = graft.core.Caches.materialized(
       Tables.documents(s, d)
         .select(col("source"), explode(TF.wordShingles(col("text"), 4)).as("shingle"))
         .distinct())
@@ -1357,9 +1360,12 @@ object TextQueries {
     // replays per consumer
     val toks = graft.core.Caches.cache(Tables.documents(s, d)
       .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok"))))
-    val vocab = toks
+    // eager: vocab feeds TWO concurrent broadcast semi-join builds —
+    // lazy, each would re-run the tokenize explode + vocab agg; the one
+    // materialization job also populates the toks cache en route
+    val vocab = graft.core.Caches.materialized(toks
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 5).select(col("tok"))
+      .filter(col("c") >= 5).select(col("tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val und = graft.core.Caches.cache(toks
       .withColumn("nxt", lead(col("tok"), 1).over(w))
