@@ -54,6 +54,11 @@ object Caches {
       val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       val hash: Int) {
     var refs: Int = 0
+    // set once [[materialized]]'s eager count has completed for this
+    // entry — later materialized() calls on the same canonical plan
+    // (cross-query scaffold reuse inside one harness scope) skip the
+    // redundant count job
+    @volatile var filled: Boolean = false
   }
 
   /** Scope-created live cache entries, bucketed by the canonicalized
@@ -120,7 +125,20 @@ object Caches {
     */
   def materialized(df: DataFrame): DataFrame = {
     val out = cache(df)
-    out.count()
+    // skip the count when a LIVE registry entry for this canonical plan
+    // has already been filled (e.g. the bench's one scope runs many
+    // queries sharing a scaffold — only the first pays the eager job);
+    // the flag dies with the entry, so a re-created cache refills
+    val entry = {
+      val canon = out.queryExecution.analyzed.canonicalized
+      Caches.synchronized {
+        registry.get(canon.hashCode()).flatMap(_.find(_.plan == canon))
+      }
+    }
+    if (!entry.exists(_.filled)) {
+      out.count()
+      entry.foreach(_.filled = true)
+    }
     out
   }
 

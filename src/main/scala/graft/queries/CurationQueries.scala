@@ -607,16 +607,70 @@ object CurationQueries {
         // $100-grid floor, sign-safe: offset keeps the dividend
         // non-negative so Spark `div` (trunc) == DuckDB `//` exactly.
         expr("(cents + 1000000) div 10000 * 10000 - 1000000").as("b_cents"))
-    val scored = master
-      .join(degraded, Seq("nation"))
-      .withColumn(
-        "score_micro",
-        Linkage.fsScoreMicro(Seq(
-          Linkage.FieldWeight(col("a_seg") === col("b_seg"), 1558145L, -2772589L),
-          Linkage.FieldWeight(
-            abs(col("a_cents") - col("b_cents")) < 10000, 3891820L, -3891820L))))
-    Linkage
-      .bestMatch(scored, "b_id", "a_id", "score_micro")
+    // Closed-form best match instead of the Σ|A_n|·|B_n| block-pair
+    // enumeration (guide §3, avoid exploding joins): the F-S score over
+    // TWO binary field comparisons takes only 4 values, strictly
+    // ordered C1(seg✓,bal✓)=5449965 > C2(✗,✓)=1119231 > C3(✓,✗)=
+    // −2333675 > C4(✗,✗)=−6664409, so "max score then min custkey" is
+    // the min a_id of the best non-empty CLASS — derivable from
+    // per-(nation, segment, $100-bucket) minima without scoring any
+    // pair. Bal-agree means a_cents ∈ (b_cents−10⁴, b_cents+10⁴) with
+    // b_cents on the offset grid, i.e. bucket((a_cents+10⁶) div 10⁴)
+    // ∈ {bb, bb−1} where bb = (b_cents+10⁶) div 10⁴ — bucket bb
+    // qualifies entirely, bucket bb−1 except its exact lower edge
+    // ((a_cents+10⁶) ≡ 0 mod 10⁴, the one value at distance exactly
+    // 10⁴). C3/C4 use nation×segment minima: they only win when the
+    // window is EMPTY across all segments, so every remaining master
+    // bal-disagrees. Old pair-scored plan ran 3M pair evaluations in
+    // the single input-layout scan task (3.9 s max task at sf0.1);
+    // this is two catalog-bounded aggs + broadcast lookups, and stays
+    // linear in |master| at any scale. Was: master.join(degraded,
+    // "nation") × Linkage.fsScoreMicro × Linkage.bestMatch — the
+    // generic operators remain in graft.ops.Linkage; bit-identity is
+    // gate-verified against the unchanged pair-join oracle SQL.
+    val segs = master.select(col("a_seg").as("seg")).distinct()
+    val cellAgg = master
+      .groupBy(col("nation"), col("a_seg").as("seg"),
+        expr("(a_cents + 1000000) div 10000").as("bucket"))
+      .agg(
+        min(col("a_id")).as("mn"),
+        min(when(expr("(a_cents + 1000000) % 10000 != 0"), col("a_id")))
+          .as("mn_ne"))
+    val segAgg = master
+      .groupBy(col("nation"), col("a_seg").as("seg"))
+      .agg(min(col("a_id")).as("mn_seg"))
+    val withBB = degraded
+      .crossJoin(broadcast(segs))
+      .withColumn("bb", expr("(b_cents + 1000000) div 10000"))
+      .withColumn("bb1", col("bb") - 1L)
+    val perB = withBB
+      .join(
+        broadcast(cellAgg.select(
+          col("nation"), col("seg"), col("bucket").as("bb"), col("mn"))),
+        Seq("nation", "seg", "bb"), "left")
+      .join(
+        broadcast(cellAgg.select(
+          col("nation"), col("seg"), col("bucket").as("bb1"), col("mn_ne"))),
+        Seq("nation", "seg", "bb1"), "left")
+      .join(broadcast(segAgg), Seq("nation", "seg"), "left")
+      .groupBy(col("b_id"), col("nation"), col("b_seg"))
+      .agg(
+        min(when(col("seg") === col("b_seg"), least(col("mn"), col("mn_ne"))))
+          .as("c1"),
+        min(when(col("seg") =!= col("b_seg"), least(col("mn"), col("mn_ne"))))
+          .as("c2"),
+        min(when(col("seg") === col("b_seg"), col("mn_seg"))).as("c3"),
+        min(when(col("seg") =!= col("b_seg"), col("mn_seg"))).as("c4"))
+    perB
+      .select(
+        col("nation"),
+        col("b_id"),
+        when(col("c1").isNotNull, lit(1558145L + 3891820L))
+          .when(col("c2").isNotNull, lit(-2772589L + 3891820L))
+          .when(col("c3").isNotNull, lit(1558145L - 3891820L))
+          .otherwise(lit(-2772589L - 3891820L)).as("score_micro"),
+        coalesce(col("c1"), col("c2"), col("c3"), col("c4")).as("a_id"))
+      .filter(col("a_id").isNotNull) // nation with zero masters (inner-join parity)
       .groupBy(col("nation"), col("score_micro"))
       .agg(
         count(lit(1)).as("n_pairs"),
