@@ -154,6 +154,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val work = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Fingerprint PRE-PASS, identical to Verify's: sequential,
+    // alphabetical, fresh scope, constructionMode (no eager jobs).
+    // Fingerprints were previously stamped in-loop after each query's
+    // execution, where the accumulated+materialized cache state of all
+    // earlier queries leaks into the stamp — a basis that can diverge
+    // from Verify's construction-time pre-pass (it did, 293/314, under
+    // shared base frames). One construction-only basis in FpAll, Verify
+    // AND Bench keeps the Verify↔Bench fingerprint linkage — the
+    // invariant that separates host contention from plan regressions —
+    // exact by construction. Runs before the timed loop; the timed
+    // methodology (toRdd.count() full-plan basis) is unchanged.
+    val fpPre: Map[String, String] = graft.core.Caches.constructionMode {
+      graft.core.Caches.withScope {
+        work.map { case (name, fn) =>
+          val dfOpt = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+          // debugging aid: dump each normalized plan text when asked, so
+          // a cross-run fingerprint drift can be diffed to its substring
+          sys.env.get("SPARK_GRAFT_FP_DIR").foreach { dir =>
+            dfOpt.foreach { df =>
+              try {
+                java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(dir, s"$name.txt"),
+                  normalizedPlan(df).getBytes("UTF-8"))
+              } catch { case _: Throwable => () }
+            }
+          }
+          (name,
+            dfOpt
+              .flatMap(df => try Some(planFingerprint(df)) catch { case _: Throwable => None })
+              .getOrElse("-"))
+        }.toMap
+      }
+    }
     // Warm-up outside the timed loop: JIT + codegen + filesystem init
     // otherwise land entirely on the alphabetically-first query touching
     // each table/code path. Touch every input table and the hot
@@ -205,7 +240,7 @@ object Bench {
     // feature, and every operator-internal cache is dropped at the end
     // of the run rather than pinned for the session's lifetime.
     val results = graft.core.Caches.withScope {
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      work.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val b0 = {
           org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
@@ -229,22 +264,10 @@ object Bench {
           org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
           ((shuffleBytes.get - b0) / 1e6, maxTaskMs.get / 1e3)
         }
-        // fingerprint OUTSIDE the timer: plan traversal, no execution
-        val fp = dfOpt
-          .flatMap(df => try Some(planFingerprint(df)) catch { case _: Throwable => None })
-          .getOrElse("-")
-        // debugging aid: dump each normalized plan text when asked, so
-        // a cross-run fingerprint drift can be diffed to its substring
-        sys.env.get("SPARK_GRAFT_FP_DIR").foreach { dir =>
-          dfOpt.foreach { df =>
-            try {
-              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(dir, s"$name.txt"),
-                normalizedPlan(df).getBytes("UTF-8"))
-            } catch { case _: Throwable => () }
-          }
-        }
+        // fingerprint from the pre-pass (construction basis, stamped
+        // above); "-" when the query failed HERE even if construction
+        // succeeded, so a failure is never paired with a healthy stamp
+        val fp = if (dfOpt.isDefined) fpPre.getOrElse(name, "-") else "-"
         (name, t, mb, fp, maxTaskS)
       }
     }
@@ -316,8 +339,6 @@ object Bench {
       topN(10, results, _._3, r => s""""${r._1}":${f"${r._3}%.1f"}""")}}""")
     println(s"""{"metric":"top10_fingerprints","queries":${
       topN(10, ok, _._2, r => s""""${r._1}":"${r._4}"""")}}""")
-    println(s"""{"metric":"top10_sec","queries":${
-      topN(10, ok, _._2, r => s""""${r._1}":${f"${r._2}%.3f"}""")}}""")
     // Stall-proofing (VERDICT r15 item 3): a single stalled task can
     // dominate the artifact the judge reads (q279 read 100.1 s in
     // BENCH_r15 vs ~7 s quiet). Re-run the top-10-by-seconds cohort
@@ -335,6 +356,16 @@ object Bench {
         (name, math.min(first, t))
       }
     }
+    // BOTH per-query seconds lines are printed AFTER the min2 re-runs
+    // (whose WARN log lines land in the captured stream and would push
+    // anything printed earlier out of the driver's ~2.4 KB stdout tail:
+    // top10_sec was the casualty in BENCH_r16, costing the round its
+    // per-query pairing — PERF_r16 n_common=0). top10_sec restores the
+    // first-run basis r15 and earlier paired on; top10_sec_min2 stays
+    // the stall-proof basis and stays LAST of the two, preserving
+    // r16-artifact pairing too.
+    println(s"""{"metric":"top10_sec","queries":${
+      topN(10, ok, _._2, r => s""""${r._1}":${f"${r._2}%.3f"}""")}}""")
     println(s"""{"metric":"top10_sec_min2","queries":${
       min2.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")}}""")
     // The full line above can exceed the driver's capture window (r05/r06

@@ -24,12 +24,17 @@ object FpAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fps = graft.core.Caches.withScope {
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val fp =
-          try Bench.planFingerprint(fn(spark, sfDir))
-          catch { case _: Throwable => "-" }
-        (name, fp)
+    // constructionMode: eager operators degrade to lazy caches — the
+    // dump is truly plan-construction-only (no Spark jobs), and the
+    // basis matches the Verify/Bench fingerprint pre-passes exactly.
+    val fps = graft.core.Caches.constructionMode {
+      graft.core.Caches.withScope {
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val fp =
+            try Bench.planFingerprint(fn(spark, sfDir))
+            catch { case _: Throwable => "-" }
+          (name, fp)
+        }
       }
     }
     println(fps.map { case (k, fp) => s"\"$k\":\"$fp\"" }

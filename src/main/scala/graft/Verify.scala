@@ -34,15 +34,21 @@ object Verify {
     val t0 = System.nanoTime()
     def phase(name: String): Unit =
       System.err.println(f"[verify] phase $name at ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    val fpPre: Map[String, String] = graft.core.Caches.withScope {
-      work0.map { case (name, fn) =>
-        (name,
-          try Bench.planFingerprint(fn(spark, sfDir))
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name fingerprint failed: ${e.getMessage}")
-            "-"
-          })
-      }.toMap
+    // constructionMode: eager operators degrade to lazy caches, so the
+    // pre-pass runs no Spark jobs at construction (ADVICE r16) and the
+    // stamp is a pure function of code+data — same basis as FpAll and
+    // Bench's pre-pass.
+    val fpPre: Map[String, String] = graft.core.Caches.constructionMode {
+      graft.core.Caches.withScope {
+        work0.map { case (name, fn) =>
+          (name,
+            try Bench.planFingerprint(fn(spark, sfDir))
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name fingerprint failed: ${e.getMessage}")
+              "-"
+            })
+        }.toMap
+      }
     }
     phase("fingerprint pre-pass done")
     // Harness-owned pin: the sessionize+enrich subtree feeds ~15

@@ -59,6 +59,12 @@ object Caches {
     // (cross-query scaffold reuse inside one harness scope) skip the
     // redundant count job
     @volatile var filled: Boolean = false
+    // non-null while one thread runs the eager count (guarded by
+    // Caches.synchronized); late materialized() arrivals await it
+    // instead of either re-counting (ADVICE r16: duplicate eager jobs
+    // under the Verify pool) or racing ahead unfilled (the broadcast
+    // race materialized exists to prevent)
+    var filling: java.util.concurrent.CountDownLatch = null
   }
 
   /** Scope-created live cache entries, bucketed by the canonicalized
@@ -84,34 +90,60 @@ object Caches {
   /** `df.cache()`, reference-counted with the innermost active scope.
     * Outside any scope: plain `df.cache()` semantics (caller owns it).
     */
-  def cache(df: DataFrame): DataFrame = active.get.headOption match {
-    case None =>
-      if (df.storageLevel != StorageLevel.NONE) df else df.cache()
-    case Some(scope) =>
-      // canonicalization + structural hash are O(plan size): do them
-      // once, OUTSIDE the lock
-      val canon = df.queryExecution.analyzed.canonicalized
-      val h = canon.hashCode()
-      Caches.synchronized {
-        registry.get(h).flatMap(_.find(_.plan == canon)) match {
-          case Some(e) =>
-            // a sibling (or this) scope already caches this subtree —
-            // hold a reference; Spark's planner resolves the caller's
-            // own frame against the shared InMemoryRelation, so return
-            // `df` (the entry's frame has different exprIds)
-            e.refs += 1; scope.owned += e; df
-          case None =>
-            if (df.storageLevel != StorageLevel.NONE) df // foreign pin
-            else {
-              val out = df.cache()
-              val e = new Entry(out, canon, h)
-              e.refs = 1
-              registry.getOrElseUpdate(h, ArrayBuffer.empty) += e
-              scope.owned += e
-              out
-            }
+  def cache(df: DataFrame): DataFrame = cacheWithEntry(df)._1
+
+  /** [[cache]] plus the registry entry it resolved to (None outside a
+    * scope or on a foreign pin) — so [[materialized]] reuses the one
+    * canonicalization instead of recomputing it (ADVICE r16).
+    */
+  private def cacheWithEntry(df: DataFrame): (DataFrame, Option[Entry]) =
+    active.get.headOption match {
+      case None =>
+        (if (df.storageLevel != StorageLevel.NONE) df else df.cache(), None)
+      case Some(scope) =>
+        // canonicalization + structural hash are O(plan size): do them
+        // once, OUTSIDE the lock
+        val canon = df.queryExecution.analyzed.canonicalized
+        val h = canon.hashCode()
+        Caches.synchronized {
+          registry.get(h).flatMap(_.find(_.plan == canon)) match {
+            case Some(e) =>
+              // a sibling (or this) scope already caches this subtree —
+              // hold a reference; Spark's planner resolves the caller's
+              // own frame against the shared InMemoryRelation, so return
+              // `df` (the entry's frame has different exprIds)
+              e.refs += 1; scope.owned += e; (df, Some(e))
+            case None =>
+              if (df.storageLevel != StorageLevel.NONE) (df, None) // foreign pin
+              else {
+                val out = df.cache()
+                val e = new Entry(out, canon, h)
+                e.refs = 1
+                registry.getOrElseUpdate(h, ArrayBuffer.empty) += e
+                scope.owned += e
+                (out, Some(e))
+              }
+          }
         }
-      }
+    }
+
+  /** Plan-construction-only mode (thread-local): inside `f`,
+    * [[materialized]] degrades to a lazy [[cache]] so constructing a
+    * query runs NO Spark jobs. The fingerprint pre-passes (FpAll,
+    * Verify, Bench) construct all 314 queries purely to stamp plan
+    * hashes — eager counts there would execute the scaffolds once per
+    * construction and make the stamp depend on cache-fill state
+    * (ADVICE r16). Execution paths never set this.
+    */
+  def constructionMode[A](f: => A): A = {
+    val prev = constructionOnly.get
+    constructionOnly.set(true)
+    try f
+    finally constructionOnly.set(prev)
+  }
+
+  private val constructionOnly = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
   /** [[cache]] + eager materialization (a count over the cached frame
@@ -122,22 +154,41 @@ object Caches {
     * rule). A support table consumed by a cumsum, a totals broadcast,
     * and a threshold broadcast is exactly that shape — materialize it
     * once, then every consumer reads the InMemoryRelation.
+    *
+    * Exactly ONE thread pays the count per live entry: the fill is
+    * claimed under the registry lock; late arrivals await the claimer's
+    * latch (returning unfilled would reintroduce the broadcast race).
+    * A failed fill releases the latch with `filled` still false, so
+    * waiters proceed on the lazy entry (the pre-fix behavior) and the
+    * next call retries.
     */
   def materialized(df: DataFrame): DataFrame = {
-    val out = cache(df)
-    // skip the count when a LIVE registry entry for this canonical plan
-    // has already been filled (e.g. the bench's one scope runs many
-    // queries sharing a scaffold — only the first pays the eager job);
-    // the flag dies with the entry, so a re-created cache refills
-    val entry = {
-      val canon = out.queryExecution.analyzed.canonicalized
-      Caches.synchronized {
-        registry.get(canon.hashCode()).flatMap(_.find(_.plan == canon))
-      }
-    }
-    if (!entry.exists(_.filled)) {
-      out.count()
-      entry.foreach(_.filled = true)
+    if (constructionOnly.get) return cache(df)
+    val (out, entry) = cacheWithEntry(df)
+    entry match {
+      case None =>
+        // outside any scope / foreign pin: caller owns the lifecycle,
+        // no entry to coordinate on — count unconditionally
+        out.count()
+      case Some(e) =>
+        val (latch, owner) = Caches.synchronized {
+          if (e.filled) (null, false)
+          else if (e.filling != null) (e.filling, false)
+          else {
+            val l = new java.util.concurrent.CountDownLatch(1)
+            e.filling = l
+            (l, true)
+          }
+        }
+        if (owner) {
+          try {
+            out.count()
+            e.filled = true
+          } finally {
+            Caches.synchronized { e.filling = null }
+            latch.countDown()
+          }
+        } else if (latch != null) latch.await()
     }
     out
   }

@@ -48,24 +48,47 @@ object Aggregates {
     * scale-4 money values (|u| ≤ 2^33) give ~10^15 rows.
     */
   def exactSum(c: Column, scale: Int = 4): Column =
-    exactSumOfScaled(round(c * lit(math.pow(10.0, scale))).cast("long"), scale)
+    // NaN discipline (ADVICE r16): the old `cast(c as decimal)` turned
+    // NaN into null (sum skips it); `round(NaN·10^s).cast(long)` would
+    // contribute a silent 0. Null the NaN rows so the recast keeps the
+    // decimal path's skip semantics. (±Infinity now trips the loud
+    // overflow guard below instead of silently nulling — preferable
+    // for a library aggregate.)
+    exactSumOfScaled(
+      when(isnan(c), lit(null)).otherwise(round(c * lit(math.pow(10.0, scale)))).cast("long"),
+      scale)
 
   /** [[exactSum]] over a column already expressed in exact integer
     * units of 10^-scale (hi/lo-split bigint sums, decimal reassembled
     * per group). For per-row values that are exact integer products
     * (e.g. cents × hundredths), this skips the double round-trip
     * entirely.
+    *
+    * Loud overflow guard (ADVICE r16, r6/r8 convention): the bigint
+    * half-sums wrap SILENTLY past the documented |u| ≤ 2^47 / 7·10^11
+    * rows-per-group headroom, where the old decimal sum widened. A
+    * `max(abs(u))` aggregate (plain bigint max — negligible next to
+    * the sums) feeds an assert_true; the result column is gated on the
+    * assert's null-ness so the guard is forced to evaluate without
+    * adding an output column: out-of-domain inputs fail the query
+    * loudly instead of returning a wrapped sum.
     */
   def exactSumOfScaled(u: Column, scale: Int): Column = {
     require(scale >= 0 && scale <= 6, s"exactSumOfScaled: scale $scale outside [0,6]")
     val hi = sum(shiftright(u, 23))
     val lo = sum(u.bitwiseAND(lit(8388607L)))
+    // coalesce(true): an all-null group has max(abs)=null — no row, no
+    // overflow (assert_true throws on null conditions)
+    val guard = assert_true(
+      coalesce(max(abs(u)) <= lit(1L << 47), lit(true)),
+      lit("exactSumOfScaled: |u| exceeds the 2^47 per-row headroom (see Aggregates.exactSum)"))
     // group-grain decimal reassembly: (Σhi)·2^23 + Σlo = Σu exactly;
     // the ÷10^scale lands at decimal scale ≥ 6 ≥ scale, so the
     // quotient is the exact rational the old decimal sum held, and
     // the final double cast is the identical correctly-rounded double
-    ((hi.cast("decimal(38,0)") * lit(8388608L) + lo.cast("decimal(38,0)")) /
+    val res = ((hi.cast("decimal(38,0)") * lit(8388608L) + lo.cast("decimal(38,0)")) /
       lit(math.pow(10.0, scale).toLong)).cast("double")
+    when(guard.isNull, res)
   }
 
   /** Deterministic average = exactSum / count over the same rows. */

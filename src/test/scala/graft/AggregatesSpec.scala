@@ -15,6 +15,48 @@ class AggregatesSpec extends SparkSpec {
     assert(a == 0.6 / 3) // decimal-exact sum, then one double division
   }
 
+  test("exactSumOfScaled == decimal sum on negatives and ±2^23-boundary values (ADVICE r16)") {
+    // the hi/lo bigint split must agree with the reference decimal sum
+    // exactly where the split arithmetic is trickiest: negative values
+    // (arithmetic shift + non-negative mask), the 2^23 half boundary,
+    // and mixed-sign cancellation
+    val us = Seq(0L, 1L, -1L, 8388607L, 8388608L, 8388609L,
+      -8388607L, -8388608L, -8388609L, (1L << 47), -(1L << 47),
+      123456789L, -987654321L)
+    val df = us.toDF("u")
+    val (got, ref) = df.agg(
+      Aggregates.exactSumOfScaled(col("u"), 4).as("got"),
+      (sum(col("u").cast("decimal(38,0)")) / lit(10000L)).cast("double").as("ref"))
+      .as[(Double, Double)].head()
+    assert(got == ref, s"split sum $got != decimal sum $ref")
+    // per-value identity too (each value alone in its own group)
+    val per = us.zipWithIndex.map { case (u, i) => (i, u) }.toDF("g", "u")
+      .groupBy(col("g"))
+      .agg(
+        Aggregates.exactSumOfScaled(col("u"), 4).as("got"),
+        (sum(col("u").cast("decimal(38,0)")) / lit(10000L)).cast("double").as("ref"))
+      .as[(Int, Double, Double)].collect()
+    per.foreach { case (g, got, ref) => assert(got == ref, s"group $g: $got != $ref") }
+  }
+
+  test("exactSum: NaN rows skipped like the old decimal-cast null (ADVICE r16)") {
+    val df = Seq(1.5, Double.NaN, 2.25).toDF("v")
+    val s = df.agg(Aggregates.exactSum(col("v")).as("s")).as[Double].head()
+    assert(s == 3.75)
+    // all-NaN group: sum of no rows = null, not 0
+    val allNan = Seq(Double.NaN, Double.NaN).toDF("v")
+      .agg(Aggregates.exactSum(col("v"))).collect().head
+    assert(allNan.isNullAt(0))
+  }
+
+  test("exactSumOfScaled: out-of-headroom input fails loudly (ADVICE r16)") {
+    val df = Seq((1L << 47) + 1L).toDF("u")
+    val e = intercept[Exception] {
+      df.agg(Aggregates.exactSumOfScaled(col("u"), 4)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("countIf / maxIf") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val (c, m) = df
