@@ -14,9 +14,14 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    println(df.queryExecution.explainString(
+    // full formatted explain (tree + per-node details) — the plans/rNN
+    // before/after artifacts are captured with this; pass "tree" as a
+    // 3rd arg for the tree-only view
+    val full = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      .linesIterator.takeWhile(_ != "").mkString("\n"))
+    if (args.length > 2 && args(2) == "tree")
+      println(full.linesIterator.takeWhile(_ != "").mkString("\n"))
+    else println(full)
     spark.stop()
   }
 }

