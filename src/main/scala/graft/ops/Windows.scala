@@ -197,6 +197,13 @@ object Windows {
       orderCol: String,
       valueCols: Seq[String],
       shardExpr: Column): DataFrame = {
+    // NOT cached here (measured r17): an operator-level cache of the
+    // sharded support looks like it would dedupe the within/totals
+    // double consumption, but the InMemoryRelation hides the input's
+    // partitioning (the r4 cache rule) and re-introduces downstream
+    // exchanges — q235 taskSum 3.3 → 28.1 s, tasks 41 → 614. Callers
+    // whose INPUT subtree is expensive cache it at the call site,
+    // below this operator's own exchanges (q124's deltas union).
     val sharded = df.withColumn("__shard", shardExpr)
     val w = Window
       .partitionBy((partCols :+ "__shard").map(col): _*)

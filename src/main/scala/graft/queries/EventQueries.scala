@@ -634,11 +634,16 @@ object EventQueries {
     val sessions = graft.core.Caches.cache(Pipeline.sessionizedEvents(s, d)
       .groupBy(col("session_id"))
       .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s")))
-    val deltas = sessions
+    // cached: shardedCumsum consumes its input TWICE (per-row windows +
+    // shard totals), and this input is the expensive union over the
+    // session intervals — uncached, the union+agg subtree ran once per
+    // reference (QJobs: three ~15 s 64-task stages for a 4 s wall).
+    // Support grain (distinct seconds), value-domain-bounded.
+    val deltas = graft.core.Caches.cache(sessions
       .select(col("start_s").as("t"), lit(1L).as("d"))
       .unionByName(sessions.select((col("end_s") + 1L).as("t"), lit(-1L).as("d")))
       .groupBy(col("t"))
-      .agg(sum(col("d")).as("net"))
+      .agg(sum(col("d")).as("net")))
     // lazy cache is sufficient here (A/B-measured): the broadcast(peak)
     // build completes before the main filter stage launches, so no
     // concurrent first-use race reaches the unmaterialized entry —
